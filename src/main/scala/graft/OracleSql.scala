@@ -1,0 +1,329 @@
+package graft
+
+/** DuckDB oracle SQL mirroring each SparkEntry query, column-for-column.
+  *
+  * Conventions matching SparkEntry (see SURVEY §5): DECIMAL(18,2) casts for
+  * money math, `CAST(x AS DOUBLE)` before any division, epoch-second
+  * BIGINTs for timestamps, deterministic tie-breaks everywhere.
+  * `q_simhash` / `q_ann_lsh` are intentionally absent (rows-only checks).
+  */
+object OracleSql {
+
+  private val orderScoreSql =
+    """(CASE o_orderpriority WHEN '1-URGENT' THEN 40 WHEN '2-HIGH' THEN 50
+      |      WHEN '3-MEDIUM' THEN 20 WHEN '5-LOW' THEN 10 ELSE 0 END
+      | + CASE WHEN o_orderstatus = 'F' THEN 5 ELSE 0 END
+      | + CASE WHEN o_totalprice <= 1000 THEN 2 WHEN o_totalprice <= 5000 THEN 4
+      |        WHEN o_totalprice <= 10000 THEN 6 WHEN o_totalprice <= 25000 THEN 8
+      |        WHEN o_totalprice <= 50000 THEN 10 WHEN o_totalprice <= 100000 THEN 12
+      |        WHEN o_totalprice <= 200000 THEN 14 ELSE 16 END)""".stripMargin
+
+  private val severityCase =
+    """CASE WHEN %s >= 95 THEN 'Severe' WHEN %s >= 75 THEN 'High'
+      |     WHEN %s >= 50 THEN 'Moderate' WHEN %s >= 25 THEN 'Low'
+      |     ELSE 'Minimal' END""".stripMargin
+
+  private def severity(c: String) = severityCase.format(c, c, c, c)
+
+  private val toksSql =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** 16 minhash permutation aggregate expressions, a_i = 2i+3, b_i = 5i+7. */
+  private val minhashAggs = (0 until 16)
+    .map(i => s"MIN((hv * ${2 * i + 3} + ${5 * i + 7}) % 1000000007) AS mh$i")
+    .mkString(",\n        ")
+  private val bandSelects = (0 until 4).map { b =>
+    val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band, CONCAT_WS('_', $cols) AS sig FROM sig"
+  }.mkString("\n      UNION ALL\n      ")
+
+  val all: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_conditional_counts" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) AS n_orders,
+        | COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        | COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_distinct_on_latest" ->
+      """SELECT user_id, event_id, event_type,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_enrich_multijoin" ->
+      """SELECT c_custkey, c_name, LOWER(n_name) AS nation_name,
+        | COALESCE(r_name, 'UNKNOWN') AS region_name, c_acctbal AS acctbal
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+
+    "q_union_dedup" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_sec
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM (SELECT * FROM orders WHERE o_orderstatus = 'O'
+        |            UNION ALL
+        |            SELECT * FROM orders WHERE o_orderstatus = 'F'))
+        |WHERE rn = 1""".stripMargin,
+
+    "q_impact_scores" ->
+      s"""WITH scored AS (SELECT o_custkey, $orderScoreSql AS score10 FROM orders),
+         |per_cust AS (SELECT o_custkey, SUM(score10) AS total10, COUNT(*) AS n_orders
+         |             FROM scored GROUP BY o_custkey),
+         |ranked AS (SELECT o_custkey, n_orders,
+         |   CAST(total10 AS DOUBLE) / 10 AS total_impact_level,
+         |   PERCENT_RANK() OVER (ORDER BY CAST(total10 AS DOUBLE) / 10) * 100 AS impact_index_score
+         | FROM per_cust)
+         |SELECT o_custkey, n_orders, total_impact_level, impact_index_score,
+         | ${severity("impact_index_score")} AS impact_category
+         |FROM ranked""".stripMargin,
+
+    "q_authority_rollup" ->
+      s"""WITH scored AS (SELECT o_custkey, $orderScoreSql AS score10 FROM orders),
+         |per_cust AS (SELECT o_custkey, SUM(score10) AS total10 FROM scored GROUP BY o_custkey),
+         |by_auth AS (
+         | SELECT n_name AS authority, COUNT(*) AS n_customers,
+         |  SUM(total10) AS t10, MAX(total10) AS mx10, MIN(total10) AS mn10
+         | FROM per_cust
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY n_name),
+         |ranked AS (
+         | SELECT authority, n_customers,
+         |  CAST(t10 AS DOUBLE) / 10 AS total_impact_level,
+         |  (CAST(t10 AS DOUBLE) / 10) / n_customers AS avg_impact_level,
+         |  CAST(mx10 AS DOUBLE) / 10 AS max_impact_level,
+         |  CAST(mn10 AS DOUBLE) / 10 AS min_impact_level,
+         |  PERCENT_RANK() OVER (ORDER BY t10) * 100 AS authority_score
+         | FROM by_auth)
+         |SELECT authority, n_customers, total_impact_level, avg_impact_level,
+         | max_impact_level, min_impact_level, authority_score,
+         | ${severity("authority_score")} AS impact_category
+         |FROM ranked""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_group
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
+        |      FROM orders)
+        |WHERE rank_in_group <= 3""".stripMargin,
+
+    "q_window_rolling" ->
+      """SELECT user_id, event_id, value,
+        | LAG(value) OVER w AS prev_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+        | CAST(ROW_NUMBER() OVER w AS INT) AS seq
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_date_duration" ->
+      """WITH first_ship AS (SELECT l_orderkey, MIN(l_shipdate) AS min_ship FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey,
+        | CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+        | CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(min_ship AS DATE)) AS INT) AS duration_days,
+        | CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = EXTRACT(YEAR FROM min_ship)
+        |            AND EXTRACT(MONTH FROM o_orderdate) = EXTRACT(MONTH FROM min_ship)
+        |           THEN EXTRACT(DAY FROM min_ship) - EXTRACT(DAY FROM o_orderdate)
+        |           ELSE EXTRACT(DAY FROM min_ship) END AS INT) AS month_scoped_duration
+        |FROM orders JOIN first_ship ON o_orderkey = l_orderkey""".stripMargin,
+
+    "q_cast_normalize" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS custkey_str,
+        | LOWER(c_name) AS name_lc,
+        | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_clean,
+        | CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_dec,
+        | CAST(c_nationkey AS BIGINT) AS nationkey_l
+        |FROM customer""".stripMargin,
+
+    "q_grouping_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_pivot_event_counts" ->
+      """SELECT user_id,
+        | SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_range_join_points" ->
+      """WITH p AS (SELECT event_id, value AS x, CAST(event_id % 97 AS DOUBLE) AS y FROM events)
+        |SELECT a.event_id AS a_id, COUNT(*) AS n_neighbors,
+        | CAST(SUM(CAST(b.x AS DECIMAL(18,2))) AS DOUBLE) AS sum_neighbor_value
+        |FROM p a JOIN p b
+        | ON a.event_id <> b.event_id
+        | AND abs(a.x - b.x) <= 5.0
+        | AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
+        |GROUP BY a.event_id""".stripMargin,
+
+    "q_geo_centroid" ->
+      """SELECT l_orderkey, COUNT(*) AS n_points,
+        | CAST(SUM(l_partkey % 1000) AS DOUBLE) / COUNT(*) AS centroid_x,
+        | CAST(SUM(l_suppkey % 1000) AS DOUBLE) / COUNT(*) AS centroid_y,
+        | MIN(l_partkey % 1000) AS min_x, MAX(l_partkey % 1000) AS max_x,
+        | MIN(l_suppkey % 1000) AS min_y, MAX(l_suppkey % 1000) AS max_y
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q_wellbeing_impact" ->
+      """WITH p AS (SELECT event_id, value AS x, CAST(event_id % 97 AS DOUBLE) AS y FROM events),
+        |agg AS (
+        | SELECT a.event_id AS a_id, COUNT(*) AS n_postcodes,
+        |  CAST(SUM(CAST(b.x AS DECIMAL(18,2))) AS DOUBLE) AS total_population
+        | FROM p a JOIN p b
+        |  ON a.event_id <> b.event_id
+        |  AND abs(a.x - b.x) <= 5.0
+        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
+        | GROUP BY a.event_id)
+        |SELECT a_id, n_postcodes, total_population,
+        | a_id % 7 + 1 AS duration_days,
+        | CAST(2.10 * (a_id % 7 + 1) AS DOUBLE) * total_population AS wellbeing_total_impact
+        |FROM agg""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour_bucket,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value, ts FROM events),
+        |g AS (SELECT *, CASE WHEN sec - LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        | MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(shl) AS sh FROM (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 4
+         |    THEN list_distinct(list_transform(range(1, len(toks) - 2),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+         |    ELSE [] END AS shl FROM d)),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+         | CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+         |FROM inter
+         |JOIN counts ca ON ca.doc_id = doc_a
+         |JOIN counts cb ON cb.doc_id = doc_b
+         |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.01""".stripMargin,
+
+    "q_minhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
+         |sig AS (SELECT doc_id,
+         |        $minhashAggs
+         |        FROM h GROUP BY doc_id),
+         |bands AS (
+         |      $bandSelects
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         | ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |      FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        | list_inner_product(ev, qv) /
+        |   (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))) AS cos_sim
+        |FROM e, q
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q_embed_stats" ->
+      """WITH x AS (SELECT label, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) - 1 AS dim
+        |           FROM embeddings)
+        |SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_v
+        |FROM x GROUP BY label, dim""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars_calc,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
+         | CAST(floor(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_ppm,
+         | CAST(floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 100.0 / len(toks)) AS BIGINT) AS mean_tok_len_x100
+         |FROM t""".stripMargin,
+
+    "q_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+         | CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens
+         |FROM t""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('table','scan','join','query','index','merge','hash'))) AS BIGINT) AS score_db,
+         |  CAST(len(list_filter(toks, x -> x IN ('spark','batch','row','data','filter','group','window'))) AS BIGINT) AS score_sp
+         | FROM t)
+         |SELECT doc_id, score_en, score_db, score_sp,
+         | CASE WHEN score_db = greatest(score_db, score_en, score_sp) THEN 'db'
+         |      WHEN score_en = greatest(score_db, score_en, score_sp) THEN 'en'
+         |      WHEN score_sp = greatest(score_db, score_en, score_sp) THEN 'sp'
+         |      ELSE 'und' END AS lang_pred
+         |FROM s""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(toks, x -> CAST(ascii(x) AS BIGINT) * 7 + length(x))),
+         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         |FROM t""".stripMargin,
+
+    "q_binary_meta" ->
+      """SELECT doc_id, 'text' AS modality,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        | md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators._
+
+/** Driver contract: one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2.
+  *
+  * Numeric discipline (see SURVEY §5): money doubles are 2-decimal by
+  * construction, so `CAST(x AS DECIMAL(18,2))` is exact in both engines;
+  * sums happen in decimal (order-independent), final outputs cast to
+  * double; timestamps are emitted as epoch-second BIGINTs (parquet stores
+  * ns, Spark truncates to us — never emit raw ts).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  /** NTZ-safe epoch seconds (session TZ is UTC, matching the oracle). */
+  private def tsSec(c: Column): Column = c.cast("timestamp").cast("long")
+  /** events.ts is read as BIGINT nanos (see Verify) -> epoch seconds. */
+  private val nsSec: Column = expr("ts DIV 1000000000")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_impact_scores")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- §2.1
+  private def qPricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+
+  private def qConditionalCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        count(when(col("o_orderpriority") === "5-LOW", 1)).as("n_low"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(when(col("o_orderpriority") === "1-URGENT", dec2(col("o_totalprice"))))
+          .cast("double").as("urgent_price"))
+
+  private def qDistinctOnLatest(s: SparkSession, d: String): DataFrame =
+    Relational.distinctOn(Tables.events(s, d),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        nsSec.as("ts_sec"), col("value"))
+
+  private def qEnrichMultijoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        lower(col("n_name")).as("nation_name"),
+        coalesce(col("r_name"), lit("UNKNOWN")).as("region_name"),
+        col("c_acctbal").as("acctbal"))
+
+  private def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Relational.antiJoinOnKey(
+      Tables.customer(s, d),
+      Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")),
+      "c_custkey")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  private def qUnionDedup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    Relational.unionDedup(
+      Seq(o.where(col("o_orderstatus") === "O"), o.where(col("o_orderstatus") === "F")),
+      Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        tsSec(col("o_orderdate")).as("order_sec"))
+  }
+
+  /** CASE-weight scoring per order (integer deci-points, see ImpactScore). */
+  private def orderScore10: Column =
+    ImpactScore.caseWeight(col("o_orderpriority"),
+      Seq(Seq("1-URGENT") -> 40, Seq("2-HIGH") -> 50,
+        Seq("3-MEDIUM") -> 20, Seq("5-LOW") -> 10), 0) +
+    when(col("o_orderstatus") === "F", 5).otherwise(0) +
+    ImpactScore.bandWeight(col("o_totalprice"),
+      Seq(1000.0 -> 2, 5000.0 -> 4, 10000.0 -> 6, 25000.0 -> 8,
+        50000.0 -> 10, 100000.0 -> 12, 200000.0 -> 14), 16)
+
+  private def perCustScores(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_custkey"), orderScore10.as("score10"))
+      .groupBy("o_custkey")
+      .agg(sum(col("score10")).as("total10"), count(lit(1)).as("n_orders"))
+
+  private def qImpactScores(s: SparkSession, d: String): DataFrame = {
+    val ranked = perCustScores(s, d)
+      .select(col("o_custkey"), col("n_orders"),
+        (col("total10").cast("double") / 10).as("total_impact_level"))
+      .withColumn("impact_index_score",
+        ImpactScore.percentRank100(col("total_impact_level")))
+    ranked.withColumn("impact_category",
+      ImpactScore.severityBucket(col("impact_index_score")))
+  }
+
+  private def qAuthorityRollup(s: SparkSession, d: String): DataFrame =
+    perCustScores(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("authority"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("total10")).as("t10"),
+        max(col("total10")).as("mx10"),
+        min(col("total10")).as("mn10"))
+      .select(
+        col("authority"), col("n_customers"),
+        (col("t10").cast("double") / 10).as("total_impact_level"),
+        ((col("t10").cast("double") / 10) / col("n_customers")).as("avg_impact_level"),
+        (col("mx10").cast("double") / 10).as("max_impact_level"),
+        (col("mn10").cast("double") / 10).as("min_impact_level"),
+        (percent_rank().over(Window.orderBy(col("t10"))) * 100).as("authority_score"))
+      .withColumn("impact_category", ImpactScore.severityBucket(col("authority_score")))
+
+  private def qTopkPerGroup(s: SparkSession, d: String): DataFrame =
+    Relational.topKPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_group")
+
+  private def qWindowRolling(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      sum(dec2(col("value"))).over(wr).cast("double").as("running_value"),
+      row_number().over(w).as("seq"))
+  }
+
+  private def qDateDuration(s: SparkSession, d: String): DataFrame = {
+    val firstShip = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("min_ship"))
+    Tables.orders(s, d)
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("order_year"),
+        month(col("o_orderdate")).cast("int").as("order_month"),
+        datediff(col("min_ship").cast("date"), col("o_orderdate").cast("date"))
+          .cast("int").as("duration_days"),
+        when(year(col("o_orderdate")) === year(col("min_ship")) &&
+             month(col("o_orderdate")) === month(col("min_ship")),
+          dayofmonth(col("min_ship")) - dayofmonth(col("o_orderdate")))
+          .otherwise(dayofmonth(col("min_ship")))
+          .cast("int").as("month_scoped_duration"))
+  }
+
+  private def qCastNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").cast("string").as("custkey_str"),
+      lower(col("c_name")).as("name_lc"),
+      coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
+        .as("segment_clean"),
+      dec2(col("c_acctbal")).as("acctbal_dec"),
+      col("c_nationkey").cast("bigint").as("nationkey_l"))
+
+  private def qGroupingRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"),
+        (grouping(col("o_orderstatus")).cast("int") * 2 +
+          grouping(col("o_orderpriority")).cast("int")).as("gid"))
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def qPivotEventCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(sum(lit(1L)))
+
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  // ---------------------------------------------------------------- §2.2
+  /** Synthetic point cloud from events: x = value, y = event_id mod 97. */
+  private def points(s: SparkSession, d: String, p: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id").as(s"${p}_id"),
+      col("value").as(s"${p}x"),
+      (col("event_id") % 97).cast("double").as(s"${p}y"))
+
+  private def qRangeJoinPoints(s: SparkSession, d: String): DataFrame =
+    RangeJoin.radiusJoin(points(s, d, "a"), points(s, d, "b"),
+        "ax", "ay", "bx", "by", 5.0)
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(dec2(col("bx"))).cast("double").as("sum_neighbor_value"))
+
+  private def qGeoCentroid(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_partkey") % 1000).as("x"), (col("l_suppkey") % 1000).as("y"))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        (sum(col("x")).cast("double") / count(lit(1))).as("centroid_x"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("centroid_y"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  private def qWellbeingImpact(s: SparkSession, d: String): DataFrame =
+    RangeJoin.radiusJoin(points(s, d, "a"), points(s, d, "b"),
+        "ax", "ay", "bx", "by", 5.0)
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_postcodes"),
+        sum(dec2(col("bx"))).cast("double").as("total_population"))
+      .select(col("a_id"), col("n_postcodes"), col("total_population"),
+        ((col("a_id") % 7) + 1).as("duration_days"),
+        (expr("CAST(CAST(2.10 AS DECIMAL(3,2)) * (a_id % 7 + 1) AS DOUBLE)") *
+          col("total_population")).as("wellbeing_total_impact"))
+
+  // ---------------------------------------------------------------- §2.3
+  private def qTumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(floor(nsSec / lit(3600)).cast("long").as("hour_bucket"),
+        col("event_type"), col("value"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    Sessionize.sessionize(
+        Tables.events(s, d).withColumn("sec", nsSec),
+        "user_id", "sec", 1800L, col("event_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+
+  // ---------------------------------------------------------------- §2.4
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+
+  private def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 4, 0.01)
+
+  private def qMinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text", 16, 4)
+
+  private def qSimhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash64("text").as("simhash"))
+
+  private def queryVec(s: SparkSession, d: String): Array[Float] =
+    Tables.embeddings(s, d).where(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  private def qCosineTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVec(s, d), 10, Some(0L))
+
+  private def qAnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVec(s, d), 10, 4, Some(0L))
+
+  private def qEmbedStats(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+
+  private def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(toks).cast("long").as("n_tokens"),
+      Text.vocabHits(toks, Text.StopWords).cast("long").as("stop_hits"),
+      floor(Text.vocabHits(toks, Text.StopWords) * lit(1000000.0) / size(toks))
+        .cast("long").as("stop_ratio_ppm"),
+      floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * lit(100.0) / size(toks))
+        .cast("long").as("mean_tok_len_x100"))
+  }
+
+  private def qTokenStats(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      size(Text.regexTokens(col("text"))).cast("long").as("n_re_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_unique_tokens"))
+  }
+
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val scores = Text.langScores(toks).map { case (l, c) => c.cast("long").as(s"score_$l") }
+    Tables.documents(s, d).select(
+      (col("doc_id") +: scores :+ Text.langId(toks).as("lang_pred")): _*)
+  }
+
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+
+  private def qBinaryMeta(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.DecodeStub.payloadMeta(
+      Tables.documents(s, d), "doc_id", "text", "text")
+
+  // ------------------------------------------------------------- registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (qPricingSummary _),
+    "q_conditional_counts" -> (qConditionalCounts _),
+    "q_distinct_on_latest" -> (qDistinctOnLatest _),
+    "q_enrich_multijoin" -> (qEnrichMultijoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_union_dedup" -> (qUnionDedup _),
+    "q_impact_scores" -> (qImpactScores _),
+    "q_authority_rollup" -> (qAuthorityRollup _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_window_rolling" -> (qWindowRolling _),
+    "q_date_duration" -> (qDateDuration _),
+    "q_cast_normalize" -> (qCastNormalize _),
+    "q_grouping_rollup" -> (qGroupingRollup _),
+    "q_pivot_event_counts" -> (qPivotEventCounts _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_range_join_points" -> (qRangeJoinPoints _),
+    "q_geo_centroid" -> (qGeoCentroid _),
+    "q_wellbeing_impact" -> (qWellbeingImpact _),
+    "q_tumbling_window" -> (qTumblingWindow _),
+    "q_sessionize" -> (qSessionize _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_simhash" -> (qSimhash _),
+    "q_cosine_topk" -> (qCosineTopK _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_embed_stats" -> (qEmbedStats _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_stats" -> (qTokenStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_binary_meta" -> (qBinaryMeta _),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

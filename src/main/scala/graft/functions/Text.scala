@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` + higher-order
+  * functions — no UDFs — so the whole path stays inside whole-stage codegen
+  * and runs per-row with zero shuffles.
+  */
+object Text {
+
+  /** Whitespace tokens with empties dropped (matches DuckDB
+    * `list_filter(string_split(t,' '), x -> x <> '')`). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish word/number tokens via regex (lowercase letters runs | digit
+    * runs); same count under Java regex and DuckDB RE2 for this class. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** Count of tokens present in a fixed vocabulary (stopword hits). */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(lit): _*)))
+
+  /** Quality metrics struct: chars, tokens, mean token length (x100, exact
+    * int arithmetic), stopword ratio (x1e6, exact). */
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** 64-bit token hash from md5 (first 15 hex chars -> < 2^60), identical in
+    * Spark (`conv`) and DuckDB (`('0x'||substr(md5(t),1,15))::BIGINT`). */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Polynomial rolling-hash fingerprint of the token sequence:
+    * fold(acc = (acc*31 + ascii(t)*7 + len(t)) mod P). Order-sensitive, so
+    * it fingerprints the document, not the bag of words. */
+  val FpMod = 1000000007L
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * 31 + ascii(t).cast("long") * 7 + length(t), lit(FpMod)))
+
+  /** Language-ID heuristic: stopword-profile hit counts per language,
+    * argmax with deterministic lexicographic tie-break. Profiles are tiny
+    * broadcast-free literals; scoring is per-row codegen. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "db" -> Seq("table", "scan", "join", "query", "index", "merge", "hash"),
+    "sp" -> Seq("spark", "batch", "row", "data", "filter", "group", "window"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, vocab) => lang -> vocabHits(toks, vocab) }
+
+  /** Predicted language = lexicographically-first lang with maximal score. */
+  def langId(toks: Column): Column = {
+    val scores = langScores(toks)
+    val best = greatest(scores.map(_._2): _*)
+    scores.sortBy(_._1).foldLeft(when(lit(false), lit("?"))) {
+      case (acc, (lang, s)) => acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus a batch decode/feature stage.
+  *
+  * The decode codec itself is STUBBED (no image/audio libs in this
+  * environment): `decodeStub` produces a deterministic fake feature from
+  * the payload bytes. Everything around it — schema, batch shape,
+  * partition-level iteration, metadata columns — is the real plumbing a
+  * codec would drop into.
+  */
+object DecodeStub {
+
+  case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
+  case class DecodedRow(media_id: Long, modality: String, n_bytes: Int,
+                        content_md5: String, feature: Array[Float])
+
+  val FeatureDim = 8
+
+  /** STUB codec: replace with a real image/audio decoder. Deterministic:
+    * feature[i] = byte histogram moment i, so tests are stable. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      f(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    f
+  }
+
+  /** Partition-batched decode: mapPartitions so a real codec can amortize
+    * per-batch init (model load, GPU context) across rows — the Scala
+    * analogue of a pandas-UDF batch. No shuffle: decode is narrow. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { r =>
+        DecodedRow(
+          r.media_id, r.modality, r.payload.length,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString,
+          decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Declarative metadata extraction (no codec needed): byte length +
+    * content hash + modality tag — pure codegen'd expressions. */
+  def payloadMeta(df: DataFrame, idCol: String, payloadCol: String,
+                  modality: String): DataFrame =
+    df.select(
+      col(idCol),
+      lit(modality).as("modality"),
+      octet_length(col(payloadCol).cast("binary")).as("n_bytes"),
+      md5(col(payloadCol).cast("binary")).as("content_md5"))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale shape: every near-dup variant generates candidates with an
+  * EQUI-join (inverted index on shingle / band signature / hamming block),
+  * never an all-pairs comparison; shuffles are hash-partitioned on those
+  * keys and benefit from map-side partial aggregation.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: md5 groupBy — one shuffle on
+    * the 128-bit digest, uniform by construction (no skew). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+
+  /** Distinct n-token shingles of the whitespace token stream. (Guarded:
+    * Spark's `sequence(1, 0)` would count DOWN, so short docs get []). */
+  def shingles(textCol: String, n: Int) = {
+    val toks = Text.tokens(col(textCol))
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      array_distinct(
+        transform(
+          sequence(lit(1), cnt),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Near-dup pairs with n-gram Jaccard >= tau.
+    *
+    * Inverted-index plan: explode shingles -> self-equi-join on shingle ->
+    * count per (a,b) = |intersection| (map-side combinable) -> join back the
+    * per-doc shingle counts -> Jaccard filter. No cartesian product; the
+    * widest shuffle is on shingle (long-tail keys can be frequency-capped
+    * upstream at scale).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, tau: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(shingles(textCol, n)).as("sh"))
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
+      .where(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature columns: k permutations h_i(x) = (a_i*x + b_i) mod P
+    * over md5-derived 60-bit token hashes reduced mod P. Deterministic and
+    * reproducible in ANSI SQL (oracle-verifiable). */
+  val MinhashMod = 1000000007L
+  def minhashPerm(i: Int) = (2L * i + 3L, 5L * i + 7L)
+
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    val h = pmod(Text.md5Long(col("tok")), lit(MinhashMod))
+    val mins = (0 until k).map { i =>
+      val (a, b) = minhashPerm(i)
+      min(pmod(h * a + b, lit(MinhashMod))).as(s"mh$i")
+    }
+    toks.groupBy("doc").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the k-signature into `bands` groups of
+    * k/bands rows; docs sharing any band signature are candidates.
+    * Banding turns near-dup detection into an equi-join on (band, sig). */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k)
+    val banded = sigs.select(
+      col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      }: _*)).as(Seq("band", "sig")))
+    banded.as("a").join(banded.as("b"), Seq("band", "sig"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash: per-token md5-derived 60-bit hash -> +-1 per bit ->
+    * per-doc bit-wise sum via a zip_with fold (no explode, no shuffle:
+    * the whole fingerprint is one per-row expression chain). */
+  val SimhashBits = 60
+  def simhash64(textCol: String) = {
+    val toks = array_distinct(Text.tokens(col(textCol)))
+    val bitVecs = transform(toks, t => {
+      val h = Text.md5Long(t)
+      array((0 until SimhashBits).map(b =>
+        when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+    })
+    val sums = aggregate(
+      bitVecs,
+      array((0 until SimhashBits).map(_ => lit(0)): _*),
+      (acc, v) => zip_with(acc, v, (x, y) => x + y))
+    val powers = array((0 until SimhashBits).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+}

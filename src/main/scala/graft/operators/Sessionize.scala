@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event stream (batch form).
+  *
+  * The reference sequences permit events by event_time per permit
+  * (dbt in_progress/completed models key on event_type + event_time); the
+  * generalisation every pipeline needs is "split a user's events into
+  * sessions at inactivity gaps".
+  *
+  * Spark-first: lag + conditional cumulative sum over ONE window
+  * partitioning (user) — a single hash shuffle on the user key; both window
+  * passes reuse the same sort order, so Catalyst plans one Sort + one
+  * Window chain. The streaming twin lives in
+  * [[graft.streaming.EventStream]] (flatMapGroupsWithState).
+  */
+object Sessionize {
+
+  /** Adds `session_id` (0-based per user) given an epoch-seconds column. */
+  def sessionize(df: DataFrame, userCol: String, epochSecCol: String,
+                 gapSec: Long, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(epochSecCol), tieBreak)
+    val gap = col(epochSecCol) - lag(col(epochSecCol), 1).over(w)
+    df.withColumn("__new_session",
+        when(gap.isNull.or(gap > gapSec), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new_session")).over(w) - 1)
+      .drop("__new_session")
+  }
+}

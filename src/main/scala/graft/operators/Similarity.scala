@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k baseline and a
+  * random-hyperplane LSH-bucketed scale path.
+  *
+  * Everything is higher-order-function arithmetic over `array<float>` cast
+  * to double (no UDFs, codegen'd); top-k uses orderBy+limit which Spark
+  * plans as TakeOrderedAndProject — per-partition heaps, no global sort.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (left-to-right, matching DuckDB list
+    * semantics so oracle doubles are bit-identical). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k most-cosine-similar rows to one query vector.
+    * The query vector is a literal (driver-side lookup of one row — the one
+    * legitimate collect in this module) so the scan-side plan is a single
+    * narrow projection + TakeOrdered. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Array[Float], k: Int, excludeId: Option[Long]): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val base = excludeId.map(e => df.where(col(idCol) =!= e)).getOrElse(df)
+    base.select(
+      col(idCol),
+      cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane matrix (planes x dim) in
+    * [-1, 1): plane[p][d] = ((1103515245*(p*dim+d) + 12345) mod 2048)/1024 - 1.
+    * Computed driver-side once; tiny literal, no broadcast needed. */
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      val x = (1103515245L * (p * dim + d) + 12345L) % 2048L
+      x.toDouble / 1024.0 - 1.0
+    }
+
+  /** LSH bucket id: sign bits of projections onto `planes` hyperplanes. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column =
+    (0 until planes.length).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(dot(vecCol, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN via LSH: restrict the candidate set to the query's bucket, then
+    * exact cosine rerank. At scale the bucket column is a pre-materialized
+    * partition/bucketing key, so a query touches 1/2^planes of the data. */
+  def annLsh(df: DataFrame, idCol: String, vecCol: String,
+             queryVec: Array[Float], k: Int, nPlanes: Int,
+             excludeId: Option[Long]): DataFrame = {
+    val dim = queryVec.length
+    val planes = hyperplanes(nPlanes, dim)
+    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
+      val proj = plane.zip(queryVec).map { case (w, v) => w * v.toDouble }.sum
+      if (proj >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), planes))
+      .where(col("__bucket") === qBucket)
+      .drop("__bucket")
+    cosineTopK(bucketed, idCol, vecCol, queryVec, k, excludeId)
+  }
+
+  /** Per-label embedding centroid (exact decimal mean per dimension).
+    * posexplode -> groupBy (label, dim): the shuffle key is (label, dim) so
+    * high-dim x many-labels parallelizes; sums are decimal => exact and
+    * order-independent (oracle-stable). */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        // float -> shortest string -> decimal: both engines produce the
+        // same shortest round-trip repr, so the decimal is identical
+        // (direct float->decimal casts round differently per engine).
+        sum(col("v").cast("string").cast("decimal(18,9)")).as("sum_v"))
+      .select(
+        col("label"), col("dim"), col("n"),
+        (col("sum_v").cast("double") / col("n")).as("centroid_v"))
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event analytics.
+  *
+  * The reference's pipelines are scheduled batch (GitHub Actions cron,
+  * reference: README.md "Github Actions Schedule") — re-expressed here as
+  * continuous streams: readStream -> watermark -> windowed agg / stateful
+  * sessionization -> append sink. Designed for per-key state at scale:
+  * state is partitioned by user key, watermark bounds state size.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: Long, session_end: Long,
+                     n_events: Long, total_value: Double)
+  private case class SessState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling-window per-type counts with a 10-minute watermark: late data
+    * beyond the watermark is dropped, state is bounded. */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+
+  /** Gap-based sessionization with explicit state: one state entry per
+    * live user, closed sessions emitted on gap or processing-time timeout.
+    * Batch twin: [[graft.operators.Sessionize.sessionize]]. */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(user, s.start, s.last, s.n, s.total)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSec =>
+                  cur = Some(s.copy(last = sec, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n, s.total)
+                  cur = Some(SessState(sec, sec, 1, e.value))
+                case None =>
+                  cur = Some(SessState(sec, sec, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSec * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-run a streaming query over a bounded source for testing: the
+    * same plan Structured Streaming runs incrementally. */
+  def runOnce(spark: SparkSession, streamed: DataFrame, sinkTable: String): Unit = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
