@@ -19,7 +19,7 @@ object EventStream {
                    event_type: String, value: Double)
   case class Session(user_id: Long, session_start: Long, session_end: Long,
                      n_events: Long, total_value: Double)
-  private case class SessState(start: Long, last: Long, n: Long, total: Double)
+  case class SessState(start: Long, last: Long, n: Long, total: Double)
 
   /** Tumbling-window per-type counts with a 10-minute watermark: late data
     * beyond the watermark is dropped, state is bounded. */
@@ -34,12 +34,15 @@ object EventStream {
   /** Gap-based sessionization with explicit state: one state entry per
     * live user, closed sessions emitted on gap or processing-time timeout.
     * Batch twin: [[graft.operators.Sessionize.sessionize]]. */
-  def sessionizeStream(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+  def sessionizeStream(events: Dataset[Event], gapSec: Long,
+                       timeout: GroupStateTimeout =
+                         GroupStateTimeout.ProcessingTimeTimeout()): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
@@ -64,7 +67,7 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSec * 1000)
+              if (useTimeout) state.setTimeoutDuration(gapSec * 1000)
             }
             closed.reverseIterator
           }

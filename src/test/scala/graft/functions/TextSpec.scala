@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokens drops empties") {
+    val t = one("the  quick brown ").select(Text.tokens(col("text"))).as[Seq[String]].head()
+    assert(t === Seq("the", "quick", "brown"))
+  }
+
+  test("vocabHits counts stopwords") {
+    val n = one("the cat and the dog").select(Text.vocabHits(Text.tokens(col("text")), Text.StopWords))
+      .as[Int].head()
+    assert(n === 3)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    def fp(s: String) = one(s).select(Text.fingerprint(Text.tokens(col("text")))).as[Long].head()
+    assert(fp("a b c") === fp("a b c"))
+    assert(fp("a b c") !== fp("c b a"))
+    // manual fold: acc = (acc*31 + ascii*7 + len) mod P
+    val manual = Seq("a", "b", "c").foldLeft(0L)((acc, t) =>
+      (acc * 31 + t.head.toLong * 7 + t.length) % Text.FpMod)
+    assert(fp("a b c") === manual)
+  }
+
+  test("langId picks profile with max hits, lexicographic ties") {
+    def lid(s: String) = one(s).select(Text.langId(Text.tokens(col("text")))).as[String].head()
+    assert(lid("the cat of a hat") === "en")
+    assert(lid("table scan join hash") === "db")
+    assert(lid("spark row data") === "sp")
+    // 'the'(en) vs 'scan'(db): 1-1 tie -> 'db' first lexicographically
+    assert(lid("the scan") === "db")
+  }
+
+  test("regexTokens splits words and numbers") {
+    val n = one("Hello world42 foo-bar 7")
+      .select(size(Text.regexTokens(col("text")))).as[Int].head()
+    assert(n === 6) // hello, world, 42, foo, bar, 7
+  }
+}

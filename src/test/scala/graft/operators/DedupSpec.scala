@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d e"),
+    (2L, "a b c d e"),          // exact dup of 1
+    (3L, "a b c d x"),          // near dup of 1
+    (4L, "p q r s t u v")       // unrelated
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups groups identical texts") {
+    val out = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .where(col("n_copies") === 2).select("canonical_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("shingles produce n-2 trigrams, short docs produce none") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles("text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) === Seq("a b c", "b c d"))
+    assert(sh(2L) === Seq())
+  }
+
+  test("jaccardPairs finds the near-dup pair with correct jaccard") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out((1L, 2L)) === 1.0)
+    // docs 1,3: trigram sets {abc,bcd,cde} vs {abc,bcd,cdx}: 2 of 4
+    assert(math.abs(out((1L, 3L)) - 0.5) < 1e-12)
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("minhash LSH candidates include exact and near dups, not unrelated") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash is identical for dups and close for near-dups") {
+    val h = docs.select(col("doc_id"), Dedup.simhash64("text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+}

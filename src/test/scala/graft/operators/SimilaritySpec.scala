@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val all: Map[Long, Array[Float]] =
+    emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+
+  private def cosScala(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("cosineTopK matches driver-side brute force ranking") {
+    val q = all(0L)
+    val expected = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosScala(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10, Some(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("annLsh returns bucket-restricted subset that overlaps exact top-k") {
+    val q = all(0L)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annLsh(emb, "vec_id", "embedding", q, 10, 4, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(ann.nonEmpty && ann.size <= 10)
+    // 4 planes ~ 1/16 of space kept; random-hyperplane LSH should still
+    // recover a reasonable share of the true neighbors
+    assert((ann intersect exact).size >= 2)
+  }
+
+  test("labelCentroids matches manual mean per (label, dim)") {
+    val out = Similarity.labelCentroids(emb, "label", "embedding")
+      .where(col("label") === 0 && col("dim") === 0)
+      .select("centroid_v").as[Double].head()
+    val vs = emb.where(col("label") === 0)
+      .select("embedding").as[Seq[Float]].collect().map(_.head)
+    val manual = vs.map(v => BigDecimal(v.toString).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / vs.length
+    assert(math.abs(out - manual) < 1e-9)
+  }
+}
