@@ -176,7 +176,7 @@ object OracleSql {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_range_join_points" ->
-      """WITH p AS (SELECT event_id, value AS x, CAST(event_id % 97 AS DOUBLE) AS y FROM events)
+      """WITH p AS (SELECT event_id, value AS x, CAST(event_id AS DOUBLE) AS y FROM events)
         |SELECT a.event_id AS a_id, COUNT(*) AS n_neighbors,
         | CAST(SUM(CAST(b.x AS DECIMAL(18,2))) AS DOUBLE) AS sum_neighbor_value
         |FROM p a JOIN p b
@@ -194,7 +194,7 @@ object OracleSql {
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     "q_wellbeing_impact" ->
-      """WITH p AS (SELECT event_id, value AS x, CAST(event_id % 97 AS DOUBLE) AS y FROM events),
+      """WITH p AS (SELECT event_id, value AS x, CAST(event_id AS DOUBLE) AS y FROM events),
         |agg AS (
         | SELECT a.event_id AS a_id, COUNT(*) AS n_postcodes,
         |  CAST(SUM(CAST(b.x AS DECIMAL(18,2))) AS DOUBLE) AS total_population

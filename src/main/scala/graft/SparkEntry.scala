@@ -201,12 +201,15 @@ object SparkEntry {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
   // ---------------------------------------------------------------- §2.2
-  /** Synthetic point cloud from events: x = value, y = event_id mod 97. */
+  /** Synthetic point cloud from events: x = value (fixed range), y =
+    * event_id (spreads with data size, so point DENSITY — and therefore
+    * per-point neighbor work in the radius join — stays constant as the
+    * table grows: the join scales linearly, not quadratically). */
   private def points(s: SparkSession, d: String, p: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id").as(s"${p}_id"),
       col("value").as(s"${p}x"),
-      (col("event_id") % 97).cast("double").as(s"${p}y"))
+      col("event_id").cast("double").as(s"${p}y"))
 
   private def qRangeJoinPoints(s: SparkSession, d: String): DataFrame =
     RangeJoin.radiusJoin(points(s, d, "a"), points(s, d, "b"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -20,10 +20,13 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 
-  /** Distinct n-token shingles of the whitespace token stream. (Guarded:
-    * Spark's `sequence(1, 0)` would count DOWN, so short docs get []). */
-  def shingles(textCol: String, n: Int) = {
-    val toks = Text.tokens(col(textCol))
+  /** Distinct n-token shingles over a PRE-MATERIALIZED token-array column.
+    * (Guarded: Spark's `sequence(1, 0)` would count DOWN, so short docs
+    * get []). The tokens must be a plain column reference: inlining the
+    * tokenizer expression here would copy it into every `element_at`,
+    * re-tokenizing each row O(n_shingles x n) times under interpreted
+    * higher-order-function eval. */
+  def shinglesOf(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt >= 1,
       array_distinct(
@@ -32,6 +35,12 @@ object Dedup {
           i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience: text column -> shingles (tokenizes in a separate
+    * projection step so the array is computed once per row). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"), explode(shinglesOf(col("__toks"), n)).as("sh"))
 
   /** Near-dup pairs with n-gram Jaccard >= tau.
     *
@@ -43,7 +52,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(textCol, n)).as("sh"))
+    // The exploded shingle relation is consumed 4x (both join sides + the
+    // per-doc counts); shingling is a heavy interpreted HOF chain, so
+    // materialize it once instead of recomputing per consumer.
+    val sh = shingleRows(df, idCol, textCol, n).persist()
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
       .where(col("a.doc") < col("b.doc"))
@@ -66,15 +78,17 @@ object Dedup {
 
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
-    val toks = df.select(
-      col(idCol).as("doc"),
-      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-    val h = pmod(Text.md5Long(col("tok")), lit(MinhashMod))
+    // Materialize the md5-derived token hash ONCE per token row: inlining
+    // it would duplicate the md5+conv tree into all k aggregates.
+    val hashed = df.select(
+        col(idCol).as("doc"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+      .select(col("doc"), pmod(Text.md5Long(col("tok")), lit(MinhashMod)).as("hv"))
     val mins = (0 until k).map { i =>
       val (a, b) = minhashPerm(i)
-      min(pmod(h * a + b, lit(MinhashMod))).as(s"mh$i")
+      min(pmod(col("hv") * a + b, lit(MinhashMod))).as(s"mh$i")
     }
-    toks.groupBy("doc").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: band the k-signature into `bands` groups of
@@ -84,11 +98,12 @@ object Dedup {
                             k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k)
+    // both self-join sides consume the banded relation: materialize once
     val banded = sigs.select(
       col("doc"),
       posexplode(array((0 until bands).map { b =>
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "sig")))
+      }: _*)).as(Seq("band", "sig"))).persist()
     banded.as("a").join(banded.as("b"), Seq("band", "sig"))
       .where(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

@@ -21,7 +21,8 @@ class DedupSpec extends SparkSpec {
 
   test("shingles produce n-2 trigrams, short docs produce none") {
     val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
-      .select(col("doc_id"), Dedup.shingles("text", 3).as("sh"))
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesOf(col("toks"), 3).as("sh"))
       .as[(Long, Seq[String])].collect().toMap
     assert(sh(1L) === Seq("a b c", "b c d"))
     assert(sh(2L) === Seq())
