@@ -325,5 +325,56 @@ object OracleSql {
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         | md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_ns(ts) // 1000 AS tsu FROM events),
+        |m AS (
+        |  SELECT user_id, event_id AS purchase_id, tsu, value AS purchase_value,
+        |         1 AS side, CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rts
+        |  FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, CAST(NULL AS BIGINT), tsu, CAST(NULL AS DOUBLE),
+        |         0 AS side, value AS rv, tsu AS rts
+        |  FROM e WHERE event_type = 'click'),
+        |sel AS (
+        |  SELECT *,
+        |    last_value(rv IGNORE NULLS) OVER w AS asof_click_value,
+        |    last_value(rts IGNORE NULLS) OVER w AS asof_click_ts_us
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY tsu, side
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, purchase_id, tsu AS purchase_ts_us, purchase_value,
+        |       asof_click_value, asof_click_ts_us
+        |FROM sel WHERE side = 1""".stripMargin,
+
+    "q_quality_checks" ->
+      """SELECT 'dup_orderkey' AS rule, COUNT(*) AS n_violations
+        |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'overlap_status_custkey', COUNT(*) FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'null_priority', COUNT(*) FROM orders WHERE o_orderpriority IS NULL
+        |UNION ALL
+        |SELECT 'accepted_status', COUNT(*) FROM orders
+        |WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL""".stripMargin,
+
+    "q_percentiles" ->
+      """WITH rk AS (SELECT event_type, value,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |              COUNT(*) OVER (PARTITION BY event_type) AS n
+        |            FROM events)
+        |SELECT event_type,
+        | MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+        | MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+        | COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM rk GROUP BY event_type""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

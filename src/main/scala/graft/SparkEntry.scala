@@ -327,6 +327,43 @@ object SparkEntry {
     graft.multimodal.DecodeStub.payloadMeta(
       Tables.documents(s, d), "doc_id", "text", "text")
 
+  // ------------------------------------------------------- extensions r1b
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).withColumn("tsu", expr("ts DIV 1000"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("tsu"), col("value").as("purchase_value"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("tsu"), col("value"))
+    AsofJoin.asofJoin(purchases, clicks, "user_id", "tsu", "value")
+      .select(col("user_id"), col("purchase_id"),
+        col("tsu").as("purchase_ts_us"), col("purchase_value"),
+        col("asof_value").as("asof_click_value"),
+        col("asof_ts").as("asof_click_ts_us"))
+  }
+
+  private def qQualityChecks(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    DataQuality.suite(Seq(
+      "dup_orderkey" -> DataQuality.duplicateKeys(o, Seq("o_orderkey")),
+      "overlap_status_custkey" -> DataQuality.overlappingKeys(
+        o.where(col("o_orderstatus") === "O"),
+        o.where(col("o_orderstatus") === "F"), "o_custkey"),
+      "null_priority" -> DataQuality.notNullViolations(o, "o_orderpriority"),
+      "accepted_status" -> DataQuality.acceptedValuesViolations(
+        o, "o_orderstatus", Seq("O", "F", "P"))))
+  }
+
+  private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Stats.quantileDisc(Tables.events(s, d), Seq("event_type"), "value", Seq(0.5, 0.9))
+
+  private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Stats.saltedAgg(Tables.events(s, d), "event_type",
+        pmod(col("event_id"), lit(16)), 16,
+        Seq("total_value" -> dec2(col("value"))))
+      .select(col("event_type"), col("n_rows"),
+        col("total_value").cast("double").as("total_value"))
+
   // ------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (qPricingSummary _),
@@ -361,6 +398,10 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_binary_meta" -> (qBinaryMeta _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_quality_checks" -> (qQualityChecks _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_salted_agg" -> (qSaltedAgg _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
