@@ -372,6 +372,30 @@ object OracleSql {
         | COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
         |FROM rk GROUP BY event_type""".stripMargin,
 
+    "q_top_tokens" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM t GROUP BY tok
+         |ORDER BY n_occurrences DESC, tok LIMIT 20""".stripMargin,
+
+    "q_rolling_1h" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+        |SELECT user_id, event_id, sec,
+        | COUNT(*) OVER w AS n_last_hour,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nv FROM e)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | list_inner_product(a.v, b.v) / (a.nv * b.nv) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.25""".stripMargin,
+
     "q_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -357,6 +357,45 @@ object SparkEntry {
   private def qPercentiles(s: SparkSession, d: String): DataFrame =
     Stats.quantileDisc(Tables.events(s, d), Seq("event_type"), "value", Seq(0.5, 0.9))
 
+  private def qTopTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(20)
+
+  private def qRolling1h(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3599, 0)
+    Tables.events(s, d).withColumn("sec", nsSec)
+      .select(col("user_id"), col("event_id"), col("sec"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(dec2(col("value"))).over(w).cast("double").as("value_last_hour"))
+  }
+
+  /** Embedding near-dup: exact cosine pairs within a blocking key (label).
+    * Blocking turns the all-pairs scan into a per-block equi-join; the
+    * unblocked scale path is LSH bucketing (see Similarity.annLsh). */
+  private def qEmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    // norms precomputed per vector (not per pair); same doubles as the
+    // per-pair formulation, a block-size factor less work
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"), col("v"),
+        Similarity.norm(col("v")).as("nv"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .where(col("cos_sim") >= 0.25)
+  }
+
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     Stats.saltedAgg(Tables.events(s, d), "event_type",
         pmod(col("event_id"), lit(16)), 16,
@@ -402,6 +441,9 @@ object SparkEntry {
     "q_quality_checks" -> (qQualityChecks _),
     "q_percentiles" -> (qPercentiles _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_top_tokens" -> (qTopTokens _),
+    "q_rolling_1h" -> (qRolling1h _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** WKT geometry functions without UDFs — regexp + higher-order functions
+  * only, so everything stays a Catalyst expression tree.
+  *
+  * The reference leans on DuckDB-spatial for exactly four shapes of work
+  * (dbt wellbeing_overview/stg_emergency_works_by_authority.sql:24-38):
+  * parse WKT (`ST_GeomFromText`), centroid (`ST_Centroid`), coordinate
+  * extraction (`ST_X`/`ST_Y`), and distance/containment against a radius
+  * (`ST_Buffer` + `ST_Contains`, which for a circular buffer IS a distance
+  * predicate — see operators.RangeJoin for the join form).
+  *
+  * Geometries are modeled as `array<struct<x:double, y:double>>` — one
+  * element for POINT, n for LINESTRING/POLYGON shells. That keeps every op
+  * a per-row array expression (no shuffle, no codegen-breaking UDF).
+  */
+object Geo {
+
+  private val NumPair = "(-?[0-9]+(?:\\.[0-9]+)?) (-?[0-9]+(?:\\.[0-9]+)?)"
+
+  /** Parse "POINT (x y)" / "LINESTRING (x y, x y, ...)" / single-shell
+    * "POLYGON ((x y, ...))" into array<struct<x,y>>. */
+  def stGeomFromText(wkt: Column): Column = {
+    val pairs = regexp_extract_all(wkt, lit(NumPair), lit(0))
+    transform(pairs, p => struct(
+      split(p, " ").getItem(0).cast("double").as("x"),
+      split(p, " ").getItem(1).cast("double").as("y")))
+  }
+
+  /** Mean-of-vertices centroid (matches ST_Centroid for POINT and the
+    * reference's use on small line geometries). */
+  def stCentroid(geom: Column): Column = {
+    val n = size(geom)
+    val sx = aggregate(geom, lit(0.0), (acc, p) => acc + p.getField("x"))
+    val sy = aggregate(geom, lit(0.0), (acc, p) => acc + p.getField("y"))
+    struct((sx / n).as("x"), (sy / n).as("y"))
+  }
+
+  def stX(point: Column): Column = point.getField("x")
+  def stY(point: Column): Column = point.getField("y")
+
+  def stPoint(x: Column, y: Column): Column =
+    struct(x.cast("double").as("x"), y.cast("double").as("y"))
+
+  /** Euclidean distance between two points. */
+  def stDistance(a: Column, b: Column): Column = {
+    val dx = stX(a) - stX(b)
+    val dy = stY(a) - stY(b)
+    sqrt(dx * dx + dy * dy)
+  }
+
+  /** ST_Contains(ST_Buffer(center, r), p) for circular buffers ==
+    * distance(center, p) <= r (the reference's 500 m wellbeing predicate). */
+  def withinBuffer(center: Column, p: Column, r: Double): Column = {
+    val dx = stX(center) - stX(p)
+    val dy = stY(center) - stY(p)
+    dx * dx + dy * dy <= lit(r * r)
+  }
+}
