@@ -14,6 +14,7 @@ object Verify {
       // events.ts is parquet INT64 TIMESTAMP(NANOS): read as BIGINT nanos
       // (full ns precision, matching the DuckDB oracle's TIMESTAMP_NS).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product (left-to-right, matching DuckDB list
-    * semantics so oracle doubles are bit-identical). */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right dot product — native codegen'd Expression (see
+    * graft.plans.DotProduct); accumulation order matches DuckDB list
+    * semantics so oracle doubles are bit-identical. */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+
+  /** Portable higher-order-function formulation of the same fold —
+    * interpreted (slower); kept as the cross-check reference for the
+    * native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

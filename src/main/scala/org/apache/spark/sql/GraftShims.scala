@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for the `private[sql]` Column <-> Expression converters so graft's
+  * native expressions (graft.plans.*) can surface as Columns without a
+  * registered session function. Standard third-party-extension shim. */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native DotProduct == interpreted HOF fold, bit for bit") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val paired = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("embedding").as("other")).limit(5))
+    val diffs = paired.select(
+      Similarity.dot(col("embedding"), col("other")).as("native"),
+      Similarity.dotHof(col("embedding"), col("other")).as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(diffs.count() === 0)
+  }
+
+  test("works for float and double arrays, null-safe") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 4.0, 6.0))).toDF("f", "d")
+    assert(df.select(Similarity.dot(col("f"), col("d"))).as[Double].head() === 28.0)
+    val n = Seq((Option.empty[Array[Float]], Array(1.0f)))
+      .toDF("f", "d")
+      .select(Similarity.dot(col("f"), col("d"))).as[Option[Double]].head()
+    assert(n === None)
+  }
+
+  test("graft_dot is SQL-callable when GraftExtensions is injected") {
+    // SharedSpark predates extension injection; register the same builder
+    // the extension uses, then exercise the SQL surface.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1)))
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r === 11.0)
+  }
+}
