@@ -27,16 +27,7 @@ class DotProductSpec extends SparkSpec {
     assert(n === None)
   }
 
-  test("graft_dot is SQL-callable when GraftExtensions is injected") {
-    // SharedSpark predates extension injection; register the same builder
-    // the extension uses, then exercise the SQL surface.
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
-    spark.sessionState.functionRegistry.registerFunction(
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1)))
+  test("graft_dot is SQL-callable via the injected GraftExtensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()
     assert(r === 11.0)
