@@ -396,6 +396,25 @@ object SparkEntry {
       .where(col("cos_sim") >= 0.25)
   }
 
+  /** Multimodal decode via partition-batched mapPartitions (stubbed codec;
+    * real Spark plumbing). Rows-only check: the feature vector isn't
+    * SQL-expressible. */
+  private def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        graft.multimodal.DecodeStub.MediaRow(id, "text", t.getBytes("UTF-8")) }
+    graft.multimodal.DecodeStub.decodeFeatures(media).toDF()
+  }
+
+  /** Duplicate clusters: minhash LSH bucket STARS (linear in bucket sizes,
+    * not quadratic pairs) -> connected components via min-label
+    * propagation. Rows-only: iterative, not single-query SQL. */
+  private def qDupClusters(s: SparkSession, d: String): DataFrame =
+    DupClusters.clusters(
+      Dedup.minhashBucketStars(Tables.documents(s, d), "doc_id", "text", 16, 4))
+
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     Stats.saltedAgg(Tables.events(s, d), "event_type",
         pmod(col("event_id"), lit(16)), 16,
@@ -444,6 +463,8 @@ object SparkEntry {
     "q_top_tokens" -> (qTopTokens _),
     "q_rolling_1h" -> (qRolling1h _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_dup_clusters" -> (qDupClusters _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -110,6 +110,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Star edges for duplicate CLUSTERING: each LSH bucket (band, sig)
+    * with k docs is a clique; for connectivity purposes a star to the
+    * bucket's min doc carries the same components with k-1 edges instead
+    * of k(k-1)/2 pairs. Feed these to [[DupClusters.clusters]] — never
+    * materialize the quadratic candidate-pair set just to cluster it. */
+  def minhashBucketStars(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k)
+    val banded = sigs.select(
+      col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      }: _*)).as(Seq("band", "sig")))
+    val hubs = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
+    banded.join(hubs, Seq("band", "sig"))
+      .where(col("doc") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc").as("doc_b"))
+      .distinct()
+  }
+
   /** 64-bit SimHash: per-token md5-derived 60-bit hash -> +-1 per bit ->
     * per-doc bit-wise sum via a zip_with fold (no explode, no shuffle:
     * the whole fingerprint is one per-row expression chain). */

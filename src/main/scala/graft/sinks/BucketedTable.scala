@@ -1,0 +1,24 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed tables: pre-shuffled storage so repeated joins/aggregations on
+  * the bucket key run WITHOUT an exchange.
+  *
+  * The reference re-joins permits to USRN/UPRN lookup tables in every dbt
+  * model run (uprn_usrn_count join in in_progress_list_london.sql:39 and
+  * friends); at 100 TB those repeated shuffles dominate. Bucketing both
+  * sides by the join key at write time makes every subsequent join
+  * shuffle-free (SortMergeJoin over co-located buckets).
+  */
+object BucketedTable {
+
+  def write(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

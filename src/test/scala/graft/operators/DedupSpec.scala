@@ -45,6 +45,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("bucket stars carry the same connected components as candidate pairs") {
+    val stars = Dedup.minhashBucketStars(docs, "doc_id", "text", 16, 4)
+    val viaStars = DupClusters.clusters(stars)
+      .as[(Long, Long)].collect().toMap
+    val viaPairs = DupClusters.clusters(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text", 16, 4))
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars === viaPairs)
+  }
+
   test("simhash is identical for dups and close for near-dups") {
     val h = docs.select(col("doc_id"), Dedup.simhash64("text").as("sh"))
       .as[(Long, Long)].collect().toMap

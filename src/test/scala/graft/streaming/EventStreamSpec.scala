@@ -27,6 +27,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over parquet -> windowed agg -> sink") {
+    import org.apache.spark.sql.functions._
+    // stage a copy of the events table as a streaming source directory
+    val src = java.nio.file.Files.createTempDirectory("evstream").toString
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    batch.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    EventStream.runOnce(spark, EventStream.tumblingCounts(stream, "1 hour"), "file_tumbling")
+    val streamed = spark.table("file_tumbling")
+      .agg(sum("n_events")).as[Long].head()
+    // append mode emits only watermark-closed windows; the final window(s)
+    // stay open, so the streamed count is within one window of the batch total
+    val total = batch.count()
+    assert(streamed > 0 && streamed <= total)
+    val batchHours = batch.select(window(col("ts"), "1 hour")).distinct().count()
+    val streamedHours = spark.table("file_tumbling")
+      .select("window").distinct().count()
+    assert(streamedHours >= batchHours - 1)
+  }
+
   test("sessionizeStream closes sessions on gap within a batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
