@@ -5,7 +5,8 @@ package graft
   * Conventions matching SparkEntry (see SURVEY §5): DECIMAL(18,2) casts for
   * money math, `CAST(x AS DOUBLE)` before any division, epoch-second
   * BIGINTs for timestamps, deterministic tie-breaks everywhere.
-  * `q_simhash` / `q_ann_lsh` are intentionally absent (rows-only checks).
+  * `q_multimodal_decode` / `q_dup_clusters` are intentionally absent
+  * (float-accumulating codec stub / iterative algorithm: rows-only checks).
   */
 object OracleSql {
 
@@ -36,6 +37,37 @@ object OracleSql {
     val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
     s"SELECT doc_id, $b AS band, CONCAT_WS('_', $cols) AS sig FROM sig"
   }.mkString("\n      UNION ALL\n      ")
+
+  /** 60 simhash bit terms mirroring Dedup.simhash64 exactly. */
+  private val simhashTerms = (0 until 60).map { b =>
+    s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END"
+  }.mkString("\n    + ")
+
+  /** LSH ANN oracle: embeds the SAME hyperplane literals Similarity uses
+    * (values k/1024 are exactly representable in both decimal and binary,
+    * so the SQL literals are bit-identical to the Scala doubles). */
+  private def annLshSql: String = {
+    val planes = graft.operators.Similarity.hyperplanes(4, 64)
+    val planeLits = planes.map(p =>
+      p.map(v => BigDecimal(v).bigDecimal.toPlainString).mkString("[", ", ", "]"))
+    val bucketTerms = planeLits.zipWithIndex.map { case (lit, i) =>
+      s"CASE WHEN list_inner_product(v, $lit) >= 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, (
+       |  $bucketTerms
+       |) AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id,
+       | list_inner_product(b.v, q.qv) /
+       |   (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos_sim
+       |FROM b, q
+       |WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+       |ORDER BY cos_sim DESC, b.vec_id
+       |LIMIT 10""".stripMargin
+  }
 
   val all: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -319,6 +351,18 @@ object OracleSql {
          |     list_transform(toks, x -> CAST(ascii(x) AS BIGINT) * 7 + length(x))),
          |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM t""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |        list_transform(toks, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |      FROM t)
+         |SELECT doc_id, (
+         |  $simhashTerms
+         |) AS simhash
+         |FROM h""".stripMargin,
+
+    "q_ann_lsh" -> annLshSql,
 
     "q_binary_meta" ->
       """SELECT doc_id, 'text' AS modality,
