@@ -352,6 +352,21 @@ object OracleSql {
          |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM t""".stripMargin,
 
+    "q_exists_having" ->
+      """SELECT n_name AS nation_name, COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY n_name
+        |HAVING COUNT(*) > 2""".stripMargin,
+
+    "q_scalar_sub" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, a.avg_price
+        |FROM orders, a
+        |WHERE o_totalprice > a.avg_price""".stripMargin,
+
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
          |h AS (SELECT doc_id,

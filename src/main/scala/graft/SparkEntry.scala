@@ -327,6 +327,30 @@ object SparkEntry {
     graft.multimodal.DecodeStub.payloadMeta(
       Tables.documents(s, d), "doc_id", "text", "text")
 
+  /** Correlated-EXISTS semi join + HAVING: customers with at least one
+    * urgent order, keeping only nations with more than 2 such customers. */
+  private def qExistsHaving(s: SparkSession, d: String): DataFrame = {
+    val withUrgent = Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_semi")
+    withUrgent
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .where(col("n_customers") > 2)
+  }
+
+  /** Scalar subquery: orders above the global average price (broadcast of
+    * a 1-row aggregate, no correlated rescan). */
+  private def qScalarSub(s: SparkSession, d: String): DataFrame = {
+    val avgPrice = Tables.orders(s, d).agg(
+      (sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+    Tables.orders(s, d).crossJoin(broadcast(avgPrice))
+      .where(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("avg_price"))
+  }
+
   // ------------------------------------------------------- extensions r1b
   private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).withColumn("tsu", expr("ts DIV 1000"))
@@ -465,6 +489,8 @@ object SparkEntry {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_exists_having" -> (qExistsHaving _),
+    "q_scalar_sub" -> (qScalarSub _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
