@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Dataset profiling: one summary row per column — the engine-grade form
+  * of the eyeball checks the reference does when landing a new source
+  * (row counts in metadata_logger, validate_column_names, ad-hoc SELECTs).
+  *
+  * Single pass over the data: all per-column aggregates run in ONE
+  * aggregation (no per-column jobs); distinct counts use HLL sketches
+  * (approx_count_distinct) so the pass stays shuffle-light at 100 TB.
+  */
+object Profile {
+
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"__nn_${f.name}"),
+        approx_count_distinct(c).as(s"__ad_${f.name}")) ++
+        (f.dataType match {
+          case _: NumericType => Seq(
+            min(c).cast("double").as(s"__mn_${f.name}"),
+            max(c).cast("double").as(s"__mx_${f.name}"))
+          case StringType => Seq(
+            min(length(c)).cast("double").as(s"__mn_${f.name}"),
+            max(length(c)).cast("double").as(s"__mx_${f.name}"))
+          case _ => Seq(
+            lit(null).cast("double").as(s"__mn_${f.name}"),
+            lit(null).cast("double").as(s"__mx_${f.name}"))
+        })
+    }
+    val total = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val perCol = cols.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__nn_${f.name}")).as("n_nulls"),
+        col(s"__ad_${f.name}").as("approx_distinct"),
+        col(s"__mn_${f.name}").as("min_or_minlen"),
+        col(s"__mx_${f.name}").as("max_or_maxlen"))
+    }
+    total.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+}

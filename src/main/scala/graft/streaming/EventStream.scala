@@ -74,6 +74,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: one state entry per key within the watermark
+    * horizon — the incremental form of Dedup.exactDupGroups for a
+    * continuously-ingested corpus (content-hash the payload upstream and
+    * dedup on the hash column). */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Batch-run a streaming query over a bounded source for testing: the
     * same plan Structured Streaming runs incrementally. */
   def runOnce(spark: SparkSession, streamed: DataFrame, sinkTable: String): Unit = {

@@ -50,6 +50,19 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedHours >= batchHours - 1)
   }
 
+  test("streamingDedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    mem.addData(ev(1, 100, 1, 1.0), ev(1, 100, 1, 1.0), ev(2, 200, 2, 2.0))
+    val q = EventStream.streamingDedup(mem.toDF(), "ts", Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2)
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions on gap within a batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
