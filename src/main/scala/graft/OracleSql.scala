@@ -352,6 +352,11 @@ object OracleSql {
          |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM t""".stripMargin,
 
+    "q_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        | CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS acctbal_quartile
+        |FROM customer""".stripMargin,
+
     "q_exists_having" ->
       """SELECT n_name AS nation_name, COUNT(*) AS n_customers
         |FROM customer

@@ -351,6 +351,19 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("avg_price"))
   }
 
+  /** NTILE quartile assignment (standard SQL bucket distribution,
+    * deterministic under the (acctbal, custkey) tie-break). */
+  private def qNtile(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_acctbal"),
+      ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
+        .as("acctbal_quartile"))
+
+  /** One-pass dataset profile (rows-only: HLL estimates are
+    * implementation-specific). */
+  private def qProfileCustomer(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.customer(s, d))
+
   // ------------------------------------------------------- extensions r1b
   private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).withColumn("tsu", expr("ts DIV 1000"))
@@ -491,6 +504,8 @@ object SparkEntry {
     "q_dup_clusters" -> (qDupClusters _),
     "q_exists_having" -> (qExistsHaving _),
     "q_scalar_sub" -> (qScalarSub _),
+    "q_ntile" -> (qNtile _),
+    "q_profile_customer" -> (qProfileCustomer _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
