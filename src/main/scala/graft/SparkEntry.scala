@@ -287,6 +287,15 @@ object SparkEntry {
     Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVec(s, d), 10, 4, Some(0L))
 
+  /** IVF ANN: deterministic k-means cells, probe nearest nProbes cells,
+    * exact rerank inside. Rows-only: Lloyd iterations aren't one SQL query. */
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    IvfIndex.search(emb, "vec_id", "embedding", centroids, queryVec(s, d),
+      topK = 10, nProbes = 4, excludeId = Some(0L))
+  }
+
   private def qEmbedStats(s: SparkSession, d: String): DataFrame =
     Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")
 
@@ -506,6 +515,7 @@ object SparkEntry {
     "q_scalar_sub" -> (qScalarSub _),
     "q_ntile" -> (qNtile _),
     "q_profile_customer" -> (qProfileCustomer _),
+    "q_ann_ivf" -> (qAnnIvf _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

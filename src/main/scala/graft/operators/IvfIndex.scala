@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: partition vectors by nearest centroid,
+  * probe only the closest cells at query time — the other scale path for
+  * similarity search next to random-hyperplane LSH (Similarity.annLsh).
+  *
+  * Spark-first shape: centroids are a tiny broadcast table; assignment is
+  * one crossJoin(broadcast) + `min_by` aggregation (map-side combinable,
+  * one shuffle on vec id — NOT a window); Lloyd updates are decimal-exact
+  * per-(cluster, dim) means, so training is deterministic. At 100 TB the
+  * assignment column becomes the table's partition key so a query touches
+  * nProbes/k of the data.
+  *
+  * Training is deterministic k-means (init = first k vectors by id, L
+  * Lloyd rounds) — no RNG, reproducible across runs and engines.
+  */
+object IvfIndex {
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** ||a-b||² = aa - 2ab + bb via the native dot product. */
+  private def dist2(a: Column, aa: Column, b: Column, bb: Column): Column =
+    aa - lit(2.0) * Similarity.dot(a, b) + bb
+
+  /** Train k centroids with `iters` Lloyd rounds.
+    * Returns (centroid_id, centroid: array<double>). */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+      .withColumn("vv", Similarity.dot(col("v"), col("v")))
+      .persist()
+    var centroids = vecs.orderBy("vid").limit(k)
+      .select(col("vid").cast("int").as("centroid_id"), col("v").as("c"))
+    for (_ <- 0 until iters) {
+      val assigned = assignTo(vecs, centroids)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg((sum(col("x").cast("decimal(28,12)")) /
+          count(lit(1))).cast("double").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), s => s.getField("m")).as("c"))
+    }
+    vecs.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast centroids, min_by aggregation. */
+  private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .withColumn("cc", Similarity.dot(col("c"), col("c"))))
+    vecs.crossJoin(cents)
+      .groupBy(col("vid"))
+      .agg(
+        min_by(col("centroid_id"),
+          struct(dist2(col("v"), col("vv"), col("c"), col("cc")),
+            col("centroid_id"))).as("centroid_id"),
+        first(col("v")).as("v"))
+  }
+
+  /** Assign every row of `df` to its trained cell (the persisted layout's
+    * partition key at scale). */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame =
+    assignTo(
+      df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+        .withColumn("vv", Similarity.dot(col("v"), col("v"))),
+      centroids)
+
+  /** ANN search: probe the `nProbes` cells nearest the query, exact cosine
+    * rerank inside them. Scans ~nProbes/k of the data. */
+  def search(df: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, queryVec: Array[Float],
+             topK: Int, nProbes: Int, excludeId: Option[Long]): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    val cents = centroids.select(col("centroid_id"), col("c")).collect()
+    val probes = cents.map { r =>
+      val c = r.getSeq[Double](1)
+      val d2 = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      (r.getInt(0), d2)
+    }.sortBy { case (id, d) => (d, id) }.take(nProbes).map(_._1).toSeq
+    val cells = assign(df, idCol, vecCol, centroids)
+      .where(col("centroid_id").isin(probes.map(p => p: Any): _*))
+    val qCol = array(q.map(lit): _*)
+    val base = excludeId.map(e => cells.where(col("vid") =!= e)).getOrElse(cells)
+    base.select(col("vid").as(idCol),
+        (Similarity.dot(col("v"), qCol) /
+          (Similarity.norm(col("v")) * Similarity.norm(qCol))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+
+  test("training produces k centroids of the right dimension, deterministically") {
+    val c1 = centroids.orderBy("centroid_id")
+      .select("centroid_id", "c").as[(Int, Seq[Double])].collect()
+    assert(c1.length === 8)
+    assert(c1.forall(_._2.length === 64))
+    val c2 = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("centroid_id").select("centroid_id", "c").as[(Int, Seq[Double])].collect()
+    assert(c1.toSeq === c2.toSeq)
+  }
+
+  test("every vector lands in exactly one cell") {
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("vid").distinct().count() === emb.count())
+    assert(assigned.select("centroid_id").distinct().count() <= 8)
+  }
+
+  test("probing half the cells recovers a reasonable share of true top-10") {
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = IvfIndex.search(emb, "vec_id", "embedding", centroids, q,
+        topK = 10, nProbes = 4, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size === 10)
+    assert((ivf intersect exact).size >= 3,
+      s"recall too low: ${(ivf intersect exact).size}/10")
+  }
+}
