@@ -32,8 +32,11 @@ object IvfIndex {
     val vecs = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
       .withColumn("vv", Similarity.dot(col("v"), col("v")))
       .persist()
+    // localCheckpoint each round: truncates the nested Lloyd plan so later
+    // consumers (collect, assignment, rerank) don't replay training
     var centroids = vecs.orderBy("vid").limit(k)
       .select(col("vid").cast("int").as("centroid_id"), col("v").as("c"))
+      .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = assignTo(vecs, centroids)
       centroids = assigned
@@ -45,6 +48,7 @@ object IvfIndex {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
           transform(col("dm"), s => s.getField("m")).as("c"))
+        .localCheckpoint()
     }
     vecs.unpersist()
     centroids
