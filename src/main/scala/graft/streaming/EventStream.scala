@@ -74,6 +74,50 @@ object EventStream {
       }
   }
 
+  /** Event-time sessionization: sessions close when the WATERMARK passes
+    * session end + gap (not wall clock), so results are deterministic
+    * under replay/late data — the production-grade variant of
+    * [[sessionizeStream]]. State per live user, bounded by the watermark. */
+  def sessionizeEventTime(events: Dataset[Event], gapSec: Long,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(user, s.start, s.last, s.n, s.total)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSec =>
+                  cur = Some(s.copy(last = sec, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n, s.total)
+                  cur = Some(SessState(sec, sec, 1, e.value))
+                case None =>
+                  cur = Some(SessState(sec, sec, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event-time watermark passes last + gap
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: one state entry per key within the watermark
     * horizon — the incremental form of Dedup.exactDupGroups for a
     * continuously-ingested corpus (content-hash the payload upstream and

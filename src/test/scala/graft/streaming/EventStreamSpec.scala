@@ -50,6 +50,34 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedHours >= batchHours - 1)
   }
 
+  test("event-time sessionization closes sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(mem.toDS(), gapSec = 1800,
+        watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("sess_et")
+      .outputMode(OutputMode.Append()).start()
+    // times offset from 0: an event at epoch 0 ties the initial watermark
+    // and would be dropped as late
+    val base = 1000000L
+    try {
+      // batch 1: one session for user 1 (events base+0s and base+10s)
+      mem.addData(ev(1, base, 1, 1.0), ev(2, base + 10, 1, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_et").count() === 0) // watermark hasn't passed
+      // batch 2: an event far in the future advances the watermark past
+      // last + gap(1800) -> user 1's session must close via timeout
+      mem.addData(ev(3, base + 10000, 2, 5.0))
+      q.processAllAvailable()
+      // one more batch so the timeout (vs the new watermark) fires
+      mem.addData(ev(4, base + 10001, 2, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_et").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+      assert(closed.toSeq === Seq(EventStream.Session(1L, base, base + 10L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
