@@ -77,6 +77,27 @@ object Similarity {
     cosineTopK(bucketed, idCol, vecCol, queryVec, k, excludeId)
   }
 
+  /** Multi-probe LSH: also search the buckets at Hamming distance 1 from
+    * the query's bucket (each single-bit flip). Recovers most of the
+    * recall lost to unlucky hyperplane splits for ~(nPlanes+1)/2^nPlanes
+    * of the data scanned — the standard accuracy/cost knob between
+    * single-probe LSH and brute force. */
+  def annLshMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                       queryVec: Array[Float], k: Int, nPlanes: Int,
+                       excludeId: Option[Long]): DataFrame = {
+    val dim = queryVec.length
+    val planes = hyperplanes(nPlanes, dim)
+    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
+      val proj = plane.zip(queryVec).map { case (w, v) => w * v.toDouble }.sum
+      if (proj >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val probes = qBucket +: (0 until nPlanes).map(p => qBucket ^ (1L << p))
+    val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), planes))
+      .where(col("__bucket").isin(probes.map(b => b: Any): _*))
+      .drop("__bucket")
+    cosineTopK(bucketed, idCol, vecCol, queryVec, k, excludeId)
+  }
+
   /** Per-label embedding centroid (exact decimal mean per dimension).
     * posexplode -> groupBy (label, dim): the shuffle key is (label, dim) so
     * high-dim x many-labels parallelizes; sums are decimal => exact and

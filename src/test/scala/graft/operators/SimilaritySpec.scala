@@ -40,6 +40,18 @@ class SimilaritySpec extends SparkSpec {
     assert((ann intersect exact).size >= 2)
   }
 
+  test("multi-probe LSH recall >= single-probe recall") {
+    val q = all(0L)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val single = Similarity.annLsh(emb, "vec_id", "embedding", q, 10, 4, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.annLshMultiProbe(emb, "vec_id", "embedding", q, 10, 4, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert((multi intersect exact).size >= (single intersect exact).size)
+    assert(multi.size === 10)
+  }
+
   test("labelCentroids matches manual mean per (label, dim)") {
     val out = Similarity.labelCentroids(emb, "label", "embedding")
       .where(col("label") === 0 && col("dim") === 0)
