@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * The timed action is a noop-sink write (`format("noop")`), NOT `count()`:
+  * counting lets Catalyst prune unused projections and whole Window
+  * operators, so map-only queries would be timed without the expressions
+  * they exist to exercise. The noop sink materializes every output column
+  * through the full plan with zero IO cost.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the reported
+  * number is the per-query MIN (bench noise on this box is ~2x per query;
+  * min is the stable estimator of plan cost).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,15 +29,30 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // run the whole suite `runs` times (round-robin, not back-to-back per
+    // query) so per-query numbers aren't flattered by a just-warmed cache
+    val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      val pass = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+      spark.catalog.clearCache() // release operator-persisted intermediates
+      pass
+    }
+    val best = names.map { n =>
+      val ts = samples.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -180,7 +180,7 @@ object OracleSql {
       """SELECT CAST(c_custkey AS VARCHAR) AS custkey_str,
         | LOWER(c_name) AS name_lc,
         | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_clean,
-        | CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_dec,
+        | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal_dec,
         | CAST(c_nationkey AS BIGINT) AS nationkey_l
         |FROM customer""".stripMargin,
 
@@ -193,16 +193,16 @@ object OracleSql {
 
     "q_pivot_event_counts" ->
       """SELECT user_id,
-        | SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-        | SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error,
-        | SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-        | SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-        | SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
         | CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
@@ -224,6 +224,31 @@ object OracleSql {
         | MIN(l_partkey % 1000) AS min_x, MAX(l_partkey % 1000) AS max_x,
         | MIN(l_suppkey % 1000) AS min_y, MAX(l_suppkey % 1000) AS max_y
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    // WKT built from integer-valued coords; regexp parse mirrored in SQL
+    // (sums < 2^53 => centroid arithmetic exact in both engines)
+    "q_geo_wkt" ->
+      """WITH w AS (
+        |  SELECT event_id,
+        |    'LINESTRING (' || CAST(event_id % 100 AS VARCHAR) || ' ' || CAST(user_id % 100 AS VARCHAR)
+        |      || ', ' || CAST((event_id * 7) % 100 AS VARCHAR) || ' ' || CAST((user_id * 11) % 100 AS VARCHAR)
+        |      || ', ' || CAST((event_id + user_id) % 100 AS VARCHAR) || ' ' || CAST((event_id * 3 + user_id * 5) % 100 AS VARCHAR)
+        |      || ')' AS wkt
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id,
+        |    regexp_extract_all(wkt, '(-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?)', 0) AS pts
+        |  FROM w),
+        |c AS (
+        |  SELECT event_id,
+        |    CAST(len(pts) AS INT) AS n_vertices,
+        |    list_sum(list_transform(pts, s -> CAST(string_split(s, ' ')[1] AS DOUBLE))) / len(pts) AS cx,
+        |    list_sum(list_transform(pts, s -> CAST(string_split(s, ' ')[2] AS DOUBLE))) / len(pts) AS cy
+        |  FROM p)
+        |SELECT event_id, n_vertices, cx, cy,
+        | sqrt((cx - 50.0) * (cx - 50.0) + (cy - 50.0) * (cy - 50.0)) AS dist_from_center,
+        | ((50.0 - cx) * (50.0 - cx) + (50.0 - cy) * (50.0 - cy)) <= 625.0 AS near_center
+        |FROM c""".stripMargin,
 
     "q_wellbeing_impact" ->
       """WITH p AS (SELECT event_id, value AS x, CAST(event_id AS DOUBLE) AS y FROM events),
@@ -268,9 +293,11 @@ object OracleSql {
          |    THEN list_distinct(list_transform(range(1, len(toks) - 2),
          |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
          |    ELSE [] END AS shl FROM d)),
-         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+         |shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
          | CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
@@ -287,9 +314,12 @@ object OracleSql {
          |        FROM h GROUP BY doc_id),
          |bands AS (
          |      $bandSelects
-         |)
+         |),
+         |keep AS (SELECT band, sig FROM bands GROUP BY band, sig HAVING COUNT(*) <= 64),
+         |kept AS (SELECT b.doc_id, b.band, b.sig FROM bands b
+         |         JOIN keep k ON b.band = k.band AND b.sig = k.sig)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM kept a JOIN kept b
          | ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_cosine_topk" ->

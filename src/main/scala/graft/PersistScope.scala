@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+/** Tracks persisted intermediate relations so callers can release them once
+  * the terminal action has run. Operators that must persist shared
+  * sub-relations (e.g. the exploded shingle index consumed by both sides of
+  * a self-join) register them here instead of leaking cached partitions in
+  * long-lived sessions.
+  *
+  * Contract: the DataFrame an operator returns references the cached
+  * blocks — call `close()` only AFTER consuming the result (write/collect).
+  * The default scope passed by convenience overloads is never closed, which
+  * reproduces plain `.persist()` semantics (GC-based cleanup).
+  */
+final class PersistScope {
+  private val dfs = mutable.Buffer[DataFrame]()
+  def cache(df: DataFrame): DataFrame = { dfs += df; df.persist() }
+  def close(): Unit = { dfs.foreach(_.unpersist(blocking = false)); dfs.clear() }
+}
+
+object PersistScope {
+  def apply(): PersistScope = new PersistScope
+}

@@ -171,7 +171,9 @@ object SparkEntry {
       lower(col("c_name")).as("name_lc"),
       coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
         .as("segment_clean"),
-      dec2(col("c_acctbal")).as("acctbal_dec"),
+      // decimal round-trip, emitted as double: raw DECIMAL output travels
+      // differently through the two parquet->pandas compare paths
+      dec2(col("c_acctbal")).cast("double").as("acctbal_dec"),
       col("c_nationkey").cast("bigint").as("nationkey_l"))
 
   private def qGroupingRollup(s: SparkSession, d: String): DataFrame =
@@ -190,6 +192,9 @@ object SparkEntry {
       .groupBy("user_id")
       .pivot("event_type", EventTypes)
       .agg(sum(lit(1L)))
+      // total counts: absent (user, type) combos are 0, not NULL — nullable
+      // ints travel differently through parquet->pandas than BIGINT zeros
+      .select(col("user_id") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
 
   private def qJsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -243,6 +248,35 @@ object SparkEntry {
         (expr("CAST(CAST(2.10 AS DECIMAL(3,2)) * (a_id % 7 + 1) AS DOUBLE)") *
           col("total_population")).as("wellbeing_total_impact"))
 
+  /** WKT end-to-end through functions.Geo — the reference's most-executed
+    * spatial pattern (stg_major_works_by_authority.sql:24-38: ST_GeomFromText
+    * -> ST_Centroid -> ST_X/ST_Y -> buffer containment). WKT strings are
+    * built from integer-valued coordinates so parse + centroid arithmetic
+    * is exact in both engines (sums < 2^53: order-independent). */
+  private def qGeoWkt(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Geo
+    val wkt = Tables.events(s, d).select(
+      col("event_id"),
+      concat(
+        lit("LINESTRING ("),
+        (col("event_id") % 100).cast("string"), lit(" "),
+        (col("user_id") % 100).cast("string"), lit(", "),
+        ((col("event_id") * 7) % 100).cast("string"), lit(" "),
+        ((col("user_id") * 11) % 100).cast("string"), lit(", "),
+        ((col("event_id") + col("user_id")) % 100).cast("string"), lit(" "),
+        ((col("event_id") * 3 + col("user_id") * 5) % 100).cast("string"),
+        lit(")")).as("wkt"))
+    val geom = Geo.stGeomFromText(col("wkt"))
+    val center = Geo.stPoint(lit(50.0), lit(50.0))
+    wkt.select(
+      col("event_id"),
+      size(geom).as("n_vertices"),
+      Geo.stX(Geo.stCentroid(geom)).as("cx"),
+      Geo.stY(Geo.stCentroid(geom)).as("cy"),
+      Geo.stDistance(Geo.stCentroid(geom), center).as("dist_from_center"),
+      Geo.withinBuffer(center, Geo.stCentroid(geom), 25.0).as("near_center"))
+  }
+
   // ---------------------------------------------------------------- §2.3
   private def qTumblingWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -266,14 +300,15 @@ object SparkEntry {
     Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
 
   private def qDedupNgram(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 4, 0.01)
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 4, 0.01,
+      maxShingleDf = 100)
 
   private def qMinhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text", 16, 4)
+    Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text", 16, 4,
+      maxBucket = 64)
 
   private def qSimhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.simhash64("text").as("simhash"))
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
 
   private def queryVec(s: SparkSession, d: String): Array[Float] =
     Tables.embeddings(s, d).where(col("vec_id") === 0)
@@ -444,7 +479,8 @@ object SparkEntry {
 
   /** Multimodal decode via partition-batched mapPartitions (stubbed codec;
     * real Spark plumbing). Rows-only check: the feature vector isn't
-    * SQL-expressible. */
+    * SQL-expressible, so emit a scalar digest of it (raw array<float>
+    * columns crash the driver's pandas sort — unhashable ndarray). */
   private def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -452,6 +488,8 @@ object SparkEntry {
       .map { case (id, t) =>
         graft.multimodal.DecodeStub.MediaRow(id, "text", t.getBytes("UTF-8")) }
     graft.multimodal.DecodeStub.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("content_md5"),
+        md5(col("feature").cast("string").cast("binary")).as("feature_md5"))
   }
 
   /** Duplicate clusters: minhash LSH bucket STARS (linear in bucket sizes,
@@ -487,6 +525,7 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_range_join_points" -> (qRangeJoinPoints _),
     "q_geo_centroid" -> (qGeoCentroid _),
+    "q_geo_wkt" -> (qGeoWkt _),
     "q_wellbeing_impact" -> (qWellbeingImpact _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sessionize" -> (qSessionize _),

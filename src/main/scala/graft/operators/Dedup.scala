@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PersistScope
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -46,16 +47,33 @@ object Dedup {
     *
     * Inverted-index plan: explode shingles -> self-equi-join on shingle ->
     * count per (a,b) = |intersection| (map-side combinable) -> join back the
-    * per-doc shingle counts -> Jaccard filter. No cartesian product; the
-    * widest shuffle is on shingle (long-tail keys can be frequency-capped
-    * upstream at scale).
+    * per-doc shingle counts -> Jaccard filter. No cartesian product.
+    *
+    * `maxShingleDf` caps the inverted-index fan-out: shingles appearing in
+    * more than that many documents (stop-word boilerplate) are removed from
+    * the shingle universe BEFORE the self-join — a single hot shingle would
+    * otherwise produce a quadratic bucket at 100 TB. The Jaccard is then
+    * computed over the capped universe on both engines identically, so the
+    * result stays oracle-exact (recall-bounded by construction: only pairs
+    * whose entire overlap is boilerplate are lost).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame = {
+                   n: Int, tau: Double,
+                   maxShingleDf: Int = Int.MaxValue,
+                   scope: PersistScope = PersistScope()): DataFrame = {
     // The exploded shingle relation is consumed 4x (both join sides + the
     // per-doc counts); shingling is a heavy interpreted HOF chain, so
     // materialize it once instead of recomputing per consumer.
-    val sh = shingleRows(df, idCol, textCol, n).persist()
+    val all = shingleRows(df, idCol, textCol, n)
+    val sh = scope.cache(
+      if (maxShingleDf == Int.MaxValue) all
+      else {
+        // doc frequency per shingle (shingles are distinct per doc); the
+        // filter join is co-partitioned with the self-join shuffle key
+        val keep = all.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxShingleDf).select("sh")
+        all.join(keep, "sh").select("doc", "sh")
+      })
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
       .where(col("a.doc") < col("b.doc"))
@@ -93,21 +111,41 @@ object Dedup {
 
   /** LSH candidate pairs: band the k-signature into `bands` groups of
     * k/bands rows; docs sharing any band signature are candidates.
-    * Banding turns near-dup detection into an equi-join on (band, sig). */
+    * Banding turns near-dup detection into an equi-join on (band, sig).
+    *
+    * `maxBucket` drops buckets with more than that many docs before the
+    * self-join (standard LSH practice): pair count is quadratic in bucket
+    * size, so one degenerate signature ("the empty doc bucket") otherwise
+    * dominates the whole job at scale. Dropped buckets are the least
+    * discriminative signatures; recall loss is bounded and the oracle
+    * applies the identical cap. The pair dedup is a groupBy-min (map-side
+    * combinable partial agg collapses the up-to-`bands` duplicates of each
+    * pair before the shuffle). */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            k: Int, bands: Int): DataFrame = {
+                            k: Int, bands: Int,
+                            maxBucket: Int = Int.MaxValue,
+                            scope: PersistScope = PersistScope()): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k)
-    // both self-join sides consume the banded relation: materialize once
-    val banded = sigs.select(
+    // sized + filtered + both self-join sides consume the banded relation:
+    // materialize once
+    val all = sigs.select(
       col("doc"),
       posexplode(array((0 until bands).map { b =>
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "sig"))).persist()
+      }: _*)).as(Seq("band", "sig")))
+    val banded = scope.cache(
+      if (maxBucket == Int.MaxValue) all
+      else {
+        val keep = all.groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= maxBucket).select("band", "sig")
+        all.join(keep, Seq("band", "sig")) // co-partitioned with the self-join
+      })
     banded.as("a").join(banded.as("b"), Seq("band", "sig"))
       .where(col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(min(col("band")).as("__first_band"))
+      .select("doc_a", "doc_b")
   }
 
   /** Star edges for duplicate CLUSTERING: each LSH bucket (band, sig)
@@ -133,15 +171,18 @@ object Dedup {
 
   /** 64-bit SimHash: per-token md5-derived 60-bit hash -> +-1 per bit ->
     * per-doc bit-wise sum via a zip_with fold (no explode, no shuffle:
-    * the whole fingerprint is one per-row expression chain). */
+    * the whole fingerprint is a per-row expression chain). */
   val SimhashBits = 60
-  def simhash64(textCol: String) = {
-    val toks = array_distinct(Text.tokens(col(textCol)))
-    val bitVecs = transform(toks, t => {
-      val h = Text.md5Long(t)
+
+  /** Majority fold over a PRE-MATERIALIZED array of 60-bit token hashes.
+    * `hs` must be a plain column reference: interpreted HOFs copy the
+    * argument expression into every use site, so an inlined md5 tree here
+    * would hash each token 60x (once per bit term) — materialize the hash
+    * array in its own projection first (see [[simhash]]). */
+  def simhashOfHashes(hs: Column): Column = {
+    val bitVecs = transform(hs, h =>
       array((0 until SimhashBits).map(b =>
-        when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
-    })
+        when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*))
     val sums = aggregate(
       bitVecs,
       array((0 until SimhashBits).map(_ => lit(0)): _*),
@@ -150,5 +191,23 @@ object Dedup {
     aggregate(
       zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Two-projection simhash: token hashes computed ONCE per token in their
+    * own select, then the bit-majority fold. ~60x less md5 work than
+    * inlining the hash into the fold (interpreted-HOF expression copies). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              outCol: String = "simhash"): DataFrame =
+    df.select(col(idCol),
+        transform(array_distinct(Text.tokens(col(textCol))),
+          t => Text.md5Long(t)).as("__hs"))
+      .select(col(idCol), simhashOfHashes(col("__hs")).as(outCol))
+
+  /** Single-expression form: the hash array is built by an inner transform
+    * whose elements the fold references as lambda VARIABLES (one md5 per
+    * token), so this composes to the same work as [[simhash]]. */
+  def simhash64(textCol: String): Column = {
+    val toks = array_distinct(Text.tokens(col(textCol)))
+    simhashOfHashes(transform(toks, t => Text.md5Long(t)))
   }
 }

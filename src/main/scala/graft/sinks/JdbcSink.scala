@@ -1,0 +1,69 @@
+package graft.sinks
+
+import java.sql.DriverManager
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** JDBC warehouse sink — the reference loads its processed frames into
+  * Postgres / MotherDuck with batched inserts and two refresh styles
+  * (reference: src/databases/postgresql.py batch executemany;
+  * src/data_processors/utils/data_processor_utils.py:60 delete-then-insert).
+  *
+  * Spark-first shape: `df.write.jdbc` writes PARTITIONS CONCURRENTLY — each
+  * executor task opens one connection and streams its partition in JDBC
+  * batches of `batchSize`. `numPartitions` caps the connection count (at
+  * 1000 executors you bound it to what the warehouse tolerates, not the
+  * cluster width). The only driver-side statement is the scoped DELETE in
+  * [[refreshScope]] — a constant-size metadata operation, not data movement.
+  */
+object JdbcSink {
+
+  /** Append rows in JDBC batches; `numPartitions` = max concurrent
+    * connections (coalesce, not repartition: no shuffle just to write). */
+  def append(df: DataFrame, url: String, table: String,
+             batchSize: Int = 10000, numPartitions: Option[Int] = None): Unit =
+    (numPartitions match {
+      case Some(n) if n < df.rdd.getNumPartitions => df.coalesce(n)
+      case _ => df
+    }).write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .mode(SaveMode.Append)
+      .save()
+
+  /** Full refresh. With `truncate=true` Spark TRUNCATEs instead of
+    * DROP+CREATE when the dialect supports it — preserving grants/indexes,
+    * the reference's truncate-then-insert path. */
+  def overwrite(df: DataFrame, url: String, table: String,
+                batchSize: Int = 10000, truncate: Boolean = true): Unit =
+    df.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .option("truncate", truncate.toString)
+      .mode(SaveMode.Overwrite)
+      .save()
+
+  /** Idempotent scoped refresh: DELETE the rows matching `scopePredicate`
+    * (e.g. `month = '2024-01'`) then append the replacement — the
+    * reference's delete-then-insert month refresh, and the JDBC analogue of
+    * ParquetSink's dynamic partition overwrite. The DELETE runs once on the
+    * driver; re-running the load for the same scope never duplicates. */
+  def refreshScope(df: DataFrame, url: String, table: String,
+                   scopePredicate: String, batchSize: Int = 10000,
+                   numPartitions: Option[Int] = None): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table WHERE $scopePredicate")
+      finally st.close()
+    } finally conn.close()
+    append(df, url, table, batchSize, numPartitions)
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, url: String,
+           table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.io.IOException
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.ZipInputStream
+
+/** HTTP/file fetch + archive staging — the reference's ingestion front door
+  * re-expressed. Every reference pipeline starts by streaming a URL to local
+  * bytes (reference: src/data_processors/nhs_english_prescriptions.py:99
+  * `stream_csv_from_url`; src/data_sources/street_manager.py download +
+  * unzip; src/data_sources/bods_timetables.py GTFS zip-of-CSVs), then parses.
+  *
+  * Split of labor at scale: the FETCH is single-stream IO into a staging
+  * directory (on a cluster: shared storage — HDFS/object store — so every
+  * executor can read the staged files); the PARSE is distributed
+  * (spark.read / CsvBundle / XmlSource over the staged members). Fetching
+  * N sources concurrently is driver-thread parallelism over `fetchToStaging`
+  * calls — the bytes of one URL arrive on one socket either way.
+  *
+  * Both streaming paths are bounded-memory: the download streams chunks to
+  * disk (never buffers the body), and the unzip streams each entry out
+  * (never loads a member byte[] — the reference's stream-unzip mechanic).
+  */
+object Fetch {
+
+  case class Fetched(url: String, path: String, nBytes: Long, attempts: Int)
+
+  private def retrying[T](maxRetries: Int, baseDelayMs: Long)(f: => T): (T, Int) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return (f, attempt)
+      catch {
+        case e: Exception =>
+          if (attempt >= maxRetries) throw new IOException(
+            s"fetch failed after $attempt attempts", e)
+          Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def fileNameOf(url: String): String = {
+    val base = url.split('/').lastOption.filter(_.nonEmpty).getOrElse("download")
+    base.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
+  /** Stream a `http(s)://` or `file://` URL into `stagingDir` with
+    * retry/backoff (the reference's requests retry loop,
+    * data_processor_utils.py:22). Writes via a temp file + atomic move so a
+    * failed attempt never leaves a truncated file for the readers. */
+  def fetchToStaging(url: String, stagingDir: String,
+                     maxRetries: Int = 3, baseDelayMs: Long = 100): Fetched = {
+    val dir = Files.createDirectories(Paths.get(stagingDir))
+    val dest = dir.resolve(fileNameOf(url))
+    val (_, attempts) = retrying(maxRetries, baseDelayMs) {
+      val tmp = Files.createTempFile(dir, ".part-", ".tmp")
+      try {
+        val in = new java.net.URI(url).toURL.openStream()
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    }
+    Fetched(url, dest.toString, Files.size(dest), attempts)
+  }
+
+  /** Stream-unzip an archive into `destDir`; returns the extracted member
+    * paths (files only, in archive order). Entries stream straight to disk
+    * — memory is one copy buffer regardless of member size. Entry names are
+    * resolved inside `destDir` (zip-slip guarded). */
+  def unzip(zipPath: String, destDir: String): Seq[String] = {
+    val dest = Files.createDirectories(Paths.get(destDir)).toAbsolutePath.normalize
+    val out = Seq.newBuilder[String]
+    val zin = new ZipInputStream(Files.newInputStream(Paths.get(zipPath)))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val target: Path = dest.resolve(e.getName).normalize
+        if (!target.startsWith(dest))
+          throw new IOException(s"zip entry escapes staging dir: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
+          out += target.toString
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** fetch → unzip in one call: the street_manager / bods_timetables shape.
+    * Members land in `<stagingDir>/<archive-name>.d/`, ready for
+    * CsvBundle.read / spark.read over the directory. */
+  def fetchZip(url: String, stagingDir: String,
+               maxRetries: Int = 3, baseDelayMs: Long = 100): Seq[String] = {
+    val fetched = fetchToStaging(url, stagingDir, maxRetries, baseDelayMs)
+    unzip(fetched.path, fetched.path + ".d")
+  }
+}

@@ -55,6 +55,34 @@ class DedupSpec extends SparkSpec {
     assert(viaStars === viaPairs)
   }
 
+  test("maxBucket cap stops a pathological hot band from going quadratic") {
+    // 40 identical docs: every band signature collides, one bucket of 40
+    val hot = (1L to 40L).map(i => (i, "same text in every document")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidatePairs(hot, "doc_id", "text", 16, 4)
+    assert(uncapped.count() === 40L * 39 / 2) // full quadratic pair set
+    val scope = graft.PersistScope()
+    val capped = Dedup.minhashCandidatePairs(hot, "doc_id", "text", 16, 4,
+      maxBucket = 10, scope = scope)
+    assert(capped.count() === 0) // hot bucket dropped before the self-join
+    scope.close()
+  }
+
+  test("maxShingleDf cap removes boilerplate shingles but keeps real overlap") {
+    // shingle "x y z" appears in all 20 docs (boilerplate); each doc also
+    // has a unique tail, and docs 1/2 share their full text
+    val rows = (1L to 20L).map { i =>
+      val tail = if (i <= 2) "shared tail words here" else s"unique$i tail$i words$i here$i"
+      (i, s"x y z $tail")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val scope = graft.PersistScope()
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5,
+      maxShingleDf = 10, scope = scope)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // boilerplate-only overlaps are gone
+    scope.close()
+  }
+
   test("simhash is identical for dups and close for near-dups") {
     val h = docs.select(col("doc_id"), Dedup.simhash64("text").as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.io.{FileOutputStream, IOException}
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.types._
+
+class FetchSpec extends SparkSpec {
+
+  private def mkZip(dir: String, members: Map[String, String]): String = {
+    val zipPath = Paths.get(dir, "bundle.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    members.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    zipPath.toString
+  }
+
+  test("fetch -> unzip -> CsvBundle -> ColumnNormalizer end-to-end") {
+    val fixture = Files.createTempDirectory("fetch-fixture").toString
+    val staging = Files.createTempDirectory("fetch-staging").toString
+    // two same-schema CSV members with messy headers (the code_point /
+    // GTFS multi-member shape)
+    val zip = mkZip(fixture, Map(
+      "area_a.csv" -> "Post Code,Total Count\nA1,10\nA2,20\n",
+      "area_b.csv" -> "Post Code,Total Count\nB1,30\n"))
+
+    val members = Fetch.fetchZip(s"file://$zip", staging)
+    assert(members.size === 2)
+    assert(members.forall(p => Files.exists(Paths.get(p))))
+
+    val schema = StructType(Seq(
+      StructField("Post Code", StringType), StructField("Total Count", IntegerType)))
+    val df = ColumnNormalizer.snakeCase(
+      CsvBundle.read(spark, Paths.get(members.head).getParent.toString, schema,
+        header = true))
+    assert(df.columns.toSeq === Seq("post_code", "total_count"))
+    assert(df.count() === 3)
+    import spark.implicits._
+    assert(df.selectExpr("sum(total_count)").as[Long].head() === 60L)
+  }
+
+  test("fetchToStaging retries then fails with attempt count in the error") {
+    val staging = Files.createTempDirectory("fetch-retry").toString
+    val err = intercept[IOException] {
+      Fetch.fetchToStaging("file:///nonexistent/no-such-file.zip", staging,
+        maxRetries = 3, baseDelayMs = 1)
+    }
+    assert(err.getMessage.contains("3 attempts"))
+    // no truncated partial files left behind
+    val leftovers = Files.list(Paths.get(staging)).count()
+    assert(leftovers === 0)
+  }
+
+  test("unzip refuses zip-slip entries") {
+    val fixture = Files.createTempDirectory("fetch-slip").toString
+    val zip = mkZip(fixture, Map("../escape.txt" -> "nope"))
+    val err = intercept[IOException] {
+      Fetch.unzip(zip, Paths.get(fixture, "out").toString)
+    }
+    assert(err.getMessage.contains("escapes"))
+  }
+
+  test("fetched file lands atomically with full content") {
+    val fixture = Files.createTempDirectory("fetch-file").toString
+    val staging = Files.createTempDirectory("fetch-file-staging").toString
+    val src = Paths.get(fixture, "data.csv")
+    Files.writeString(src, "a,b\n1,2\n")
+    val f = Fetch.fetchToStaging(s"file://$src", staging)
+    assert(f.nBytes === Files.size(src))
+    assert(f.attempts === 1)
+    assert(Files.readString(Paths.get(f.path)) === "a,b\n1,2\n")
+  }
+}

@@ -15,18 +15,26 @@ def canon(rows, cols):
     out = [tuple(r[i] for i in idx) for r in rows]
     return sorted(cols), sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
 
+def kind(v):
+    # type KIND must match: the driver's pandas hash distinguishes
+    # decimal/float/int columns even when values print identically, so a
+    # loose str() fallback here would hide exactly the drift the driver
+    # catches (round-1 lesson: 3 hash fails that compare.py called PASS)
+    import decimal
+    if isinstance(v, bool): return "bool"
+    if isinstance(v, int): return "int"
+    if isinstance(v, float): return "float"
+    if isinstance(v, decimal.Decimal): return "decimal"
+    return type(v).__name__
+
 def cell_eq(a, b):
     if a is None and b is None: return True
-    if isinstance(a, float) and isinstance(b, float):
+    if a is None or b is None: return False
+    if kind(a) != kind(b): return False
+    if isinstance(a, float):
         if math.isnan(a) and math.isnan(b): return True
         return a == b
-    try:
-        import decimal
-        if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
-            return decimal.Decimal(str(a)) == decimal.Decimal(str(b))
-    except Exception:
-        pass
-    return a == b or str(a) == str(b)
+    return a == b
 
 def main():
     sf, vout = sys.argv[1], sys.argv[2]
