@@ -423,16 +423,20 @@ object SparkEntry {
         col("asof_ts").as("asof_click_ts_us"))
   }
 
+  /** 3 scans / 2 shuffles total (was 5 scans): the two scan-level checks
+    * fuse into one aggregation pass; the same-table overlap is a single
+    * conditional-count groupBy instead of a self-join of two slices. */
   private def qQualityChecks(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     DataQuality.suite(Seq(
       "dup_orderkey" -> DataQuality.duplicateKeys(o, Seq("o_orderkey")),
-      "overlap_status_custkey" -> DataQuality.overlappingKeys(
-        o.where(col("o_orderstatus") === "O"),
-        o.where(col("o_orderstatus") === "F"), "o_custkey"),
-      "null_priority" -> DataQuality.notNullViolations(o, "o_orderpriority"),
-      "accepted_status" -> DataQuality.acceptedValuesViolations(
-        o, "o_orderstatus", Seq("O", "F", "P"))))
+      "overlap_status_custkey" -> DataQuality.overlappingKeysWithin(
+        o, "o_custkey",
+        col("o_orderstatus") === "O", col("o_orderstatus") === "F")))
+      .unionByName(DataQuality.scalarSuite(o, Seq(
+        "null_priority" -> col("o_orderpriority").isNull,
+        "accepted_status" -> (!col("o_orderstatus").isin("O", "F", "P") ||
+          col("o_orderstatus").isNull))))
   }
 
   private def qPercentiles(s: SparkSession, d: String): DataFrame =

@@ -36,6 +36,27 @@ object DataQuality {
   def acceptedValuesViolations(df: DataFrame, c: String, accepted: Seq[String]): DataFrame =
     df.where(!col(c).isin(accepted.map(lit): _*) || col(c).isNull)
 
+  /** Keys present in both slices of the SAME table — one groupBy with two
+    * conditional counts: single scan + single shuffle, replacing the
+    * two-filtered-scans + distinct + join formulation (which reads the
+    * fact table twice at 100 TB). */
+  def overlappingKeysWithin(df: DataFrame, key: String,
+                            inA: Column, inB: Column): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(when(inA, 1)).as("__n_a"), count(when(inB, 1)).as("__n_b"))
+      .where(col("__n_a") > 0 && col("__n_b") > 0)
+      .select(col(key))
+
+  /** Fuse scan-level predicate checks (not_null, accepted_values, range,
+    * ...) into ONE aggregation over ONE scan — `count(when(pred))` per rule
+    * unpivoted to (rule, n_violations) rows. N checks cost one pass, not N. */
+  def scalarSuite(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.map { case (rule, pred) => count(when(pred, 1)).as(rule) }
+    val stackArgs = checks.map { case (rule, _) => s"'$rule', `$rule`" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${checks.size}, $stackArgs) AS (rule, n_violations)")
+  }
+
   /** Run a named suite of checks, one summary row per rule. */
   def suite(checks: Seq[(String, DataFrame)]): DataFrame =
     checks.map { case (rule, viol) =>

@@ -20,48 +20,53 @@ import org.apache.spark.sql.functions._
 object DupClusters {
 
   /** pairs(doc_a, doc_b) -> (doc, cluster) with cluster = min doc id of the
-    * component. Includes only docs appearing in at least one pair. */
-  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * component. Includes only docs appearing in at least one pair.
+    *
+    * `durable = true` switches the per-round lineage truncation from
+    * `localCheckpoint` (executor-local blocks — fast, but a lost executor
+    * kills the job since the truncated lineage can't recompute) to reliable
+    * `checkpoint()` into `spark.sparkContext.setCheckpointDir(...)` —
+    * the production setting on a multi-node cluster. Local default stays
+    * executor-local. */
+  def clusters(pairs: DataFrame, maxIters: Int = 25,
+               durable: Boolean = false): DataFrame = {
+    def ck(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint() else df.localCheckpoint()
     // membership: node -> current label (starts as itself)
-    var labels = pairs.select(col("doc_a").as("doc"))
+    var labels = ck(pairs.select(col("doc_a").as("doc"))
       .unionByName(pairs.select(col("doc_b").as("doc")))
       .distinct()
-      .withColumn("cluster", col("doc"))
-      .localCheckpoint()
+      .withColumn("cluster", col("doc")))
     // contracted edge set between current labels
-    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    var edges = ck(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIters) {
       // 1. each label adopts the min adjacent label (both directions)
       val adj = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      val newForLabel = adj.groupBy(col("src").as("cluster"))
+      val newForLabel = ck(adj.groupBy(col("src").as("cluster"))
         .agg(least(min(col("dst")), col("cluster")).as("new_cluster"))
-        .where(col("cluster") =!= col("new_cluster"))
-        .localCheckpoint()
+        .where(col("cluster") =!= col("new_cluster")))
       if (newForLabel.isEmpty) {
         done = true
       } else {
         // 2. relabel membership and contract edges to the new labels
-        labels = labels
+        labels = ck(labels
           .join(newForLabel, Seq("cluster"), "left")
           .select(col("doc"),
-            coalesce(col("new_cluster"), col("cluster")).as("cluster"))
-          .localCheckpoint()
+            coalesce(col("new_cluster"), col("cluster")).as("cluster")))
         val relabel = (c: String) => coalesce(col(s"nc_$c"), col(c))
-        edges = edges
+        edges = ck(edges
           .join(newForLabel.select(col("cluster").as("src"),
             col("new_cluster").as("nc_src")), Seq("src"), "left")
           .join(newForLabel.select(col("cluster").as("dst"),
             col("new_cluster").as("nc_dst")), Seq("dst"), "left")
           .select(relabel("src").as("src"), relabel("dst").as("dst"))
           .where(col("src") =!= col("dst"))
-          .distinct()
-          .localCheckpoint()
+          .distinct())
         done = edges.isEmpty
       }
       iter += 1

@@ -26,20 +26,26 @@ object IvfIndex {
     aa - lit(2.0) * Similarity.dot(a, b) + bb
 
   /** Train k centroids with `iters` Lloyd rounds.
-    * Returns (centroid_id, centroid: array<double>). */
+    * Returns (centroid_id, centroid: array<double>).
+    *
+    * `durable = true` uses reliable `checkpoint()` (needs
+    * `setCheckpointDir`) instead of executor-local `localCheckpoint` for
+    * the per-round lineage truncation — survives executor loss on a real
+    * cluster; see DupClusters.clusters. */
   def train(df: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int): DataFrame = {
+            k: Int, iters: Int, durable: Boolean = false): DataFrame = {
+    def ck(d: DataFrame): DataFrame =
+      if (durable) d.checkpoint() else d.localCheckpoint()
     val vecs = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
       .withColumn("vv", Similarity.dot(col("v"), col("v")))
       .persist()
-    // localCheckpoint each round: truncates the nested Lloyd plan so later
+    // checkpoint each round: truncates the nested Lloyd plan so later
     // consumers (collect, assignment, rerank) don't replay training
-    var centroids = vecs.orderBy("vid").limit(k)
-      .select(col("vid").cast("int").as("centroid_id"), col("v").as("c"))
-      .localCheckpoint()
+    var centroids = ck(vecs.orderBy("vid").limit(k)
+      .select(col("vid").cast("int").as("centroid_id"), col("v").as("c")))
     for (_ <- 0 until iters) {
       val assigned = assignTo(vecs, centroids)
-      centroids = assigned
+      centroids = ck(assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
         .agg((sum(col("x").cast("decimal(28,12)")) /
@@ -47,8 +53,7 @@ object IvfIndex {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
-          transform(col("dm"), s => s.getField("m")).as("c"))
-        .localCheckpoint()
+          transform(col("dm"), s => s.getField("m")).as("c")))
     }
     vecs.unpersist()
     centroids

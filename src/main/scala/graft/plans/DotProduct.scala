@@ -15,12 +15,18 @@ import org.apache.spark.sql.{GraftShims, SparkSessionExtensions}
   * results are unchanged — only ~10x faster than interpreted
   * higher-order-function eval in the vector hot paths).
   *
+  * Null semantics match the HOF formulation exactly: mismatched lengths or
+  * a null element yield NULL (zip_with pads the shorter side with nulls,
+  * which poison the fold) — not a silently truncated partial sum.
+  *
   * Preference order per the Spark-first design: compose built-ins where
   * they codegen; drop to a custom Expression (this) where the built-in
   * path (HOF lambdas) can't; never a Scala UDF.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -43,14 +49,20 @@ case class DotProduct(left: Expression, right: Expression)
         s"graft_dot requires float/double array elements, got $t")
     }
 
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
     val aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
       val x = if (aFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
       val y = if (bFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
       acc += x * y
@@ -64,13 +76,24 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // element null checks only when the array types can hold nulls —
+      // keeps the tight-loop branch out of the common non-null case
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$a.${elemGetter(left)}($i) * (double)$b.${elemGetter(right)}($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double)$a.${elemGetter(left)}($i) * (double)$b.${elemGetter(right)}($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

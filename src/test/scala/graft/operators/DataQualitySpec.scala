@@ -21,6 +21,28 @@ class DataQualitySpec extends SparkSpec {
     assert(o.as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("overlappingKeysWithin == two-slice join formulation, single scan") {
+    import org.apache.spark.sql.functions.col
+    val fused = DataQuality.overlappingKeysWithin(df, "k",
+      col("status") === "O", col("status") === "F").as[Long].collect().toSeq
+    assert(fused === Seq(1L))
+  }
+
+  test("scalarSuite fuses N predicate checks into one pass with same counts") {
+    import org.apache.spark.sql.functions.col
+    val s = DataQuality.scalarSuite(df, Seq(
+      "nulls" -> col("val").isNull,
+      "accepted" -> (!col("status").isin("O", "F") || col("status").isNull)))
+      .as[(String, Long)].collect().toMap
+    assert(s === Map("nulls" -> 1L, "accepted" -> 1L))
+    // one aggregation: the plan contains exactly one scan of the input
+    val plan = DataQuality.scalarSuite(df, Seq(
+      "nulls" -> col("val").isNull,
+      "accepted" -> (!col("status").isin("O", "F") || col("status").isNull)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"))
+  }
+
   test("suite emits one summary row per rule") {
     val s = DataQuality.suite(Seq(
       "nulls" -> DataQuality.notNullViolations(df, "val"),

@@ -26,6 +26,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(assigned.select("centroid_id").distinct().count() <= 8)
   }
 
+  test("assign + partitioned persist: cell becomes the partition key, probes prune") {
+    // the 100 TB layout: train once, persist assignments partitioned by
+    // cell, so a probe-N query lists only N cell directories
+    val root = java.nio.file.Files.createTempDirectory("ivf-cells").toString
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+      .select(col("vid"), col("v"), col("centroid_id"))
+    graft.sinks.ParquetSink.writePartitioned(assigned, root, Seq("centroid_id"))
+    val persisted = spark.read.parquet(root)
+    assert(persisted.count() === emb.count())
+    val probed = persisted.where(col("centroid_id").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan
+    probed.collect()
+    assert(scan.toString.contains("PartitionFilters"))
+    val nFiles = scan.collectLeaves().head.metrics.get("numFiles")
+    val totalCells = persisted.select("centroid_id").distinct().count()
+    assert(nFiles.exists(_.value < totalCells),
+      s"probe read ${nFiles.map(_.value)} files over $totalCells cells — no pruning")
+  }
+
   test("probing half the cells recovers a reasonable share of true top-10") {
     val q = emb.where(col("vec_id") === 0)
       .select("embedding").as[Seq[Float]].head().toArray

@@ -27,6 +27,24 @@ class DotProductSpec extends SparkSpec {
     assert(n === None)
   }
 
+  test("mismatched lengths and null elements yield NULL, matching zip_with") {
+    val mismatch = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+    val nm = mismatch.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(nm === ((None, None))) // truncated partial sum would be wrong
+
+    val nullElem = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    val ne = nullElem.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(ne === ((None, None)))
+  }
+
   test("graft_dot is SQL-callable via the injected GraftExtensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()
