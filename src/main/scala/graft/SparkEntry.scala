@@ -266,15 +266,19 @@ object SparkEntry {
         ((col("event_id") + col("user_id")) % 100).cast("string"), lit(" "),
         ((col("event_id") * 3 + col("user_id") * 5) % 100).cast("string"),
         lit(")")).as("wkt"))
-    val geom = Geo.stGeomFromText(col("wkt"))
     val center = Geo.stPoint(lit(50.0), lit(50.0))
-    wkt.select(
-      col("event_id"),
-      size(geom).as("n_vertices"),
-      Geo.stX(Geo.stCentroid(geom)).as("cx"),
-      Geo.stY(Geo.stCentroid(geom)).as("cy"),
-      Geo.stDistance(Geo.stCentroid(geom), center).as("dist_from_center"),
-      Geo.withinBuffer(center, Geo.stCentroid(geom), 25.0).as("near_center"))
+    // staged projections: interpreted HOFs copy argument trees into every
+    // use site, so parse once, centroid once, THEN fan out to the outputs
+    wkt
+      .select(col("event_id"), Geo.stGeomFromText(col("wkt")).as("geom"))
+      .select(col("event_id"), size(col("geom")).as("n_vertices"),
+        Geo.stCentroid(col("geom")).as("c"))
+      .select(
+        col("event_id"), col("n_vertices"),
+        Geo.stX(col("c")).as("cx"),
+        Geo.stY(col("c")).as("cy"),
+        Geo.stDistance(col("c"), center).as("dist_from_center"),
+        Geo.withinBuffer(center, col("c"), 25.0).as("near_center"))
   }
 
   // ---------------------------------------------------------------- §2.3

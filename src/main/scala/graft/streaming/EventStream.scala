@@ -128,6 +128,22 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Production state-store configuration: RocksDB-backed keyed state with
+    * changelog checkpointing instead of the default on-heap HashMap
+    * provider. At 100 TB-scale keyed state (dedup horizon, live sessions)
+    * the HashMap provider OOMs the executor heap and full-snapshot
+    * checkpoints dominate batch time; RocksDB spills to local SSD and
+    * checkpoints only the per-batch changelog. Session-scoped: affects
+    * queries started after the call. */
+  def configureRocksDbState(spark: SparkSession,
+                            changelogCheckpointing: Boolean = true): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelogCheckpointing.toString)
+  }
+
   /** Batch-run a streaming query over a bounded source for testing: the
     * same plan Structured Streaming runs incrementally. */
   def runOnce(spark: SparkSession, streamed: DataFrame, sinkTable: String): Unit = {

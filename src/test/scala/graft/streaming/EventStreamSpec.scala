@@ -27,6 +27,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store backs stateful streaming with identical results") {
+    // fresh session so the provider conf doesn't leak into other tests
+    val s2 = spark.newSession()
+    EventStream.configureRocksDbState(s2)
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    implicit val sqlCtx = s2.sqlContext
+    import s2.implicits._
+    val mem = MemoryStream[EventStream.Event]
+    mem.addData(ev(1, 100, 1, 1.0), ev(1, 100, 1, 1.0), ev(2, 200, 1, 2.0))
+    val q = EventStream.streamingDedup(mem.toDF(), "ts", Seq("event_id"))
+      .writeStream.format("memory").queryName("rocks_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // the dedup state (and therefore the dropped duplicate) went through
+      // RocksDB: same result as the default provider
+      assert(s2.table("rocks_dedup").count() === 2)
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.nonEmpty && stateOps.head.numRowsTotal === 2)
+    } finally q.stop()
+  }
+
   test("file-source streaming: readStream over parquet -> windowed agg -> sink") {
     import org.apache.spark.sql.functions._
     // stage a copy of the events table as a streaming source directory
