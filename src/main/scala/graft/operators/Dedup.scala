@@ -68,11 +68,14 @@ object Dedup {
     val sh = scope.cache(
       if (maxShingleDf == Int.MaxValue) all
       else {
-        // doc frequency per shingle (shingles are distinct per doc); the
-        // filter join is co-partitioned with the self-join shuffle key
-        val keep = all.groupBy("sh").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxShingleDf).select("sh")
-        all.join(keep, "sh").select("doc", "sh")
+        // doc frequency per shingle (shingles are distinct per doc) via an
+        // unordered window count: ONE pass over the shingle relation and
+        // one shuffle on `sh` — co-partitioned with the self-join key —
+        // instead of recomputing the shingle explode for a groupBy + join
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+        all.withColumn("__df", count(lit(1)).over(w))
+          .where(col("__df") <= maxShingleDf)
+          .select("doc", "sh")
       })
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
@@ -137,9 +140,13 @@ object Dedup {
     val banded = scope.cache(
       if (maxBucket == Int.MaxValue) all
       else {
-        val keep = all.groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") <= maxBucket).select("band", "sig")
-        all.join(keep, Seq("band", "sig")) // co-partitioned with the self-join
+        // bucket size via unordered window count: one pass, one shuffle on
+        // (band, sig) — the self-join's own key — instead of recomputing
+        // the banded explode for a groupBy + join-back
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        all.withColumn("__bsz", count(lit(1)).over(w))
+          .where(col("__bsz") <= maxBucket)
+          .select("doc", "band", "sig")
       })
     banded.as("a").join(banded.as("b"), Seq("band", "sig"))
       .where(col("a.doc") < col("b.doc"))

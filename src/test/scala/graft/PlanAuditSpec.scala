@@ -1,0 +1,55 @@
+package graft
+
+/** Pins the SURVEY §6 plan-shape claims so they cannot silently regress:
+  * pushdown, column pruning, top-k without global sort, rank pushdown,
+  * broadcast dims, and no nested-loop fallback in the radius join.
+  * (Plan strings are the pre-execution physical plan; AQE only narrows
+  * these properties at runtime.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_pricing_summary prunes the lineitem scan to the 5 needed columns") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("l_returnflag") && p.contains("l_quantity"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_orderkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q_anti_join pushes the status filter into the orders scan") {
+    val p = plan("q_anti_join")
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("\\s+", " ").contains("EqualTo(o_orderstatus,F)"))
+  }
+
+  test("q_cosine_topk plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_union_dedup gets the WindowGroupLimit rank pushdown") {
+    assert(plan("q_union_dedup").contains("WindowGroupLimit"))
+  }
+
+  test("q_enrich_multijoin broadcasts the dimension tables") {
+    val p = plan("q_enrich_multijoin")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to a shuffle join")
+  }
+
+  test("radius joins never fall back to nested-loop / cartesian plans") {
+    for (q <- Seq("q_range_join_points", "q_wellbeing_impact")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q lost the grid equi-join shape")
+    }
+  }
+
+  test("q_simhash / q_text_quality stay shuffle-free map plans") {
+    for (q <- Seq("q_simhash", "q_text_quality")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q introduced a shuffle")
+    }
+  }
+}
