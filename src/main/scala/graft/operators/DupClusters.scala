@@ -32,15 +32,13 @@ object DupClusters {
                durable: Boolean = false): DataFrame = {
     def ck(df: DataFrame): DataFrame =
       if (durable) df.checkpoint() else df.localCheckpoint()
-    // membership: node -> current label (starts as itself)
-    var labels = ck(pairs.select(col("doc_a").as("doc"))
-      .unionByName(pairs.select(col("doc_b").as("doc")))
-      .distinct()
-      .withColumn("cluster", col("doc")))
-    // contracted edge set between current labels
+    // contracted edge set between current labels — the ONLY relation the
+    // loop materializes; membership relabeling is deferred to one pass at
+    // the end (each round's label moves are tiny checkpointed deltas)
     var edges = ck(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct())
+    var moves = List.empty[DataFrame] // per-round (cluster -> new_cluster)
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIters) {
@@ -53,11 +51,8 @@ object DupClusters {
       if (newForLabel.isEmpty) {
         done = true
       } else {
-        // 2. relabel membership and contract edges to the new labels
-        labels = ck(labels
-          .join(newForLabel, Seq("cluster"), "left")
-          .select(col("doc"),
-            coalesce(col("new_cluster"), col("cluster")).as("cluster")))
+        moves ::= newForLabel
+        // 2. contract edges to the new labels
         val relabel = (c: String) => coalesce(col(s"nc_$c"), col(c))
         edges = ck(edges
           .join(newForLabel.select(col("cluster").as("src"),
@@ -71,6 +66,18 @@ object DupClusters {
       }
       iter += 1
     }
-    labels
+    // membership: every node starts as its own label, then the recorded
+    // rounds of label moves apply in order — one lazy join chain over the
+    // (checkpointed, small) deltas instead of a materialized relabel per
+    // round
+    val nodes = pairs.select(col("doc_a").as("doc"))
+      .unionByName(pairs.select(col("doc_b").as("doc")))
+      .distinct()
+      .withColumn("cluster", col("doc"))
+    moves.reverse.foldLeft(nodes) { (lab, m) =>
+      lab.join(m, Seq("cluster"), "left")
+        .select(col("doc"),
+          coalesce(col("new_cluster"), col("cluster")).as("cluster"))
+    }
   }
 }
