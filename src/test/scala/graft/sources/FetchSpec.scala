@@ -44,6 +44,23 @@ class FetchSpec extends SparkSpec {
     assert(df.selectExpr("sum(total_count)").as[Long].head() === 60L)
   }
 
+  test("fetch -> unzip -> XmlSource: the NaPTAN/GTFS zip-of-XML shape") {
+    val fixture = Files.createTempDirectory("fetch-xml").toString
+    val staging = Files.createTempDirectory("fetch-xml-staging").toString
+    val zip = mkZip(fixture, Map(
+      "stops.xml" ->
+        """<StopPoints>
+          |  <StopPoint><AtcoCode>490001</AtcoCode><CommonName>Angel</CommonName></StopPoint>
+          |  <StopPoint><AtcoCode>490002</AtcoCode><CommonName>Bank</CommonName></StopPoint>
+          |</StopPoints>""".stripMargin))
+    val members = Fetch.fetchZip(s"file://$zip", staging)
+    val df = XmlSource.read(spark, members.head, rowTag = "StopPoint")
+    import spark.implicits._
+    assert(df.count() === 2)
+    assert(df.select("CommonName").as[String].collect().sorted.toSeq
+      === Seq("Angel", "Bank"))
+  }
+
   test("fetchToStaging retries then fails with attempt count in the error") {
     val staging = Files.createTempDirectory("fetch-retry").toString
     val err = intercept[IOException] {
