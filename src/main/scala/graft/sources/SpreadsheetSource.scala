@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spreadsheet ingestion without any spreadsheet library: XLSX and ODS are
+  * ZIPs of XML, so the read path is [[Fetch.unzip]] + Spark's native XML
+  * source + relational reshaping — closing the reference's `pd.read_excel`
+  * surface (reference: src/data_processors/dft_road_stats.py:61 reads DfT
+  * .ods sheets with `header=6`-style header promotion, then snake-cases
+  * columns; geoplace_swa.py reads .xls).
+  *
+  * Semantics mirror the reference's pandas usage: pick a sheet, promote a
+  * (possibly non-first) row to column headers, emit every value as STRING
+  * (`df.astype(str)` in the reference) — typing is downstream work for
+  * SchemaValidator / casts. Legacy binary .xls (BIFF, geoplace's encrypted
+  * case) stays out of scope: it needs a native decoder, like GeoPackage.
+  *
+  * Scale note: one spreadsheet is one driver-side unzip (sheets are small
+  * by construction — Excel caps at ~1M rows); the PARSE of the extracted
+  * XML is a distributed Spark scan, and many-file ingestion parallelizes
+  * per file like every other staged source.
+  */
+object SpreadsheetSource {
+
+  // ---- xlsx ----------------------------------------------------------
+
+  private val xlsxRowSchema = StructType(Seq(
+    StructField("_r", LongType),
+    StructField("c", ArrayType(StructType(Seq(
+      StructField("_r", StringType),   // "A1" cell ref
+      StructField("_t", StringType),   // "s" = shared string
+      StructField("v", StringType)))))))
+
+  private val sstSchema = StructType(Seq(
+    StructField("si", ArrayType(StructType(Seq(StructField("t", StringType)))))))
+
+  /** "AB7" -> 0-based column index (base-26 letters). */
+  private def colIdx(ref: Column): Column =
+    aggregate(
+      filter(split(regexp_extract(ref, "^([A-Z]+)", 1), ""), ch => ch =!= ""),
+      lit(0), (acc, ch) => acc * 26 + (ascii(ch) - 64)) - 1
+
+  /** Read one worksheet of an .xlsx archive. `headerRow` is the 0-based
+    * row promoted to column names (pandas `header=`); rows above it are
+    * discarded (title/preamble rows, as in the DfT files). */
+  def readXlsx(spark: SparkSession, xlsxPath: String, stagingDir: String,
+               headerRow: Int = 0, sheet: Int = 1): DataFrame = {
+    val members = Fetch.unzip(xlsxPath, stagingDir)
+    val sheetXml = members.find(_.endsWith(s"sheet$sheet.xml")).getOrElse(
+      sys.error(s"no worksheet sheet$sheet.xml in $xlsxPath"))
+    val rows = spark.read.format("xml").option("rowTag", "row")
+      .schema(xlsxRowSchema).load(sheetXml)
+    val raw = rows.select((col("_r") - 1).as("rn"), explode(col("c")).as("cell"))
+      .select(col("rn"), colIdx(col("cell._r")).as("ci"),
+        col("cell._t").as("t"), col("cell.v").as("v"))
+    val resolved = members.find(_.endsWith("sharedStrings.xml")) match {
+      case Some(ssPath) =>
+        // sst read as ONE row so posexplode yields stable string indices
+        val ss = spark.read.format("xml").option("rowTag", "sst")
+          .schema(sstSchema).load(ssPath)
+          .select(posexplode(col("si")).as(Seq("si_idx", "si")))
+          .select(col("si_idx"), col("si.t").as("s"))
+        // cast only shared-string refs: ANSI cast would throw on "12.5"
+        raw.join(broadcast(ss),
+            when(raw("t") === "s", raw("v")).cast("int") === ss("si_idx"), "left")
+          .select(col("rn"), col("ci"),
+            when(col("t") === "s", col("s")).otherwise(col("v")).as("value"))
+      case None => raw.select(col("rn"), col("ci"), col("v").as("value"))
+    }
+    promote(resolved, headerRow)
+  }
+
+  // ---- ods -----------------------------------------------------------
+
+  private val odsCellSchema = StructType(Seq(
+    StructField("_office:value", StringType),
+    StructField("_office:value-type", StringType),
+    StructField("_table:number-columns-repeated", LongType),
+    StructField("text:p", StringType)))
+  private val odsTableSchema = StructType(Seq(
+    StructField("_table:name", StringType),
+    StructField("table:table-row", ArrayType(StructType(Seq(
+      StructField("table:table-cell", ArrayType(odsCellSchema))))))))
+
+  /** Read one sheet of an .ods archive (content.xml). Handles the format's
+    * `number-columns-repeated` run-length cells: positions come from a
+    * cumulative repeat sum, and only NON-EMPTY repeated cells expand — so
+    * the trailing "1000 empty columns" padding real ODS writers emit costs
+    * nothing. */
+  def readOds(spark: SparkSession, odsPath: String, stagingDir: String,
+              headerRow: Int = 0, sheet: Option[String] = None): DataFrame = {
+    val members = Fetch.unzip(odsPath, stagingDir)
+    val content = members.find(_.endsWith("content.xml")).getOrElse(
+      sys.error(s"no content.xml in $odsPath"))
+    val tables = spark.read.format("xml").option("rowTag", "table:table")
+      .schema(odsTableSchema).load(content)
+    val t = sheet.fold(tables.limit(1))(n => tables.where(col("`_table:name`") === n))
+    val cells = t
+      .select(posexplode(col("`table:table-row`")).as(Seq("rn", "r")))
+      .select(col("rn"), posexplode(col("r").getField("table:table-cell"))
+        .as(Seq("pos", "cell")))
+      .select(col("rn"), col("pos"),
+        coalesce(col("cell").getField("_table:number-columns-repeated"), lit(1L)).as("rep"),
+        when(col("cell").getField("_office:value-type") === "float",
+            col("cell").getField("_office:value"))
+          .otherwise(col("cell").getField("text:p")).as("value"))
+    val w = Window.partitionBy("rn").orderBy("pos")
+    val positioned = cells
+      .withColumn("ci0", sum(col("rep")).over(w) - col("rep"))
+      .where(col("value").isNotNull) // empty runs position later cells, nothing more
+      .select(col("rn"),
+        explode(sequence(col("ci0"), col("ci0") + col("rep") - 1)).as("ci"),
+        col("value"))
+    promote(positioned, headerRow)
+  }
+
+  // ---- shared --------------------------------------------------------
+
+  /** Promote row `headerRow` (0-based `rn`) to column names; later rows
+    * become data. The header collect is one spreadsheet row — driver-side
+    * by design, exactly like pandas `header=N`. */
+  private def promote(rawCells: DataFrame, headerRow: Int): DataFrame = {
+    val cells = rawCells.select(
+      col("rn"), col("ci").cast("int").as("ci"), col("value"))
+    val hdr = cells.where(col("rn") === headerRow)
+      .select(col("ci"), col("value")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    require(hdr.nonEmpty, s"header row $headerRow is empty")
+    val nCols = hdr.keys.max + 1
+    val data = cells.where(col("rn") > headerRow)
+      .groupBy("rn")
+      .agg(map_from_entries(collect_list(struct(col("ci"), col("value")))).as("m"))
+    val outCols = (0 until nCols).map(i =>
+      col("m").getItem(i).as(hdr.getOrElse(i, s"col_$i")))
+    data.orderBy("rn").select(outCols: _*)
+  }
+}
