@@ -21,13 +21,20 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 
-  /** Distinct n-token shingles over a PRE-MATERIALIZED token-array column.
+  /** Distinct n-token shingles over a token-array column, via the native
+    * codegen'd [[graft.plans.NGrams]] expression (single tight loop per
+    * row; short docs yield []). */
+  def shinglesOf(toks: Column, n: Int): Column =
+    array_distinct(graft.plans.NGrams.ngrams(toks, n))
+
+  /** Interpreted higher-order-function formulation of [[shinglesOf]] —
+    * kept as the executable specification the DuckDB oracle mirrors
+    * (list_transform over range) and as the equivalence baseline for the
+    * native expression. The tokens must be a plain column reference:
+    * inlining the tokenizer here would copy it into every `element_at`.
     * (Guarded: Spark's `sequence(1, 0)` would count DOWN, so short docs
-    * get []). The tokens must be a plain column reference: inlining the
-    * tokenizer expression here would copy it into every `element_at`,
-    * re-tokenizing each row O(n_shingles x n) times under interpreted
-    * higher-order-function eval. */
-  def shinglesOf(toks: Column, n: Int): Column = {
+    * get []). */
+  def shinglesOfHof(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt >= 1,
       array_distinct(
