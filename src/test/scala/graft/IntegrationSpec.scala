@@ -1,0 +1,88 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources._
+import graft.sinks._
+
+/** The reference's whole pipeline shape, end to end, in one test:
+  * fetch a zipped multi-file CSV drop → stage → distributed read →
+  * normalize/validate → transform → idempotent partitioned sink →
+  * month-pruned analytics read → JDBC warehouse load, with per-stage row
+  * counts collected by observe() during the ONE terminal action.
+  * This is the "a reference user could switch" claim, executed.
+  */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fetch -> stage -> normalize -> transform -> partitioned sink -> warehouse") {
+    // --- a monthly open-data drop: zip of per-area CSVs with messy headers
+    val fixture = Files.createTempDirectory("e2e-fix").toString
+    val zipPath = Paths.get(fixture, "permits_2024-01.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    Seq(
+      "north.csv" -> "Permit Ref,Work Category,Total Cost\nN1,major,100.5\nN2,minor,10.0\n",
+      "south.csv" -> "Permit Ref,Work Category,Total Cost\nS1,major,200.0\n")
+      .foreach { case (n, c) =>
+        zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+    zos.close()
+
+    // --- fetch + stage (the reference's download/unzip front door)
+    val staging = Files.createTempDirectory("e2e-staging").toString
+    val members = Fetch.fetchZip(s"file://$zipPath", staging)
+    assert(members.size === 2)
+
+    // --- distributed read + schema validation + normalization
+    val schema = StructType(Seq(
+      StructField("Permit Ref", StringType), StructField("Work Category", StringType),
+      StructField("Total Cost", DoubleType)))
+    val raw = CsvBundle.read(spark, Paths.get(members.head).getParent.toString,
+      schema, header = true)
+    val (missing, unexpected) = SchemaValidator.validate(raw,
+      Seq("Permit Ref", "Work Category", "Total Cost"))
+    assert(missing.isEmpty && unexpected.isEmpty)
+
+    // --- transform stages metered by observe(): one terminal action total
+    val warehouse = Files.createTempDirectory("e2e-wh").toString
+    val stages = Seq(
+      Pipeline.Stage("normalize", df =>
+        ColumnNormalizer.snakeCase(df).withColumn("month", lit("2024-01"))),
+      Pipeline.Stage("score", df => df.withColumn("impact_score",
+        when(col("work_category") === "major", 10).otherwise(1))),
+      Pipeline.Stage("non_trivial_only", df => df.where(col("total_cost") > 50.0)))
+    val records = Pipeline.runObserved("permits_e2e", raw, stages,
+      action = out => ParquetSink.writePartitioned(out, warehouse, Seq("month")))
+    assert(records.map(r => r.stage -> r.n_rows)
+      === Seq("normalize" -> 3L, "score" -> 3L, "non_trivial_only" -> 2L))
+
+    // --- re-landing the same month is idempotent (dynamic overwrite)
+    Pipeline.runObserved("permits_e2e", raw, stages,
+      action = out => ParquetSink.writePartitioned(out, warehouse, Seq("month")))
+
+    // --- month-pruned analytics read
+    val monthly = MonthlyTables.readMonths(spark, warehouse, "2024-01", "2024-01")
+    assert(monthly.count() === 2) // no duplicates from the re-land
+    assert(monthly.agg(sum("impact_score")).as[Long].head() === 20L)
+
+    // --- JDBC warehouse load (the reference's Postgres/MotherDuck step)
+    val url = "jdbc:derby:memory:e2edb;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE permits (permit_ref VARCHAR(20), work_category VARCHAR(20), " +
+        "total_cost DOUBLE, impact_score INT, month VARCHAR(7))")
+      finally st.close()
+    } finally c.close()
+    JdbcSink.refreshScope(monthly, url, "permits", "month = '2024-01'")
+    JdbcSink.refreshScope(monthly, url, "permits", "month = '2024-01'") // idempotent
+    val back = JdbcSink.read(spark, url, "permits")
+    assert(back.count() === 2)
+    assert(back.agg(sum("impact_score")).as[Long].head() === 20L)
+  }
+}
