@@ -168,14 +168,17 @@ object Dedup {
     * of k(k-1)/2 pairs. Feed these to [[DupClusters.clusters]] — never
     * materialize the quadratic candidate-pair set just to cluster it. */
   def minhashBucketStars(df: DataFrame, idCol: String, textCol: String,
-                         k: Int, bands: Int): DataFrame = {
+                         k: Int, bands: Int,
+                         scope: PersistScope = PersistScope()): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k)
-    val banded = sigs.select(
+    // hub aggregation + the star join both consume the banded relation:
+    // materialize once (the minhash pipeline above it is the heavy part)
+    val banded = scope.cache(sigs.select(
       col("doc"),
       posexplode(array((0 until bands).map { b =>
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "sig")))
+      }: _*)).as(Seq("band", "sig"))))
     val hubs = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
     banded.join(hubs, Seq("band", "sig"))
       .where(col("doc") =!= col("hub"))

@@ -128,6 +128,57 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Continuous NEAR-dup filtering for an ingestion stream: per
+    * micro-batch, compute MinHash LSH band signatures, anti-join against
+    * the accumulated signature store, emit only docs no band of which has
+    * been seen, then append the survivors' signatures to the store.
+    *
+    * The store is a parquet directory (at scale: bucketed by (band, sig)
+    * so the per-batch anti-join is exchange-free on the store side); state
+    * grows with the CORPUS, not the stream — this is deliberately heavier
+    * than watermarked exact dedup ([[streamingDedup]]) because near-dup
+    * identity never expires. foreachBatch is the right harness: each batch
+    * is one deterministic batch-plan, and the store append commits after
+    * the filtered output — at-least-once on replay errs toward dropping
+    * re-seen docs, never emitting a dup twice.
+    *
+    * Returns the writeStream-ready transformer: caller supplies the sink
+    * for surviving docs inside `emit`. */
+  def nearDupFilterBatch(storePath: String, idCol: String, textCol: String,
+                         k: Int = 16, bands: Int = 4,
+                         emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val rows = k / bands
+      val sigs = graft.operators.Dedup
+        .minhashSignatures(batch.select(col(idCol), col(textCol)), idCol, textCol, k)
+      val banded = sigs.select(
+        col("doc"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+        }: _*)).as(Seq("band", "sig"))).persist()
+      try {
+        val seen = try spark.read.parquet(storePath)
+          catch { case _: Throwable => spark.emptyDataFrame
+            .withColumn("band", lit(0)).withColumn("sig", lit("")) }
+        // a doc survives iff NONE of its bands is already in the store;
+        // also dedup within the batch itself (min doc id per bucket wins)
+        val hitDocs = banded.join(seen.select("band", "sig").distinct(),
+          Seq("band", "sig"), "left_semi").select("doc").distinct()
+        val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
+        val intraDup = banded.join(batchHub, Seq("band", "sig"))
+          .where(col("doc") =!= col("hub")).select("doc").distinct()
+        val survivors = banded.select("doc").distinct()
+          .join(hitDocs, Seq("doc"), "left_anti")
+          .join(intraDup, Seq("doc"), "left_anti")
+        emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
+        // commit survivors' signatures AFTER the emit so replays re-filter
+        banded.join(survivors, Seq("doc"), "left_semi")
+          .select("band", "sig")
+          .write.mode("append").parquet(storePath)
+      } finally banded.unpersist()
+  }
+
   /** Production state-store configuration: RocksDB-backed keyed state with
     * changelog checkpointing instead of the default on-heap HashMap
     * provider. At 100 TB-scale keyed state (dedup horizon, live sessions)

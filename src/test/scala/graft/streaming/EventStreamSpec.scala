@@ -27,6 +27,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter drops intra-batch and cross-run duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("neardup-store").toString + "/sigs"
+    val out = java.nio.file.Files.createTempDirectory("neardup-out").toString + "/docs"
+    def runBatch(docs: (Long, String)*): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(docs: _*)
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(EventStream.nearDupFilterBatch(store, "doc_id", "text",
+          emit = df => df.write.mode("append").parquet(out)))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: doc 2 is an exact dup of doc 1 (intra-batch), 3 is distinct
+    runBatch(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "totally different words here")
+    // run 2 (new query, same store): 4 dups doc 1 across runs, 5 is new
+    runBatch(4L -> "alpha beta gamma delta", 5L -> "yet another fresh document")
+    val survivors = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 3L, 5L))
+  }
+
   test("RocksDB state store backs stateful streaming with identical results") {
     // fresh session so the provider conf doesn't leak into other tests
     val s2 = spark.newSession()
