@@ -5,8 +5,11 @@ package graft
   * Conventions matching SparkEntry (see SURVEY §5): DECIMAL(18,2) casts for
   * money math, `CAST(x AS DOUBLE)` before any division, epoch-second
   * BIGINTs for timestamps, deterministic tie-breaks everywhere.
-  * `q_multimodal_decode` / `q_dup_clusters` are intentionally absent
-  * (float-accumulating codec stub / iterative algorithm: rows-only checks).
+  * `q_multimodal_decode` is intentionally absent (float-accumulating codec
+  * stub: rows-only check). `q_dup_clusters` IS oracle-checked: the
+  * iterative min-label propagation's fixpoint equals the transitive
+  * closure's per-node min label, which DuckDB computes with a recursive
+  * CTE — the oracle checks the ALGORITHM'S RESULT, not its rounds.
   */
 object OracleSql {
 
@@ -42,6 +45,45 @@ object OracleSql {
   private val simhashTerms = (0 until 60).map { b =>
     s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END"
   }.mkString("\n    + ")
+
+  /** One Lloyd round as SQL: argmin assignment against `cPrev` (tie-break
+    * on centroid id, mirroring min_by over struct(d2, cid)), then
+    * string-routed decimal-exact per-(cell, dim) means — the exact
+    * arithmetic IvfIndex.train runs, so 2 unrolled rounds reproduce
+    * training bit-for-bit. */
+  private def ivfAssign(aName: String, cPrev: String): String =
+    s"""$aName AS (SELECT vec_id, v, cid FROM (
+       |  SELECT ev.vec_id, ev.v, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+       |           ev.vv - 2.0 * list_inner_product(ev.v, c.c) + list_inner_product(c.c, c.c), c.cid) AS rn
+       |  FROM ev CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+  private def ivfMeans(cName: String, aPrev: String): String =
+    s"""$cName AS (SELECT cid, list(m ORDER BY dim) AS c FROM (
+       |  SELECT cid, dim, CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS dim FROM $aPrev)
+       |  GROUP BY cid, dim) GROUP BY cid)""".stripMargin
+
+  private def annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM ev ORDER BY vec_id LIMIT 8),
+       |${ivfAssign("a1", "c0")},
+       |${ivfMeans("c1", "a1")},
+       |${ivfAssign("a2", "c1")},
+       |${ivfMeans("c2", "a2")},
+       |${ivfAssign("af", "c2")},
+       |probes AS (SELECT cid FROM (
+       |  SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+       |    list_inner_product(c.c, c.c) - 2.0 * list_inner_product(c.c, q.q) + list_inner_product(q.q, q.q), c.cid) AS rn
+       |  FROM c2 c, qv q) WHERE rn <= 4)
+       |SELECT af.vec_id,
+       | list_inner_product(af.v, q.q) /
+       |   (sqrt(list_inner_product(af.v, af.v)) * sqrt(list_inner_product(q.q, q.q))) AS cos_sim
+       |FROM af JOIN probes p ON af.cid = p.cid, qv q
+       |WHERE af.vec_id <> 0
+       |ORDER BY cos_sim DESC, af.vec_id
+       |LIMIT 10""".stripMargin
 
   /** LSH ANN oracle: embeds the SAME hyperplane literals Similarity uses
     * (values k/1024 are exactly representable in both decimal and binary,
@@ -306,6 +348,33 @@ object OracleSql {
          |JOIN counts cb ON cb.doc_id = doc_b
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.01""".stripMargin,
 
+    // the iterative min-label propagation converges to: every node labeled
+    // with the MIN doc id reachable in the undirected star graph — which a
+    // recursive transitive closure computes directly (components are small
+    // dup groups, so the closure is bounded)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
+         |sig AS (SELECT doc_id,
+         |        $minhashAggs
+         |        FROM h GROUP BY doc_id),
+         |bands AS (
+         |      $bandSelects
+         |),
+         |hubs AS (SELECT band, sig, MIN(doc_id) AS hub FROM bands GROUP BY band, sig),
+         |stars AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+         |          FROM bands b JOIN hubs h ON b.band = h.band AND b.sig = h.sig
+         |          WHERE b.doc_id <> h.hub),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM stars
+         |          UNION SELECT doc_b, doc_a FROM stars),
+         |nodes AS (SELECT DISTINCT s AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+         |)
+         |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin,
+
     "q_minhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
          |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
@@ -413,6 +482,7 @@ object OracleSql {
          |FROM h""".stripMargin,
 
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
 
     "q_binary_meta" ->
       """SELECT doc_id, 'text' AS modality,

@@ -45,11 +45,16 @@ object IvfIndex {
       .select(col("vid").cast("int").as("centroid_id"), col("v").as("c")))
     for (_ <- 0 until iters) {
       val assigned = assignTo(vecs, centroids)
+      // string-route the double->decimal cast (shortest-string repr is
+      // engine-identical; direct double->decimal rounding is not), sum
+      // exactly in decimal, then ONE double division — every step
+      // reproducible in ANSI SQL, which is what lets the full 2-round
+      // Lloyd training carry a DuckDB oracle
       centroids = ck(assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
-        .agg((sum(col("x").cast("decimal(28,12)")) /
-          count(lit(1))).cast("double").as("m"))
+        .agg((sum(col("x").cast("string").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
@@ -87,10 +92,18 @@ object IvfIndex {
              centroids: DataFrame, queryVec: Array[Float],
              topK: Int, nProbes: Int, excludeId: Option[Long]): DataFrame = {
     val q = queryVec.map(_.toDouble)
+    // sequential left-fold dot products (== DuckDB list_inner_product), so
+    // the probe ranking is oracle-reproducible: d2 = cc - 2*cq + qq
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qq = dotSeq(q, q)
     val cents = centroids.select(col("centroid_id"), col("c")).collect()
     val probes = cents.map { r =>
       val c = r.getSeq[Double](1)
-      val d2 = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      val d2 = dotSeq(c, c) - 2.0 * dotSeq(c, q) + qq
       (r.getInt(0), d2)
     }.sortBy { case (id, d) => (d, id) }.take(nProbes).map(_._1).toSeq
     val cells = assign(df, idCol, vecCol, centroids)
