@@ -484,6 +484,20 @@ object OracleSql {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
 
+    // exact-distinct profile: one row per column of `customer`
+    "q_profile_exact" -> Seq(
+      ("c_custkey", "bigint", "MIN(c_custkey)", "MAX(c_custkey)", "c_custkey"),
+      ("c_name", "string", "MIN(length(c_name))", "MAX(length(c_name))", "c_name"),
+      ("c_nationkey", "int", "MIN(c_nationkey)", "MAX(c_nationkey)", "c_nationkey"),
+      ("c_acctbal", "double", "MIN(c_acctbal)", "MAX(c_acctbal)", "c_acctbal"),
+      ("c_mktsegment", "string", "MIN(length(c_mktsegment))", "MAX(length(c_mktsegment))", "c_mktsegment"))
+      .map { case (name, dtype, mn, mx, c) =>
+        s"""SELECT '$name' AS "column", '$dtype' AS dtype, COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+           | CAST($mn AS DOUBLE) AS min_or_minlen, CAST($mx AS DOUBLE) AS max_or_maxlen
+           |FROM customer""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
     "q_binary_meta" ->
       """SELECT doc_id, 'text' AS modality,
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

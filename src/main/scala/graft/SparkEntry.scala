@@ -412,6 +412,10 @@ object SparkEntry {
   private def qProfileCustomer(s: SparkSession, d: String): DataFrame =
     Profile.profile(Tables.customer(s, d))
 
+  /** Exact-distinct profile variant — same machinery, oracle-checkable. */
+  private def qProfileExact(s: SparkSession, d: String): DataFrame =
+    Profile.profileExact(Tables.customer(s, d))
+
   // ------------------------------------------------------- extensions r1b
   private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).withColumn("tsu", expr("ts DIV 1000"))
@@ -562,6 +566,7 @@ object SparkEntry {
     "q_scalar_sub" -> (qScalarSub _),
     "q_ntile" -> (qNtile _),
     "q_profile_customer" -> (qProfileCustomer _),
+    "q_profile_exact" -> (qProfileExact _),
     "q_ann_ivf" -> (qAnnIvf _),
   )
 

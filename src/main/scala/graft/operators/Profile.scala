@@ -14,13 +14,23 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   */
 object Profile {
 
-  def profile(df: DataFrame): DataFrame = {
+  /** HLL-sketch profile — the 100 TB default (shuffle-light). */
+  def profile(df: DataFrame): DataFrame = profileImpl(df, exact = false)
+
+  /** Exact-distinct variant: same single-pass shape with `countDistinct`
+    * (expand-based, heavier — for small/medium data or when the counts
+    * feed a correctness gate; being exact, it is DuckDB-oracle-checkable,
+    * which is how the driver verifies the profile machinery). */
+  def profileExact(df: DataFrame): DataFrame = profileImpl(df, exact = true)
+
+  private def profileImpl(df: DataFrame, exact: Boolean): DataFrame = {
     val cols = df.schema.fields
     val aggs = cols.flatMap { f =>
       val c = col(f.name)
       Seq(
         count(c).as(s"__nn_${f.name}"),
-        approx_count_distinct(c).as(s"__ad_${f.name}")) ++
+        (if (exact) countDistinct(c) else approx_count_distinct(c))
+          .as(s"__ad_${f.name}")) ++
         (f.dataType match {
           case _: NumericType => Seq(
             min(c).cast("double").as(s"__mn_${f.name}"),
@@ -40,7 +50,7 @@ object Profile {
         lit(f.dataType.simpleString).as("dtype"),
         col("__total").as("n_rows"),
         (col("__total") - col(s"__nn_${f.name}")).as("n_nulls"),
-        col(s"__ad_${f.name}").as("approx_distinct"),
+        col(s"__ad_${f.name}").as(if (exact) "n_distinct" else "approx_distinct"),
         col(s"__mn_${f.name}").as("min_or_minlen"),
         col(s"__mx_${f.name}").as("max_or_maxlen"))
     }
