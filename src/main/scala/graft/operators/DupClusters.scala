@@ -19,6 +19,74 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
+  /** Alternating large-star/small-star connected components (the
+    * MapReduce-and-Beyond formulation): each round is two groupBy+join
+    * passes keyed on node id, which (a) bounds rounds ~O(log^2 n) even on
+    * adversarial long chains and (b) never materializes a node's whole
+    * neighborhood in memory — the hot-hub-safe variant of [[clusters]]
+    * for web-scale graphs. Same output contract: (doc, cluster = min doc
+    * of component), docs drawn from the input pairs.
+    *
+    * large-star: every neighbor v > u connects to min(N(u) ∪ u) — tall
+    * trees flatten. small-star (on max-oriented edges): every v <= u and
+    * u itself connect to the min — stars canonicalize. Fixpoint = every
+    * component is a star rooted at its min. */
+  def clustersStar(pairs: DataFrame, maxIters: Int = 50,
+                   durable: Boolean = false): DataFrame = {
+    def ck(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint() else df.localCheckpoint()
+    val nodes = pairs.select(col("doc_a").as("doc"))
+      .unionByName(pairs.select(col("doc_b").as("doc"))).distinct()
+    var edges = ck(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct())
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = adj.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      adj.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient (hi = src side) so each edge is processed at its max end
+      val or = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = or.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val vEdges = or.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+      val uEdges = mins.select(col("u").as("src"), col("m").as("dst"))
+      vEdges.unionByName(uEdges)
+        .where(col("src") =!= col("dst")).distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("src") * 1000003L + col("dst")), lit(0L)).as("h")).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var iter = 0
+    var done = sig._1 == 0
+    while (!done && iter < maxIters) {
+      edges = ck(smallStar(largeStar(edges))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct())
+      val s2 = signature(edges)
+      done = s2 == sig
+      sig = s2
+      iter += 1
+    }
+    // fixpoint edges form stars (member, root): root = component min
+    val roots = edges.select(greatest(col("src"), col("dst")).as("doc"),
+      least(col("src"), col("dst")).as("cluster"))
+    nodes.join(roots, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster"))
+  }
+
   /** pairs(doc_a, doc_b) -> (doc, cluster) with cluster = min doc id of the
     * component. Includes only docs appearing in at least one pair.
     *

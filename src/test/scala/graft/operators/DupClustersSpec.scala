@@ -49,6 +49,36 @@ class DupClustersSpec extends SparkSpec {
     assert(out === brute)
   }
 
+  test("clustersStar == union-find on randomized graphs and adversarial shapes") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val out = DupClusters.clustersStar(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(out === bruteComponents(edges), s"trial $trial")
+    }
+    // adversarial long chain (worst case for plain propagation)
+    val chain = (0L until 40L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val out = DupClusters.clustersStar(chain.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === bruteComponents(chain))
+    // hot hub: star with 50 leaves plus a tail
+    val hub = (1L to 50L).map(i => (0L, i)) ++ Seq((50L, 60L), (60L, 61L))
+    val hubOut = DupClusters.clustersStar(hub.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(hubOut === bruteComponents(hub))
+  }
+
+  test("clustersStar and clusters agree") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+    val a = DupClusters.clusters(pairs).as[(Long, Long)].collect().toMap
+    val b = DupClusters.clustersStar(pairs).as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("durable=true reliable checkpointing gives identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
