@@ -63,6 +63,32 @@ object OracleSql {
        |  FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS dim FROM $aPrev)
        |  GROUP BY cid, dim) GROUP BY cid)""".stripMargin
 
+  /** Min reachable label via recursive transitive closure — the fixpoint
+    * both distributed CC algorithms (contraction + large/small-star)
+    * converge to. */
+  private def dupClustersSql: String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
+       |sig AS (SELECT doc_id,
+       |        $minhashAggs
+       |        FROM h GROUP BY doc_id),
+       |bands AS (
+       |      $bandSelects
+       |),
+       |hubs AS (SELECT band, sig, MIN(doc_id) AS hub FROM bands GROUP BY band, sig),
+       |stars AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+       |          FROM bands b JOIN hubs h ON b.band = h.band AND b.sig = h.sig
+       |          WHERE b.doc_id <> h.hub),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM stars
+       |          UNION SELECT doc_b, doc_a FROM stars),
+       |nodes AS (SELECT DISTINCT s AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+       |)
+       |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin
+
   private def annIvfSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
@@ -352,28 +378,10 @@ object OracleSql {
     // with the MIN doc id reachable in the undirected star graph — which a
     // recursive transitive closure computes directly (components are small
     // dup groups, so the closure is bounded)
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
-         |sig AS (SELECT doc_id,
-         |        $minhashAggs
-         |        FROM h GROUP BY doc_id),
-         |bands AS (
-         |      $bandSelects
-         |),
-         |hubs AS (SELECT band, sig, MIN(doc_id) AS hub FROM bands GROUP BY band, sig),
-         |stars AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
-         |          FROM bands b JOIN hubs h ON b.band = h.band AND b.sig = h.sig
-         |          WHERE b.doc_id <> h.hub),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM stars
-         |          UNION SELECT doc_b, doc_a FROM stars),
-         |nodes AS (SELECT DISTINCT s AS n FROM edges),
-         |reach(n, m) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
-         |)
-         |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin,
+    "q_dup_clusters" -> dupClustersSql,
+    // large-star/small-star fixpoint is the same result: one oracle, two
+    // distributed algorithms verified against it
+    "q_dup_clusters_star" -> dupClustersSql,
 
     "q_minhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),

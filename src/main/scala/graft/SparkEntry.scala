@@ -511,6 +511,12 @@ object SparkEntry {
     DupClusters.clusters(
       Dedup.minhashBucketStars(Tables.documents(s, d), "doc_id", "text", 16, 4))
 
+  /** Same clustering through the large-star/small-star rounds — the
+    * hot-hub-safe web-scale variant, against the same closure oracle. */
+  private def qDupClustersStar(s: SparkSession, d: String): DataFrame =
+    DupClusters.clustersStar(
+      Dedup.minhashBucketStars(Tables.documents(s, d), "doc_id", "text", 16, 4))
+
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     Stats.saltedAgg(Tables.events(s, d), "event_type",
         pmod(col("event_id"), lit(16)), 16,
@@ -562,6 +568,7 @@ object SparkEntry {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dup_clusters_star" -> (qDupClustersStar _),
     "q_exists_having" -> (qExistsHaving _),
     "q_scalar_sub" -> (qScalarSub _),
     "q_ntile" -> (qNtile _),

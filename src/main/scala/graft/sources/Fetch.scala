@@ -93,6 +93,21 @@ object Fetch {
     out.result()
   }
 
+  /** Fetch several URLs concurrently (a fixed driver-side thread pool —
+    * each URL is one socket stream regardless, so threads are the right
+    * parallelism unit; the reference walks its 17 sources serially).
+    * Results return in input order; the first failure propagates after
+    * its own retries are exhausted. */
+  def fetchMany(urls: Seq[String], stagingDir: String, parallelism: Int = 4,
+                maxRetries: Int = 3, baseDelayMs: Long = 100): Seq[Fetched] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      urls.map(u => pool.submit(new java.util.concurrent.Callable[Fetched] {
+        def call(): Fetched = fetchToStaging(u, stagingDir, maxRetries, baseDelayMs)
+      })).map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** fetch → unzip in one call: the street_manager / bods_timetables shape.
     * Members land in `<stagingDir>/<archive-name>.d/`, ready for
     * CsvBundle.read / spark.read over the directory. */

@@ -73,6 +73,20 @@ class FetchSpec extends SparkSpec {
     assert(leftovers === 0)
   }
 
+  test("fetchMany fetches concurrently, preserving input order") {
+    val fixture = Files.createTempDirectory("fetch-many").toString
+    val staging = Files.createTempDirectory("fetch-many-staging").toString
+    val urls = (1 to 3).map { i =>
+      val p = Paths.get(fixture, s"src$i.csv")
+      Files.writeString(p, s"id\n$i\n")
+      s"file://$p"
+    }
+    val fetched = Fetch.fetchMany(urls, staging, parallelism = 3)
+    assert(fetched.map(_.url) === urls)
+    assert(fetched.forall(f => Files.exists(Paths.get(f.path))))
+    assert(Files.readString(Paths.get(fetched(2).path)) === "id\n3\n")
+  }
+
   test("unzip refuses zip-slip entries") {
     val fixture = Files.createTempDirectory("fetch-slip").toString
     val zip = mkZip(fixture, Map("../escape.txt" -> "nope"))
