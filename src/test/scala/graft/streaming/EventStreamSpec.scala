@@ -50,6 +50,23 @@ class EventStreamSpec extends SparkSpec {
     assert(survivors === Set(1L, 3L, 5L))
   }
 
+  test("near-dup filter replay of the same batch emits nothing twice") {
+    // at-least-once contract: signatures commit AFTER the emit, so a
+    // replayed batch finds its own signatures in the store and drops
+    val store = java.nio.file.Files.createTempDirectory("replay-store").toString + "/sigs"
+    var emitted = Seq.empty[Long]
+    import spark.implicits._
+    val emit: org.apache.spark.sql.DataFrame => Unit =
+      df => emitted = emitted ++ df.select("doc_id").as[Long].collect()
+    val fn = EventStream.nearDupFilterBatch(store, "doc_id", "text", emit = emit)
+    val batch = Seq(1L -> "some document text", 2L -> "other text entirely")
+      .toDF("doc_id", "text")
+    fn(batch, 0L)
+    assert(emitted.toSet === Set(1L, 2L))
+    fn(batch, 0L) // replayed delivery of the same batch
+    assert(emitted.size === 2, "replay re-emitted already-committed docs")
+  }
+
   test("RocksDB state store backs stateful streaming with identical results") {
     // fresh session so the provider conf doesn't leak into other tests
     val s2 = spark.newSession()
