@@ -46,6 +46,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_asof_join is the union+window formulation: no join operator at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), "as-of join regressed to an actual join (BNL risk)")
+    assert(p.contains("Window"))
+  }
+
+  test("single-shuffle aggregations stay single-shuffle") {
+    for (q <- Seq("q_dedup_exact", "q_tumbling_window")) {
+      val p = plan(q)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles === 1, s"$q now shuffles $shuffles times")
+    }
+  }
+
   test("q_simhash / q_text_quality stay shuffle-free map plans") {
     for (q <- Seq("q_simhash", "q_text_quality")) {
       val p = plan(q)
