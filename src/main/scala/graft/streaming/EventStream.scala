@@ -179,6 +179,69 @@ object EventStream {
       } finally banded.unpersist()
   }
 
+  /** [[nearDupFilterBatch]] with a driver-held Bloom sidecar over the
+    * store's signatures: only bloom-POSITIVE bands consult the parquet
+    * store, so the per-batch store join shrinks from O(corpus) to
+    * O(possible hits). False positives just cause a store lookup; false
+    * negatives are impossible, so results are identical to the plain
+    * variant. The bloom rebuilds from the store on (re)start — restart
+    * safety comes from the store, the bloom is pure acceleration. */
+  class NearDupFilter(storePath: String, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4,
+                      expectedSigs: Long = 1000000L, fpp: Double = 0.01,
+                      emit: DataFrame => Unit)
+      extends ((DataFrame, Long) => Unit) with Serializable {
+    @transient private var bloom: org.apache.spark.util.sketch.BloomFilter = _
+
+    override def apply(batch: DataFrame, batchId: Long): Unit = {
+      val spark = batch.sparkSession
+      val rows = k / bands
+      val sigs = graft.operators.Dedup
+        .minhashSignatures(batch.select(col(idCol), col(textCol)), idCol, textCol, k)
+      val banded = sigs.select(
+        col("doc"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+        }: _*)).as(Seq("band", "sig"))).persist()
+      try {
+        val store = try Some(spark.read.parquet(storePath))
+          catch { case _: Throwable => None }
+        if (bloom == null) {
+          bloom = store match {
+            case Some(s) => s.stat.bloomFilter("sig", expectedSigs, fpp)
+            case None => org.apache.spark.util.sketch.BloomFilter
+              .create(expectedSigs, fpp)
+          }
+        }
+        val b = spark.sparkContext.broadcast(bloom)
+        // the one justified UDF in the codebase: no public Catalyst
+        // expression exposes sketch probes (BloomFilterMightContain is
+        // internal to runtime filtering), and the probe guards IO — it is
+        // not a per-row compute hot path
+        val mightHit = udf((s: String) => b.value.mightContainString(s))
+        // only bands the bloom cannot rule out consult the store
+        val hitDocs = store match {
+          case Some(s) =>
+            banded.where(mightHit(col("sig")))
+              .join(s.select("band", "sig").distinct(), Seq("band", "sig"), "left_semi")
+              .select("doc").distinct()
+          case None => banded.select("doc").where(lit(false))
+        }
+        val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
+        val intraDup = banded.join(batchHub, Seq("band", "sig"))
+          .where(col("doc") =!= col("hub")).select("doc").distinct()
+        val survivors = banded.select("doc").distinct()
+          .join(hitDocs, Seq("doc"), "left_anti")
+          .join(intraDup, Seq("doc"), "left_anti")
+        emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
+        val newSigs = banded.join(survivors, Seq("doc"), "left_semi")
+          .select("band", "sig")
+        newSigs.write.mode("append").parquet(storePath)
+        bloom.mergeInPlace(newSigs.stat.bloomFilter("sig", expectedSigs, fpp))
+      } finally banded.unpersist()
+    }
+  }
+
   /** Production state-store configuration: RocksDB-backed keyed state with
     * changelog checkpointing instead of the default on-heap HashMap
     * provider. At 100 TB-scale keyed state (dedup horizon, live sessions)
