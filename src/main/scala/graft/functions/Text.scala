@@ -30,9 +30,17 @@ object Text {
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  /** 64-bit token hash from md5 (first 15 hex chars -> < 2^60), identical in
-    * Spark (`conv`) and DuckDB (`('0x'||substr(md5(t),1,15))::BIGINT`). */
+  /** 64-bit token hash from md5 (first 15 hex chars -> < 2^60), identical
+    * in DuckDB as `('0x'||substr(md5(t),1,15))::BIGINT`. Native codegen'd
+    * expression straight from the digest bytes (plans.Md5Long); the
+    * built-in-chain formulation is kept below as the executable spec. */
   def md5Long(s: Column): Column =
+    graft.plans.Md5Long.md5Long(s.cast("binary"))
+
+  /** Built-in-only formulation of [[md5Long]] (hex string -> substr ->
+    * conv) — the cross-engine specification the native expression is
+    * equivalence-tested against. */
+  def md5LongHof(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Polynomial rolling-hash fingerprint of the token sequence:
