@@ -29,4 +29,33 @@ object ParquetSink {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Compact a table's small files in place: incremental month-by-month
+    * appends (the reference's scheduled loads) accumulate one-file-per-run
+    * partitions whose open/seek overhead eventually dominates scans at
+    * 100 TB. Rewrites each partition into ~`targetFileMB` files via
+    * per-partition-dir dynamic overwrite — a metadata-safe, idempotent
+    * maintenance pass (re-running compacts nothing further). */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                         partitionCols: Seq[String],
+                         targetFileMB: Int = 512,
+                         scopePredicate: Option[String] = None): Unit = {
+    val all = spark.read.parquet(path)
+    // at 100 TB you compact one partition scope (a month) per pass — that
+    // also bounds the materialization below
+    val scoped = scopePredicate.fold(all)(all.where(_))
+    val sizeBytes = scoped.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (sizeBytes / (targetFileMB.toLong << 20)).toInt)
+    // materialize away from the source files: Spark refuses to overwrite a
+    // path that is also being read, and a lazy read would race the delete
+    val df = scoped.localCheckpoint()
+    val compacted =
+      if (partitionCols.nonEmpty)
+        // cluster rows of the same partition into the same task so each
+        // partition dir lands as few files as possible
+        df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    if (partitionCols.nonEmpty) writePartitioned(compacted, path, partitionCols)
+    else writeReplace(compacted, path)
+  }
 }
