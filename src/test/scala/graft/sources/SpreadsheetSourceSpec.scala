@@ -63,6 +63,24 @@ class SpreadsheetSourceSpec extends SparkSpec {
     assert(df.select("h26").as[Option[String]].head() === Some("42"))
   }
 
+  test("readXlsx selects the requested worksheet by index") {
+    val dir = Files.createTempDirectory("xlsx-sheets").toString
+    val xlsx = mkZip(dir, "multi.xlsx", Map(
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1"><v>cover</v></c></row>
+          |</sheetData></worksheet>""".stripMargin,
+      "xl/worksheets/sheet2.xml" ->
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1"><v>id</v></c></row>
+          |<row r="2"><c r="A2"><v>7</v></c></row>
+          |</sheetData></worksheet>""".stripMargin))
+    val staging = Files.createTempDirectory("xlsx-sheets-staging").toString
+    val df = SpreadsheetSource.readXlsx(spark, xlsx, staging, sheet = 2)
+    assert(df.columns.toSeq === Seq("id"))
+    assert(df.as[Option[String]].head() === Some("7"))
+  }
+
   test("readOds: repeated cells expand, empty runs only position, sheet by name") {
     val dir = Files.createTempDirectory("ods").toString
     val ods = mkZip(dir, "stats.ods", Map(
