@@ -104,17 +104,20 @@ object SparkEntry {
       .agg(sum(col("score10")).as("total10"), count(lit(1)).as("n_orders"))
 
   private def qImpactScores(s: SparkSession, d: String): DataFrame = {
-    val ranked = perCustScores(s, d)
+    // persisted: the distributed rank scans it twice (histogram + join-back)
+    val scored = perCustScores(s, d)
       .select(col("o_custkey"), col("n_orders"),
         (col("total10").cast("double") / 10).as("total_impact_level"))
-      .withColumn("impact_index_score",
-        ImpactScore.percentRank100(col("total_impact_level")))
-    ranked.withColumn("impact_category",
-      ImpactScore.severityBucket(col("impact_index_score")))
+      .persist()
+    ImpactScore.withPercentRank100(scored, "total_impact_level", "impact_index_score")
+      .withColumn("impact_category",
+        ImpactScore.severityBucket(col("impact_index_score")))
+      .select("o_custkey", "n_orders", "total_impact_level",
+        "impact_index_score", "impact_category")
   }
 
-  private def qAuthorityRollup(s: SparkSession, d: String): DataFrame =
-    perCustScores(s, d)
+  private def qAuthorityRollup(s: SparkSession, d: String): DataFrame = {
+    val byAuth = perCustScores(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("authority"))
@@ -123,14 +126,17 @@ object SparkEntry {
         sum(col("total10")).as("t10"),
         max(col("total10")).as("mx10"),
         min(col("total10")).as("mn10"))
+      .persist() // rank scans it twice; keyspace = one row per nation
+    ImpactScore.withPercentRank100(byAuth, "t10", "authority_score")
       .select(
         col("authority"), col("n_customers"),
         (col("t10").cast("double") / 10).as("total_impact_level"),
         ((col("t10").cast("double") / 10) / col("n_customers")).as("avg_impact_level"),
         (col("mx10").cast("double") / 10).as("max_impact_level"),
         (col("mn10").cast("double") / 10).as("min_impact_level"),
-        (percent_rank().over(Window.orderBy(col("t10"))) * 100).as("authority_score"))
+        col("authority_score"))
       .withColumn("impact_category", ImpactScore.severityBucket(col("authority_score")))
+  }
 
   private def qTopkPerGroup(s: SparkSession, d: String): DataFrame =
     Relational.topKPerGroup(Tables.orders(s, d), Seq("o_custkey"),
@@ -400,12 +406,14 @@ object SparkEntry {
   }
 
   /** NTILE quartile assignment (standard SQL bucket distribution,
-    * deterministic under the (acctbal, custkey) tie-break). */
+    * deterministic under the (acctbal, custkey) tie-break) — computed as a
+    * distributed rank + scalar bucket fill, NOT `ntile().over(Window
+    * .orderBy(...))`, which would sort the whole table in one task. */
   private def qNtile(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).select(
-      col("c_custkey"), col("c_acctbal"),
-      ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
-        .as("acctbal_quartile"))
+    Stats.withNtile(
+      Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+      "c_acctbal", Seq(col("c_custkey")), 4, "acctbal_quartile")
+      .select("c_custkey", "c_acctbal", "acctbal_quartile")
 
   /** One-pass dataset profile (rows-only: HLL estimates are
     * implementation-specific). */

@@ -51,10 +51,16 @@ object DataQuality {
     * ...) into ONE aggregation over ONE scan — `count(when(pred))` per rule
     * unpivoted to (rule, n_violations) rows. N checks cost one pass, not N. */
   def scalarSuite(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
-    val aggs = checks.map { case (rule, pred) => count(when(pred, 1)).as(rule) }
-    val stackArgs = checks.map { case (rule, _) => s"'$rule', `$rule`" }.mkString(", ")
+    // positional aliases + typed struct/explode unpivot: rule names are
+    // emitted only as string LITERALS, never parsed as SQL, so quotes /
+    // backticks / any characters in them are safe
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(pred, 1)).as(s"__c$i") }
+    val pairs = checks.zipWithIndex.map { case ((rule, _), i) =>
+      struct(lit(rule).as("rule"), col(s"__c$i").as("n_violations")) }
     df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${checks.size}, $stackArgs) AS (rule, n_violations)")
+      .select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.rule").as("rule"), col("kv.n_violations").as("n_violations"))
   }
 
   /** Run a named suite of checks, one summary row per rule. */

@@ -37,10 +37,14 @@ object DupClusters {
       if (durable) df.checkpoint() else df.localCheckpoint()
     val nodes = pairs.select(col("doc_a").as("doc"))
       .unionByName(pairs.select(col("doc_b").as("doc"))).distinct()
+    // invariant everywhere below: edges are oriented src > dst (both star
+    // ops emit that orientation; largeStar rebuilds adjacency both ways
+    // and smallStar re-orients internally, so no per-round normalization
+    // pass is needed — one fewer distinct per round than the naive loop)
     var edges = ck(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       .distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -60,7 +64,10 @@ object DupClusters {
         .select(col("v").as("src"), col("m").as("dst"))
       val uEdges = mins.select(col("u").as("src"), col("m").as("dst"))
       vEdges.unionByName(uEdges)
-        .where(col("src") =!= col("dst")).distinct()
+        .where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
     }
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)).as("n"),
@@ -72,17 +79,34 @@ object DupClusters {
     var iter = 0
     var done = sig._1 == 0
     while (!done && iter < maxIters) {
-      edges = ck(smallStar(largeStar(edges))
-        .select(least(col("src"), col("dst")).as("src"),
-          greatest(col("src"), col("dst")).as("dst")).distinct())
+      // small-star FIRST: LSH bucket-star inputs are already stars, on
+      // which large-star is an identity — leading with it wastes a full
+      // shuffle round; small-star immediately merges stars that share a
+      // member. The composed fixpoint is the same (both ops preserve
+      // components; signature-stable round => both ops were identities).
+      edges = ck(largeStar(smallStar(edges)))
       val s2 = signature(edges)
       done = s2 == sig
       sig = s2
       iter += 1
     }
-    // fixpoint edges form stars (member, root): root = component min
-    val roots = edges.select(greatest(col("src"), col("dst")).as("doc"),
-      least(col("src"), col("dst")).as("cluster"))
+    if (!done) {
+      // maxIters exhausted (or the convergence signature collided): only
+      // emit if the edge set actually IS a star forest — i.e. no member
+      // has two roots and no member is itself a root — otherwise the
+      // labels below would be silently wrong
+      val members = edges.select(col("src").as("doc"))
+      val multiRoot = members.groupBy("doc").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+      val chained = members
+        .join(edges.select(col("dst").as("doc")), Seq("doc"), "left_semi")
+      if (!multiRoot.isEmpty || !chained.isEmpty)
+        throw new IllegalStateException(
+          s"clustersStar: edge set is not a star forest after $maxIters " +
+            "rounds; raise maxIters (refusing to emit wrong clusters)")
+    }
+    // fixpoint edges form stars (member = src > root = dst = component min)
+    val roots = edges.select(col("src").as("doc"), col("dst").as("cluster"))
     nodes.join(roots, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster"))
   }

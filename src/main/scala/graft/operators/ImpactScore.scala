@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's flagship analysis: additive CASE-based impact scoring,
@@ -14,8 +13,11 @@ import org.apache.spark.sql.functions._
   *  - lines 176-215: second-level rollup per highway authority.
   *
   * Scale notes: weights are kept in integer "deci-points" (x10) so sums are
-  * exact and deterministic under any partial-aggregation order; the one
-  * global op is percent_rank over the already-aggregated (small) keyspace.
+  * exact and deterministic under any partial-aggregation order; the
+  * percent_rank normalisation runs as a histogram-offset distributed rank
+  * (Stats.withPercentRank100) because the per-customer keyspace grows with
+  * the data — a global `percent_rank() OVER (ORDER BY ...)` window would
+  * sort it in ONE task.
   */
 object ImpactScore {
 
@@ -33,9 +35,11 @@ object ImpactScore {
       acc.when(c <= lit(hi), lit(w))
     }.otherwise(lit(above))
 
-  /** percent_rank()*100 over `score`, with deterministic ordering. */
-  def percentRank100(score: Column): Column =
-    percent_rank().over(Window.orderBy(score)) * 100
+  /** Adds `outCol` = percent_rank()*100 over `scoreCol`. Cell-identical to
+    * the window formulation, but with no single-partition WindowExec —
+    * delegates to [[Stats.withPercentRank100]]. */
+  def withPercentRank100(df: DataFrame, scoreCol: String, outCol: String): DataFrame =
+    Stats.withPercentRank100(df, scoreCol, outCol)
 
   /** Reference's severity buckets (lines 143-150): thresholds descending. */
   def severityBucket(score100: Column): Column =

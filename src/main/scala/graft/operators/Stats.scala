@@ -33,6 +33,87 @@ object Stats {
         max(col(valueCol)).as("max_v")): _*)
   }
 
+  /** Exact count of rows strictly below each distinct `scoreCol` value,
+    * with NO single-partition window: a bounded histogram (`nBuckets`
+    * monotonic range buckets) gives every bucket its global offset, so the
+    * only windows are partitioned by bucket. Bucket boundaries only balance
+    * the work — ANY monotonic split yields the same counts, because the
+    * offsets absorb whatever lands in each bucket.
+    *
+    * This is the scale-safe replacement for `rank()/percent_rank() OVER
+    * (ORDER BY score)` with no PARTITION BY, which moves the entire
+    * dataset into one task. Cost shape: one groupBy(score) shuffle, one
+    * `nBuckets`-row collect (a bounded constant, like broadcasting k-means
+    * centroids), bucket-partitioned windows over the (already aggregated)
+    * distinct-score table, and an equi-join back to the caller.
+    *
+    * Returns (DataFrame(scoreCol, __cnt_less), totalRowCount).
+    */
+  def cumLess(df: DataFrame, scoreCol: String,
+              nBuckets: Int = 1024): (DataFrame, Long) = {
+    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt")).persist()
+    val mm = counts.agg(
+      min(col(scoreCol)).cast("double").as("mn"),
+      max(col(scoreCol)).cast("double").as("mx")).head
+    if (mm.isNullAt(0))
+      return (counts.select(col(scoreCol), lit(0L).as("__cnt_less")), 0L)
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val bucket =
+      if (mx == mn) lit(0)
+      else least(lit(nBuckets - 1),
+        floor((col(scoreCol).cast("double") - mn) / ((mx - mn) / nBuckets)).cast("int"))
+    val bucketed = counts.withColumn("__b", bucket)
+    val totals = bucketed.groupBy("__b").agg(sum("__cnt").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val totalN = totals.iterator.map(_._2).sum
+    // exclusive prefix sums: rows in strictly-lower buckets
+    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__b", "__off")
+    val w = Window.partitionBy(col("__b")).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cl = bucketed
+      .withColumn("__within", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .join(broadcast(offDf), Seq("__b"))
+      .select(col(scoreCol), (col("__off") + col("__within")).as("__cnt_less"))
+    (cl, totalN)
+  }
+
+  /** `percent_rank() OVER (ORDER BY scoreCol) * 100` as a join-back —
+    * cell-identical to the window form (rank-with-ties = cnt_less + 1,
+    * same (rank-1)/(n-1) double division, same *100), but distributed:
+    * see [[cumLess]]. Callers with an expensive upstream should persist
+    * `df` — it is scanned twice (histogram + join-back). */
+  def withPercentRank100(df: DataFrame, scoreCol: String, outCol: String): DataFrame = {
+    val (cl, n) = cumLess(df, scoreCol)
+    val denom = lit(math.max(n - 1L, 1L).toDouble)
+    df.join(cl, Seq(scoreCol))
+      .withColumn(outCol, col("__cnt_less").cast("double") / denom * 100)
+      .drop("__cnt_less")
+  }
+
+  /** `NTILE(buckets) OVER (ORDER BY coarseCol, tieCols...)` without a
+    * global window: global row_number = cnt_less(coarseCol) + a
+    * per-coarse-value row_number (partitioned window), then the standard
+    * ntile fill — first N % buckets buckets take one extra row — as a
+    * scalar integer expression over (rn, N). */
+  def withNtile(df: DataFrame, coarseCol: String, tieCols: Seq[Column],
+                buckets: Int, outCol: String): DataFrame = {
+    val (cl, n) = cumLess(df, coarseCol)
+    val base = n / buckets
+    val rem = n % buckets
+    val threshold = rem * (base + 1)
+    val w = Window.partitionBy(col(coarseCol)).orderBy(tieCols: _*)
+    df.join(cl, Seq(coarseCol))
+      .withColumn("__rn", col("__cnt_less") + row_number().over(w))
+      .withColumn(outCol, expr(
+        s"CAST(CASE WHEN $base = 0 OR __rn <= $threshold " +
+          s"THEN (__rn - 1) DIV ${base + 1} + 1 " +
+          s"ELSE $rem + (__rn - $threshold - 1) DIV $base + 1 END AS INT)"))
+      .drop("__cnt_less", "__rn")
+  }
+
   /** Two-stage salted aggregation for skewed group keys: stage 1 groups on
     * (key, salt) spreading a hot key over `salts` reducers (map-side
     * partial agg still applies), stage 2 merges the partials. Results are

@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle. This is a single tight loop over the backing array.
   *
   * Semantics (matching Dedup's HOF version + the DuckDB oracle): fewer
-  * than n tokens -> empty array; null elements render as empty strings
-  * (concat_ws semantics). Output is NOT deduplicated — compose with
+  * than n tokens -> empty array; null elements are SKIPPED along with
+  * their separators, exactly like `concat_ws` ('a', null, 'c' -> "a c") —
+  * so the native and HOF formulations agree on any input, not just the
+  * null-free tokenizer output. Output is NOT deduplicated — compose with
   * `array_distinct` as the caller requires.
   */
 case class NGrams(child: Expression, n: Int) extends UnaryExpression {
@@ -45,16 +47,15 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
     val space = UTF8String.fromString(" ")
     var i = 0
     while (i < cnt) {
-      val parts = new Array[UTF8String](2 * n - 1)
+      // UTF8String.concatWs skips null inputs AND their separators —
+      // the exact concat_ws contract the HOF baseline relies on
+      val parts = new Array[UTF8String](n)
       var k = 0
       while (k < n) {
-        val s = if (arr.isNullAt(i + k)) UTF8String.EMPTY_UTF8
-                else arr.getUTF8String(i + k)
-        parts(2 * k) = s
-        if (k < n - 1) parts(2 * k + 1) = space
+        parts(k) = if (arr.isNullAt(i + k)) null else arr.getUTF8String(i + k)
         k += 1
       }
-      out(i) = UTF8String.concat(parts: _*)
+      out(i) = UTF8String.concatWs(space, parts: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -72,14 +73,13 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
          |int $cnt = $a.numElements() - ${n - 1};
          |if ($cnt < 0) $cnt = 0;
          |Object[] $out = new Object[$cnt];
+         |$u8 ${parts}_sep = $u8.fromString(" ");
          |for (int $i = 0; $i < $cnt; $i++) {
-         |  $u8[] $parts = new $u8[${2 * n - 1}];
+         |  $u8[] $parts = new $u8[$n];
          |  for (int $k = 0; $k < $n; $k++) {
-         |    $parts[2 * $k] = $a.isNullAt($i + $k)
-         |      ? $u8.EMPTY_UTF8 : $a.getUTF8String($i + $k);
-         |    if ($k < ${n - 1}) $parts[2 * $k + 1] = $u8.fromString(" ");
+         |    $parts[$k] = $a.isNullAt($i + $k) ? null : $a.getUTF8String($i + $k);
          |  }
-         |  $out[$i] = $u8.concat($parts);
+         |  $out[$i] = $u8.concatWs(${parts}_sep, $parts);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

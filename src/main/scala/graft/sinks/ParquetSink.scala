@@ -40,6 +40,11 @@ object ParquetSink {
                          partitionCols: Seq[String],
                          targetFileMB: Int = 512,
                          scopePredicate: Option[String] = None): Unit = {
+    // an unpartitioned table has no dynamic-overwrite scope: writing the
+    // scoped subset would replace the WHOLE path with it (silent data loss)
+    require(partitionCols.nonEmpty || scopePredicate.isEmpty,
+      "scopePredicate requires partitionCols: compacting an unpartitioned " +
+        "table is all-or-nothing (the write replaces the entire path)")
     val all = spark.read.parquet(path)
     // at 100 TB you compact one partition scope (a month) per pass — that
     // also bounds the materialization below

@@ -128,6 +128,16 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Read the signature store iff its path exists. A missing store is the
+    * normal first-batch state and means "empty"; any OTHER failure (FS
+    * flake, corrupted files) must FAIL the batch — treating it as empty
+    * would silently re-admit duplicates. */
+  private def readStoreIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
   /** Continuous NEAR-dup filtering for an ingestion stream: per
     * micro-batch, compute MinHash LSH band signatures, anti-join against
     * the accumulated signature store, emit only docs no band of which has
@@ -158,9 +168,9 @@ object EventStream {
           concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
         }: _*)).as(Seq("band", "sig"))).persist()
       try {
-        val seen = try spark.read.parquet(storePath)
-          catch { case _: Throwable => spark.emptyDataFrame
-            .withColumn("band", lit(0)).withColumn("sig", lit("")) }
+        val seen = readStoreIfExists(spark, storePath).getOrElse(
+          spark.emptyDataFrame
+            .withColumn("band", lit(0)).withColumn("sig", lit("")))
         // a doc survives iff NONE of its bands is already in the store;
         // also dedup within the batch itself (min doc id per bucket wins)
         val hitDocs = banded.join(seen.select("band", "sig").distinct(),
@@ -204,8 +214,7 @@ object EventStream {
           concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
         }: _*)).as(Seq("band", "sig"))).persist()
       try {
-        val store = try Some(spark.read.parquet(storePath))
-          catch { case _: Throwable => None }
+        val store = readStoreIfExists(spark, storePath)
         if (bloom == null) {
           bloom = store match {
             case Some(s) => s.stat.bloomFilter("sig", expectedSigs, fpp)

@@ -60,6 +60,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("rank queries carry no single-partition WindowExec (100x scale pin)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_impact_scores", "q_ntile", "q_authority_rollup")) {
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty,
+        s"$q sorts its whole keyspace in one task: ${global.mkString("; ")}")
+    }
+  }
+
   test("q_simhash / q_text_quality stay shuffle-free map plans") {
     for (q <- Seq("q_simhash", "q_text_quality")) {
       val p = plan(q)

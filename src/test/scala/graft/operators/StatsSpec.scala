@@ -19,6 +19,42 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Double]("max_v") === 10.0)
   }
 
+  test("withPercentRank100 matches the global-window percent_rank cell-exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial: heavy ties, negative scores, a hot value
+    val df = ((1 to 500).map(i => (i.toLong, (i % 37).toDouble - 5)) ++
+        (501 to 600).map(i => (i.toLong, 7.0)))
+      .toDF("id", "score")
+    val dist = Stats.withPercentRank100(df, "score", "pr")
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    val win = df.select(col("id"),
+        (percent_rank().over(Window.orderBy(col("score"))) * 100).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    assert(dist === win) // exact double equality, not approx
+  }
+
+  test("withNtile matches the global-window ntile for every bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 103).map(i => (i.toLong, (i % 11).toDouble)).toDF("id", "v")
+    for (b <- Seq(1, 2, 4, 7, 103, 200)) {
+      val dist = Stats.withNtile(df, "v", Seq(col("id")), b, "nt")
+        .select("id", "nt").as[(Long, Int)].collect().toMap
+      val win = df.select(col("id"),
+          ntile(b).over(Window.orderBy(col("v"), col("id"))).as("nt"))
+        .as[(Long, Int)].collect().toMap
+      assert(dist === win, s"ntile($b) diverged")
+    }
+  }
+
+  test("cumLess handles the single-distinct-value and empty inputs") {
+    val one = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v")
+    val (cl, n) = Stats.cumLess(one, "v")
+    assert(n === 2L)
+    assert(cl.select("__cnt_less").as[Long].collect().toSeq === Seq(0L))
+    val (cle, ne) = Stats.cumLess(one.where(col("id") < 0), "v")
+    assert(ne === 0L && cle.isEmpty)
+  }
+
   test("saltedAgg matches direct groupBy exactly") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else "k" + (i % 7), i.toLong))
       .toDF("k", "v")
