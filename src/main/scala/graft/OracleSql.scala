@@ -318,6 +318,21 @@ object OracleSql {
         | ((50.0 - cx) * (50.0 - cx) + (50.0 - cy) * (50.0 - cy)) <= 625.0 AS near_center
         |FROM c""".stripMargin,
 
+    // mirrors q_geo_wkb WITHOUT going through WKB: expected outputs come
+    // straight from the integer coordinates, so the Spark side's
+    // encode->parse round trip is checked against ground truth (absolute
+    // byte-level encoding is pinned separately by WkbSpec golden hex)
+    "q_geo_wkb" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST((event_id % 89) + ((event_id * 5) % 89) + ((event_id * 2 + user_id * 3) % 89) AS DOUBLE) / 3 AS cx,
+        |    CAST((user_id % 89) + ((user_id * 7) % 89) + ((event_id + user_id * 2) % 89) AS DOUBLE) / 3 AS cy
+        |  FROM events)
+        |SELECT event_id, CAST(3 AS INT) AS n_vertices, cx, cy,
+        | sqrt((cx - 44.0) * (cx - 44.0) + (cy - 44.0) * (cy - 44.0)) AS dist_from_center,
+        | ((44.0 - cx) * (44.0 - cx) + (44.0 - cy) * (44.0 - cy)) <= 400.0 AS near_center
+        |FROM c""".stripMargin,
+
     "q_wellbeing_impact" ->
       """WITH p AS (SELECT event_id, value AS x, CAST(event_id AS DOUBLE) AS y FROM events),
         |agg AS (

@@ -287,6 +287,36 @@ object SparkEntry {
         Geo.withinBuffer(center, col("c"), 25.0).as("near_center"))
   }
 
+  /** WKB round-trip through the native codec (plans.Wkb): build geometry
+    * from integer coordinates, encode as little-endian WKB, parse back,
+    * then the standard centroid/distance pipeline. The oracle computes
+    * the same outputs straight from the integer coordinates — if encode
+    * or parse bent a byte, cx/cy/dist would all drift. Absolute encoding
+    * (golden hex, GeoPackage headers, endianness) is pinned in WkbSpec. */
+  private def qGeoWkb(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Geo
+    val pts = Tables.events(s, d).select(
+      col("event_id"),
+      array(
+        struct((col("event_id") % 89).cast("double").as("x"),
+          (col("user_id") % 89).cast("double").as("y")),
+        struct(((col("event_id") * 5) % 89).cast("double").as("x"),
+          ((col("user_id") * 7) % 89).cast("double").as("y")),
+        struct(((col("event_id") * 2 + col("user_id") * 3) % 89).cast("double").as("x"),
+          ((col("event_id") + col("user_id") * 2) % 89).cast("double").as("y")))
+        .as("pts"))
+    val center = Geo.stPoint(lit(44.0), lit(44.0))
+    pts
+      .select(col("event_id"), Geo.stAsWkb(col("pts"), 2).as("wkb"))
+      .select(col("event_id"), Geo.stGeomFromWkb(col("wkb")).as("geom"))
+      .select(col("event_id"), size(col("geom")).as("n_vertices"),
+        Geo.stCentroid(col("geom")).as("c"))
+      .select(col("event_id"), col("n_vertices"),
+        Geo.stX(col("c")).as("cx"), Geo.stY(col("c")).as("cy"),
+        Geo.stDistance(col("c"), center).as("dist_from_center"),
+        Geo.withinBuffer(center, col("c"), 20.0).as("near_center"))
+  }
+
   // ---------------------------------------------------------------- §2.3
   private def qTumblingWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -552,6 +582,7 @@ object SparkEntry {
     "q_range_join_points" -> (qRangeJoinPoints _),
     "q_geo_centroid" -> (qGeoCentroid _),
     "q_geo_wkt" -> (qGeoWkt _),
+    "q_geo_wkb" -> (qGeoWkb _),
     "q_wellbeing_impact" -> (qWellbeingImpact _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sessionize" -> (qSessionize _),

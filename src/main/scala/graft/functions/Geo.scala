@@ -52,6 +52,17 @@ object Geo {
     sqrt(dx * dx + dy * dy)
   }
 
+  /** Parse (GeoPackage-)WKB binary into the same array<struct<x,y>> model
+    * — the post-extract geometry path of the reference's .gpkg ingestion
+    * (built_up_areas.py:80), parsed natively without GDAL: see
+    * [[graft.plans.Wkb]]. Malformed input -> NULL. */
+  def stGeomFromWkb(bin: Column): Column = graft.plans.Wkb.wkbGeom(bin)
+
+  /** Write a geometry as little-endian WKB (1 = Point from the first
+    * vertex, 2 = LineString, 3 = single-shell Polygon). */
+  def stAsWkb(geom: Column, geomType: Int): Column =
+    graft.plans.Wkb.wkbWrite(geom, geomType)
+
   /** ST_Contains(ST_Buffer(center, r), p) for circular buffers ==
     * distance(center, p) <= r (the reference's 500 m wellbeing predicate). */
   def withinBuffer(center: Column, p: Column, r: Double): Column = {
