@@ -113,14 +113,23 @@ object OracleSql {
 
   /** LSH ANN oracle: embeds the SAME hyperplane literals Similarity uses
     * (values k/1024 are exactly representable in both decimal and binary,
-    * so the SQL literals are bit-identical to the Scala doubles). */
-  private def annLshSql: String = {
+    * so the SQL literals are bit-identical to the Scala doubles).
+    * `multiProbe` widens the probe set to the Hamming-1 buckets (each
+    * single-bit flip of the query bucket), mirroring annLshMultiProbe. */
+  private def annLshSql: String = annLshSqlProbes(multiProbe = false)
+  private def annLshMultiProbeSql: String = annLshSqlProbes(multiProbe = true)
+  private def annLshSqlProbes(multiProbe: Boolean): String = {
     val planes = graft.operators.Similarity.hyperplanes(4, 64)
     val planeLits = planes.map(p =>
       p.map(v => BigDecimal(v).bigDecimal.toPlainString).mkString("[", ", ", "]"))
     val bucketTerms = planeLits.zipWithIndex.map { case (lit, i) =>
       s"CASE WHEN list_inner_product(v, $lit) >= 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"
     }.mkString("\n    + ")
+    val probePred =
+      if (!multiProbe) "b.bucket = q.qbucket"
+      else (Seq("b.bucket = q.qbucket") ++
+        (0 until 4).map(p => s"b.bucket = xor(q.qbucket, CAST(${1L << p} AS BIGINT))"))
+        .mkString("(", " OR ", ")")
     s"""WITH e AS (SELECT vec_id,
        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
@@ -132,7 +141,7 @@ object OracleSql {
        | list_inner_product(b.v, q.qv) /
        |   (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos_sim
        |FROM b, q
-       |WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+       |WHERE $probePred AND b.vec_id <> 0
        |ORDER BY cos_sim DESC, b.vec_id
        |LIMIT 10""".stripMargin
   }
@@ -505,6 +514,7 @@ object OracleSql {
          |FROM h""".stripMargin,
 
     "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
 
     // exact-distinct profile: one row per column of `customer`

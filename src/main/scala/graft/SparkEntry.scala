@@ -362,6 +362,10 @@ object SparkEntry {
     Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVec(s, d), 10, 4, Some(0L))
 
+  private def qAnnLshMultiprobe(s: SparkSession, d: String): DataFrame =
+    Similarity.annLshMultiProbe(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVec(s, d), 10, 4, Some(0L))
+
   /** IVF ANN: deterministic k-means cells, probe nearest nProbes cells,
     * exact rerank inside. Rows-only: Lloyd iterations aren't one SQL query. */
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
@@ -592,6 +596,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_embed_stats" -> (qEmbedStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
