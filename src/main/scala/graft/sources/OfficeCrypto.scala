@@ -1,0 +1,268 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** Password-protected Office file decryption — the reference decrypts the
+  * GeoPlace SWA workbook before reading it (reference:
+  * src/data_processors/geoplace_swa.py:64-69, `msoffcrypto` OfficeFile
+  * with a password then `pd.read_excel`). Re-implemented here from the
+  * PUBLIC specs only:
+  *
+  *  - MS-CFB: the container is an OLE2 Compound File holding two streams,
+  *    `EncryptionInfo` (crypto descriptor) and `EncryptedPackage` (the
+  *    ciphertext of the ordinary ZIP package). [[Cfb.streams]] is a
+  *    minimal reader: header DIFAT -> FAT chains, directory tree, and the
+  *    mini-FAT/mini-stream for streams under the 4096-byte cutoff.
+  *  - MS-OFFCRYPTO / ECMA-376 "agile encryption" (EncryptionInfo version
+  *    4.4): XML descriptor; SHA-2 spin-count password hash; per-purpose
+  *    block keys; AES-CBC for the verifier, the intermediate key, and the
+  *    4096-byte package segments (segment IV = H(keyDataSalt || LE32(i))).
+  *
+  * Driver-side by design, like [[Fetch]]: one protected workbook is one
+  * small artifact; the decrypted package then flows into the ordinary
+  * distributed [[SpreadsheetSource.readXlsx]] scan.
+  */
+object OfficeCrypto {
+
+  // per-purpose block keys (MS-OFFCRYPTO 2.3.4.13)
+  val BkVerifierInput: Array[Byte] =
+    Array(0xfe, 0xa7, 0xd2, 0x76, 0x3b, 0x4b, 0x9e, 0x79).map(_.toByte)
+  val BkVerifierHashValue: Array[Byte] =
+    Array(0xd7, 0xaa, 0x0f, 0x6d, 0x30, 0x61, 0x34, 0x4e).map(_.toByte)
+  val BkKeyValue: Array[Byte] =
+    Array(0x14, 0x6e, 0x0b, 0xe7, 0xab, 0xac, 0xd0, 0xd6).map(_.toByte)
+
+  private def digest(algo: String): MessageDigest =
+    MessageDigest.getInstance(algo.toUpperCase match {
+      case "SHA512" => "SHA-512"
+      case "SHA384" => "SHA-384"
+      case "SHA256" => "SHA-256"
+      case "SHA1" | "SHA-1" => "SHA-1"
+      case a => a
+    })
+
+  /** Truncate to `n` bytes, or right-pad with 0x36 (spec padding byte). */
+  def adjust(b: Array[Byte], n: Int): Array[Byte] = {
+    val out = Array.fill[Byte](n)(0x36)
+    System.arraycopy(b, 0, out, 0, math.min(b.length, n))
+    out
+  }
+
+  private def le32(i: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+
+  /** Spin-count password hash: H0 = H(salt || UTF-16LE(pw));
+    * Hn = H(LE32(n-1) || Hn-1), n = 1..spinCount. */
+  def hashPassword(salt: Array[Byte], password: String, spinCount: Int,
+                   hashAlgo: String): Array[Byte] = {
+    val md = digest(hashAlgo)
+    md.update(salt)
+    md.update(password.getBytes(StandardCharsets.UTF_16LE))
+    var h = md.digest()
+    var i = 0
+    while (i < spinCount) {
+      md.reset(); md.update(le32(i)); md.update(h)
+      h = md.digest()
+      i += 1
+    }
+    h
+  }
+
+  /** Purpose key: first keyBytes of H(pwHash || blockKey), 0x36-padded. */
+  def deriveKey(pwHash: Array[Byte], blockKey: Array[Byte], keyBytes: Int,
+                hashAlgo: String): Array[Byte] = {
+    val md = digest(hashAlgo)
+    md.update(pwHash); md.update(blockKey)
+    adjust(md.digest(), keyBytes)
+  }
+
+  def aes(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+          data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Segment IV for the package stream: H(keyDataSalt || LE32(segment)),
+    * adjusted to the cipher block size (MS-OFFCRYPTO 2.3.4.15). */
+  def segmentIv(keyDataSalt: Array[Byte], segment: Int, blockSize: Int,
+                hashAlgo: String): Array[Byte] = {
+    val md = digest(hashAlgo)
+    md.update(keyDataSalt); md.update(le32(segment))
+    adjust(md.digest(), blockSize)
+  }
+
+  private case class AgileInfo(
+    keySalt: Array[Byte], keyHashAlgo: String, keyBlockSize: Int,
+    pwSalt: Array[Byte], pwHashAlgo: String, pwKeyBits: Int,
+    spinCount: Int, encVerifierInput: Array[Byte],
+    encVerifierHashValue: Array[Byte], encKeyValue: Array[Byte],
+    hashSize: Int)
+
+  private def parseInfo(stream: Array[Byte]): AgileInfo = {
+    val buf = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
+    val major = buf.getShort(); val minor = buf.getShort()
+    require(major == 4 && minor == 4,
+      s"not agile encryption (EncryptionInfo version $major.$minor; " +
+        "legacy 'standard'/RC4 encryption is out of scope)")
+    buf.getInt() // reserved flags
+    val xml = new String(stream, 8, stream.length - 8, StandardCharsets.UTF_8)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    // no external entities: the descriptor is attacker-supplied bytes
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+    def attr(el: org.w3c.dom.Element, name: String): String = el.getAttribute(name)
+    def b64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+    val keyData = doc.getElementsByTagNameNS("*", "keyData").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    val encKey = doc.getElementsByTagNameNS("*", "encryptedKey").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    require(attr(keyData, "cipherAlgorithm") == "AES" &&
+      attr(encKey, "cipherAlgorithm") == "AES",
+      "only AES agile encryption is supported")
+    AgileInfo(
+      keySalt = b64(attr(keyData, "saltValue")),
+      keyHashAlgo = attr(keyData, "hashAlgorithm"),
+      keyBlockSize = attr(keyData, "blockSize").toInt,
+      pwSalt = b64(attr(encKey, "saltValue")),
+      pwHashAlgo = attr(encKey, "hashAlgorithm"),
+      pwKeyBits = attr(encKey, "keyBits").toInt,
+      spinCount = attr(encKey, "spinCount").toInt,
+      encVerifierInput = b64(attr(encKey, "encryptedVerifierHashInput")),
+      encVerifierHashValue = b64(attr(encKey, "encryptedVerifierHashValue")),
+      encKeyValue = b64(attr(encKey, "encryptedKeyValue")),
+      hashSize = attr(encKey, "hashSize").toInt)
+  }
+
+  /** Decrypt agile-encrypted `encPath` with `password`, writing the plain
+    * ZIP package to `outPath` (then readable by SpreadsheetSource).
+    * Throws IllegalArgumentException on a wrong password (verifier check,
+    * MS-OFFCRYPTO 2.3.4.9). */
+  def decryptToFile(encPath: String, password: String, outPath: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(encPath))
+    val streams = Cfb.streams(bytes)
+    val info = parseInfo(streams.getOrElse("EncryptionInfo",
+      sys.error(s"$encPath has no EncryptionInfo stream")))
+    val pkg = streams.getOrElse("EncryptedPackage",
+      sys.error(s"$encPath has no EncryptedPackage stream"))
+
+    val keyBytes = info.pwKeyBits / 8
+    val pwHash = hashPassword(info.pwSalt, password, info.spinCount, info.pwHashAlgo)
+    val pwIv = adjust(info.pwSalt, info.keyBlockSize)
+    // password verifier
+    val verifierInput = aes(encrypt = false,
+      deriveKey(pwHash, BkVerifierInput, keyBytes, info.pwHashAlgo), pwIv,
+      info.encVerifierInput)
+    val expectedHash = aes(encrypt = false,
+      deriveKey(pwHash, BkVerifierHashValue, keyBytes, info.pwHashAlgo), pwIv,
+      info.encVerifierHashValue).take(info.hashSize)
+    val actualHash = digest(info.pwHashAlgo).digest(verifierInput)
+      .take(info.hashSize)
+    if (!java.util.Arrays.equals(expectedHash, actualHash))
+      throw new IllegalArgumentException(s"wrong password for $encPath")
+    // intermediate (package) key
+    val key = aes(encrypt = false,
+      deriveKey(pwHash, BkKeyValue, keyBytes, info.pwHashAlgo), pwIv,
+      info.encKeyValue).take(keyBytes)
+
+    // package: u64 LE plain size, then 4096-byte AES-CBC segments
+    val plainLen = ByteBuffer.wrap(pkg, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong()
+    val out = new java.io.ByteArrayOutputStream(pkg.length)
+    var off = 8
+    var seg = 0
+    while (off < pkg.length) {
+      val n = math.min(4096, pkg.length - off)
+      val iv = segmentIv(info.keySalt, seg, info.keyBlockSize, info.keyHashAlgo)
+      out.write(aes(encrypt = false, key, iv,
+        java.util.Arrays.copyOfRange(pkg, off, off + n)))
+      off += n
+      seg += 1
+    }
+    val plain = java.util.Arrays.copyOf(out.toByteArray, plainLen.toInt)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath), plain)
+    outPath
+  }
+
+  /** Minimal MS-CFB (OLE2 compound file) stream reader. */
+  object Cfb {
+    private val EndOfChain = 0xFFFFFFFEL
+
+    /** All stream objects in the file, by directory-entry name. */
+    def streams(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.getLong(0) == 0xE11AB1A1E011CFD0L, "not a compound file")
+      val sectorSize = 1 << buf.getShort(30)
+      val miniSize = 1 << buf.getShort(32)
+      val nFat = buf.getInt(44)
+      val firstDir = buf.getInt(48)
+      val miniCutoff = buf.getInt(56)
+      val firstMiniFat = buf.getInt(60)
+      require(buf.getInt(72) == 0,
+        "DIFAT overflow sectors unsupported (file > ~7 MB of FAT)")
+
+      def sector(n: Long): Array[Byte] = {
+        val off = sectorSize * (n.toInt + 1)
+        java.util.Arrays.copyOfRange(bytes, off, off + sectorSize)
+      }
+      // FAT from the header DIFAT
+      val fat = (0 until nFat).flatMap { i =>
+        val fs = buf.getInt(76 + 4 * i)
+        val s = ByteBuffer.wrap(sector(fs)).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until sectorSize / 4).map(_ => s.getInt() & 0xFFFFFFFFL)
+      }.toArray
+      def chain(start: Long, table: Array[Long]): Seq[Long] = {
+        val b = Seq.newBuilder[Long]
+        var cur = start
+        var guard = 0
+        while (cur != EndOfChain && cur <= 0xFFFFFFFAL && guard <= table.length) {
+          b += cur; cur = table(cur.toInt); guard += 1
+        }
+        require(guard <= table.length, "cyclic FAT chain")
+        b.result()
+      }
+      def readChain(start: Long): Array[Byte] =
+        chain(start, fat).flatMap(sector).toArray
+
+      // directory entries (128 bytes each) across the directory chain
+      val dir = readChain(firstDir)
+      case class Entry(name: String, objType: Int, start: Long, size: Long)
+      val entries = (0 until dir.length / 128).map { i =>
+        val e = ByteBuffer.wrap(dir, i * 128, 128).order(ByteOrder.LITTLE_ENDIAN)
+        val nameBytes = new Array[Byte](64); e.get(nameBytes)
+        val nameLen = e.getShort(i * 128 + 64) & 0xFFFF
+        val name = if (nameLen >= 2)
+          new String(nameBytes, 0, nameLen - 2, StandardCharsets.UTF_16LE) else ""
+        Entry(name, dir(i * 128 + 66) & 0xFF,
+          e.getInt(i * 128 + 116) & 0xFFFFFFFFL, e.getLong(i * 128 + 120))
+      }
+      val root = entries.find(_.objType == 5).getOrElse(sys.error("no CFB root"))
+
+      // mini stream + mini FAT (for streams under the cutoff)
+      lazy val miniStream: Array[Byte] = readChain(root.start)
+      lazy val miniFat: Array[Long] =
+        if (firstMiniFat == -1) Array.empty
+        else {
+          val mf = readChain(firstMiniFat)
+          val b = ByteBuffer.wrap(mf).order(ByteOrder.LITTLE_ENDIAN)
+          Array.fill(mf.length / 4)(b.getInt() & 0xFFFFFFFFL)
+        }
+      def readMini(start: Long): Array[Byte] =
+        chain(start, miniFat).flatMap { n =>
+          java.util.Arrays.copyOfRange(miniStream,
+            miniSize * n.toInt, miniSize * (n.toInt + 1))
+        }.toArray
+
+      entries.filter(_.objType == 2).map { e =>
+        val data = if (e.size < miniCutoff) readMini(e.start) else readChain(e.start)
+        e.name -> java.util.Arrays.copyOf(data, e.size.toInt)
+      }.toMap
+    }
+  }
+}

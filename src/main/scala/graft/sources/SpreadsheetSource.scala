@@ -73,6 +73,19 @@ object SpreadsheetSource {
     promote(resolved, headerRow)
   }
 
+  /** Read a password-protected (ECMA-376 agile-encrypted) .xlsx — the
+    * reference's GeoPlace SWA path (geoplace_swa.py:64-69, msoffcrypto +
+    * read_excel). Decrypts the OLE2 container to the plain ZIP package
+    * (see [[OfficeCrypto]]), then the ordinary [[readXlsx]] scan. */
+  def readEncryptedXlsx(spark: SparkSession, encPath: String, password: String,
+                        stagingDir: String, headerRow: Int = 0,
+                        sheet: Int = 1): DataFrame = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val dec = OfficeCrypto.decryptToFile(encPath, password,
+      s"$stagingDir/decrypted.xlsx")
+    readXlsx(spark, dec, s"$stagingDir/unzipped", headerRow, sheet)
+  }
+
   // ---- ods -----------------------------------------------------------
 
   private val odsCellSchema = StructType(Seq(

@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+
+/** End-to-end fixture: the spec ENCRYPTS a real xlsx package with the same
+  * public ECMA-376 agile math (reusing OfficeCrypto's primitives for key
+  * derivation, independent code for the flow) and a hand-built MS-CFB
+  * container — then asserts OfficeCrypto.decryptToFile +
+  * SpreadsheetSource.readEncryptedXlsx recover the data. The
+  * EncryptionInfo stream is < 4096 bytes, so the CFB mini-FAT path is
+  * exercised; EncryptedPackage goes through the regular FAT path. */
+class OfficeCryptoSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- agile encryptor (test-side twin of the decryptor) --------------
+
+  private val password = "s3cret pa55word"
+  private val spin = 1000
+  private val keySalt = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+  private val pwSalt = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
+  private val intermediateKey = Array.tabulate[Byte](32)(i => (200 - i).toByte)
+  private val verifierInput = Array.tabulate[Byte](16)(i => (i * i + 5).toByte)
+
+  private def sha512(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-512").digest(b)
+
+  private def encryptPackage(zip: Array[Byte]): Array[Byte] = {
+    val padded = java.util.Arrays.copyOf(zip, (zip.length + 15) / 16 * 16)
+    val out = new ByteArrayOutputStream()
+    out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(zip.length.toLong).array())
+    var off = 0
+    var seg = 0
+    while (off < padded.length) {
+      val n = math.min(4096, padded.length - off)
+      val iv = OfficeCrypto.segmentIv(keySalt, seg, 16, "SHA512")
+      out.write(OfficeCrypto.aes(encrypt = true, intermediateKey, iv,
+        java.util.Arrays.copyOfRange(padded, off, off + n)))
+      off += n; seg += 1
+    }
+    out.toByteArray
+  }
+
+  private def encryptionInfo(): Array[Byte] = {
+    val pwHash = OfficeCrypto.hashPassword(pwSalt, password, spin, "SHA512")
+    def enc(blockKey: Array[Byte], data: Array[Byte]): Array[Byte] =
+      OfficeCrypto.aes(encrypt = true,
+        OfficeCrypto.deriveKey(pwHash, blockKey, 32, "SHA512"),
+        OfficeCrypto.adjust(pwSalt, 16), data)
+    def b64(b: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(b)
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<encryption xmlns="http://schemas.microsoft.com/office/2006/encryption"
+         | xmlns:p="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
+         |<keyData saltSize="16" blockSize="16" keyBits="256" hashSize="64"
+         | cipherAlgorithm="AES" cipherChaining="ChainingModeCBC"
+         | hashAlgorithm="SHA512" saltValue="${b64(keySalt)}"/>
+         |<keyEncryptors><keyEncryptor
+         | uri="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
+         |<p:encryptedKey spinCount="$spin" saltSize="16" blockSize="16"
+         | keyBits="256" hashSize="64" cipherAlgorithm="AES"
+         | cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512"
+         | saltValue="${b64(pwSalt)}"
+         | encryptedVerifierHashInput="${b64(enc(OfficeCrypto.BkVerifierInput, verifierInput))}"
+         | encryptedVerifierHashValue="${b64(enc(OfficeCrypto.BkVerifierHashValue, sha512(verifierInput)))}"
+         | encryptedKeyValue="${b64(enc(OfficeCrypto.BkKeyValue, intermediateKey))}"/>
+         |</keyEncryptor></keyEncryptors></encryption>""".stripMargin
+    val xmlBytes = xml.getBytes(StandardCharsets.UTF_8)
+    val out = ByteBuffer.allocate(8 + xmlBytes.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(4).putShort(4).putInt(0x40).put(xmlBytes)
+    out.array()
+  }
+
+  // ---- minimal CFB writer ---------------------------------------------
+
+  /** Compound file with EncryptionInfo in the MINI stream (< 4096) and
+    * EncryptedPackage in regular FAT sectors. */
+  private def writeCfb(encInfo: Array[Byte], encPkg: Array[Byte]): Array[Byte] = {
+    require(encInfo.length < 4096 && encPkg.length >= 4096)
+    val Free = 0xFFFFFFFF; val End = 0xFFFFFFFE; val FatSect = 0xFFFFFFFD
+    val nMini = (encInfo.length + 63) / 64
+    val miniStreamBytes = java.util.Arrays.copyOf(encInfo, nMini * 64)
+    val nMs = (miniStreamBytes.length + 511) / 512
+    val nPkg = (encPkg.length + 511) / 512
+    // sector layout: [0]=dir, [1]=miniFAT, [2..]=miniStream, then package,
+    // then the FAT sector(s) themselves
+    val msStart = 2
+    val pkgStart = msStart + nMs
+    val fatStart = pkgStart + nPkg
+    val nFat = (fatStart + 1 + 127) / 128 // covers everything incl. FAT itself
+    val total = fatStart + nFat
+
+    val fat = Array.fill(nFat * 128)(Free)
+    fat(0) = End; fat(1) = End
+    for (i <- 0 until nMs) fat(msStart + i) = if (i == nMs - 1) End else msStart + i + 1
+    for (i <- 0 until nPkg) fat(pkgStart + i) = if (i == nPkg - 1) End else pkgStart + i + 1
+    for (i <- 0 until nFat) fat(fatStart + i) = FatSect
+    val miniFat = Array.fill(128)(Free)
+    for (i <- 0 until nMini) miniFat(i) = if (i == nMini - 1) End else i + 1
+
+    def dirEntry(name: String, objType: Int, start: Int, size: Long): Array[Byte] = {
+      val e = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+      val n = name.getBytes(StandardCharsets.UTF_16LE)
+      e.put(n)
+      e.putShort(64, ((n.length + 2).min(64)).toShort)
+      e.put(66, objType.toByte)
+      e.put(67, 1: Byte)                    // color (black)
+      e.putInt(68, Free); e.putInt(72, Free) // no siblings
+      e.putInt(76, if (objType == 5) 1 else Free) // root -> child
+      e.putInt(116, start)
+      e.putLong(120, size)
+      e.array()
+    }
+    val dir = new ByteArrayOutputStream()
+    dir.write(dirEntry("Root Entry", 5, msStart, miniStreamBytes.length.toLong))
+    dir.write(dirEntry("EncryptionInfo", 2, 0, encInfo.length.toLong))
+    dir.write(dirEntry("EncryptedPackage", 2, pkgStart, encPkg.length.toLong))
+    dir.write(new Array[Byte](128)) // unused 4th entry
+
+    val header = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    header.putLong(0xE11AB1A1E011CFD0L)
+    header.putShort(26, 3)          // major version 3
+    header.putShort(28, 0xFFFE.toShort)
+    header.putShort(30, 9)          // 512-byte sectors
+    header.putShort(32, 6)          // 64-byte mini sectors
+    header.putInt(44, nFat)
+    header.putInt(48, 0)            // first directory sector
+    header.putInt(56, 4096)         // mini cutoff
+    header.putInt(60, 1)            // first miniFAT sector
+    header.putInt(64, 1)            // one miniFAT sector
+    header.putInt(68, End)          // no DIFAT chain
+    header.putInt(72, 0)
+    for (i <- 0 until 109)
+      header.putInt(76 + 4 * i, if (i < nFat) fatStart + i else Free)
+
+    val body = ByteBuffer.allocate(512 * total)
+    def putSector(n: Int, data: Array[Byte], off: Int): Unit =
+      body.put(512 * n, data, off, math.min(512, data.length - off))
+    putSector(0, dir.toByteArray, 0)
+    val mfBytes = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    miniFat.foreach(mfBytes.putInt)
+    putSector(1, mfBytes.array(), 0)
+    for (i <- 0 until nMs) putSector(msStart + i, miniStreamBytes, i * 512)
+    for (i <- 0 until nPkg) putSector(pkgStart + i, encPkg, i * 512)
+    val fatBytes = ByteBuffer.allocate(512 * nFat).order(ByteOrder.LITTLE_ENDIAN)
+    fat.foreach(fatBytes.putInt)
+    for (i <- 0 until nFat) putSector(fatStart + i, fatBytes.array(), i * 512)
+
+    val out = new ByteArrayOutputStream()
+    out.write(header.array()); out.write(body.array())
+    out.toByteArray
+  }
+
+  // ---- fixture + tests -------------------------------------------------
+
+  private def plainXlsx(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    // force the DEFLATED package > 4096 bytes: incompressible hash-chain pad
+    val padBody = Iterator.iterate(sha512("seed".getBytes))(sha512)
+      .take(400).flatMap(_.map(b => f"${b & 0xff}%02x")).mkString
+    val pad = s"<!-- $padBody -->"
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(
+      (s"""<worksheet><sheetData>
+          |<row r="1"><c r="A1"><v>swa_code</v></c><c r="B1"><v>authority</v></c></row>
+          |<row r="2"><c r="A2"><v>10</v></c><c r="B2"><v>Kent</v></c></row>
+          |<row r="3"><c r="A3"><v>20</v></c><c r="B3"><v>Essex</v></c></row>
+          |</sheetData></worksheet>$pad""").stripMargin.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    bos.toByteArray
+  }
+
+  test("agile-encrypted xlsx decrypts end-to-end into readXlsx") {
+    val dir = Files.createTempDirectory("offcrypto").toString
+    val zip = plainXlsx()
+    val cfb = writeCfb(encryptionInfo(), encryptPackage(zip))
+    val encPath = s"$dir/protected.xlsx"
+    val fos = new FileOutputStream(encPath); fos.write(cfb); fos.close()
+
+    // byte-exact decryption of the package
+    val decPath = OfficeCrypto.decryptToFile(encPath, password, s"$dir/plain.zip")
+    assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(decPath)), zip))
+
+    // and the full spreadsheet read path
+    val df = SpreadsheetSource.readEncryptedXlsx(spark, encPath, password,
+      s"$dir/staging")
+    assert(df.columns.toSeq === Seq("swa_code", "authority"))
+    assert(df.as[(String, String)].collect().toSeq
+      === Seq(("10", "Kent"), ("20", "Essex")))
+  }
+
+  test("wrong password is rejected by the verifier, not garbage output") {
+    val dir = Files.createTempDirectory("offcrypto-bad").toString
+    val cfb = writeCfb(encryptionInfo(), encryptPackage(plainXlsx()))
+    val encPath = s"$dir/protected.xlsx"
+    val fos = new FileOutputStream(encPath); fos.write(cfb); fos.close()
+    val e = intercept[IllegalArgumentException] {
+      OfficeCrypto.decryptToFile(encPath, "not the password", s"$dir/out.zip")
+    }
+    assert(e.getMessage.contains("wrong password"))
+  }
+
+  test("non-agile EncryptionInfo is refused with a clear error") {
+    val dir = Files.createTempDirectory("offcrypto-std").toString
+    // version 3.2 = legacy "standard" encryption
+    val legacy = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(3).putShort(2).putInt(0x24).array()
+    val cfb = writeCfb(legacy, encryptPackage(plainXlsx()))
+    val encPath = s"$dir/legacy.xls"
+    val fos = new FileOutputStream(encPath); fos.write(cfb); fos.close()
+    val e = intercept[IllegalArgumentException] {
+      OfficeCrypto.decryptToFile(encPath, password, s"$dir/out.zip")
+    }
+    assert(e.getMessage.contains("agile"))
+  }
+}
