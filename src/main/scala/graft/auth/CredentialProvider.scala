@@ -1,0 +1,63 @@
+package graft.auth
+
+/** Named-secret lookup seam — the reference resolves warehouse tokens
+  * through a secret manager at pipeline start (reference:
+  * src/auth/get_credentials.py:9 `get_secrets(secret_name)` feeding the
+  * MotherDuck/Postgres connections). The engine-side contract is just
+  * "name -> field map": concrete backends stay pluggable and
+  * public-knowledge-only (environment, properties files, in-memory for
+  * tests — a cloud secret manager is one more implementation of this
+  * trait living outside this library).
+  *
+  * Fields flow into [[graft.sinks.JdbcSink]] as JDBC connection
+  * properties (`user`, `password`, ...), so credentials never appear in
+  * the connection URL (which gets logged by drivers and Spark plans).
+  */
+trait CredentialProvider {
+  /** The named secret's fields; throws NoSuchElementException with the
+    * name if absent — a missing credential should fail the pipeline
+    * loudly at setup, not as a mid-write auth error. */
+  def credentials(name: String): Map[String, String]
+}
+
+object CredentialProvider {
+
+  /** Environment-variable provider: fields of secret `db` are read from
+    * `GRAFT_SECRET_DB_USER`, `GRAFT_SECRET_DB_PASSWORD`, ... (field name
+    * lower-cased). The standard container/CI delivery path. */
+  class EnvProvider(env: Map[String, String] = sys.env) extends CredentialProvider {
+    def credentials(name: String): Map[String, String] = {
+      val prefix = s"GRAFT_SECRET_${name.toUpperCase}_"
+      val found = env.collect {
+        case (k, v) if k.startsWith(prefix) =>
+          k.stripPrefix(prefix).toLowerCase -> v
+      }
+      if (found.isEmpty)
+        throw new NoSuchElementException(s"no $prefix* variables for secret '$name'")
+      found
+    }
+  }
+
+  /** Properties-file provider: secret `db` is `<dir>/db.properties`
+    * (mounted secret volumes, local dev). */
+  class FileProvider(dir: String) extends CredentialProvider {
+    def credentials(name: String): Map[String, String] = {
+      val p = java.nio.file.Paths.get(dir, s"$name.properties")
+      if (!java.nio.file.Files.exists(p))
+        throw new NoSuchElementException(s"no secret file $p")
+      val props = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+  }
+
+  /** Fixed map, for tests and wiring defaults. */
+  class StaticProvider(secrets: Map[String, Map[String, String]])
+      extends CredentialProvider {
+    def credentials(name: String): Map[String, String] =
+      secrets.getOrElse(name,
+        throw new NoSuchElementException(s"no static secret '$name'"))
+  }
+}

@@ -3,6 +3,8 @@ package graft.sinks
 import java.sql.DriverManager
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
+import graft.auth.CredentialProvider
+
 /** JDBC warehouse sink — the reference loads its processed frames into
   * Postgres / MotherDuck with batched inserts and two refresh styles
   * (reference: src/databases/postgresql.py batch executemany;
@@ -14,21 +16,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * 1000 executors you bound it to what the warehouse tolerates, not the
   * cluster width). The only driver-side statement is the scoped DELETE in
   * [[refreshScope]] — a constant-size metadata operation, not data movement.
+  *
+  * Credentials arrive as connection PROPERTIES (`props`, typically from a
+  * [[graft.auth.CredentialProvider]] — the reference's get_credentials
+  * seam), never embedded in the URL: drivers and Spark both log URLs.
   */
 object JdbcSink {
+
+  /** Resolve a named secret into JDBC connection properties. */
+  def credentialProps(provider: CredentialProvider, secretName: String): Map[String, String] =
+    provider.credentials(secretName)
+
+  private def withProps(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+                        props: Map[String, String]) =
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
 
   /** Append rows in JDBC batches; `numPartitions` = max concurrent
     * connections (coalesce, not repartition: no shuffle just to write). */
   def append(df: DataFrame, url: String, table: String,
-             batchSize: Int = 10000, numPartitions: Option[Int] = None): Unit =
-    (numPartitions match {
-      case Some(n) if n < df.rdd.getNumPartitions => df.coalesce(n)
-      case _ => df
-    }).write
-      .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("batchsize", batchSize.toString)
+             batchSize: Int = 10000, numPartitions: Option[Int] = None,
+             props: Map[String, String] = Map.empty): Unit =
+    withProps(
+      (numPartitions match {
+        case Some(n) if n < df.rdd.getNumPartitions => df.coalesce(n)
+        case _ => df
+      }).write
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchSize.toString), props)
       .mode(SaveMode.Append)
       .save()
 
@@ -36,13 +52,15 @@ object JdbcSink {
     * DROP+CREATE when the dialect supports it — preserving grants/indexes,
     * the reference's truncate-then-insert path. */
   def overwrite(df: DataFrame, url: String, table: String,
-                batchSize: Int = 10000, truncate: Boolean = true): Unit =
-    df.write
-      .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("batchsize", batchSize.toString)
-      .option("truncate", truncate.toString)
+                batchSize: Int = 10000, truncate: Boolean = true,
+                props: Map[String, String] = Map.empty): Unit =
+    withProps(
+      df.write
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchSize.toString)
+        .option("truncate", truncate.toString), props)
       .mode(SaveMode.Overwrite)
       .save()
 
@@ -53,17 +71,23 @@ object JdbcSink {
     * driver; re-running the load for the same scope never duplicates. */
   def refreshScope(df: DataFrame, url: String, table: String,
                    scopePredicate: String, batchSize: Int = 10000,
-                   numPartitions: Option[Int] = None): Unit = {
-    val conn = DriverManager.getConnection(url)
+                   numPartitions: Option[Int] = None,
+                   props: Map[String, String] = Map.empty): Unit = {
+    val jprops = new java.util.Properties()
+    props.foreach { case (k, v) => jprops.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, jprops)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(s"DELETE FROM $table WHERE $scopePredicate")
       finally st.close()
     } finally conn.close()
-    append(df, url, table, batchSize, numPartitions)
+    append(df, url, table, batchSize, numPartitions, props)
   }
 
-  def read(spark: org.apache.spark.sql.SparkSession, url: String,
-           table: String): DataFrame =
-    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+  def read(spark: org.apache.spark.sql.SparkSession, url: String, table: String,
+           props: Map[String, String] = Map.empty): DataFrame =
+    props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (acc, (k, v)) => acc.option(k, v)
+    }.load()
 }

@@ -48,7 +48,11 @@ object Fetch {
   /** Stream a `http(s)://` or `file://` URL into `stagingDir` with
     * retry/backoff (the reference's requests retry loop,
     * data_processor_utils.py:22). Writes via a temp file + atomic move so a
-    * failed attempt never leaves a truncated file for the readers. */
+    * failed attempt never leaves a truncated file for the readers — and
+    * VERIFIES the received byte count against the declared Content-Length:
+    * a fixed-length HTTP body cut short arrives as a silent EOF (the JDK
+    * stream does not throw), which would otherwise promote a truncated
+    * download to the destination. */
   def fetchToStaging(url: String, stagingDir: String,
                      maxRetries: Int = 3, baseDelayMs: Long = 100): Fetched = {
     val dir = Files.createDirectories(Paths.get(stagingDir))
@@ -56,9 +60,15 @@ object Fetch {
     val (_, attempts) = retrying(maxRetries, baseDelayMs) {
       val tmp = Files.createTempFile(dir, ".part-", ".tmp")
       try {
-        val in = new java.net.URI(url).toURL.openStream()
-        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
+        val conn = new java.net.URI(url).toURL.openConnection()
+        val declared = conn.getContentLengthLong // -1 when unknown/chunked
+        val in = conn.getInputStream
+        val copied =
+          try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        if (declared >= 0 && copied != declared)
+          throw new IOException(
+            s"truncated download: got $copied of $declared bytes from $url")
         Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
       } finally Files.deleteIfExists(tmp)

@@ -106,4 +106,46 @@ class FetchSpec extends SparkSpec {
     assert(f.attempts === 1)
     assert(Files.readString(Paths.get(f.path)) === "a,b\n1,2\n")
   }
+
+  test("truncated first download: retry succeeds, no partial file ever visible") {
+    // loopback HTTP server (JDK built-in) that declares the full length
+    // but cuts the connection mid-body on the FIRST request only — the
+    // flaky-CDN case the reference's retry loop exists for
+    val body = ("k,v\n" + (1 to 500).map(i => s"$i,${i * 2}").mkString("\n")).getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var partialVisibleDuringRetry = false
+    val staging = Files.createTempDirectory("fetch-trunc-staging").toString
+    val dest = Paths.get(staging, "data.csv")
+    server.createContext("/data.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      val n = requests.incrementAndGet()
+      if (n == 1) {
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body, 0, 40) // truncate mid-body
+        x.close()                            // client sees EOF before length
+      } else {
+        // attempt 1 failed by now: a correct fetch left NOTHING at dest
+        partialVisibleDuringRetry = Files.exists(dest)
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchToStaging(s"http://127.0.0.1:$port/data.csv", staging,
+        maxRetries = 3, baseDelayMs = 1)
+      assert(f.attempts === 2)
+      assert(!partialVisibleDuringRetry,
+        "a truncated attempt left a partial file at the destination")
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
+      // and no temp-file litter either
+      import scala.jdk.CollectionConverters._
+      val leftovers = Files.list(Paths.get(staging)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".part-")).toSeq
+      assert(leftovers.isEmpty, s"temp files left behind: $leftovers")
+    } finally server.stop(0)
+  }
 }
