@@ -483,6 +483,30 @@ object OracleSql {
          |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM t""".stripMargin,
 
+    // integer-ratio idf mirrors TfIdf.topTerms exactly (no ln(): libm
+    // last-bit rounding differs across engines; the ratio induces the
+    // same rarity ordering). DuckDB: INT*BIGINT stays BIGINT, // is
+    // integer division.
+    "q_tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df, tf * ((1000000 * nd) // df) AS score
+         |           FROM tf JOIN dfreq USING (term), n)
+         |SELECT doc_id, term, tf, df, score, rank_in_group FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank_in_group
+         |  FROM scored)
+         |WHERE rank_in_group <= 3""".stripMargin,
+
+    // same md5-prefix-as-bigint hash Stats.hashSample / Md5Long use
+    // (proven identical in the dup-clusters oracle); both operands
+    // non-negative so % == pmod
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |      < CASE WHEN event_type = 'purchase' THEN 500000 ELSE 20000 END""".stripMargin,
+
     "q_ntile" ->
       """SELECT c_custkey, c_acctbal,
         | CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS acctbal_quartile

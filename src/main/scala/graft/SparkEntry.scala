@@ -407,6 +407,20 @@ object SparkEntry {
       (col("doc_id") +: scores :+ Text.langId(toks).as("lang_pred")): _*)
   }
 
+  /** TF-IDF top terms per document with the exact integer-ratio idf
+    * (see operators.TfIdf — no ln(), cross-engine cell-exact). */
+  private def qTfidfTerms(s: SparkSession, d: String): DataFrame =
+    TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", Text.tokens, 3)
+
+  /** Deterministic stratified downsampling: keep 50% of purchases, 2% of
+    * everything else, selected by content hash (reproducible across
+    * engines/retries — the training-data sampling primitive). */
+  private def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    Stats.hashSample(
+      Tables.events(s, d).select("event_id", "event_type", "user_id"),
+      col("event_id"),
+      when(col("event_type") === "purchase", lit(500000L)).otherwise(lit(20000L)))
+
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
@@ -602,6 +616,8 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_tfidf_terms" -> (qTfidfTerms _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_binary_meta" -> (qBinaryMeta _),
     "q_asof_join" -> (qAsofJoin _),
     "q_quality_checks" -> (qQualityChecks _),

@@ -114,6 +114,18 @@ object Stats {
       .drop("__cnt_less", "__rn")
   }
 
+  /** Deterministic hash sampling: keep a row iff
+    * `md5hash(key) mod 1e6 < fractionPpm`. Reproducible across runs,
+    * retries, and engines (never `rand()` — a task retry with rand()
+    * silently changes the sample), shuffle-free (a scan filter), and
+    * stratified by passing a per-row ppm expression (e.g. a CASE over the
+    * stratum column: oversample rare strata, downsample bulk). The
+    * training-data downsampling primitive. */
+  def hashSample(df: DataFrame, key: Column, fractionPpm: Column): DataFrame =
+    df.where(
+      pmod(graft.plans.Md5Long.md5Long(key.cast("string")), lit(1000000L))
+        < fractionPpm)
+
   /** Two-stage salted aggregation for skewed group keys: stage 1 groups on
     * (key, salt) spreading a hot key over `salts` reducers (map-side
     * partial agg still applies), stage 2 merges the partials. Results are

@@ -70,8 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_simhash / q_text_quality stay shuffle-free map plans") {
-    for (q <- Seq("q_simhash", "q_text_quality")) {
+  test("q_simhash / q_text_quality / q_sample_stratified stay shuffle-free map plans") {
+    for (q <- Seq("q_simhash", "q_text_quality", "q_sample_stratified")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q introduced a shuffle")
     }

@@ -55,6 +55,27 @@ class StatsSpec extends SparkSpec {
     assert(ne === 0L && cle.isEmpty)
   }
 
+  test("hashSample is deterministic, monotonic in the fraction, and stratified") {
+    val df = (1 to 5000)
+      .map(i => (i.toLong, if (i % 10 == 0) "rare" else "bulk"))
+      .toDF("id", "stratum")
+    val frac = when(col("stratum") === "rare", lit(500000L)).otherwise(lit(50000L))
+    val a = Stats.hashSample(df, col("id"), frac).as[(Long, String)].collect().toSet
+    val b = Stats.hashSample(df, col("id"), frac).as[(Long, String)].collect().toSet
+    assert(a === b) // deterministic: identical rows on re-run
+    // monotonic: a smaller threshold selects a subset of a larger one
+    val narrow = Stats.hashSample(df, col("id"), lit(50000L))
+      .as[(Long, String)].collect().toSet
+    val wide = Stats.hashSample(df, col("id"), lit(500000L))
+      .as[(Long, String)].collect().toSet
+    assert(narrow.subsetOf(wide))
+    // stratified rates land near the requested ppm (md5 is uniform)
+    val rareRate = a.count(_._2 == "rare").toDouble / 500
+    val bulkRate = a.count(_._2 == "bulk").toDouble / 4500
+    assert(rareRate > 0.4 && rareRate < 0.6, s"rare rate $rareRate")
+    assert(bulkRate > 0.03 && bulkRate < 0.07, s"bulk rate $bulkRate")
+  }
+
   test("saltedAgg matches direct groupBy exactly") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else "k" + (i % 7), i.toLong))
       .toDF("k", "v")
