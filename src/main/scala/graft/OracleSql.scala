@@ -483,6 +483,28 @@ object OracleSql {
          |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM t""".stripMargin,
 
+    // identical pattern strings + replacement order as Text.PiiPatterns
+    // (Java-regex ∩ RE2 subset); DuckDB regexp_replace needs 'g' to match
+    // Spark's global-replace default
+    "q_pii_scrub" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    text || ' contact dev' || CAST(doc_id AS VARCHAR)
+        |      || '@example.org via https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0
+        |              THEN ' call +44 7700 900' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |              ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      'https?://[^ ]+', '[URL]', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+[0-9][0-9 -]{7,}[0-9]', '[PHONE]', 'g')) AS scrubbed_md5
+        |FROM e""".stripMargin,
+
     // integer-ratio idf mirrors TfIdf.topTerms exactly (no ln(): libm
     // last-bit rounding differs across engines; the ratio induces the
     // same rarity ordering). DuckDB: INT*BIGINT stays BIGINT, // is

@@ -421,6 +421,31 @@ object SparkEntry {
       col("event_id"),
       when(col("event_type") === "purchase", lit(500000L)).otherwise(lit(20000L)))
 
+  /** PII detect + redact (the pre-training scrub pass). The corpus text
+    * carries no PII, so each doc gets a deterministic synthetic
+    * email/URL/phone suffix built from doc_id IDENTICALLY in the oracle
+    * — the scrubbed text is compared via md5. Patterns live in
+    * Text.PiiPatterns (Java-regex ∩ RE2 subset, same strings both
+    * engines, fixed replacement order). */
+  private def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val enriched = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact dev"), col("doc_id").cast("string"),
+        lit("@example.org via https://ex.org/d/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +44 7700 900"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0")))
+          .otherwise(lit(""))).as("t"))
+    enriched.select(
+      col("doc_id"),
+      Text.piiCount(col("t"), "url").as("n_urls"),
+      Text.piiCount(col("t"), "email").as("n_emails"),
+      Text.piiCount(col("t"), "phone").as("n_phones"),
+      md5(Text.piiScrub(col("t")).cast("binary")).as("scrubbed_md5"))
+  }
+
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
@@ -617,6 +642,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf_terms" -> (qTfidfTerms _),
+    "q_pii_scrub" -> (qPiiScrub _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_binary_meta" -> (qBinaryMeta _),
     "q_asof_join" -> (qAsofJoin _),

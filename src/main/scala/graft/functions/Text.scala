@@ -53,6 +53,31 @@ object Text {
       lit(0L),
       (acc, t) => pmod(acc * 31 + ascii(t).cast("long") * 7 + length(t), lit(FpMod)))
 
+  /** PII detection/redaction — the pre-training scrub pass. Pattern
+    * syntax is restricted to the Java-regex ∩ RE2 common subset (char
+    * classes, +, {m,}, alternation — no backrefs/lookaround), so the
+    * DuckDB oracle runs the IDENTICAL patterns; replacement order is
+    * url → email → phone (a URL may embed an @; emails embed digits)
+    * and must match on both sides. Spark's regexp_replace is global by
+    * default; DuckDB needs the 'g' flag. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://[^ ]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+[0-9][0-9 -]{7,}[0-9]")
+
+  /** Count of matches for one PII category. */
+  def piiCount(text: Column, category: String): Column = {
+    val pat = PiiPatterns.toMap.apply(category)
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** Redact every PII category to its [CATEGORY] placeholder, in the
+    * fixed order above. */
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (cat, pat)) =>
+      regexp_replace(acc, pat, s"[${cat.toUpperCase}]")
+    }
+
   /** Language-ID heuristic: stopword-profile hit counts per language,
     * argmax with deterministic lexicographic tie-break. Profiles are tiny
     * broadcast-free literals; scoring is per-row codegen. */

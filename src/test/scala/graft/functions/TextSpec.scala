@@ -43,4 +43,21 @@ class TextSpec extends SparkSpec {
       .select(size(Text.regexTokens(col("text")))).as[Int].head()
     assert(n === 6) // hello, world, 42, foo, bar, 7
   }
+
+  test("piiScrub redacts urls, emails, phones in order; counts match") {
+    val t = "see https://x.org/a?u=1 mail bob.smith+x@corp.co.uk " +
+      "or +44 20 7946 0958 and a@b.io"
+    val row = one(t).select(
+      Text.piiScrub(col("text")).as("s"),
+      Text.piiCount(col("text"), "url").as("u"),
+      Text.piiCount(col("text"), "email").as("e"),
+      Text.piiCount(col("text"), "phone").as("p"))
+      .as[(String, Int, Int, Int)].head()
+    assert(row._1 ===
+      "see [URL] mail [EMAIL] or [PHONE] and [EMAIL]")
+    assert((row._2, row._3, row._4) === (1, 2, 1))
+    // clean text passes through untouched
+    assert(one("no pii here").select(Text.piiScrub(col("text")))
+      .as[String].head() === "no pii here")
+  }
 }
