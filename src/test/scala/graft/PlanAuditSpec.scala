@@ -28,8 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_cosine_topk").contains("TakeOrderedAndProject"))
   }
 
-  test("q_union_dedup gets the WindowGroupLimit rank pushdown") {
+  test("q_union_dedup / q_tfidf_terms get the WindowGroupLimit rank pushdown") {
     assert(plan("q_union_dedup").contains("WindowGroupLimit"))
+    assert(plan("q_tfidf_terms").contains("WindowGroupLimit"))
   }
 
   test("q_enrich_multijoin broadcasts the dimension tables") {

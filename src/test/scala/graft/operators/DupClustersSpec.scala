@@ -71,6 +71,20 @@ class DupClustersSpec extends SparkSpec {
     assert(hubOut === bruteComponents(hub))
   }
 
+  test("clustersStar refuses to emit when maxIters exhausts before a star fixpoint") {
+    // a 60-node chain cannot flatten to a star forest in one composed
+    // round; the guard must throw rather than emit wrong labels
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      DupClusters.clustersStar(chain, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("star"))
+    // with enough rounds the same input converges to the right answer
+    val ok = DupClusters.clustersStar(chain).as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(0L) && ok.size === 60)
+  }
+
   test("clustersStar and clusters agree") {
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (7L, 7L))
       .toDF("doc_a", "doc_b")
