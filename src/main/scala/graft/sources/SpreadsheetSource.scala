@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * Semantics mirror the reference's pandas usage: pick a sheet, promote a
   * (possibly non-first) row to column headers, emit every value as STRING
   * (`df.astype(str)` in the reference) — typing is downstream work for
-  * SchemaValidator / casts. Legacy binary .xls (BIFF, geoplace's encrypted
-  * case) stays out of scope: it needs a native decoder, like GeoPackage.
+  * SchemaValidator / casts. Legacy binary .xls is covered by
+  * [[BiffReader.readXls]] (native BIFF8 decoder over the same CFB
+  * container); password-protected modern workbooks by
+  * [[readEncryptedXlsx]].
   *
   * Scale note: one spreadsheet is one driver-side unzip (sheets are small
   * by construction — Excel caps at ~1M rows); the PARSE of the extracted
@@ -135,7 +137,7 @@ object SpreadsheetSource {
   /** Promote row `headerRow` (0-based `rn`) to column names; later rows
     * become data. The header collect is one spreadsheet row — driver-side
     * by design, exactly like pandas `header=N`. */
-  private def promote(rawCells: DataFrame, headerRow: Int): DataFrame = {
+  private[sources] def promote(rawCells: DataFrame, headerRow: Int): DataFrame = {
     val cells = rawCells.select(
       col("rn"), col("ci").cast("int").as("ci"), col("value"))
     val hdr = cells.where(col("rn") === headerRow)

@@ -78,84 +78,12 @@ class OfficeCryptoSpec extends SparkSpec {
     out.array()
   }
 
-  // ---- minimal CFB writer ---------------------------------------------
-
-  /** Compound file with EncryptionInfo in the MINI stream (< 4096) and
-    * EncryptedPackage in regular FAT sectors. */
+  // CFB container built by the shared TestCfb fixture writer:
+  // EncryptionInfo < 4096 exercises the mini-FAT read path,
+  // EncryptedPackage >= 4096 the regular FAT path
   private def writeCfb(encInfo: Array[Byte], encPkg: Array[Byte]): Array[Byte] = {
     require(encInfo.length < 4096 && encPkg.length >= 4096)
-    val Free = 0xFFFFFFFF; val End = 0xFFFFFFFE; val FatSect = 0xFFFFFFFD
-    val nMini = (encInfo.length + 63) / 64
-    val miniStreamBytes = java.util.Arrays.copyOf(encInfo, nMini * 64)
-    val nMs = (miniStreamBytes.length + 511) / 512
-    val nPkg = (encPkg.length + 511) / 512
-    // sector layout: [0]=dir, [1]=miniFAT, [2..]=miniStream, then package,
-    // then the FAT sector(s) themselves
-    val msStart = 2
-    val pkgStart = msStart + nMs
-    val fatStart = pkgStart + nPkg
-    val nFat = (fatStart + 1 + 127) / 128 // covers everything incl. FAT itself
-    val total = fatStart + nFat
-
-    val fat = Array.fill(nFat * 128)(Free)
-    fat(0) = End; fat(1) = End
-    for (i <- 0 until nMs) fat(msStart + i) = if (i == nMs - 1) End else msStart + i + 1
-    for (i <- 0 until nPkg) fat(pkgStart + i) = if (i == nPkg - 1) End else pkgStart + i + 1
-    for (i <- 0 until nFat) fat(fatStart + i) = FatSect
-    val miniFat = Array.fill(128)(Free)
-    for (i <- 0 until nMini) miniFat(i) = if (i == nMini - 1) End else i + 1
-
-    def dirEntry(name: String, objType: Int, start: Int, size: Long): Array[Byte] = {
-      val e = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
-      val n = name.getBytes(StandardCharsets.UTF_16LE)
-      e.put(n)
-      e.putShort(64, ((n.length + 2).min(64)).toShort)
-      e.put(66, objType.toByte)
-      e.put(67, 1: Byte)                    // color (black)
-      e.putInt(68, Free); e.putInt(72, Free) // no siblings
-      e.putInt(76, if (objType == 5) 1 else Free) // root -> child
-      e.putInt(116, start)
-      e.putLong(120, size)
-      e.array()
-    }
-    val dir = new ByteArrayOutputStream()
-    dir.write(dirEntry("Root Entry", 5, msStart, miniStreamBytes.length.toLong))
-    dir.write(dirEntry("EncryptionInfo", 2, 0, encInfo.length.toLong))
-    dir.write(dirEntry("EncryptedPackage", 2, pkgStart, encPkg.length.toLong))
-    dir.write(new Array[Byte](128)) // unused 4th entry
-
-    val header = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
-    header.putLong(0xE11AB1A1E011CFD0L)
-    header.putShort(26, 3)          // major version 3
-    header.putShort(28, 0xFFFE.toShort)
-    header.putShort(30, 9)          // 512-byte sectors
-    header.putShort(32, 6)          // 64-byte mini sectors
-    header.putInt(44, nFat)
-    header.putInt(48, 0)            // first directory sector
-    header.putInt(56, 4096)         // mini cutoff
-    header.putInt(60, 1)            // first miniFAT sector
-    header.putInt(64, 1)            // one miniFAT sector
-    header.putInt(68, End)          // no DIFAT chain
-    header.putInt(72, 0)
-    for (i <- 0 until 109)
-      header.putInt(76 + 4 * i, if (i < nFat) fatStart + i else Free)
-
-    val body = ByteBuffer.allocate(512 * total)
-    def putSector(n: Int, data: Array[Byte], off: Int): Unit =
-      body.put(512 * n, data, off, math.min(512, data.length - off))
-    putSector(0, dir.toByteArray, 0)
-    val mfBytes = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
-    miniFat.foreach(mfBytes.putInt)
-    putSector(1, mfBytes.array(), 0)
-    for (i <- 0 until nMs) putSector(msStart + i, miniStreamBytes, i * 512)
-    for (i <- 0 until nPkg) putSector(pkgStart + i, encPkg, i * 512)
-    val fatBytes = ByteBuffer.allocate(512 * nFat).order(ByteOrder.LITTLE_ENDIAN)
-    fat.foreach(fatBytes.putInt)
-    for (i <- 0 until nFat) putSector(fatStart + i, fatBytes.array(), i * 512)
-
-    val out = new ByteArrayOutputStream()
-    out.write(header.array()); out.write(body.array())
-    out.toByteArray
+    TestCfb.write(Seq("EncryptionInfo" -> encInfo, "EncryptedPackage" -> encPkg))
   }
 
   // ---- fixture + tests -------------------------------------------------
