@@ -119,16 +119,24 @@ object BiffReader {
   private def fmt(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  /** All (row, col, value-string) cells of worksheet `sheet` (1-based). */
-  def cells(xlsBytes: Array[Byte], sheet: Int = 1): Seq[(Long, Int, String)] = {
+  /** All (row, col, value-string) cells of worksheet `sheet` (1-based).
+    * A password decrypts RC4-CryptoAPI-protected workbooks
+    * ([[OfficeCrypto.Rc4CryptoApi]] — the geoplace_swa.py case). */
+  def cells(xlsBytes: Array[Byte], sheet: Int = 1,
+            password: Option[String] = None): Seq[(Long, Int, String)] = {
     val streams = OfficeCrypto.Cfb.streams(xlsBytes)
-    val wb = streams.getOrElse("Workbook", streams.getOrElse("Book",
+    val wb0 = streams.getOrElse("Workbook", streams.getOrElse("Book",
       sys.error("no Workbook stream — not a BIFF .xls file")))
+    val encrypted = records(wb0).exists(_.t == 0x002F)
+    val wb = (encrypted, password) match {
+      case (false, _) => wb0
+      case (true, Some(pw)) => OfficeCrypto.Rc4CryptoApi.decryptWorkbook(wb0, pw)
+      case (true, None) => throw new IllegalArgumentException(
+        "password-protected .xls (FILEPASS): pass a password " +
+          "(RC4 CryptoAPI) or use SpreadsheetSource.readEncryptedXlsx " +
+          "for modern agile-encrypted workbooks")
+    }
     val recs = records(wb)
-    if (recs.exists(_.t == 0x002F))
-      throw new IllegalArgumentException(
-        "RC4-obfuscated .xls (FILEPASS) is not supported; modern " +
-          "agile-encrypted workbooks are — see SpreadsheetSource.readEncryptedXlsx")
     // globals substream: sheet directory + shared strings
     val globalsEnd = recs.indexWhere(_.t == 0x000A) // first EOF
     val globals = recs.take(if (globalsEnd < 0) recs.length else globalsEnd)
@@ -192,12 +200,13 @@ object BiffReader {
   }
 
   /** Read one worksheet of a BIFF8 .xls into a DataFrame, with the same
-    * header-promotion semantics as readXlsx/readOds. */
+    * header-promotion semantics as readXlsx/readOds. `password` unlocks
+    * RC4-CryptoAPI-protected workbooks. */
   def readXls(spark: SparkSession, xlsPath: String, headerRow: Int = 0,
-              sheet: Int = 1): DataFrame = {
+              sheet: Int = 1, password: Option[String] = None): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(xlsPath))
     import spark.implicits._
-    val cellDf = cells(bytes, sheet).toDF("rn", "ci", "value")
+    val cellDf = cells(bytes, sheet, password).toDF("rn", "ci", "value")
     SpreadsheetSource.promote(cellDf, headerRow)
   }
 }

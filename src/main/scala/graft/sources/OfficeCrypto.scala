@@ -190,6 +190,136 @@ object OfficeCrypto {
     outPath
   }
 
+  /** RC4 CryptoAPI decryption for BIFF Workbook streams (MS-OFFCRYPTO
+    * 2.3.5) — the scheme legacy password-protected .xls files use (the
+    * reference's geoplace workbook class). SHA-1 key derivation, RC4
+    * re-keyed per 1024-byte stream block; record headers, the exempt
+    * record set, and BoundSheet8.lbPlyPos stay plaintext but still
+    * consume keystream positions (MS-XLS 2.2.10.3). RC4 is its own
+    * inverse, so the fixture encryptor is the same transform. */
+  object Rc4CryptoApi {
+
+    private def sha1(parts: Array[Byte]*): Array[Byte] = {
+      val md = MessageDigest.getInstance("SHA-1")
+      parts.foreach(md.update)
+      md.digest()
+    }
+
+    /** H = SHA1(salt || UTF-16LE(password)) — the base secret. */
+    def passwordHash(salt: Array[Byte], password: String): Array[Byte] =
+      sha1(salt, password.getBytes(StandardCharsets.UTF_16LE))
+
+    /** Block key = SHA1(H || LE32(block)), truncated to keyBits/8; 40-bit
+      * keys are zero-padded to 16 bytes (the CryptoAPI export rule). */
+    def blockKey(h: Array[Byte], block: Int, keyBits: Int): Array[Byte] = {
+      val full = sha1(h, ByteBuffer.allocate(4)
+        .order(ByteOrder.LITTLE_ENDIAN).putInt(block).array())
+      if (keyBits == 40) {
+        val a = new Array[Byte](16) // 5 key bytes zero-padded to 128 bits
+        System.arraycopy(full, 0, a, 0, 5)
+        a
+      } else java.util.Arrays.copyOf(full, keyBits / 8)
+    }
+
+    private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("ARCFOUR")
+      c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "ARCFOUR"))
+      c.doFinal(data)
+    }
+
+    /** True iff SHA1(decrypted verifier) matches the decrypted hash —
+      * both decrypted in ONE block-0 RC4 run (spec order). */
+    def verify(h: Array[Byte], keyBits: Int, encVerifier: Array[Byte],
+               encVerifierHash: Array[Byte]): Boolean = {
+      val plain = rc4(blockKey(h, 0, keyBits), encVerifier ++ encVerifierHash)
+      val (v, vh) = plain.splitAt(16)
+      java.util.Arrays.equals(sha1(v), vh.take(20))
+    }
+
+    /** Record types whose payloads are never encrypted (MS-XLS 2.2.10.3). */
+    private val ExemptRecords =
+      Set(0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138)
+
+    /** XOR the encrypted byte ranges of a BIFF stream with the positional
+      * RC4 keystream (1024-byte blocks). Symmetric: applying it to a
+      * plaintext stream encrypts it (used by the spec's fixture). */
+    def applyStream(wb: Array[Byte], h: Array[Byte], keyBits: Int): Array[Byte] = {
+      // keystream byte at absolute position p = block p/1024, index p%1024
+      val nBlocks = wb.length / 1024 + 1
+      val keystream = (0 until nBlocks).map { b =>
+        rc4(blockKey(h, b, keyBits), new Array[Byte](1024))
+      }
+      def ks(p: Int): Byte = keystream(p / 1024)(p % 1024)
+      val out = wb.clone()
+      var off = 0
+      while (off + 4 <= wb.length) {
+        val t = ((wb(off) & 0xFF) | ((wb(off + 1) & 0xFF) << 8))
+        val n = ((wb(off + 2) & 0xFF) | ((wb(off + 3) & 0xFF) << 8))
+        // header: plaintext, keystream positions consumed
+        val body = off + 4
+        if (!ExemptRecords.contains(t)) {
+          // BoundSheet8: the 4-byte lbPlyPos stays plaintext
+          val start = if (t == 0x0085) body + 4 else body
+          var p = start
+          while (p < body + n && p < wb.length) {
+            out(p) = (out(p) ^ ks(p)).toByte
+            p += 1
+          }
+        }
+        off = body + n
+      }
+      out
+    }
+
+    private case class FilePass(keyBits: Int, salt: Array[Byte],
+                                encVerifier: Array[Byte], encVerifierHash: Array[Byte])
+
+    private def parseFilePass(data: Array[Byte]): FilePass = {
+      val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      require(b.getShort() == 1, "XOR-obfuscated .xls is not supported")
+      val vMajor = b.getShort()
+      require(vMajor >= 2 && vMajor <= 4,
+        s"RC4 'standard' (binary, vMajor=$vMajor) .xls encryption unsupported; " +
+          "CryptoAPI (vMajor 2-4) is")
+      b.getShort() // vMinor
+      b.getInt()   // flags
+      val headerSize = b.getInt()
+      val headerStart = b.position()
+      b.getInt(); b.getInt() // header flags, sizeExtra
+      require(b.getInt() == 0x6801, "not RC4")      // algId
+      require(b.getInt() == 0x8004, "not SHA-1")    // algIdHash
+      val keyBits = b.getInt()
+      b.position(headerStart + headerSize)          // skip CSP name etc.
+      val saltSize = b.getInt()
+      val salt = new Array[Byte](saltSize); b.get(salt)
+      val encVerifier = new Array[Byte](16); b.get(encVerifier)
+      val vhSize = b.getInt()
+      val encVerifierHash = new Array[Byte](vhSize); b.get(encVerifierHash)
+      FilePass(if (keyBits == 0) 40 else keyBits, salt, encVerifier, encVerifierHash)
+    }
+
+    /** Decrypt a Workbook stream whose second record is FILEPASS; throws
+      * IllegalArgumentException on a wrong password. */
+    def decryptWorkbook(wb: Array[Byte], password: String): Array[Byte] = {
+      // find the FILEPASS record (after BOF)
+      var off = 0
+      var fp: Option[(Int, Int)] = None
+      while (fp.isEmpty && off + 4 <= wb.length) {
+        val t = (wb(off) & 0xFF) | ((wb(off + 1) & 0xFF) << 8)
+        val n = (wb(off + 2) & 0xFF) | ((wb(off + 3) & 0xFF) << 8)
+        if (t == 0x002F) fp = Some((off + 4, n))
+        off += 4 + n
+      }
+      val (fpOff, fpLen) = fp.getOrElse(sys.error("no FILEPASS record"))
+      val info = parseFilePass(
+        java.util.Arrays.copyOfRange(wb, fpOff, fpOff + fpLen))
+      val h = passwordHash(info.salt, password)
+      if (!verify(h, info.keyBits, info.encVerifier, info.encVerifierHash))
+        throw new IllegalArgumentException("wrong password for RC4 .xls")
+      applyStream(wb, h, info.keyBits)
+    }
+  }
+
   /** Minimal MS-CFB (OLE2 compound file) stream reader. */
   object Cfb {
     private val EndOfChain = 0xFFFFFFFEL
