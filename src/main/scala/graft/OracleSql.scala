@@ -483,6 +483,21 @@ object OracleSql {
          |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM t""".stripMargin,
 
+    "q_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END AS g3 FROM d)
+         |SELECT doc_id, n_tokens,
+         | CAST(len(g3) AS BIGINT) AS n_3grams,
+         | CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_3grams,
+         | CASE WHEN len(g3) > 0
+         |   THEN (CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000000) // len(g3)
+         |   ELSE CAST(0 AS BIGINT) END AS rep_ratio_ppm
+         |FROM g""".stripMargin,
+
     // identical pattern strings + replacement order as Text.PiiPatterns
     // (Java-regex ∩ RE2 subset); DuckDB regexp_replace needs 'g' to match
     // Spark's global-replace default

@@ -421,6 +421,23 @@ object SparkEntry {
       col("event_id"),
       when(col("event_type") === "purchase", lit(500000L)).otherwise(lit(20000L)))
 
+  /** Intra-document repetition score (the Gopher-style "repeated n-gram
+    * fraction" quality rule): duplicated-3gram ratio in exact integer
+    * ppm. Zero-shuffle; native NGrams expression. */
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        graft.plans.NGrams.ngrams(col("toks"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct_3grams"))
+      .withColumn("rep_ratio_ppm",
+        when(col("n_3grams") > 0,
+          expr("((n_3grams - n_distinct_3grams) * 1000000) DIV n_3grams"))
+          .otherwise(lit(0L)))
+
   /** PII detect + redact (the pre-training scrub pass). The corpus text
     * carries no PII, so each doc gets a deterministic synthetic
     * email/URL/phone suffix built from doc_id IDENTICALLY in the oracle
@@ -643,6 +660,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_pii_scrub" -> (qPiiScrub _),
+    "q_repetition" -> (qRepetition _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_binary_meta" -> (qBinaryMeta _),
     "q_asof_join" -> (qAsofJoin _),

@@ -30,6 +30,20 @@ object ParquetSink {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Write with parquet BLOOM FILTERS on `bloomCols`: point-lookup
+    * file/row-group skipping for high-cardinality keys, where min/max
+    * statistics are useless (uniformly distributed ids span the whole
+    * domain in every file, so no range ever prunes). The complement of
+    * [[ZOrder]]: z-order serves range boxes, blooms serve `key = x` /
+    * `key IN (...)` probes — at 100 TB a single-document lookup touches
+    * one row group instead of the table. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     expectedDistinct: Long = 1000000L): Unit =
+    bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedDistinct.toString)
+    }.parquet(path)
+
   /** Compact a table's small files in place: incremental month-by-month
     * appends (the reference's scheduled loads) accumulate one-file-per-run
     * partitions whose open/seek overhead eventually dominates scans at

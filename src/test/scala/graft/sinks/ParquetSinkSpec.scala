@@ -46,6 +46,34 @@ class ParquetSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 60)
   }
 
+  test("writeWithBloom writes a working parquet bloom filter for point probes") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    val df = spark.range(0, 5000).selectExpr("id", "id * 2 AS v")
+    ParquetSink.writeWithBloom(df.coalesce(1), s"$dir/t", Seq("id"),
+      expectedDistinct = 5000)
+    val file = spark.read.parquet(s"$dir/t").inputFiles.head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val idCol = rg.getColumns.asScala.find(_.getPath.toDotString == "id").get
+      val vCol = rg.getColumns.asScala.find(_.getPath.toDotString == "v").get
+      assert(idCol.getBloomFilterOffset > 0, "no bloom filter written for id")
+      assert(vCol.getBloomFilterOffset <= 0, "bloom leaked onto unlisted column")
+      val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(idCol)
+      // every present key answers true...
+      assert((0L until 5000L by 97).forall(k => bloom.findHash(bloom.hash(k))))
+      // ...and absent keys are overwhelmingly rejected (that IS the skip)
+      val falsePos = (1000000L until 1000100L)
+        .count(k => bloom.findHash(bloom.hash(k)))
+      assert(falsePos < 10, s"$falsePos/100 absent keys hit — filter useless")
+    } finally reader.close()
+  }
+
   test("partitioned layout enables partition pruning in the scan") {
     val dir = java.nio.file.Files.createTempDirectory("psink2").toString
     ParquetSink.writePartitioned(
