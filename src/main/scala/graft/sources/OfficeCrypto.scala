@@ -209,6 +209,25 @@ object OfficeCrypto {
     def passwordHash(salt: Array[Byte], password: String): Array[Byte] =
       sha1(salt, password.getBytes(StandardCharsets.UTF_16LE))
 
+    /** "Standard" (vMajor=1) base secret, MD5-derived (MS-OFFCRYPTO
+      * 2.3.6.2): MD5(pw)[0..4] || salt, repeated 16 times, MD5'd again,
+      * truncated to the 40-bit key material. */
+    def passwordHashStd(salt: Array[Byte], password: String): Array[Byte] = {
+      val md5 = MessageDigest.getInstance("MD5")
+      val trunc = md5.digest(password.getBytes(StandardCharsets.UTF_16LE)).take(5)
+      md5.reset()
+      (0 until 16).foreach { _ => md5.update(trunc); md5.update(salt) }
+      md5.digest().take(5)
+    }
+
+    /** Standard-variant block key: MD5(keyMaterial5 || LE32(block)), all
+      * 16 digest bytes as the RC4 key (the derived entropy is 40 bits,
+      * the generated key is 128). */
+    def blockKeyStd(h5: Array[Byte], block: Int): Array[Byte] =
+      MessageDigest.getInstance("MD5").digest(
+        h5 ++ ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(block).array())
+
     /** Block key = SHA1(H || LE32(block)), truncated to keyBits/8; 40-bit
       * keys are zero-padded to 16 bytes (the CryptoAPI export rule). */
     def blockKey(h: Array[Byte], block: Int, keyBits: Int): Array[Byte] = {
@@ -227,13 +246,18 @@ object OfficeCrypto {
       c.doFinal(data)
     }
 
-    /** True iff SHA1(decrypted verifier) matches the decrypted hash —
+    /** True iff hash(decrypted verifier) matches the decrypted hash —
       * both decrypted in ONE block-0 RC4 run (spec order). */
     def verify(h: Array[Byte], keyBits: Int, encVerifier: Array[Byte],
-               encVerifierHash: Array[Byte]): Boolean = {
-      val plain = rc4(blockKey(h, 0, keyBits), encVerifier ++ encVerifierHash)
+               encVerifierHash: Array[Byte]): Boolean =
+      verifyWith(blockKey(h, 0, keyBits), sha1(_), 20, encVerifier, encVerifierHash)
+
+    private def verifyWith(key0: Array[Byte], hashFn: Array[Byte] => Array[Byte],
+                           hashLen: Int, encVerifier: Array[Byte],
+                           encVerifierHash: Array[Byte]): Boolean = {
+      val plain = rc4(key0, encVerifier ++ encVerifierHash)
       val (v, vh) = plain.splitAt(16)
-      java.util.Arrays.equals(sha1(v), vh.take(20))
+      java.util.Arrays.equals(hashFn(v), vh.take(hashLen))
     }
 
     /** Record types whose payloads are never encrypted (MS-XLS 2.2.10.3). */
@@ -243,11 +267,19 @@ object OfficeCrypto {
     /** XOR the encrypted byte ranges of a BIFF stream with the positional
       * RC4 keystream (1024-byte blocks). Symmetric: applying it to a
       * plaintext stream encrypts it (used by the spec's fixture). */
-    def applyStream(wb: Array[Byte], h: Array[Byte], keyBits: Int): Array[Byte] = {
+    def applyStream(wb: Array[Byte], h: Array[Byte], keyBits: Int): Array[Byte] =
+      applyStreamWith(wb, b => blockKey(h, b, keyBits))
+
+    /** [[applyStream]] for the standard (MD5/vMajor=1) key schedule. */
+    def applyStreamStd(wb: Array[Byte], h5: Array[Byte]): Array[Byte] =
+      applyStreamWith(wb, blockKeyStd(h5, _))
+
+    private def applyStreamWith(wb: Array[Byte],
+                                keyFor: Int => Array[Byte]): Array[Byte] = {
       // keystream byte at absolute position p = block p/1024, index p%1024
       val nBlocks = wb.length / 1024 + 1
       val keystream = (0 until nBlocks).map { b =>
-        rc4(blockKey(h, b, keyBits), new Array[Byte](1024))
+        rc4(keyFor(b), new Array[Byte](1024))
       }
       def ks(p: Int): Byte = keystream(p / 1024)(p % 1024)
       val out = wb.clone()
@@ -271,34 +303,44 @@ object OfficeCrypto {
       out
     }
 
-    private case class FilePass(keyBits: Int, salt: Array[Byte],
+    private case class FilePass(std: Boolean, keyBits: Int, salt: Array[Byte],
                                 encVerifier: Array[Byte], encVerifierHash: Array[Byte])
 
     private def parseFilePass(data: Array[Byte]): FilePass = {
       val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
       require(b.getShort() == 1, "XOR-obfuscated .xls is not supported")
       val vMajor = b.getShort()
-      require(vMajor >= 2 && vMajor <= 4,
-        s"RC4 'standard' (binary, vMajor=$vMajor) .xls encryption unsupported; " +
-          "CryptoAPI (vMajor 2-4) is")
-      b.getShort() // vMinor
-      b.getInt()   // flags
-      val headerSize = b.getInt()
-      val headerStart = b.position()
-      b.getInt(); b.getInt() // header flags, sizeExtra
-      require(b.getInt() == 0x6801, "not RC4")      // algId
-      require(b.getInt() == 0x8004, "not SHA-1")    // algIdHash
-      val keyBits = b.getInt()
-      b.position(headerStart + headerSize)          // skip CSP name etc.
-      val saltSize = b.getInt()
-      val salt = new Array[Byte](saltSize); b.get(salt)
-      val encVerifier = new Array[Byte](16); b.get(encVerifier)
-      val vhSize = b.getInt()
-      val encVerifierHash = new Array[Byte](vhSize); b.get(encVerifierHash)
-      FilePass(if (keyBits == 0) 40 else keyBits, salt, encVerifier, encVerifierHash)
+      if (vMajor == 1) {
+        // "standard" RC4 (MS-OFFCRYPTO 2.3.6): MD5 schedule, fixed layout
+        b.getShort() // vMinor
+        val salt = new Array[Byte](16); b.get(salt)
+        val encVerifier = new Array[Byte](16); b.get(encVerifier)
+        val encVerifierHash = new Array[Byte](16); b.get(encVerifierHash)
+        FilePass(std = true, 40, salt, encVerifier, encVerifierHash)
+      } else {
+        require(vMajor >= 2 && vMajor <= 4,
+          s"unknown .xls encryption version $vMajor")
+        b.getShort() // vMinor
+        b.getInt()   // flags
+        val headerSize = b.getInt()
+        val headerStart = b.position()
+        b.getInt(); b.getInt() // header flags, sizeExtra
+        require(b.getInt() == 0x6801, "not RC4")      // algId
+        require(b.getInt() == 0x8004, "not SHA-1")    // algIdHash
+        val keyBits = b.getInt()
+        b.position(headerStart + headerSize)          // skip CSP name etc.
+        val saltSize = b.getInt()
+        val salt = new Array[Byte](saltSize); b.get(salt)
+        val encVerifier = new Array[Byte](16); b.get(encVerifier)
+        val vhSize = b.getInt()
+        val encVerifierHash = new Array[Byte](vhSize); b.get(encVerifierHash)
+        FilePass(std = false, if (keyBits == 0) 40 else keyBits,
+          salt, encVerifier, encVerifierHash)
+      }
     }
 
-    /** Decrypt a Workbook stream whose second record is FILEPASS; throws
+    /** Decrypt a Workbook stream containing a FILEPASS record (either the
+      * CryptoAPI/SHA-1 or the "standard"/MD5 RC4 variant); throws
       * IllegalArgumentException on a wrong password. */
     def decryptWorkbook(wb: Array[Byte], password: String): Array[Byte] = {
       // find the FILEPASS record (after BOF)
@@ -313,10 +355,19 @@ object OfficeCrypto {
       val (fpOff, fpLen) = fp.getOrElse(sys.error("no FILEPASS record"))
       val info = parseFilePass(
         java.util.Arrays.copyOfRange(wb, fpOff, fpOff + fpLen))
-      val h = passwordHash(info.salt, password)
-      if (!verify(h, info.keyBits, info.encVerifier, info.encVerifierHash))
-        throw new IllegalArgumentException("wrong password for RC4 .xls")
-      applyStream(wb, h, info.keyBits)
+      if (info.std) {
+        val h5 = passwordHashStd(info.salt, password)
+        val md5 = (b: Array[Byte]) => MessageDigest.getInstance("MD5").digest(b)
+        if (!verifyWith(blockKeyStd(h5, 0), md5, 16,
+            info.encVerifier, info.encVerifierHash))
+          throw new IllegalArgumentException("wrong password for RC4 .xls")
+        applyStreamStd(wb, h5)
+      } else {
+        val h = passwordHash(info.salt, password)
+        if (!verify(h, info.keyBits, info.encVerifier, info.encVerifierHash))
+          throw new IllegalArgumentException("wrong password for RC4 .xls")
+        applyStream(wb, h, info.keyBits)
+      }
     }
   }
 
