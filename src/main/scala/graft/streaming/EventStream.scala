@@ -128,6 +128,31 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming ingest hygiene for a DOCUMENT stream: per-row quality gate
+    * (token floor + repeated-3gram ceiling, graft.functions.Text /
+    * NGrams) followed by PII redaction — all stateless per-row
+    * expressions, so the batch operators stream UNCHANGED with no state
+    * store and no watermark; compose with [[nearDupFilterBatch]]
+    * downstream for the full ingest pipeline (gate -> scrub -> near-dup).
+    * Emits the scrubbed text plus the gate metrics for audit sinks. */
+  def qualityScrubStream(docs: DataFrame, idCol: String, textCol: String,
+                         minTokens: Int, maxRepRatioPpm: Long): DataFrame = {
+    import graft.functions.Text
+    docs
+      .select(col(idCol), col(textCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(textCol), col("__toks"),
+        graft.plans.NGrams.ngrams(col("__toks"), 3).as("__g3"))
+      .select(col(idCol), col(textCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        when(size(col("__g3")) > 0,
+          expr("((size(__g3) - size(array_distinct(__g3))) * CAST(1000000 AS BIGINT)) DIV size(__g3)"))
+          .otherwise(lit(0L)).as("rep_ratio_ppm"))
+      .where(col("n_tokens") >= minTokens && col("rep_ratio_ppm") <= maxRepRatioPpm)
+      .select(col(idCol),
+        Text.piiScrub(col(textCol)).as("scrubbed_text"),
+        col("n_tokens"), col("rep_ratio_ppm"))
+  }
+
   /** Read the signature store iff its path exists. A missing store is the
     * normal first-batch state and means "empty"; any OTHER failure (FS
     * flake, corrupted files) must FAIL the batch — treating it as empty

@@ -109,6 +109,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityScrubStream gates and scrubs a document stream (stateless)") {
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("docstream").toString
+    Seq(
+      (1L, "short doc"),                                             // too short
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),     // repetitive
+      (3L, "a clean document with mail to alice@example.com inside " +
+        "plus several further distinct useful tokens here")          // good + PII
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    EventStream.runOnce(spark,
+      EventStream.qualityScrubStream(stream, "doc_id", "text",
+        minTokens = 5, maxRepRatioPpm = 500000L),
+      "doc_hygiene")
+    val out = spark.table("doc_hygiene")
+      .select("doc_id", "scrubbed_text").as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) === Seq(3L))
+    assert(out.head._2.contains("[EMAIL]") && !out.head._2.contains("alice@"))
+    // batch and stream agree exactly (stateless per-row plan)
+    val batchOut = EventStream.qualityScrubStream(
+        spark.read.parquet(src), "doc_id", "text", 5, 500000L)
+      .select("doc_id", "scrubbed_text").as[(Long, String)].collect().toSeq
+    assert(batchOut === out)
+  }
+
   test("file-source streaming: readStream over parquet -> windowed agg -> sink") {
     import org.apache.spark.sql.functions._
     // stage a copy of the events table as a streaming source directory
