@@ -43,4 +43,63 @@ object TfIdf {
         Seq(col("score").desc, col("term")), k)
       .select("doc_id", "term", "tf", "df", "score", "rank_in_group")
   }
+
+  // ---- incremental maintenance ---------------------------------------
+  //
+  // The reference's corpora grow by scheduled appends (monthly loads);
+  // recomputing tf/df over 100 TB per batch is the thing to avoid. The
+  // store is three parquet relations: tf (doc,term,tf — append-only),
+  // df (term,df — merged per batch), meta (batch_id, n_docs — append-only
+  // ledger, which also makes replays idempotent: a seen batch_id is
+  // skipped, the at-least-once contract of foreachBatch).
+
+  private def exists(spark: org.apache.spark.sql.SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Ingest one document batch into the store. foreachBatch-shaped;
+    * replaying a committed batchId is a no-op. */
+  def ingestBatch(storeDir: String, idCol: String, textCol: String,
+                  tokens: Column => Column)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (exists(spark, s"$storeDir/meta") &&
+        !spark.read.parquet(s"$storeDir/meta")
+          .where(col("batch_id") === batchId).isEmpty) return
+    val tfNew = batch
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfDelta = tfNew.groupBy("term").agg(count(lit(1)).as("df"))
+    val merged =
+      if (exists(spark, s"$storeDir/df"))
+        spark.read.parquet(s"$storeDir/df").unionByName(dfDelta)
+          .groupBy("term").agg(sum("df").as("df"))
+      else dfDelta
+    // materialize before overwriting the relation being read
+    val snapshot = merged.localCheckpoint()
+    tfNew.write.mode("append").parquet(s"$storeDir/tf")
+    snapshot.write.mode("overwrite").parquet(s"$storeDir/df")
+    import spark.implicits._
+    // ledger row committed LAST: a crash earlier leaves a replayable batch
+    Seq((batchId, batch.select(col(idCol)).count()))
+      .toDF("batch_id", "n_docs")
+      .write.mode("append").parquet(s"$storeDir/meta")
+    tfNew.unpersist()
+  }
+
+  /** Top-k per doc over the maintained store — identical output contract
+    * (and, for the same corpus, identical cells) to [[topTerms]], without
+    * touching the document text again. */
+  def topTermsFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                        k: Int, scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val nDocs = spark.read.parquet(s"$storeDir/meta")
+      .agg(sum("n_docs")).head.getLong(0)
+    val scored = spark.read.parquet(s"$storeDir/tf")
+      .join(spark.read.parquet(s"$storeDir/df"), "term")
+      .withColumn("score", expr(s"tf * (${scale * nDocs}L DIV df)"))
+    Relational.topKPerGroup(scored, Seq("doc_id"),
+        Seq(col("score").desc, col("term")), k)
+      .select("doc_id", "term", "tf", "df", "score", "rank_in_group")
+  }
 }

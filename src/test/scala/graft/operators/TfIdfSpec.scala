@@ -29,6 +29,54 @@ class TfIdfSpec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.map(_._6).sorted == Seq(1, 2)))
   }
 
+  test("incremental store equals full recompute; batch replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("tfidf-store").toString
+    val b1 = Seq((1L, "the spark engine the"), (2L, "the data pipeline"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "the data lake"), (4L, "the boring doc"))
+      .toDF("doc_id", "text")
+    val all = b1.unionByName(b2)
+    val ingest = TfIdf.ingestBatch(store, "doc_id", "text", Text.tokens) _
+    ingest(b1, 1L)
+    ingest(b2, 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "rank_in_group")
+        .as[(Long, String, Long, Long, Long, Int)].collect().toSeq
+    val fromStore = canon(TfIdf.topTermsFromStore(spark, store, 2))
+    val full = canon(TfIdf.topTerms(all, "doc_id", "text", Text.tokens, 2))
+    assert(fromStore === full)
+    // at-least-once replay of a committed batch changes nothing
+    ingest(b2, 2L)
+    assert(canon(TfIdf.topTermsFromStore(spark, store, 2)) === full)
+    // a genuinely new batch shifts df and n_docs for everyone
+    ingest(Seq((5L, "data data data")).toDF("doc_id", "text"), 3L)
+    val grown = canon(TfIdf.topTermsFromStore(spark, store, 2))
+    assert(grown.size === 9) // doc 5 has one distinct term -> one row
+    val fullGrown = canon(TfIdf.topTerms(
+      all.unionByName(Seq((5L, "data data data")).toDF("doc_id", "text")),
+      "doc_id", "text", Text.tokens, 2))
+    assert(grown === fullGrown)
+  }
+
+  test("ingestBatch wires into a real foreachBatch stream") {
+    val src = java.nio.file.Files.createTempDirectory("tfidf-src").toString
+    val store = java.nio.file.Files.createTempDirectory("tfidf-store2").toString
+    val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(docs.schema).parquet(src)
+      .writeStream
+      .foreachBatch(TfIdf.ingestBatch(store, "doc_id", "text", Text.tokens) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = TfIdf.topTermsFromStore(spark, store, 1)
+      .orderBy("doc_id").select("doc_id", "term")
+      .as[(Long, String)].collect().toSeq
+    // beta (df=1) outranks alpha (df=2) for doc 1; gamma for doc 2
+    assert(out === Seq((1L, "beta"), (2L, "gamma")))
+  }
+
   test("tf counts repeats within a doc and k caps output") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val out = TfIdf.topTerms(docs, "doc_id", "text", Text.tokens, 1)

@@ -105,6 +105,29 @@ class WkbSpec extends SparkSpec {
     assert(parseHex("010200000002000000000000000000F03F") === None)
   }
 
+  test("property: write->parse round-trips arbitrary coordinate lists exactly") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val coord = Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100)
+    val pts = Gen.nonEmptyListOf(Gen.zip(coord, coord)).map(_.take(50))
+    val prop = Prop.forAll(pts) { ps =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        ps.map { case (x, y) =>
+          org.apache.spark.sql.catalyst.InternalRow(x, y) }.toArray)
+      for (gt <- Seq(2, 3)) { // LineString, single-shell Polygon
+        val parsed = Wkb.toArrayData(Wkb.fromArrayData(arr, gt))
+        assert(parsed.numElements() == ps.length)
+        ps.indices.foreach { i =>
+          val p = parsed.getStruct(i, 2)
+          assert(p.getDouble(0) == ps(i)._1 && p.getDouble(1) == ps(i)._2)
+        }
+      }
+      true
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("parse composes with the Geo pipeline (centroid of a written line)") {
     val out = Seq((10.0, 0.0, 20.0, 4.0)).toDF("x1", "y1", "x2", "y2")
       .select(Geo.stAsWkb(array(
