@@ -47,19 +47,35 @@ object TfIdf {
   // ---- incremental maintenance ---------------------------------------
   //
   // The reference's corpora grow by scheduled appends (monthly loads);
-  // recomputing tf/df over 100 TB per batch is the thing to avoid. The
-  // store is three parquet relations: tf (doc,term,tf — append-only),
-  // df (term,df — merged per batch), meta (batch_id, n_docs — append-only
-  // ledger, which also makes replays idempotent: a seen batch_id is
-  // skipped, the at-least-once contract of foreachBatch).
+  // re-reading 100 TB of old text per batch is the thing to avoid. The
+  // store is three batch_id-PARTITIONED parquet relations — tf
+  // (doc,term,tf), df_delta (term,df), meta (n_docs) — all written with
+  // dynamic partition overwrite, so EVERY write of a batch is
+  // idempotent under foreachBatch's at-least-once replay: a crash at
+  // any point mid-ingest just re-overwrites that batch's partitions
+  // (no append to double, no read-modify-write merge to double-apply;
+  // the r3 self-review killed an earlier append+merge design exactly
+  // because a crash between its writes double-counted on replay). The
+  // meta partition lands last and doubles as the committed-batch
+  // ledger. Read-side: df = sum of the per-batch deltas — vocabulary x
+  // batches rows, not corpus rows.
 
   private def exists(spark: org.apache.spark.sql.SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
+  private def writeBatchPartition(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("batch_id")
+      .parquet(path)
+
   /** Ingest one document batch into the store. foreachBatch-shaped;
-    * replaying a committed batchId is a no-op. */
+    * replaying a committed batchId is a no-op, and replaying a batch
+    * that crashed mid-ingest simply overwrites its own partitions. */
   def ingestBatch(storeDir: String, idCol: String, textCol: String,
                   tokens: Column => Column)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -70,21 +86,14 @@ object TfIdf {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist()
-    val dfDelta = tfNew.groupBy("term").agg(count(lit(1)).as("df"))
-    val merged =
-      if (exists(spark, s"$storeDir/df"))
-        spark.read.parquet(s"$storeDir/df").unionByName(dfDelta)
-          .groupBy("term").agg(sum("df").as("df"))
-      else dfDelta
-    // materialize before overwriting the relation being read
-    val snapshot = merged.localCheckpoint()
-    tfNew.write.mode("append").parquet(s"$storeDir/tf")
-    snapshot.write.mode("overwrite").parquet(s"$storeDir/df")
+    writeBatchPartition(tfNew, s"$storeDir/tf", batchId)
+    writeBatchPartition(tfNew.groupBy("term").agg(count(lit(1)).as("df")),
+      s"$storeDir/df_delta", batchId)
     import spark.implicits._
-    // ledger row committed LAST: a crash earlier leaves a replayable batch
-    Seq((batchId, batch.select(col(idCol)).count()))
-      .toDF("batch_id", "n_docs")
-      .write.mode("append").parquet(s"$storeDir/meta")
+    // committed-batch marker lands LAST
+    writeBatchPartition(
+      Seq(batch.select(col(idCol)).count()).toDF("n_docs"),
+      s"$storeDir/meta", batchId)
     tfNew.unpersist()
   }
 
@@ -95,8 +104,11 @@ object TfIdf {
                         k: Int, scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     val nDocs = spark.read.parquet(s"$storeDir/meta")
       .agg(sum("n_docs")).head.getLong(0)
+    val dfAll = spark.read.parquet(s"$storeDir/df_delta")
+      .groupBy("term").agg(sum("df").as("df"))
     val scored = spark.read.parquet(s"$storeDir/tf")
-      .join(spark.read.parquet(s"$storeDir/df"), "term")
+      .drop("batch_id")
+      .join(dfAll, "term")
       .withColumn("score", expr(s"tf * (${scale * nDocs}L DIV df)"))
     Relational.topKPerGroup(scored, Seq("doc_id"),
         Seq(col("score").desc, col("term")), k)

@@ -385,16 +385,28 @@ object OfficeCrypto {
       val firstDir = buf.getInt(48)
       val miniCutoff = buf.getInt(56)
       val firstMiniFat = buf.getInt(60)
-      require(buf.getInt(72) == 0,
-        "DIFAT overflow sectors unsupported (file > ~7 MB of FAT)")
 
       def sector(n: Long): Array[Byte] = {
         val off = sectorSize * (n.toInt + 1)
         java.util.Arrays.copyOfRange(bytes, off, off + sectorSize)
       }
-      // FAT from the header DIFAT
-      val fat = (0 until nFat).flatMap { i =>
-        val fs = buf.getInt(76 + 4 * i)
+      // FAT sector list: 109 header DIFAT entries, then the DIFAT sector
+      // chain (127 entries + next pointer per sector) for larger files
+      val headerDifat = (0 until math.min(nFat, 109)).map(i => buf.getInt(76 + 4 * i))
+      val chainedDifat = {
+        val b = Seq.newBuilder[Int]
+        var cur = buf.getInt(68)
+        var guard = 0
+        while (cur != -1 && (cur & 0xFFFFFFFFL) <= 0xFFFFFFFAL && guard < 4096) {
+          val s = ByteBuffer.wrap(sector(cur)).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until sectorSize / 4 - 1).foreach(_ => b += s.getInt())
+          cur = s.getInt() // last entry = next DIFAT sector
+          guard += 1
+        }
+        b.result()
+      }
+      val fatSectors = (headerDifat ++ chainedDifat).take(nFat)
+      val fat = fatSectors.flatMap { fs =>
         val s = ByteBuffer.wrap(sector(fs)).order(ByteOrder.LITTLE_ENDIAN)
         (0 until sectorSize / 4).map(_ => s.getInt() & 0xFFFFFFFFL)
       }.toArray

@@ -49,6 +49,17 @@ class TfIdfSpec extends SparkSpec {
     // at-least-once replay of a committed batch changes nothing
     ingest(b2, 2L)
     assert(canon(TfIdf.topTermsFromStore(spark, store, 2)) === full)
+    // crash simulation: the committed marker is missing (crash mid-ingest
+    // after data writes) -> the replay re-overwrites batch 2's partitions
+    // and must NOT double-count
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(store, "meta", "batch_id=2"))
+    ingest(b2, 2L)
+    assert(canon(TfIdf.topTermsFromStore(spark, store, 2)) === full)
     // a genuinely new batch shifts df and n_docs for everyone
     ingest(Seq((5L, "data data data")).toDF("doc_id", "text"), 3L)
     val grown = canon(TfIdf.topTermsFromStore(spark, store, 2))

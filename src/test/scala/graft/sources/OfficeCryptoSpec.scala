@@ -136,6 +136,17 @@ class OfficeCryptoSpec extends SparkSpec {
     assert(e.getMessage.contains("wrong password"))
   }
 
+  test("CFB DIFAT overflow chain: files beyond the 109-FAT header limit read back") {
+    // ~8.5 MB stream -> ~130 FAT sectors -> the DIFAT sector chain is
+    // exercised on both the writer and the reader
+    val big = Array.tabulate[Byte](8500000)(i => (i * 31 + 7).toByte)
+    val small = Array.tabulate[Byte](100)(_.toByte)
+    val cfb = TestCfb.write(Seq("Big" -> big, "Tiny" -> small))
+    val streams = OfficeCrypto.Cfb.streams(cfb)
+    assert(java.util.Arrays.equals(streams("Big"), big))
+    assert(java.util.Arrays.equals(streams("Tiny"), small))
+  }
+
   test("non-agile EncryptionInfo is refused with a clear error") {
     val dir = Files.createTempDirectory("offcrypto-std").toString
     // version 3.2 = legacy "standard" encryption

@@ -38,8 +38,19 @@ object TestCfb {
     val msStart = nDir + nMiniFatSectors
     val bigStarts = bigSizes.scanLeft(msStart + nMs)(_ + _)
     val fatStart = bigStarts.last
-    val nFat = (fatStart + 1 + 127) / 128
-    val total = fatStart + nFat
+    // the FAT covers every sector INCLUDING itself and the DIFAT chain:
+    // iterate the mutually dependent counts to a fixpoint
+    var nFat = 1
+    var nDifat = 0
+    var changed = true
+    while (changed) {
+      val nf = (fatStart + nFat + nDifat + 127) / 128
+      val nd = if (nf <= 109) 0 else (nf - 109 + 126) / 127
+      changed = nf != nFat || nd != nDifat
+      nFat = nf; nDifat = nd
+    }
+    val difatStart = fatStart + nFat
+    val total = difatStart + nDifat
 
     val fat = Array.fill(nFat * 128)(Free)
     for (i <- 0 until nDir) fat(i) = if (i == nDir - 1) End else i + 1
@@ -51,6 +62,7 @@ object TestCfb {
       for (i <- 0 until n) fat(s + i) = if (i == n - 1) End else s + i + 1
     }
     for (i <- 0 until nFat) fat(fatStart + i) = FatSect
+    for (i <- 0 until nDifat) fat(difatStart + i) = 0xFFFFFFFC // DIFSECT
 
     def dirEntry(name: String, objType: Int, start: Int, size: Long): Array[Byte] = {
       val e = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
@@ -89,9 +101,8 @@ object TestCfb {
     header.putInt(56, 4096)
     header.putInt(60, nDir)            // first miniFAT sector
     header.putInt(64, nMiniFatSectors)
-    header.putInt(68, End)
-    header.putInt(72, 0)
-    require(nFat <= 109, "fixture too large for header-only DIFAT")
+    header.putInt(68, if (nDifat > 0) difatStart else End)
+    header.putInt(72, nDifat)
     for (i <- 0 until 109)
       header.putInt(76 + 4 * i, if (i < nFat) fatStart + i else Free)
 
@@ -109,6 +120,16 @@ object TestCfb {
     val fatBytes = ByteBuffer.allocate(512 * nFat).order(ByteOrder.LITTLE_ENDIAN)
     fat.foreach(fatBytes.putInt)
     for (i <- 0 until nFat) putSector(fatStart + i, fatBytes.array(), i * 512)
+    // DIFAT overflow chain: 127 FAT-sector ids + next-DIFAT pointer each
+    for (d <- 0 until nDifat) {
+      val s = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      for (j <- 0 until 127) {
+        val idx = 109 + d * 127 + j
+        s.putInt(if (idx < nFat) fatStart + idx else Free)
+      }
+      s.putInt(if (d == nDifat - 1) End else difatStart + d + 1)
+      putSector(difatStart + d, s.array(), 0)
+    }
 
     val out = new ByteArrayOutputStream()
     out.write(header.array()); out.write(body.array())
