@@ -48,6 +48,10 @@ object Stats {
     * distinct-score table, and an equi-join back to the caller.
     *
     * Returns (DataFrame(scoreCol, __cnt_less), totalRowCount).
+    *
+    * Null scores are DROPPED by the join-back (a global window would
+    * order them first instead) — callers rank non-null measures; filter
+    * or coalesce upstream if nulls are possible.
     */
   def cumLess(df: DataFrame, scoreCol: String,
               nBuckets: Int = 1024): (DataFrame, Long) = {
@@ -119,8 +123,9 @@ object Stats {
     * retries, and engines (never `rand()` — a task retry with rand()
     * silently changes the sample), shuffle-free (a scan filter), and
     * stratified by passing a per-row ppm expression (e.g. a CASE over the
-    * stratum column: oversample rare strata, downsample bulk). The
-    * training-data downsampling primitive. */
+    * stratum column: oversample rare strata, downsample bulk). Null keys
+    * are never sampled (null predicate). The training-data downsampling
+    * primitive. */
   def hashSample(df: DataFrame, key: Column, fractionPpm: Column): DataFrame =
     df.where(
       pmod(graft.plans.Md5Long.md5Long(key.cast("string")), lit(1000000L))

@@ -54,6 +54,10 @@ object ZOrder {
       min(col(c).cast("double")).as(s"mn_$c"),
       max(col(c).cast("double")).as(s"mx_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    if (stats.isNullAt(0)) { // empty input: nothing to cluster
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val mins = clusterCols.map(c => stats.getAs[Double](s"mn_$c"))
     val maxs = clusterCols.map(c => stats.getAs[Double](s"mx_$c"))
     df.withColumn("__z", zValue(clusterCols.map(col), mins, maxs, bits))

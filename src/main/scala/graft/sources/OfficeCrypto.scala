@@ -174,6 +174,8 @@ object OfficeCrypto {
 
     // package: u64 LE plain size, then 4096-byte AES-CBC segments
     val plainLen = ByteBuffer.wrap(pkg, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong()
+    require(plainLen >= 0 && plainLen <= Int.MaxValue,
+      s"declared package size $plainLen out of range (corrupt header?)")
     val out = new java.io.ByteArrayOutputStream(pkg.length)
     var off = 8
     var seg = 0
