@@ -71,8 +71,9 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_simhash / q_text_quality / q_sample_stratified stay shuffle-free map plans") {
-    for (q <- Seq("q_simhash", "q_text_quality", "q_sample_stratified")) {
+  test("q_simhash / q_text_quality / q_sample_stratified / q_repetition / q_pii_scrub stay shuffle-free map plans") {
+    for (q <- Seq("q_simhash", "q_text_quality", "q_sample_stratified",
+        "q_repetition", "q_pii_scrub")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q introduced a shuffle")
     }
