@@ -34,52 +34,58 @@ object Stats {
   }
 
   /** Exact count of rows strictly below each distinct `scoreCol` value,
-    * with NO single-partition window: a bounded histogram (`nBuckets`
-    * monotonic range buckets) gives every bucket its global offset, so the
-    * only windows are partitioned by bucket. Bucket boundaries only balance
-    * the work — ANY monotonic split yields the same counts, because the
-    * offsets absorb whatever lands in each bucket.
+    * with NO single-partition window: the distinct-score table is
+    * range-partitioned (Spark's RangePartitioner — sampled boundaries, so
+    * the split stays balanced under ANY score distribution, unlike
+    * equi-width histogram buckets which collapse under skew), each range
+    * partition learns its global offset from one bounded collect of
+    * per-partition totals, and the only windows are partitioned by range
+    * id. Partition boundaries only balance the work — ANY monotonic split
+    * yields the same counts, because the offsets absorb whatever lands in
+    * each partition.
     *
     * This is the scale-safe replacement for `rank()/percent_rank() OVER
     * (ORDER BY score)` with no PARTITION BY, which moves the entire
     * dataset into one task. Cost shape: one groupBy(score) shuffle, one
-    * `nBuckets`-row collect (a bounded constant, like broadcasting k-means
-    * centroids), bucket-partitioned windows over the (already aggregated)
-    * distinct-score table, and an equi-join back to the caller.
+    * range shuffle of the (already aggregated) distinct-score table, ONE
+    * driver collect of `numParts` totals (a bounded constant, like
+    * broadcasting k-means centroids), range-partitioned windows, and an
+    * equi-join back to the caller.
     *
     * Returns (DataFrame(scoreCol, __cnt_less), totalRowCount).
     *
-    * Null scores are DROPPED by the join-back (a global window would
-    * order them first instead) — callers rank non-null measures; filter
-    * or coalesce upstream if nulls are possible.
+    * Null scores are DROPPED (a global window would order them first
+    * instead) — callers rank non-null measures; coalesce upstream if null
+    * ranks are needed.
     */
   def cumLess(df: DataFrame, scoreCol: String,
-              nBuckets: Int = 1024): (DataFrame, Long) = {
-    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt")).persist()
-    val mm = counts.agg(
-      min(col(scoreCol)).cast("double").as("mn"),
-      max(col(scoreCol)).cast("double").as("mx")).head
-    if (mm.isNullAt(0))
-      return (counts.select(col(scoreCol), lit(0L).as("__cnt_less")), 0L)
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-    val bucket =
-      if (mx == mn) lit(0)
-      else least(lit(nBuckets - 1),
-        floor((col(scoreCol).cast("double") - mn) / ((mx - mn) / nBuckets)).cast("int"))
-    val bucketed = counts.withColumn("__b", bucket)
-    val totals = bucketed.groupBy("__b").agg(sum("__cnt").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val totalN = totals.iterator.map(_._2).sum
-    // exclusive prefix sums: rows in strictly-lower buckets
-    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+              numParts: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__b", "__off")
-    val w = Window.partitionBy(col("__b")).orderBy(col(scoreCol))
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    // persisted at the range shuffle: the totals job and the window job
+    // must see the SAME partition ids (they do regardless — RangePartitioner
+    // boundary sampling is seeded deterministically — but the cache also
+    // saves recomputing the groupBy)
+    val parted = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+      .repartitionByRange(parts, col(scoreCol))
+      .withColumn("__p", spark_partition_id())
+      .persist()
+    val totals = parted.groupBy("__p").agg(sum("__cnt").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (totals.isEmpty)
+      return (parted.select(col(scoreCol), lit(0L).as("__cnt_less")), 0L)
+    val totalN = totals.iterator.map(_._2).sum
+    // exclusive prefix sums: rows in strictly-lower range partitions
+    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = offsets.toSeq.toDF("__p", "__off")
+    val w = Window.partitionBy(col("__p")).orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cl = bucketed
+    val cl = parted
       .withColumn("__within", coalesce(sum(col("__cnt")).over(w), lit(0L)))
-      .join(broadcast(offDf), Seq("__b"))
+      .join(broadcast(offDf), Seq("__p"))
       .select(col(scoreCol), (col("__off") + col("__within")).as("__cnt_less"))
     (cl, totalN)
   }
