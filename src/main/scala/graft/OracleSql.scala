@@ -475,6 +475,28 @@ object OracleSql {
          |      ELSE 'und' END AS lang_pred
          |FROM s""".stripMargin,
 
+    // same 3-gram construction as q_repetition (list_distinct'ed), same
+    // benchmark-df cap 64 as the Spark plan — capped universes keep the
+    // join result cell-exact on both engines
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |  ELSE [] END AS g3 FROM t),
+         |e AS (SELECT doc_id, unnest(g3) AS sh FROM g),
+         |ba AS (SELECT doc_id, sh FROM e WHERE doc_id % 10 = 0),
+         |keep AS (SELECT sh FROM ba GROUP BY sh HAVING COUNT(*) <= 64),
+         |b AS (SELECT ba.doc_id, ba.sh FROM ba JOIN keep USING (sh)),
+         |nb AS (SELECT doc_id AS doc_b, COUNT(*) AS n_bench_sh FROM b GROUP BY 1),
+         |c AS (SELECT doc_id, sh FROM e WHERE doc_id % 10 <> 0),
+         |j AS (SELECT c.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |      FROM c JOIN b ON c.sh = b.sh GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, n_bench_sh,
+         |       (n_shared * 1000000) // n_bench_sh AS coverage_ppm
+         |FROM j JOIN nb USING (doc_b)
+         |WHERE n_shared >= 2""".stripMargin,
+
     "q_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

@@ -463,6 +463,19 @@ object SparkEntry {
       md5(Text.piiScrub(col("t")).cast("binary")).as("scrubbed_md5"))
   }
 
+  /** Train/eval decontamination: corpus docs (doc_id % 10 != 0) sharing
+    * >= 2 distinct token 3-grams with a benchmark doc (the % 10 == 0
+    * slice), with exact integer-ppm coverage of the benchmark doc.
+    * Inverted-index equi-join, benchmark-df cap 64 mirrored in the oracle
+    * (see Curate.contamination for the 100 TB linearity argument). */
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Curate.contamination(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", 3, 2, maxNgramDf = 64)
+  }
+
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
@@ -658,6 +671,7 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_contamination" -> (qContamination _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition" -> (qRepetition _),

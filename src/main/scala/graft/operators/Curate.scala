@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.PersistScope
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators for training-data pipelines: benchmark
+  * decontamination (train/eval n-gram overlap), the counterpart of the
+  * reference's cross-dataset integrity checks (reference:
+  * dbt/models/marts/street_manager quality models join two datasets to
+  * find leaked keys; here the "key" is a token n-gram and the scale shape
+  * is an inverted-index equi-join).
+  */
+object Curate {
+
+  /** Benchmark contamination: every (corpus doc, benchmark doc) pair
+    * sharing at least `minShared` distinct token `n`-grams, with the
+    * fraction of the benchmark doc's n-grams covered (exact integer ppm —
+    * engine-portable, no float division).
+    *
+    * Plan shape: both sides explode to distinct (doc, ngram) rows via the
+    * native [[graft.plans.NGrams]] expression; candidates come from an
+    * EQUI-join on the n-gram (inverted index), never a doc x doc scan.
+    *
+    * `maxNgramDf` drops n-grams present in more than that many BENCHMARK
+    * docs (cross-benchmark boilerplate) before the join. That cap is what
+    * makes the join linear at 100 TB: each corpus n-gram row fans out to
+    * at most `maxNgramDf` pairs, so candidate volume is
+    * O(|corpus n-grams| * maxNgramDf) regardless of how hot a phrase is.
+    * The oracle applies the identical cap, so results stay cell-exact.
+    *
+    * At real scale the benchmark side is tiny (eval sets) and the corpus
+    * side is the 100 TB relation: the join shuffles the corpus once on the
+    * n-gram; AQE broadcasts the capped benchmark index when it fits.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int, minShared: Int,
+                    maxNgramDf: Int = Int.MaxValue,
+                    scope: PersistScope = PersistScope()): DataFrame = {
+    val corp = Dedup.shingleRows(corpus, idCol, textCol, n)
+    val benchAll = Dedup.shingleRows(benchmark, idCol, textCol, n)
+    // capped benchmark inverted index: consumed twice (join + per-doc
+    // totals) — materialize once; df via an unordered window count
+    // (one pass, co-partitioned with the join key)
+    val bench = scope.cache(
+      if (maxNgramDf == Int.MaxValue) benchAll
+      else {
+        val w = Window.partitionBy("sh")
+        benchAll.withColumn("__df", count(lit(1)).over(w))
+          .where(col("__df") <= maxNgramDf)
+          .select("doc", "sh")
+      })
+    val nBench = bench.groupBy(col("doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_bench_sh"))
+    corp.select(col("doc").as("doc_a"), col("sh"))
+      .join(bench.select(col("doc").as("doc_b"), col("sh")), Seq("sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(nBench, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_bench_sh"),
+        expr("(n_shared * 1000000) DIV n_bench_sh").as("coverage_ppm"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // bench doc 10: trigrams {a b c, b c d, c d e}
+  // bench doc 20: trigrams {p q r, q r s}
+  private def bench = Seq(
+    (10L, "a b c d e"),
+    (20L, "p q r s")
+  ).toDF("doc_id", "text")
+
+  private def corpus = Seq(
+    (1L, "a b c d e f"),   // shares {a b c, b c d, c d e} with 10
+    (2L, "x a b c y"),     // shares {a b c} with 10 — below minShared 2
+    (3L, "z z p q r s z")  // shares {p q r, q r s} with 20 — full coverage
+  ).toDF("doc_id", "text")
+
+  test("contamination finds pairs above minShared with exact ppm coverage") {
+    val out = Curate.contamination(corpus, bench, "doc_id", "text", 3, 2)
+      .select("doc_a", "doc_b", "n_shared", "n_bench_sh", "coverage_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out((1L, 10L)) === ((1L, 10L, 3L, 3L, 1000000L)))
+    assert(out((3L, 20L)) === ((3L, 20L, 2L, 2L, 1000000L)))
+    assert(!out.keySet.exists(_._1 == 2L)) // single shared trigram filtered
+    assert(out.size === 2)
+  }
+
+  test("maxNgramDf drops benchmark boilerplate n-grams before the join") {
+    // the trigram 'a b c' appears in BOTH bench docs -> df 2 > cap 1, so
+    // it is removed from the benchmark universe and doc 2 finds nothing;
+    // doc 10's remaining trigrams {b c d, c d e} still match doc 1
+    val b2 = Seq((10L, "a b c d e"), (30L, "q a b c q")).toDF("doc_id", "text")
+    val out = Curate.contamination(corpus, b2, "doc_id", "text", 3, 2,
+        maxNgramDf = 1)
+      .select("doc_a", "doc_b", "n_shared", "n_bench_sh")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L, 2L, 2L)))
+  }
+
+  test("coverage_ppm is the exact integer ratio of the CAPPED bench universe") {
+    // bench doc with 4 distinct trigrams, corpus doc sharing 3 of them
+    val b = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val c = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val row = Curate.contamination(c, b, "doc_id", "text", 3, 2)
+      .select("n_shared", "n_bench_sh", "coverage_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(row === ((3L, 4L, 750000L)))
+  }
+}
