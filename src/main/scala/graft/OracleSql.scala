@@ -497,6 +497,18 @@ object OracleSql {
          |FROM j JOIN nb USING (doc_b)
          |WHERE n_shared >= 2""".stripMargin,
 
+    // the distributed prefix sum equals the global running-sum window
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |             CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_chars, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      FROM t)
+         |SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 15000""".stripMargin,
+
     "q_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

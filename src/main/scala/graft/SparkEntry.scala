@@ -476,6 +476,16 @@ object SparkEntry {
       "doc_id", "text", 3, 2, maxNgramDf = 64)
   }
 
+  /** Token-budget selection: best-first (n_chars DESC, doc_id) prefix of
+    * the corpus whose inclusive cumulative token count fits 15000 tokens —
+    * distributed prefix sum, no global window (Stats.withRunningTotal). */
+  private def qTokenBudget(s: SparkSession, d: String): DataFrame =
+    Curate.tokenBudgetSelect(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      Seq(col("n_chars").desc, col("doc_id")), col("n_tokens"), 15000L)
+
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
@@ -672,6 +682,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_contamination" -> (qContamination _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition" -> (qRepetition _),

@@ -63,4 +63,18 @@ object Curate {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_bench_sh"),
         expr("(n_shared * 1000000) DIV n_bench_sh").as("coverage_ppm"))
   }
+
+  /** Token-budget corpus selection: rank documents by a quality ordering
+    * and keep the prefix whose INCLUSIVE cumulative token count fits the
+    * budget — "take the best docs until N tokens", the standard way a
+    * training mix is cut from a scored corpus.
+    *
+    * The cumulative sum is [[Stats.withRunningTotal]]'s distributed
+    * prefix sum (range shuffle + bounded offset collect), never a global
+    * single-task window; the budget cut is then a per-row filter. */
+  def tokenBudgetSelect(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+                        tokenCount: org.apache.spark.sql.Column,
+                        budget: Long): DataFrame =
+    Stats.withRunningTotal(df, orderCols, tokenCount, "cum_tokens")
+      .where(col("cum_tokens") <= budget)
 }

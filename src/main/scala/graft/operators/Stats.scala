@@ -124,6 +124,46 @@ object Stats {
       .drop("__cnt_less", "__rn")
   }
 
+  /** Global INCLUSIVE running total of `weight` in `orderCols` order,
+    * with no single-partition window: the rows are range-partitioned on
+    * the order columns (RangePartitioner — sampled boundaries, balanced
+    * under any distribution), each range partition learns the total
+    * weight of all strictly-earlier partitions from one bounded collect,
+    * and the running sum inside each partition is an ordinary partitioned
+    * window. The classic distributed prefix-sum: one range shuffle + one
+    * `numParts`-row collect, vs `SUM(w) OVER (ORDER BY ...)`'s
+    * whole-table single task.
+    *
+    * The input is persisted (the totals job and the window job both scan
+    * it); callers streaming 100 TB through this should pass a projection
+    * of only the columns they need downstream. */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], weight: Column,
+                       outCol: String, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__w", weight.cast("long")) // integral weights: exact, order-free
+      .persist()
+    val totals = parted.groupBy("__p").agg(coalesce(sum("__w"), lit(0L)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (totals.isEmpty)
+      return parted.withColumn(outCol, col("__w")).drop("__p", "__w")
+    // exclusive prefix sums: weight in strictly-earlier range partitions
+    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = offsets.toSeq.toDF("__p", "__off")
+    val w = Window.partitionBy(col("__p")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("__within", sum(col("__w")).over(w))
+      .join(broadcast(offDf), Seq("__p"))
+      .withColumn(outCol, col("__off") + col("__within"))
+      .drop("__p", "__w", "__within", "__off")
+  }
+
   /** Deterministic hash sampling: keep a row iff
     * `md5hash(key) mod 1e6 < fractionPpm`. Reproducible across runs,
     * retries, and engines (never `rand()` — a task retry with rand()

@@ -55,6 +55,33 @@ class StatsSpec extends SparkSpec {
     assert(ne === 0L && cle.isEmpty)
   }
 
+  test("withRunningTotal matches the global running-sum window cell-exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // desc primary order with heavy ties; unique id tie-break = total order
+    val df = (1 to 777).map(i => (i.toLong, (i % 13).toLong, (i % 29).toLong + 1))
+      .toDF("id", "score", "w")
+    val dist = Stats.withRunningTotal(df,
+        Seq(col("score").desc, col("id")), col("w"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val win = df.select(col("id"),
+        sum(col("w")).over(Window.orderBy(col("score").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .as[(Long, Long)].collect().toMap
+    assert(dist === win)
+    val empty = Stats.withRunningTotal(df.where(col("id") < 0),
+      Seq(col("id")), col("w"), "cum")
+    assert(empty.isEmpty && empty.columns.contains("cum"))
+  }
+
+  test("tokenBudgetSelect keeps exactly the best-first prefix under budget") {
+    val df = Seq((1L, 10L, 4L), (2L, 9L, 4L), (3L, 8L, 4L), (4L, 7L, 4L))
+      .toDF("doc_id", "q", "toks")
+    val kept = Curate.tokenBudgetSelect(df,
+        Seq(col("q").desc, col("doc_id")), col("toks"), 11L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L)) // 4+4=8 fits, +4=12 would exceed 11
+  }
+
   test("hashSample is deterministic, monotonic in the fraction, and stratified") {
     val df = (1 to 5000)
       .map(i => (i.toLong, if (i % 10 == 0) "rare" else "bulk"))
