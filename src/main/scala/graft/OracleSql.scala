@@ -509,6 +509,17 @@ object OracleSql {
          |SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 15000""".stripMargin,
 
+    // identical md5-threshold predicate as Stats.hashSample (see
+    // q_sample_stratified); the per-stratum rate is an exact integer ratio
+    "q_balanced_sample" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |m AS (SELECT MIN(n) AS mn FROM c),
+        |r AS (SELECT event_type, (mn * 1000000) // n AS ppm FROM c, m)
+        |SELECT e.event_type, e.event_id, e.user_id
+        |FROM events e JOIN r USING (event_type)
+        |WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 < r.ppm""".stripMargin,
+
     "q_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

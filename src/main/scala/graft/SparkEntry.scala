@@ -486,6 +486,14 @@ object SparkEntry {
           size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
       Seq(col("n_chars").desc, col("doc_id")), col("n_tokens"), 15000L)
 
+  /** Uniform-mixture downsampling: every event_type stratum is hash-
+    * sampled down to ~the smallest stratum's size with an exact integer
+    * rate (Curate.balancedSample — the curriculum-mixture primitive). */
+  private def qBalancedSample(s: SparkSession, d: String): DataFrame =
+    Curate.balancedSample(
+      Tables.events(s, d).select("event_id", "event_type", "user_id"),
+      "event_type", col("event_id"))
+
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
@@ -683,6 +691,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_contamination" -> (qContamination _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_balanced_sample" -> (qBalancedSample _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition" -> (qRepetition _),

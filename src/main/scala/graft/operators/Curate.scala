@@ -77,4 +77,24 @@ object Curate {
                         budget: Long): DataFrame =
     Stats.withRunningTotal(df, orderCols, tokenCount, "cum_tokens")
       .where(col("cum_tokens") <= budget)
+
+  /** Mixture balancing: deterministically downsample every stratum to
+    * approximately the smallest stratum's size (uniform target mixture).
+    * Per-stratum keep rate = (min_count * 1e6) DIV count in exact integer
+    * ppm, applied through [[Stats.hashSample]]'s content-hash predicate —
+    * reproducible across runs, retries, and engines (no rand()).
+    *
+    * Plan shape: one groupBy(stratum) count pass, a 1-row min aggregate
+    * broadcast into the per-stratum rate table (itself broadcast — strata
+    * are few by definition), then a scan-level filter on the fact table:
+    * the 100 TB side is never shuffled. */
+  def balancedSample(df: DataFrame, stratumCol: String,
+                     key: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val mn = counts.agg(min(col("__n")).as("__mn"))
+    val rates = counts.crossJoin(broadcast(mn))
+      .select(col(stratumCol), expr("(__mn * 1000000) DIV __n").as("__ppm"))
+    Stats.hashSample(df.join(broadcast(rates), Seq(stratumCol)), key, col("__ppm"))
+      .drop("__ppm")
+  }
 }

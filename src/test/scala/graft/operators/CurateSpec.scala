@@ -42,6 +42,24 @@ class CurateSpec extends SparkSpec {
     assert(out === Set((1L, 10L, 2L, 2L)))
   }
 
+  test("balancedSample downsamples every stratum toward the smallest") {
+    val df = ((1 to 4000).map(i => (i.toLong, "bulk")) ++
+        (4001 to 4200).map(i => (i.toLong, "rare")))
+      .toDF("id", "stratum")
+    val out = Curate.balancedSample(df, "stratum", col("id"))
+      .select("id", "stratum").as[(Long, String)].collect()
+    val byStratum = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // rare keeps everything (rate 1e6 ppm = all 200 rows, exactly)
+    assert(byStratum("rare") === 200)
+    // bulk is hash-thresholded at 50000 ppm: ~200 of 4000 (md5-uniform)
+    assert(byStratum("bulk") > 120 && byStratum("bulk") < 280,
+      s"bulk kept ${byStratum("bulk")}")
+    // deterministic on re-run
+    val again = Curate.balancedSample(df, "stratum", col("id"))
+      .select("id", "stratum").as[(Long, String)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
   test("coverage_ppm is the exact integer ratio of the CAPPED bench universe") {
     // bench doc with 4 distinct trigrams, corpus doc sharing 3 of them
     val b = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
