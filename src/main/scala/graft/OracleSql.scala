@@ -713,6 +713,27 @@ object OracleSql {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.25""".stripMargin,
 
+    // same pair predicate as q_embed_neardup, then the same recursive
+    // transitive closure as dupClustersSql: semantic (embedding-space)
+    // duplicate clusters
+    "q_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nn AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nv FROM e),
+        |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |          FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+        |          WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.25),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS n FROM edges),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e2.s, r.m FROM edges e2 JOIN reach r ON e2.d = r.n
+        |)
+        |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin,
+
     "q_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -646,6 +646,15 @@ object SparkEntry {
     DupClusters.clustersStar(
       Dedup.minhashBucketStars(Tables.documents(s, d), "doc_id", "text", 16, 4))
 
+  /** Semantic dup clusters: the embedding near-dup pairs collapsed into
+    * connected components by the hub-safe large/small-star rounds — the
+    * "dedup by meaning" counterpart of q_dup_clusters' lexical minhash.
+    * Oracle: recursive-CTE transitive closure over the same edge set. */
+  private def qSemanticClusters(s: SparkSession, d: String): DataFrame =
+    DupClusters.clustersStar(
+      qEmbedNeardup(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     Stats.saltedAgg(Tables.events(s, d), "event_type",
         pmod(col("event_id"), lit(16)), 16,
@@ -704,6 +713,7 @@ object SparkEntry {
     "q_top_tokens" -> (qTopTokens _),
     "q_rolling_1h" -> (qRolling1h _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_semantic_clusters" -> (qSemanticClusters _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dup_clusters_star" -> (qDupClustersStar _),
