@@ -423,6 +423,41 @@ object OracleSql {
          |FROM kept a JOIN kept b
          | ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
 
+    // q_minhash_pairs' candidate set joined back to signatures and
+    // distinct-token sets: sketch estimate vs exact Jaccard, integer ppm
+    "q_minhash_verify" -> {
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
+         |sig AS (SELECT doc_id,
+         |        $minhashAggs
+         |        FROM h GROUP BY doc_id),
+         |bands AS (
+         |      $bandSelects
+         |),
+         |keep AS (SELECT band, sig FROM bands GROUP BY band, sig HAVING COUNT(*) <= 64),
+         |kept AS (SELECT b.doc_id, b.band, b.sig FROM bands b
+         |         JOIN keep k ON b.band = k.band AND b.sig = k.sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM kept a JOIN kept b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |ts AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),
+         |x AS (SELECT p.doc_a, p.doc_b,
+         |        CAST($agree AS BIGINT) AS nm,
+         |        CAST(len(list_filter(ta.t, v -> list_contains(tb.t, v))) AS BIGINT) AS inter,
+         |        CAST(len(ta.t) + len(tb.t) AS BIGINT) AS tot
+         |      FROM pairs p
+         |      JOIN sig a ON p.doc_a = a.doc_id JOIN sig b ON p.doc_b = b.doc_id
+         |      JOIN ts ta ON p.doc_a = ta.doc_id JOIN ts tb ON p.doc_b = tb.doc_id)
+         |SELECT doc_a, doc_b,
+         | (nm * 1000000) // 16 AS est_jaccard_ppm,
+         | (inter * 1000000) // (tot - inter) AS exact_jaccard_ppm,
+         | abs((nm * 1000000) // 16 - (inter * 1000000) // (tot - inter)) AS abs_err_ppm
+         |FROM x""".stripMargin
+    },
+
     "q_cosine_topk" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |           FROM embeddings WHERE vec_id = 0),

@@ -347,6 +347,13 @@ object SparkEntry {
     Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text", 16, 4,
       maxBucket = 64)
 
+  /** LSH verification stage: estimated (signature-agreement) vs exact
+    * Jaccard per candidate pair, with the estimation error — the sketch
+    * accuracy audit, in exact integer ppm (Dedup.verifyPairs). */
+  private def qMinhashVerify(s: SparkSession, d: String): DataFrame =
+    Dedup.verifyPairs(Tables.documents(s, d), "doc_id", "text", 16, 4,
+      maxBucket = 64)
+
   private def qSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
 
@@ -689,6 +696,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_minhash_verify" -> (qMinhashVerify _),
     "q_simhash" -> (qSimhash _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),

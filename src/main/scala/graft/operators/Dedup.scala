@@ -162,6 +162,46 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
+  /** Pairwise verification of LSH candidates (the stage after candidate
+    * generation in every production dedup pipeline): each pair gets the
+    * minhash ESTIMATE of its Jaccard (fraction of agreeing signature
+    * coordinates) next to the EXACT Jaccard of the distinct-token sets,
+    * plus the absolute estimation error — all in exact integer ppm, so the
+    * sketch-accuracy audit itself is engine-portable.
+    *
+    * Scale shape: the candidate-pair set is the (LSH-capped, linear)
+    * output of [[minhashCandidatePairs]]; the signature and token-set
+    * relations join back to it on doc id — per-pair work only, never
+    * all-pairs. */
+  def verifyPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, bands: Int,
+                  maxBucket: Int = Int.MaxValue,
+                  scope: PersistScope = PersistScope()): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, k, bands, maxBucket, scope)
+    val sigs = scope.cache(minhashSignatures(df, idCol, textCol, k))
+    val tokSets = df.select(col(idCol).as("doc"),
+      array_distinct(Text.tokens(col(textCol))).as("ts"))
+    def side(p: String) =
+      sigs.select(col("doc").as(s"doc_$p") +:
+        (0 until k).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)
+    val nMatch = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
+      .withColumn("__nm", nMatch)
+      .join(tokSets.select(col("doc").as("doc_a"), col("ts").as("__ta")), Seq("doc_a"))
+      .join(tokSets.select(col("doc").as("doc_b"), col("ts").as("__tb")), Seq("doc_b"))
+      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("__union",
+        size(col("__ta")).cast("long") + size(col("__tb")) - col("__inter"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"(__nm * 1000000) DIV $k").as("est_jaccard_ppm"),
+        expr("(__inter * 1000000) DIV __union").as("exact_jaccard_ppm"),
+        abs(expr(s"(__nm * 1000000) DIV $k") - expr("(__inter * 1000000) DIV __union"))
+          .as("abs_err_ppm"))
+  }
+
   /** Star edges for duplicate CLUSTERING: each LSH bucket (band, sig)
     * with k docs is a clique; for connectivity purposes a star to the
     * bucket's min doc carries the same components with k-1 edges instead

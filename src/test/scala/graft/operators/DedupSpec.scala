@@ -45,6 +45,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("verifyPairs: exact dups estimate 1e6 ppm; near dups get the true Jaccard") {
+    val out = Dedup.verifyPairs(docs, "doc_id", "text", 16, 4)
+      .select("doc_a", "doc_b", "est_jaccard_ppm", "exact_jaccard_ppm", "abs_err_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // identical token sets -> identical signatures -> perfect estimate
+    assert(out((1L, 2L)) === ((1000000L, 1000000L, 0L)))
+    // docs 1,3: tokens {a,b,c,d,e} vs {a,b,c,d,x}: inter 4, union 6
+    if (out.contains((1L, 3L))) {
+      val (est, exact, err) = out((1L, 3L))
+      assert(exact === 4L * 1000000L / 6L)
+      assert(err === math.abs(est - exact))
+      assert(est >= 0L && est <= 1000000L)
+    }
+  }
+
   test("bucket stars carry the same connected components as candidate pairs") {
     val stars = Dedup.minhashBucketStars(docs, "doc_id", "text", 16, 4)
     val viaStars = DupClusters.clusters(stars)
