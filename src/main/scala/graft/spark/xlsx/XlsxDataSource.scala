@@ -1,0 +1,264 @@
+package graft.spark.xlsx
+
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("graft-xlsx")` — a DataSource V2 connector over the
+  * same zip-of-XML workbook model as [[graft.sources.SpreadsheetSource]]
+  * (reference: src/data_processors/dft_road_stats.py pd.read_excel), but
+  * as a first-class Spark source: one input partition PER FILE (a folder
+  * of monthly workbooks scans in parallel, the reference's
+  * per-month-release shape), column pruning pushed into the cell parse,
+  * and a StAX pull parser on the executor — no driver staging directory,
+  * no intermediate XML scan.
+  *
+  * Options: `headerRow` (0-based row promoted to column names, pandas
+  * `header=`; default 0), `sheet` (1-based worksheet index, default 1).
+  * All values surface as STRING, like pandas `astype(str)` in the
+  * reference — typing is downstream work. One workbook is parsed
+  * streaming on one task; Excel's own ~1M-row cap bounds per-task work,
+  * scale comes from file count.
+  */
+class DefaultSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-xlsx"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = XlsxParse.paths(options)
+    require(paths.nonEmpty, "graft-xlsx: no path given")
+    XlsxParse.headerSchema(paths.head,
+      options.getInt("headerRow", 0), options.getInt("sheet", 1))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    XlsxTable(schema, XlsxParse.paths(opts),
+      opts.getInt("headerRow", 0), opts.getInt("sheet", 1))
+  }
+}
+
+case class XlsxTable(tableSchema: StructType, paths: Seq[String],
+                     headerRow: Int, sheet: Int)
+    extends Table with SupportsRead {
+  override def schema(): StructType = tableSchema
+  override def name(): String = paths.mkString(",")
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(tableSchema, paths, headerRow, sheet)
+}
+
+class XlsxScanBuilder(full: StructType, paths: Seq[String],
+                      headerRow: Int, sheet: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = XlsxScan(full, required, paths, headerRow, sheet)
+}
+
+case class XlsxScan(full: StructType, required: StructType,
+                    paths: Seq[String], headerRow: Int, sheet: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xlsx sheet=$sheet headerRow=$headerRow files=${paths.size}"
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => XlsxInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // map each required column to its cell index in the full header
+    val cis = required.fields.map(f => full.fieldIndex(f.name))
+    XlsxReaderFactory(cis, headerRow, sheet)
+  }
+}
+
+case class XlsxInputPartition(path: String) extends InputPartition
+
+case class XlsxReaderFactory(cellIdx: Array[Int], headerRow: Int, sheet: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[XlsxInputPartition].path
+    new PartitionReader[InternalRow] {
+      private val rows = XlsxParse.rows(XlsxParse.readFile(path), sheet)
+        .filter(_._1 > headerRow)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!rows.hasNext) false
+        else {
+          val (_, cells) = rows.next()
+          current = InternalRow.fromSeq(cellIdx.toSeq.map(ci =>
+            cells.get(ci).map(UTF8String.fromString).orNull))
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Workbook parsing shared by driver (schema inference) and executors
+  * (row scan): java.util.zip + StAX only, external entities disabled. */
+object XlsxParse {
+
+  private[xlsx] def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      // DataFrameReader.load(paths: _*) encodes a flat JSON string array;
+      // quoted, comma-separated — sufficient to split without a JSON lib
+      json.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    multi ++ Option(options.get("path")).toSeq
+  }
+
+  private[xlsx] def readFile(path: String): Array[Byte] = {
+    // Hadoop FS so workbooks on shared/cluster storage read the same way
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => out.write(buf, 0, n))
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def member(zip: Array[Byte], suffix: String): Option[Array[Byte]] = {
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(zip))
+    try {
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .collectFirst { case e if e.getName.endsWith(suffix) =>
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 * 1024)
+          Iterator.continually(zin.read(buf)).takeWhile(_ >= 0)
+            .foreach(n => out.write(buf, 0, n))
+          out.toByteArray
+        }
+    } finally zin.close()
+  }
+
+  private def reader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** sharedStrings.xml -> string table (rich-text runs concatenated). */
+  private def sharedStrings(zip: Array[Byte]): IndexedSeq[String] =
+    member(zip, "sharedStrings.xml").fold(IndexedSeq.empty[String]) { bytes =>
+      val r = reader(bytes)
+      val out = mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inT = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => cur.clear()
+              case "t"  => inT = true
+              case _    =>
+            }
+          case XMLStreamConstants.CHARACTERS if inT => cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t"  => inT = false
+              case "si" => out += cur.result()
+              case _    =>
+            }
+          case _ =>
+        }
+      }
+      out.toIndexedSeq
+    }
+
+  /** "AB7" -> 0-based column index; empty ref -> -1 (caller sequences). */
+  private def colIdx(ref: String): Int = {
+    var i = 0; var acc = 0
+    while (i < ref.length && ref.charAt(i) >= 'A' && ref.charAt(i) <= 'Z') {
+      acc = acc * 26 + (ref.charAt(i) - 'A' + 1); i += 1
+    }
+    acc - 1
+  }
+
+  /** Streamed (0-based row, colIdx -> string value) pairs of one sheet,
+    * shared strings resolved, inline strings supported. */
+  def rows(zip: Array[Byte], sheet: Int): Iterator[(Long, Map[Int, String])] = {
+    val sst = sharedStrings(zip)
+    val sheetBytes = member(zip, s"sheet$sheet.xml").getOrElse(
+      sys.error(s"no worksheet sheet$sheet.xml"))
+    val r = reader(sheetBytes)
+    val out = mutable.ArrayBuffer.empty[(Long, Map[Int, String])]
+    var rn = 0L            // 1-based row number of the current <row>
+    var cells = mutable.Map.empty[Int, String]
+    var ci = -1; var lastCi = -1
+    var t: String = null
+    val text = new StringBuilder
+    var collecting = false // inside <v> or inline <t>
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              val attr = Option(r.getAttributeValue(null, "r"))
+              rn = attr.map(_.toLong).getOrElse(rn + 1)
+              cells = mutable.Map.empty; lastCi = -1
+            case "c" =>
+              val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
+              ci = colIdx(ref) match { case -1 => lastCi + 1; case k => k }
+              lastCi = ci
+              t = r.getAttributeValue(null, "t")
+              text.clear()
+            case "v" => collecting = true
+            case "t" if t == "inlineStr" => collecting = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if collecting => text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" => collecting = false
+            case "c" =>
+              val raw = text.result()
+              val v =
+                if (t == "s")
+                  if (raw.trim.isEmpty) null else sst.lift(raw.trim.toInt).orNull
+                else if (raw.nonEmpty) raw
+                else null
+              if (v != null) cells(ci) = v
+            case "row" => out += ((rn - 1, cells.toMap))
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    out.iterator
+  }
+
+  /** Header row `headerRow` (0-based) of the FIRST file names the columns
+    * (missing header cells become col_N, like SpreadsheetSource.promote);
+    * every column is STRING. */
+  def headerSchema(path: String, headerRow: Int, sheet: Int): StructType = {
+    val hdr = rows(readFile(path), sheet)
+      .collectFirst { case (rn, cells) if rn == headerRow => cells }
+      .getOrElse(sys.error(s"header row $headerRow not found in $path"))
+    require(hdr.nonEmpty, s"header row $headerRow is empty")
+    val nCols = hdr.keys.max + 1
+    StructType((0 until nCols).map(i =>
+      StructField(hdr.getOrElse(i, s"col_$i"), StringType, nullable = true)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.spark.xlsx
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+class XlsxDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkZip(dir: String, name: String, members: Map[String, String]): String = {
+    val zipPath = Paths.get(dir, name)
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    members.foreach { case (entry, content) =>
+      zos.putNextEntry(new ZipEntry(entry))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    zipPath.toString
+  }
+
+  private def workbook(dir: String, name: String, city: String, spend: String): String =
+    mkZip(dir, name, Map(
+      "xl/sharedStrings.xml" ->
+        s"""<sst><si><t>Title</t></si><si><t>Region Name</t></si>
+           |<si><t>Total Spend</t></si><si><t>Notes</t></si>
+           |<si><r><t>$city</t></r><r><t> City</t></r></si><si><t>ok</t></si></sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet><sheetData>
+           |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+           |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>2</v></c><c r="C2" t="s"><v>3</v></c></row>
+           |<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3"><v>$spend</v></c><c r="C3" t="s"><v>5</v></c></row>
+           |<row r="4"><c r="A4" t="inlineStr"><is><t>inline</t></is></c><c r="C4"><v>7</v></c></row>
+           |</sheetData></worksheet>""".stripMargin))
+
+  test("format(graft-xlsx): header promotion, shared strings, rich text, inline strings, gaps") {
+    val dir = Files.createTempDirectory("dsv2-xlsx").toString
+    val f = workbook(dir, "a.xlsx", "London", "12.5")
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1).load(f)
+    assert(df.columns.toSeq === Seq("Region Name", "Total Spend", "Notes"))
+    val rows = df.as[(Option[String], Option[String], Option[String])]
+      .collect().toSet
+    assert(rows === Set(
+      (Some("London City"), Some("12.5"), Some("ok")), // rich-text runs concat
+      (Some("inline"), None, Some("7"))))              // inlineStr + B4 gap
+  }
+
+  test("one input partition per file; multi-file load unions rows") {
+    val dir = Files.createTempDirectory("dsv2-xlsx-multi").toString
+    val f1 = workbook(dir, "jan.xlsx", "London", "1")
+    val f2 = workbook(dir, "feb.xlsx", "Leeds", "2")
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1).load(f1, f2)
+    assert(df.rdd.getNumPartitions === 2)
+    val cities = df.select("Region Name").as[String].collect().toSet
+    assert(cities === Set("London City", "Leeds City", "inline"))
+    assert(df.count() === 4) // empty projection path (count(*)) works
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = Files.createTempDirectory("dsv2-xlsx-prune").toString
+    val f = workbook(dir, "a.xlsx", "London", "12.5")
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1).load(f)
+      .select("Notes")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.readSchema()
+    }
+    assert(scan.map(_.fieldNames.toSeq) === Some(Seq("Notes")))
+    assert(df.as[String].collect().toSet === Set("ok", "7"))
+  }
+}
