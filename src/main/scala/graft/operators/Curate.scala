@@ -78,6 +78,21 @@ object Curate {
     Stats.withRunningTotal(df, orderCols, tokenCount, "cum_tokens")
       .where(col("cum_tokens") <= budget)
 
+  /** The distinct (df-capped) benchmark n-gram universe, collected — eval
+    * benchmarks are driver-scale by nature, and the collected set is what
+    * the STATELESS streaming gate
+    * ([[graft.streaming.EventStream.contaminationGateStream]]) broadcasts
+    * against an unbounded stream. Same cap semantics as [[contamination]]. */
+  def benchmarkNgrams(benchmark: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxNgramDf: Int = Int.MaxValue): Array[String] = {
+    val all = Dedup.shingleRows(benchmark, idCol, textCol, n)
+    val kept =
+      if (maxNgramDf == Int.MaxValue) all.select("sh").distinct()
+      else all.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxNgramDf).select("sh")
+    kept.collect().map(_.getString(0)).sorted
+  }
+
   /** Mixture balancing: deterministically downsample every stratum to
     * approximately the smallest stratum's size (uniform target mixture).
     * Per-stratum keep rate = (min_count * 1e6) DIV count in exact integer

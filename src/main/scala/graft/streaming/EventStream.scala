@@ -153,6 +153,30 @@ object EventStream {
         col("n_tokens"), col("rep_ratio_ppm"))
   }
 
+  /** Streaming decontamination gate: drop stream documents sharing >=
+    * `minShared` distinct token n-grams with a fixed benchmark set.
+    * The benchmark n-gram universe (from
+    * [[graft.operators.Curate.benchmarkNgrams]] — capped, distinct) rides
+    * along as a broadcast literal and the overlap count is a per-row
+    * array_intersect: STATELESS, no state store, no watermark, no
+    * shuffle — the stream twin of the batch inverted-index join, valid
+    * because eval benchmarks are driver-scale by nature while the STREAM
+    * is the unbounded side. Emits survivors with the overlap count for
+    * audit sinks. */
+  def contaminationGateStream(docs: DataFrame, idCol: String, textCol: String,
+                              benchNgrams: Array[String], n: Int,
+                              minShared: Int): DataFrame = {
+    import graft.functions.Text
+    docs
+      .select(col(idCol), col(textCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(textCol),
+        array_distinct(graft.plans.NGrams.ngrams(col("__toks"), n)).as("__g"))
+      .select(col(idCol), col(textCol),
+        size(array_intersect(col("__g"), lit(benchNgrams))).cast("long")
+          .as("n_bench_ngrams"))
+      .where(col("n_bench_ngrams") < minShared)
+  }
+
   /** Read the signature store iff its path exists. A missing store is the
     * normal first-batch state and means "empty"; any OTHER failure (FS
     * flake, corrupted files) must FAIL the batch — treating it as empty

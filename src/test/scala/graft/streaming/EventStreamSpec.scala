@@ -135,6 +135,33 @@ class EventStreamSpec extends SparkSpec {
     assert(batchOut === out)
   }
 
+  test("contaminationGateStream drops benchmark-overlapping docs, stateless") {
+    import org.apache.spark.sql.functions._
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val ngrams = graft.operators.Curate.benchmarkNgrams(bench, "doc_id", "text", 3)
+    assert(ngrams.length === 4) // 6 tokens -> 4 trigrams, all distinct
+    val src = java.nio.file.Files.createTempDirectory("contamstream").toString
+    Seq(
+      (1L, "something about the quick brown fox jumps elsewhere"), // 3 shared
+      (2L, "the quick red fox runs far away today"),               // 0 shared
+      (3L, "quick brown fox story")                                // 1 shared
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    EventStream.runOnce(spark,
+      EventStream.contaminationGateStream(stream, "doc_id", "text", ngrams,
+        n = 3, minShared = 2),
+      "contam_gate")
+    val out = spark.table("contam_gate")
+      .select("doc_id", "n_bench_ngrams").as[(Long, Long)].collect().toMap
+    assert(out === Map(2L -> 0L, 3L -> 1L)) // doc 1 (3 shared trigrams) dropped
+    // batch and stream agree exactly (stateless per-row plan)
+    val batchOut = EventStream.contaminationGateStream(
+        spark.read.parquet(src), "doc_id", "text", ngrams, 3, 2)
+      .select("doc_id", "n_bench_ngrams").as[(Long, Long)].collect().toMap
+    assert(batchOut === out)
+  }
+
   test("file-source streaming: readStream over parquet -> windowed agg -> sink") {
     import org.apache.spark.sql.functions._
     // stage a copy of the events table as a streaming source directory
