@@ -510,6 +510,40 @@ object OracleSql {
          |      ELSE 'und' END AS lang_pred
          |FROM s""".stripMargin,
 
+    // first-occurrence filter: keep element i iff list_position finds it
+    // first at i (1-based in DuckDB, mirroring array_position in Spark)
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' table ') AS lines FROM documents),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+        |      FROM t)
+        |SELECT doc_id,
+        | CAST(len(lines) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_unique_lines,
+        | md5(array_to_string(kept, chr(10))) AS dedup_md5
+        |FROM k""".stripMargin,
+
+    // same 4-gram construction pattern as q_repetition's 3-grams; the
+    // winnow is list_min over inclusive 1-based window slices
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(toks) >= 4
+         |  THEN list_transform(range(1, len(toks) - 2),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |  ELSE [] END AS g4 FROM t),
+         |h AS (SELECT doc_id,
+         |        list_transform(g4, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |      FROM g),
+         |w AS (SELECT doc_id, hs, CASE WHEN len(hs) >= 5
+         |  THEN list_sort(list_distinct(list_transform(range(1, len(hs) - 3),
+         |         i -> list_min(hs[i:i+4]))))
+         |  ELSE [] END AS fp FROM h)
+         |SELECT doc_id,
+         | CAST(len(hs) AS BIGINT) AS n_kgrams,
+         | CAST(len(fp) AS BIGINT) AS n_fingerprints,
+         | md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+         |FROM w""".stripMargin,
+
     // same 3-gram construction as q_repetition (list_distinct'ed), same
     // benchmark-df cap 64 as the Spark plan — capped universes keep the
     // join result cell-exact on both engines

@@ -470,6 +470,35 @@ object SparkEntry {
       md5(Text.piiScrub(col("t")).cast("binary")).as("scrubbed_md5"))
   }
 
+  /** Within-document line dedup (C4-style normalization): pseudo-lines
+    * from splitting on a frequent token, first occurrence kept in order
+    * (Text.dedupLinesOf), result compared via md5. Shuffle-free map plan. */
+  private def qLineDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " table ").as("__lines"))
+      .select(col("doc_id"), col("__lines"),
+        Text.dedupLinesOf(col("__lines")).as("__kept"))
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_unique_lines"),
+        md5(array_join(col("__kept"), "\n").cast("binary")).as("dedup_md5"))
+
+  /** Winnowing fingerprints (MOSS): min-hash of every 5-window over the
+    * 4-gram rolling hashes; the distinct selected hash set is the
+    * document fingerprint (Text.winnowOf — exact integer arithmetic, the
+    * set is engine-portable). Shuffle-free map plan. */
+  private def qWinnow(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), graft.plans.NGrams.ngrams(col("__toks"), 4).as("__g4"))
+      .select(col("doc_id"), transform(col("__g4"), g => Text.md5Long(g)).as("__hs"))
+      .select(col("doc_id"), col("__hs"), Text.winnowOf(col("__hs"), 5).as("__fp"))
+      .select(col("doc_id"),
+        size(col("__hs")).cast("long").as("n_kgrams"),
+        size(col("__fp")).cast("long").as("n_fingerprints"),
+        md5(array_join(transform(col("__fp"), f => f.cast("string")), ",")
+          .cast("binary")).as("fp_md5"))
+
   /** Train/eval decontamination: corpus docs (doc_id % 10 != 0) sharing
     * >= 2 distinct token 3-grams with a benchmark doc (the % 10 == 0
     * slice), with exact integer-ppm coverage of the benchmark doc.
@@ -709,6 +738,8 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_token_budget" -> (qTokenBudget _),
     "q_balanced_sample" -> (qBalancedSample _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_winnow" -> (qWinnow _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition" -> (qRepetition _),

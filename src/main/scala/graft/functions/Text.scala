@@ -78,6 +78,32 @@ object Text {
       regexp_replace(acc, pat, s"[${cat.toUpperCase}]")
     }
 
+  /** First-occurrence line dedup (the C4/Gopher "remove duplicate lines
+    * within a document" normalization): keep element i iff its FIRST
+    * occurrence index is i, preserving order. `lines` MUST be a plain
+    * column reference to a pre-materialized array (interpreted HOFs copy
+    * argument trees into every use site — the array is referenced once
+    * per element here). O(lines^2) per row; lines per document are
+    * bounded, rows are not — this is a per-row expression, no shuffle. */
+  def dedupLinesOf(lines: Column): Column =
+    filter(lines, (x, i) => array_position(lines, x) === (i + 1).cast("long"))
+
+  /** Winnowing fingerprints (the MOSS scheme): over the rolling k-gram
+    * hash sequence, take the min hash of every `w`-window, then the
+    * distinct selected hashes are the document's fingerprint set —
+    * guaranteed to share fingerprints with any document overlapping by
+    * >= w+k-1 tokens. `hs` MUST be a plain reference to the
+    * pre-materialized hash array ([[md5Long]] over k-gram shingles).
+    * Exact integer arithmetic throughout: the fingerprint SET is
+    * engine-portable. */
+  def winnowOf(hs: Column, w: Int): Column = {
+    val cnt = size(hs) - (w - 1)
+    when(cnt >= 1,
+      array_sort(array_distinct(
+        transform(sequence(lit(1), cnt), i => array_min(slice(hs, i, lit(w)))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Language-ID heuristic: stopword-profile hit counts per language,
     * argmax with deterministic lexicographic tie-break. Profiles are tiny
     * broadcast-free literals; scoring is per-row codegen. */

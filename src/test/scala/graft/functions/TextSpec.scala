@@ -44,6 +44,34 @@ class TextSpec extends SparkSpec {
     assert(n === 6) // hello, world, 42, foo, bar, 7
   }
 
+  test("dedupLinesOf keeps first occurrences in order") {
+    val out = Seq(Seq("a", "b", "a", "c", "b", "a"), Seq("x"), Seq[String]())
+      .toDF("lines")
+      .select(Text.dedupLinesOf(col("lines")).as("kept"))
+      .as[Seq[String]].collect().toSeq
+    assert(out === Seq(Seq("a", "b", "c"), Seq("x"), Seq()))
+  }
+
+  test("winnowOf selects window minima; overlapping docs share fingerprints") {
+    // hashes chosen so each 3-window has a clear min
+    val out = Seq(Seq(50L, 10L, 40L, 30L, 20L), Seq(5L, 6L), Seq[Long]())
+      .toDF("hs")
+      .select(Text.winnowOf(col("hs"), 3).as("fp"))
+      .as[Seq[Long]].collect().toSeq
+    // windows: (50,10,40)->10 (10,40,30)->10 (40,30,20)->20 => {10,20}
+    assert(out === Seq(Seq(10L, 20L), Seq(), Seq()))
+    // guarantee: two docs overlapping in >= w+k-1 tokens share a fingerprint
+    val doc1 = "p q r s t u v w x y z"
+    val doc2 = "a b c p q r s t u v v2 w2" // shares 7 tokens: p..v
+    val fps = Seq(doc1, doc2).toDF("text")
+      .select(Text.tokens(col("text")).as("t"))
+      .select(graft.plans.NGrams.ngrams(col("t"), 4).as("g"))
+      .select(transform(col("g"), x => Text.md5Long(x)).as("hs"))
+      .select(Text.winnowOf(col("hs"), 3).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
+  }
+
   test("piiScrub redacts urls, emails, phones in order; counts match") {
     val t = "see https://x.org/a?u=1 mail bob.smith+x@corp.co.uk " +
       "or +44 20 7946 0958 and a@b.io"
