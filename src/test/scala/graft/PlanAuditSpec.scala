@@ -73,9 +73,32 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_simhash / q_text_quality / q_sample_stratified / q_repetition / q_pii_scrub stay shuffle-free map plans") {
     for (q <- Seq("q_simhash", "q_text_quality", "q_sample_stratified",
-        "q_repetition", "q_pii_scrub")) {
+        "q_repetition", "q_pii_scrub", "q_line_dedup", "q_winnow")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q introduced a shuffle")
+    }
+  }
+
+  test("q_token_budget's prefix sum carries no single-partition WindowExec") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_token_budget")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty, s"global window: ${global.mkString("; ")}")
+  }
+
+  test("q_balanced_sample joins the rate table by broadcast; fact side never sort-merges") {
+    val p = plan("q_balanced_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "rate join fell back to shuffling the fact table")
+  }
+
+  test("q_contamination / q_minhash_verify stay equi-join shaped (no BNLJ/cartesian)") {
+    for (q <- Seq("q_contamination", "q_minhash_verify")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q lost the inverted-index equi-join shape")
     }
   }
 }
