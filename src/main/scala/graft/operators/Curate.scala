@@ -54,12 +54,15 @@ object Curate {
       })
     val nBench = bench.groupBy(col("doc").as("doc_b"))
       .agg(count(lit(1)).as("n_bench_sh"))
+    // benchmark sides broadcast EXPLICITLY: eval sets are small by nature,
+    // but the window-capped index defeats the planner's size estimate, so
+    // without the hint the 100 TB corpus side would shuffle on the n-gram
     corp.select(col("doc").as("doc_a"), col("sh"))
-      .join(bench.select(col("doc").as("doc_b"), col("sh")), Seq("sh"))
+      .join(broadcast(bench.select(col("doc").as("doc_b"), col("sh"))), Seq("sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-      .join(nBench, Seq("doc_b"))
+      .join(broadcast(nBench), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_bench_sh"),
         expr("(n_shared * 1000000) DIV n_bench_sh").as("coverage_ppm"))
   }
