@@ -688,6 +688,33 @@ object OracleSql {
          |) AS simhash
          |FROM h""".stripMargin,
 
+    // same simhash construction, then Hamming-block candidates (4 x 15-bit
+    // exact-match blocks, cap 256 mirrored) verified by bit_count(xor)
+    "q_simhash_pairs" -> {
+      val blockSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, sh, $b AS blk, (sh >> ${b * 15}) & 32767 AS bv FROM s")
+        .mkString("\n      UNION ALL\n      ")
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |        list_transform(toks, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |      FROM t),
+         |s AS (SELECT doc_id, (
+         |  $simhashTerms
+         |) AS sh FROM h),
+         |blocks AS (
+         |      $blockSelects
+         |),
+         |keep AS (SELECT blk, bv FROM blocks GROUP BY blk, bv HAVING COUNT(*) <= 256),
+         |kept AS (SELECT b.doc_id, b.sh, b.blk, b.bv FROM blocks b
+         |         JOIN keep k ON b.blk = k.blk AND b.bv = k.bv),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 a.sh AS ha, b.sh AS hb
+         |          FROM kept a JOIN kept b
+         |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+    },
+
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,

@@ -357,6 +357,14 @@ object SparkEntry {
   private def qSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
 
+  /** SimHash Hamming-block near-dup pairs (Manku web-dedup): candidates
+    * from exact 15-bit block matches (pigeonhole-exact recall for
+    * hamming <= 3), verified by bit_count(xor). Cap 256 mirrored in the
+    * oracle (Dedup.simhashPairs). */
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3, maxBucket = 256)
+
   private def queryVec(s: SparkSession, d: String): Array[Float] =
     Tables.embeddings(s, d).where(col("vec_id") === 0)
       .select("embedding").head.getSeq[Float](0).toArray
@@ -727,6 +735,7 @@ object SparkEntry {
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_minhash_verify" -> (qMinhashVerify _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),

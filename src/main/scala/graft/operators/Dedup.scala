@@ -267,4 +267,49 @@ object Dedup {
     val toks = array_distinct(Text.tokens(col(textCol)))
     simhashOfHashes(transform(toks, t => Text.md5Long(t)))
   }
+
+  /** SimHash near-dup PAIRS by Hamming-block candidates (the Manku/WWW'07
+    * web-dedup scheme): split the 60-bit fingerprint into `SimhashBlocks`
+    * 15-bit blocks — by pigeonhole, any pair within Hamming distance
+    * `SimhashBlocks - 1` shares at least one EXACT block — so candidates
+    * come from an equi-join on (block index, block value) and the exact
+    * `bit_count(xor)` distance then verifies each candidate. Recall is
+    * therefore EXACT (not probabilistic) for `maxHamming <=
+    * SimhashBlocks - 1`, which the require enforces.
+    *
+    * `maxBucket` drops degenerate blocks (e.g. the all-zeros block of
+    * empty-ish docs) before the self-join, same cap-in-oracle contract as
+    * the minhash LSH pairs. */
+  val SimhashBlocks = 4
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   maxBucket: Int = Int.MaxValue,
+                   scope: PersistScope = PersistScope()): DataFrame = {
+    require(maxHamming <= SimhashBlocks - 1,
+      s"pigeonhole guarantee needs maxHamming <= ${SimhashBlocks - 1}")
+    val sh = simhash(df, idCol, textCol, "sh")
+    val all = sh.select(col(idCol).as("doc"), col("sh"),
+      posexplode(array((0 until SimhashBlocks).map(b =>
+        shiftright(col("sh"), b * 15).bitwiseAND(0x7FFF)): _*))
+        .as(Seq("blk", "bv")))
+    val banded = scope.cache(
+      if (maxBucket == Int.MaxValue) all
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("blk", "bv")
+        all.withColumn("__bsz", count(lit(1)).over(w))
+          .where(col("__bsz") <= maxBucket)
+          .select("doc", "sh", "blk", "bv")
+      })
+    val a = banded.select(col("doc").as("doc_a"), col("sh").as("__sha"),
+      col("blk"), col("bv"))
+    val b = banded.select(col("doc").as("doc_b"), col("sh").as("__shb"),
+      col("blk"), col("bv"))
+    a.join(b, Seq("blk", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("__sha")).as("__ha"), min(col("__shb")).as("__hb")) // sh is per-doc constant
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(__ha ^ __hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

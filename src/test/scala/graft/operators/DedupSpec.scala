@@ -99,6 +99,21 @@ class DedupSpec extends SparkSpec {
     scope.close()
   }
 
+  test("simhashPairs: pigeonhole-exact recall at hamming <= 3") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) === 0L) // exact dup: identical fingerprints
+    // exhaustive check: EVERY pair within hamming 3 is found (pigeonhole)
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(out === expected)
+  }
+
   test("simhash is identical for dups and close for near-dups") {
     val h = docs.select(col("doc_id"), Dedup.simhash64("text").as("sh"))
       .as[(Long, Long)].collect().toMap
