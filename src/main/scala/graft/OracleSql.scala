@@ -739,6 +739,26 @@ object OracleSql {
         | md5(text) AS content_md5
         |FROM documents""".stripMargin,
 
+    // INDEPENDENT formulation (not the union-scan mirror): nearest
+    // eligible click per purchase via row_number over an inequality join —
+    // checks the as-of SEMANTICS, not the algorithm. Tie-break min value
+    // among the earliest ts, matching asofJoinDir's forward scan order.
+    "q_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_ns(ts) // 1000 AS tsu FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tsu,
+        |        value AS purchase_value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tsu, value FROM e WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, c.value AS cv, c.tsu AS ctsu,
+        |        ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |                           ORDER BY c.tsu ASC, c.value ASC) AS rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.tsu >= p.tsu AND c.tsu <= p.tsu + 3600000000)
+        |SELECT p.user_id, p.purchase_id, p.tsu AS purchase_ts_us,
+        |       p.purchase_value, j.cv AS next_click_value,
+        |       j.ctsu AS next_click_ts_us
+        |FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id AND j.rn = 1""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |             epoch_ns(ts) // 1000 AS tsu FROM events),

@@ -604,6 +604,25 @@ object SparkEntry {
         col("asof_ts").as("asof_click_ts_us"))
   }
 
+  /** Forward as-of with tolerance (pandas merge_asof direction='forward',
+    * tolerance=1h): next click at-or-after each purchase within the hour,
+    * NULL when none — same single-shuffle union-scan plan, oracled by an
+    * INDEPENDENT row_number-over-inequality-join formulation. */
+  private def qAsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).withColumn("tsu", expr("ts DIV 1000"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("tsu"), col("value").as("purchase_value"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("tsu"), col("value"))
+    AsofJoin.asofJoinDir(purchases, clicks, "user_id", "tsu", "value",
+        "forward", Some(3600L * 1000000L))
+      .select(col("user_id"), col("purchase_id"),
+        col("tsu").as("purchase_ts_us"), col("purchase_value"),
+        col("asof_value").as("next_click_value"),
+        col("asof_ts").as("next_click_ts_us"))
+  }
+
   /** 3 scans / 2 shuffles total (was 5 scans): the two scan-level checks
     * fuse into one aggregation pass; the same-table overlap is a single
     * conditional-count groupBy instead of a self-join of two slices. */
@@ -755,6 +774,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_binary_meta" -> (qBinaryMeta _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_quality_checks" -> (qQualityChecks _),
     "q_percentiles" -> (qPercentiles _),
     "q_salted_agg" -> (qSaltedAgg _),
