@@ -714,7 +714,7 @@ object SparkEntry {
     * "dedup by meaning" counterpart of q_dup_clusters' lexical minhash.
     * Oracle: recursive-CTE transitive closure over the same edge set. */
   private def qSemanticClusters(s: SparkSession, d: String): DataFrame =
-    DupClusters.clustersStar(
+    DupClusters.clustersAdaptive(
       qEmbedNeardup(s, d)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
 

@@ -134,9 +134,17 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             k: Int, bands: Int,
                             maxBucket: Int = Int.MaxValue,
-                            scope: PersistScope = PersistScope()): DataFrame = {
+                            scope: PersistScope = PersistScope()): DataFrame =
+    candidatePairsFromSigs(minhashSignatures(df, idCol, textCol, k),
+      k, bands, maxBucket, scope)
+
+  /** [[minhashCandidatePairs]] from a PRE-COMPUTED signature relation —
+    * callers that also consume the signatures (e.g. [[verifyPairs]])
+    * cache them once instead of hashing the corpus twice. */
+  def candidatePairsFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                             maxBucket: Int = Int.MaxValue,
+                             scope: PersistScope = PersistScope()): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k)
     // sized + filtered + both self-join sides consume the banded relation:
     // materialize once
     val all = sigs.select(
@@ -177,8 +185,10 @@ object Dedup {
                   k: Int, bands: Int,
                   maxBucket: Int = Int.MaxValue,
                   scope: PersistScope = PersistScope()): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, k, bands, maxBucket, scope)
+    // signatures cached ONCE and shared: candidate generation and the
+    // per-pair estimate both read them — the corpus is hashed one time
     val sigs = scope.cache(minhashSignatures(df, idCol, textCol, k))
+    val pairs = candidatePairsFromSigs(sigs, k, bands, maxBucket, scope)
     val tokSets = df.select(col(idCol).as("doc"),
       array_distinct(Text.tokens(col(textCol))).as("ts"))
     def side(p: String) =

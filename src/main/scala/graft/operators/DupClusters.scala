@@ -111,6 +111,50 @@ object DupClusters {
       .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster"))
   }
 
+  /** Adaptive clustering: size-based plan choice, the same idea as
+    * Spark's broadcast-join threshold. The iterative rounds exist for
+    * edge sets that cannot sit on one machine; an edge set that FITS the
+    * driver gets the identical labels from one collect + union-find +
+    * parallelize — no per-round job constants (a tiny blocked pair graph
+    * otherwise pays ~4 scheduling rounds for microseconds of work, see
+    * BASELINE q_semantic_clusters). One count() decides; above the
+    * threshold the distributed star rounds run unchanged. Equivalence of
+    * the two paths is spec-pinned (DupClustersSpec union-find tests). */
+  def clustersAdaptive(pairs: DataFrame, driverEdgeLimit: Long = 4000000L,
+                       maxIters: Int = 50,
+                       durable: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .where(col("src") =!= col("dst")).persist()
+    val n = edges.count()
+    if (n > driverEdgeLimit) {
+      val out = clustersStar(edges.select(col("src").as("doc_a"),
+        col("dst").as("doc_b")), maxIters, durable)
+      edges.unpersist()
+      out
+    } else {
+      val local = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      local.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the label IS the component min, matching
+        // the distributed algorithms' output contract
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keys.toSeq.map(d => (d, find(d))).toDF("doc", "cluster")
+    }
+  }
+
   /** pairs(doc_a, doc_b) -> (doc, cluster) with cluster = min doc id of the
     * component. Includes only docs appearing in at least one pair.
     *

@@ -71,6 +71,21 @@ class DupClustersSpec extends SparkSpec {
     assert(hubOut === bruteComponents(hub))
   }
 
+  test("clustersAdaptive: driver fast path == distributed path == union-find") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val brute = bruteComponents(edges)
+    val fast = DupClusters.clustersAdaptive(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast === brute)
+    // driverEdgeLimit 0 forces the distributed star rounds: same labels
+    val dist = DupClusters.clustersAdaptive(edges.toDF("doc_a", "doc_b"),
+        driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === brute)
+  }
+
   test("clustersStar refuses to emit when maxIters exhausts before a star fixpoint") {
     // a 60-node chain cannot flatten to a star forest in one composed
     // round; the guard must throw rather than emit wrong labels
