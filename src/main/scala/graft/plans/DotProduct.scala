@@ -117,6 +117,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
+      (children: Seq[Expression]) => Md5Long(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => children(1) match {
+        // n must be a literal: the shingle width shapes the expression
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          NGrams(children(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_ngrams(tokens, n): n must be an integer literal, got $other")
+      }))
     ext.injectOptimizerRule(_ => GridRangeJoinRule)
   }
 }
