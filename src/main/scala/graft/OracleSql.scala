@@ -715,6 +715,32 @@ object OracleSql {
          |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
     },
 
+    // same hyperplane-literal buckets as the ANN oracles; benchmark side
+    // exploded to its Hamming-1 probe neighborhood, exact cosine verify
+    "q_semantic_contamination" -> {
+      val planes = graft.operators.Similarity.hyperplanes(4, 64)
+      val planeLits = planes.map(p =>
+        p.map(v => BigDecimal(v).bigDecimal.toPlainString).mkString("[", ", ", "]"))
+      val bucketTerms = planeLits.zipWithIndex.map { case (l, i) =>
+        s"CASE WHEN list_inner_product(v, $l) >= 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"
+      }.mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv, (
+         |    $bucketTerms
+         |  ) AS b FROM e),
+         |c AS (SELECT vec_id AS doc_a, v AS va, nv AS na, b AS bucket
+         |      FROM n WHERE vec_id % 10 <> 0),
+         |bb AS (SELECT vec_id AS doc_b, v AS vb, nv AS nb, b FROM n WHERE vec_id % 10 = 0),
+         |bp AS (SELECT doc_b, vb, nb,
+         |         unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS bucket
+         |       FROM bb)
+         |SELECT c.doc_a, bp.doc_b,
+         |       list_inner_product(c.va, bp.vb) / (c.na * bp.nb) AS cos_sim
+         |FROM c JOIN bp USING (bucket)
+         |WHERE list_inner_product(c.va, bp.vb) / (c.na * bp.nb) >= 0.3""".stripMargin
+    },
+
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,

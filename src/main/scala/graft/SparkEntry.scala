@@ -390,6 +390,18 @@ object SparkEntry {
       topK = 10, nProbes = 4, excludeId = Some(0L))
   }
 
+  /** Embedding-space benchmark decontamination: corpus vectors (vec_id %
+    * 10 != 0) within cosine >= 0.3 of any benchmark vector, candidates
+    * from a multi-probe LSH bucket join with the benchmark side broadcast
+    * (Similarity.crossCosinePairs — the corpus never shuffles). */
+  private def qSemanticContamination(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.crossCosinePairs(
+      e.where(col("vec_id") % 10 =!= 0),
+      e.where(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", nPlanes = 4, dim = 64, tau = 0.3)
+  }
+
   private def qEmbedStats(s: SparkSession, d: String): DataFrame =
     Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")
 
@@ -759,6 +771,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_embed_stats" -> (qEmbedStats _),
+    "q_semantic_contamination" -> (qSemanticContamination _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),

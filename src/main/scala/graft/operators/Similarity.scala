@@ -98,6 +98,46 @@ object Similarity {
     cosineTopK(bucketed, idCol, vecCol, queryVec, k, excludeId)
   }
 
+  /** Cross-corpus semantic near-dup pairs — embedding-space benchmark
+    * decontamination: bucket BOTH relations with the same hyperplanes and
+    * equi-join on the bucket, then exact cosine on the candidates. With
+    * `multiProbe` the (small) benchmark side is exploded to its Hamming-1
+    * bucket neighborhood, so pairs split by one unlucky plane are still
+    * found — recall is the LSH collision probability (high for
+    * near-duplicate vectors, the decontamination regime), and the oracle
+    * mirrors buckets and probes exactly so results stay cell-exact.
+    *
+    * Scale shape: the corpus is scanned once, bucketed by a per-row
+    * expression, and hash-joined against the BROADCAST benchmark probe
+    * table — no corpus shuffle at all; candidates per corpus row are
+    * bounded by the benchmark bucket occupancy. */
+  def crossCosinePairs(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, vecCol: String,
+                       nPlanes: Int, dim: Int, tau: Double,
+                       multiProbe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus
+      .select(col(idCol).as("doc_a"),
+        transform(col(vecCol), x => x.cast("double")).as("va"))
+      .select(col("doc_a"), col("va"), norm(col("va")).as("na"),
+        lshBucket(col("va"), planes).as("__bucket"))
+    val bBase = benchmark
+      .select(col(idCol).as("doc_b"),
+        transform(col(vecCol), x => x.cast("double")).as("vb"))
+      .select(col("doc_b"), col("vb"), norm(col("vb")).as("nb"),
+        lshBucket(col("vb"), planes).as("__b0"))
+    val probeCols: Seq[Column] =
+      if (!multiProbe) Seq(col("__b0"))
+      else col("__b0") +: (0 until nPlanes).map(p =>
+        col("__b0").bitwiseXOR(lit(1L << p)))
+    val b = bBase.select(col("doc_b"), col("vb"), col("nb"),
+      explode(array(probeCols: _*)).as("__bucket"))
+    c.join(broadcast(b), Seq("__bucket"))
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
+  }
+
   /** Per-label embedding centroid (exact decimal mean per dimension).
     * posexplode -> groupBy (label, dim): the shuffle key is (label, dim) so
     * high-dim x many-labels parallelizes; sums are decimal => exact and

@@ -52,6 +52,40 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.size === 10)
   }
 
+  test("crossCosinePairs: subset of brute force; identical vectors always found") {
+    import org.apache.spark.sql.functions._
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val bench = emb.where(col("vec_id") % 10 === 0)
+    val tau = 0.3
+    val found = Similarity.crossCosinePairs(corpus, bench, "vec_id", "embedding",
+        nPlanes = 4, dim = 64, tau = tau)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over the same split
+    val all = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => i -> v.toArray }.toMap
+    // iterate over Seq, NOT the Map — a for over a Map yields a Map and
+    // silently collapses pairs sharing the first key
+    val brute = (for {
+      (a, va) <- all.toSeq if a % 10 != 0
+      (b, vb) <- all.toSeq if b % 10 == 0
+      if cosScala(va, vb) >= tau
+    } yield (a, b)).toSet
+    assert(found.subsetOf(brute))
+    // a vector present in both slices buckets identically -> always found
+    val planted = Seq((9001L, all(all.keys.filter(_ % 10 == 0).min)))
+      .toDF("vec_id", "embedding")
+    val foundPlanted = Similarity.crossCosinePairs(
+        corpus.select("vec_id", "embedding").unionByName(planted),
+        bench, "vec_id", "embedding", 4, 64, 0.999)
+      .where(col("doc_a") === 9001L)
+    assert(foundPlanted.count() >= 1)
+    // multi-probe finds at least the single-probe pairs
+    val single = Similarity.crossCosinePairs(corpus, bench, "vec_id", "embedding",
+        4, 64, tau, multiProbe = false)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(found))
+  }
+
   test("labelCentroids matches manual mean per (label, dim)") {
     val out = Similarity.labelCentroids(emb, "label", "embedding")
       .where(col("label") === 0 && col("dim") === 0)
