@@ -510,6 +510,26 @@ object OracleSql {
          |      ELSE 'und' END AS lang_pred
          |FROM s""".stripMargin,
 
+    // hot lines = distinct-doc frequency > 2; docs reassembled in original
+    // line order (pos is unique per doc, so the ordered list is stable)
+    "q_boilerplate" ->
+      """WITH l AS (SELECT doc_id,
+        |             unnest(string_split(text, ' table ')) AS line,
+        |             generate_subscripts(string_split(text, ' table '), 1) AS pos
+        |           FROM documents),
+        |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+        |        GROUP BY line HAVING COUNT(*) > 2),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+        |         LEFT JOIN hot ON l.line = hot.line WHERE hot.line IS NULL),
+        |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |         md5(array_to_string(list(line ORDER BY pos), chr(10))) AS clean_md5
+        |       FROM kept GROUP BY doc_id),
+        |t AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |       COALESCE(ka.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |       COALESCE(ka.clean_md5, md5('')) AS clean_md5
+        |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin,
+
     // first-occurrence filter: keep element i iff list_position finds it
     // first at i (1-based in DuckDB, mirroring array_position in Spark)
     "q_line_dedup" ->

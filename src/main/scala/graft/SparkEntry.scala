@@ -503,6 +503,14 @@ object SparkEntry {
         size(col("__kept")).cast("long").as("n_unique_lines"),
         md5(array_join(col("__kept"), "\n").cast("binary")).as("dedup_md5"))
 
+  /** Cross-document boilerplate scrub: pseudo-lines shared by > 2 docs
+    * (headers/footers at web scale) removed everywhere, docs reassembled
+    * in order (Curate.boilerplateRemove — the across-corpus complement
+    * of q_line_dedup). */
+  private def qBoilerplate(s: SparkSession, d: String): DataFrame =
+    Curate.boilerplateRemove(Tables.documents(s, d), "doc_id", "text",
+      " table ", maxLineDf = 2)
+
   /** Winnowing fingerprints (MOSS): min-hash of every 5-window over the
     * 4-gram rolling hashes; the distinct selected hash set is the
     * document fingerprint (Text.winnowOf — exact integer arithmetic, the
@@ -780,6 +788,7 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_balanced_sample" -> (qBalancedSample _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_winnow" -> (qWinnow _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_pii_scrub" -> (qPiiScrub _),

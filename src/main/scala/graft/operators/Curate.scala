@@ -96,6 +96,38 @@ object Curate {
     kept.collect().map(_.getString(0)).sorted
   }
 
+  /** Cross-document boilerplate removal (the C4/RefinedWeb "drop lines
+    * shared by many pages" rule — headers, footers, cookie banners):
+    * lines whose DISTINCT-document frequency exceeds `maxLineDf` are
+    * removed from every document, and each document is reassembled in
+    * original line order. Complements [[graft.functions.Text.dedupLinesOf]]
+    * (within-document) with the ACROSS-document pass.
+    *
+    * Plan shape: one posexplode, a distinct + groupBy on the line (hash
+    * shuffle on uniform-ish text keys), an anti join co-partitioned on
+    * the same key, and a per-document reassembly groupBy. Documents whose
+    * every line is boilerplate still appear (n_kept = 0, md5 of empty). */
+  def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
+                        sep: String, maxLineDf: Int): DataFrame = {
+    val lines = df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+    val hot = lines.select("doc", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxLineDf)
+      .select("line")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+    val keptAgg = kept.groupBy("doc").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").cast("binary")).as("clean_md5"))
+    lines.groupBy("doc").agg(count(lit(1)).as("n_lines"))
+      .join(keptAgg, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
+  }
+
   /** Mixture balancing: deterministically downsample every stratum to
     * approximately the smallest stratum's size (uniform target mixture).
     * Per-stratum keep rate = (min_count * 1e6) DIV count in exact integer

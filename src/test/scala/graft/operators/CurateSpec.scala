@@ -42,6 +42,30 @@ class CurateSpec extends SparkSpec {
     assert(out === Set((1L, 10L, 2L, 2L)))
   }
 
+  test("boilerplateRemove drops cross-document hot lines, keeps order") {
+    val docs = Seq(
+      (1L, "FOOTER|alpha|FOOTER|beta"),   // FOOTER twice in one doc: df counts docs
+      (2L, "gamma|FOOTER"),
+      (3L, "FOOTER|delta"),
+      (4L, "FOOTER")                       // only boilerplate -> 0 kept
+    ).toDF("doc_id", "text")
+    val out = Curate.boilerplateRemove(docs, "doc_id", "text", "\\|", maxLineDf = 2)
+      .select("doc_id", "n_lines", "n_kept", "clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // FOOTER is in 4 distinct docs (> 2) -> removed everywhere
+    assert(out(1L) === ((4L, 2L, m("alpha\nbeta"))))
+    assert(out(2L) === ((2L, 1L, m("gamma"))))
+    assert(out(3L) === ((2L, 1L, m("delta"))))
+    assert(out(4L) === ((1L, 0L, m(""))))
+    // with a higher threshold nothing is hot
+    val loose = Curate.boilerplateRemove(docs, "doc_id", "text", "\\|", 10)
+      .select("n_kept").as[Long].collect().sum
+    assert(loose === 9L) // all lines kept
+  }
+
   test("balancedSample downsamples every stratum toward the smallest") {
     val df = ((1 to 4000).map(i => (i.toLong, "bulk")) ++
         (4001 to 4200).map(i => (i.toLong, "rare")))
