@@ -72,11 +72,26 @@ class XlsxScanBuilder(full: StructType, paths: Seq[String],
 
 case class XlsxScan(full: StructType, required: StructType,
                     paths: Seq[String], headerRow: Int, sheet: Int)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xlsx sheet=$sheet headerRow=$headerRow files=${paths.size}"
+  /** Compressed archive bytes x a flat inflation factor: workbook XML
+    * deflates ~5:1, so this keeps joins against a folder of workbooks
+    * eligible for size-based planning (broadcast decisions) instead of
+    * the unknown-size default. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getFileStatus(hp).getLen
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes * 5)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {

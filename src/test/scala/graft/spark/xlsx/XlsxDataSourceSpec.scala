@@ -59,6 +59,19 @@ class XlsxDataSourceSpec extends SparkSpec {
     assert(df.count() === 4) // empty projection path (count(*)) works
   }
 
+  test("scan reports size statistics from the archive bytes") {
+    val dir = Files.createTempDirectory("dsv2-xlsx-stats").toString
+    val f = workbook(dir, "a.xlsx", "London", "12.5")
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1).load(f)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get.asInstanceOf[XlsxScan]
+    val stats = scan.estimateStatistics()
+    assert(stats.sizeInBytes().isPresent)
+    assert(stats.sizeInBytes().getAsLong ===
+      new java.io.File(f).length() * 5)
+  }
+
   test("column pruning reaches the scan") {
     val dir = Files.createTempDirectory("dsv2-xlsx-prune").toString
     val f = workbook(dir, "a.xlsx", "London", "12.5")
