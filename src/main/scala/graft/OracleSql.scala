@@ -374,6 +374,19 @@ object OracleSql {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    // same session construction as q_sessionize; the event-type sequence
+    // reassembles under the unique (sec, event_id) order on both engines
+    "q_session_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT *, CASE WHEN sec - LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        | md5(array_to_string(list(event_type ORDER BY sec, event_id), ',')) AS seq_md5
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY md5(text)""".stripMargin,

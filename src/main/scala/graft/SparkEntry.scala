@@ -335,6 +335,22 @@ object SparkEntry {
         min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
 
+  /** Behavioral training sequences: per (user, session) the event-type
+    * sequence in (sec, event_id) order — the "user journey" dataset a
+    * sequence model trains on. The ordered array is digest-compared
+    * (unique sort key => deterministic reassembly on both engines). */
+  private def qSessionSequences(s: SparkSession, d: String): DataFrame =
+    Sessionize.sessionize(
+        Tables.events(s, d).withColumn("sec", nsSec),
+        "user_id", "sec", 1800L, col("event_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("sec"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ",").cast("binary")).as("seq_md5"))
+
   // ---------------------------------------------------------------- §2.4
   private def qDedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
@@ -769,6 +785,7 @@ object SparkEntry {
     "q_wellbeing_impact" -> (qWellbeingImpact _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_sequences" -> (qSessionSequences _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_minhash_pairs" -> (qMinhashPairs _),
