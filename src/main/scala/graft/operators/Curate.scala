@@ -108,9 +108,11 @@ object Curate {
     * the same key, and a per-document reassembly groupBy. Documents whose
     * every line is boilerplate still appear (n_kept = 0, md5 of empty). */
   def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
-                        sep: String, maxLineDf: Int): DataFrame = {
-    val lines = df.select(col(idCol).as("doc"),
-      posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+                        sep: String, maxLineDf: Int,
+                        scope: PersistScope = PersistScope()): DataFrame = {
+    // consumed 3x (hot-line counts, anti join, per-doc totals): one scan
+    val lines = scope.cache(df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), sep)).as(Seq("pos", "line"))))
     val hot = lines.select("doc", "line").distinct()
       .groupBy("line").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxLineDf)
