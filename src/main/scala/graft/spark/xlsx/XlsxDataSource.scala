@@ -1,10 +1,12 @@
 package graft.spark.xlsx
 
 import java.util.zip.ZipInputStream
-import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
 import scala.collection.mutable
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -39,7 +41,8 @@ class DefaultSource extends TableProvider with DataSourceRegister {
     val paths = XlsxParse.paths(options)
     require(paths.nonEmpty, "graft-xlsx: no path given")
     XlsxParse.headerSchema(paths.head,
-      options.getInt("headerRow", 0), options.getInt("sheet", 1))
+      options.getInt("headerRow", 0), options.getInt("sheet", 1),
+      XlsxParse.sessionHadoopConf())
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -80,12 +83,13 @@ case class XlsxScan(full: StructType, required: StructType,
   /** Compressed archive bytes x a flat inflation factor: workbook XML
     * deflates ~5:1, so this keeps joins against a folder of workbooks
     * eligible for size-based planning (broadcast decisions) instead of
-    * the unknown-size default. */
+    * the unknown-size default. Runs on the driver -> session Hadoop conf
+    * (spark.hadoop.* object-store settings apply, same as builtin sources). */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val conf = XlsxParse.sessionHadoopConf()
     private val bytes = paths.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .getFileStatus(hp).getLen
+      hp.getFileSystem(conf).getFileStatus(hp).getLen
     }.sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes * 5)
@@ -97,18 +101,37 @@ case class XlsxScan(full: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     // map each required column to its cell index in the full header
     val cis = required.fields.map(f => full.fieldIndex(f.name))
-    XlsxReaderFactory(cis, headerRow, sheet)
+    // capture the session conf on the driver; ships to executors serialized
+    XlsxReaderFactory(cis, headerRow, sheet,
+      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()))
   }
 }
 
 case class XlsxInputPartition(path: String) extends InputPartition
 
-case class XlsxReaderFactory(cellIdx: Array[Int], headerRow: Int, sheet: Int)
+/** Hadoop Configuration is not java-serializable; it IS Writable. Standard
+  * wrapper so the driver's session conf (spark.hadoop.*) reaches executor
+  * tasks — same role as Spark's internal SerializableConfiguration. */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+case class XlsxReaderFactory(cellIdx: Array[Int], headerRow: Int, sheet: Int,
+                             conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
     new PartitionReader[InternalRow] {
-      private val rows = XlsxParse.rows(XlsxParse.readFile(path), sheet)
+      private val rows = XlsxParse.rows(XlsxParse.readFile(path, conf.value), sheet)
         .filter(_._1 > headerRow)
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -129,20 +152,31 @@ case class XlsxReaderFactory(cellIdx: Array[Int], headerRow: Int, sheet: Int)
   * (row scan): java.util.zip + StAX only, external entities disabled. */
 object XlsxParse {
 
+  /** Driver-side Hadoop conf carrying the session's spark.hadoop.*
+    * overrides (object-store credentials, defaultFS) — what every builtin
+    * source reads through. Falls back to a bare Configuration only when no
+    * session is active (e.g. schema probing in plain unit code). */
+  private[xlsx] def sessionHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   private[xlsx] def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { json =>
-      // DataFrameReader.load(paths: _*) encodes a flat JSON string array;
-      // quoted, comma-separated — sufficient to split without a JSON lib
-      json.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      // DataFrameReader.load(paths: _*) encodes a JSON string array; parse
+      // it as JSON (Jackson ships with Spark) so paths containing commas
+      // or quotes survive intact
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      require(node.isArray, s"graft-xlsx: 'paths' is not a JSON array: $json")
+      (0 until node.size()).map(node.get(_).asText())
     }
     multi ++ Option(options.get("path")).toSeq
   }
 
-  private[xlsx] def readFile(path: String): Array[Byte] = {
+  private[xlsx] def readFile(path: String, conf: Configuration): Array[Byte] = {
     // Hadoop FS so workbooks on shared/cluster storage read the same way
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
