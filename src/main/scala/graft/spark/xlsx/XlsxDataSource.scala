@@ -1,7 +1,7 @@
 package graft.spark.xlsx
 
 import java.util.zip.ZipInputStream
-import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import scala.collection.mutable
 
@@ -166,7 +166,13 @@ object XlsxParse {
       // DataFrameReader.load(paths: _*) encodes a JSON string array; parse
       // it as JSON (Jackson ships with Spark) so paths containing commas
       // or quotes survive intact
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        catch {
+          case e: com.fasterxml.jackson.core.JsonProcessingException =>
+            throw new IllegalArgumentException(
+              s"graft-xlsx: 'paths' is not valid JSON: $json", e)
+        }
       require(node.isArray, s"graft-xlsx: 'paths' is not a JSON array: $json")
       (0 until node.size()).map(node.get(_).asText())
     }
@@ -301,8 +307,9 @@ object XlsxParse {
   /** Header row `headerRow` (0-based) of the FIRST file names the columns
     * (missing header cells become col_N, like SpreadsheetSource.promote);
     * every column is STRING. */
-  def headerSchema(path: String, headerRow: Int, sheet: Int): StructType = {
-    val hdr = rows(readFile(path), sheet)
+  def headerSchema(path: String, headerRow: Int, sheet: Int,
+                   conf: Configuration): StructType = {
+    val hdr = rows(readFile(path, conf), sheet)
       .collectFirst { case (rn, cells) if rn == headerRow => cells }
       .getOrElse(sys.error(s"header row $headerRow not found in $path"))
     require(hdr.nonEmpty, s"header row $headerRow is empty")
