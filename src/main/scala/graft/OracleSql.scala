@@ -67,6 +67,12 @@ object OracleSql {
     * both distributed CC algorithms (contraction + large/small-star)
     * converge to. */
   private def dupClustersSql: String =
+    s"""$dupClusterCtes
+       |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin
+
+  /** The minhash-LSH star-edge transitive closure shared by
+    * q_dup_clusters{,_star} and q_dedup_keep: ends at `reach(n, m)`. */
+  private def dupClusterCtes: String =
     s"""WITH RECURSIVE toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
        |sig AS (SELECT doc_id,
@@ -86,8 +92,7 @@ object OracleSql {
        |  SELECT n, n FROM nodes
        |  UNION
        |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
-       |)
-       |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin
+       |)""".stripMargin
 
   private def annIvfSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -913,5 +918,62 @@ object OracleSql {
       """SELECT event_type, COUNT(*) AS n_rows,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the share-cap cut: global window form of the grouped distributed
+    // prefix sum; cum * 1e6 <= total * ppm compared exactly in HUGEINT
+    "q_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len($toksSql) AS BIGINT) AS n_tokens, n_chars
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY n_chars DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d),
+         |t AS (SELECT CAST(SUM(n_tokens) AS HUGEINT) AS total FROM d)
+         |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c, t
+         |WHERE CAST(cum AS HUGEINT) * 1000000 <= total * 40000""".stripMargin,
+
+    // corpus bigram LM: per-instance conditional probability in exact
+    // integer ppm (c12 * 1e6 DIV c1), doc score = mean instance ppm
+    "q_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+         |         SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |           i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+         |         FROM tk WHERE len(t) >= 2)),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         | CAST(SUM((c12.c12 * 1000000) // c1.c1) AS BIGINT) // COUNT(*) AS lm_score_ppm
+         |FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+         |        JOIN c1 ON bg.w1 = c1.w1
+         |GROUP BY bg.doc_id""".stripMargin,
+
+    // gaps-and-islands run id: rn_overall - rn_per_state is constant
+    // exactly within a consecutive same-state run
+    "q_state_intervals" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |r AS (SELECT user_id, event_type, sec,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY sec, event_id)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY sec, event_id) AS run
+        |      FROM e)
+        |SELECT user_id, event_type, MIN(sec) AS from_sec,
+        | MAX(sec) AS to_sec, COUNT(*) AS n_events
+        |FROM r GROUP BY user_id, event_type, run""".stripMargin,
+
+    // the kept corpus after near-dup clustering: same closure CTEs as
+    // q_dup_clusters, then drop every non-canonical cluster member
+    "q_dedup_keep" ->
+      s"""$dupClusterCtes,
+         |labels AS (SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n)
+         |SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM labels l
+         |                  WHERE l.doc = d.doc_id AND l.doc <> l.cluster)""".stripMargin,
   )
 }

@@ -754,6 +754,50 @@ object SparkEntry {
       qEmbedNeardup(s, d)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
 
+  /** Per-source token-share cap (source mixing): best docs per source
+    * (longest first) until the source holds 4% of corpus tokens. The
+    * per-source running total is the GROUPED distributed prefix sum —
+    * no per-source single-task window even when one source dominates. */
+  private def qSourceCap(s: SparkSession, d: String): DataFrame =
+    Curate.sourceShareCap(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            Text.tokens(col("text")).as("__t"))
+          .withColumn("__nt", size(col("__t"))).drop("__t"),
+        "source", Seq(col("n_chars").desc, col("doc_id")), col("__nt"),
+        sharePpm = 40000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+
+  /** Corpus bigram-LM doc scoring: mean conditional bigram probability
+    * in exact integer ppm — the "how corpus-typical is this text"
+    * quality filter, no float perplexity. */
+  private def qLmScore(s: SparkSession, d: String): DataFrame =
+    Curate.lmScore(Tables.documents(s, d), "doc_id", "text")
+
+  /** SCD2-shaped state-change history: per user, consecutive runs of the
+    * same event_type collapsed to validity intervals. */
+  private def qStateIntervals(s: SparkSession, d: String): DataFrame =
+    Sessionize.stateIntervals(
+        Tables.events(s, d).withColumn("sec", nsSec),
+        "user_id", "event_type", Seq(col("sec"), col("event_id")), col("sec"))
+      .select(col("user_id"), col("event_type"), col("from_sec"),
+        col("to_sec"), col("n_events"))
+
+  /** The dedup MATERIALIZATION step: the corpus with every non-canonical
+    * near-dup cluster member dropped (canonical = min doc_id of its
+    * minhash-LSH cluster; docs in no cluster survive). Completes the
+    * dedup family from detection (pairs/clusters) to the kept corpus a
+    * training run would actually read. */
+  private def qDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labels = DupClusters.clustersAdaptive(
+      Dedup.minhashBucketStars(docs, "doc_id", "text", 16, 4))
+    val drop = labels.where(col("doc") =!= col("cluster"))
+      .select(col("doc").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+  }
+
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     Stats.saltedAgg(Tables.events(s, d), "event_type",
         pmod(col("event_id"), lit(16)), 16,
@@ -830,6 +874,10 @@ object SparkEntry {
     "q_profile_customer" -> (qProfileCustomer _),
     "q_profile_exact" -> (qProfileExact _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_source_cap" -> (qSourceCap _),
+    "q_lm_score" -> (qLmScore _),
+    "q_state_intervals" -> (qStateIntervals _),
+    "q_dedup_keep" -> (qDedupKeep _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

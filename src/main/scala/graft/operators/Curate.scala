@@ -130,6 +130,76 @@ object Curate {
         coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
   }
 
+  /** Per-source token-share cap (the RefinedWeb/CCNet source-mixing rule:
+    * no single source may exceed `sharePpm` of the corpus' tokens): within
+    * each source, documents are taken best-first in `orderCols` order
+    * until the source's INCLUSIVE cumulative token count passes its
+    * budget. The comparison `cum * 1e6 <= total * sharePpm` runs in
+    * DECIMAL(38,0) — exact at any corpus size, no float division, no
+    * driver-side budget constant.
+    *
+    * Scale shape: the per-source running total is
+    * [[Stats.withRunningTotalBy]]'s grouped distributed prefix sum —
+    * a source holding 30% of 100 TB spans many range partitions instead
+    * of one window task — and the corpus total is a 1-row aggregate
+    * cross-joined (broadcast) into the filter. */
+  def sourceShareCap(df: DataFrame, groupCol: String,
+                     orderCols: Seq[org.apache.spark.sql.Column],
+                     tokenCount: org.apache.spark.sql.Column,
+                     sharePpm: Long,
+                     scope: PersistScope = PersistScope()): DataFrame = {
+    // cached: the total aggregate and the prefix-sum's range shuffle both
+    // consume it — without this the token count is computed twice from
+    // the raw text
+    val withN = scope.cache(df.withColumn("n_tokens", tokenCount.cast("long")))
+    val total = withN.agg(sum(col("n_tokens")).cast("decimal(38,0)").as("__total"))
+    Stats.withRunningTotalBy(withN, Seq(col(groupCol)), orderCols,
+        col("n_tokens"), "cum_tokens")
+      .crossJoin(broadcast(total))
+      .where(col("cum_tokens").cast("decimal(38,0)") * lit(1000000L)
+        <= col("__total") * lit(sharePpm))
+      .drop("__total")
+  }
+
+  /** Corpus-trained bigram language-model score per document (the
+    * CCNet-style "how typical of the corpus is this text" quality
+    * signal, integer-exact instead of a float perplexity): for every
+    * bigram instance (w1, w2), its conditional probability in ppm is
+    * `c(w1,w2) * 1e6 DIV c(w1,·)` where both counts come from the WHOLE
+    * corpus; a document's score is the mean instance ppm
+    * (`SUM DIV n_bigrams`). No ln()/float math — engine-portable
+    * (libm last-bit rounding differs per engine, see SURVEY §5).
+    *
+    * Plan shape: one bigram explode (shuffle-free row expression over the
+    * materialized token array), two groupBy count passes over the bigram
+    * relation, a model join back on (w1, w2) — all equi-joins on uniform
+    * text keys, never a doc × doc or vocab × vocab product. The bigram
+    * relation is consumed three times (c12, c1, score join): cached once.
+    * Documents with < 2 tokens carry no bigram and are absent (score
+    * undefined). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              scope: PersistScope = PersistScope()): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      graft.functions.Text.tokens(col(textCol)).as("t"))
+    val bg = scope.cache(toks
+      .where(size(col("t")) >= 2)
+      .selectExpr("doc",
+        "explode(transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i-1] AS w1, t[i] AS w2))) AS b")
+      .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // model join on w1: both sides already hash-partitioned on w1 by
+    // their groupBys at matching key prefixes
+    val model = c12.join(c1, "w1")
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(c12 * 1000000) DIV c1")).as("__sum_ppm"))
+      .select(col("doc").as("doc_id"), col("n_bigrams"),
+        expr("__sum_ppm DIV n_bigrams").as("lm_score_ppm"))
+  }
+
   /** Mixture balancing: deterministically downsample every stratum to
     * approximately the smallest stratum's size (uniform target mixture).
     * Per-stratum keep rate = (min_count * 1e6) DIV count in exact integer

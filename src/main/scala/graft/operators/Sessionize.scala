@@ -29,4 +29,29 @@ object Sessionize {
       .withColumn("session_id", sum(col("__new_session")).over(w) - 1)
       .drop("__new_session")
   }
+
+  /** State-change history (SCD-type-2 shape / gaps-and-islands): per key,
+    * collapse CONSECUTIVE runs of the same `stateCol` value in
+    * `orderCols` order into one validity interval
+    * (key, state, from, to, n_events). The classic two-row_number run id
+    * (`rn_overall - rn_per_state` is constant exactly within a
+    * consecutive run) — both windows and the final groupBy are
+    * partitioned by the key, so the whole operator is one hash shuffle
+    * on the key plus per-key sorts; nothing global.
+    *
+    * `orderCols` must be a total order per key (pass a tie-break, see
+    * SURVEY §5) or run boundaries are nondeterministic. */
+  def stateIntervals(df: DataFrame, keyCol: String, stateCol: String,
+                     orderCols: Seq[Column], fromToCol: Column): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val wState = Window.partitionBy(col(keyCol), col(stateCol))
+      .orderBy(orderCols: _*)
+    df.withColumn("__ft", fromToCol)
+      .withColumn("__run",
+        row_number().over(wAll) - row_number().over(wState))
+      .groupBy(col(keyCol), col(stateCol), col("__run"))
+      .agg(min(col("__ft")).as("from_sec"), max(col("__ft")).as("to_sec"),
+        count(lit(1)).as("n_events"))
+      .drop("__run")
+  }
 }

@@ -164,6 +164,55 @@ object Stats {
       .drop("__p", "__w", "__within", "__off")
   }
 
+  /** Per-GROUP inclusive running total of `weight` in `orderCols` order,
+    * with no per-group single-task window even when one group dominates
+    * the data: rows are range-partitioned on (group, order) — a group
+    * occupying 30% of a 100 TB corpus spans many contiguous range
+    * partitions instead of landing in one window task. Each range
+    * partition's slice of a group learns the group's weight in
+    * strictly-earlier partitions from a window over the per-(partition,
+    * group) totals (≤ numParts rows per group — aggregated data, never
+    * the raw rows), then adds an ordinary (partition, group)-local
+    * running sum. Fully distributed: unlike [[withRunningTotal]] there
+    * is no driver collect at all — the offset table stays a DataFrame
+    * and joins back on (partition, group).
+    *
+    * This is `SUM(w) OVER (PARTITION BY g ORDER BY ...)` made safe for
+    * skewed/low-cardinality `g`. The input is persisted (totals pass +
+    * window pass); pass a pruned projection at 100 TB. */
+  def withRunningTotalBy(df: DataFrame, groupCols: Seq[Column],
+                         orderCols: Seq[Column], weight: Column,
+                         outCol: String, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(parts, (groupCols ++ orderCols): _*)
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__w", weight.cast("long")) // integral weights: exact, order-free
+      .persist()
+    val groupNames = groupCols.indices.map(i => s"__g$i")
+    val gCols = groupCols.zip(groupNames).map { case (c, n) => c.as(n) }
+    // per-(partition, group) totals: bounded by rows-per-partition but in
+    // practice ~(numParts + spanning groups) rows — aggregated, cheap
+    val pg = parted.select(col("__p") +: col("__w") +: gCols: _*)
+      .groupBy("__p", groupNames: _*).agg(sum("__w").as("__t"))
+    // exclusive prefix across partitions WITHIN each group: window over
+    // the aggregated totals, partitioned by group (≤ numParts rows each)
+    val wOff = Window.partitionBy(groupNames.map(col): _*).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = pg.withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .drop("__t")
+    val wIn = Window.partitionBy(col("__p") +: groupNames.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.select(col("*") +: gCols: _*)
+      .withColumn("__within", sum(col("__w")).over(wIn))
+      .join(broadcast(off), "__p" +: groupNames)
+      .withColumn(outCol, col("__off") + col("__within"))
+      .drop("__p" :: "__w" :: "__within" :: "__off" :: groupNames.toList: _*)
+  }
+
   /** Deterministic hash sampling: keep a row iff
     * `md5hash(key) mod 1e6 < fractionPpm`. Reproducible across runs,
     * retries, and engines (never `rand()` — a task retry with rand()

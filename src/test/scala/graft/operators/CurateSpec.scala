@@ -84,6 +84,32 @@ class CurateSpec extends SparkSpec {
     assert(out.toSet === again.toSet)
   }
 
+  test("sourceShareCap: best-first prefix per source, no source over its share") {
+    // source A: 10 docs of 10 tokens; source B: 2 docs of 10 tokens.
+    // total = 120 tokens; 25% share = 30 tokens -> A keeps its best 3,
+    // B keeps both (20 <= 30)
+    val df = ((1 to 10).map(i => (i.toLong, "A", 100 - i)) ++
+        Seq((11L, "B", 50), (12L, "B", 40)))
+      .toDF("doc_id", "source", "quality")
+    val out = Curate.sourceShareCap(df, "source",
+        Seq(col("quality").desc, col("doc_id")), lit(10L), sharePpm = 250000L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // best-first = highest quality = lowest doc_id for A
+    assert(out === Map(1L -> 10L, 2L -> 20L, 3L -> 30L,
+      11L -> 10L, 12L -> 20L))
+  }
+
+  test("lmScore: hand-checked bigram conditional ppm means") {
+    // corpus: "a b" x2 and "a c" -> c(a,b)=2, c(a,c)=1, c(a,.)=3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")).toDF("doc_id", "text")
+    val out = Curate.lmScore(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "lm_score_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    // p(b|a) = 2*1e6 DIV 3 = 666666 ppm; p(c|a) = 1e6 DIV 3 = 333333 ppm;
+    // doc 4 has no bigram -> absent
+    assert(out === Set((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)))
+  }
+
   test("coverage_ppm is the exact integer ratio of the CAPPED bench universe") {
     // bench doc with 4 distinct trigrams, corpus doc sharing 3 of them
     val b = Seq((10L, "a b c d e f")).toDF("doc_id", "text")

@@ -15,4 +15,23 @@ class SessionizeSpec extends SparkSpec {
       .select("event_id", "session_id").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
+
+  test("stateIntervals collapses consecutive runs only; same state later is a new interval") {
+    val df = Seq(
+      // user 1: A A B A  -> three intervals (A twice, split by B)
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"),
+      // user 2: single event
+      (2L, 5L, 5L, "C")
+    ).toDF("user_id", "sec", "event_id", "event_type")
+    val out = Sessionize.stateIntervals(df, "user_id", "event_type",
+        Seq(col("sec"), col("event_id")), col("sec"))
+      .select("user_id", "event_type", "from_sec", "to_sec", "n_events")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, "A", 10L, 20L, 2L),
+      (1L, "B", 30L, 30L, 1L),
+      (1L, "A", 40L, 40L, 1L),
+      (2L, "C", 5L, 5L, 1L)))
+  }
 }

@@ -103,6 +103,26 @@ class StatsSpec extends SparkSpec {
     assert(bulkRate > 0.03 && bulkRate < 0.07, s"bulk rate $bulkRate")
   }
 
+  test("withRunningTotalBy matches the per-group global window cell-exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial: one group holds 80% of rows (the skew case the grouped
+    // prefix sum exists for), another has a single row, order ties broken
+    // by id
+    val df = ((1 to 800).map(i => ("hot", i.toLong, (i % 13).toLong)) ++
+        (1 to 150).map(i => ("mid", 1000L + i, (i % 7).toLong)) ++
+        Seq(("one", 5000L, 42L)))
+      .toDF("g", "id", "w")
+    val dist = Stats.withRunningTotalBy(df, Seq(col("g")),
+        Seq(col("w"), col("id")), col("w"), "rt")
+      .select("id", "rt").as[(Long, Long)].collect().toMap
+    val win = df.withColumn("rt",
+        sum(col("w")).over(Window.partitionBy(col("g"))
+          .orderBy(col("w"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "rt").as[(Long, Long)].collect().toMap
+    assert(dist === win)
+  }
+
   test("saltedAgg matches direct groupBy exactly") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else "k" + (i % 7), i.toLong))
       .toDF("k", "v")
