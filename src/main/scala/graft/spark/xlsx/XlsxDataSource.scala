@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -66,11 +67,70 @@ case class XlsxTable(tableSchema: StructType, paths: Seq[String],
 
 class XlsxScanBuilder(full: StructType, paths: Seq[String],
                       headerRow: Int, sheet: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = full
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = XlsxScan(full, required, paths, headerRow, sheet)
+
+  /** COUNT(*) with no grouping pushes into the scan: each file task
+    * counts `<row>` elements in the sheet XML — no shared-strings load,
+    * no cell decode, no per-cell rows ever materialized. PARTIAL
+    * pushdown (one count per file, Spark sums the partials), so a
+    * folder of workbooks still counts in parallel. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions().head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countPushed) XlsxCountScan(paths, headerRow, sheet)
+    else XlsxScan(full, required, paths, headerRow, sheet)
+}
+
+/** The COUNT(*)-pushdown scan: one long per file (a partial count Spark
+  * merges), produced by a row-element-only StAX pass. */
+case class XlsxCountScan(paths: Seq[String], headerRow: Int, sheet: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xlsx COUNT-pushdown sheet=$sheet files=${paths.size}"
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => XlsxInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    XlsxCountReaderFactory(headerRow, sheet,
+      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()))
+}
+
+case class XlsxCountReaderFactory(headerRow: Int, sheet: Int,
+                                  conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[XlsxInputPartition].path
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          row = InternalRow(XlsxParse.countRows(
+            XlsxParse.readFile(path, conf.value), sheet, headerRow))
+          emitted = true
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class XlsxScan(full: StructType, required: StructType,
@@ -302,6 +362,28 @@ object XlsxParse {
       }
     }
     out.iterator
+  }
+
+  /** Data-row count of one sheet (0-based row number > headerRow) by a
+    * row-element-only StAX pass — mirrors exactly what [[rows]] would
+    * emit after the header filter (same `r`-attribute-or-sequential row
+    * numbering), without loading shared strings or decoding any cell. */
+  def countRows(zip: Array[Byte], sheet: Int, headerRow: Int): Long = {
+    val sheetBytes = member(zip, s"sheet$sheet.xml").getOrElse(
+      sys.error(s"no worksheet sheet$sheet.xml"))
+    val r = reader(sheetBytes)
+    var rn = 0L
+    var n = 0L
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "row" =>
+          val attr = Option(r.getAttributeValue(null, "r"))
+          rn = attr.map(_.toLong).getOrElse(rn + 1)
+          if (rn - 1 > headerRow) n += 1
+        case _ =>
+      }
+    }
+    n
   }
 
   /** Header row `headerRow` (0-based) of the FIRST file names the columns

@@ -72,6 +72,31 @@ class XlsxDataSourceSpec extends SparkSpec {
       new java.io.File(f).length() * 5)
   }
 
+  test("COUNT(*) pushes into the scan; grouped aggregates do not") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dsv2-xlsx-agg").toString
+    val f1 = workbook(dir, "a.xlsx", "London", "1")
+    val f2 = workbook(dir, "b.xlsx", "Leeds", "2")
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1).load(f1, f2)
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // pushdown happens in the optimizer (V2ScanRelationPushDown): the
+    // optimized plan's scan relation carries the chosen Scan, AQE-proof
+    val agg = df.agg(count(lit(1)))
+    val scan = agg.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    // the count scan never loads shared strings or decodes a cell
+    assert(scan.isInstanceOf[XlsxCountScan], scan.description())
+    assert(agg.head().getLong(0) === 4L) // partials (2 + 2) merged by Spark
+    // with a GROUP BY the pushdown must decline: full row scan
+    val grouped = df.groupBy(col("Notes")).count()
+    val gScan = grouped.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    assert(gScan.isInstanceOf[XlsxScan])
+    assert(grouped.collect().map(_.getLong(1)).sum === 4L)
+  }
+
   test("column pruning reaches the scan") {
     val dir = Files.createTempDirectory("dsv2-xlsx-prune").toString
     val f = workbook(dir, "a.xlsx", "London", "12.5")
