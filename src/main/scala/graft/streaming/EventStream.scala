@@ -118,6 +118,57 @@ object EventStream {
       }
   }
 
+  case class Interval(user_id: Long, event_type: String, from_sec: Long,
+                      to_sec: Long, n_events: Long)
+  case class IntervalState(state: String, from: Long, last: Long, n: Long)
+
+  /** Streaming state-change history: per user, consecutive runs of the
+    * same event_type collapse into one interval, CLOSED the moment a
+    * different state arrives — the incremental SCD-type-2 writer. Batch
+    * twin: [[graft.operators.Sessionize.stateIntervals]] (the
+    * two-row_number gaps-and-islands form). A run with no successor
+    * closes when the event-time watermark passes `last + flushSec`
+    * (liveness bound — also what bounds state size: one small entry per
+    * user inside the watermark horizon). */
+  def stateIntervalsStream(events: Dataset[Event], flushSec: Long = 3600,
+                           watermarkDelay: String = "10 minutes"): Dataset[Interval] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IntervalState, Interval](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[IntervalState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Interval(user, s.state, s.from, s.last, s.n)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Interval]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if s.state == e.event_type =>
+                  cur = Some(s.copy(last = sec, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Interval(user, s.state, s.from, s.last, s.n)
+                  cur = Some(IntervalState(e.event_type, sec, sec, 1))
+                case None =>
+                  cur = Some(IntervalState(e.event_type, sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + flushSec) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: one state entry per key within the watermark
     * horizon — the incremental form of Dedup.exactDupGroups for a
     * continuously-ingested corpus (content-hash the payload upstream and

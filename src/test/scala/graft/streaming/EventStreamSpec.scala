@@ -11,6 +11,53 @@ class EventStreamSpec extends SparkSpec {
   private def ev(id: Long, sec: Long, user: Long, v: Double) =
     EventStream.Event(id, new Timestamp(sec * 1000), user, "click", v)
 
+  private def evt(id: Long, sec: Long, user: Long, typ: String) =
+    EventStream.Event(id, new Timestamp(sec * 1000), user, typ, 0.0)
+
+  test("stateIntervalsStream matches batch stateIntervals, cross-batch runs included") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.stateIntervalsStream(mem.toDS(), flushSec = 100,
+        watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("intervals_et")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    // user 1: A A | B A (run of A continues nowhere — B closes it; the
+    // first batch boundary must NOT split the A-run); user 2: C alone
+    // batch split keeps user 2's event ahead of the watermark (a "0
+    // seconds" delay watermark advances to the max seen time per batch)
+    val batch1 = Seq(evt(1, base, 1, "A"), evt(2, base + 10, 1, "A"),
+      evt(5, base + 5, 2, "C"))
+    val batch2 = Seq(evt(3, base + 20, 1, "B"), evt(4, base + 30, 1, "A"))
+    val all = batch1 ++ batch2
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // a far-future event advances the watermark past last + flushSec;
+      // one more batch lets the timeout fire and flush the open runs
+      mem.addData(evt(6, base + 10000, 3, "Z"))
+      q.processAllAvailable()
+      mem.addData(evt(7, base + 10001, 3, "Z"))
+      q.processAllAvailable()
+      val streamed = spark.table("intervals_et")
+        .as[EventStream.Interval].collect()
+        .filter(i => i.user_id == 1 || i.user_id == 2).toSet
+      val batch = graft.operators.Sessionize.stateIntervals(
+          all.toDS().toDF()
+            .selectExpr("user_id", "event_type", "event_id",
+              "CAST(ts AS LONG) AS sec"),
+          "user_id", "event_type",
+          Seq(org.apache.spark.sql.functions.col("sec"),
+            org.apache.spark.sql.functions.col("event_id")),
+          org.apache.spark.sql.functions.col("sec"))
+        .selectExpr("user_id", "event_type", "from_sec", "to_sec", "n_events")
+        .as[EventStream.Interval].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("tumblingCounts aggregates per window+type incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
