@@ -389,6 +389,12 @@ object SparkEntry {
     Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVec(s, d), 10, Some(0L))
 
+  /** PQ ANN: 4 subspaces x 16 deterministic codebook centroids, ADC
+    * top-10 — the quantized-memory scale path next to LSH and IVF. */
+  private def qAnnPq(s: SparkSession, d: String): DataFrame =
+    PqIndex.searchAdc(Tables.embeddings(s, d), "vec_id", "embedding",
+      m = 4, k = 16, queryVec(s, d), topK = 10, excludeId = Some(0L))
+
   private def qAnnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVec(s, d), 10, 4, Some(0L))
@@ -878,6 +884,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_state_intervals" -> (qStateIntervals _),
     "q_dedup_keep" -> (qDedupKeep _),
+    "q_ann_pq" -> (qAnnPq _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN: split each vector into `m` subspaces,
+  * quantize every sub-vector to its nearest of `k` per-subspace codebook
+  * centroids, and answer queries with asymmetric distance computation
+  * (ADC) — the query meets only the m small code columns plus an m×k
+  * lookup table, never the raw vectors. The third scale path for
+  * similarity search next to LSH (Similarity.annLsh) and IVF (IvfIndex):
+  * at 100 TB the encoded table is m bytes/vector instead of 4·dim, the
+  * ADC scan is a narrow integer-column projection + literal-array
+  * lookups, and the codes are computed once at ingest.
+  *
+  * The codebook here is deterministic (sub-vectors of the first `k` ids —
+  * no RNG, reproducible across runs and engines); a trained variant
+  * would run per-subspace Lloyd rounds exactly like [[IvfIndex.train]].
+  * All distance math is `vv - 2·dot + cc` with the native left-fold
+  * [[graft.plans.DotProduct]], so every double matches DuckDB's
+  * `list_inner_product` bit-for-bit and the whole operator carries a
+  * full oracle.
+  */
+object PqIndex {
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic per-subspace codebooks: `books(s)(cid)` = subspace-`s`
+    * slice of the vector with the `cid`-th smallest id. One bounded
+    * driver collect of k rows (like IVF's centroid table). */
+  def codebooks(df: DataFrame, idCol: String, vecCol: String,
+                m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val rows = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+      .orderBy("vid").limit(k).collect()
+    require(rows.length == k, s"need $k codebook vectors, got ${rows.length}")
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m, k) { (s, cid) =>
+      rows(cid).getSeq[Double](1).slice(s * sub, (s + 1) * sub).toArray
+    }
+  }
+
+  /** Encode every vector to m code columns (`code_0..code_{m-1}`, each the
+    * argmin centroid of its subspace, ties to the lower cid). Shuffle-free:
+    * the codes are scalar expression chains — `least()` over k
+    * (d2, cid) structs per subspace — inside whole-stage codegen; the
+    * sub-vector and its self-dot are materialized in their own
+    * projections so the k distance terms share them (interpreted-HOF
+    * copy rule, SURVEY §6). */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val withSubs = df.select(
+      Seq(col(idCol).as("vid"), vecD(col(vecCol)).as("v")) ++
+        (0 until m).map(s =>
+          slice(vecD(col(vecCol)), s * sub + 1, sub).as(s"__sub_$s")): _*)
+    val withVv = withSubs.select(
+      col("*") +: (0 until m).map(s =>
+        Similarity.dot(col(s"__sub_$s"), col(s"__sub_$s")).as(s"__vv_$s")): _*)
+    val coded = withVv.select(
+      Seq(col("vid"), col("v")) ++ (0 until m).map { s =>
+        val terms = books(s).zipWithIndex.map { case (c, cid) =>
+          val cc = dotSeq(c.toSeq, c.toSeq)
+          val d2 = col(s"__vv_$s") -
+            lit(2.0) * Similarity.dot(col(s"__sub_$s"), array(c.map(lit): _*)) +
+            lit(cc)
+          struct(d2.as("d2"), lit(cid).as("cid"))
+        }
+        least(terms: _*).getField("cid").as(s"code_$s")
+      }: _*)
+    coded
+  }
+
+  /** ADC top-k: per subspace, the k query-to-centroid distances are a
+    * driver-computed literal array (same left-fold dots), the approximate
+    * distance is m array lookups summed left-to-right, and the top-k is
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps). The
+    * encoded relation never ships its raw vectors. */
+  def searchAdc(df: DataFrame, idCol: String, vecCol: String,
+                m: Int, k: Int, queryVec: Array[Float],
+                topK: Int, excludeId: Option[Long]): DataFrame = {
+    val books = codebooks(df, idCol, vecCol, m, k)
+    val sub = books(0)(0).length
+    val q = queryVec.map(_.toDouble)
+    val adc: Array[Array[Double]] = Array.tabulate(m) { s =>
+      val qs = q.slice(s * sub, (s + 1) * sub).toSeq
+      val qq = dotSeq(qs, qs)
+      books(s).map(c => qq - 2.0 * dotSeq(qs, c.toSeq) + dotSeq(c.toSeq, c.toSeq))
+    }
+    val enc = encode(df, idCol, vecCol, books)
+    val approx = (0 until m).map(s =>
+        element_at(array(adc(s).map(lit): _*), col(s"code_$s") + 1))
+      .reduceLeft(_ + _)
+    val base = excludeId.map(e => enc.where(col("vid") =!= e)).getOrElse(enc)
+    base.select(col("vid").as(idCol), approx.as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(topK)
+  }
+}

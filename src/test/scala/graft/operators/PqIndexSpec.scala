@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 deterministic 8-dim vectors; m=2 subspaces of 4 dims, k=4 centroids
+  private val vecs: Seq[(Long, Seq[Float])] = (0L until 8L).map { i =>
+    i -> (0 until 8).map(d => ((i * 31 + d * 7) % 11).toFloat - 5f)
+  }
+
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  test("codebook vectors encode to their own cid (zero distance, tie-free)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = PqIndex.codebooks(df, "vec_id", "embedding", m = 2, k = 4)
+    assert(books.length === 2 && books.forall(_.length === 4))
+    val codes = PqIndex.encode(df, "vec_id", "embedding", books)
+      .select("vid", "code_0", "code_1")
+      .as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    (0 until 4).foreach { cid =>
+      assert(codes(cid.toLong) === ((cid, cid)),
+        s"codebook vector $cid must quantize to itself")
+    }
+    // every code in range
+    val all = PqIndex.encode(df, "vec_id", "embedding", books)
+      .select("code_0", "code_1").as[(Int, Int)].collect()
+    assert(all.forall { case (a, b) => a >= 0 && a < 4 && b >= 0 && b < 4 })
+  }
+
+  test("searchAdc equals the hand-computed ADC ranking, exact doubles") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.map(_.toFloat).toArray // query = vector 0
+    val out = PqIndex.searchAdc(df, "vec_id", "embedding", m = 2, k = 4,
+        q, topK = 5, excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+
+    // replicate: codebook = sub-slices of vectors 0..3; encode by argmin
+    // d2 (vv - 2*dot + cc, ties to lower cid); adc = per-subspace query
+    // distance table; approx = left-assoc sum
+    val books = Array.tabulate(2, 4) { (s, cid) =>
+      vecs(cid)._2.map(_.toDouble).slice(s * 4, s * 4 + 4) }
+    val qd = q.map(_.toDouble)
+    val adc = Array.tabulate(2) { s =>
+      val qs = qd.slice(s * 4, s * 4 + 4).toSeq
+      val qq = dotSeq(qs, qs)
+      books(s).map(c => qq - 2.0 * dotSeq(qs, c) + dotSeq(c, c))
+    }
+    val expected = vecs.drop(1).map { case (vid, v) =>
+      val vd = v.map(_.toDouble)
+      val codes = (0 until 2).map { s =>
+        val sv = vd.slice(s * 4, s * 4 + 4).toSeq
+        val vv = dotSeq(sv, sv)
+        books(s).zipWithIndex
+          .map { case (c, cid) => (vv - 2.0 * dotSeq(sv, c) + dotSeq(c, c), cid) }
+          .min._2
+      }
+      vid -> (adc(0)(codes(0)) + adc(1)(codes(1)))
+    }.sortBy { case (vid, d) => (d, vid) }.take(5)
+    assert(out === expected)
+  }
+}
