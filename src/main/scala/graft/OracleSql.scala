@@ -966,6 +966,28 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // winnowed-fingerprint pairs: same fingerprint construction as
+    // q_winnow, df-capped inverted index (cap mirrored), pair counts
+    "q_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(toks) >= 4
+         |  THEN list_transform(range(1, len(toks) - 2),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |  ELSE [] END AS g4 FROM t),
+         |h AS (SELECT doc_id,
+         |        list_transform(g4, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |      FROM g),
+         |w AS (SELECT doc_id, CASE WHEN len(hs) >= 5
+         |  THEN list_sort(list_distinct(list_transform(range(1, len(hs) - 3),
+         |         i -> list_min(hs[i:i+4]))))
+         |  ELSE [] END AS fp FROM h),
+         |e AS (SELECT doc_id, unnest(fp) AS fp FROM w),
+         |keep AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 64),
+         |ke AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2""".stripMargin,
+
     // PQ ADC: 4 subspaces x 16-dim slices, codebook = sub-vectors of the
     // 16 smallest vec_ids (cid = position in id order, matching the Spark
     // positional codebook), d2 always the vv - 2*lip + cc identity with

@@ -789,6 +789,12 @@ object SparkEntry {
       .select(col("user_id"), col("event_type"), col("from_sec"),
         col("to_sec"), col("n_events"))
 
+  /** MOSS pair detection: documents sharing >= 2 winnowed fingerprints
+    * (k=4 grams, window 5), df-capped inverted-index equi-join. */
+  private def qWinnowPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 4, w = 5, minShared = 2, maxFpDf = 64)
+
   /** The dedup MATERIALIZATION step: the corpus with every non-canonical
     * near-dup cluster member dropped (canonical = min doc_id of its
     * minhash-LSH cluster; docs in no cluster survive). Completes the
@@ -885,6 +891,7 @@ object SparkEntry {
     "q_state_intervals" -> (qStateIntervals _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

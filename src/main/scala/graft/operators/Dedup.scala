@@ -98,6 +98,44 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Winnowing-fingerprint pair detection (the MOSS cross-document step):
+    * pairs of documents sharing at least `minShared` winnowed fingerprints
+    * ([[graft.functions.Text.winnowOf]] over md5 k-gram hashes — any
+    * >= w+k-1-token overlap is guaranteed to surface at least one shared
+    * fingerprint). Same scale discipline as [[jaccardPairs]]: an
+    * inverted-index self-equi-join on the fingerprint, with `maxFpDf`
+    * dropping fingerprints present in more than that many documents
+    * (shared boilerplate k-grams) BEFORE the join — candidate volume is
+    * linear in the fingerprint relation no matter how hot a phrase is;
+    * the cap is mirrored in the oracle so results stay cell-exact. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int, minShared: Int,
+                  maxFpDf: Int = Int.MaxValue,
+                  scope: PersistScope = PersistScope()): DataFrame = {
+    import graft.functions.Text
+    val all = df
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"), graft.plans.NGrams.ngrams(col("__toks"), k).as("__gk"))
+      .select(col("doc"), transform(col("__gk"), g => Text.md5Long(g)).as("__hs"))
+      .select(col("doc"), explode(Text.winnowOf(col("__hs"), w)).as("fp"))
+    // fingerprints are distinct per doc, so the window count IS the
+    // document frequency; one pass, co-partitioned with the join key
+    val fps = scope.cache(
+      if (maxFpDf == Int.MaxValue) all
+      else {
+        val win = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        all.withColumn("__df", count(lit(1)).over(win))
+          .where(col("__df") <= maxFpDf)
+          .select("doc", "fp")
+      })
+    fps.select(col("doc").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc").as("doc_b"), col("fp")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature columns: k permutations h_i(x) = (a_i*x + b_i) mod P
     * over md5-derived 60-bit token hashes reduced mod P. Deterministic and
     * reproducible in ANSI SQL (oracle-verifiable). */

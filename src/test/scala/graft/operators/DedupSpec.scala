@@ -121,4 +121,20 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
+
+  test("winnowPairs surfaces any >= w+k-1-token overlap; disjoint docs never pair") {
+    // k=3, w=4 -> guarantee threshold = 6 shared tokens; docs 1 and 2
+    // share an 8-token run, doc 3 is disjoint
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two $run"),
+      (2L, s"$run nine ten"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // MOSS guarantee
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
