@@ -66,6 +66,44 @@ object OracleSql {
   /** Min reachable label via recursive transitive closure — the fixpoint
     * both distributed CC algorithms (contraction + large/small-star)
     * converge to. */
+  /** Shared PQ pipeline (q_ann_pq / q_pq_verify): codebook → positional
+    * argmin encode → ADC sums, ending at `ranked(vec_id, adc_d2)` with
+    * the query vector excluded. */
+  private def pqCtes: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |sp AS (SELECT unnest([0, 1, 2, 3]) AS s),
+      |cb AS (SELECT sp.s, CAST(t.rn - 1 AS INT) AS cid,
+      |         t.v[sp.s*16+1 : sp.s*16+16] AS c
+      |       FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      |             FROM e ORDER BY vec_id LIMIT 16) t, sp),
+      |subs AS (SELECT vec_id, sp.s, v[sp.s*16+1 : sp.s*16+16] AS sv FROM e, sp),
+      |enc AS (SELECT vec_id, s, cid FROM (
+      |   SELECT sub.vec_id, sub.s, cb.cid,
+      |     ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+      |       list_inner_product(sub.sv, sub.sv)
+      |         - 2.0 * list_inner_product(sub.sv, cb.c)
+      |         + list_inner_product(cb.c, cb.c), cb.cid) AS rn
+      |   FROM subs sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+      |qsub AS (SELECT s, sv, list_inner_product(sv, sv) AS qq
+      |         FROM subs WHERE vec_id = 0),
+      |adc AS (SELECT cb.s, cb.cid,
+      |          q.qq - 2.0 * list_inner_product(q.sv, cb.c)
+      |            + list_inner_product(cb.c, cb.c) AS d2
+      |        FROM cb JOIN qsub q ON cb.s = q.s),
+      |codes AS (SELECT vec_id,
+      |   MAX(CASE WHEN s = 0 THEN cid END) AS c0,
+      |   MAX(CASE WHEN s = 1 THEN cid END) AS c1,
+      |   MAX(CASE WHEN s = 2 THEN cid END) AS c2,
+      |   MAX(CASE WHEN s = 3 THEN cid END) AS c3
+      |   FROM enc GROUP BY vec_id),
+      |ranked AS (SELECT c.vec_id, a0.d2 + a1.d2 + a2.d2 + a3.d2 AS adc_d2
+      |  FROM codes c
+      |  JOIN adc a0 ON a0.s = 0 AND a0.cid = c.c0
+      |  JOIN adc a1 ON a1.s = 1 AND a1.cid = c.c1
+      |  JOIN adc a2 ON a2.s = 2 AND a2.cid = c.c2
+      |  JOIN adc a3 ON a3.s = 3 AND a3.cid = c.c3
+      |  WHERE c.vec_id <> 0)""".stripMargin
+
   private def dupClustersSql: String =
     s"""$dupClusterCtes
        |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin
@@ -993,40 +1031,21 @@ object OracleSql {
     // positional codebook), d2 always the vv - 2*lip + cc identity with
     // left-fold dots, ADC sum left-associated — doubles bit-identical
     "q_ann_pq" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |sp AS (SELECT unnest([0, 1, 2, 3]) AS s),
-        |cb AS (SELECT sp.s, CAST(t.rn - 1 AS INT) AS cid,
-        |         t.v[sp.s*16+1 : sp.s*16+16] AS c
-        |       FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-        |             FROM e ORDER BY vec_id LIMIT 16) t, sp),
-        |subs AS (SELECT vec_id, sp.s, v[sp.s*16+1 : sp.s*16+16] AS sv FROM e, sp),
-        |enc AS (SELECT vec_id, s, cid FROM (
-        |   SELECT sub.vec_id, sub.s, cb.cid,
-        |     ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
-        |       list_inner_product(sub.sv, sub.sv)
-        |         - 2.0 * list_inner_product(sub.sv, cb.c)
-        |         + list_inner_product(cb.c, cb.c), cb.cid) AS rn
-        |   FROM subs sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
-        |qsub AS (SELECT s, sv, list_inner_product(sv, sv) AS qq
-        |         FROM subs WHERE vec_id = 0),
-        |adc AS (SELECT cb.s, cb.cid,
-        |          q.qq - 2.0 * list_inner_product(q.sv, cb.c)
-        |            + list_inner_product(cb.c, cb.c) AS d2
-        |        FROM cb JOIN qsub q ON cb.s = q.s),
-        |codes AS (SELECT vec_id,
-        |   MAX(CASE WHEN s = 0 THEN cid END) AS c0,
-        |   MAX(CASE WHEN s = 1 THEN cid END) AS c1,
-        |   MAX(CASE WHEN s = 2 THEN cid END) AS c2,
-        |   MAX(CASE WHEN s = 3 THEN cid END) AS c3
-        |   FROM enc GROUP BY vec_id)
-        |SELECT c.vec_id, a0.d2 + a1.d2 + a2.d2 + a3.d2 AS adc_d2
-        |FROM codes c
-        |JOIN adc a0 ON a0.s = 0 AND a0.cid = c.c0
-        |JOIN adc a1 ON a1.s = 1 AND a1.cid = c.c1
-        |JOIN adc a2 ON a2.s = 2 AND a2.cid = c.c2
-        |JOIN adc a3 ON a3.s = 3 AND a3.cid = c.c3
-        |WHERE c.vec_id <> 0
-        |ORDER BY adc_d2, c.vec_id LIMIT 10""".stripMargin,
+      s"""$pqCtes
+         |SELECT vec_id, adc_d2 FROM ranked
+         |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+
+    // the PQ accuracy audit (the ANN analogue of q_minhash_verify): ADC
+    // top-50 next to the exact d2 against the raw vectors
+    "q_pq_verify" ->
+      s"""$pqCtes,
+         |topk AS (SELECT vec_id, adc_d2 FROM ranked
+         |         ORDER BY adc_d2, vec_id LIMIT 50),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0)
+         |SELECT t.vec_id, t.adc_d2,
+         | list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, q.q)
+         |   + list_inner_product(q.q, q.q) AS exact_d2
+         |FROM topk t JOIN e ON t.vec_id = e.vec_id, qv q""".stripMargin,
 
     // the kept corpus after near-dup clustering: same closure CTEs as
     // q_dup_clusters, then drop every non-canonical cluster member

@@ -395,6 +395,16 @@ object SparkEntry {
     PqIndex.searchAdc(Tables.embeddings(s, d), "vec_id", "embedding",
       m = 4, k = 16, queryVec(s, d), topK = 10, excludeId = Some(0L))
 
+  /** PQ accuracy audit: ADC top-50 next to the exact query distance. */
+  private def qPqVerify(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = queryVec(s, d)
+    PqIndex.verifyExact(emb, "vec_id", "embedding",
+      PqIndex.searchAdc(emb, "vec_id", "embedding", m = 4, k = 16, qv,
+        topK = 50, excludeId = Some(0L)),
+      qv)
+  }
+
   private def qAnnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVec(s, d), 10, 4, Some(0L))
@@ -892,6 +902,7 @@ object SparkEntry {
     "q_dedup_keep" -> (qDedupKeep _),
     "q_ann_pq" -> (qAnnPq _),
     "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_pq_verify" -> (qPqVerify _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

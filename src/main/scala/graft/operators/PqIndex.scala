@@ -104,4 +104,23 @@ object PqIndex {
       .orderBy(col("adc_d2"), col(idCol))
       .limit(topK)
   }
+
+  /** The PQ accuracy audit (the ANN analogue of Dedup.verifyPairs'
+    * estimate-vs-exact pass): each ADC candidate next to its EXACT
+    * distance to the query, computed from the raw vectors with the same
+    * vv − 2·dot + qq identity — quantifies what the quantization cost
+    * before anyone ships the index. The candidate set is tiny (top-k),
+    * so the exact join touches k rows, not the corpus. */
+  def verifyExact(df: DataFrame, idCol: String, vecCol: String,
+                  adcTopK: DataFrame, queryVec: Array[Float]): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    val qq = dotSeq(q.toSeq, q.toSeq)
+    val qCol = array(q.map(lit): _*)
+    val vecs = df.select(col(idCol), vecD(col(vecCol)).as("__v"))
+    adcTopK.join(vecs, idCol)
+      .select(col(idCol), col("adc_d2"),
+        (Similarity.dot(col("__v"), col("__v"))
+          - lit(2.0) * Similarity.dot(col("__v"), qCol)
+          + lit(qq)).as("exact_d2"))
+  }
 }
