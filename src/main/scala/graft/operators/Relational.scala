@@ -51,4 +51,37 @@ object Relational {
     * in-progress emergency works). */
   def unionDedup(slices: Seq[DataFrame], keys: Seq[String], order: Seq[Column]): DataFrame =
     distinctOn(slices.reduce(_.unionByName(_)), keys, order)
+
+  /** SCD-type-2 apply (the dbt-snapshot / warehouse MERGE shape): merge a
+    * change log into a dimension's OPEN rows, producing the full type-2
+    * validity history — no-op updates (attributes identical to the
+    * previous version) are dropped, real changes close the prior version
+    * at the change time, brand-new keys open their first version.
+    *
+    * `openRows` carries one current row per key with `tsCol` = its
+    * valid_from; `changes` is the update log (key, attrs, ts). Output:
+    * (keys, attrs, valid_from, valid_to) with valid_to NULL on the open
+    * version. Already-closed history rows are untouched by definition —
+    * union them back unchanged.
+    *
+    * Scale shape: one hash shuffle on the key; both window passes (no-op
+    * drop via lag, interval close via lead) share the per-key sort.
+    * Deterministic given unique `tsCol` per key (pass a composed
+    * timestamp+seq column otherwise). */
+  def scd2Apply(openRows: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                attrCols: Seq[String], tsCol: String): DataFrame = {
+    val cols = (keyCols ++ attrCols :+ tsCol).map(col)
+    val events = openRows.select(cols: _*)
+      .unionByName(changes.select(cols: _*))
+    val kw = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val attrStruct = struct(attrCols.map(col): _*)
+    val changed = events
+      .withColumn("__prev", lag(attrStruct, 1).over(kw))
+      .where(col("__prev").isNull || !(col("__prev") <=> attrStruct))
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(kw))
+      .select((keyCols ++ attrCols).map(col)
+        :+ col("valid_from") :+ col("valid_to"): _*)
+  }
 }

@@ -37,4 +37,25 @@ class RelationalSpec extends SparkSpec {
       Seq("k"), Seq(col("ts").desc, col("tag")))
     assert(out.count() === 3)
   }
+
+  test("scd2Apply: no-op updates dropped, changes close versions, new keys open") {
+    val open = Seq((1L, "gold", 100L), (2L, "basic", 50L))
+      .toDF("cust", "tier", "ts")
+    val changes = Seq(
+      (1L, "gold", 150L),   // no-op: same tier as the open row
+      (1L, "plat", 200L),   // real change
+      (1L, "plat", 250L),   // no-op after the change
+      (2L, "silver", 120L), // real change
+      (3L, "new", 60L))     // brand-new key
+      .toDF("cust", "tier", "ts")
+    val out = Relational.scd2Apply(open, changes, Seq("cust"), Seq("tier"), "ts")
+      .select("cust", "tier", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out === Set(
+      (1L, "gold", 100L, Some(200L)),
+      (1L, "plat", 200L, None),
+      (2L, "basic", 50L, Some(120L)),
+      (2L, "silver", 120L, None),
+      (3L, "new", 60L, None)))
+  }
 }
