@@ -101,4 +101,40 @@ class PlanAuditSpec extends SparkSpec {
         s"$q lost the inverted-index equi-join shape")
     }
   }
+
+  test("q_source_cap's grouped prefix sum: partitioned windows only, offsets broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_source_cap")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty,
+      s"per-group running total regressed to a global window: ${global.mkString("; ")}")
+    val p = exec.toString
+    // offsets and the 1-row total both broadcast; the big side never
+    // sort-merge-joins
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "offset join shuffles the fact side")
+  }
+
+  test("q_ann_pq: shuffle-free encode, TakeOrderedAndProject top-k") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("TakeOrderedAndProject"), "PQ top-k became a global sort")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "PQ encode/ADC introduced a shuffle — it must stay a scalar expression chain")
+    assert(!p.contains("Join"), "PQ ADC must not join; lookups are literal arrays")
+  }
+
+  test("q_lm_score / q_winnow_pairs stay equi-join shaped (no BNLJ/cartesian)") {
+    for (q <- Seq("q_lm_score", "q_winnow_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q lost its equi-join shape")
+    }
+  }
+
+  test("q_state_intervals: both windows and the groupBy share one user-key shuffle") {
+    val p = plan("q_state_intervals")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"gaps-and-islands now shuffles $shuffles times")
+  }
 }
