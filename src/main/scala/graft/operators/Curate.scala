@@ -177,16 +177,20 @@ object Curate {
     * relation is consumed three times (c12, c1, score join): cached once.
     * Documents with < 2 tokens carry no bigram and are absent (score
     * undefined). */
-  def lmScore(df: DataFrame, idCol: String, textCol: String,
-              scope: PersistScope = PersistScope()): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
-      graft.functions.Text.tokens(col(textCol)).as("t"))
-    val bg = scope.cache(toks
+  /** (doc, w1, w2) bigram instances with multiplicity — a shuffle-free
+    * row expression over the materialized token array. */
+  private def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        graft.functions.Text.tokens(col(textCol)).as("t"))
       .where(size(col("t")) >= 2)
       .selectExpr("doc",
         "explode(transform(sequence(1, size(t) - 1), " +
           "i -> struct(t[i-1] AS w1, t[i] AS w2))) AS b")
-      .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              scope: PersistScope = PersistScope()): DataFrame = {
+    val bg = scope.cache(bigramRows(df, idCol, textCol))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     // model join on w1: both sides already hash-partitioned on w1 by
@@ -198,6 +202,23 @@ object Curate {
         sum(expr("(c12 * 1000000) DIV c1")).as("__sum_ppm"))
       .select(col("doc").as("doc_id"), col("n_bigrams"),
         expr("__sum_ppm DIV n_bigrams").as("lm_score_ppm"))
+  }
+
+  /** The trained bigram model collected for broadcast-side application:
+    * `"w1 w2" -> conditional ppm` (same `c12 * 1e6 DIV c1` integers as
+    * [[lmScore]]). This is the train-batch / apply-stream split (CCNet
+    * trains the LM on a reference corpus, then filters everything else):
+    * the collected map must be broadcast-sized — train on a bounded
+    * reference corpus, not the 100 TB stream. Consumed by
+    * [[graft.streaming.EventStream.lmGateStream]]. */
+  def lmModel(df: DataFrame, idCol: String, textCol: String): Map[String, Long] = {
+    val bg = bigramRows(df, idCol, textCol)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c12.join(c1, "w1")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("b"),
+        expr("(c12 * 1000000) DIV c1").as("ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Mixture balancing: deterministically downsample every stratum to

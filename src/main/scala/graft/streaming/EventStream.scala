@@ -228,6 +228,39 @@ object EventStream {
       .where(col("n_bench_ngrams") < minShared)
   }
 
+  /** Streaming LM-quality gate (the CCNet train-batch / apply-stream
+    * split): a bigram model trained once on a bounded reference corpus
+    * ([[graft.operators.Curate.lmModel]]) rides along as a map literal;
+    * each stream document scores `mean over bigram instances of the
+    * model's conditional ppm` (unseen bigrams score 0 — the stream side
+    * may contain anything) and survives at `lm_score_ppm >=
+    * minScorePpm`. STATELESS: no state store, no watermark, no shuffle —
+    * scoring is a per-row expression chain, exactly [[
+    * graft.operators.Curate.lmScore]]'s integers when every bigram is in
+    * the model. */
+  def lmGateStream(docs: DataFrame, idCol: String, textCol: String,
+                   model: Map[String, Long], minScorePpm: Long): DataFrame = {
+    import graft.functions.Text
+    val m = typedLit(model)
+    docs
+      .select(col(idCol), col(textCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(textCol),
+        when(size(col("__toks")) >= 2,
+          expr("transform(sequence(1, size(__toks) - 1), " +
+            "i -> concat(__toks[i-1], ' ', __toks[i]))"))
+          .otherwise(array().cast("array<string>")).as("__bgs"))
+      .select(col(idCol), col(textCol),
+        size(col("__bgs")).cast("long").as("n_bigrams"),
+        aggregate(
+          transform(col("__bgs"), b => coalesce(element_at(m, b), lit(0L))),
+          lit(0L), (acc, v) => acc + v).as("__sum_ppm"))
+      .withColumn("lm_score_ppm",
+        when(col("n_bigrams") > 0, expr("__sum_ppm DIV n_bigrams"))
+          .otherwise(lit(0L)))
+      .where(col("n_bigrams") > 0 && col("lm_score_ppm") >= minScorePpm)
+      .select(col(idCol), col(textCol), col("n_bigrams"), col("lm_score_ppm"))
+  }
+
   /** Read the signature store iff its path exists. A missing store is the
     * normal first-batch state and means "empty"; any OTHER failure (FS
     * flake, corrupted files) must FAIL the batch — treating it as empty

@@ -58,6 +58,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lmGateStream: batch-trained model gates the stream, scores == batch lmScore") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on the CurateSpec toy corpus: p(b|a)=666666 ppm, p(c|a)=333333
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val model = graft.operators.Curate.lmModel(corpus, "doc_id", "text")
+    assert(model === Map("a b" -> 666666L, "a c" -> 333333L))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((10L, "a b"), (11L, "a c"), (12L, "x y"), (13L, "z"))
+    val q = EventStream.lmGateStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model, 500000L)
+      .writeStream.format("memory").queryName("lm_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("lm_gate")
+        .select("doc_id", "lm_score_ppm").as[(Long, Long)].collect().toMap
+      // only "a b" (666666 >= 500000) survives; "a c" under threshold,
+      // "x y" unseen (0), "z" has no bigram
+      assert(out === Map(10L -> 666666L))
+      // the surviving score is exactly the batch lmScore integer
+      val batch = graft.operators.Curate.lmScore(corpus, "doc_id", "text")
+        .where(org.apache.spark.sql.functions.col("doc_id") === 1L)
+        .select("lm_score_ppm").as[Long].head()
+      assert(batch === 666666L)
+    } finally q.stop()
+  }
+
   test("tumblingCounts aggregates per window+type incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
