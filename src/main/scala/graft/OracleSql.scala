@@ -1004,6 +1004,46 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // the full curation chain: quality gate -> md5 keep-min dedup ->
+    // capped-inverted-index decontamination -> running-total budget cut;
+    // every fragment identical to its standalone oracle
+    "q_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CASE WHEN len(toks) >= 3
+         |          THEN list_transform(range(1, len(toks) - 1),
+         |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |          ELSE [] END AS g3
+         |      FROM t WHERE doc_id % 10 <> 0),
+         |gated AS (SELECT doc_id, source, text, n_tokens, g3 FROM q
+         |  WHERE n_tokens >= 30 AND
+         |    (CASE WHEN len(g3) > 0
+         |       THEN (CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000000) // len(g3)
+         |       ELSE CAST(0 AS BIGINT) END) <= 300000),
+         |dd AS (SELECT * FROM (
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         |    FROM gated) WHERE doc_id = canon),
+         |eb AS (SELECT doc_id, unnest(g3d) AS sh FROM (
+         |    SELECT doc_id, CASE WHEN len(toks) >= 3
+         |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE [] END AS g3d FROM t WHERE doc_id % 10 = 0)),
+         |keep AS (SELECT sh FROM eb GROUP BY sh HAVING COUNT(*) <= 64),
+         |b AS (SELECT eb.doc_id, eb.sh FROM eb JOIN keep USING (sh)),
+         |ec AS (SELECT doc_id, unnest(list_distinct(g3)) AS sh FROM dd),
+         |cont AS (SELECT doc_a FROM (
+         |    SELECT c.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ns
+         |    FROM ec c JOIN b ON c.sh = b.sh GROUP BY 1, 2)
+         |  WHERE ns >= 2 GROUP BY doc_a),
+         |clean AS (SELECT doc_id, source, n_tokens FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_a FROM cont)),
+         |sel AS (SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM clean)
+         |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM sel WHERE cum <= 8000""".stripMargin,
+
     // winnowed-fingerprint pairs: same fingerprint construction as
     // q_winnow, df-capped inverted index (cap mirrored), pair counts
     "q_winnow_pairs" ->

@@ -820,6 +820,44 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
   }
 
+  /** The curation pipeline END TO END as one oracle-checked query:
+    * quality gate (tokens + repetition) → exact-dedup keep-min →
+    * benchmark decontamination (doc_id%10 split, capped inverted index)
+    * → token-budget cut (best = most tokens first). Every stage is a
+    * §2.4 operator; the full composition is what a training run ships. */
+  private def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    // 1. quality gate: >= 30 tokens, 3-gram repetition <= 300000 ppm
+    val gated = corpus
+      .select(col("doc_id"), col("source"), col("text"),
+        Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        graft.plans.NGrams.ngrams(col("__toks"), 3).as("__g3"))
+      .withColumn("__rep", when(size(col("__g3")) > 0,
+        expr("((size(__g3) - size(array_distinct(__g3))) * CAST(1000000 AS BIGINT)) DIV size(__g3)"))
+        .otherwise(lit(0L)))
+      .where(col("n_tokens") >= 30 && col("__rep") <= 300000L)
+      .select("doc_id", "source", "text", "n_tokens")
+    // 2. exact dedup: keep each content group's min doc_id
+    val canon = Dedup.exactDupGroups(gated, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val deduped = gated.join(canon, Seq("doc_id"), "left_semi")
+    // 3. decontamination vs the benchmark split (same caps as
+    // q_contamination)
+    val contaminated = Curate.contamination(deduped, bench,
+        "doc_id", "text", 3, 2, maxNgramDf = 64)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. token budget, most-tokens-first — distributed prefix sum
+    Curate.tokenBudgetSelect(
+        clean.select(col("doc_id"), col("source"), col("n_tokens")),
+        Seq(col("n_tokens").desc, col("doc_id")), col("n_tokens"), 8000L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     Stats.saltedAgg(Tables.events(s, d), "event_type",
         pmod(col("event_id"), lit(16)), 16,
@@ -903,6 +941,7 @@ object SparkEntry {
     "q_ann_pq" -> (qAnnPq _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_pq_verify" -> (qPqVerify _),
+    "q_curation_pipeline" -> (qCurationPipeline _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
