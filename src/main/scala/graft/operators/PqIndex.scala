@@ -47,6 +47,28 @@ object PqIndex {
     }
   }
 
+  /** TRAINED per-subspace codebooks: `iters` Lloyd rounds of
+    * [[IvfIndex.train]]'s deterministic k-means run independently on each
+    * subspace's slices (init = the [[codebooks]] sub-vectors, so by
+    * k-means' monotone-SSE property the trained books never quantize
+    * worse than the untrained ones). m bounded driver loops; each round
+    * is the same decimal-exact distributed mean as IVF training. Clusters
+    * that empty out drop from their book (k shrinks, codes stay
+    * positional). */
+  def trainBooks(df: DataFrame, idCol: String, vecCol: String,
+                 m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val sdf = df.select(col(idCol),
+        slice(vecD(col(vecCol)), s * sub + 1, sub).as("__sv"))
+      IvfIndex.train(sdf, idCol, "__sv", k, iters)
+        .orderBy("centroid_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
+  }
+
   /** Encode every vector to m code columns (`code_0..code_{m-1}`, each the
     * argmin centroid of its subspace, ties to the lower cid). Shuffle-free:
     * the codes are scalar expression chains — `least()` over k
@@ -86,8 +108,16 @@ object PqIndex {
     * encoded relation never ships its raw vectors. */
   def searchAdc(df: DataFrame, idCol: String, vecCol: String,
                 m: Int, k: Int, queryVec: Array[Float],
-                topK: Int, excludeId: Option[Long]): DataFrame = {
-    val books = codebooks(df, idCol, vecCol, m, k)
+                topK: Int, excludeId: Option[Long]): DataFrame =
+    searchAdcWith(df, idCol, vecCol, codebooks(df, idCol, vecCol, m, k),
+      queryVec, topK, excludeId)
+
+  /** [[searchAdc]] with caller-supplied books (e.g. [[trainBooks]]'
+    * Lloyd-trained ones). */
+  def searchAdcWith(df: DataFrame, idCol: String, vecCol: String,
+                    books: Array[Array[Array[Double]]], queryVec: Array[Float],
+                    topK: Int, excludeId: Option[Long]): DataFrame = {
+    val m = books.length
     val sub = books(0)(0).length
     val q = queryVec.map(_.toDouble)
     val adc: Array[Array[Double]] = Array.tabulate(m) { s =>

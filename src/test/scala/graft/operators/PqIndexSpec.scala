@@ -35,6 +35,34 @@ class PqIndexSpec extends SparkSpec {
     assert(all.forall { case (a, b) => a >= 0 && a < 4 && b >= 0 && b < 4 })
   }
 
+  test("trainBooks never quantizes worse than the untrained codebook (k-means SSE)") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = 4; val k = 8
+    val untrained = PqIndex.codebooks(df, "vec_id", "embedding", m, k)
+    val trained = PqIndex.trainBooks(df, "vec_id", "embedding", m, k, iters = 2)
+    val vectors = df.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sub = vectors.head.length / m
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sse(books: Array[Array[Array[Double]]]): Double =
+      vectors.map { v =>
+        (0 until m).map { s =>
+          val sv = v.slice(s * sub, (s + 1) * sub)
+          books(s).map(c => d2(sv, c)).min
+        }.sum
+      }.sum
+    val (su, st) = (sse(untrained), sse(trained))
+    assert(st <= su + 1e-9, s"trained SSE $st worse than untrained $su")
+    // trained books plug into the same ADC search end to end
+    val q = df.where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val out = PqIndex.searchAdcWith(df, "vec_id", "embedding", trained,
+      q, topK = 5, excludeId = Some(0L)).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getDouble(1)).toSeq === out.map(_.getDouble(1)).sorted.toSeq)
+  }
+
   test("searchAdc equals the hand-computed ADC ranking, exact doubles") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = vecs.head._2.map(_.toFloat).toArray // query = vector 0
