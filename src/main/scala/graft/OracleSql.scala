@@ -1004,6 +1004,17 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // deterministic exact-k per group: md5-hash order, same mapping as
+    // hashSample's md5Long
+    "q_group_sample" ->
+      """SELECT doc_id, source, n_chars, rn AS sample_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+
     // the full curation chain: quality gate -> md5 keep-min dedup ->
     // capped-inverted-index decontamination -> running-total budget cut;
     // every fragment identical to its standalone oracle

@@ -820,6 +820,13 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
   }
 
+  /** Exact-5-per-source deterministic sample (few-shot per category). */
+  private def qGroupSample(s: SparkSession, d: String): DataFrame =
+    Stats.groupSample(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        Seq("source"), col("doc_id"), 5)
+      .select("doc_id", "source", "n_chars", "sample_rank")
+
   /** The curation pipeline END TO END as one oracle-checked query:
     * quality gate (tokens + repetition) → exact-dedup keep-min →
     * benchmark decontamination (doc_id%10 split, capped inverted index)
@@ -942,6 +949,7 @@ object SparkEntry {
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_pq_verify" -> (qPqVerify _),
     "q_curation_pipeline" -> (qCurationPipeline _),
+    "q_group_sample" -> (qGroupSample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -226,6 +226,21 @@ object Stats {
       pmod(graft.plans.Md5Long.md5Long(key.cast("string")), lit(1000000L))
         < fractionPpm)
 
+  /** Exact-k deterministic sample per group (the few-shot / per-category
+    * selection primitive): rank rows inside each group by their key's
+    * md5-derived hash (a uniform deterministic shuffle — same winners on
+    * every run, retry, and engine; never rand()) and keep the first k.
+    * One hash shuffle on the group key; the per-group window streams
+    * (row_number, no full materialization). Complements [[hashSample]]
+    * (rate-based) with an exact-count contract. */
+  def groupSample(df: DataFrame, groupCols: Seq[String], key: Column,
+                  k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(graft.plans.Md5Long.md5Long(key.cast("string")), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Two-stage salted aggregation for skewed group keys: stage 1 groups on
     * (key, salt) spreading a hot key over `salts` reducers (map-side
     * partial agg still applies), stage 2 merges the partials. Results are

@@ -123,6 +123,20 @@ class StatsSpec extends SparkSpec {
     assert(dist === win)
   }
 
+  test("groupSample: exactly k per group, deterministic, short groups whole") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+        (101 to 103).map(i => (i.toLong, "small")))
+      .toDF("id", "g")
+    val a = Stats.groupSample(df, Seq("g"), col("id"), 5)
+      .select("id", "g", "sample_rank").as[(Long, String, Int)].collect()
+    assert(a.count(_._2 == "big") === 5)   // exact k
+    assert(a.count(_._2 == "small") === 3) // short group kept whole
+    assert(a.filter(_._2 == "big").map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    val b = Stats.groupSample(df, Seq("g"), col("id"), 5)
+      .select("id", "g", "sample_rank").as[(Long, String, Int)].collect()
+    assert(a.toSet === b.toSet) // deterministic on re-run
+  }
+
   test("saltedAgg matches direct groupBy exactly") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else "k" + (i % 7), i.toLong))
       .toDF("k", "v")
