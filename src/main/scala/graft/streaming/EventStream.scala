@@ -228,6 +228,30 @@ object EventStream {
       .where(col("n_bench_ngrams") < minShared)
   }
 
+  /** Stream-stream interval join (the click→conversion attribution
+    * shape): right events join left events of the same user whose
+    * timestamp falls within `[left.ts, left.ts + withinSec]`. Both sides
+    * carry watermarks, so Spark bounds the join state — a left event is
+    * dropped from state once the right watermark passes
+    * `left.ts + withinSec`, and vice versa; without the time bound the
+    * state would grow forever. Equi-key on user plus the range predicate
+    * → shuffle on user, range-pruned state lookups. */
+  def intervalJoinStreams(left: Dataset[Event], right: Dataset[Event],
+                          withinSec: Long,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.toDF().withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.toDF().withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+        expr(s"""l.user_id = r.user_id AND
+                 r.ts >= l.ts AND
+                 r.ts <= l.ts + INTERVAL $withinSec SECONDS"""))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.ts").cast("long").as("left_sec"),
+        col("r.ts").cast("long").as("right_sec"),
+        col("r.value").as("right_value"))
+  }
+
   /** Streaming LM-quality gate (the CCNet train-batch / apply-stream
     * split): a bigram model trained once on a bounded reference corpus
     * ([[graft.operators.Curate.lmModel]]) rides along as a map literal;

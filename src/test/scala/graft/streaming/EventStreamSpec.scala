@@ -85,6 +85,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreams: same-user events within the window join across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStream.Event]
+    val convs = MemoryStream[EventStream.Event]
+    val q = EventStream.intervalJoinStreams(clicks.toDS(), convs.toDS(),
+        withinSec = 100, watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("ijoin")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    try {
+      clicks.addData(ev(1, base, 1, 0.0), ev(2, base + 500, 1, 0.0),
+        ev(3, base, 2, 0.0))
+      // conversions arrive in a LATER batch: in-window (base+50, user 1),
+      // out-of-window (base+200, user 1), wrong user (base+10, user 3)
+      convs.addData(ev(10, base + 50, 1, 5.0), ev(11, base + 200, 1, 7.0),
+        ev(12, base + 10, 3, 9.0))
+      q.processAllAvailable()
+      val out = spark.table("ijoin")
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      // click 1 matches conv 10 (within 100 s); conv 11 is 200 s after
+      // click 1 (out of window) and 300 s before click 2 (r.ts < l.ts)
+      assert(out === Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("tumblingCounts aggregates per window+type incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
