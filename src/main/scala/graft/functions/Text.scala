@@ -30,6 +30,26 @@ object Text {
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Compression ratio in ppm: `deflate_len(text) * 1e6 DIV byte_len` —
+    * the Gopher/RefinedWeb quality signal (repetition and boilerplate
+    * compress far below natural prose). Native codegen Deflater pass
+    * ([[graft.plans.DeflateLen]]), exact integer division; empty text
+    * ratios to 1e6 (neutral). No DuckDB deflate exists, so consumers are
+    * spec-verified rather than oracled. */
+  def compressionRatioPpm(text: Column): Column = {
+    val bytes = length(text.cast("binary")).cast("long")
+    val defl = graft.plans.DeflateLen.deflateLen(text).cast("long")
+    when(bytes > 0, intDiv(defl * lit(1000000L), bytes))
+      .otherwise(lit(1000000L))
+  }
+
+  /** Exact integer division as a Column (the SQL `DIV` operator). */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftShims.expression(a),
+        org.apache.spark.sql.GraftShims.expression(b)))
+
   /** 64-bit token hash from md5 (first 15 hex chars -> < 2^60), identical
     * in DuckDB as `('0x'||substr(md5(t),1,15))::BIGINT`. Native codegen'd
     * expression straight from the digest bytes (plans.Md5Long); the
