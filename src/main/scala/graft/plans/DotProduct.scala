@@ -122,6 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
       (children: Seq[Expression]) => Md5Long(children(0))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
       (children: Seq[Expression]) => children(1) match {

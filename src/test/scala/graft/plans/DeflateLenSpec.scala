@@ -21,6 +21,13 @@ class DeflateLenSpec extends SparkSpec {
     assert(interp === out.values.map(_.toLong).sum)
   }
 
+  test("graft_deflate_len is callable from SQL via GraftExtensions") {
+    val n = spark.sql("SELECT graft_deflate_len('hello world hello world')")
+      .head().getInt(0)
+    assert(n === DeflateLen.deflatedLength(
+      "hello world hello world".getBytes("UTF-8")))
+  }
+
   test("compressionRatioPpm: repetition compresses far below natural prose") {
     import graft.functions.Text
     val df = Seq(
