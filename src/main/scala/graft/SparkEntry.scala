@@ -833,11 +833,16 @@ object SparkEntry {
     * → token-budget cut (best = most tokens first). Every stage is a
     * §2.4 operator; the full composition is what a training run ships. */
   private def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val scope = new graft.PersistScope
     val docs = Tables.documents(s, d)
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
-    // 1. quality gate: >= 30 tokens, 3-gram repetition <= 300000 ppm
-    val gated = corpus
+    // 1. quality gate: >= 30 tokens, 3-gram repetition <= 300000 ppm.
+    // Cached WITH the distinct-trigram arrays: dedup, the decontamination
+    // explode, and the budget stage all reuse this one tokenize pass.
+    // The cache carries only narrow derived columns (hash + trigram set),
+    // never the raw text — the rest of the pipeline needs nothing else
+    val gated = scope.cache(corpus
       .select(col("doc_id"), col("source"), col("text"),
         Text.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("source"), col("text"),
@@ -847,15 +852,30 @@ object SparkEntry {
         expr("((size(__g3) - size(array_distinct(__g3))) * CAST(1000000 AS BIGINT)) DIV size(__g3)"))
         .otherwise(lit(0L)))
       .where(col("n_tokens") >= 30 && col("__rep") <= 300000L)
-      .select("doc_id", "source", "text", "n_tokens")
-    // 2. exact dedup: keep each content group's min doc_id
-    val canon = Dedup.exactDupGroups(gated, "doc_id", "text")
-      .select(col("canonical_id").as("doc_id"))
-    val deduped = gated.join(canon, Seq("doc_id"), "left_semi")
-    // 3. decontamination vs the benchmark split (same caps as
-    // q_contamination)
-    val contaminated = Curate.contamination(deduped, bench,
-        "doc_id", "text", 3, 2, maxNgramDf = 64)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        array_distinct(col("__g3")).as("__g3d"),
+        md5(col("text").cast("binary")).as("__md5")))
+    // 2. exact dedup keep-min as ONE windowed rank on the content hash
+    // (rank-1 == min doc_id per group; no groupBy + join-back pass)
+    val dw = Window.partitionBy(col("__md5")).orderBy(col("doc_id"))
+    val deduped = gated.withColumn("__rn", row_number().over(dw))
+      .where(col("__rn") === 1)
+    // 3. decontamination vs the benchmark split — same semantics and caps
+    // as Curate.contamination, but candidates come from the CACHED
+    // distinct-trigram arrays (no second tokenize of the corpus); only
+    // the contaminated-id set is needed, so the coverage columns drop out
+    val benchAll = Dedup.shingleRows(bench, "doc_id", "text", 3)
+    val benchIdx = {
+      val w = Window.partitionBy("sh")
+      benchAll.withColumn("__df", count(lit(1)).over(w))
+        .where(col("__df") <= 64)
+        .select(col("doc").as("doc_b"), col("sh"))
+    }
+    val contaminated = deduped
+      .select(col("doc_id").as("doc_a"), explode(col("__g3d")).as("sh"))
+      .join(broadcast(benchIdx), Seq("sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ns"))
+      .where(col("__ns") >= 2)
       .select(col("doc_a").as("doc_id")).distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
     // 4. token budget, most-tokens-first — distributed prefix sum

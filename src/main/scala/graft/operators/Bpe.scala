@@ -1,0 +1,96 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al., ACL'16 — the
+  * subword-tokenizer trainer), distributed the way BPE is actually run at
+  * corpus scale: ONE pass over the corpus builds the word-frequency
+  * vocabulary (groupBy word — the only operation that touches 100 TB),
+  * then every merge round works on the AGGREGATED vocab: explode adjacent
+  * symbol pairs weighted by word count, one groupBy(pair) shuffle, one
+  * 1-row collect (the argmax pair, ties broken lexicographically —
+  * deterministic across runs and cluster sizes), and a per-row greedy
+  * merge fold. `localCheckpoint` truncates the per-round lineage exactly
+  * like the Lloyd/label-propagation loops (SURVEY §6).
+  *
+  * No end-of-word marker is appended (merges never span words because
+  * symbols never cross the word boundary of their row). */
+object Bpe {
+
+  /** Learn `nMerges` merges from whitespace words of `textCol`.
+    * Returns them in application order. */
+  def train(df: DataFrame, textCol: Column, nMerges: Int): Seq[(String, String)] = {
+    val vocab = df
+      .select(explode(graft.functions.Text.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    // sequence(1, 0) DESCENDS in Spark, so the empty word must be guarded
+    // even though tokens() never emits one
+    var syms = vocab.select(col("n"),
+        expr("CASE WHEN length(w) = 0 THEN array() " +
+          "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END").as("s"))
+      .localCheckpoint()
+    val merges = mutable.Buffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until nMerges if !exhausted) {
+      val top = syms.where(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS a, s[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        syms = syms.select(col("n"), mergeFold(col("s"), a, b).as("s"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Greedy left-to-right single-merge application over a symbol array:
+    * every adjacent (a, b) becomes a+b, non-overlapping, one pass — the
+    * standard BPE round semantics ("aaa" + (a,a) -> [aa, a]). A fold over
+    * the aggregated vocab rows (never the raw corpus), carrying
+    * (emitted, pending) state. */
+  private[operators] def mergeFold(s: Column, a: String, b: String): Column = {
+    val merged = a + b
+    aggregate(s,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("prev")),
+      (st, x) => {
+        val prev = st.getField("prev")
+        val out = st.getField("out")
+        val isMerge = prev === lit(a) && x === lit(b)
+        struct(
+          when(isMerge, out)
+            .otherwise(when(prev.isNull, out)
+              .otherwise(concat(out, array(prev)))).as("out"),
+          when(isMerge, lit(merged)).otherwise(x).as("prev"))
+      },
+      st => when(st.getField("prev").isNull, st.getField("out"))
+        .otherwise(concat(st.getField("out"), array(st.getField("prev")))))
+  }
+
+  /** Apply a learned merge list to one word (driver/executor-side helper
+    * for encode paths and specs) — same greedy pass per merge, in order. */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: List[String] = word.map(_.toString).toList
+    merges.foreach { case (a, b) =>
+      val out = mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toList
+    }
+    syms
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns the frequency-ordered merges with deterministic ties") {
+    // words: "aaab" x3, "ab" x2. Pair counts round 1: (a,a)=6, (a,b)=5
+    // -> merge (a,a); round 2: (a,b)=5 beats (aa,a)=3 -> merge (a,b);
+    // round 3: only (aa,ab)=3 and (aa,a)... aaab=[aa,ab] after round 2
+    val df = Seq.fill(3)("aaab").mkString(" ").+(" ab ab").split(" ").toSeq
+      .toDF("w").select(col("w").as("text"))
+    val merges = Bpe.train(df, col("text"), 3)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("mergeFold greedy pass == the reference applyMerges pass") {
+    val words = Seq("aaa", "abab", "aab", "b", "", "aaaa")
+    val df = words.toDF("w")
+      .select(col("w"),
+        expr("CASE WHEN length(w) = 0 THEN array() " +
+          "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END").as("s"))
+    val out = df.select(col("w"), Bpe.mergeFold(col("s"), "a", "a").as("m"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(out(w) === Bpe.applyMerges(w, Seq(("a", "a"))),
+        s"fold diverged from reference on '$w'")
+    }
+  }
+
+  test("applyMerges with trained merges tokenizes like classic BPE") {
+    val corpus = Seq("low low low lower lowest").toDF("text")
+    val merges = Bpe.train(corpus, col("text"), 4)
+    // 'low' appears in every word: its pairs dominate, so after 4 merges
+    // the whole word 'low' is a single symbol
+    assert(Bpe.applyMerges("low", merges) === Seq("low"))
+    // unseen characters survive as singletons
+    assert(Bpe.applyMerges("xyz", merges) === Seq("x", "y", "z"))
+  }
+}
