@@ -37,7 +37,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = query-name subset (local iteration); the driver's
+    // contract call passes none and times the full suite
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     // run the whole suite `runs` times (round-robin, not back-to-back per
     // query) so per-query numbers aren't flattered by a just-warmed cache
     val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>

@@ -36,10 +36,14 @@ object OracleSql {
   private val minhashAggs = (0 until 16)
     .map(i => s"MIN((hv * ${2 * i + 3} + ${5 * i + 7}) % 1000000007) AS mh$i")
     .mkString(",\n        ")
-  private val bandSelects = (0 until 4).map { b =>
-    val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
-    s"SELECT doc_id, $b AS band, CONCAT_WS('_', $cols) AS sig FROM sig"
-  }.mkString("\n      UNION ALL\n      ")
+  private def bandSelectsFor(bands: Int): String = {
+    val rows = 16 / bands
+    (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, CONCAT_WS('_', $cols) AS sig FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+  }
+  private val bandSelects = bandSelectsFor(4)
 
   /** 60 simhash bit terms mirroring Dedup.simhash64 exactly. */
   private val simhashTerms = (0 until 60).map { b =>
@@ -109,15 +113,23 @@ object OracleSql {
        |SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n""".stripMargin
 
   /** The minhash-LSH star-edge transitive closure shared by
-    * q_dup_clusters{,_star} and q_dedup_keep: ends at `reach(n, m)`. */
+    * q_dup_clusters{,_star}, q_dedup_keep, and the curation pipeline:
+    * ends at `reach(n, m)`. */
   private def dupClusterCtes: String =
-    s"""WITH RECURSIVE toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+    s"WITH RECURSIVE ${dupClusterChain("documents")}"
+
+  /** The same chain without the WITH prefix, over any relation carrying
+    * (doc_id, text) — splice into a larger WITH RECURSIVE chain.
+    * `bands` controls the LSH band layout (16/bands rows per band:
+    * fewer bands = stricter candidate threshold). */
+  private def dupClusterChain(rel: String, bands: Int = 4): String =
+    s"""toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM $rel),
        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 AS hv FROM toks),
        |sig AS (SELECT doc_id,
        |        $minhashAggs
        |        FROM h GROUP BY doc_id),
        |bands AS (
-       |      $bandSelects
+       |      ${bandSelectsFor(bands)}
        |),
        |hubs AS (SELECT band, sig, MIN(doc_id) AS hub FROM bands GROUP BY band, sig),
        |stars AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
@@ -1019,7 +1031,7 @@ object OracleSql {
     // capped-inverted-index decontamination -> running-total budget cut;
     // every fragment identical to its standalone oracle
     "q_curation_pipeline" ->
-      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
          |        CASE WHEN len(toks) >= 3
          |          THEN list_transform(range(1, len(toks) - 1),
@@ -1034,6 +1046,11 @@ object OracleSql {
          |dd AS (SELECT * FROM (
          |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
          |    FROM gated) WHERE doc_id = canon),
+         |${dupClusterChain("dd", bands = 2)},
+         |labels AS (SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n),
+         |nd AS (SELECT dd.* FROM dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM labels l
+         |                    WHERE l.doc = dd.doc_id AND l.doc <> l.cluster)),
          |eb AS (SELECT doc_id, unnest(g3d) AS sh FROM (
          |    SELECT doc_id, CASE WHEN len(toks) >= 3
          |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
@@ -1041,12 +1058,12 @@ object OracleSql {
          |      ELSE [] END AS g3d FROM t WHERE doc_id % 10 = 0)),
          |keep AS (SELECT sh FROM eb GROUP BY sh HAVING COUNT(*) <= 64),
          |b AS (SELECT eb.doc_id, eb.sh FROM eb JOIN keep USING (sh)),
-         |ec AS (SELECT doc_id, unnest(list_distinct(g3)) AS sh FROM dd),
+         |ec AS (SELECT doc_id, unnest(list_distinct(g3)) AS sh FROM nd),
          |cont AS (SELECT doc_a FROM (
          |    SELECT c.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ns
          |    FROM ec c JOIN b ON c.sh = b.sh GROUP BY 1, 2)
          |  WHERE ns >= 2 GROUP BY doc_a),
-         |clean AS (SELECT doc_id, source, n_tokens FROM dd
+         |clean AS (SELECT doc_id, source, n_tokens FROM nd
          |  WHERE doc_id NOT IN (SELECT doc_a FROM cont)),
          |sel AS (SELECT doc_id, source, n_tokens,
          |    SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id

@@ -852,14 +852,26 @@ object SparkEntry {
         expr("((size(__g3) - size(array_distinct(__g3))) * CAST(1000000 AS BIGINT)) DIV size(__g3)"))
         .otherwise(lit(0L)))
       .where(col("n_tokens") >= 30 && col("__rep") <= 300000L)
-      .select(col("doc_id"), col("source"), col("n_tokens"),
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"),
         array_distinct(col("__g3")).as("__g3d"),
         md5(col("text").cast("binary")).as("__md5")))
-    // 2. exact dedup keep-min as ONE windowed rank on the content hash
+    // 2a. exact dedup keep-min as ONE windowed rank on the content hash
     // (rank-1 == min doc_id per group; no groupBy + join-back pass)
     val dw = Window.partitionBy(col("__md5")).orderBy(col("doc_id"))
-    val deduped = gated.withColumn("__rn", row_number().over(dw))
+    val exactDeduped = scope.cache(gated
+      .withColumn("__rn", row_number().over(dw))
       .where(col("__rn") === 1)
+      .drop("__rn", "__md5"))
+    // 2b. NEAR-dup dedup (the C4/RefinedWeb minhash stage): drop every
+    // non-canonical member of a minhash-LSH cluster — same machinery as
+    // q_dedup_keep over the exact-deduped survivors, but with 2 bands of
+    // 8 rows (candidate threshold ~0.92 Jaccard: only true near-dups
+    // cluster, where the 4x4 layout collapses this synthetic corpus)
+    val labels = DupClusters.clustersAdaptive(
+      Dedup.minhashBucketStars(exactDeduped, "doc_id", "text", 16, 2))
+    val dropNear = labels.where(col("doc") =!= col("cluster"))
+      .select(col("doc").as("doc_id"))
+    val deduped = exactDeduped.join(dropNear, Seq("doc_id"), "left_anti")
     // 3. decontamination vs the benchmark split — same semantics and caps
     // as Curate.contamination, but candidates come from the CACHED
     // distinct-trigram arrays (no second tokenize of the corpus); only
