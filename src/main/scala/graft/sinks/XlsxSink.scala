@@ -1,0 +1,116 @@
+package graft.sinks
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.spark.xlsx.SerializableHadoopConf
+
+/** Distributed XLSX writer — the write half of the `graft-xlsx` source
+  * (reference: the pipelines READ workbooks via pandas; publishing results
+  * back as workbooks is the inverse leg a data team asks for first).
+  *
+  * One workbook PER PARTITION (`part-NNNNN.xlsx` under `dir`), each task
+  * streaming its rows straight into its own zip on the Hadoop FS — no
+  * driver staging, no global coordination, and Excel's ~1M-row sheet cap
+  * maps naturally onto partition sizing. Header row = column names; every
+  * value is written as an inline string (`inlineStr`, XML-escaped) so the
+  * file round-trips through the all-string `graft-xlsx` reader and needs
+  * no shared-strings table. Nulls become gap cells (absent), matching the
+  * reader's sparse-cells contract.
+  *
+  * Only the standard zip members a conforming consumer needs are emitted:
+  * [Content_Types].xml, the two .rels, workbook.xml, sheet1.xml — all
+  * fixed public-format boilerplate except the sheet data.
+  */
+object XlsxSink {
+
+  def write(df: DataFrame, dir: String): Unit = {
+    val names = df.schema.fieldNames.toSeq
+    val conf = new SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
+        val fs = path.getFileSystem(conf.value)
+        val out = new ZipOutputStream(fs.create(path, true))
+        try writeWorkbook(out, names, rows) finally out.close()
+      }
+    }
+  }
+
+  private def writeWorkbook(zos: ZipOutputStream, header: Seq[String],
+                            rows: Iterator[Row]): Unit = {
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+
+    // the sheet streams: header + one <row> per input row, inline strings
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    def push(s: String): Unit = zos.write(s.getBytes("UTF-8"))
+    push("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    push("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    push(rowXml(1, header.map(Option(_))))
+    var rn = 2
+    rows.foreach { r =>
+      push(rowXml(rn, (0 until r.length).map(i =>
+        Option(r.get(i)).map(_.toString))))
+      rn += 1
+    }
+    push("</sheetData></worksheet>")
+    zos.closeEntry()
+  }
+
+  private def rowXml(rn: Int, cells: Seq[Option[String]]): String = {
+    val sb = new StringBuilder(s"""<row r="$rn">""")
+    cells.zipWithIndex.foreach {
+      case (Some(v), ci) =>
+        sb.append(s"""<c r="${colRef(ci)}$rn" t="inlineStr"><is><t>""")
+          .append(escape(v)).append("</t></is></c>")
+      case (None, _) => // null -> gap cell, the reader's sparse contract
+    }
+    sb.append("</row>").toString
+  }
+
+  /** 0-based column index -> A1-style column letters. */
+  private[sinks] def colRef(ci: Int): String = {
+    var i = ci + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      val rem = (i - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+}
