@@ -16,6 +16,32 @@ class SessionizeSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("sessionize session boundaries == Spark's native session_window") {
+    // same gap semantics: a session extends while consecutive events are
+    // <= gap apart — including the EXACT-gap boundary (user 3), where
+    // session_window's touching windows merge just like the lag rule
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 1700L, 2L), (1L, 3300L, 3L), // chained: one session
+      (1L, 10000L, 4L),                               // gap > 1800: new session
+      (2L, 42L, 5L),
+      (3L, 0L, 6L), (3L, 1800L, 7L)                   // gap EXACTLY == 1800
+    ).toDF("user_id", "sec", "event_id")
+    val custom = Sessionize.sessionize(df, "user_id", "sec", 1800L, col("event_id"))
+      .groupBy("user_id", "session_id")
+      .agg(min("sec").as("start_sec"), max("sec").as("end_sec"),
+        count(lit(1)).as("n"))
+      .select("user_id", "start_sec", "end_sec", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val native = df
+      .withColumn("ts", col("sec").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+      .agg(min("sec").as("start_sec"), max("sec").as("end_sec"),
+        count(lit(1)).as("n"))
+      .select("user_id", "start_sec", "end_sec", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(custom === native)
+  }
+
   test("stateIntervals collapses consecutive runs only; same state later is a new interval") {
     val df = Seq(
       // user 1: A A B A  -> three intervals (A twice, split by B)
