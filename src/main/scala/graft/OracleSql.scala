@@ -1016,6 +1016,35 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // integer-exact PageRank, 2 rounds unrolled, over the same pair set
+    // as q_embed_neardup (symmetric edges; every node degree >= 1)
+    "q_pagerank" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nn AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nv FROM e),
+        |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |          FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+        |          WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.25),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+        |pr0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |c1 AS (SELECT e2.d AS node, CAST(SUM(p.pr // dg.deg) AS BIGINT) AS sm
+        |       FROM edges e2 JOIN pr0 p ON e2.s = p.node
+        |                     JOIN deg dg ON e2.s = dg.s
+        |       GROUP BY e2.d),
+        |pr1 AS (SELECT node,
+        |          CAST(150000 + (850000 * sm) // 1000000 AS BIGINT) AS pr FROM c1),
+        |c2 AS (SELECT e2.d AS node, CAST(SUM(p.pr // dg.deg) AS BIGINT) AS sm
+        |       FROM edges e2 JOIN pr1 p ON e2.s = p.node
+        |                     JOIN deg dg ON e2.s = dg.s
+        |       GROUP BY e2.d),
+        |pr2 AS (SELECT node,
+        |          CAST(150000 + (850000 * sm) // 1000000 AS BIGINT) AS pr FROM c2)
+        |SELECT p.node, p.pr AS pr_ppm, d.deg AS degree
+        |FROM pr2 p JOIN deg d ON p.node = d.s""".stripMargin,
+
     // deterministic exact-k per group: md5-hash order, same mapping as
     // hashSample's md5Long
     "q_group_sample" ->

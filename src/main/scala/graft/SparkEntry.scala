@@ -820,6 +820,14 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
   }
 
+  /** Duplicate-hub centrality: 2 integer-exact PageRank rounds over the
+    * embedding near-dup graph — which node anchors each template family. */
+  private def qPagerank(s: SparkSession, d: String): DataFrame =
+    Centrality.pagerankPpm(
+      qEmbedNeardup(s, d).select(col("vec_a").as("doc_a"),
+        col("vec_b").as("doc_b")),
+      iters = 2)
+
   /** Exact-5-per-source deterministic sample (few-shot per category). */
   private def qGroupSample(s: SparkSession, d: String): DataFrame =
     Stats.groupSample(
@@ -982,6 +990,7 @@ object SparkEntry {
     "q_pq_verify" -> (qPqVerify _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_group_sample" -> (qGroupSample _),
+    "q_pagerank" -> (qPagerank _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over similarity graphs — the "duplicate hub" /
+  * template-page detector: a node that near-duplicates many others pulls
+  * rank, which is how boilerplate families and SEO farms surface in a
+  * corpus graph (the companion signal to [[DupClusters]]' components:
+  * components say WHICH docs belong together, rank says which node is
+  * the hub).
+  *
+  * PageRank here is INTEGER-EXACT in ppm (damping 0.15):
+  * `pr0 = 1e6; pr_{t+1}(v) = 150000 + (850000 * Σ_{u→v} pr_t(u) DIV
+  * deg(u)) DIV 1e6` — every step BIGINT-exact DIV arithmetic, so a
+  * fixed-iteration run carries a cell-exact unrolled-CTE oracle (the
+  * same discipline as the IVF Lloyd rounds; no float mass vectors whose
+  * last-bit rounding differs per engine). Undirected: each pair
+  * contributes both directions, so every node has degree ≥ 1 and
+  * receives ≥ 1 contribution — no dangling-mass term needed.
+  *
+  * Scale shape per iteration: one equi-join of the edge list with the
+  * rank table on the source id, one groupBy(dst) shuffle (map-side
+  * combinable), `localCheckpoint` truncating the iteration lineage —
+  * the label-propagation loop's cost model (SURVEY §6).
+  */
+object Centrality {
+
+  /** `iters` exact-integer PageRank rounds over undirected pairs
+    * (doc_a, doc_b). Returns (node, pr_ppm, degree). */
+  def pagerankPpm(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint() // edges are re-joined every round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("pr DIV deg").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__s"))
+      pr = contrib
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(850000 * __s) DIV 1000000")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.join(deg.select(col("src").as("node"), col("deg").as("degree")), "node")
+      .select(col("node"), col("pr").as("pr_ppm"), col("degree"))
+  }
+}
