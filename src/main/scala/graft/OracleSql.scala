@@ -1016,6 +1016,23 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // concurrency: the NAIVE interval-inequality join as the oracle for
+    // the distributed sweep (same session construction as q_sessionize)
+    "q_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value, ts FROM events),
+        |g AS (SELECT *, CASE WHEN sec - LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM g),
+        |sess AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |           MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        |         FROM s GROUP BY user_id, session_id)
+        |SELECT s1.user_id, s1.session_id, s1.start_sec,
+        |  CAST(COUNT(*) AS BIGINT) AS n_concurrent
+        |FROM sess s1 JOIN sess s2
+        |  ON s2.start_sec <= s1.start_sec AND s2.end_sec >= s1.start_sec
+        |GROUP BY s1.user_id, s1.session_id, s1.start_sec""".stripMargin,
+
     // integer-exact PageRank, 2 rounds unrolled, over the same pair set
     // as q_embed_neardup (symmetric edges; every node degree >= 1)
     "q_pagerank" ->

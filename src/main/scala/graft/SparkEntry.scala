@@ -820,6 +820,12 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
   }
 
+  /** Session concurrency by distributed sweep: sessions active at each
+    * session's start — no interval-inequality join (the oracle IS one). */
+  private def qConcurrency(s: SparkSession, d: String): DataFrame =
+    Sessionize.concurrency(qSessionize(s, d),
+      "user_id", "session_id", "start_sec", "end_sec")
+
   /** Duplicate-hub centrality: 2 integer-exact PageRank rounds over the
     * embedding near-dup graph — which node anchors each template family. */
   private def qPagerank(s: SparkSession, d: String): DataFrame =
@@ -991,6 +997,7 @@ object SparkEntry {
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_group_sample" -> (qGroupSample _),
     "q_pagerank" -> (qPagerank _),
+    "q_concurrency" -> (qConcurrency _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

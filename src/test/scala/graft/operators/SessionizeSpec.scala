@@ -42,6 +42,21 @@ class SessionizeSpec extends SparkSpec {
     assert(custom === native)
   }
 
+  test("concurrency counts sessions active at each start, boundaries inclusive") {
+    // sessions: A[0,10], B[5,20], C[10,30] (C starts exactly at A's end),
+    // D[100,110] isolated
+    val sess = Seq(
+      (1L, 0L, 0L, 10L), (2L, 0L, 5L, 20L), (3L, 0L, 10L, 30L),
+      (4L, 0L, 100L, 110L)
+    ).toDF("user_id", "session_id", "start_sec", "end_sec")
+    val out = Sessionize.concurrency(sess, "user_id", "session_id",
+        "start_sec", "end_sec")
+      .select("user_id", "n_concurrent").as[(Long, Long)].collect().toMap
+    // at A.start=0: {A}; at B.start=5: {A,B}; at C.start=10: {A,B,C}
+    // (A ends AT 10 -> inclusive overlap); at D.start: {D}
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
   test("stateIntervals collapses consecutive runs only; same state later is a new interval") {
     val df = Seq(
       // user 1: A A B A  -> three intervals (A twice, split by B)
