@@ -33,43 +33,32 @@ object Sessionize {
   /** Interval-overlap counting by distributed sweep: for every session,
     * the number of sessions (any key, itself included) active at its
     * start instant — the concurrency / load-overlap measure, computed
-    * WITHOUT an inequality join: `n_concurrent(s) = #starts ≤ s −
-    * #ends < s`, each side one [[Stats.withRunningTotal]] pass over a
-    * tagged union (events weighted 1, probe rows weighted 0; the tag
-    * orders same-instant starts BEFORE probes and same-instant ends
-    * AFTER them, which is exactly the inclusive-overlap boundary rule).
-    * Two range shuffles + bounded collects — never the O(n²)
+    * WITHOUT an inequality join: ONE [[Stats.withRunningTotal]] pass
+    * over a tagged union of starts (+1), probe rows (0), and ends (−1),
+    * ordered (time, tag) with starts tagged BEFORE probes and ends
+    * AFTER them at the same instant — exactly the inclusive-overlap
+    * boundary rule, so the running value AT a probe row is
+    * `#starts ≤ s − #ends < s` = sessions active at s, itself included.
+    * One range shuffle + one bounded collect — never the O(n²)
     * interval-inequality join the naive SQL writes (and the oracle IS
     * that inequality join, checked cell-exact). */
   def concurrency(sessions: DataFrame, userCol: String, sidCol: String,
-                  startCol: String, endCol: String,
-                  scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
-    val sess = scope.cache(sessions.select(
+                  startCol: String, endCol: String): DataFrame = {
+    val sess = sessions.select(
       col(userCol).as("u"), col(sidCol).as("sid"),
-      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e")))
-    def probes(tag: Int) = sess.select(col("s").as("t"), lit(tag).as("tag"),
-      lit(0L).as("w"), col("u"), col("sid"))
-    // #starts <= s: starts sort before same-instant probes
-    val aUnion = sess.select(col("s").as("t"), lit(0).as("tag"),
-        lit(1L).as("w"), lit(null).cast("long").as("u"),
-        lit(null).cast("long").as("sid"))
-      .unionByName(probes(tag = 1))
-    val a = Stats.withRunningTotal(aUnion, Seq(col("t"), col("tag")),
-        col("w"), "__a")
+      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+    val nul = lit(null).cast("long")
+    val sweep = sess
+      .select(col("s").as("t"), lit(0).as("tag"), lit(1L).as("w"),
+        nul.as("u"), nul.as("sid"))
+      .unionByName(sess.select(col("s").as("t"), lit(1).as("tag"),
+        lit(0L).as("w"), col("u"), col("sid")))
+      .unionByName(sess.select(col("e").as("t"), lit(2).as("tag"),
+        lit(-1L).as("w"), nul.as("u"), nul.as("sid")))
+    Stats.withRunningTotal(sweep, Seq(col("t"), col("tag")), col("w"), "__n")
       .where(col("tag") === 1)
-      .select(col("u"), col("sid"), col("t").as("start_sec"), col("__a"))
-    // #ends < s: ends sort after same-instant probes
-    val bUnion = sess.select(col("e").as("t"), lit(1).as("tag"),
-        lit(1L).as("w"), lit(null).cast("long").as("u"),
-        lit(null).cast("long").as("sid"))
-      .unionByName(probes(tag = 0))
-    val b = Stats.withRunningTotal(bUnion, Seq(col("t"), col("tag")),
-        col("w"), "__b")
-      .where(col("tag") === 0)
-      .select(col("u").as("u2"), col("sid").as("sid2"), col("__b"))
-    a.join(b, col("u") === col("u2") && col("sid") === col("sid2"))
       .select(col("u").as(userCol), col("sid").as(sidCol),
-        col("start_sec"), (col("__a") - col("__b")).as("n_concurrent"))
+        col("t").as("start_sec"), col("__n").as("n_concurrent"))
   }
 
   /** State-change history (SCD-type-2 shape / gaps-and-islands): per key,
