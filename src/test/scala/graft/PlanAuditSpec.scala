@@ -137,4 +137,19 @@ class PlanAuditSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles === 1, s"gaps-and-islands now shuffles $shuffles times")
   }
+
+  test("q_concurrency's sweep carries no single-partition WindowExec") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_concurrency")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty,
+      s"interval sweep regressed to a global window: ${global.mkString("; ")}")
+  }
+
+  test("q_pagerank stays equi-join shaped (no BNLJ/cartesian) per round") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pagerank round lost its edge equi-join shape")
+  }
 }
