@@ -49,6 +49,27 @@ object DecodeStub {
     }
   }
 
+  /** Video-style frame SUBSAMPLING plumbing: a payload holding
+    * fixed-size frames explodes to every `every`-th frame as its own
+    * (media_id, frame_idx, frame) row — the "sample 1 fps before the
+    * expensive decode" stage. Pure expressions (sequence + substring on
+    * binary), shuffle-free and codegen'd; a real container format would
+    * swap the fixed stride for its frame index, the row shape stays.
+    * Trailing partial frames are dropped (standard codec behavior). */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int, every: Int): DataFrame =
+    df.select(col(idCol),
+        (octet_length(col(payloadCol).cast("binary")) / frameBytes)
+          .cast("int").as("__n"),
+        col(payloadCol).cast("binary").as("__p"))
+      .where(col("__n") > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(filter(sequence(0, __n - 1), i -> i % $every = 0), " +
+          s"i -> struct(i AS frame_idx, " +
+          s"substring(__p, i * $frameBytes + 1, $frameBytes) AS frame))")).as("f"))
+      .select(col(idCol), col("f.frame_idx").as("frame_idx"),
+        col("f.frame").as("frame"))
+
   /** Declarative metadata extraction (no codec needed): byte length +
     * content hash + modality tag — pure codegen'd expressions. */
   def payloadMeta(df: DataFrame, idCol: String, payloadCol: String,

@@ -18,6 +18,20 @@ class DecodeStubSpec extends SparkSpec {
     assert(out(1L).feature.toSeq === again(1L).feature.toSeq)
   }
 
+  test("frameSample emits every k-th fixed-size frame, drops the partial tail") {
+    import org.apache.spark.sql.functions.col
+    // payload: frames of 4 bytes: "AAAA","BBBB","CCCC","DDDD" + "EE" tail
+    val df = Seq((7L, "AAAABBBBCCCCDDDDEE")).toDF("id", "payload")
+    val out = DecodeStub.frameSample(df, "id", "payload", frameBytes = 4, every = 2)
+      .select(col("frame_idx"), col("frame").cast("string"))
+      .as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((0, "AAAA"), (2, "CCCC")))
+    // payload shorter than one frame -> no rows
+    val none = DecodeStub.frameSample(Seq((8L, "xy")).toDF("id", "payload"),
+      "id", "payload", frameBytes = 4, every = 1)
+    assert(none.count() === 0)
+  }
+
   test("payloadMeta extracts byte length + hash declaratively") {
     val df = Seq((1L, "abc")).toDF("id", "payload")
     val row = DecodeStub.payloadMeta(df, "id", "payload", "text").head()
