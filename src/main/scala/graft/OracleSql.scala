@@ -1016,6 +1016,19 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // context-window chunking: stride-40 starts, 50-token slices, digest
+    // per chunk — slices truncate identically at the document tail
+    "q_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(list_transform(
+         |        list_filter(range(0, len(toks)), i -> i % 40 = 0),
+         |        s -> struct_pack(ci := s // 40, ch := toks[s+1 : s+50]))) AS u
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx,
+         | CAST(len(u.ch) AS BIGINT) AS n_tokens,
+         | md5(array_to_string(u.ch, ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
+
     // concurrency: the NAIVE interval-inequality join as the oracle for
     // the distributed sweep (same session construction as q_sessionize)
     "q_concurrency" ->

@@ -820,6 +820,23 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
   }
 
+  /** Context-window chunking (the training/RAG windowing primitive):
+    * 50-token chunks at stride 40 (10-token overlap), shuffle-free row
+    * expressions — at 100 TB this is the map stage right before
+    * tokenizer packing, and the digest column is what chunk-level dedup
+    * consumes. */
+  private def qChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .selectExpr("doc_id",
+        "explode(transform(filter(sequence(0, size(t) - 1), i -> i % 40 = 0), " +
+          "s -> struct(CAST(s DIV 40 AS INT) AS chunk_idx, " +
+          "slice(t, s + 1, 50) AS ch))) AS c")
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.ch")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c.ch")).cast("binary")).as("chunk_md5"))
+
   /** Session concurrency by distributed sweep: sessions active at each
     * session's start — no interval-inequality join (the oracle IS one). */
   private def qConcurrency(s: SparkSession, d: String): DataFrame =
@@ -998,6 +1015,7 @@ object SparkEntry {
     "q_group_sample" -> (qGroupSample _),
     "q_pagerank" -> (qPagerank _),
     "q_concurrency" -> (qConcurrency _),
+    "q_chunk" -> (qChunk _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_simhash / q_text_quality / q_sample_stratified / q_repetition / q_pii_scrub stay shuffle-free map plans") {
     for (q <- Seq("q_simhash", "q_text_quality", "q_sample_stratified",
-        "q_repetition", "q_pii_scrub", "q_line_dedup", "q_winnow")) {
+        "q_repetition", "q_pii_scrub", "q_line_dedup", "q_winnow", "q_chunk")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q introduced a shuffle")
     }
