@@ -1016,6 +1016,63 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // IVF-PQ: coarse assign to the first-8-by-id cells, residual v - c,
+    // PQ books = first-16-by-id residual slices, per-cell ADC from the
+    // query's residual in each probed cell — every distance the
+    // vv - 2*lip + cc left-fold identity
+    "q_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
+         |sp AS (SELECT unnest([0, 1, 2, 3]) AS s),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM ev ORDER BY vec_id LIMIT 8),
+         |${ivfAssign("af", "c0")},
+         |res AS (SELECT af.vec_id, af.cid,
+         |          list_transform(range(1, len(af.v) + 1), i -> af.v[i] - c0.c[i]) AS r
+         |        FROM af JOIN c0 USING (cid)),
+         |rcb AS (SELECT sp.s, CAST(t.rn - 1 AS INT) AS pcid,
+         |          t.r[sp.s*16+1 : sp.s*16+16] AS pc
+         |        FROM (SELECT vec_id, r, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+         |              FROM res ORDER BY vec_id LIMIT 16) t, sp),
+         |rsub AS (SELECT vec_id, cid, sp.s, r[sp.s*16+1 : sp.s*16+16] AS sv FROM res, sp),
+         |enc AS (SELECT vec_id, s, pcid FROM (
+         |   SELECT rs.vec_id, rs.s, rcb.pcid,
+         |     ROW_NUMBER() OVER (PARTITION BY rs.vec_id, rs.s ORDER BY
+         |       list_inner_product(rs.sv, rs.sv)
+         |         - 2.0 * list_inner_product(rs.sv, rcb.pc)
+         |         + list_inner_product(rcb.pc, rcb.pc), rcb.pcid) AS rn
+         |   FROM rsub rs JOIN rcb ON rs.s = rcb.s) WHERE rn = 1),
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT cid FROM (
+         |  SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+         |    list_inner_product(c.c, c.c) - 2.0 * list_inner_product(c.c, q.v)
+         |      + list_inner_product(q.v, q.v), c.cid) AS rn
+         |  FROM c0 c, qv q) WHERE rn <= 4),
+         |qres AS (SELECT c0.cid,
+         |           list_transform(range(1, len(q.v) + 1), i -> q.v[i] - c0.c[i]) AS rq
+         |         FROM c0 JOIN probes USING (cid), qv q),
+         |qrsub AS (SELECT cid, sp.s, rq[sp.s*16+1 : sp.s*16+16] AS qsv FROM qres, sp),
+         |adc AS (SELECT qr.cid, rcb.s, rcb.pcid,
+         |          list_inner_product(qr.qsv, qr.qsv)
+         |            - 2.0 * list_inner_product(qr.qsv, rcb.pc)
+         |            + list_inner_product(rcb.pc, rcb.pc) AS d2
+         |        FROM qrsub qr JOIN rcb ON qr.s = rcb.s),
+         |codes AS (SELECT vec_id,
+         |   MAX(CASE WHEN s = 0 THEN pcid END) AS c0,
+         |   MAX(CASE WHEN s = 1 THEN pcid END) AS c1,
+         |   MAX(CASE WHEN s = 2 THEN pcid END) AS c2,
+         |   MAX(CASE WHEN s = 3 THEN pcid END) AS c3
+         |   FROM enc GROUP BY vec_id)
+         |SELECT af.vec_id, af.cid AS cell,
+         |  a0.d2 + a1.d2 + a2.d2 + a3.d2 AS adc_d2
+         |FROM af JOIN probes p ON af.cid = p.cid
+         |JOIN codes cd ON cd.vec_id = af.vec_id
+         |JOIN adc a0 ON a0.cid = af.cid AND a0.s = 0 AND a0.pcid = cd.c0
+         |JOIN adc a1 ON a1.cid = af.cid AND a1.s = 1 AND a1.pcid = cd.c1
+         |JOIN adc a2 ON a2.cid = af.cid AND a2.s = 2 AND a2.pcid = cd.c2
+         |JOIN adc a3 ON a3.cid = af.cid AND a3.s = 3 AND a3.pcid = cd.c3
+         |WHERE af.vec_id <> 0
+         |ORDER BY adc_d2, af.vec_id LIMIT 10""".stripMargin,
+
     // context-window chunking: stride-40 starts, 50-token slices, digest
     // per chunk — slices truncate identically at the document tail
     "q_chunk" ->

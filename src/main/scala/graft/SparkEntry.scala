@@ -395,6 +395,14 @@ object SparkEntry {
     PqIndex.searchAdc(Tables.embeddings(s, d), "vec_id", "embedding",
       m = 4, k = 16, queryVec(s, d), topK = 10, excludeId = Some(0L))
 
+  /** IVF-PQ composite ANN: 8 coarse cells, residuals PQ-encoded in 4x16
+    * books, per-cell ADC over 4 probed cells — the FAISS IVFx,PQy layout
+    * with a full oracle. */
+  private def qIvfPq(s: SparkSession, d: String): DataFrame =
+    IvfPq.searchAdc(Tables.embeddings(s, d), "vec_id", "embedding",
+      nCells = 8, m = 4, k = 16, queryVec(s, d), topK = 10, nProbes = 4,
+      excludeId = Some(0L))
+
   /** PQ accuracy audit: ADC top-50 next to the exact query distance. */
   private def qPqVerify(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -1016,6 +1024,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_concurrency" -> (qConcurrency _),
     "q_chunk" -> (qChunk _),
+    "q_ivf_pq" -> (qIvfPq _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -77,18 +77,20 @@ object PqIndex {
     * projections so the k distance terms share them (interpreted-HOF
     * copy rule, SURVEY §6). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             books: Array[Array[Array[Double]]]): DataFrame = {
+             books: Array[Array[Array[Double]]],
+             keepCols: Seq[String] = Nil): DataFrame = {
     val m = books.length
     val sub = books(0)(0).length
     val withSubs = df.select(
       Seq(col(idCol).as("vid"), vecD(col(vecCol)).as("v")) ++
+        keepCols.map(col) ++
         (0 until m).map(s =>
           slice(vecD(col(vecCol)), s * sub + 1, sub).as(s"__sub_$s")): _*)
     val withVv = withSubs.select(
       col("*") +: (0 until m).map(s =>
         Similarity.dot(col(s"__sub_$s"), col(s"__sub_$s")).as(s"__vv_$s")): _*)
     val coded = withVv.select(
-      Seq(col("vid"), col("v")) ++ (0 until m).map { s =>
+      (Seq(col("vid"), col("v")) ++ keepCols.map(col)) ++ (0 until m).map { s =>
         val terms = books(s).zipWithIndex.map { case (c, cid) =>
           val cc = dotSeq(c.toSeq, c.toSeq)
           val d2 = col(s"__vv_$s") -
