@@ -1240,5 +1240,31 @@ object OracleSql {
          |FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM labels l
          |                  WHERE l.doc = d.doc_id AND l.doc <> l.cluster)""".stripMargin,
+
+    // substring-level dedup spans: positional 10-grams, grams in >= 2
+    // distinct docs are duplicated, touching/overlapping windows
+    // (gap <= n) merge into maximal spans — mirrors Dedup.dupSpans
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p0 AS (SELECT doc_id, CASE WHEN len(toks) >= 10 THEN
+         |         list_transform(range(1, len(toks) - 8),
+         |           i -> struct_pack(pos := i - 1,
+         |                  g := md5(array_to_string(toks[i:i+9], ' '))))
+         |       ELSE [] END AS ws FROM t),
+         |p AS (SELECT doc_id, u.pos AS pos, u.g AS g
+         |      FROM (SELECT doc_id, unnest(ws) AS u FROM p0)),
+         |d AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         |m AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (g)),
+         |b AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - LAG(pos) OVER w IS NULL
+         |               OR pos - LAG(pos) OVER w > 10 THEN 1 ELSE 0 END AS brk
+         |      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+         |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+         |      FROM b)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |       CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
+         |       CAST(COUNT(*) AS BIGINT) AS n_windows
+         |FROM s GROUP BY doc_id, span""".stripMargin,
   )
 }

@@ -813,6 +813,15 @@ object SparkEntry {
     Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
       k = 4, w = 5, minShared = 2, maxFpDf = 64)
 
+  /** Substring-level dedup spans: maximal per-document token ranges whose
+    * every 10-gram occurs in >= 2 distinct documents (the distributed
+    * formulation of Lee et al. suffix-array substring dedup) — the byte
+    * ranges a substring-cutting pass would remove, vs the whole-document
+    * verdicts of the minhash family. */
+  private def qDupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 10, minDocs = 2)
+
   /** The dedup MATERIALIZATION step: the corpus with every non-canonical
     * near-dup cluster member dropped (canonical = min doc_id of its
     * minhash-LSH cluster; docs in no cluster survive). Completes the
@@ -1025,6 +1034,7 @@ object SparkEntry {
     "q_concurrency" -> (qConcurrency _),
     "q_chunk" -> (qChunk _),
     "q_ivf_pq" -> (qIvfPq _),
+    "q_dup_spans" -> (qDupSpans _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -360,4 +360,50 @@ object Dedup {
         expr("bit_count(__ha ^ __hb)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Exact repeated n-gram SPAN detection — the distributed approximation
+    * of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a suffix array finds
+    * every maximal substring repeated across the corpus; at cluster scale
+    * the equivalent join-shaped formulation is "every n-token window whose
+    * gram text occurs in >= `minDocs` DISTINCT documents is duplicated",
+    * with overlapping/adjacent duplicated windows merged into maximal
+    * spans per document (the byte ranges a substring-level dedup pass
+    * would cut, vs the whole-document verdicts of the minhash family).
+    *
+    * Shape: one positional gram explode (the native [[graft.plans.NGrams]]
+    * loop; array index IS the token position), a gram-frequency pass
+    * (partial-agg-friendly groupBy on the md5 of the gram — uniform
+    * 128-bit key, no skew), an equi-join back on that hash, and ONE
+    * per-document window to merge islands (windows p, p' belong to the
+    * same maximal span iff p' - p <= n — touching or overlapping coverage
+    * of [p, p+n-1] and [p', p'+n-1]). Never doc x doc; the inverted
+    * index is linear in corpus tokens exactly like the shingle family. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int, minDocs: Int = 2,
+               scope: PersistScope = PersistScope()): DataFrame = {
+    val pos = scope.cache(
+      df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
+        .select(col("doc_id"),
+          posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
+        .select(col("doc_id"), col("pos"),
+          md5(col("__g").cast("binary")).as("g")))
+    val dup = pos.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select("g")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    pos.join(dup, Seq("g"))
+      .select("doc_id", "pos")
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(wDoc).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(wDoc) > n), 1).otherwise(0))
+      .withColumn("__span", sum(col("__brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
 }

@@ -124,6 +124,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "PQ ADC must not join; lookups are literal arrays")
   }
 
+  test("q_dup_spans: inverted-index equi-join, island window partitioned by doc") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_dup_spans")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "gram-frequency join lost its equi-join shape")
+    val global = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "span merge regressed to a global window")
+  }
+
   test("q_lm_score / q_winnow_pairs stay equi-join shaped (no BNLJ/cartesian)") {
     for (q <- Seq("q_lm_score", "q_winnow_pairs")) {
       val p = plan(q)

@@ -137,4 +137,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // MOSS guarantee
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("dupSpans merges overlapping duplicated windows into maximal spans") {
+    // docs 1/2 share the 6-token run "a b c d e f" -> with n=3 that is
+    // windows at pos 0..3 in doc 1 (gap <= 3 throughout) = ONE span
+    // covering tokens 0..5; doc 2 carries the run at offset 2; doc 3 has
+    // no 3-gram shared with anyone
+    val df = Seq(
+      (1L, "a b c d e f x y z"),
+      (2L, "p q a b c d e f"),
+      (3L, "entirely different tokens here nine")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", n = 3)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans === Set((1L, 0L, 5L, 4L), (2L, 2L, 7L, 4L)))
+  }
+
+  test("dupSpans splits runs separated by more than n undigested tokens") {
+    // the shared trigrams sit at pos 0 and pos 7 of doc 1: gap 7 > n=3
+    // -> two separate spans, each one window wide
+    val df = Seq(
+      (1L, "a b c m1 m2 m3 m4 x y z"),
+      (2L, "a b c k1 k2 k3 k4 x y z")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", n = 3)
+      .where(col("doc_id") === 1L)
+      .select("span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans === Set((0L, 2L, 1L), (7L, 9L, 1L)))
+  }
+
+  test("dupSpans honors minDocs and within-doc repeats alone do not count") {
+    // "r s t" repeats twice inside doc 1 but appears in no other doc;
+    // with minDocs=2 (distinct docs) it must NOT surface
+    val df = Seq(
+      (1L, "r s t u v r s t"),
+      (2L, "unrelated content entirely here")
+    ).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(df, "doc_id", "text", n = 3).count() === 0L)
+  }
 }
