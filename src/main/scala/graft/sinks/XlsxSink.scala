@@ -43,6 +43,39 @@ object XlsxSink {
 
   private def writeWorkbook(zos: ZipOutputStream, header: Seq[String],
                             rows: Iterator[Row]): Unit = {
+    val wb = new WorkbookStream(zos, header)
+    rows.foreach { r =>
+      wb.writeRow((0 until r.length).map(i =>
+        Option(r.get(i)).map(_.toString)))
+    }
+    wb.finish()
+  }
+
+  /** 0-based column index -> A1-style column letters. */
+  private[sinks] def colRef(ci: Int): String = {
+    var i = ci + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      val rem = (i - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+}
+
+/** Streams one conforming workbook into an open zip: fixed boilerplate
+  * members + the header row up front, then one `<row>` per [[writeRow]]
+  * call, `</sheetData>` on [[finish]]. Shared by [[XlsxSink.write]]
+  * (foreachPartition) and the `graft-xlsx` DSv2 write path — one
+  * format-emitting implementation. */
+private[graft] final class WorkbookStream(zos: ZipOutputStream,
+                                          header: Seq[String]) {
+  import XlsxSink.colRef
+
+  private var rn = 1
+
+  locally {
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -72,18 +105,21 @@ object XlsxSink {
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
         |</Relationships>""".stripMargin)
 
-    // the sheet streams: header + one <row> per input row, inline strings
+    // the sheet streams: header + one <row> per writeRow, inline strings
     zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
-    def push(s: String): Unit = zos.write(s.getBytes("UTF-8"))
     push("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
     push("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    push(rowXml(1, header.map(Option(_))))
-    var rn = 2
-    rows.foreach { r =>
-      push(rowXml(rn, (0 until r.length).map(i =>
-        Option(r.get(i)).map(_.toString))))
-      rn += 1
-    }
+    writeRow(header.map(Option(_)))
+  }
+
+  private def push(s: String): Unit = zos.write(s.getBytes("UTF-8"))
+
+  def writeRow(cells: Seq[Option[String]]): Unit = {
+    push(rowXml(rn, cells))
+    rn += 1
+  }
+
+  def finish(): Unit = {
     push("</sheetData></worksheet>")
     zos.closeEntry()
   }
@@ -97,18 +133,6 @@ object XlsxSink {
       case (None, _) => // null -> gap cell, the reader's sparse contract
     }
     sb.append("</row>").toString
-  }
-
-  /** 0-based column index -> A1-style column letters. */
-  private[sinks] def colRef(ci: Int): String = {
-    var i = ci + 1
-    val sb = new StringBuilder
-    while (i > 0) {
-      val rem = (i - 1) % 26
-      sb.insert(0, ('A' + rem).toChar)
-      i = (i - 1) / 26
-    }
-    sb.toString
   }
 
   private def escape(s: String): String =

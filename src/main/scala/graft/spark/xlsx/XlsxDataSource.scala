@@ -8,10 +8,11 @@ import scala.collection.mutable
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,13 +57,19 @@ class DefaultSource extends TableProvider with DataSourceRegister {
 
 case class XlsxTable(tableSchema: StructType, paths: Seq[String],
                      headerRow: Int, sheet: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def schema(): StructType = tableSchema
   override def name(): String = paths.mkString(",")
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XlsxScanBuilder(tableSchema, paths, headerRow, sheet)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"graft-xlsx write needs exactly one target dir, got ${paths.size}")
+    new XlsxWriteBuilder(info.schema(), paths.head, info.queryId())
+  }
 }
 
 class XlsxScanBuilder(full: StructType, paths: Seq[String],

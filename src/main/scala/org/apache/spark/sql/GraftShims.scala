@@ -8,4 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Catalyst-internal -> external Scala value converter (timestamps to
+    * java.sql.Timestamp, UTF8String to String, …) for connectors that
+    * render values outside the row format, e.g. the graft-xlsx writer. */
+  def toScalaConverter(dt: types.DataType): Any => Any =
+    catalyst.CatalystTypeConverters.createToScalaConverter(dt)
 }
