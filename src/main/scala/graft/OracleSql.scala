@@ -1266,5 +1266,76 @@ object OracleSql {
          |       CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
          |       CAST(COUNT(*) AS BIGINT) AS n_windows
          |FROM s GROUP BY doc_id, span""".stripMargin,
+
+    // substring-dedup materialization: same positional-gram CTEs as
+    // q_dup_spans, covered positions by exploding each duplicated
+    // window's [p, p+9] range, NOT EXISTS anti-join, reassemble in
+    // position order
+    "q_span_cut" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+         |        FROM (SELECT doc_id, unnest(list_transform(
+         |                range(1, len(toks) + 1),
+         |                i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+         |              FROM t)),
+         |p0 AS (SELECT doc_id, CASE WHEN len(toks) >= 10 THEN
+         |         list_transform(range(1, len(toks) - 8),
+         |           i -> struct_pack(pos := i - 1,
+         |                  g := md5(array_to_string(toks[i:i+9], ' '))))
+         |       ELSE [] END AS ws FROM t),
+         |p AS (SELECT doc_id, u.pos AS pos, u.g AS g
+         |      FROM (SELECT doc_id, unnest(ws) AS u FROM p0)),
+         |d AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         |m AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (g)),
+         |cov AS (SELECT doc_id, unnest(list_transform(range(0, 10),
+         |          k -> pos + k)) AS pos FROM m),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |           WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kept_md5
+         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // naive-Bayes quality classifier: src0/src1 = reference class,
+    // add-one-smoothed per-token posterior, mean over token instances,
+    // all integer DIV
+    "q_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, source IN ('src0', 'src1') AS pos,
+         |              unnest($toksSql) AS tok FROM documents),
+         |model AS (SELECT tok,
+         |            ((SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000000)
+         |              // (COUNT(*) + 2) AS ppm
+         |          FROM tk GROUP BY tok)
+         |SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(m.ppm) AS BIGINT) // COUNT(*) AS quality_ppm
+         |FROM tk JOIN model m USING (tok)
+         |GROUP BY tk.doc_id""".stripMargin,
+
+    // KMV sketch: the oracle recomputes the identical k smallest distinct
+    // 55-bit hashes — the sketch is deterministic, so sketch AND estimate
+    // are cell-exact (vs HLL's rows-only check)
+    "q_kmv_distinct" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT source,
+         |        (('0x' || substr(md5(tok), 1, 15))::BIGINT >> 5) AS hv
+         |      FROM tk),
+         |a AS (SELECT source, list_sort(list_distinct(list(hv))) AS hs,
+         |        COUNT(DISTINCT hv) AS exact_distinct
+         |      FROM h GROUP BY source)
+         |SELECT source, exact_distinct,
+         |  CASE WHEN len(hs) < 16 THEN CAST(len(hs) AS BIGINT)
+         |       ELSE (15 * (1::BIGINT << 55)) // hs[16] END AS est_distinct
+         |FROM a""".stripMargin,
+
+    // canonicalization: NFC (nfc_normalize == the native graft_nfc, both
+    // UAX #15) + lower + non-alnum collapse + trim
+    "q_canonicalize" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)),
+        |       '[^a-z0-9]+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(canon) AS BIGINT) AS n_canon_chars,
+        |  md5(canon) AS canon_md5, substr(canon, 1, 40) AS canon_head
+        |FROM c""".stripMargin,
   )
 }

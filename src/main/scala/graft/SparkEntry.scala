@@ -813,6 +813,17 @@ object SparkEntry {
     Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
       k = 4, w = 5, minShared = 2, maxFpDf = 64)
 
+  /** Dedup-grade canonical text (NFC + lower + non-alnum collapse via
+    * the native graft_nfc expression) — the map stage every dedup
+    * signature consumes; shuffle-free. */
+  private def qCanonicalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.canonicalize(col("text")).as("canon"))
+      .select(col("doc_id"),
+        length(col("canon")).cast("long").as("n_canon_chars"),
+        md5(col("canon").cast("binary")).as("canon_md5"),
+        substring(col("canon"), 1, 40).as("canon_head"))
+
   /** Substring-level dedup spans: maximal per-document token ranges whose
     * every 10-gram occurs in >= 2 distinct documents (the distributed
     * formulation of Lee et al. suffix-array substring dedup) — the byte
@@ -821,6 +832,38 @@ object SparkEntry {
   private def qDupSpans(s: SparkSession, d: String): DataFrame =
     Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text",
       n = 10, minDocs = 2)
+
+  /** KMV distinct-count sketch per source (the native
+    * [[graft.plans.KmvSketch]] aggregate): deterministic hash-ordered
+    * sketch, so estimate AND sketch are cell-exact cross-engine —
+    * unlike HLL, whose q_profile_customer twin is rows-only. 55-bit
+    * domain keeps (k-1)*2^55 inside BIGINT on both engines. */
+  private def qKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val hv = Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("source"), shiftright(Text.md5Long(col("tok")), 5).as("hv"))
+    hv.groupBy("source")
+      .agg(graft.plans.KmvSketch.kmv(col("hv"), 16).as("kmv"),
+        count_distinct(col("hv")).as("exact_distinct"))
+      .select(col("source"), col("exact_distinct"),
+        when(size(col("kmv")) < 16, size(col("kmv")).cast("long"))
+          .otherwise(expr(s"(15L * CAST(${1L << 55} AS BIGINT)) DIV element_at(kmv, 16)"))
+          .as("est_distinct"))
+  }
+
+  /** Substring-dedup materialization: corpus with every duplicated
+    * 10-gram span's tokens cut (all occurrences — the aggressive Lee
+    * et al. variant), reassembled in position order. */
+  private def qSpanCut(s: SparkSession, d: String): DataFrame =
+    Dedup.cutSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 10, minDocs = 2)
+
+  /** Corpus-trained quality classifier (fastText/CCNet shape): sources
+    * src0/src1 act as the reference class; every doc scores the mean
+    * token posterior P(reference | token) in exact integer ppm. */
+  private def qQualityClassifier(s: SparkSession, d: String): DataFrame =
+    Curate.nbQualityScore(Tables.documents(s, d), "doc_id", "text",
+      col("source").isin("src0", "src1"))
 
   /** The dedup MATERIALIZATION step: the corpus with every non-canonical
     * near-dup cluster member dropped (canonical = min doc_id of its
@@ -1035,6 +1078,10 @@ object SparkEntry {
     "q_chunk" -> (qChunk _),
     "q_ivf_pq" -> (qIvfPq _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_canonicalize" -> (qCanonicalize _),
+    "q_span_cut" -> (qSpanCut _),
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -43,6 +43,18 @@ object Text {
       .otherwise(lit(1000000L))
   }
 
+  /** Dedup-grade text canonicalization (the CCNet/OSCAR pre-minhash
+    * normalization): Unicode NFC (native [[graft.plans.NfcNormalize]] —
+    * composed and decomposed accents must signature identically), then
+    * lowercase, then every non-alphanumeric run collapses to one space,
+    * trimmed. Pure codegen expression chain; DuckDB mirror is
+    * `trim(regexp_replace(lower(nfc_normalize(t)),'[^a-z0-9]+',' ','g'))`
+    * (Java regex and RE2 agree on this class). */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.plans.NfcNormalize.nfcNormalize(text)),
+      "[^a-z0-9]+", " "))
+
   /** Exact integer division as a Column (the SQL `DIV` operator). */
   private def intDiv(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftShims.column(

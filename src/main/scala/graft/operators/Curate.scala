@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.PersistScope
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -219,6 +219,38 @@ object Curate {
       .select(concat_ws(" ", col("w1"), col("w2")).as("b"),
         expr("(c12 * 1000000) DIV c1").as("ppm"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Corpus-trained quality classifier (the fastText/CCNet "reference
+    * corpus vs everything else" filter), integer-exact naive-Bayes form:
+    * `labelCol` marks the positive/reference class (CCNet uses
+    * wikipedia-vs-crawl; pass any deterministic predicate), the model is
+    * per-token class counts with add-one smoothing, and a document
+    * scores the MEAN over its token instances of `P(positive | token)`
+    * in exact ppm — `(cPos + 1) * 1e6 DIV (cTotal + 2)`. No ln()/floats
+    * (libm rounding differs per engine), so train AND apply are
+    * cell-exact in any engine.
+    *
+    * Shape: one token explode (cached, consumed twice), one
+    * groupBy(token) model pass (partial-agg friendly; vocab-sized
+    * result, broadcastable at 100 TB), an equi-join back on token, one
+    * groupBy(doc) mean. Same scale discipline as [[lmScore]] — never
+    * doc x doc, never vocab x vocab. */
+  def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
+                     labelCol: Column,
+                     scope: PersistScope = PersistScope()): DataFrame = {
+    val toks = scope.cache(
+      df.select(col(idCol).as("doc"), labelCol.as("__pos"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("tok")))
+    val model = toks.groupBy("tok").agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("ct"))
+      .select(col("tok"), expr("((cp + 1) * 1000000) DIV (ct + 2)").as("ppm"))
+    toks.join(model, "tok")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("__s"))
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        expr("__s DIV n_tokens").as("quality_ppm"))
   }
 
   /** Mixture balancing: deterministically downsample every stratum to

@@ -406,4 +406,42 @@ object Dedup {
         count(lit(1)).cast("long").as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
+
+  /** Substring-dedup MATERIALIZATION — the corpus with every duplicated
+    * span's tokens REMOVED (the cut step after [[dupSpans]] detection;
+    * this is the aggressive every-occurrence cut — a keep-one-canonical
+    * variant is a doc_id predicate on the same covered set). Docs whose
+    * every token is cut, and empty docs, drop out entirely — the same
+    * contract as a length-0 filter downstream.
+    *
+    * Shape: the same positional-gram inverted index as [[dupSpans]],
+    * covered token positions by exploding each duplicated window's
+    * [p, p+n-1] range, then a LEFT ANTI equi-join on (doc, pos) —
+    * co-partitioned with the token relation — and one groupBy(doc) to
+    * reassemble the kept text in position order. Never doc x doc. */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int, minDocs: Int = 2,
+               scope: PersistScope = PersistScope()): DataFrame = {
+    val toks = scope.cache(
+      df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
+        .select(col("doc_id"),
+          posexplode(col("__t")).as(Seq("pos", "tok"))))
+    val pos = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos"), md5(col("__g").cast("binary")).as("g"))
+    val dup = pos.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select("g")
+    val covered = pos.join(dup, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .getField("tok")).cast("binary")).as("kept_md5"))
+  }
 }

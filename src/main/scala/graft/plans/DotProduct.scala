@@ -126,6 +126,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+      (children: Seq[Expression]) => children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(kk: Int, _) =>
+          KmvSketch(children(0), kk)
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv(hash, k): k must be an integer literal, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
       (children: Seq[Expression]) => children(1) match {

@@ -136,8 +136,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(global.isEmpty, "span merge regressed to a global window")
   }
 
-  test("q_lm_score / q_winnow_pairs stay equi-join shaped (no BNLJ/cartesian)") {
-    for (q <- Seq("q_lm_score", "q_winnow_pairs")) {
+  test("q_canonicalize stays a shuffle-free map plan") {
+    assert(!plan("q_canonicalize").contains("Exchange"),
+      "canonicalization introduced a shuffle")
+  }
+
+  test("q_lm_score / q_winnow_pairs / q_span_cut / q_quality_classifier stay equi-join shaped (no BNLJ/cartesian)") {
+    for (q <- Seq("q_lm_score", "q_winnow_pairs", "q_span_cut",
+        "q_quality_classifier")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q lost its equi-join shape")

@@ -110,6 +110,22 @@ class CurateSpec extends SparkSpec {
     assert(out === Set((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)))
   }
 
+  test("nbQualityScore: add-one-smoothed mean token posterior, hand-computed") {
+    val df = Seq(
+      (1L, "good good", "ref"),
+      (2L, "good bad", "crawl"),
+      (3L, "bad", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.nbQualityScore(df, "doc_id", "text",
+        col("source") === "ref")
+      .select("doc_id", "n_tokens", "quality_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    // token "good": cPos=2 of 3 -> (2+1)*1e6 DIV (3+2) = 600000 ppm
+    // token "bad":  cPos=0 of 2 -> (0+1)*1e6 DIV (2+2) = 250000 ppm
+    // doc1 = 600000; doc2 = (600000+250000) DIV 2 = 425000; doc3 = 250000
+    assert(out === Set((1L, 2L, 600000L), (2L, 2L, 425000L), (3L, 1L, 250000L)))
+  }
+
   test("coverage_ppm is the exact integer ratio of the CAPPED bench universe") {
     // bench doc with 4 distinct trigrams, corpus doc sharing 3 of them
     val b = Seq((10L, "a b c d e f")).toDF("doc_id", "text")

@@ -168,6 +168,29 @@ class DedupSpec extends SparkSpec {
     assert(spans === Set((0L, 2L, 1L), (7L, 9L, 1L)))
   }
 
+  test("cutSpans removes covered tokens everywhere; fully-cut docs drop out") {
+    // docs 1/2 share "a b c" (n=3): doc1 keeps x(0), y(4); doc2 keeps z, w
+    // docs 3/4 are identical 3-token docs -> fully covered -> absent
+    val df = Seq(
+      (1L, "x a b c y"),
+      (2L, "z a b c w"),
+      (3L, "p q r"),
+      (4L, "p q r"),
+      (5L, "lonely unshared words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(df, "doc_id", "text", n = 3)
+      .select("doc_id", "n_kept", "kept_md5").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 5L))
+    assert(out(1L)._1 === 2L)
+    assert(out(2L)._1 === 2L)
+    assert(out(5L)._1 === 3L)
+    // reassembly is position-ordered: doc1's kept text is "x y"
+    val xy = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._2 === xy)
+  }
+
   test("dupSpans honors minDocs and within-doc repeats alone do not count") {
     // "r s t" repeats twice inside doc 1 but appears in no other doc;
     // with minDocs=2 (distinct docs) it must NOT surface
