@@ -1249,7 +1249,7 @@ object OracleSql {
          |p0 AS (SELECT doc_id, CASE WHEN len(toks) >= 10 THEN
          |         list_transform(range(1, len(toks) - 8),
          |           i -> struct_pack(pos := i - 1,
-         |                  g := md5(array_to_string(toks[i:i+9], ' '))))
+         |                  g := ('0x' || substr(md5(array_to_string(toks[i:i+9], ' ')), 1, 15))::BIGINT))
          |       ELSE [] END AS ws FROM t),
          |p AS (SELECT doc_id, u.pos AS pos, u.g AS g
          |      FROM (SELECT doc_id, unnest(ws) AS u FROM p0)),
@@ -1281,7 +1281,7 @@ object OracleSql {
          |p0 AS (SELECT doc_id, CASE WHEN len(toks) >= 10 THEN
          |         list_transform(range(1, len(toks) - 8),
          |           i -> struct_pack(pos := i - 1,
-         |                  g := md5(array_to_string(toks[i:i+9], ' '))))
+         |                  g := ('0x' || substr(md5(array_to_string(toks[i:i+9], ' ')), 1, 15))::BIGINT))
          |       ELSE [] END AS ws FROM t),
          |p AS (SELECT doc_id, u.pos AS pos, u.g AS g
          |      FROM (SELECT doc_id, unnest(ws) AS u FROM p0)),

@@ -387,11 +387,8 @@ object Dedup {
         .select(col("doc_id"),
           posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
         .select(col("doc_id"), col("pos"),
-          md5(col("__g").cast("binary")).as("g")))
-    val dup = pos.groupBy("g")
-      .agg(count_distinct(col("doc_id")).as("__df"))
-      .where(col("__df") >= minDocs)
-      .select("g")
+          Text.md5Long(col("__g")).as("g"))) // long key: 8-byte shuffle rows
+    val dup = dupGrams(pos, minDocs)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     pos.join(dup, Seq("g"))
@@ -406,6 +403,23 @@ object Dedup {
         count(lit(1)).cast("long").as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
+
+  /** Grams present in >= minDocs DISTINCT documents. For the common
+    * minDocs=2 the distinct test is `min(doc) != max(doc)` — a
+    * single-phase aggregate whose partials combine map-side, vs
+    * count_distinct's per-(gram, doc) expansion; the oracle keeps the
+    * COUNT(DISTINCT) formulation as the independent mirror. */
+  private def dupGrams(pos: DataFrame, minDocs: Int): DataFrame =
+    if (minDocs == 2)
+      pos.groupBy("g")
+        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+        .where(col("__mn") =!= col("__mx"))
+        .select("g")
+    else
+      pos.groupBy("g")
+        .agg(count_distinct(col("doc_id")).as("__df"))
+        .where(col("__df") >= minDocs)
+        .select("g")
 
   /** Substring-dedup MATERIALIZATION — the corpus with every duplicated
     * span's tokens REMOVED (the cut step after [[dupSpans]] detection;
@@ -429,11 +443,8 @@ object Dedup {
     val pos = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
       .select(col("doc_id"),
         posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
-      .select(col("doc_id"), col("pos"), md5(col("__g").cast("binary")).as("g"))
-    val dup = pos.groupBy("g")
-      .agg(count_distinct(col("doc_id")).as("__df"))
-      .where(col("__df") >= minDocs)
-      .select("g")
+      .select(col("doc_id"), col("pos"), Text.md5Long(col("__g")).as("g"))
+    val dup = dupGrams(pos, minDocs)
     val covered = pos.join(dup, Seq("g"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
