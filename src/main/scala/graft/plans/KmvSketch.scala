@@ -49,10 +49,7 @@ case class KmvSketch(child: Expression, k: Int,
     new java.util.TreeSet[java.lang.Long]()
 
   private def insert(b: java.util.TreeSet[java.lang.Long], l: Long): Unit =
-    if (!b.contains(l)) {
-      if (b.size < k) { b.add(l); () }
-      else if (l < b.last) { b.add(l); b.pollLast(); () }
-    }
+    KmvSketch.insert(b, l, k)
 
   override def update(b: java.util.TreeSet[java.lang.Long],
                       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
@@ -103,4 +100,14 @@ object KmvSketch {
   def kmv(c: Column, k: Int): Column =
     GraftShims.column(KmvSketch(GraftShims.expression(c), k)
       .toAggregateExpression())
+
+  /** Bounded distinct-minima insert — the ONE sketch mutation, shared by
+    * the aggregate and the streaming twin so batch and stream cannot
+    * drift: keep l iff unseen and (capacity left or below the current
+    * kth minimum). */
+  def insert(b: java.util.TreeSet[java.lang.Long], l: Long, k: Int): Unit =
+    if (!b.contains(l)) {
+      if (b.size < k) { b.add(l); () }
+      else if (l < b.last) { b.add(l); b.pollLast(); () }
+    }
 }

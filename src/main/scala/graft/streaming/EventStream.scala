@@ -252,6 +252,35 @@ object EventStream {
         col("r.value").as("right_value"))
   }
 
+  case class KmvGroup(key: String, kmv: Seq[Long])
+
+  /** Streaming KMV distinct-count sketch per key — the stream twin of the
+    * native [[graft.plans.KmvSketch]] aggregate, sharing its ONE insert
+    * routine. Because KMV is hash-ordered with no randomness, the stream
+    * sketch after any batch split equals the batch aggregate over the
+    * same rows BIT FOR BIT (spec-pinned) — the property HLL twins cannot
+    * offer (their estimates are rows-only comparable). State per key is
+    * <= k longs; emits the updated sketch each micro-batch (Update
+    * mode). At scale the key partitions the state store exactly like the
+    * sessionizers above. */
+  def kmvDistinctStream(rows: Dataset[(String, Long)],
+                        k: Int): Dataset[KmvGroup] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvGroup](GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val b = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(l => b.add(l)))
+          it.foreach { case (_, h) => graft.plans.KmvSketch.insert(b, h, k) }
+          val arr = new Array[Long](b.size)
+          val bit = b.iterator()
+          var i = 0
+          while (bit.hasNext) { arr(i) = bit.next().longValue(); i += 1 }
+          state.update(arr)
+          KmvGroup(key, arr.toSeq) // TreeSet iterates ascending: sorted
+      }
+  }
+
   /** Streaming LM-quality gate (the CCNet train-batch / apply-stream
     * split): a bigram model trained once on a bounded reference corpus
     * ([[graft.operators.Curate.lmModel]]) rides along as a map literal;

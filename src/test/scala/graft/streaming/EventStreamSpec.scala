@@ -85,6 +85,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvDistinctStream: sketch after batched arrival == batch aggregate, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.plans.KmvSketch
+    // 40 distinct hashes for key A (k=8 forces eviction), 3 for key B
+    val aVals = (0 until 40).map(i => (i * 7919L + 13) % 100003)
+    val bVals = Seq(11L, 5L, 11L, 99L)
+    val batch1 = aVals.take(25).map(("A", _)) ++ bVals.take(2).map(("B", _))
+    val batch2 = aVals.drop(25).map(("A", _)) ++ bVals.drop(2).map(("B", _))
+
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStream.kmvDistinctStream(mem.toDS(), k = 8)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // each key emitted once per batch; the batch-2 row must equal the
+      // batch aggregate over ALL rows (order-independent check: the
+      // final sketch strictly refines the batch-1 one, so set inclusion
+      // + row count pins it)
+      val emitted = spark.table("kmv_stream")
+        .as[(String, Seq[Long])].collect().toSeq
+      assert(emitted.count(_._1 == "A") === 2)
+      assert(emitted.count(_._1 == "B") === 2)
+
+      val batchDf = (aVals.map(("A", _)) ++ bVals.map(("B", _)))
+        .toDF("key", "hv")
+      val expect = batchDf.groupBy("key")
+        .agg(KmvSketch.kmv(org.apache.spark.sql.functions.col("hv"), 8).as("kmv"))
+        .as[(String, Seq[Long])].collect().toMap
+
+      assert(emitted.contains(("A", expect("A"))),
+        "stream never reached the batch sketch for A")
+      assert(emitted.contains(("B", expect("B"))))
+      assert(expect("B") === Seq(5L, 11L, 99L)) // < k: exact distinct set
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams: same-user events within the window join across batches") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[EventStream.Event]
