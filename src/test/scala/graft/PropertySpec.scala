@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+/** Property-based cross-checks: each distributed operator against an
+  * INDEPENDENT in-memory reference implementation on randomized inputs —
+  * the adversarial complement of the hand-computed specs and the DuckDB
+  * oracles (which share the operator's own formulation more closely).
+  * Generators stay small so each trial is one fast local Spark job. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Parameters.default.withMinSuccessfulTests(12)
+
+  // small vocab forces cross-document gram collisions
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(2, 8).flatMap(nd => Gen.listOfN(nd, docGen))
+
+  /** Reference: duplicated window positions per doc (gram in >= 2
+    * distinct docs), n fixed. */
+  private def refDupWindows(docs: List[String], n: Int): Map[Long, List[Int]] = {
+    val toks = docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.split(" ").filter(_.nonEmpty).toList)
+    }
+    val grams = toks.flatMap { case (id, ts) =>
+      ts.sliding(n).filter(_.size == n).zipWithIndex
+        .map { case (g, p) => (id, p, g.mkString(" ")) }
+    }
+    val docsPerGram = grams.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.size).toMap
+    grams.filter(g => docsPerGram(g._3) >= 2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+  }
+
+  /** Reference islands merge: positions -> (start, end, nWindows). */
+  private def refSpans(pos: List[Int], n: Int): List[(Long, Long, Long)] = {
+    if (pos.isEmpty) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    var start = pos.head; var prev = pos.head; var cnt = 1L
+    pos.tail.foreach { p =>
+      if (p - prev > n) {
+        out += ((start.toLong, (prev + n - 1).toLong, cnt))
+        start = p; cnt = 0L
+      }
+      prev = p; cnt += 1
+    }
+    out += ((start.toLong, (prev + n - 1).toLong, cnt))
+    out.toList
+  }
+
+  test("property: dupSpans == independent reference on random corpora") {
+    val n = 3
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.dupSpans(df, "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toList).toMap
+      val want = refDupWindows(docs, n).view
+        .mapValues(refSpans(_, n)).toMap.filter(_._2.nonEmpty)
+      got == want
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: cutSpans == reference token cut on random corpora") {
+    val n = 3
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.cutSpans(df, "doc_id", "text", n)
+        .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+      val dup = refDupWindows(docs, n)
+      val want = docs.zipWithIndex.flatMap { case (t, i) =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        val covered = dup.getOrElse(i.toLong, Nil)
+          .flatMap(p => p until (p + n)).toSet
+        val kept = ts.indices.filterNot(covered)
+        if (kept.isEmpty) None else Some(i.toLong -> kept.size.toLong)
+      }.toMap
+      got == want
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: KMV sketch == k smallest distinct, any values, any k") {
+    val gen = for {
+      vs <- Gen.listOf(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+      k <- Gen.chooseNum(1, 12)
+    } yield (vs.take(60), k)
+    val prop = Prop.forAll(gen) { case (vs, k) =>
+      val got =
+        if (vs.isEmpty) Seq.empty[Long]
+        else vs.toDF("hv").repartition(3)
+          .agg(graft.plans.KmvSketch.kmv(col("hv"), k))
+          .head().getSeq[Long](0)
+      got == vs.distinct.sorted.take(k)
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: stateIntervals == reference run fold on random event logs") {
+    val evGen = for {
+      nu <- Gen.chooseNum(1, 3)
+      len <- Gen.chooseNum(0, 12)
+      evs <- Gen.listOfN(len, for {
+        u <- Gen.chooseNum(1, nu)
+        st <- Gen.oneOf("up", "down")
+        sec <- Gen.chooseNum(0, 40)
+      } yield (u.toLong, st, sec.toLong))
+    } yield evs.zipWithIndex.map { case ((u, st, sec), i) =>
+      (u, st, sec, i.toLong) // unique event id = total order tie-break
+    }
+    val prop = Prop.forAll(evGen) { evs =>
+      val df = evs.toDF("user_id", "state", "sec", "eid")
+      val got = graft.operators.Sessionize.stateIntervals(
+          df, "user_id", "state", Seq(col("sec"), col("eid")), col("sec"))
+        .select(col("user_id"), col("state"), col("from_sec"),
+          col("to_sec"), col("n_events"))
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._4))
+        val runs = scala.collection.mutable.ListBuffer
+          .empty[(Long, String, Long, Long, Long)]
+        sorted.foreach { e =>
+          runs.lastOption match {
+            case Some((uu, st, f, _, c)) if st == e._2 =>
+              runs(runs.size - 1) = (uu, st, f, e._3, c + 1)
+            case _ => runs += ((u, e._2, e._3, e._3, 1L))
+          }
+        }
+        runs
+      }.toSet
+      got == want
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: canonicalize is idempotent and matches the JVM reference") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '-', '!', ',', 'é', 'Ü', 'ß', '́')
+    )).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOf(strGen).map(_.take(30))) { ss =>
+      ss.isEmpty || {
+        val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("id", "t")
+        val once = df.select(col("id"),
+            graft.functions.Text.canonicalize(col("t")).as("c"))
+        val got = once.as[(Long, String)].collect().toMap
+        val twice = once.select(col("id"),
+            graft.functions.Text.canonicalize(col("c")).as("c"))
+          .as[(Long, String)].collect().toMap
+        val ref = ss.zipWithIndex.map { case (s, i) =>
+          i.toLong -> java.text.Normalizer
+            .normalize(s, java.text.Normalizer.Form.NFC)
+            .toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        }.toMap
+        got == ref && twice == got
+      }
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+}
