@@ -1296,6 +1296,35 @@ object OracleSql {
          |       md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kept_md5
          |FROM kept GROUP BY doc_id""".stripMargin,
 
+    // keep-canonical span cut: same CTEs, but each duplicated gram's
+    // min-doc occurrence survives — the cut predicate is per window
+    "q_span_cut_keep" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+         |        FROM (SELECT doc_id, unnest(list_transform(
+         |                range(1, len(toks) + 1),
+         |                i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+         |              FROM t)),
+         |p0 AS (SELECT doc_id, CASE WHEN len(toks) >= 10 THEN
+         |         list_transform(range(1, len(toks) - 8),
+         |           i -> struct_pack(pos := i - 1,
+         |                  g := ('0x' || substr(md5(array_to_string(toks[i:i+9], ' ')), 1, 15))::BIGINT))
+         |       ELSE [] END AS ws FROM t),
+         |p AS (SELECT doc_id, u.pos AS pos, u.g AS g
+         |      FROM (SELECT doc_id, unnest(ws) AS u FROM p0)),
+         |d AS (SELECT g, MIN(doc_id) AS canon FROM p GROUP BY g
+         |      HAVING COUNT(DISTINCT doc_id) >= 2),
+         |m AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (g)
+         |      WHERE p.doc_id <> d.canon),
+         |cov AS (SELECT doc_id, unnest(list_transform(range(0, 10),
+         |          k -> pos + k)) AS pos FROM m),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |           WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kept_md5
+         |FROM kept GROUP BY doc_id""".stripMargin,
+
     // naive-Bayes quality classifier: src0/src1 = reference class,
     // add-one-smoothed per-token posterior, mean over token instances,
     // all integer DIV

@@ -858,6 +858,12 @@ object SparkEntry {
     Dedup.cutSpans(Tables.documents(s, d), "doc_id", "text",
       n = 10, minDocs = 2)
 
+  /** Keep-one-occurrence span cut (the Lee et al. policy): each
+    * duplicated 10-gram survives only in its min-doc_id document. */
+  private def qSpanCutKeep(s: SparkSession, d: String): DataFrame =
+    Dedup.cutSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 10, minDocs = 2, keepCanonical = true)
+
   /** Corpus-trained quality classifier (fastText/CCNet shape): sources
     * src0/src1 act as the reference class; every doc scores the mean
     * token posterior P(reference | token) in exact integer ppm. */
@@ -1082,6 +1088,7 @@ object SparkEntry {
     "q_span_cut" -> (qSpanCut _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_span_cut_keep" -> (qSpanCutKeep _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

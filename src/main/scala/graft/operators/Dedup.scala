@@ -434,7 +434,7 @@ object Dedup {
     * co-partitioned with the token relation — and one groupBy(doc) to
     * reassemble the kept text in position order. Never doc x doc. */
   def cutSpans(df: DataFrame, idCol: String, textCol: String,
-               n: Int, minDocs: Int = 2,
+               n: Int, minDocs: Int = 2, keepCanonical: Boolean = false,
                scope: PersistScope = PersistScope()): DataFrame = {
     val toks = scope.cache(
       df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
@@ -444,8 +444,27 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
       .select(col("doc_id"), col("pos"), Text.md5Long(col("__g")).as("g"))
-    val dup = dupGrams(pos, minDocs)
-    val covered = pos.join(dup, Seq("g"))
+    // keepCanonical = the Lee-et-al. keep-one policy: each duplicated
+    // gram's min-doc occurrence survives, every other doc's is cut —
+    // one per-window predicate on the same join, zero extra shuffles
+    val dupCols =
+      if (keepCanonical && minDocs == 2)
+        pos.groupBy("g")
+          .agg(min(col("doc_id")).as("__canon"), max(col("doc_id")).as("__mx"))
+          .where(col("__canon") =!= col("__mx"))
+          .select(col("g"), col("__canon"))
+      else if (keepCanonical)
+        pos.groupBy("g")
+          .agg(count_distinct(col("doc_id")).as("__df"),
+            min(col("doc_id")).as("__canon"))
+          .where(col("__df") >= minDocs)
+          .select(col("g"), col("__canon"))
+      else dupGrams(pos, minDocs)
+    val hits =
+      if (keepCanonical)
+        pos.join(dupCols, Seq("g")).where(col("doc_id") =!= col("__canon"))
+      else pos.join(dupCols, Seq("g"))
+    val covered = hits
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
     toks.join(covered, Seq("doc_id", "pos"), "left_anti")

@@ -126,6 +126,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[graft.multimodal.AudioMeta].getName,
+        "graft_audio_meta"),
+      (children: Seq[Expression]) => graft.multimodal.AudioMeta(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_image_meta"),
       new ExpressionInfo(classOf[graft.multimodal.ImageMeta].getName,
         "graft_image_meta"),

@@ -191,6 +191,20 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._2 === xy)
   }
 
+  test("cutSpans keepCanonical: min-doc occurrence survives, others are cut") {
+    val df = Seq(
+      (1L, "x a b c y"),   // canonical for "a b c" (min doc_id)
+      (2L, "z a b c w"),
+      (3L, "p q r"),       // canonical of the identical pair below
+      (4L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(df, "doc_id", "text", n = 3, keepCanonical = true)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    // doc1 keeps everything (it IS the canonical holder of "a b c");
+    // doc2 loses the 3 shared tokens; doc3 keeps all; doc4 vanishes
+    assert(out === Map(1L -> 5L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("dupSpans honors minDocs and within-doc repeats alone do not count") {
     // "r s t" repeats twice inside doc 1 but appears in no other doc;
     // with minDocs=2 (distinct docs) it must NOT surface
