@@ -89,4 +89,43 @@ class JdbcSinkSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     assert(back.agg(sum("v")).as[Double].head() === 23.0)
   }
+
+  test("upsert merges by key: updates in place, inserts new, leaves the rest") {
+    table("t_upsert")
+    JdbcSink.append(Seq(
+      (1, "2024-01", 1.0), (2, "2024-01", 2.0), (3, "2024-02", 3.0))
+      .toDF("k", "month", "v"), url, "t_upsert")
+    val delta = Seq((2, "2024-03", 20.0), (4, "2024-03", 40.0))
+      .toDF("k", "month", "v")
+    JdbcSink.upsert(delta, url, "t_upsert", Seq("k"))
+    val back = JdbcSink.read(spark, url, "t_upsert")
+      .as[(Int, String, Double)].collect().sortBy(_._1).toSeq
+    assert(back === Seq(
+      (1, "2024-01", 1.0),   // untouched
+      (2, "2024-03", 20.0),  // updated in place
+      (3, "2024-02", 3.0),   // untouched
+      (4, "2024-03", 40.0))) // inserted
+    // idempotent: same delta again changes nothing
+    JdbcSink.upsert(delta, url, "t_upsert", Seq("k"))
+    assert(JdbcSink.read(spark, url, "t_upsert").count() === 4)
+    // the staging table is gone (only the target remains)
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.getMetaData.getTables(null, null, "T_UPSERT%", null)
+      var names = List.empty[String]
+      while (rs.next()) names ::= rs.getString("TABLE_NAME")
+      assert(names === List("T_UPSERT"), s"staging leaked: $names")
+    } finally c.close()
+  }
+
+  test("upsert with a composite key and all-key schema (insert-only merge)") {
+    exec("CREATE TABLE t_ck (a INT, b VARCHAR(4))")
+    JdbcSink.append(Seq((1, "x")).toDF("a", "b"), url, "t_ck")
+    // every column is a key: matched rows are left alone, new pairs insert
+    JdbcSink.upsert(Seq((1, "x"), (1, "y")).toDF("a", "b"),
+      url, "t_ck", Seq("a", "b"))
+    val back = JdbcSink.read(spark, url, "t_ck")
+      .as[(Int, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(back === Seq((1, "x"), (1, "y")))
+  }
 }
