@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.IOException
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.zip.ZipInputStream
 
 /** HTTP/file fetch + archive staging — the reference's ingestion front door
@@ -72,6 +72,62 @@ object Fetch {
         Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
       } finally Files.deleteIfExists(tmp)
+    }
+    Fetched(url, dest.toString, Files.size(dest), attempts)
+  }
+
+  /** Resumable variant of [[fetchToStaging]] for large artifacts: an
+    * interrupted attempt leaves its bytes in a persistent `<name>.part`,
+    * and the next attempt CONTINUES it with an HTTP Range request
+    * (`Range: bytes=<have>-`, RFC 9110) instead of starting over — at
+    * multi-GB reference drops (the BODS timetable archives), re-paying
+    * the first 95% on every flake is the difference between a retry
+    * loop that converges and one that never does.
+    *
+    * Servers that answer 206 Partial Content append; anything else
+    * (Range unsupported/ignored, or a changed resource) restarts the
+    * part from zero. Completion is verified against the total length
+    * (Content-Range total on 206, Content-Length otherwise) before the
+    * atomic move — the same no-partial-file-ever-visible contract as
+    * [[fetchToStaging]]. */
+  def fetchResumable(url: String, stagingDir: String,
+                     maxRetries: Int = 3, baseDelayMs: Long = 100): Fetched = {
+    val dir = Files.createDirectories(Paths.get(stagingDir))
+    val dest = dir.resolve(fileNameOf(url))
+    val part = dir.resolve(fileNameOf(url) + ".part")
+    val (_, attempts) = retrying(maxRetries, baseDelayMs) {
+      val have = if (Files.exists(part)) Files.size(part) else 0L
+      val conn = new java.net.URI(url).toURL.openConnection()
+      var total = -1L
+      var resumed = false
+      conn match {
+        case h: java.net.HttpURLConnection =>
+          if (have > 0) h.setRequestProperty("Range", s"bytes=$have-")
+          if (h.getResponseCode == 206) {
+            resumed = true
+            // Content-Range: bytes <from>-<to>/<total>
+            total = Option(h.getHeaderField("Content-Range"))
+              .flatMap(_.split('/').lastOption)
+              .flatMap(t => t.toLongOption).getOrElse(-1L)
+          } else total = h.getContentLengthLong
+        case c => total = c.getContentLengthLong
+      }
+      val in = conn.getInputStream
+      try {
+        val out = Files.newOutputStream(part,
+          (if (resumed)
+            Seq(StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          else
+            Seq(StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+              StandardOpenOption.TRUNCATE_EXISTING)): _*)
+        try { in.transferTo(out); () } finally out.close()
+      } finally in.close()
+      val got = Files.size(part)
+      if (total >= 0 && got != total)
+        throw new IOException(
+          s"incomplete download: have $got of $total bytes from $url")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     }
     Fetched(url, dest.toString, Files.size(dest), attempts)
   }

@@ -148,4 +148,72 @@ class FetchSpec extends SparkSpec {
       assert(leftovers.isEmpty, s"temp files left behind: $leftovers")
     } finally server.stop(0)
   }
+
+  test("fetchResumable continues an interrupted download with a Range request") {
+    val body = (1 to 4000).map(i => s"row-$i").mkString("\n").getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var sawRange: String = null
+    server.createContext("/big.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      val n = requests.incrementAndGet()
+      val range = x.getRequestHeaders.getFirst("Range")
+      if (n == 1) {
+        // full 200 response, but the connection dies after 1000 bytes
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body, 0, 1000)
+        x.close()
+      } else {
+        sawRange = range
+        val from = range.stripPrefix("bytes=").stripSuffix("-").toInt
+        x.getResponseHeaders.set("Content-Range",
+          s"bytes $from-${body.length - 1}/${body.length}")
+        x.sendResponseHeaders(206, (body.length - from).toLong)
+        x.getResponseBody.write(body, from, body.length - from)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val staging = Files.createTempDirectory("fetch-resume").toString
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchResumable(s"http://127.0.0.1:$port/big.csv", staging,
+        maxRetries = 3, baseDelayMs = 1)
+      assert(f.attempts === 2)
+      assert(sawRange === "bytes=1000-",
+        "second attempt must resume exactly where the bytes stopped")
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
+      assert(!Files.exists(Paths.get(f.path + ".part")))
+    } finally server.stop(0)
+  }
+
+  test("fetchResumable restarts cleanly when the server ignores Range") {
+    val body = (1 to 2000).map(i => s"r$i").mkString(",").getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/noresume.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      val n = requests.incrementAndGet()
+      if (n == 1) {
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body, 0, 500)
+        x.close()
+      } else {
+        // plain 200 ignoring the Range header: client must restart, not append
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val staging = Files.createTempDirectory("fetch-noresume").toString
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchResumable(s"http://127.0.0.1:$port/noresume.csv",
+        staging, maxRetries = 3, baseDelayMs = 1)
+      assert(f.attempts === 2)
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq,
+        "appending a full restart onto stale part bytes would corrupt the file")
+    } finally server.stop(0)
+  }
 }
