@@ -146,6 +146,56 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: cumLess == brute-force rank counts under skewed scores") {
+    // heavy duplication (scores 0..5) exercises the tie/boundary paths of
+    // the range-partitioned histogram offsets
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0L, 5L))
+      parts <- Gen.chooseNum(1, 5)
+    } yield (vs, parts)
+    val prop = Prop.forAll(gen) { case (vs, parts) =>
+      val df = vs.toDF("score")
+      val (cum, total) = graft.operators.Stats.cumLess(df, "score", parts)
+      val got = cum.select("score", "__cnt_less")
+        .as[(Long, Long)].collect().toMap
+      val want = vs.distinct.map(s => s -> vs.count(_ < s).toLong).toMap
+      total == vs.size.toLong && got == want
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: withRunningTotalBy == per-group prefix sums under hot groups") {
+    // one group holding most rows = the skew the grouped prefix sum exists
+    // for; order key (ord, uid) is a total order per group
+    val gen = for {
+      n <- Gen.chooseNum(1, 50)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.frequency(6 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b"))
+        ord <- Gen.chooseNum(0L, 9L)
+        w <- Gen.chooseNum(1L, 100L)
+      } yield (g, ord, w))
+      parts <- Gen.chooseNum(1, 5)
+    } yield (rows.zipWithIndex.map { case ((g, o, w), i) => (g, o, w, i.toLong) },
+      parts)
+    val prop = Prop.forAll(gen) { case (rows, parts) =>
+      val df = rows.toDF("g", "ord", "w", "uid")
+      val got = graft.operators.Stats.withRunningTotalBy(
+          df, Seq(col("g")), Seq(col("ord"), col("uid")), col("w"),
+          "cum", parts)
+        .select("uid", "cum").as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (r._2, r._4))
+          .scanLeft((0L, 0L)) { case ((_, acc), r) => (r._4, acc + r._3) }
+          .tail
+      }.toMap
+      got == want
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: canonicalize is idempotent and matches the JVM reference") {
     val strGen = Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '-', '!', ',', 'é', 'Ü', 'ß', '́')
