@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, plus a batch decode/feature stage.
   *
-  * The decode codec itself is STUBBED (no image/audio libs in this
-  * environment): `decodeStub` produces a deterministic fake feature from
-  * the payload bytes. Everything around it — schema, batch shape,
-  * partition-level iteration, metadata columns — is the real plumbing a
-  * codec would drop into.
+  * Decode is REAL where the format permits a library-free decoder
+  * ([[Codec]]: uncompressed 24-bit BMP pixels, 16-bit PCM WAV samples;
+  * header metadata via [[ImageMeta]]/[[AudioMeta]]) and STUBBED only
+  * where an actual compressed codec would be required (JPEG/PNG pixels,
+  * MP3 — no image/audio libs in this environment): `decodeStub`
+  * produces a deterministic fake feature from the payload bytes.
+  * Everything around either path — schema, batch shape, partition-level
+  * iteration, metadata columns — is the same plumbing.
   */
 object DecodeStub {
 
@@ -44,7 +47,7 @@ object DecodeStub {
           r.media_id, r.modality, r.payload.length,
           java.security.MessageDigest.getInstance("MD5")
             .digest(r.payload).map("%02x".format(_)).mkString,
-          decodeStub(r.payload))
+          Codec.decodeAny(r.payload))
       }
     }
   }
