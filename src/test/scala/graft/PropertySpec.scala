@@ -196,6 +196,73 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: asofJoinDir == reference merge_asof, both directions, any tolerance") {
+    val rightGen = for {
+      n <- Gen.chooseNum(0, 8)
+      ts <- Gen.pick(n, 0L to 15L)
+    } yield ts.toList.map(t => (t, t * 100 + 7)) // value derived from ts: unique
+    val gen = for {
+      lts <- Gen.listOf(Gen.chooseNum(0L, 15L)).map(_.take(8))
+      r1 <- rightGen
+      r2 <- rightGen
+      dir <- Gen.oneOf("backward", "forward")
+      tol <- Gen.option(Gen.chooseNum(0L, 5L))
+    } yield (lts, List(1L -> r1, 2L -> r2), dir, tol)
+    val prop = Prop.forAll(gen) { case (lts, rights, dir, tol) =>
+      val left = lts.zipWithIndex.flatMap { case (t, i) =>
+        Seq((1L, t, i.toLong), (2L, t, i.toLong + 100))
+      }
+      val right = rights.flatMap { case (k, rs) => rs.map(r => (k, r._1, r._2)) }
+      if (left.isEmpty) true
+      else {
+        val got = graft.operators.AsofJoin.asofJoinDir(
+            left.toDF("k", "ts", "lv"), right.toDF("k", "ts", "rv"),
+            "k", "ts", "rv", dir, tol)
+          .select("k", "ts", "lv", "asof_rv", "asof_ts")
+          .as[(Long, Long, Long, Option[Long], Option[Long])]
+          .collect().toSet
+        val rmap = rights.toMap
+        val want = left.map { case (k, t, lv) =>
+          val cands = rmap.getOrElse(k, Nil).filter { case (rt, _) =>
+            if (dir == "backward") rt <= t && tol.forall(rt >= t - _)
+            else rt >= t && tol.forall(rt <= t + _)
+          }
+          val m =
+            if (cands.isEmpty) None
+            else Some(if (dir == "backward") cands.maxBy(_._1) else cands.minBy(_._1))
+          (k, t, lv, m.map(_._2), m.map(_._1))
+        }.toSet
+        got == want
+      }
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: concurrency sweep == brute-force interval overlap count") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 10)
+      ss <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 3L)
+        s <- Gen.chooseNum(0L, 20L)
+        len <- Gen.chooseNum(0L, 10L)
+      } yield (u, s, s + len))
+    } yield ss.zipWithIndex.map { case ((u, s, e), i) => (u, i.toLong, s, e) }
+    val prop = Prop.forAll(gen) { sessions =>
+      val got = graft.operators.Sessionize.concurrency(
+          sessions.toDF("user_id", "session_id", "start_sec", "end_sec"),
+          "user_id", "session_id", "start_sec", "end_sec")
+        .select("user_id", "session_id", "n_concurrent")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = sessions.map { case (u, sid, s, _) =>
+        (u, sid, sessions.count { case (_, _, s2, e2) => s2 <= s && e2 >= s }.toLong)
+      }.toSet
+      got == want
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: canonicalize is idempotent and matches the JVM reference") {
     val strGen = Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '-', '!', ',', 'é', 'Ü', 'ß', '́')
