@@ -314,6 +314,34 @@ object EventStream {
       .select(col(idCol), col(textCol), col("n_bigrams"), col("lm_score_ppm"))
   }
 
+  /** The full curation recipe ON THE STREAM — the streaming twin of the
+    * batch `q_curation_pipeline`: quality gate (token count + 3-gram
+    * repetition + PII scrub) → benchmark decontamination → LM-quality
+    * gate, all STATELESS per-row expression chains over broadcast
+    * models, then the stateful minhash near-dup filter in foreachBatch
+    * (signature store commits after emit — replay drops, never
+    * duplicates). Returns the gated streaming frame plus the
+    * foreachBatch handler to hang on `writeStream`; the caller's `emit`
+    * receives each batch's survivors.
+    *
+    * Same 100 TB split as every gate here: models (benchmark n-grams,
+    * LM) train on bounded reference corpora and ride along as literals;
+    * only the near-dup store grows with the corpus, and that is the
+    * one stage with per-batch state IO. */
+  def curationStream(docs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int, maxRepRatioPpm: Long,
+                     benchNgrams: Array[String], benchN: Int, minShared: Int,
+                     lmModel: Map[String, Long], minScorePpm: Long,
+                     storePath: String, emit: DataFrame => Unit)
+      : (DataFrame, (DataFrame, Long) => Unit) = {
+    val gated = lmGateStream(
+      contaminationGateStream(
+        qualityScrubStream(docs, idCol, textCol, minTokens, maxRepRatioPpm),
+        idCol, "scrubbed_text", benchNgrams, benchN, minShared),
+      idCol, "scrubbed_text", lmModel, minScorePpm)
+    (gated, nearDupFilterBatch(storePath, idCol, "scrubbed_text", emit = emit))
+  }
+
   /** Read the signature store iff its path exists. A missing store is the
     * normal first-batch state and means "empty"; any OTHER failure (FS
     * flake, corrupted files) must FAIL the batch — treating it as empty

@@ -85,6 +85,65 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationStream: the full curation recipe on the stream, gate by gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Curate
+    val d1 = (1L, "alpha beta gamma delta epsilon")     // survives everything
+    val d2 = (2L, "one two")                            // quality: too short
+    val d3 = (3L, "spam spam spam spam spam spam")      // quality: repetitive
+    val d4 = (4L, "alpha beta secret eval trigram here") // contaminated
+    val d5 = (5L, "zeta yota kappa lambda mu")          // LM: corpus-atypical
+    val d6 = (6L, d1._2)                                // near-dup of d1 (batch 2)
+    val d7 = (7L, "omega phi chi psi upsilon")          // survives (batch 2)
+
+    // models train on bounded reference corpora, batch-side
+    val model = Curate.lmModel(
+      Seq((100L, d1._2), (101L, d7._2)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val benchNg = Curate.benchmarkNgrams(
+      Seq((200L, "secret eval trigram here extra")).toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+
+    // the gates are plain DataFrame transforms: batch application pins
+    // WHICH gate rejects which doc
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val b = Seq(d1, d2, d3, d4, d5).toDF("doc_id", "text")
+    val g1 = EventStream.qualityScrubStream(b, "doc_id", "text", 4, 400000L)
+    assert(ids(g1) === Set(1L, 4L, 5L))
+    val g2 = EventStream.contaminationGateStream(
+      g1, "doc_id", "scrubbed_text", benchNg, 3, 1)
+    assert(ids(g2) === Set(1L, 5L))
+    val g3 = EventStream.lmGateStream(
+      g2, "doc_id", "scrubbed_text", model, 500000L)
+    assert(ids(g3) === Set(1L))
+
+    // the full streaming composition across two micro-batches: the
+    // near-dup store carries d1's signatures into batch 2, killing d6
+    val store = java.nio.file.Files.createTempDirectory("curation-store")
+      .toString + "/sigs"
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val (gated, handler) = EventStream.curationStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minTokens = 4, maxRepRatioPpm = 400000L,
+      benchNgrams = benchNg, benchN = 3, minShared = 1,
+      lmModel = model, minScorePpm = 500000L,
+      storePath = store,
+      emit = batch => survivors ++= batch.select("doc_id").as[Long].collect())
+    val q = gated.writeStream.foreachBatch(handler)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(d1, d2, d3, d4, d5)
+      q.processAllAvailable()
+      assert(survivors.toSet === Set(1L))
+      mem.addData(d6, d7)
+      q.processAllAvailable()
+      assert(survivors.toSet === Set(1L, 7L),
+        "batch-2 near-dup of a batch-1 survivor must be dropped; fresh doc kept")
+    } finally q.stop()
+  }
+
   test("kmvDistinctStream: sketch after batched arrival == batch aggregate, bit for bit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.plans.KmvSketch
