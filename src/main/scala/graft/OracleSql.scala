@@ -1340,6 +1340,28 @@ object OracleSql {
          |FROM tk JOIN model m USING (tok)
          |GROUP BY tk.doc_id""".stripMargin,
 
+    // per-source corpus health report: dup hashes counted corpus-wide,
+    // quality signal in exact integer ppm
+    "q_corpus_report" ->
+      s"""WITH per AS (
+         |  SELECT source, lang, md5(text) AS h,
+         |    CAST(len(toks) AS BIGINT) AS nt,
+         |    CAST(len(list_filter(toks,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+         |      AS BIGINT) AS sh
+         |  FROM (SELECT source, lang, text, $toksSql AS toks FROM documents)),
+         |p2 AS (SELECT source, lang, h, nt,
+         |        CASE WHEN nt > 0 THEN (sh * 1000000) // nt ELSE 0 END AS stop_ppm
+         |      FROM per),
+         |d AS (SELECT h FROM p2 GROUP BY h HAVING COUNT(*) >= 2)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM d) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(SUM(stop_ppm) AS BIGINT) // COUNT(*) AS mean_stop_ppm
+         |FROM p2 GROUP BY source""".stripMargin,
+
     // KMV sketch: the oracle recomputes the identical k smallest distinct
     // 55-bit hashes — the sketch is deterministic, so sketch AND estimate
     // are cell-exact (vs HLL's rows-only check)

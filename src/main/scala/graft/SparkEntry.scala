@@ -833,6 +833,32 @@ object SparkEntry {
     Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text",
       n = 10, minDocs = 2)
 
+  /** Per-source corpus health report — the dashboard query a corpus
+    * operator runs daily: volume (docs, tokens), exact-dup incidence
+    * (content hashes seen >= 2x anywhere in the corpus, counted per
+    * source), language mix, and the mean stopword quality signal in
+    * exact integer ppm. One uniform hash groupBy + join back + one
+    * source rollup — every aggregate partial-combines map-side. */
+  private def qCorpusReport(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val per = Tables.documents(s, d).select(
+        col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("h"),
+        size(toks).cast("long").as("nt"),
+        Text.vocabHits(toks, Text.StopWords).cast("long").as("sh"))
+      .withColumn("stop_ppm",
+        when(col("nt") > 0, expr("(sh * 1000000) DIV nt")).otherwise(lit(0L)))
+    val dups = per.groupBy("h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2).select(col("h"), lit(1L).as("__dup"))
+    per.join(dups, Seq("h"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        expr("sum(stop_ppm) DIV count(1)").as("mean_stop_ppm"))
+  }
+
   /** KMV distinct-count sketch per source (the native
     * [[graft.plans.KmvSketch]] aggregate): deterministic hash-ordered
     * sketch, so estimate AND sketch are cell-exact cross-engine —
@@ -1089,6 +1115,7 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_span_cut_keep" -> (qSpanCutKeep _),
+    "q_corpus_report" -> (qCorpusReport _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

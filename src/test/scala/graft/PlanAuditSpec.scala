@@ -141,9 +141,9 @@ class PlanAuditSpec extends SparkSpec {
       "canonicalization introduced a shuffle")
   }
 
-  test("q_lm_score / q_winnow_pairs / q_span_cut / q_quality_classifier stay equi-join shaped (no BNLJ/cartesian)") {
+  test("q_lm_score / q_winnow_pairs / q_span_cut / q_quality_classifier / q_corpus_report stay equi-join shaped (no BNLJ/cartesian)") {
     for (q <- Seq("q_lm_score", "q_winnow_pairs", "q_span_cut",
-        "q_quality_classifier")) {
+        "q_quality_classifier", "q_corpus_report")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q lost its equi-join shape")
