@@ -75,11 +75,40 @@ case class XlsxTable(tableSchema: StructType, paths: Seq[String],
 class XlsxScanBuilder(full: StructType, paths: Seq[String],
                       headerRow: Int, sheet: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
   private var countPushed = false
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Equality and IsNotNull on string cells evaluate INSIDE the StAX row
+    * parse — non-matching rows are dropped before any InternalRow is
+    * built (a folder of monthly workbooks filtered to one month never
+    * materializes the others). Everything is reported back as residual
+    * (`pushFilters` return), so Spark re-checks semantics; the pushdown
+    * is a row-materialization saving, the contract stays exact. */
+  /** v1 Filter references arrive backtick-quoted when the header name
+    * needs it ("Region Name" -> `Region Name`). */
+  private def unquote(a: String): String =
+    if (a.length >= 2 && a.head == '`' && a.last == '`')
+      a.substring(1, a.length - 1).replace("``", "`")
+    else a
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter {
+      case org.apache.spark.sql.sources.EqualTo(a, _: String) =>
+        full.fieldNames.contains(unquote(a))
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        full.fieldNames.contains(unquote(a))
+      case _ => false
+    }
+    filters // all residual: Spark re-evaluates, correctness never depends on us
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
 
   /** COUNT(*) with no grouping pushes into the scan: each file task
     * counts `<row>` elements in the sheet XML — no shared-strings load,
@@ -98,7 +127,14 @@ class XlsxScanBuilder(full: StructType, paths: Seq[String],
 
   override def build(): Scan =
     if (countPushed) XlsxCountScan(paths, headerRow, sheet)
-    else XlsxScan(full, required, paths, headerRow, sheet)
+    else XlsxScan(full, required, paths, headerRow, sheet,
+      // ship as (cell index, required value or null-for-IsNotNull) pairs
+      pushed.collect {
+        case org.apache.spark.sql.sources.EqualTo(a, v: String) =>
+          (full.fieldIndex(unquote(a)), v)
+        case org.apache.spark.sql.sources.IsNotNull(a) =>
+          (full.fieldIndex(unquote(a)), null)
+      })
 }
 
 /** The COUNT(*)-pushdown scan: one long per file (a partial count Spark
@@ -141,12 +177,19 @@ case class XlsxCountReaderFactory(headerRow: Int, sheet: Int,
 }
 
 case class XlsxScan(full: StructType, required: StructType,
-                    paths: Seq[String], headerRow: Int, sheet: Int)
+                    paths: Seq[String], headerRow: Int, sheet: Int,
+                    cellFilters: Seq[(Int, String)] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-xlsx sheet=$sheet headerRow=$headerRow files=${paths.size}"
+  override def description(): String = {
+    val pf = cellFilters.map { case (ci, v) =>
+      if (v == null) s"IsNotNull(${full.fieldNames(ci)})"
+      else s"EqualTo(${full.fieldNames(ci)},$v)"
+    }.mkString(", ")
+    s"graft-xlsx sheet=$sheet headerRow=$headerRow files=${paths.size} " +
+      s"PushedFilters: [$pf]"
+  }
   /** Compressed archive bytes x a flat inflation factor: workbook XML
     * deflates ~5:1, so this keeps joins against a folder of workbooks
     * eligible for size-based planning (broadcast decisions) instead of
@@ -170,7 +213,7 @@ case class XlsxScan(full: StructType, required: StructType,
     val cis = required.fields.map(f => full.fieldIndex(f.name))
     // capture the session conf on the driver; ships to executors serialized
     XlsxReaderFactory(cis, headerRow, sheet,
-      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()))
+      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()), cellFilters)
   }
 }
 
@@ -193,13 +236,21 @@ class SerializableHadoopConf(@transient var value: Configuration)
 }
 
 case class XlsxReaderFactory(cellIdx: Array[Int], headerRow: Int, sheet: Int,
-                             conf: SerializableHadoopConf)
+                             conf: SerializableHadoopConf,
+                             cellFilters: Seq[(Int, String)] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
     new PartitionReader[InternalRow] {
       private val rows = XlsxParse.rows(XlsxParse.readFile(path, conf.value), sheet)
         .filter(_._1 > headerRow)
+        .filter { case (_, cells) =>
+          // pushed filters: drop rows before any InternalRow is built
+          cellFilters.forall { case (ci, v) =>
+            val cell = cells.get(ci)
+            if (v == null) cell.isDefined else cell.contains(v)
+          }
+        }
       private var current: InternalRow = _
       override def next(): Boolean =
         if (!rows.hasNext) false

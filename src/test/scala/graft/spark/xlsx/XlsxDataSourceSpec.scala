@@ -97,6 +97,33 @@ class XlsxDataSourceSpec extends SparkSpec {
     assert(grouped.collect().map(_.getLong(1)).sum === 4L)
   }
 
+  test("equality filter pushes into the cell parse; rows drop pre-materialization") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("dsv2-xlsx-filter").toString
+    val f1 = workbook(dir, "jan.xlsx", "London", "1")
+    val f2 = workbook(dir, "feb.xlsx", "Leeds", "2")
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1)
+      .load(f1, f2)
+      .where(col("Region Name") === "Leeds City")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get.asInstanceOf[XlsxScan]
+    // the scan carries the equality + the implied IsNotNull
+    assert(scan.cellFilters.contains((0, "Leeds City")),
+      s"equality not pushed: ${scan.cellFilters}")
+    assert(scan.description().contains("EqualTo(Region Name,Leeds City)"))
+    // reader-level drop: the scan's own iterator yields only matches
+    val reader = scan.createReaderFactory()
+      .createReader(XlsxInputPartition(f2))
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n === 1, "non-matching rows must drop inside the parse")
+    // end-to-end result stays exact (Spark re-checks residual filters)
+    val rows = df.select("Region Name", "Total Spend")
+      .as[(String, String)].collect().toSeq
+    assert(rows === Seq(("Leeds City", "2")))
+  }
+
   test("column pruning reaches the scan") {
     val dir = Files.createTempDirectory("dsv2-xlsx-prune").toString
     val f = workbook(dir, "a.xlsx", "London", "12.5")
