@@ -263,6 +263,33 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: graft-xlsx write -> read round-trips arbitrary cell content") {
+    val cellGen = Gen.frequency(
+      5 -> Gen.listOf(Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf('<', '>', '&', '"', '\'', ' ', 'é')))
+        .map(_.mkString).map(s => if (s.isEmpty) "x" else s),
+      1 -> Gen.const(null.asInstanceOf[String]))
+    val gen = for {
+      n <- Gen.chooseNum(1, 12)
+      rows <- Gen.listOfN(n, Gen.zip(cellGen, cellGen))
+    } yield rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    val prop = Prop.forAll(gen) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("xlsx-prop").toString
+      rows.toDF("id", "a", "b").coalesce(1)
+        .write.format("graft-xlsx").mode("append").save(dir)
+      val back = spark.read.format("graft-xlsx")
+        .load(new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".xlsx")).map(_.getPath): _*)
+        .as[(String, Option[String], Option[String])].collect()
+        .map(t => t._1.toLong -> ((t._2, t._3))).toMap
+      rows.forall { case (i, a, b) =>
+        back(i) == ((Option(a), Option(b)))
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: canonicalize is idempotent and matches the JVM reference") {
     val strGen = Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '-', '!', ',', 'é', 'Ü', 'ß', '́')
