@@ -442,6 +442,47 @@ object OracleSql {
         | md5(array_to_string(list(event_type ORDER BY sec, event_id), ',')) AS seq_md5
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    // iterated min-per-step == the Spark side's one-pass greedy fold
+    // (earliest-entry funnel); s2 carries t1 forward for the window cap
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s1 AS (SELECT user_id, MIN(sec) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.sec) AS t2, MIN(s1.t1) AS t1
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.sec > s1.t1 AND e.sec <= s1.t1 + 86400
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.sec) AS t3
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.sec > s2.t2 AND e.sec <= s2.t1 + 86400
+        |       GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, COUNT(*) AS users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT c.cohort_week, a.wk - c.cohort_week AS week_offset, COUNT(*) AS users
+        |FROM c JOIN a ON c.user_id = a.user_id
+        |WHERE a.wk - c.cohort_week BETWEEN 0 AND 4
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the 4x256 md5-bucketed counter grid recomputed per (row, bucket):
+    // bucket load = sum of exact counts hashing there; estimate = min row
+    "q_cms_heavy" ->
+      """WITH cnts AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1),
+        |h AS (SELECT user_id, exact_cnt, i,
+        |        ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS b
+        |      FROM cnts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |bc AS (SELECT i, b, SUM(exact_cnt) AS load FROM h GROUP BY 1, 2)
+        |SELECT h.user_id, CAST(MIN(bc.load) AS BIGINT) AS est_cnt,
+        |       MIN(h.exact_cnt) AS exact_cnt
+        |FROM h JOIN bc ON h.i = bc.i AND h.b = bc.b
+        |GROUP BY h.user_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -351,6 +351,36 @@ object SparkEntry {
               col("event_type")))),
             x => x.getField("event_type")), ",").cast("binary")).as("seq_md5"))
 
+  /** Earliest-entry conversion funnel view -> click -> purchase within
+    * 24 h: one hash shuffle on the user, a per-user array fold computes
+    * every step time in one pass (Funnel.funnel; the greedy pick equals
+    * the oracle's iterated min-per-step CTE chain, spec-pinned). */
+  private def qFunnel(s: SparkSession, d: String): DataFrame =
+    Funnel.funnel(Tables.events(s, d).withColumn("sec", nsSec),
+      col("user_id"), col("event_type"), col("sec"), col("event_id"),
+      Seq("view", "click", "purchase"), 86400L)
+
+  /** Weekly signup-cohort retention, offsets 0..4 — epoch-week integer
+    * math so both engines bucket identically (Funnel.retention). */
+  private def qRetention(s: SparkSession, d: String): DataFrame =
+    Funnel.retention(Tables.events(s, d).withColumn("sec", nsSec),
+      col("user_id"), col("event_type"), col("sec"), "signup", 4)
+
+  /** Count-Min-Sketch heavy hitters: ONE 4x256 deterministic counter grid
+    * over every event's user, broadcast back to answer each user's
+    * estimate next to the exact count (plans.CmsSketch — the md5-hashed
+    * grid is cell-exact cross-engine, unlike the built-in seeded CMS). */
+  private def qCmsHeavy(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val sketch = ev.agg(
+      graft.plans.CmsSketch.cms(col("user_id").cast("string")).as("sk"))
+    ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"),
+        graft.plans.CmsSketch.estimate(col("sk"), col("user_id")).as("est_cnt"),
+        col("exact_cnt"))
+  }
+
   // ---------------------------------------------------------------- §2.4
   private def qDedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
@@ -1052,6 +1082,9 @@ object SparkEntry {
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_sequences" -> (qSessionSequences _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_cms_heavy" -> (qCmsHeavy _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_minhash_pairs" -> (qMinhashPairs _),

@@ -145,6 +145,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_kmv(hash, k): k must be an integer literal, got $other")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+      (children: Seq[Expression]) => children match {
+        case Seq(key,
+            org.apache.spark.sql.catalyst.expressions.Literal(d: Int, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+          CmsSketch(key, d, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_cms(key, d, w): d and w must be integer literals, got $other")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children(0))))

@@ -170,4 +170,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "pagerank round lost its edge equi-join shape")
   }
+
+  test("q_funnel: one user-key shuffle for the fold, no window at all") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("q_funnel")(spark, sfDir).queryExecution
+    assert(qe.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      "the per-user fold should be an aggregate, not a window")
+    val p = qe.executedPlan.toString
+    // the event-side fold shuffles once on user; the k-row step rollup may
+    // add small exchanges but never a sort-merge of the fact side
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_retention: co-partitioned user join, no single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_retention")(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
+  }
+
+  test("q_cms_heavy: the sketch joins back by broadcast, estimates stay codegen") {
+    val p = plan("q_cms_heavy")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row sketch must broadcast, not shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
