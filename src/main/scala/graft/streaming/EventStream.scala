@@ -169,6 +169,49 @@ object EventStream {
       }
   }
 
+  case class StepReach(user_id: Long, step: Int, step_name: String, sec: Long)
+
+  /** Streaming earliest-entry funnel — the incremental twin of
+    * [[graft.operators.Funnel.funnel]]: per user, `times` holds each
+    * reached step's second (-1 = unreached); an arriving event advances
+    * the funnel iff it is the next step's type, strictly after the
+    * previous step, and within `windowSec` of step 1. Every advance
+    * emits a StepReach transition (Append mode) — `groupBy(step)` at the
+    * sink reproduces the batch per-step counts. State is k+0 longs per
+    * user, FOREVER (no timeout): batch parity requires remembering that
+    * a user already entered — dropping state on a timeout would let a
+    * late re-entry start a second funnel the batch definition doesn't
+    * have. With events arriving in event-time order across batches
+    * (in-batch order is sorted here), stream == batch exactly —
+    * spec-pinned including a cross-batch advance. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   windowSec: Long): Dataset[StepReach] = {
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], StepReach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val times = state.getOption.getOrElse(Array.fill(k)(-1L))
+          val out = List.newBuilder[StepReach]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val depth = times.indexWhere(_ == -1L) match {
+              case -1 => k
+              case d => d
+            }
+            val sec = e.ts.getTime / 1000
+            if (depth < k && e.event_type == steps(depth) &&
+                (depth == 0 ||
+                  (sec > times(depth - 1) && sec <= times(0) + windowSec))) {
+              times(depth) = sec
+              out += StepReach(user, depth + 1, steps(depth), sec)
+            }
+          }
+          state.update(times)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: one state entry per key within the watermark
     * horizon — the incremental form of Dedup.exactDupGroups for a
     * continuously-ingested corpus (content-hash the payload upstream and

@@ -440,4 +440,45 @@ class EventStreamSpec extends SparkSpec {
       assert(closed.head === EventStream.Session(1L, 0L, 10L, 2L, 3.0))
     } finally q.stop()
   }
+
+  test("funnelStream: transitions across batches == batch funnel depths") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelStream(mem.toDS(), steps, windowSec = 1000L)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append()).start()
+    // user 1 completes across the batch boundary; user 2 stalls at view;
+    // user 3's click lands outside the 1000s window (no advance); user 4
+    // re-views after entering — must NOT restart the funnel
+    val batch1 = Seq(evt(1, 100, 1, "view"), evt(2, 200, 1, "click"),
+      evt(3, 100, 2, "view"), evt(4, 100, 3, "view"),
+      evt(5, 100, 4, "view"))
+    val batch2 = Seq(evt(6, 300, 1, "purchase"),
+      evt(7, 2000, 3, "click"), evt(8, 5000, 4, "view"),
+      evt(9, 5010, 4, "click")) // >1000s after user 4's t1=100: no advance
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[EventStream.StepReach]
+        .collect().toSet
+      assert(got == Set(
+        EventStream.StepReach(1, 1, "view", 100), EventStream.StepReach(1, 2, "click", 200),
+        EventStream.StepReach(1, 3, "purchase", 300),
+        EventStream.StepReach(2, 1, "view", 100),
+        EventStream.StepReach(3, 1, "view", 100),
+        EventStream.StepReach(4, 1, "view", 100)))
+      // per-step counts == batch Funnel.funnel over the union
+      import org.apache.spark.sql.functions.col
+      val all = (batch1 ++ batch2).toDF()
+        .withColumn("sec", col("ts").cast("long"))
+      val batchCounts = graft.operators.Funnel.funnel(all, col("user_id"),
+          col("event_type"), col("sec"), col("event_id"), steps, 1000L)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      val streamCounts = (1 to 3).map(s => got.count(_.step == s).toLong)
+      assert(streamCounts == batchCounts)
+    } finally q.stop()
+  }
 }
