@@ -470,6 +470,18 @@ object OracleSql {
         |WHERE a.wk - c.cohort_week BETWEEN 0 AND 4
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS to_type
+        |      FROM e),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
+        |FROM m""".stripMargin,
+
     // the 4x256 md5-bucketed counter grid recomputed per (row, bucket):
     // bucket load = sum of exact counts hashing there; estimate = min row
     "q_cms_heavy" ->

@@ -366,6 +366,13 @@ object SparkEntry {
     Funnel.retention(Tables.events(s, d).withColumn("sec", nsSec),
       col("user_id"), col("event_type"), col("sec"), "signup", 4)
 
+  /** Per-user Markov transition matrix with exact-ppm row normalization —
+    * one user-partitioned lead() window + a |types|^2 rollup
+    * (Funnel.transitions). */
+  private def qTransitions(s: SparkSession, d: String): DataFrame =
+    Funnel.transitions(Tables.events(s, d).withColumn("sec", nsSec),
+      col("user_id"), col("event_type"), col("sec"), col("event_id"))
+
   /** Count-Min-Sketch heavy hitters: ONE 4x256 deterministic counter grid
     * over every event's user, broadcast back to answer each user's
     * estimate next to the exact count (plans.CmsSketch — the md5-hashed
@@ -1084,6 +1091,7 @@ object SparkEntry {
     "q_session_sequences" -> (qSessionSequences _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_transitions" -> (qTransitions _),
     "q_cms_heavy" -> (qCmsHeavy _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),

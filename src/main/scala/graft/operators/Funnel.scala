@@ -61,6 +61,26 @@ object Funnel {
         coalesce(col("users"), lit(0L)).as("users"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * (from_type, to_type, n, p_ppm) where p is the row-normalized
+    * transition probability in exact integer ppm — the "user journey"
+    * statistic behind next-event prediction features. One lead() window
+    * PARTITIONED BY user (same hash shuffle the sessionizer uses —
+    * nothing global), then a types x types rollup; the ppm normalization
+    * windows over the aggregated matrix (|types|² rows). */
+  def transitions(events: DataFrame, userCol: Column, typeCol: Column,
+                  secCol: Column, tieCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(secCol, tieCol)
+    events
+      .select(userCol, typeCol.as("from_type"), secCol, tieCol)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * 1000000 DIV sum(n) OVER (PARTITION BY from_type)"))
+  }
+
   /** Weekly cohort retention: cohort = epoch-week of the user's first
     * `anchorType` event; a cohort "retains" a user at offset `o` if the
     * user has ANY event in cohort_week + o. Returns

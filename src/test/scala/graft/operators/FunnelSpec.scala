@@ -80,6 +80,28 @@ class FunnelSpec extends SparkSpec {
       (1L, 0L, 1L)))                            // user 2
   }
 
+  test("transitions: hand-computed matrix with exact ppm normalization") {
+    val df = ev(
+      (1, "a", 10, 1), (1, "b", 20, 2), (1, "a", 30, 3),  // a->b, b->a
+      (2, "a", 10, 4), (2, "b", 20, 5), (2, "b", 30, 6),  // a->b, b->b
+      (3, "a", 10, 7))                                    // no transition
+    val got = Funnel.transitions(df, col("user_id"), col("event_type"),
+        col("sec"), col("event_id"))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 1000000L),          // a always goes to b
+      ("b", "a", 1L, 500000L), ("b", "b", 1L, 500000L)))
+  }
+
+  test("transitions: same-second events order by the tie column") {
+    val df = ev((1, "x", 10, 2), (1, "y", 10, 1)) // y first by event_id
+    val got = Funnel.transitions(df, col("user_id"), col("event_type"),
+      col("sec"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("y", "x")))
+  }
+
   test("retention: offsets beyond maxOffset drop; pre-signup activity never negative-offsets") {
     val wk = 604800L
     val df = ev(
