@@ -38,7 +38,7 @@ object GeoPackageSource {
     else StringType // NUMERIC affinity (DATETIME, BOOLEAN, DECIMAL, ...) — surfaced textually
   }
 
-  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+  private[graft] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (l: Long, LongType) => l
     case (l: Long, DoubleType) => l.toDouble
@@ -75,6 +75,42 @@ object GeoPackageSource {
     try db.tables() finally db.close()
   }
 
+  /** Resolved (table info, Spark schema) with the geometry override
+    * applied — shared by the library reader and the DSv2 connector. */
+  private[graft] def schemaOf(db: SqliteFile.Db,
+                              table: String): (SqliteFile.TableInfo, StructType) = {
+    val info = db.table(table)
+    val geom = geometryColumns(db, table)
+    val fields = info.columns.map { c =>
+      val dt = if (geom.contains(c.name)) BinaryType else affinity(c.declType)
+      StructField(c.name, dt)
+    }
+    (info, StructType(fields))
+  }
+
+  /** The table a bare `.load(path)` means: the single gpkg_contents
+    * feature entry, else the single user table of a plain SQLite file. */
+  private[graft] def defaultTable(db: SqliteFile.Db): String = {
+    val ts = db.tables()
+    val features = ts.find(_.name == "gpkg_contents").toSeq.flatMap { gc =>
+      val tIdx = gc.columns.indexWhere(_.name == "table_name")
+      val dIdx = gc.columns.indexWhere(_.name == "data_type")
+      db.rows(gc.rootPage).collect {
+        case (_, vals) if vals.lift(dIdx).contains("features") =>
+          vals(tIdx).asInstanceOf[String]
+      }.toSeq
+    }
+    val candidates =
+      if (features.nonEmpty) features
+      else ts.map(_.name).filterNot(n =>
+        n.startsWith("gpkg_") || n.startsWith("sqlite_"))
+    candidates match {
+      case Seq(one) => one
+      case many => sys.error(
+        s"graft-gpkg: ambiguous table — pass .option(\"table\", ...); candidates: ${many.mkString(", ")}")
+    }
+  }
+
   /** Scan one table of a SQLite/GeoPackage file as a DataFrame. Partition
     * count ≈ max(minPartitions, defaultParallelism), bounded by the
     * table's B-tree fan-out — each partition walks one subtree. */
@@ -83,15 +119,10 @@ object GeoPackageSource {
     val db = SqliteFile.open(path)
     val (schema, roots, ipk, types) =
       try {
-        val info = db.table(table)
-        val geom = geometryColumns(db, table)
-        val fields = info.columns.map { c =>
-          val dt = if (geom.contains(c.name)) BinaryType else affinity(c.declType)
-          StructField(c.name, dt)
-        }
+        val (info, st) = schemaOf(db, table)
         val target = math.max(minPartitions, spark.sparkContext.defaultParallelism)
-        (StructType(fields), db.subtreeRoots(info.rootPage, target), info.ipk,
-          fields.map(_.dataType))
+        (st, db.subtreeRoots(info.rootPage, target), info.ipk,
+          st.fields.toVector.map(_.dataType))
       } finally db.close()
 
     val nCols = types.size

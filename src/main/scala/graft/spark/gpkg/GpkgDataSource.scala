@@ -1,0 +1,155 @@
+package graft.spark.gpkg
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{GeoPackageSource, SqliteFile}
+import graft.spark.xlsx.SerializableHadoopConf
+
+/** `spark.read.format("graft-gpkg")` — the [[graft.sources.GeoPackageSource]]
+  * native SQLite/GeoPackage scan as a first-class DataSource V2 source
+  * (reference: src/data_processors/built_up_areas.py:80 reads the OS
+  * Built-Up Areas .gpkg via fiona/GDAL):
+  *
+  *   - one input partition PER B-TREE SUBTREE of the feature table
+  *     ([[SqliteFile.Db.subtreeRoots]]) — a multi-GB gpkg scans in
+  *     parallel through positioned reads, no task touching the whole file;
+  *   - column pruning pushed into the record decode
+  *     (`SupportsPushDownRequiredColumns`): unneeded columns are never
+  *     converted or materialized into the InternalRow;
+  *   - SQLite-affinity typing with the gpkg_geometry_columns override,
+  *     identical to the library reader.
+  *
+  * Options: `table` (defaults to the single gpkg_contents feature table,
+  * or the single user table of a plain SQLite file), `partitions`
+  * (minimum split count, default = session default parallelism). */
+class DefaultSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-gpkg"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      sys.error("graft-gpkg: no path given"))
+    p
+  }
+
+  private def resolve(options: CaseInsensitiveStringMap): (String, String, StructType) = {
+    val p = path(options)
+    val db = SqliteFile.open(p, GpkgRead.hadoopConf())
+    try {
+      val table = Option(options.get("table"))
+        .getOrElse(GeoPackageSource.defaultTable(db))
+      val (_, schema) = GeoPackageSource.schemaOf(db, table)
+      (p, table, schema)
+    } finally db.close()
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options)._3
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (p, table, _) = resolve(opts)
+    GpkgTable(schema, p, table, opts.getInt("partitions", 0))
+  }
+}
+
+case class GpkgTable(tableSchema: StructType, path: String, table: String,
+                     minPartitions: Int)
+    extends Table with SupportsRead {
+  override def schema(): StructType = tableSchema
+  override def name(): String = s"$path#$table"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GpkgScanBuilder(tableSchema, path, table, minPartitions)
+}
+
+class GpkgScanBuilder(full: StructType, path: String, table: String,
+                      minPartitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = GpkgScan(full, required, path, table, minPartitions)
+}
+
+case class GpkgInputPartition(rootPage: Int) extends InputPartition
+
+case class GpkgScan(full: StructType, required: StructType, path: String,
+                    table: String, minPartitions: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-gpkg $path#$table cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val db = SqliteFile.open(path, GpkgRead.hadoopConf())
+    try {
+      val info = db.table(table)
+      val target = math.max(minPartitions, org.apache.spark.sql.SparkSession
+        .active.sparkContext.defaultParallelism)
+      db.subtreeRoots(info.rootPage, target)
+        .map(r => GpkgInputPartition(r): InputPartition).toArray
+    } finally db.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val db = SqliteFile.open(path, GpkgRead.hadoopConf())
+    val ipk = try db.table(table).ipk finally db.close()
+    GpkgReaderFactory(path, table,
+      full.fieldNames.toVector, full.fields.toVector.map(_.dataType),
+      required.fieldNames.map(full.fieldIndex).toVector, ipk,
+      new SerializableHadoopConf(GpkgRead.hadoopConf()))
+  }
+}
+
+case class GpkgReaderFactory(path: String, table: String,
+                             names: Vector[String], types: Vector[DataType],
+                             requiredIdx: Vector[Int], ipk: Option[Int],
+                             conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val root = partition.asInstanceOf[GpkgInputPartition].rootPage
+    new PartitionReader[InternalRow] {
+      private val db = SqliteFile.open(path, conf.value)
+      private val it = db.rows(root)
+      private var row: InternalRow = _
+
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else {
+          val (rowid, raw) = it.next()
+          val vals = raw.padTo(names.size, null)
+          // only the REQUIRED columns are coerced and materialized
+          row = InternalRow.fromSeq(requiredIdx.map { i =>
+            if (ipk.contains(i)) rowid
+            else GeoPackageSource.coerce(vals(i), types(i)) match {
+              case null => null
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            }
+          })
+          true
+        }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = db.close()
+    }
+  }
+}
+
+private[gpkg] object GpkgRead {
+  def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+}

@@ -1,0 +1,69 @@
+package graft.spark.gpkg
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class GpkgDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/graft/$name").getPath
+
+  test("format(graft-gpkg): schema + rows match the library reader") {
+    val df = spark.read.format("graft-gpkg").load(fixture("small.gpkg"))
+    // table defaults to the single gpkg_contents feature entry
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("fid", "name", "area_ha", "pop", "observed", "note", "geom"))
+    assert(df.schema("geom").dataType == BinaryType)
+    val lib = graft.sources.GeoPackageSource
+      .readTable(spark, fixture("small.gpkg"), "built_up")
+    // binary column compared by digest (Array[Byte] == is reference equality)
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.withColumn("geom", md5($"geom")).orderBy("fid")
+        .collect().map(_.toSeq).toSeq
+    assert(rows(df) == rows(lib))
+  }
+
+  test("explicit table option reads a non-default table") {
+    val c = spark.read.format("graft-gpkg").option("table", "gpkg_contents")
+      .load(fixture("small.gpkg"))
+      .select("table_name", "srs_id").collect()
+    assert(c.map(_.toSeq).toSeq == Seq(Seq("built_up", 27700L)))
+  }
+
+  test("column pruning reaches the record decode (readSchema shrinks)") {
+    val df = spark.read.format("graft-gpkg").load(fixture("small.gpkg"))
+      .select("fid", "pop")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.readSchema().fieldNames.toSeq == Seq("fid", "pop"))
+    assert(df.orderBy("fid").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 8116L), Seq(2L, 12043L), Seq(3L, -7L), Seq(4L, 48069L),
+        Seq(5L, 0L)))
+  }
+
+  test("deep tree splits into multiple input partitions, all rows exactly once") {
+    val df = spark.read.format("graft-gpkg").option("table", "wide")
+      .option("partitions", "4").load(fixture("deep.gpkg"))
+    assert(df.rdd.getNumPartitions > 1)
+    val agg = df.agg(count("*"), sum("v"), countDistinct("fid")).head()
+    assert(agg.toSeq == Seq(3000L, 1498500L, 3000L))
+  }
+
+  test("plain SQLite file (no gpkg_contents): single user table is the default") {
+    val df = spark.read.format("graft-gpkg").load(fixture("deep.gpkg"))
+    assert(df.count() == 3000L)
+  }
+
+  test("geometry blobs compose with the native WKB decoder") {
+    val pts = spark.read.format("graft-gpkg").load(fixture("small.gpkg"))
+      .select($"fid", graft.functions.Geo.stGeomFromWkb($"geom").as("g"))
+      .where($"g".isNotNull)
+      .select($"fid", $"g"(0)("x")).orderBy("fid").collect()
+    assert(pts.map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 10.0), Seq(2L, 30.5), Seq(3L, -5.0), Seq(4L, 55.0)))
+  }
+}
