@@ -89,6 +89,11 @@ def make_small(path):
         (5, "Elsdon", 12.5, 0, "2025-03-01", "", None),
     ]
     con.executemany("INSERT INTO built_up VALUES (?,?,?,?,?,?,?)", rows)
+    # real OS gpkg files carry an rtree spatial index: a VIRTUAL table
+    # (rootpage 0 — must be skipped by the reader) plus ordinary shadow
+    # tables; exercise both
+    con.execute("CREATE VIRTUAL TABLE rtree_built_up_geom USING rtree(id, minx, maxx, miny, maxy)")
+    con.execute("INSERT INTO rtree_built_up_geom VALUES (1, 9.0, 11.0, 19.0, 21.0)")
     con.commit()
     con.close()
 
