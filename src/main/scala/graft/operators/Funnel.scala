@@ -34,9 +34,11 @@ object Funnel {
       .groupBy(userCol.as("user"))
       .agg(array_sort(collect_list(struct(secCol.cast("long").as("sec"),
         tieCol.as("tie"), typeCol.as("typ")))).as("evs"))
-      // fold state: k step times, -1 = not reached; depth = #reached
-      .select(aggregate(col("evs"), array_repeat(lit(-1L), k), (acc, ev) => {
-        val depth = size(filter(acc, x => x =!= lit(-1L)))
+      // fold state: k step times, Long.MinValue = not reached (an actual
+      // event second can never collide, unlike -1 = one sec before epoch);
+      // depth = #reached
+      .select(aggregate(col("evs"), array_repeat(lit(Long.MinValue), k), (acc, ev) => {
+        val depth = size(filter(acc, x => x =!= lit(Long.MinValue)))
         val inOrder = ev("sec") > element_at(acc, depth) &&
           ev("sec") <= element_at(acc, lit(1)) + lit(windowSec)
         val advances = depth < lit(k) &&
@@ -46,7 +48,7 @@ object Funnel {
           transform(acc, (x, i) => when(i === depth, ev("sec")).otherwise(x)))
           .otherwise(acc)
       }).as("times"))
-      .select(size(filter(col("times"), x => x =!= lit(-1L))).as("depth"))
+      .select(size(filter(col("times"), x => x =!= lit(Long.MinValue))).as("depth"))
     // emit every step, 0-filled: steps nobody reached must still appear
     val stepDf = events.sparkSession.range(1, k + 1)
       .select(col("id").as("step"),
@@ -85,7 +87,10 @@ object Funnel {
     * `anchorType` event; a cohort "retains" a user at offset `o` if the
     * user has ANY event in cohort_week + o. Returns
     * (cohort_week, week_offset, users) for offsets 0..maxOffset.
-    * Epoch-week integer math (`sec DIV 604800`) keeps both engines exact.
+    * Week bucket = epoch seconds over 604800, truncated toward zero —
+    * exactly DuckDB's integer `//` (also truncating), so both engines
+    * bucket identically including pre-1970 seconds; the double division
+    * below is exact for any |sec| < 2^53.
     *
     * Scale: cohort table and distinct activity are both user-keyed
     * aggregates; their equi-join co-partitions on the user, and the final

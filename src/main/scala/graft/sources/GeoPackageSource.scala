@@ -116,7 +116,11 @@ object GeoPackageSource {
     * table's B-tree fan-out — each partition walks one subtree. */
   def readTable(spark: SparkSession, path: String, table: String,
                 minPartitions: Int = 0): DataFrame = {
-    val db = SqliteFile.open(path)
+    // session Hadoop conf both sides: spark.hadoop.* (credentials,
+    // filesystem impls) must reach the positioned reads on the executors
+    val hconf = spark.sessionState.newHadoopConf()
+    val serConf = new graft.spark.xlsx.SerializableHadoopConf(hconf)
+    val db = SqliteFile.open(path, hconf)
     val (schema, roots, ipk, types) =
       try {
         val (info, st) = schemaOf(db, table)
@@ -129,7 +133,7 @@ object GeoPackageSource {
     val rdd = spark.sparkContext
       .parallelize(roots, math.max(roots.size, 1))
       .flatMap { root =>
-        val edb = SqliteFile.open(path)
+        val edb = SqliteFile.open(path, serConf.value)
         Option(TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => edb.close()))
         edb.rows(root).map { case (rowid, raw) =>
@@ -153,7 +157,7 @@ object GeoPackageSource {
   def readFeatures(spark: SparkSession, path: String, table: String,
                    minPartitions: Int = 0): DataFrame = {
     val geom = {
-      val db = SqliteFile.open(path)
+      val db = SqliteFile.open(path, spark.sessionState.newHadoopConf())
       try geometryColumns(db, table) finally db.close()
     }
     geom.foldLeft(readTable(spark, path, table, minPartitions)) { (df, g) =>

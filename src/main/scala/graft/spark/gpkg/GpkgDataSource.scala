@@ -39,82 +39,89 @@ class DefaultSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  private def resolve(options: CaseInsensitiveStringMap): (String, String, StructType) = {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = path(options)
     val db = SqliteFile.open(p, GpkgRead.hadoopConf())
     try {
       val table = Option(options.get("table"))
         .getOrElse(GeoPackageSource.defaultTable(db))
-      val (_, schema) = GeoPackageSource.schemaOf(db, table)
-      (p, table, schema)
+      GeoPackageSource.schemaOf(db, table)._2
     } finally db.close()
   }
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options)._3
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (p, table, _) = resolve(opts)
-    GpkgTable(schema, p, table, opts.getInt("partitions", 0))
+    // resolve the PHYSICAL layout exactly once; `schema` may be a
+    // user-supplied reordering/subset/retyping and binds BY NAME below
+    val p = path(opts)
+    val db = SqliteFile.open(p, GpkgRead.hadoopConf())
+    val (table, phys, ipk, rootPage) =
+      try {
+        val t = Option(opts.get("table"))
+          .getOrElse(GeoPackageSource.defaultTable(db))
+        val (info, st) = GeoPackageSource.schemaOf(db, t)
+        (t, st, info.ipk, info.rootPage)
+      } finally db.close()
+    schema.fieldNames.foreach { n =>
+      require(phys.fieldNames.contains(n),
+        s"graft-gpkg: column '$n' does not exist in $p#$table " +
+          s"(has: ${phys.fieldNames.mkString(", ")})")
+    }
+    GpkgTable(schema, p, table, opts.getInt("partitions", 0), phys, ipk, rootPage)
   }
 }
 
 case class GpkgTable(tableSchema: StructType, path: String, table: String,
-                     minPartitions: Int)
+                     minPartitions: Int, phys: StructType, ipk: Option[Int],
+                     rootPage: Int)
     extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
   override def name(): String = s"$path#$table"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GpkgScanBuilder(tableSchema, path, table, minPartitions)
+    new GpkgScanBuilder(this)
 }
 
-class GpkgScanBuilder(full: StructType, path: String, table: String,
-                      minPartitions: Int)
+class GpkgScanBuilder(t: GpkgTable)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = full
+  private var required: StructType = t.tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = GpkgScan(full, required, path, table, minPartitions)
+  override def build(): Scan = GpkgScan(t, required)
 }
 
 case class GpkgInputPartition(rootPage: Int) extends InputPartition
 
-case class GpkgScan(full: StructType, required: StructType, path: String,
-                    table: String, minPartitions: Int)
+case class GpkgScan(t: GpkgTable, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-gpkg $path#$table cols=${required.fieldNames.mkString(",")}"
+    s"graft-gpkg ${t.name()} cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val db = SqliteFile.open(path, GpkgRead.hadoopConf())
+    val db = SqliteFile.open(t.path, GpkgRead.hadoopConf())
     try {
-      val info = db.table(table)
-      val target = math.max(minPartitions, org.apache.spark.sql.SparkSession
+      val target = math.max(t.minPartitions, org.apache.spark.sql.SparkSession
         .active.sparkContext.defaultParallelism)
-      db.subtreeRoots(info.rootPage, target)
+      db.subtreeRoots(t.rootPage, target)
         .map(r => GpkgInputPartition(r): InputPartition).toArray
     } finally db.close()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val db = SqliteFile.open(path, GpkgRead.hadoopConf())
-    val ipk = try db.table(table).ipk finally db.close()
-    GpkgReaderFactory(path, table,
-      full.fieldNames.toVector, full.fields.toVector.map(_.dataType),
-      required.fieldNames.map(full.fieldIndex).toVector, ipk,
-      new SerializableHadoopConf(GpkgRead.hadoopConf()))
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GpkgReaderFactory(t.path, t.phys.fieldNames.toVector,
+      // (physical index, requested output type) per required column —
+      // binding BY NAME so user-supplied column order/subset/retype is safe
+      required.fields.toVector.map(f =>
+        (t.phys.fieldIndex(f.name), f.dataType)),
+      t.ipk, new SerializableHadoopConf(GpkgRead.hadoopConf()))
 }
 
-case class GpkgReaderFactory(path: String, table: String,
-                             names: Vector[String], types: Vector[DataType],
-                             requiredIdx: Vector[Int], ipk: Option[Int],
+case class GpkgReaderFactory(path: String, physNames: Vector[String],
+                             cols: Vector[(Int, DataType)], ipk: Option[Int],
                              conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -128,14 +135,14 @@ case class GpkgReaderFactory(path: String, table: String,
         if (!it.hasNext) false
         else {
           val (rowid, raw) = it.next()
-          val vals = raw.padTo(names.size, null)
+          val vals = raw.padTo(physNames.size, null)
           // only the REQUIRED columns are coerced and materialized
-          row = InternalRow.fromSeq(requiredIdx.map { i =>
-            if (ipk.contains(i)) rowid
-            else GeoPackageSource.coerce(vals(i), types(i)) match {
+          row = InternalRow.fromSeq(cols.map { case (i, dt) =>
+            val v = if (ipk.contains(i)) rowid else vals(i)
+            GeoPackageSource.coerce(v, dt) match {
               case null => null
               case s: String => UTF8String.fromString(s)
-              case v => v
+              case x => x
             }
           })
           true

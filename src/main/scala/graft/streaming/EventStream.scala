@@ -192,10 +192,11 @@ object EventStream {
       .flatMapGroupsWithState[Array[Long], StepReach](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
-          val times = state.getOption.getOrElse(Array.fill(k)(-1L))
+          // Long.MinValue = unreached (a real epoch second never collides)
+          val times = state.getOption.getOrElse(Array.fill(k)(Long.MinValue))
           val out = List.newBuilder[StepReach]
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val depth = times.indexWhere(_ == -1L) match {
+            val depth = times.indexWhere(_ == Long.MinValue) match {
               case -1 => k
               case d => d
             }

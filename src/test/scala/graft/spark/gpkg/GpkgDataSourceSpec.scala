@@ -58,6 +58,22 @@ class GpkgDataSourceSpec extends SparkSpec {
     assert(df.count() == 3000L)
   }
 
+  test("user-supplied schema binds by NAME: reorder, subset, retype") {
+    val df = spark.read.format("graft-gpkg")
+      .schema("name STRING, fid STRING, pop LONG") // reordered, fid retyped
+      .load(fixture("small.gpkg"))
+    assert(df.orderBy("pop").limit(2).collect().map(_.toSeq).toSeq ==
+      Seq(Seq("Corbridge", "3", -7L), Seq("Elsdon", "5", 0L)))
+  }
+
+  test("user-supplied schema with an unknown column fails clearly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-gpkg").schema("nope LONG")
+        .load(fixture("small.gpkg")).collect()
+    }
+    assert(e.getMessage.contains("'nope' does not exist"))
+  }
+
   test("geometry blobs compose with the native WKB decoder") {
     val pts = spark.read.format("graft-gpkg").load(fixture("small.gpkg"))
       .select($"fid", graft.functions.Geo.stGeomFromWkb($"geom").as("g"))

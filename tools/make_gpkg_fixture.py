@@ -94,6 +94,12 @@ def make_small(path):
     # tables; exercise both
     con.execute("CREATE VIRTUAL TABLE rtree_built_up_geom USING rtree(id, minx, maxx, miny, maxy)")
     con.execute("INSERT INTO rtree_built_up_geom VALUES (1, 9.0, 11.0, 19.0, 21.0)")
+    # rowid-alias quirks: table-level PRIMARY KEY(fid) IS an alias (sqlite
+    # stores NULL in the record for fid), column-level ...DESC is NOT
+    con.execute("CREATE TABLE tpk (fid INTEGER, tag TEXT, PRIMARY KEY(fid))")
+    con.executemany("INSERT INTO tpk VALUES (?,?)", [(7, "seven"), (9, "nine")])
+    con.execute("CREATE TABLE dpk (fid INTEGER PRIMARY KEY DESC, tag TEXT)")
+    con.executemany("INSERT INTO dpk VALUES (?,?)", [(7, "seven"), (9, "nine")])
     con.commit()
     con.close()
 
