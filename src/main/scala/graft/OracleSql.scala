@@ -29,6 +29,26 @@ object OracleSql {
 
   private def severity(c: String) = severityCase.format(c, c, c, c)
 
+  /** q_zorder oracle: the SAME 16-bit min/max normalization and 32
+    * bit-interleave terms as sinks.ZOrder.zValue, generated rather than
+    * hand-unrolled (bit b of column i lands at position b*2 + i). */
+  private val zorderSql: String = {
+    val terms = (0 until 16).flatMap { b =>
+      Seq(s"(((nx >> $b) & 1) << ${b * 2})", s"(((ny >> $b) & 1) << ${b * 2 + 1})")
+    }.mkString(" | ")
+    def norm(c: String, mn: String, mx: String) =
+      s"CASE WHEN $mx - $mn <= 0 THEN 0 ELSE LEAST(65535, GREATEST(0, " +
+        s"CAST(FLOOR(($c - $mn) / (($mx - $mn) / 65536.0)) AS BIGINT))) END"
+    s"""WITH p AS (SELECT event_id, CAST(value AS DOUBLE) AS x,
+       |             CAST(event_id AS DOUBLE) AS y FROM events),
+       |st AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy FROM p),
+       |n AS (SELECT event_id,
+       |        ${norm("x", "mnx", "mxx")} AS nx,
+       |        ${norm("y", "mny", "mxy")} AS ny
+       |      FROM p CROSS JOIN st)
+       |SELECT event_id, $terms AS zval FROM n""".stripMargin
+  }
+
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -469,6 +489,8 @@ object OracleSql {
         |FROM c JOIN a ON c.user_id = a.user_id
         |WHERE a.wk - c.cohort_week BETWEEN 0 AND 4
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_zorder" -> zorderSql,
 
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_type,

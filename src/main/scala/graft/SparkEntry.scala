@@ -366,6 +366,22 @@ object SparkEntry {
     Funnel.retention(Tables.events(s, d).withColumn("sec", nsSec),
       col("user_id"), col("event_type"), col("sec"), "signup", 4)
 
+  /** Z-order (Morton) cell computation over the event point set — the
+    * sinks.ZOrder layout key as an oracle-checked query: min/max
+    * normalization into 16-bit buckets, then the bit interleave, all
+    * deterministic double/integer math both engines reproduce exactly
+    * (the oracle unrolls the same 32 bit-terms; see OracleSql.zorderSql). */
+  private def qZorder(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.events(s, d)
+      .select(col("event_id"), col("value").cast("double").as("x"),
+        col("event_id").cast("double").as("y"))
+    val stats = pts.agg(min("x"), max("x"), min("y"), max("y")).head()
+    pts.select(col("event_id"),
+      graft.sinks.ZOrder.zValue(Seq(col("x"), col("y")),
+        Seq(stats.getDouble(0), stats.getDouble(2)),
+        Seq(stats.getDouble(1), stats.getDouble(3)), bits = 16).as("zval"))
+  }
+
   /** Per-user Markov transition matrix with exact-ppm row normalization —
     * one user-partitioned lead() window + a |types|^2 rollup
     * (Funnel.transitions). */
@@ -1092,6 +1108,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_transitions" -> (qTransitions _),
+    "q_zorder" -> (qZorder _),
     "q_cms_heavy" -> (qCmsHeavy _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),

@@ -58,7 +58,7 @@ object SqliteFile {
   // ---- varints + big-endian ints ------------------------------------
 
   /** Decode a SQLite varint at `off`; returns (value, bytesConsumed). */
-  private[sources] def varint(b: Array[Byte], off: Int): (Long, Int) = {
+  private[graft] def varint(b: Array[Byte], off: Int): (Long, Int) = {
     var v = 0L
     var i = 0
     while (i < 8) {
@@ -88,7 +88,7 @@ object SqliteFile {
 
   /** Decode a record payload into column values: null | Long | Double |
     * String | Array[Byte], per the serial-type table of the format spec. */
-  private[sources] def record(p: Array[Byte]): Vector[Any] = {
+  private[graft] def record(p: Array[Byte]): Vector[Any] = {
     val (hdrLen, n0) = varint(p, 0)
     val types = Vector.newBuilder[Long]
     var off = n0
@@ -130,7 +130,7 @@ object SqliteFile {
   /** Split the parenthesized column list on top-level commas and take each
     * entry's first token as the name, the following tokens (up to any
     * column-constraint keyword) as the declared type. */
-  private[sources] def parseCreate(sql: String): (Vector[ColumnDef], Option[Int]) = {
+  private[graft] def parseCreate(sql: String): (Vector[ColumnDef], Option[Int]) = {
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     require(open >= 0 && close > open, s"graft-sqlite: no column list in: $sql")

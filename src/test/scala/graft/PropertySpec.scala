@@ -315,4 +315,66 @@ class PropertySpec extends SparkSpec {
     val res = check(params, prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- SQLite record codec ------------------------------------------
+
+  /** Test-side ENCODER for the SQLite record format (format spec §2.1):
+    * an independent implementation of the write direction, so the
+    * decoder is checked against the spec rather than against itself. */
+  private def sqliteVarint(v: Long): Array[Byte] = {
+    require(v >= 0 && (v >>> 56) == 0, "test varints stay <= 56 bits")
+    var rest = v >>> 7
+    var out = List[Byte]((v & 0x7F).toByte)
+    while (rest != 0) { out = ((rest & 0x7F) | 0x80).toByte :: out; rest >>>= 7 }
+    out.toArray
+  }
+
+  private def encodeRecord(vals: List[Any]): Array[Byte] = {
+    def intBytes(v: Long, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val enc: List[(Long, Array[Byte])] = vals.map {
+      case null => (0L, Array.empty[Byte])
+      case 0L => (8L, Array.empty[Byte])
+      case 1L => (9L, Array.empty[Byte])
+      case v: Long =>
+        val bits = 65 - java.lang.Long.numberOfLeadingZeros(
+          if (v < 0) ~v else v) // sign bit included
+        val n = Seq(1, 2, 3, 4, 6, 8).find(_ * 8 >= bits).get
+        (Seq(1, 2, 3, 4, 6, 8).indexOf(n) + 1L, intBytes(v, n))
+      case d: Double =>
+        (7L, intBytes(java.lang.Double.doubleToLongBits(d), 8))
+      case s: String =>
+        val b = s.getBytes("UTF-8"); (b.length * 2L + 13L, b)
+      case b: Array[Byte] => (b.length * 2L + 12L, b)
+    }
+    val typeBytes = enc.flatMap(e => sqliteVarint(e._1)).toArray
+    // header length includes its own varint: iterate to the fixpoint
+    var hdrLen = typeBytes.length + 1
+    while (sqliteVarint(hdrLen.toLong).length + typeBytes.length != hdrLen)
+      hdrLen = sqliteVarint(hdrLen.toLong).length + typeBytes.length
+    sqliteVarint(hdrLen.toLong) ++ typeBytes ++ enc.flatMap(_._2)
+  }
+
+  test("property: SQLite record decode inverts an independent spec encoder") {
+    val valGen: Gen[Any] = Gen.oneOf(
+      Gen.const(null),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(v => v: Any),
+      Gen.oneOf(0L, 1L, -1L, 127L, 128L, -128L, 32767L, 32768L).map(v => v: Any),
+      Gen.chooseNum(-1e12, 1e12).map(d => d: Any),
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '字', ' ', '\n')))
+        .map(_.mkString: Any),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray[Byte]: Any))
+    val prop = Prop.forAll(Gen.listOfN(6, valGen)) { vals =>
+      val decoded = graft.sources.SqliteFile.record(encodeRecord(vals)).toList
+      decoded.length == vals.length && decoded.zip(vals).forall {
+        case (a: Array[Byte], b: Array[Byte]) => a.sameElements(b)
+        case (a: Double, b: Double) =>
+          java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+        case (a, b) => a == b
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
