@@ -325,6 +325,38 @@ object EventStream {
       }
   }
 
+  case class CmsGroup(key: String, grid: Seq[Long])
+
+  /** Streaming Count-Min-Sketch per group key — the incremental twin of
+    * the [[graft.plans.CmsSketch]] aggregate, sharing its ONE bucket
+    * routine ([[graft.plans.CmsSketch.bucket]]) so stream and batch
+    * cannot drift: state is the d x w long grid per group (8 KB at the
+    * 4x256 default, independent of key cardinality), each arriving value
+    * increments its d buckets, Update mode emits the grid after every
+    * batch. Because grid updates are elementwise adds, arrival order and
+    * batch boundaries cannot change the result — the spec pins stream
+    * after batched arrival == batch aggregate BIT FOR BIT. */
+  def cmsStream(rows: Dataset[(String, String)], d: Int = 4,
+                w: Int = 256): Dataset[CmsGroup] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], CmsGroup](GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val grid = state.getOption.getOrElse(new Array[Long](d * w))
+          it.foreach { case (_, v) =>
+            if (v != null) {
+              var i = 0
+              while (i < d) {
+                grid(i * w + graft.plans.CmsSketch.bucket(i, v, w)) += 1L
+                i += 1
+              }
+            }
+          }
+          state.update(grid)
+          CmsGroup(key, grid.toSeq)
+      }
+  }
+
   /** Streaming LM-quality gate (the CCNet train-batch / apply-stream
     * split): a bigram model trained once on a bounded reference corpus
     * ([[graft.operators.Curate.lmModel]]) rides along as a map literal;

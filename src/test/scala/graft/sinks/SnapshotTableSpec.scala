@@ -1,0 +1,75 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("snap").toString + "/t"
+
+  test("publish -> read round trip; second publish swaps atomically") {
+    val root = tmp()
+    val v1 = SnapshotTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    assert(v1 == 1L)
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    val v2 = SnapshotTable.write(Seq((3L, "c")).toDF("id", "v"), root)
+    assert(v2 == 2L)
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((3L, "c")))
+  }
+
+  test("time travel: pinned versions survive later publishes") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "old")).toDF("id", "v"), root)
+    SnapshotTable.write(Seq((1L, "new")).toDF("id", "v"), root)
+    assert(SnapshotTable.read(spark, root, Some(1L)).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "old")))
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("a crashed writer (data dir, no manifest) is invisible to readers") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "live")).toDF("id", "v"), root)
+    // simulate a crash after the data write, before the manifest claim
+    Seq((9L, "torn")).toDF("id", "v").write
+      .parquet(s"$root/data/v99-orphan")
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "live")))
+    assert(SnapshotTable.versions(spark, root) == Seq(1L))
+  }
+
+  test("concurrent claim: a taken version slot forces a retry at the next one") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    // another writer claimed version 2 (manifest exists, pointer not yet)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stolen = f.create(new org.apache.hadoop.fs.Path(root, "_manifests/manifest-2"), false)
+    stolen.write("""{"version": 2, "dir": "data/v2", "files": []}""".getBytes("UTF-8"))
+    stolen.close()
+    val v = SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root)
+    assert(v == 3L) // slot 2 was taken: the commit claimed 3
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b")))
+  }
+
+  test("vacuum keeps the newest manifests and reclaims unreferenced data dirs") {
+    val root = tmp()
+    (1 to 4).foreach(i => SnapshotTable.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))
+    Seq((9L, "torn")).toDF("id", "v").write.parquet(s"$root/data/v99-orphan")
+    SnapshotTable.vacuum(spark, root, keep = 2)
+    assert(SnapshotTable.versions(spark, root) == Seq(3L, 4L))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .map(_.getPath.getName).sorted
+    assert(dirs.toSeq == Seq("v3", "v4")) // v1, v2, and the orphan are gone
+    assert(SnapshotTable.read(spark, root, Some(3L)).count() == 1L)
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((4L, "v4")))
+  }
+}

@@ -184,6 +184,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsStream: grid after batched arrival == batch aggregate, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.plans.CmsSketch
+    val aVals = (0 until 60).map(i => s"t${(i * i) % 11}")
+    val bVals = Seq("x", "y", "x")
+    val batch1 = aVals.take(35).map(("A", _)) ++ bVals.take(1).map(("B", _))
+    val batch2 = aVals.drop(35).map(("A", _)) ++ bVals.drop(1).map(("B", _))
+
+    val mem = MemoryStream[(String, String)]
+    val q = EventStream.cmsStream(mem.toDS(), d = 3, w = 32)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val last = spark.table("cms_stream").as[(String, Seq[Long])]
+        .collect().toSeq
+      val expect = (aVals.map(("A", _)) ++ bVals.map(("B", _)))
+        .toDF("key", "v").groupBy("key")
+        .agg(CmsSketch.cms(org.apache.spark.sql.functions.col("v"), 3, 32))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(last.contains(("A", expect("A"))),
+        "stream never reached the batch grid for A")
+      assert(last.contains(("B", expect("B"))))
+      assert(expect("A").sum === 3L * 60) // d copies of every row
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams: same-user events within the window join across batches") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[EventStream.Event]
