@@ -54,9 +54,13 @@ object SnapshotTable {
     } + "\""
 
   /** Publish `df` as the table's next version; returns the version id.
-    * Retries the version claim on concurrent commits (last claimer of
-    * each N wins exactly once — `create(overwrite = false)` is atomic). */
-  def write(df: DataFrame, root: String, maxClaimRetries: Int = 20): Long = {
+    * `append = true` makes the new snapshot the previous file list PLUS
+    * this commit's files (incremental loads keep every older commit's
+    * immutable files); `false` (default) replaces the table. Retries the
+    * version claim on concurrent commits (each N is claimed exactly once
+    * — `create(overwrite = false)` is atomic). */
+  def write(df: DataFrame, root: String, append: Boolean = false,
+            maxClaimRetries: Int = 20): Long = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
@@ -64,21 +68,25 @@ object SnapshotTable {
 
     var version = latestVersion(spark, root).getOrElse(0L) + 1
     var claimed = false
-    var dataDir: Path = null
     var tries = 0
     while (!claimed) {
       tries += 1
       require(tries <= maxClaimRetries,
         s"snapshot-table: lost the version claim $maxClaimRetries times at $root")
-      dataDir = new Path(rootP, s"data/v$version")
+      val dataDir = new Path(rootP, s"data/v$version")
       df.write.mode("overwrite").parquet(dataDir.toString)
-      val files = f.listStatus(dataDir)
+      val fresh = f.listStatus(dataDir)
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.getName).sorted
+        .map(s => s"data/v$version/${s.getPath.getName}").sorted.toVector
+      // append reads the PREVIOUS manifest inside the claim loop: losing
+      // a race re-reads it, so the carried list is the winner's
+      val carried =
+        if (!append) Vector.empty
+        else latestVersion(spark, root).map(manifestFiles(spark, root, _))
+          .getOrElse(Vector.empty)
       val manifest = new Path(rootP, s"_manifests/manifest-$version")
-      val body =
-        s"""{"version": $version, "dir": ${jsonStr(s"data/v$version")}, "files": [${
-          files.map(jsonStr).mkString(", ")}]}"""
+      val body = s"""{"version": $version, "files": [${
+        (carried ++ fresh).map(jsonStr).mkString(", ")}]}"""
       try {
         val out = f.create(manifest, false) // atomic claim of this version
         try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -112,24 +120,45 @@ object SnapshotTable {
   private def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  /** Root-relative file paths of manifest `v` (no JSON lib dep: minimal
+    * field pull from our own format). */
+  private def manifestFiles(spark: SparkSession, root: String, v: Long): Vector[String] = {
+    val rootP = new Path(root)
+    val manifest = readSmall(fs(spark, rootP), new Path(rootP, s"_manifests/manifest-$v"))
+    "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(manifest).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toVector
+  }
+
+  private def liveVersion(spark: SparkSession, root: String): Long = {
+    val cur = new Path(root, "_current")
+    require(fs(spark, cur).exists(cur), s"snapshot-table: no published version at $root")
+    readSmall(fs(spark, cur), cur).trim.toLong
+  }
+
   /** Read the live snapshot (or a pinned `version` — time travel). Only
     * the manifest's exact file list is scanned: concurrent publishes and
     * crashed writers cannot tear the read. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
-    val rootP = new Path(root)
-    val f = fs(spark, rootP)
-    val v = version.getOrElse {
-      val cur = new Path(rootP, "_current")
-      require(f.exists(cur), s"snapshot-table: no published version at $root")
-      readSmall(f, cur).trim.toLong
-    }
-    val manifest = readSmall(f, new Path(rootP, s"_manifests/manifest-$v"))
-    // minimal field pulls from our own manifest format (no JSON lib dep)
-    val dir = "\"dir\": \"([^\"]*)\"".r.findFirstMatchIn(manifest).get.group(1)
-    val files = "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(manifest).get.group(1)
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val v = version.getOrElse(liveVersion(spark, root))
+    val files = manifestFiles(spark, root, v)
     require(files.nonEmpty, s"snapshot-table: empty manifest $v at $root")
-    spark.read.parquet(files.map(n => new Path(rootP, s"$dir/$n").toString): _*)
+    spark.read.parquet(files.map(n => new Path(root, n).toString): _*)
+  }
+
+  /** Incremental consumption: only the files ADDED after `sinceVersion`
+    * (up to `untilVersion`/live) — a downstream pipeline that processed
+    * version N reads exactly the new data of N+1..M, never rescanning
+    * the table. Files are immutable once published, so the manifest set
+    * difference IS the change set (append-mode commits; a replace commit
+    * shows up as its full file list, which is also correct). */
+  def readChanges(spark: SparkSession, root: String, sinceVersion: Long,
+                  untilVersion: Option[Long] = None): DataFrame = {
+    val until = untilVersion.getOrElse(liveVersion(spark, root))
+    val old = manifestFiles(spark, root, sinceVersion).toSet
+    val added = manifestFiles(spark, root, until).filterNot(old)
+    if (added.isEmpty) read(spark, root, Some(until)).limit(0)
+    else spark.read.parquet(added.map(n => new Path(root, n).toString): _*)
   }
 
   /** Drop all but the newest `keep` manifests and every data directory no
@@ -140,14 +169,17 @@ object SnapshotTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val all = versions(spark, root)
-    val kept = all.takeRight(keep).toSet
-    all.filterNot(kept).foreach { v =>
+    val kept = all.takeRight(keep)
+    // append-mode manifests reference older versions' dirs: keep every
+    // dir a KEPT manifest mentions, not just the kept version numbers
+    val referenced = kept.flatMap(v => manifestFiles(spark, root, v))
+      .map(p => new Path(p).getParent.getName).toSet
+    all.dropRight(keep).foreach { v =>
       f.delete(new Path(rootP, s"_manifests/manifest-$v"), false)
     }
     val dataRoot = new Path(rootP, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { s =>
-      val keepDir = s.getPath.getName.stripPrefix("v").toLongOption.exists(kept)
-      if (!keepDir) f.delete(s.getPath, true)
+      if (!referenced.contains(s.getPath.getName)) f.delete(s.getPath, true)
     }
   }
 }

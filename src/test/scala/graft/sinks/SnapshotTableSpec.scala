@@ -57,6 +57,34 @@ class SnapshotTableSpec extends SparkSpec {
       Seq((2L, "b")))
   }
 
+  test("append commits accumulate; readChanges reads exactly the new files") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root, append = true)
+    SnapshotTable.write(Seq((3L, "c")).toDF("id", "v"), root, append = true)
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // incremental consumer that processed v1 sees only v2+v3 data
+    assert(SnapshotTable.readChanges(spark, root, sinceVersion = 1L)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+    assert(SnapshotTable.readChanges(spark, root, 1L, Some(2L))
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    assert(SnapshotTable.readChanges(spark, root, 3L).count() == 0L)
+  }
+
+  test("vacuum keeps data dirs referenced by kept APPEND manifests") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root, append = true)
+    SnapshotTable.write(Seq((3L, "c")).toDF("id", "v"), root, append = true)
+    SnapshotTable.vacuum(spark, root, keep = 1)
+    // manifest 3 references v1, v2 AND v3 dirs: all must survive
+    assert(SnapshotTable.versions(spark, root) == Seq(3L))
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("vacuum keeps the newest manifests and reclaims unreferenced data dirs") {
     val root = tmp()
     (1 to 4).foreach(i => SnapshotTable.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))
