@@ -492,6 +492,25 @@ object OracleSql {
 
     "q_zorder" -> zorderSql,
 
+    // same integer BM25 surrogate as TfIdf.bm25TopK: k1=1.2, b=0.8 as
+    // x10 integers, idf_ppm = (N-df+1)*1e6 // (df+1); SUM -> HUGEINT in
+    // DuckDB, cast back to BIGINT
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |              FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sl FROM dl),
+        |hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('join', 'hash', 'window')),
+        |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+        |sc AS (SELECT tf.doc_id,
+        |         ((n - df + 1) * 1000000 // (df + 1)) * (tf * 22) //
+        |           (tf * 10 + (12 * (2 + (8 * dl.dl * 10) // ((sl * 10) // n))) // 10) AS ts
+        |       FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN st)
+        |SELECT doc_id, CAST(SUM(ts) AS BIGINT) AS score_ppm FROM sc
+        |GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin,
+
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_type,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events),

@@ -366,6 +366,14 @@ object SparkEntry {
     Funnel.retention(Tables.events(s, d).withColumn("sec", nsSec),
       col("user_id"), col("event_type"), col("sec"), "signup", 4)
 
+  /** Integer-exact BM25 retrieval: top-50 documents for a 3-term query
+    * (TfIdf.bm25TopK) — the text-search ranking next to the vector ANN
+    * family; every idf/saturation term is a BIGINT DIV expression both
+    * engines reproduce cell-for-cell. */
+  private def qBm25(s: SparkSession, d: String): DataFrame =
+    TfIdf.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("join", "hash", "window"), 50)
+
   /** Z-order (Morton) cell computation over the event point set — the
     * sinks.ZOrder layout key as an oracle-checked query: min/max
     * normalization into 16-bit buckets, then the bit interleave, all
@@ -1109,6 +1117,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_transitions" -> (qTransitions _),
     "q_zorder" -> (qZorder _),
+    "q_bm25" -> (qBm25 _),
     "q_cms_heavy" -> (qCmsHeavy _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),

@@ -44,6 +44,41 @@ object TfIdf {
       .select("doc_id", "term", "tf", "df", "score", "rank_in_group")
   }
 
+  /** BM25-shaped top-k retrieval for a literal query, in EXACT integer
+    * arithmetic (the repo's ppm discipline — libm-free, so the whole
+    * ranking is cell-exact cross-engine): per query term
+    * `idf_ppm = (N - df + 1) * 1e6 DIV (df + 1)` (the classic idf's
+    * monotone rational surrogate) and the Robertson tf saturation with
+    * k1 = 1.2, b = 0.8 carried as x10 integers:
+    * `ts = idf_ppm * (tf*22) DIV (tf*10 + (12 * (10-8 + (8*dl*10) DIV avgdl_x10)) DIV 10)`.
+    * Scale shape: tokenize once, df/tf only for the query's terms (the
+    * candidate relation is corpus-linear in MATCHING tokens only), the
+    * tiny per-term df table broadcasts, doc-length join co-partitions on
+    * the doc, and top-k is TakeOrderedAndProject — never a global sort.
+    * N and sum(dl) are the two collected scalars (same legitimacy as the
+    * IVF centroid collect). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], topK: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+      .persist()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sl")).head()
+    val n = st.getLong(0)
+    val avgdlX10 = st.getLong(1) * 10L / n
+    val hits = toks.where(col("tok").isin(query: _*))
+    val dfreq = hits.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .withColumn("ts", expr(
+        s"((${n}L - df + 1) * 1000000L DIV (df + 1)) * (tf * 22) DIV " +
+          s"(tf * 10 + (12 * (2 + (8 * dl * 10) DIV ${avgdlX10}L)) DIV 10)"))
+      .groupBy("doc_id").agg(sum("ts").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // ---- incremental maintenance ---------------------------------------
   //
   // The reference's corpora grow by scheduled appends (monthly loads);

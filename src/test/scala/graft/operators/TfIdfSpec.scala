@@ -95,4 +95,34 @@ class TfIdfSpec extends SparkSpec {
     // a: tf=3 df=1 score=3M*1; b: tf=1 df=1 score=1M -> only 'a' survives k=1
     assert(out === Seq((1L, "a", 3L, 1L, 3000000L, 1)))
   }
+
+  test("bm25TopK: hand-computed integer scores, rare beats common, tf saturates") {
+    // 4 docs, avgdl_x10 = (3+3+3+3)*10/4 = 30 -> norm term 2 + 80*dl/30
+    val docs = Seq(
+      (1L, "rare x y"),     // 'rare' df=1
+      (2L, "common x y"),   // 'common' df=3
+      (3L, "common x common"),
+      (4L, "common x y")).toDF("doc_id", "text")
+    val got = TfIdf.bm25TopK(docs, "doc_id", "text",
+        Seq("rare", "common"), 10)
+      .as[(Long, Long)].collect().toSeq
+    // idf_ppm(rare) = (4-1+1)*1e6 DIV 2 = 2_000_000
+    // idf_ppm(common) = (4-3+1)*1e6 DIV 4 = 500_000
+    // dl=3 everywhere: denomNorm = (12 * (2 + 240 DIV 30)) DIV 10 = 12
+    // tf=1: ts = idf * 22 DIV 22 = idf;  tf=2: ts = idf * 44 DIV 32
+    val rare = 2000000L
+    val common = 500000L
+    val common2 = common * 44 / 32
+    assert(got == Seq((1L, rare), (3L, common2), (2L, common), (4L, common)))
+    // saturation: doubling tf multiplied the score by 44/32, not 2
+    assert(common2 < 2 * common && common2 > common)
+  }
+
+  test("bm25TopK: top-k plans as TakeOrderedAndProject with a broadcast df table") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val p = TfIdf.bm25TopK(docs, "doc_id", "text", Seq("b"), 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "global sort crept into top-k")
+    assert(p.contains("BroadcastHashJoin"), "per-term df table must broadcast")
+  }
 }
