@@ -67,8 +67,10 @@ object TfIdf {
     val n = st.getLong(0)
     val avgdlX10 = st.getLong(1) * 10L / n
     val hits = toks.where(col("tok").isin(query: _*))
-    val dfreq = hits.groupBy("tok").agg(countDistinct("doc_id").as("df"))
     val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // df falls out of tf (already one row per (doc, term)): no second
+    // scan of the hits, no count_distinct expand
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "tok")
       .join(dl, "doc_id")
       .withColumn("ts", expr(
