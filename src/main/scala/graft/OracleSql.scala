@@ -492,6 +492,26 @@ object OracleSql {
 
     "q_zorder" -> zorderSql,
 
+    // L1 drift over the vocab union via the shared-tokens + unshared-mass
+    // identity, everything in integer ppm (see Curate.sourceDrift)
+    "q_source_drift" ->
+      """WITH tc AS (SELECT source AS src,
+        |              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |            FROM documents),
+        |c AS (SELECT src, tok, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+        |p AS (SELECT src, tok,
+        |        CAST(c * 1000000 // SUM(c) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+        |      FROM c),
+        |t AS (SELECT src, SUM(p_ppm) AS t FROM p GROUP BY 1),
+        |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+        |         SUM(ABS(a.p_ppm - b.p_ppm)) AS d_shared,
+        |         SUM(a.p_ppm) AS s_a, SUM(b.p_ppm) AS s_b
+        |       FROM p a JOIN p b ON a.tok = b.tok AND a.src < b.src
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  CAST(d_shared + (ta.t - s_a) + (tb.t - s_b) AS BIGINT) AS l1_ppm
+        |FROM sh JOIN t ta ON sh.src_a = ta.src JOIN t tb ON sh.src_b = tb.src""".stripMargin,
+
     // same integer BM25 surrogate as TfIdf.bm25TopK: k1=1.2, b=0.8 as
     // x10 integers, idf_ppm = (N-df+1)*1e6 // (df+1); SUM -> HUGEINT in
     // DuckDB, cast back to BIGINT

@@ -366,6 +366,13 @@ object SparkEntry {
     Funnel.retention(Tables.events(s, d).withColumn("sec", nsSec),
       col("user_id"), col("event_type"), col("sec"), "signup", 4)
 
+  /** Pairwise source-distribution drift: L1 distance of per-source token
+    * probability vectors in exact ppm (Curate.sourceDrift) — the
+    * distribution-shift monitor next to q_corpus_report's volume
+    * signals. */
+  private def qSourceDrift(s: SparkSession, d: String): DataFrame =
+    Curate.sourceDrift(Tables.documents(s, d), "source", "text")
+
   /** Integer-exact BM25 retrieval: top-50 documents for a 3-term query
     * (TfIdf.bm25TopK) — the text-search ranking next to the vector ANN
     * family; every idf/saturation term is a BIGINT DIV expression both
@@ -1118,6 +1125,7 @@ object SparkEntry {
     "q_transitions" -> (qTransitions _),
     "q_zorder" -> (qZorder _),
     "q_bm25" -> (qBm25 _),
+    "q_source_drift" -> (qSourceDrift _),
     "q_cms_heavy" -> (qCmsHeavy _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),

@@ -272,4 +272,37 @@ object Curate {
     Stats.hashSample(df.join(broadcast(rates), Seq(stratumCol)), key, col("__ppm"))
       .drop("__ppm")
   }
+
+  /** Pairwise token-distribution DRIFT between sources: the L1 distance
+    * of per-source token probability vectors in exact integer ppm — the
+    * "did this crawl/source shift" monitor a corpus operator alerts on
+    * (the distribution-shift companion to q_corpus_report's volume
+    * signals). Identity used: L1(a,b) over the vocab UNION = sum over
+    * SHARED tokens of |pa - pb| plus each side's unshared mass
+    * (Ta - Sa) + (Tb - Sb) — so the join is the (source,token) inverted
+    * index with itself (a.src < b.src), linear in vocab per pair, never
+    * doc x doc. Integer p_ppm = c * 1e6 DIV n both engines. Pairs with
+    * zero shared vocabulary drop out (fully-disjoint sources are a
+    * different alarm). */
+  def sourceDrift(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val p = docs
+      .select(col(sourceCol).as("src"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .select(col("src"), col("tok"), expr("c * 1000000 DIV n").as("p_ppm"))
+      .persist()
+    val totals = p.groupBy("src").agg(sum("p_ppm").as("t"))
+    p.as("a").join(p.as("b"),
+        col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(sum(abs(col("a.p_ppm") - col("b.p_ppm"))).as("d_shared"),
+        sum(col("a.p_ppm")).as("s_a"), sum(col("b.p_ppm")).as("s_b"))
+      .join(broadcast(totals.as("ta")), col("src_a") === col("ta.src"))
+      .join(broadcast(totals.as("tb")), col("src_b") === col("tb.src"))
+      .select(col("src_a"), col("src_b"),
+        (col("d_shared") + (col("ta.t") - col("s_a")) +
+          (col("tb.t") - col("s_b"))).as("l1_ppm"))
+  }
 }

@@ -135,4 +135,20 @@ class CurateSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(row === ((3L, 4L, 750000L)))
   }
+
+  test("sourceDrift: identical sources drift 0, hand-computed partial overlap") {
+    val docs = Seq(
+      ("s1", "a a b"), ("s2", "a a b"),  // identical distributions
+      ("s3", "a c"))                     // half shared with s1/s2
+    .toDF("source", "text")
+    val got = Curate.sourceDrift(docs, "source", "text")
+      .orderBy("src_a", "src_b").as[(String, String, Long)].collect().toSeq
+    // s1: p(a)=666666, p(b)=333333 (ppm, DIV-truncated); s3: p(a)=p(c)=500000
+    // L1(s1,s3) = |666666-500000| + (333333-unshared) + (500000)
+    //           = 166666 + 333333 + 500000 = 999999
+    assert(got == Seq(
+      ("s1", "s2", 0L),
+      ("s1", "s3", 999999L),
+      ("s2", "s3", 999999L)))
+  }
 }
