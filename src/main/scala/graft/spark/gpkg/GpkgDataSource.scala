@@ -33,14 +33,14 @@ class DefaultSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-gpkg"
   override def supportsExternalMetadata(): Boolean = true
 
-  private def path(options: CaseInsensitiveStringMap): String = {
-    val p = Option(options.get("path")).getOrElse(
-      sys.error("graft-gpkg: no path given"))
-    p
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val ps = graft.spark.xlsx.XlsxParse.paths(options)
+    require(ps.nonEmpty, "graft-gpkg: no path given")
+    ps
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val p = path(options)
+    val p = paths(options).head
     val db = SqliteFile.open(p, GpkgRead.hadoopConf())
     try {
       val table = Option(options.get("table"))
@@ -52,32 +52,33 @@ class DefaultSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    // resolve the PHYSICAL layout exactly once; `schema` may be a
-    // user-supplied reordering/subset/retyping and binds BY NAME below
-    val p = path(opts)
-    val db = SqliteFile.open(p, GpkgRead.hadoopConf())
-    val (table, phys, ipk, rootPage) =
+    // resolve the PHYSICAL layout exactly once, from the FIRST file —
+    // a folder of monthly releases shares one schema (enforced per file
+    // at scan planning); `schema` may be a user-supplied
+    // reordering/subset/retyping and binds BY NAME below
+    val ps = paths(opts)
+    val db = SqliteFile.open(ps.head, GpkgRead.hadoopConf())
+    val (table, phys, ipk) =
       try {
         val t = Option(opts.get("table"))
           .getOrElse(GeoPackageSource.defaultTable(db))
         val (info, st) = GeoPackageSource.schemaOf(db, t)
-        (t, st, info.ipk, info.rootPage)
+        (t, st, info.ipk)
       } finally db.close()
     schema.fieldNames.foreach { n =>
       require(phys.fieldNames.contains(n),
-        s"graft-gpkg: column '$n' does not exist in $p#$table " +
+        s"graft-gpkg: column '$n' does not exist in ${ps.head}#$table " +
           s"(has: ${phys.fieldNames.mkString(", ")})")
     }
-    GpkgTable(schema, p, table, opts.getInt("partitions", 0), phys, ipk, rootPage)
+    GpkgTable(schema, ps, table, opts.getInt("partitions", 0), phys, ipk)
   }
 }
 
-case class GpkgTable(tableSchema: StructType, path: String, table: String,
-                     minPartitions: Int, phys: StructType, ipk: Option[Int],
-                     rootPage: Int)
+case class GpkgTable(tableSchema: StructType, paths: Seq[String], table: String,
+                     minPartitions: Int, phys: StructType, ipk: Option[Int])
     extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
-  override def name(): String = s"$path#$table"
+  override def name(): String = s"${paths.mkString(",")}#$table"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -92,7 +93,7 @@ class GpkgScanBuilder(t: GpkgTable)
   override def build(): Scan = GpkgScan(t, required)
 }
 
-case class GpkgInputPartition(rootPage: Int) extends InputPartition
+case class GpkgInputPartition(path: String, rootPage: Int) extends InputPartition
 
 case class GpkgScan(t: GpkgTable, required: StructType)
     extends Scan with Batch {
@@ -102,17 +103,23 @@ case class GpkgScan(t: GpkgTable, required: StructType)
     s"graft-gpkg ${t.name()} cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val db = SqliteFile.open(t.path, GpkgRead.hadoopConf())
-    try {
-      val target = math.max(t.minPartitions, org.apache.spark.sql.SparkSession
-        .active.sparkContext.defaultParallelism)
-      db.subtreeRoots(t.rootPage, target)
-        .map(r => GpkgInputPartition(r): InputPartition).toArray
-    } finally db.close()
+    val target = math.max(t.minPartitions, org.apache.spark.sql.SparkSession
+      .active.sparkContext.defaultParallelism)
+    val perFile = math.max(1, target / t.paths.size)
+    t.paths.flatMap { p =>
+      val db = SqliteFile.open(p, GpkgRead.hadoopConf())
+      try {
+        val info = db.table(t.table) // also re-checks the table exists per file
+        require(info.columns.map(_.name) == t.phys.fieldNames.toVector,
+          s"graft-gpkg: $p#${t.table} column layout differs from ${t.paths.head}")
+        db.subtreeRoots(info.rootPage, perFile)
+          .map(r => GpkgInputPartition(p, r): InputPartition)
+      } finally db.close()
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GpkgReaderFactory(t.path, t.phys.fieldNames.toVector,
+    GpkgReaderFactory(t.phys.fieldNames.toVector,
       // (physical index, requested output type) per required column —
       // binding BY NAME so user-supplied column order/subset/retype is safe
       required.fields.toVector.map(f =>
@@ -120,14 +127,15 @@ case class GpkgScan(t: GpkgTable, required: StructType)
       t.ipk, new SerializableHadoopConf(GpkgRead.hadoopConf()))
 }
 
-case class GpkgReaderFactory(path: String, physNames: Vector[String],
+case class GpkgReaderFactory(physNames: Vector[String],
                              cols: Vector[(Int, DataType)], ipk: Option[Int],
                              conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val root = partition.asInstanceOf[GpkgInputPartition].rootPage
+    val gp = partition.asInstanceOf[GpkgInputPartition]
+    val root = gp.rootPage
     new PartitionReader[InternalRow] {
-      private val db = SqliteFile.open(path, conf.value)
+      private val db = SqliteFile.open(gp.path, conf.value)
       private val it = db.rows(root)
       private var row: InternalRow = _
 

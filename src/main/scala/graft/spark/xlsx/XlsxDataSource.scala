@@ -279,7 +279,7 @@ object XlsxParse {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  private[xlsx] def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+  private[spark] def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { json =>
       // DataFrameReader.load(paths: _*) encodes a JSON string array; parse
       // it as JSON (Jackson ships with Spark) so paths containing commas

@@ -325,6 +325,38 @@ object EventStream {
       }
   }
 
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+                        sec: Long)
+
+  /** Streaming Markov transitions — the incremental twin of
+    * [[graft.operators.Funnel.transitions]]: per-user state is ONE
+    * (sec, event_id, type) triple (the latest event), each arrival emits
+    * the (prev -> current) pair; `groupBy(from, to)` at the sink
+    * reproduces the batch matrix counts. Events sort in-batch and must
+    * arrive event-time-ordered across batches (same contract as the
+    * other per-user folds); ties use event_id, matching the batch
+    * window's (sec, tie) order. Append mode, cross-batch edge
+    * spec-pinned. */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[(Long, Long, String)]) =>
+          var prev = state.getOption
+          val out = List.newBuilder[Transition]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            prev.foreach { case (_, _, pType) =>
+              out += Transition(user, pType, e.event_type, sec)
+            }
+            prev = Some((e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class CmsGroup(key: String, grid: Seq[Long])
 
   /** Streaming Count-Min-Sketch per group key — the incremental twin of

@@ -316,6 +316,57 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- event analytics ----------------------------------------------
+
+  private val evGen: Gen[List[(Long, String, Long, Long)]] =
+    Gen.chooseNum(1, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 5L)
+        t <- Gen.oneOf("a", "b", "c", "signup")
+        s <- Gen.chooseNum(0L, 30L) // small domain forces sec ties
+      } yield (u, t, s, 0L))
+    }.map(_.zipWithIndex.map { case ((u, t, s, _), i) => (u, t, s, i.toLong) })
+
+  test("property: transitions == in-memory reference, ties broken by event id") {
+    val prop = Prop.forAll(evGen) { evs =>
+      val ref = evs.groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (e._3, e._4)).sliding(2).collect {
+          case List(p, c) => (p._2, c._2)
+        }
+      }.toList.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      val rowTotals = ref.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+      val expect = ref.map { case (f, t, n) => (f, t, n, n * 1000000L / rowTotals(f)) }.toSet
+      val got = graft.operators.Funnel.transitions(
+          evs.toDF("user_id", "event_type", "sec", "event_id"),
+          col("user_id"), col("event_type"), col("sec"), col("event_id"))
+        .as[(String, String, Long, Long)].collect().toSet
+      got == expect
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: retention == in-memory reference on random event logs") {
+    val wk = 7L // small 'week' so offsets vary
+    val prop = Prop.forAll(evGen) { evs =>
+      val cohorts = evs.filter(_._2 == "signup").groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._3 / wk).min }
+      val expect = evs.map(e => (e._1, e._3 / wk)).distinct
+        .flatMap { case (u, w) => cohorts.get(u).map(c => (c, w - c)) }
+        .filter { case (_, o) => o >= 0 && o <= 4 }
+        .groupBy(identity).map { case ((c, o), v) => (c, o, v.size.toLong) }.toSet
+      // operator divides by 604800; rescale the input secs to real weeks
+      val scaled = evs.map(e => (e._1, e._2, e._3 * 86400L, e._4))
+      val got = graft.operators.Funnel.retention(
+          scaled.toDF("user_id", "event_type", "sec", "event_id"),
+          col("user_id"), col("event_type"), col("sec"), "signup", 4)
+        .as[(Long, Long, Long)].collect().toSet
+      got == expect
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- SQLite record codec ------------------------------------------
 
   /** Test-side ENCODER for the SQLite record format (format spec §2.1):

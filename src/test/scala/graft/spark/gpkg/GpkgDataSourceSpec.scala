@@ -74,6 +74,28 @@ class GpkgDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("'nope' does not exist"))
   }
 
+  test("multi-file load: a folder of releases scans as one table") {
+    // second release = a copy of the same-schema file
+    val dir = java.nio.file.Files.createTempDirectory("gpkgs")
+    val p1 = dir.resolve("jan.gpkg"); val p2 = dir.resolve("feb.gpkg")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture("deep.gpkg")), p1)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture("deep.gpkg")), p2)
+    val df = spark.read.format("graft-gpkg").option("table", "wide")
+      .load(p1.toString, p2.toString)
+    assert(df.count() == 6000L)
+    assert(df.agg(sum("v")).head().getLong(0) == 2L * 1498500L)
+    // partitions come from BOTH files
+    assert(df.rdd.getNumPartitions >= 2)
+  }
+
+  test("multi-file load with mismatched schemas fails clearly") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-gpkg").option("table", "built_up")
+        .load(fixture("small.gpkg"), fixture("deep.gpkg")).collect()
+    }
+    assert(e.getMessage.contains("graft"), e.getMessage)
+  }
+
   test("geometry blobs compose with the native WKB decoder") {
     val pts = spark.read.format("graft-gpkg").load(fixture("small.gpkg"))
       .select($"fid", graft.functions.Geo.stGeomFromWkb($"geom").as("g"))

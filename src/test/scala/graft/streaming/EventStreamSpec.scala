@@ -184,6 +184,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsStream: cross-batch edges match the batch matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode(OutputMode.Append()).start()
+    val batch1 = Seq(evt(1, 10, 1, "a"), evt(2, 20, 1, "b"), evt(3, 10, 2, "x"))
+    val batch2 = Seq(evt(4, 30, 1, "a"), evt(5, 40, 2, "x")) // edges across the boundary
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trans_stream")
+        .groupBy("from_type", "to_type").count()
+        .as[(String, String, Long)].collect().toSet
+      import org.apache.spark.sql.functions.col
+      val batch = graft.operators.Funnel.transitions(
+          (batch1 ++ batch2).toDF().withColumn("sec", col("ts").cast("long")),
+          col("user_id"), col("event_type"), col("sec"), col("event_id"))
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch == Set(("a", "b", 1L), ("b", "a", 1L), ("x", "x", 1L)))
+    } finally q.stop()
+  }
+
   test("cmsStream: grid after batched arrival == batch aggregate, bit for bit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.plans.CmsSketch
