@@ -65,6 +65,9 @@ object TfIdf {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sl")).head()
     val n = st.getLong(0)
+    if (n == 0L) // empty / all-empty corpus: empty result, right schema
+      return docs.sparkSession.range(0)
+        .select(col("id").as("doc_id"), col("id").as("score_ppm"))
     val avgdlX10 = st.getLong(1) * 10L / n
     val hits = toks.where(col("tok").isin(query: _*))
     val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -16,19 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filesystem primitives):
   *
   * {{{
-  *   <root>/data/v<N>/part-*.parquet     immutable per-commit file set
-  *   <root>/_manifests/manifest-<N>      JSON: exact file list of commit N
-  *   <root>/_current                     pointer to the live manifest
+  *   <root>/data/d-<uuid>/part-*.parquet  immutable per-commit file set
+  *   <root>/_manifests/claim-<N>          empty O_EXCL claim marker
+  *   <root>/_manifests/manifest-<N>       JSON: exact file list of commit N
   * }}}
   *
-  * Commit protocol: write the data directory, CLAIM the version by
-  * creating `manifest-<N>` with overwrite=false (atomic create — a
-  * concurrent writer loses and retries at N+1), then swap `_current`
-  * via rename with OVERWRITE (atomic on HDFS and posix). Readers resolve
-  * `_current` -> manifest -> exact file list, so they see the old table
-  * or the new one, never a mix; a crashed writer leaves only an
-  * unreferenced data directory that `vacuum` reclaims. Old manifests
-  * stay until vacuumed -> free time travel by version. */
+  * Commit protocol: write the (UUID-named) data directory once, CLAIM a
+  * version by `create(claim-N, overwrite=false)` — an O_EXCL empty
+  * marker, atomic on HDFS AND posix — then land `manifest-<N>` fully
+  * via temp + rename under that exclusive claim. The manifest IS the
+  * commit: there is no live-pointer file to swap (a pointer overwrite
+  * is not atomic on local filesystems), the live version is simply the
+  * HIGHEST manifest, which appears atomically and can only grow.
+  * Readers resolve that manifest's exact file list, so they see the
+  * old table or the new one, never a mix; a crashed writer leaves only
+  * an unreferenced data directory (or a burned claim slot) that
+  * `vacuum` reclaims after a grace period. Old manifests stay until
+  * vacuumed -> free time travel by version. */
 object SnapshotTable {
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
@@ -56,15 +60,32 @@ object SnapshotTable {
   /** Publish `df` as the table's next version; returns the version id.
     * `append = true` makes the new snapshot the previous file list PLUS
     * this commit's files (incremental loads keep every older commit's
-    * immutable files); `false` (default) replaces the table. Retries the
-    * version claim on concurrent commits (each N is claimed exactly once
-    * — `create(overwrite = false)` is atomic). */
+    * immutable files); `false` (default) replaces the table.
+    *
+    * The data files are written ONCE (the dir is UUID-unique, no racer
+    * ever shares it); only the cheap version claim retries under
+    * contention. A claim is `create(path, overwrite=false)` of an empty
+    * `claim-N` marker — O_EXCL, atomic on HDFS AND posix — after which
+    * the claimant alone writes `manifest-N` (fully, via temp + rename,
+    * so a visible manifest is never half-written). A crash between
+    * claim and manifest burns version N (versions() lists manifests
+    * only). Landing the manifest IS publication — the live version is
+    * the highest manifest, so visibility is atomic and monotone with
+    * no pointer file to race over. */
   def write(df: DataFrame, root: String, append: Boolean = false,
             maxClaimRetries: Int = 20): Long = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     f.mkdirs(new Path(rootP, "_manifests"))
+
+    // write the data exactly once, outside the claim loop
+    val dirName = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    val dataDir = new Path(rootP, s"data/$dirName")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val fresh = f.listStatus(dataDir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s"data/$dirName/${s.getPath.getName}").sorted.toVector
 
     var version = latestVersion(spark, root).getOrElse(0L) + 1
     var claimed = false
@@ -73,47 +94,29 @@ object SnapshotTable {
       tries += 1
       require(tries <= maxClaimRetries,
         s"snapshot-table: lost the version claim $maxClaimRetries times at $root")
-      // the dir is unique per ATTEMPT (not per version): two writers
-      // racing for the same version number must never share a parquet
-      // commit directory
-      val dirName = s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
-      val dataDir = new Path(rootP, s"data/$dirName")
-      df.write.mode("overwrite").parquet(dataDir.toString)
-      val fresh = f.listStatus(dataDir)
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(s => s"data/$dirName/${s.getPath.getName}").sorted.toVector
-      // append reads the PREVIOUS manifest inside the claim loop: losing
-      // a race re-reads it, so the carried list is the winner's
-      val carried =
-        if (!append) Vector.empty
-        else latestVersion(spark, root).map(manifestFiles(spark, root, _))
-          .getOrElse(Vector.empty)
-      val manifest = new Path(rootP, s"_manifests/manifest-$version")
-      val body = s"""{"version": $version, "files": [${
-        (carried ++ fresh).map(jsonStr).mkString(", ")}]}"""
-      // claim = atomic no-overwrite RENAME of a fully-written temp file:
-      // a manifest is never visible half-written, so a racing loser that
-      // re-reads the winner's manifest always sees complete content
-      val tmpM = new Path(rootP, s"_manifests/.tmp-$version-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmpM, true)
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       try {
-        FileContext.getFileContext(rootP.toUri, spark.sessionState.newHadoopConf())
-          .rename(tmpM, manifest) // NO overwrite option: fails if claimed
+        f.create(new Path(rootP, s"_manifests/claim-$version"), false).close()
         claimed = true
       } catch {
-        case _: java.io.IOException => // lost the race: leave the orphan
-          f.delete(tmpM, false)        // dir for vacuum, take the next slot
-          version += 1
+        case _: java.io.IOException => // slot taken: resync and go again
+          version = math.max(version + 1,
+            latestVersion(spark, root).getOrElse(0L) + 1)
       }
     }
-    // swap the pointer last: readers see old-or-new, never in-between
-    val tmp = new Path(rootP, s"_current.tmp-$version")
-    val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // the claim is exclusive from here on; append reads the PREVIOUS
+    // manifest after winning, so the carried list is always complete
+    val carried =
+      if (!append) Vector.empty
+      else versions(spark, root).filter(_ < version).lastOption
+        .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+    val body = s"""{"version": $version, "files": [${
+      (carried ++ fresh).map(jsonStr).mkString(", ")}]}"""
+    val tmpM = new Path(rootP, s"_manifests/.tmp-$version")
+    val outM = f.create(tmpM, true)
+    try outM.write(body.getBytes(StandardCharsets.UTF_8)) finally outM.close()
     FileContext.getFileContext(rootP.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmp, new Path(rootP, "_current"), Options.Rename.OVERWRITE)
+      .rename(tmpM, new Path(rootP, s"_manifests/manifest-$version"),
+        Options.Rename.OVERWRITE) // we own the claim: overwrite is safe
     version
   }
 
@@ -141,11 +144,10 @@ object SnapshotTable {
       .filter(_.nonEmpty).toVector
   }
 
-  private def liveVersion(spark: SparkSession, root: String): Long = {
-    val cur = new Path(root, "_current")
-    require(fs(spark, cur).exists(cur), s"snapshot-table: no published version at $root")
-    readSmall(fs(spark, cur), cur).trim.toLong
-  }
+  /** The live version IS the highest manifest — no pointer file. */
+  private def liveVersion(spark: SparkSession, root: String): Long =
+    latestVersion(spark, root).getOrElse(
+      sys.error(s"snapshot-table: no published version at $root"))
 
   /** Read the live snapshot (or a pinned `version` — time travel). Only
     * the manifest's exact file list is scanned: concurrent publishes and
@@ -172,10 +174,15 @@ object SnapshotTable {
     else spark.read.parquet(added.map(n => new Path(root, n).toString): _*)
   }
 
-  /** Drop all but the newest `keep` manifests and every data directory no
-    * kept manifest references (including crashed writers' orphans). The
-    * live pointer is never touched; `keep >= 1`. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+  /** Drop all but the newest `keep` manifests (the newest is the live
+    * snapshot — it is always kept) and every data directory no
+    * kept manifest references. Unreferenced dirs and burned claim slots
+    * are reclaimed only after `orphanGraceMs` — an in-flight writer that
+    * has written data but not yet claimed its manifest looks exactly
+    * like a crashed one, and the grace period is what distinguishes
+    * them (pass 0 only when no writer can be running). `keep >= 1`. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keep >= 1, "snapshot-table: keep >= 1")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
@@ -185,12 +192,24 @@ object SnapshotTable {
     // dir a KEPT manifest mentions, not just the kept version numbers
     val referenced = kept.flatMap(v => manifestFiles(spark, root, v))
       .map(p => new Path(p).getParent.getName).toSet
-    all.dropRight(keep).foreach { v =>
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    all.filterNot(kept.contains).foreach { v =>
       f.delete(new Path(rootP, s"_manifests/manifest-$v"), false)
+      f.delete(new Path(rootP, s"_manifests/claim-$v"), false)
+    }
+    // burned claims: slot taken, manifest never landed, older than grace
+    f.listStatus(new Path(rootP, "_manifests")).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("claim-") &&
+          !all.contains(n.stripPrefix("claim-").toLong) &&
+          st.getModificationTime < cutoff)
+        f.delete(st.getPath, false)
     }
     val dataRoot = new Path(rootP, "data")
-    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { s =>
-      if (!referenced.contains(s.getPath.getName)) f.delete(s.getPath, true)
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+      if (!referenced.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
+        f.delete(st.getPath, true)
     }
   }
 }

@@ -110,7 +110,11 @@ case class GpkgScan(t: GpkgTable, required: StructType)
       val db = SqliteFile.open(p, GpkgRead.hadoopConf())
       try {
         val info = db.table(t.table) // also re-checks the table exists per file
-        require(info.columns.map(_.name) == t.phys.fieldNames.toVector,
+        // layout must match the first file EXACTLY: names, declared types
+        // (affinity), and the rowid-alias column — a name-only check would
+        // silently substitute rowids into the wrong column
+        require(info.columns.map(_.name) == t.phys.fieldNames.toVector &&
+            info.ipk == t.ipk,
           s"graft-gpkg: $p#${t.table} column layout differs from ${t.paths.head}")
         db.subtreeRoots(info.rootPage, perFile)
           .map(r => GpkgInputPartition(p, r): InputPartition)

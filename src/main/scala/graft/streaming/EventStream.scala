@@ -195,7 +195,8 @@ object EventStream {
           // Long.MinValue = unreached (a real epoch second never collides)
           val times = state.getOption.getOrElse(Array.fill(k)(Long.MinValue))
           val out = List.newBuilder[StepReach]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // (SEC, id) order — matching the batch fold's whole-second sort
+          rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
             val depth = times.indexWhere(_ == Long.MinValue) match {
               case -1 => k
               case d => d
@@ -345,12 +346,15 @@ object EventStream {
         (user: Long, rows: Iterator[Event], state: GroupState[(Long, Long, String)]) =>
           var prev = state.getOption
           val out = List.newBuilder[Transition]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // order by (SEC, id), not millis: the batch window sorts on
+          // whole seconds, and sub-second millis order could disagree
+          // with the event_id tie-break
+          rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
             val sec = e.ts.getTime / 1000
             prev.foreach { case (_, _, pType) =>
               out += Transition(user, pType, e.event_type, sec)
             }
-            prev = Some((e.ts.getTime, e.event_id, e.event_type))
+            prev = Some((sec, e.event_id, e.event_type))
           }
           prev.foreach(state.update)
           out.result().iterator

@@ -36,7 +36,7 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.write(Seq((1L, "live")).toDF("id", "v"), root)
     // simulate a crash after the data write, before the manifest claim
     Seq((9L, "torn")).toDF("id", "v").write
-      .parquet(s"$root/data/v99-orphan")
+      .parquet(s"$root/data/d-orphan")
     assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
       Seq((1L, "live")))
     assert(SnapshotTable.versions(spark, root) == Seq(1L))
@@ -45,12 +45,10 @@ class SnapshotTableSpec extends SparkSpec {
   test("concurrent claim: a taken version slot forces a retry at the next one") {
     val root = tmp()
     SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
-    // another writer claimed version 2 (manifest exists, pointer not yet)
+    // another writer holds the claim for version 2 (manifest not yet)
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val stolen = f.create(new org.apache.hadoop.fs.Path(root, "_manifests/manifest-2"), false)
-    stolen.write("""{"version": 2, "dir": "data/v2", "files": []}""".getBytes("UTF-8"))
-    stolen.close()
+    f.create(new org.apache.hadoop.fs.Path(root, "_manifests/claim-2"), false).close()
     val v = SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root)
     assert(v == 3L) // slot 2 was taken: the commit claimed 3
     assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
@@ -78,7 +76,7 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
     SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root, append = true)
     SnapshotTable.write(Seq((3L, "c")).toDF("id", "v"), root, append = true)
-    SnapshotTable.vacuum(spark, root, keep = 1)
+    SnapshotTable.vacuum(spark, root, keep = 1, orphanGraceMs = 0L)
     // manifest 3 references v1, v2 AND v3 dirs: all must survive
     assert(SnapshotTable.versions(spark, root) == Seq(3L))
     assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
@@ -113,18 +111,34 @@ class SnapshotTableSpec extends SparkSpec {
   test("vacuum keeps the newest manifests and reclaims unreferenced data dirs") {
     val root = tmp()
     (1 to 4).foreach(i => SnapshotTable.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))
-    Seq((9L, "torn")).toDF("id", "v").write.parquet(s"$root/data/v99-orphan")
-    SnapshotTable.vacuum(spark, root, keep = 2)
+    Seq((9L, "torn")).toDF("id", "v").write.parquet(s"$root/data/d-orphan")
+    SnapshotTable.vacuum(spark, root, keep = 2, orphanGraceMs = 0L)
     assert(SnapshotTable.versions(spark, root) == Seq(3L, 4L))
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val dirs = f.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
-      .map(_.getPath.getName).sorted
-    assert(dirs.length == 2 && dirs.forall(d =>
-      d.startsWith("v3-") || d.startsWith("v4-")),
+      .map(_.getPath.getName)
+    assert(dirs.length == 2, // v3's and v4's dirs survive, rest reclaimed
       s"v1, v2, and the orphan should be gone: ${dirs.mkString(",")}")
     assert(SnapshotTable.read(spark, root, Some(3L)).count() == 1L)
     assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
       Seq((4L, "v4")))
+  }
+
+  test("vacuum grace period protects a fresh in-flight data dir") {
+    val root = tmp()
+    (1 to 3).foreach(i => SnapshotTable.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))
+    // an in-flight writer's fresh (unreferenced) dir — default grace keeps
+    // it; the data of committed versions 1-2 is also inside the grace
+    // window, so only their manifests drop
+    Seq((9L, "wip")).toDF("id", "v").write.parquet(s"$root/data/d-inflight")
+    SnapshotTable.vacuum(spark, root, keep = 1) // default 24h grace
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, "data/d-inflight")))
+    assert(SnapshotTable.versions(spark, root) == Seq(3L))
+    // the live snapshot (= newest manifest) stays readable
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((3L, "v3")))
   }
 }
