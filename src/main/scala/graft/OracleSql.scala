@@ -1130,6 +1130,28 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // point-in-time SCD2 lookup: latest state run starting <= sec-1;
+    // from_sec ties break by state DESC, mirroring the as-of union's
+    // last-ascending-value pick
+    "q_pit_state" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |r AS (SELECT user_id, event_type, sec,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY sec, event_id) AS run
+        |      FROM e),
+        |iv AS (SELECT user_id, event_type AS state, MIN(sec) AS from_sec
+        |       FROM r GROUP BY user_id, event_type, run),
+        |f AS (SELECT user_id, event_id, sec - 1 AS ls FROM e)
+        |SELECT f.event_id, f.user_id,
+        |  (SELECT iv.state FROM iv
+        |   WHERE iv.user_id = f.user_id AND iv.from_sec <= f.ls
+        |   ORDER BY iv.from_sec DESC, iv.state DESC LIMIT 1) AS prior_state,
+        |  (SELECT MAX(iv.from_sec) FROM iv
+        |   WHERE iv.user_id = f.user_id AND iv.from_sec <= f.ls) AS prior_from
+        |FROM f""".stripMargin,
+
     // IVF-PQ: coarse assign to the first-8-by-id cells, residual v - c,
     // PQ books = first-16-by-id residual slices, per-cell ADC from the
     // query's residual in each probed cell — every distance the

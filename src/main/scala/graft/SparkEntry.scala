@@ -875,6 +875,26 @@ object SparkEntry {
       .select(col("user_id"), col("event_type"), col("from_sec"),
         col("to_sec"), col("n_events"))
 
+  /** Point-in-time state lookup — the SCD2 dimension join a warehouse
+    * runs on every fact load: each event joined to the state run that
+    * was in effect JUST BEFORE it (lookup at sec-1, validity = from the
+    * run's first second until the next change), composed entirely from
+    * the tested primitives: Sessionize.stateIntervals builds the
+    * dimension, AsofJoin.asofJoinDir does the backward validity lookup
+    * (union+window — zero join operators, one user-key shuffle). */
+  private def qPitState(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("sec", nsSec)
+    val dim = Sessionize.stateIntervals(ev, "user_id", "event_type",
+        Seq(col("sec"), col("event_id")), col("sec"))
+      .select(col("user_id"), col("from_sec").as("sec"),
+        col("event_type").as("state"))
+    val facts = ev.select(col("user_id"), col("event_id"),
+      (col("sec") - 1).as("sec"))
+    AsofJoin.asofJoinDir(facts, dim, "user_id", "sec", "state")
+      .select(col("event_id"), col("user_id"),
+        col("asof_state").as("prior_state"), col("asof_ts").as("prior_from"))
+  }
+
   /** MOSS pair detection: documents sharing >= 2 winnowed fingerprints
     * (k=4 grams, window 5), df-capped inverted-index equi-join. */
   private def qWinnowPairs(s: SparkSession, d: String): DataFrame =
@@ -1174,6 +1194,7 @@ object SparkEntry {
     "q_source_cap" -> (qSourceCap _),
     "q_lm_score" -> (qLmScore _),
     "q_state_intervals" -> (qStateIntervals _),
+    "q_pit_state" -> (qPitState _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_ann_pq" -> (qAnnPq _),
     "q_winnow_pairs" -> (qWinnowPairs _),
