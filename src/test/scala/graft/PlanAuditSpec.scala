@@ -189,6 +189,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("q_pit_state: the validity lookup keeps the as-of union form — no join operator") {
+    val p = plan("q_pit_state")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the SCD2 lookup regressed from the union+window form to a join")
+  }
+
   test("q_cms_heavy: the sketch joins back by broadcast, estimates stay codegen") {
     val p = plan("q_cms_heavy")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
