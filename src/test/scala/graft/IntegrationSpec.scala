@@ -85,4 +85,42 @@ class IntegrationSpec extends SparkSpec {
     assert(back.count() === 2)
     assert(back.agg(sum("impact_score")).as[Long].head() === 20L)
   }
+
+  test("gpkg ingest -> WKB parse -> radius join -> snapshot publish -> incremental read") {
+    import graft.operators.RangeJoin
+    import graft.sinks.SnapshotTable
+    // --- native container read of the OS-style GeoPackage fixture
+    val gpkg = getClass.getResource("/graft/small.gpkg").getPath
+    val features = graft.sources.GeoPackageSource
+      .readFeatures(spark, gpkg, "built_up")
+      .where($"geom_xy".isNotNull)
+      .select($"fid", $"name",
+        $"geom_xy"(0)("x").as("x"), $"geom_xy"(0)("y").as("y"))
+    // --- geospatial enrichment: neighbors within radius 40 (grid equi-join)
+    val pairs = RangeJoin.radiusJoin(
+        features.select($"fid".as("a_id"), $"x".as("ax"), $"y".as("ay")),
+        features.select($"fid".as("b_id"), $"x".as("bx"), $"y".as("by")),
+        "ax", "ay", "bx", "by", 40.0)
+      .where($"a_id" =!= $"b_id")
+      .groupBy($"a_id").agg(count(lit(1)).as("n_neighbors"))
+    val enriched = features.join(pairs, $"fid" === $"a_id", "left")
+      .select($"fid", $"name", coalesce($"n_neighbors", lit(0L)).as("n_neighbors"))
+    // --- atomic snapshot publish + a second incremental append
+    val table = Files.createTempDirectory("snap-geo").toString + "/areas"
+    val v1 = SnapshotTable.write(enriched, table)
+    val v2 = SnapshotTable.write(
+      Seq((99L, "NewTown", 0L)).toDF("fid", "name", "n_neighbors"),
+      table, append = true)
+    // the live snapshot has both loads; the incremental consumer that
+    // processed v1 sees ONLY the new area
+    assert(SnapshotTable.read(spark, table).count() === 5L)
+    assert(SnapshotTable.readChanges(spark, table, sinceVersion = v1)
+      .as[(Long, String, Long)].collect().toSeq == Seq((99L, "NewTown", 0L)))
+    // spot-check the geometry-derived enrichment survived the round trip:
+    // points (10,20) and (30.5,40.25) are within 40 of each other
+    val m = SnapshotTable.read(spark, table, Some(v1))
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(m("Alnwick") >= 1L && m("Berwick") >= 1L)
+    assert(v2 == v1 + 1)
+  }
 }
