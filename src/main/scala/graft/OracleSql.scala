@@ -1130,6 +1130,23 @@ object OracleSql {
         | MAX(sec) AS to_sec, COUNT(*) AS n_events
         |FROM r GROUP BY user_id, event_type, run""".stripMargin,
 
+    // shoelace over the 4 deterministic integer-grid points, unrolled —
+    // exact doubles, so |sum| / 2 and the 4 sqrt segment terms match
+    // Spark's left-fold bit for bit
+    "q_geo_area" ->
+      """WITH p AS (SELECT event_id,
+        |  CAST(event_id % 100 AS DOUBLE) AS x1, CAST(user_id % 100 AS DOUBLE) AS y1,
+        |  CAST((event_id * 7) % 100 + 100 AS DOUBLE) AS x2, CAST((user_id * 11) % 100 AS DOUBLE) AS y2,
+        |  CAST((event_id + user_id) % 100 + 100 AS DOUBLE) AS x3, CAST((event_id * 3 + user_id * 5) % 100 + 100 AS DOUBLE) AS y3,
+        |  CAST((event_id * 13) % 100 AS DOUBLE) AS x4, CAST((user_id * 17) % 100 + 100 AS DOUBLE) AS y4
+        |  FROM events)
+        |SELECT event_id,
+        |  ABS((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3) + (x4*y1 - x1*y4)) / 2 AS area,
+        |  SQRT((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+        |  + SQRT((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2))
+        |  + SQRT((x4-x3)*(x4-x3) + (y4-y3)*(y4-y3)) AS path_len
+        |FROM p""".stripMargin,
+
     // point-in-time SCD2 lookup: latest state run starting <= sec-1;
     // from_sec ties break by state DESC, mirroring the as-of union's
     // last-ascending-value pick

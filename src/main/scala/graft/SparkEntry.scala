@@ -875,6 +875,27 @@ object SparkEntry {
       .select(col("user_id"), col("event_type"), col("from_sec"),
         col("to_sec"), col("n_events"))
 
+  /** Shoelace ring area + perimeter path length over the same
+    * deterministic integer-grid quadrilaterals the WKT query family
+    * uses (Geo.stArea / stLength): integer coordinates make every cross
+    * product an exact double, so the whole geometry math is cell-exact
+    * cross-engine; shuffle-free map plan. */
+  private def qGeoArea(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Geo
+    val e = Tables.events(s, d)
+    val ring = array(
+      Geo.stPoint((col("event_id") % 100), (col("user_id") % 100)),
+      Geo.stPoint(((col("event_id") * 7) % 100) + lit(100),
+        ((col("user_id") * 11) % 100)),
+      Geo.stPoint(((col("event_id") + col("user_id")) % 100) + lit(100),
+        ((col("event_id") * 3 + col("user_id") * 5) % 100) + lit(100)),
+      Geo.stPoint(((col("event_id") * 13) % 100),
+        ((col("user_id") * 17) % 100) + lit(100)))
+    e.select(col("event_id"), ring.as("ring"))
+      .select(col("event_id"), Geo.stArea(col("ring")).as("area"),
+        Geo.stLength(col("ring")).as("path_len"))
+  }
+
   /** Point-in-time state lookup — the SCD2 dimension join a warehouse
     * runs on every fact load: each event joined to the state run that
     * was in effect JUST BEFORE it (lookup at sec-1, validity = from the
@@ -1136,6 +1157,7 @@ object SparkEntry {
     "q_geo_centroid" -> (qGeoCentroid _),
     "q_geo_wkt" -> (qGeoWkt _),
     "q_geo_wkb" -> (qGeoWkb _),
+    "q_geo_area" -> (qGeoArea _),
     "q_wellbeing_impact" -> (qWellbeingImpact _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sessionize" -> (qSessionize _),

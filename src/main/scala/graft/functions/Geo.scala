@@ -63,6 +63,31 @@ object Geo {
   def stAsWkb(geom: Column, geomType: Int): Column =
     graft.plans.Wkb.wkbWrite(geom, geomType)
 
+  /** Shoelace area of a ring (array<struct<x,y>>, closing edge implied):
+    * |Σ x_i·y_{i+1} − x_{i+1}·y_i| / 2. Pure HOF expressions —
+    * shuffle-free, codegen'd; with integer-grid coordinates every cross
+    * product is an exact double, so the area is engine-exact. */
+  def stArea(geom: Column): Column = {
+    val n = size(geom)
+    val crosses = transform(geom, (p, i) => {
+      val q = element_at(geom, (pmod(i + 1, n) + 1).cast("int"))
+      p("x") * q("y") - q("x") * p("y")
+    })
+    abs(aggregate(crosses, lit(0.0d), (acc, v) => acc + v)) / 2
+  }
+
+  /** Polyline length (open path: n-1 segments, correctly-rounded IEEE
+    * sqrt per segment — identical across engines). */
+  def stLength(geom: Column): Column = {
+    val n = size(geom)
+    val segs = transform(slice(geom, lit(1), n - 1), (p, i) => {
+      val q = element_at(geom, i + 2)
+      sqrt((q("x") - p("x")) * (q("x") - p("x")) +
+        (q("y") - p("y")) * (q("y") - p("y")))
+    })
+    aggregate(segs, lit(0.0d), (acc, v) => acc + v)
+  }
+
   /** ST_Contains(ST_Buffer(center, r), p) for circular buffers ==
     * distance(center, p) <= r (the reference's 500 m wellbeing predicate). */
   def withinBuffer(center: Column, p: Column, r: Double): Column = {

@@ -37,4 +37,26 @@ class GeoSpec extends SparkSpec {
       Geo.stPoint(lit(0), lit(0)), Geo.stPoint(lit(300), lit(401)), 500.0)).as[Boolean].head()
     assert(in && !out)
   }
+
+  test("stArea: unit square, winding-independent; degenerate ring is 0") {
+    val df = Seq(Tuple1(1)).toDF("i")
+    def ring(pts: (Int, Int)*) =
+      array(pts.map { case (x, y) => Geo.stPoint(lit(x), lit(y)) }: _*)
+    val ccw = df.select(Geo.stArea(ring((0, 0), (1, 0), (1, 1), (0, 1)))).as[Double].head()
+    val cw = df.select(Geo.stArea(ring((0, 1), (1, 1), (1, 0), (0, 0)))).as[Double].head()
+    assert(ccw == 1.0 && cw == 1.0)
+    val tri = df.select(Geo.stArea(ring((0, 0), (4, 0), (0, 3)))).as[Double].head()
+    assert(tri == 6.0)
+    val line = df.select(Geo.stArea(ring((0, 0), (2, 2), (4, 4)))).as[Double].head()
+    assert(line == 0.0)
+  }
+
+  test("stLength: 3-4-5 path") {
+    val df = Seq(Tuple1(1)).toDF("i")
+    val len = df.select(Geo.stLength(array(
+      Geo.stPoint(lit(0), lit(0)), Geo.stPoint(lit(3), lit(0)),
+      Geo.stPoint(lit(3), lit(4)))))
+      .as[Double].head()
+    assert(len == 7.0) // 3 + 4; open path, no closing edge
+  }
 }
