@@ -541,7 +541,7 @@ object OracleSql {
         |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
         |  n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
-        |FROM m""".stripMargin,
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
 
     // the 4x256 md5-bucketed counter grid recomputed per (row, bucket):
     // bucket load = sum of exact counts hashing there; estimate = min row

@@ -25,8 +25,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Canonical dump order: sort by every orderable column
+        // (name-sorted) so the single output file is byte-stable across
+        // runs — insurance against any order sensitivity in the driver's
+        // hash (round-6 q_transitions flake). Map-typed columns are not
+        // orderable in Spark and are skipped as sort keys.
+        def orderable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+          case _: org.apache.spark.sql.types.MapType => false
+          case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+          case _ => true
+        }
+        val keys = df.schema.fields.filter(f => orderable(f.dataType))
+          .map(_.name).sorted.map(org.apache.spark.sql.functions.col)
+        val sorted = if (keys.isEmpty) df else df.coalesce(1).sortWithinPartitions(keys: _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -81,6 +81,10 @@ object Funnel {
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
       .withColumn("p_ppm",
         expr("n * 1000000 DIV sum(n) OVER (PARTITION BY from_type)"))
+      // Deterministic output order: the matrix is |types|^2 rows, so a
+      // global sort is free and makes the result hash-stable regardless
+      // of how the consumer captures it.
+      .orderBy("from_type", "to_type")
   }
 
   /** Weekly cohort retention: cohort = epoch-week of the user's first
