@@ -88,7 +88,13 @@ object Codec {
       else i += 8 + size + (size & 1)
     }
     if (body < 0) return null
+    // frames = dataBytes / fmt.blockAlign: a malformed WAV declaring
+    // block < channels*2 inflates the frame count past the actual
+    // sample bytes — reading it would run off the buffer and crash the
+    // task. Filter-don't-fail: reject anything whose implied sample
+    // range doesn't fit in the bytes present after the data header.
     val nSamples = (frames * channels).toInt
+    if (nSamples < 0 || frames * channels * 2 > (b.length - body).toLong) return null
     var sumSq = 0.0; var peak = 0.0; var crossings = 0L
     val prev = new Array[Int](channels)
     var s = 0

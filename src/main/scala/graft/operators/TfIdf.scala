@@ -58,16 +58,17 @@ object TfIdf {
     * N and sum(dl) are the two collected scalars (same legitimacy as the
     * IVF centroid collect). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               query: Seq[String], topK: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
-      .persist()
+               query: Seq[String], topK: Int,
+               scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    val toks = scope.cache(docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("tok")))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sl")).head()
     val n = st.getLong(0)
     if (n == 0L) // empty / all-empty corpus: empty result, right schema
       return docs.sparkSession.range(0)
-        .select(col("id").as("doc_id"), col("id").as("score_ppm"))
+        .select(col("id").cast(docs.schema(idCol).dataType).as("doc_id"),
+          col("id").as("score_ppm"))
     val avgdlX10 = st.getLong(1) * 10L / n
     val hits = toks.where(col("tok").isin(query: _*))
     val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -103,12 +103,22 @@ object SnapshotTable {
             latestVersion(spark, root).getOrElse(0L) + 1)
       }
     }
-    // the claim is exclusive from here on; append reads the PREVIOUS
-    // manifest after winning, so the carried list is always complete
+    // The claim is exclusive from here on. For append, the carried list
+    // is only complete once every LOWER claim has landed its manifest: a
+    // claimed-but-unlanded version K < ours holds files that would be
+    // permanently excluded the moment our higher manifest lands. Wait
+    // for those claims to resolve; one older than `claimGraceMs` with no
+    // manifest is a crashed writer (the claim->land window is an empty
+    // create + tiny rename, normally milliseconds) and its burned slot
+    // is skipped. A replace (!append) carries nothing, so late-landing
+    // lower versions are legitimately shadowed by it.
     val carried =
       if (!append) Vector.empty
-      else versions(spark, root).filter(_ < version).lastOption
-        .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+      else {
+        awaitLowerClaims(f, rootP, version)
+        versions(spark, root).filter(_ < version).lastOption
+          .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+      }
     val body = s"""{"version": $version, "files": [${
       (carried ++ fresh).map(jsonStr).mkString(", ")}]}"""
     val tmpM = new Path(rootP, s"_manifests/.tmp-$version")
@@ -118,6 +128,32 @@ object SnapshotTable {
       .rename(tmpM, new Path(rootP, s"_manifests/manifest-$version"),
         Options.Rename.OVERWRITE) // we own the claim: overwrite is safe
     version
+  }
+
+  /** How long an unlanded lower claim may block an appender before it is
+    * treated as a crashed writer and skipped. Protocol contract: a writer
+    * must land its manifest within this window of claiming (the land is
+    * an in-memory JSON + rename — milliseconds in practice). */
+  private[sinks] val claimGraceMs: Long = 60000L
+
+  /** Block until every claim-K with K < version has a manifest, or the
+    * claim marker is older than [[claimGraceMs]] (crashed writer — its
+    * burned slot can never land under the contract above). */
+  private def awaitLowerClaims(f: FileSystem, rootP: Path, version: Long): Unit = {
+    val dir = new Path(rootP, "_manifests")
+    def pending(): Seq[Path] =
+      f.listStatus(dir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("claim-") && n.stripPrefix("claim-").toLong < version &&
+            !f.exists(new Path(dir, s"manifest-${n.stripPrefix("claim-")}"))
+        }.toSeq
+    var left = pending()
+    while (left.nonEmpty) {
+      val now = System.currentTimeMillis()
+      left = left.filter(p => now - f.getFileStatus(p).getModificationTime < claimGraceMs)
+      if (left.nonEmpty) { Thread.sleep(100); left = pending() }
+    }
   }
 
   /** Versions with a manifest, ascending. */

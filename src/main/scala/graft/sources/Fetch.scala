@@ -95,39 +95,79 @@ object Fetch {
     val dir = Files.createDirectories(Paths.get(stagingDir))
     val dest = dir.resolve(fileNameOf(url))
     val part = dir.resolve(fileNameOf(url) + ".part")
+    // sidecar: line 1 = validator (ETag else Last-Modified, may be
+    // empty), line 2 = declared total. The validator rides an If-Range
+    // header (RFC 9110 §13.1.5) on every resume, so a resource that
+    // changed between attempts answers 200-full (restart) instead of
+    // 206-appending mismatched bytes. Servers that publish no validator
+    // still get the plain Range resume (their 200-vs-206 choice is the
+    // only signal available).
+    val metaF = dir.resolve(fileNameOf(url) + ".part.meta")
+    def readMeta(): (String, Long) =
+      if (!Files.exists(metaF)) ("", -1L)
+      else Files.readString(metaF).split("\n", -1) match {
+        case Array(v, t, _*) => (v, t.toLongOption.getOrElse(-1L))
+        case _ => ("", -1L)
+      }
     val (_, attempts) = retrying(maxRetries, baseDelayMs) {
+      val (validator, knownTotal) = readMeta()
       val have = if (Files.exists(part)) Files.size(part) else 0L
       val conn = new java.net.URI(url).toURL.openConnection()
       var total = -1L
       var resumed = false
+      var alreadyComplete = false
       conn match {
         case h: java.net.HttpURLConnection =>
-          if (have > 0) h.setRequestProperty("Range", s"bytes=$have-")
-          if (h.getResponseCode == 206) {
-            resumed = true
-            // Content-Range: bytes <from>-<to>/<total>
-            total = Option(h.getHeaderField("Content-Range"))
-              .flatMap(_.split('/').lastOption)
-              .flatMap(t => t.toLongOption).getOrElse(-1L)
-          } else total = h.getContentLengthLong
+          if (have > 0) {
+            h.setRequestProperty("Range", s"bytes=$have-")
+            if (validator.nonEmpty) h.setRequestProperty("If-Range", validator)
+          }
+          h.getResponseCode match {
+            case 206 =>
+              resumed = true
+              // Content-Range: bytes <from>-<to>/<total>
+              total = Option(h.getHeaderField("Content-Range"))
+                .flatMap(_.split('/').lastOption)
+                .flatMap(t => t.toLongOption).getOrElse(-1L)
+            case 416 =>
+              // Range Not Satisfiable: when the .part already holds the
+              // whole resource (bytes=<size>- is past the end), that IS
+              // completion — finish the move instead of erroring.
+              val t416 = Option(h.getHeaderField("Content-Range")) // bytes */<total>
+                .flatMap(_.split('/').lastOption)
+                .flatMap(t => t.toLongOption).getOrElse(knownTotal)
+              if (t416 >= 0 && have == t416) alreadyComplete = true
+              else throw new IOException(
+                s"range not satisfiable: have $have of $t416 bytes from $url")
+            case _ =>
+              total = h.getContentLengthLong
+              // fresh (or restarted) body: record this response's
+              // validator for the next attempt's If-Range
+              val v = Option(h.getHeaderField("ETag"))
+                .orElse(Option(h.getHeaderField("Last-Modified"))).getOrElse("")
+              Files.writeString(metaF, s"$v\n$total")
+          }
         case c => total = c.getContentLengthLong
       }
-      val in = conn.getInputStream
-      try {
-        val out = Files.newOutputStream(part,
-          (if (resumed)
-            Seq(StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-          else
-            Seq(StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-              StandardOpenOption.TRUNCATE_EXISTING)): _*)
-        try { in.transferTo(out); () } finally out.close()
-      } finally in.close()
-      val got = Files.size(part)
-      if (total >= 0 && got != total)
-        throw new IOException(
-          s"incomplete download: have $got of $total bytes from $url")
+      if (!alreadyComplete) {
+        val in = conn.getInputStream
+        try {
+          val out = Files.newOutputStream(part,
+            (if (resumed)
+              Seq(StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+            else
+              Seq(StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+                StandardOpenOption.TRUNCATE_EXISTING)): _*)
+          try { in.transferTo(out); () } finally out.close()
+        } finally in.close()
+        val got = Files.size(part)
+        if (total >= 0 && got != total)
+          throw new IOException(
+            s"incomplete download: have $got of $total bytes from $url")
+      }
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
+      Files.deleteIfExists(metaF)
     }
     Fetched(url, dest.toString, Files.size(dest), attempts)
   }

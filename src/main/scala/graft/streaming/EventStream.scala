@@ -504,7 +504,11 @@ object EventStream {
         val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
         val intraDup = banded.join(batchHub, Seq("band", "sig"))
           .where(col("doc") =!= col("hub")).select("doc").distinct()
-        val survivors = banded.select("doc").distinct()
+        // base the survivor set on ALL batch docs, not just docs that
+        // produced signatures: a token-less document has no bands, is
+        // trivially not a near-dup, and must pass through (it previously
+        // vanished from the left_semi emit)
+        val survivors = batch.select(col(idCol).as("doc")).distinct()
           .join(hitDocs, Seq("doc"), "left_anti")
           .join(intraDup, Seq("doc"), "left_anti")
         emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
@@ -565,14 +569,22 @@ object EventStream {
         val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
         val intraDup = banded.join(batchHub, Seq("band", "sig"))
           .where(col("doc") =!= col("hub")).select("doc").distinct()
-        val survivors = banded.select("doc").distinct()
+        // base the survivor set on ALL batch docs, not just docs that
+        // produced signatures: a token-less document has no bands, is
+        // trivially not a near-dup, and must pass through (it previously
+        // vanished from the left_semi emit)
+        val survivors = batch.select(col(idCol).as("doc")).distinct()
           .join(hitDocs, Seq("doc"), "left_anti")
           .join(intraDup, Seq("doc"), "left_anti")
         emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
         val newSigs = banded.join(survivors, Seq("doc"), "left_semi")
           .select("band", "sig")
         newSigs.write.mode("append").parquet(storePath)
-        bloom.mergeInPlace(newSigs.stat.bloomFilter("sig", expectedSigs, fpp))
+        // stat.bloomFilter over ZERO rows yields a null sketch (NPE on
+        // read) — a batch can legitimately contribute no signatures
+        // (all dups, or all token-less docs), so skip the merge then
+        if (!newSigs.isEmpty)
+          bloom.mergeInPlace(newSigs.stat.bloomFilter("sig", expectedSigs, fpp))
       } finally banded.unpersist()
     }
   }

@@ -100,12 +100,54 @@ class SnapshotTableSpec extends SparkSpec {
     val claimed = Await.result(Future.sequence(writers), 120.seconds).flatten
     assert(claimed.distinct.size == 8, s"version collision: $claimed")
     assert(SnapshotTable.versions(spark, root).size == 9) // base + 8
-    // the table is readable and contains the base row plus every commit
-    // that is an ANCESTOR of the live manifest chain; at minimum the
-    // last claimer's chain is complete
+    // appenders wait for lower claims to land before building their
+    // carried list, so NO append is ever lost: the live manifest holds
+    // the base row plus every one of the 8 commits
     val live = SnapshotTable.read(spark, root).as[(Long, String)].collect().toSet
+    assert(live.size == 9, s"lost appends: ${live.toSeq.sortBy(_._1)}")
     assert(live.contains((0L, "base")))
-    assert(live.size >= 5) // base + at least one writer's full chain
+  }
+
+  test("append waits for a lower in-flight claim, then carries its files") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // writer A holds claim-2 with no manifest yet
+    f.create(new org.apache.hadoop.fs.Path(root, "_manifests/claim-2"), false).close()
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Future { // A lands manifest-2 shortly after B starts waiting
+      Thread.sleep(700)
+      val m1 = f.open(new org.apache.hadoop.fs.Path(root, "_manifests/manifest-1"))
+      val body = scala.io.Source.fromInputStream(m1).mkString
+        .replace("\"version\": 1", "\"version\": 2")
+      m1.close()
+      val out = f.create(new org.apache.hadoop.fs.Path(root, "_manifests/manifest-2"), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    // B appends: must block on claim-2, then carry manifest-2's files
+    val v = SnapshotTable.write(Seq((3L, "c")).toDF("id", "v"), root, append = true)
+    assert(v == 3L)
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("append skips a burned claim older than the grace window") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val burned = new org.apache.hadoop.fs.Path(root, "_manifests/claim-2")
+    f.create(burned, false).close()
+    // age the claim past the grace window: a crashed writer's slot
+    f.setTimes(burned, System.currentTimeMillis() - SnapshotTable.claimGraceMs - 1000L, -1L)
+    val t0 = System.nanoTime()
+    val v = SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root, append = true)
+    assert(v == 3L)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0) // did not wait out the grace
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
   test("vacuum keeps the newest manifests and reclaims unreferenced data dirs") {

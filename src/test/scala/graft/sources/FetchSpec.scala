@@ -155,16 +155,19 @@ class FetchSpec extends SparkSpec {
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val requests = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var sawRange: String = null
+    @volatile var sawIfRange: String = null
     server.createContext("/big.csv", (x: com.sun.net.httpserver.HttpExchange) => {
       val n = requests.incrementAndGet()
       val range = x.getRequestHeaders.getFirst("Range")
       if (n == 1) {
         // full 200 response, but the connection dies after 1000 bytes
+        x.getResponseHeaders.set("ETag", "\"v7\"")
         x.sendResponseHeaders(200, body.length.toLong)
         x.getResponseBody.write(body, 0, 1000)
         x.close()
       } else {
         sawRange = range
+        sawIfRange = x.getRequestHeaders.getFirst("If-Range")
         val from = range.stripPrefix("bytes=").stripSuffix("-").toInt
         x.getResponseHeaders.set("Content-Range",
           s"bytes $from-${body.length - 1}/${body.length}")
@@ -182,8 +185,44 @@ class FetchSpec extends SparkSpec {
       assert(f.attempts === 2)
       assert(sawRange === "bytes=1000-",
         "second attempt must resume exactly where the bytes stopped")
+      assert(sawIfRange === "\"v7\"",
+        "the resume must carry the first response's validator as If-Range")
       assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
       assert(!Files.exists(Paths.get(f.path + ".part")))
+      assert(!Files.exists(Paths.get(f.path + ".part.meta")))
+    } finally server.stop(0)
+  }
+
+  test("fetchResumable treats 416 on an already-complete part as success") {
+    val body = (1 to 300).map(i => s"x$i").mkString("|").getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/done.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      val n = requests.incrementAndGet()
+      if (n == 1) {
+        // all bytes arrive, but the declared length is a lie (+1), so
+        // the client records an incomplete attempt and retries with
+        // bytes=<size>- ... which is past the end: 416
+        x.getResponseHeaders.set("ETag", "\"same\"")
+        x.sendResponseHeaders(200, body.length.toLong + 1)
+        x.getResponseBody.write(body)
+        x.close()
+      } else {
+        x.getResponseHeaders.set("Content-Range", s"bytes */${body.length}")
+        x.sendResponseHeaders(416, -1)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val staging = Files.createTempDirectory("fetch-416").toString
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchResumable(s"http://127.0.0.1:$port/done.csv", staging,
+        maxRetries = 3, baseDelayMs = 1)
+      assert(f.attempts === 2)
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq,
+        "416 with a complete .part must finish the fetch, not error")
     } finally server.stop(0)
   }
 

@@ -341,6 +341,28 @@ class EventStreamSpec extends SparkSpec {
     assert(emitted.size === 2, "replay re-emitted already-committed docs")
   }
 
+  test("near-dup filter passes token-less documents through") {
+    // a doc with no tokens produces no minhash bands — it is trivially
+    // not a near-dup of anything and must be emitted, not dropped
+    val store = java.nio.file.Files.createTempDirectory("notok-store").toString + "/sigs"
+    var emitted = Seq.empty[Long]
+    import spark.implicits._
+    val emit: org.apache.spark.sql.DataFrame => Unit =
+      df => emitted = emitted ++ df.select("doc_id").as[Long].collect()
+    val fn = EventStream.nearDupFilterBatch(store, "doc_id", "text", emit = emit)
+    fn(Seq(1L -> "real document text here", 2L -> "", 3L -> "   ")
+      .toDF("doc_id", "text"), 0L)
+    assert(emitted.toSet === Set(1L, 2L, 3L),
+      s"token-less docs were dropped: emitted only $emitted")
+    // and the bloom-sidecar variant agrees
+    val store2 = java.nio.file.Files.createTempDirectory("notok2").toString + "/sigs"
+    var emitted2 = Seq.empty[Long]
+    val f2 = new EventStream.NearDupFilter(store2, "doc_id", "text",
+      emit = df => emitted2 = emitted2 ++ df.select("doc_id").as[Long].collect())
+    f2(Seq(7L -> "").toDF("doc_id", "text"), 0L)
+    assert(emitted2 === Seq(7L))
+  }
+
   test("RocksDB state store backs stateful streaming with identical results") {
     // fresh session so the provider conf doesn't leak into other tests
     val s2 = spark.newSession()
