@@ -56,7 +56,13 @@ object Bench {
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = best.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    // The ~100-entry per-query map overflows line-oriented tail capture
+    // (round-6 BENCH parsed:null), so it goes to a FILE; stdout's final
+    // line is the compact totals-only JSON the driver parses.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r7.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${best.size},"detail":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -946,6 +946,9 @@ object OracleSql {
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
+    // identical semantics to q_ann_ivf — the index changes the physical
+    // layout (cell-partitioned parquet + partition pruning), not the math
+    "q_ann_ivf_indexed" -> annIvfSql,
 
     // exact-distinct profile: one row per column of `customer`
     "q_profile_exact" -> Seq(

@@ -498,6 +498,27 @@ object SparkEntry {
       topK = 10, nProbes = 4, excludeId = Some(0L))
   }
 
+  /** [[qAnnIvf]] routed through the materialized cell-partitioned index
+    * — the 100 TB shape: train + [[IvfIndex.buildIndex]] once per
+    * dataset (cached across calls), then every query partition-prunes to
+    * its probed cells instead of re-assigning the full table. Same
+    * centroids, same probes, same unrolled-Lloyd oracle as q_ann_ivf. */
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def qAnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    val root = ivfIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      val emb = Tables.embeddings(s, d)
+      IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding",
+        s.read.parquet(s"$dir/centroids"), s"$dir/cells")
+      dir
+    })
+    IvfIndex.searchIndexed(s.read.parquet(s"$root/cells"), "vec_id",
+      s.read.parquet(s"$root/centroids"), queryVec(s, d),
+      topK = 10, nProbes = 4, excludeId = Some(0L))
+  }
+
   /** Embedding-space benchmark decontamination: corpus vectors (vec_id %
     * 10 != 0) within cosine >= 0.3 of any benchmark vector, candidates
     * from a multi-probe LSH bucket join with the benchmark side broadcast
@@ -1213,6 +1234,7 @@ object SparkEntry {
     "q_profile_customer" -> (qProfileCustomer _),
     "q_profile_exact" -> (qProfileExact _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_source_cap" -> (qSourceCap _),
     "q_lm_score" -> (qLmScore _),
     "q_state_intervals" -> (qStateIntervals _),

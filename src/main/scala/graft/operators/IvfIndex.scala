@@ -86,28 +86,29 @@ object IvfIndex {
         .withColumn("vv", Similarity.dot(col("v"), col("v"))),
       centroids)
 
-  /** ANN search: probe the `nProbes` cells nearest the query, exact cosine
-    * rerank inside them. Scans ~nProbes/k of the data. */
-  def search(df: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame, queryVec: Array[Float],
-             topK: Int, nProbes: Int, excludeId: Option[Long]): DataFrame = {
-    val q = queryVec.map(_.toDouble)
-    // sequential left-fold dot products (== DuckDB list_inner_product), so
-    // the probe ranking is oracle-reproducible: d2 = cc - 2*cq + qq
+  /** The `nProbes` cell ids nearest the query — a driver-side argmin over
+    * the k-row centroid table (same legitimacy as the centroid collect in
+    * training). Sequential left-fold dot products (== DuckDB
+    * list_inner_product), so the probe ranking is oracle-reproducible:
+    * d2 = cc - 2*cq + qq. */
+  private def probeCells(centroids: DataFrame, q: Array[Double],
+                         nProbes: Int): Seq[Int] = {
     def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
     val qq = dotSeq(q, q)
-    val cents = centroids.select(col("centroid_id"), col("c")).collect()
-    val probes = cents.map { r =>
+    centroids.select(col("centroid_id"), col("c")).collect().map { r =>
       val c = r.getSeq[Double](1)
       val d2 = dotSeq(c, c) - 2.0 * dotSeq(c, q) + qq
       (r.getInt(0), d2)
     }.sortBy { case (id, d) => (d, id) }.take(nProbes).map(_._1).toSeq
-    val cells = assign(df, idCol, vecCol, centroids)
-      .where(col("centroid_id").isin(probes.map(p => p: Any): _*))
+  }
+
+  /** Exact cosine rerank of the probed cells (columns vid, v) -> top-k. */
+  private def rerank(cells: DataFrame, idCol: String, q: Array[Double],
+                     topK: Int, excludeId: Option[Long]): DataFrame = {
     val qCol = array(q.map(lit): _*)
     val base = excludeId.map(e => cells.where(col("vid") =!= e)).getOrElse(cells)
     base.select(col("vid").as(idCol),
@@ -115,5 +116,46 @@ object IvfIndex {
           (Similarity.norm(col("v")) * Similarity.norm(qCol))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** ANN search over the RAW vector table: probe the `nProbes` cells
+    * nearest the query, exact cosine rerank inside them. Re-derives the
+    * cell assignment of every row (one linear pass) — correct anywhere,
+    * but at scale use [[buildIndex]] + [[searchIndexed]], which skip the
+    * unprobed cells' data entirely via partition pruning. */
+  def search(df: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, queryVec: Array[Float],
+             topK: Int, nProbes: Int, excludeId: Option[Long]): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    val probes = probeCells(centroids, q, nProbes)
+    val cells = assign(df, idCol, vecCol, centroids)
+      .where(col("centroid_id").isin(probes.map(p => p: Any): _*))
+    rerank(cells, idCol, q, topK, excludeId)
+  }
+
+  /** Materialize the index: assign every vector to its cell and persist
+    * the assignment PARTITIONED BY the cell id. This is the 100 TB
+    * layout — each cell is its own parquet directory, so a probe-N query
+    * lists and reads exactly N directories (partition pruning), touching
+    * ~nProbes/k of the data instead of rescanning and re-assigning the
+    * full table per query. */
+  def buildIndex(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame, path: String): Unit =
+    graft.sinks.ParquetSink.writePartitioned(
+      assign(df, idCol, vecCol, centroids)
+        .select(col("vid"), col("v"), col("centroid_id")),
+      path, Seq("centroid_id"))
+
+  /** ANN search over a [[buildIndex]]-materialized layout (read with
+    * `spark.read.parquet(path)`): the `centroid_id.isin(probes)` filter
+    * is a PARTITION filter — Spark never opens the unprobed cells'
+    * files. Same results as [[search]] with the same centroids. */
+  def searchIndexed(indexed: DataFrame, idCol: String,
+                    centroids: DataFrame, queryVec: Array[Float],
+                    topK: Int, nProbes: Int, excludeId: Option[Long]): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    val probes = probeCells(centroids, q, nProbes)
+    rerank(indexed.where(col("centroid_id").isin(probes.map(p => p: Any): _*)),
+      idCol, q, topK, excludeId)
   }
 }

@@ -202,4 +202,18 @@ class PlanAuditSpec extends SparkSpec {
       "the one-row sketch must broadcast, not shuffle")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q_ann_ivf_indexed reads ONLY the probed cells' partitions") {
+    val df = SparkEntry.queries("q_ann_ivf_indexed")(spark, sfDir)
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("PartitionFilters"),
+      "the centroid_id probe filter must hit the partition layout")
+    df.collect()
+    val nFiles = p.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).headOption
+    // 4 probed of 8 trained cells: the scan must open fewer files than
+    // the total cell count (one file per cell directory at this scale)
+    assert(nFiles.exists(n => n > 0 && n <= 4),
+      s"probe-4 over 8 cells read $nFiles files — partition pruning lost")
+  }
 }

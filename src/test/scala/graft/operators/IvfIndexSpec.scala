@@ -26,23 +26,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(assigned.select("centroid_id").distinct().count() <= 8)
   }
 
-  test("assign + partitioned persist: cell becomes the partition key, probes prune") {
-    // the 100 TB layout: train once, persist assignments partitioned by
-    // cell, so a probe-N query lists only N cell directories
+  test("buildIndex + searchIndexed: cell is the partition key, probes prune, results == search") {
+    // the 100 TB layout: train once, buildIndex persists assignments
+    // partitioned by cell, so a probe-N query lists only N cell dirs
     val root = java.nio.file.Files.createTempDirectory("ivf-cells").toString
-    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
-      .select(col("vid"), col("v"), col("centroid_id"))
-    graft.sinks.ParquetSink.writePartitioned(assigned, root, Seq("centroid_id"))
+    IvfIndex.buildIndex(emb, "vec_id", "embedding", centroids, root)
     val persisted = spark.read.parquet(root)
     assert(persisted.count() === emb.count())
-    val probed = persisted.where(col("centroid_id").isin(0, 1))
-    val scan = probed.queryExecution.executedPlan
-    probed.collect()
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val indexed = IvfIndex.searchIndexed(persisted, "vec_id", centroids, q,
+      topK = 10, nProbes = 4, excludeId = Some(0L))
+    val scan = indexed.queryExecution.executedPlan
+    val got = indexed.select("vec_id").as[Long].collect().toSeq
+    // identical results to the rescan path — the index changes layout only
+    val viaScan = IvfIndex.search(emb, "vec_id", "embedding", centroids, q,
+        topK = 10, nProbes = 4, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === viaScan)
     assert(scan.toString.contains("PartitionFilters"))
-    val nFiles = scan.collectLeaves().head.metrics.get("numFiles")
+    val nFiles = scan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).headOption
     val totalCells = persisted.select("centroid_id").distinct().count()
-    assert(nFiles.exists(_.value < totalCells),
-      s"probe read ${nFiles.map(_.value)} files over $totalCells cells — no pruning")
+    assert(nFiles.exists(_ < totalCells),
+      s"probe read $nFiles files over $totalCells cells — no pruning")
   }
 
   test("probing half the cells recovers a reasonable share of true top-10") {
