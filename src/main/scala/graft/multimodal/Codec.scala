@@ -1,11 +1,13 @@
 package graft.multimodal
 
-/** REAL decoders for the container formats that need no codec library —
-  * uncompressed 24-bit BMP (raw BGR pixel array, public layout) and
+/** REAL decoders for the formats that need no codec library —
+  * uncompressed 24-bit BMP (raw BGR pixel array, public layout),
   * 16-bit PCM WAV (raw little-endian samples, layout from
-  * [[AudioMeta]]). Together with the header parsers they upgrade the
-  * multimodal story from "all decode stubbed" to "stub only where an
-  * actual compressed codec (JPEG/PNG pixels, MP3) would be required".
+  * [[AudioMeta]]), and PNG pixels (zlib via `java.util.zip.Inflater` +
+  * the five W3C filter predictors). Together with the header parsers
+  * they upgrade the multimodal story from "all decode stubbed" to
+  * "stub only where an actual patented/complex compressed codec
+  * (JPEG pixels, MP3 frames) would be required".
   *
   * Each decoder returns the [[DecodeStub.FeatureDim]]-wide feature
   * vector a training-data filter consumes (channel means / energy
@@ -118,12 +120,187 @@ object Codec {
     f
   }
 
+  // ---------------------------------------------------------------- PNG
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** True iff the payload starts with the 8-byte PNG signature. */
+  def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 + 25 && (0 until 8).forall(i => b(i) == PngSig(i))
+
+  /** PNG pixel decode, library-free: chunk walk (CRC-validated) → zlib
+    * inflate of the concatenated IDAT stream (`java.util.zip.Inflater`
+    * handles the RFC 1950 wrapper) → per-scanline unfilter with the five
+    * PNG filter predictors (None/Sub/Up/Average/Paeth, W3C PNG spec
+    * §9 "Filtering") → channel accumulation. Returns the same feature
+    * layout as [[decodeBmp24]]: mean B, G, R (0-1), Rec. 601 luma, pixel
+    * count, plus mean alpha in slot 5 (1.0 for opaque color types).
+    *
+    * Coverage: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB 8/16),
+    * 3 (palette, depths 1/2/4/8, PLTE required), 4 (gray+alpha 8/16),
+    * 6 (RGBA 8/16); non-interlaced only. Anything else — Adam7,
+    * truncated stream, bad CRC, inflate error — returns null
+    * (filter-don't-fail): the row is filtered, never a task crash. */
+  def decodePng(b: Array[Byte]): Array[Float] = {
+    if (!isPng(b)) return null
+    // --- chunk walk: IHDR, PLTE, IDAT*, IEND; CRC32 over type+data
+    var w = 0; var h = 0; var depth = 0; var colorType = -1; var interlace = 0
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var seenIhdr = false; var seenIend = false
+    while (!seenIend && i + 12 <= b.length) {
+      val len = be32(b, i).toInt
+      if (len < 0 || i + 12L + len > b.length) return null
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      if (crc.getValue != be32(b, i + 8 + len)) return null
+      val ctype = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return null
+          w = be32(b, i + 8).toInt; h = be32(b, i + 12).toInt
+          depth = u8(b, i + 16); colorType = u8(b, i + 17)
+          if (u8(b, i + 18) != 0 || u8(b, i + 19) != 0) return null // compression/filter method
+          interlace = u8(b, i + 20)
+          seenIhdr = true
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => seenIend = true
+        case _      => () // ancillary chunks ignored
+      }
+      i += 12 + len
+    }
+    if (!seenIhdr || !seenIend || w <= 0 || h <= 0 || interlace != 0) return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
+    }
+    val depthOk = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 3 => Set(1, 2, 4, 8)(depth) && plte != null && plte.length % 3 == 0
+      case _ => depth == 8 || depth == 16
+    }
+    if (!depthOk) return null
+    val bitsPerPixel = channels * depth
+    val rowBytes = (w.toLong * bitsPerPixel + 7) / 8
+    val raw = rowBytes * h + h // + filter byte per scanline
+    if (raw > Int.MaxValue - 8 || w.toLong * h > Int.MaxValue) return null
+    // --- inflate the full filtered image
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val img = new Array[Byte](raw.toInt)
+    var got = 0
+    try {
+      while (got < img.length && !inf.finished()) {
+        val n = inf.inflate(img, got, img.length - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    finally inf.end()
+    if (got < img.length) return null
+    // --- unfilter in place: prev row is already reconstructed
+    val bpp = math.max(1, bitsPerPixel / 8)
+    val stride = rowBytes.toInt
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val filter = u8(img, rowOff)
+      if (filter > 4) return null
+      val cur = rowOff + 1
+      val prev = cur - stride - 1 // previous row's data start (filter byte skipped)
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) u8(img, cur + x - bpp) else 0
+        val up = if (y > 0) u8(img, prev + x) else 0
+        val c = if (y > 0 && x >= bpp) u8(img, prev + x - bpp) else 0
+        val recon = filter match {
+          case 0 => u8(img, cur + x)
+          case 1 => u8(img, cur + x) + a
+          case 2 => u8(img, cur + x) + up
+          case 3 => u8(img, cur + x) + ((a + up) >> 1)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            u8(img, cur + x) + pred
+        }
+        img(cur + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // --- accumulate channel sums (normalized 0-1 per sample)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sa = 0.0
+    val maxVal = (1 << math.min(depth, 16)) - 1
+    def samp(row: Int, idx: Int): Int = { // idx-th sample of the scanline, depth-aware
+      val base = row * (stride + 1) + 1
+      if (depth == 16) (u8(img, base + idx * 2) << 8) | u8(img, base + idx * 2 + 1)
+      else if (depth == 8) u8(img, base + idx)
+      else { // 1/2/4-bit packed MSB-first
+        val bitPos = idx * depth
+        (u8(img, base + (bitPos >> 3)) >> (8 - depth - (bitPos & 7))) & maxVal
+      }
+    }
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        colorType match {
+          case 0 =>
+            val g = samp(y, x).toDouble / maxVal
+            sr += g; sg += g; sb += g; sa += 1.0
+          case 2 =>
+            sr += samp(y, x * 3).toDouble / maxVal
+            sg += samp(y, x * 3 + 1).toDouble / maxVal
+            sb += samp(y, x * 3 + 2).toDouble / maxVal
+            sa += 1.0
+          case 3 =>
+            val pi = samp(y, x) * 3
+            if (pi + 2 >= plte.length) return null
+            sr += u8(plte, pi) / 255.0
+            sg += u8(plte, pi + 1) / 255.0
+            sb += u8(plte, pi + 2) / 255.0
+            sa += 1.0
+          case 4 =>
+            val g = samp(y, x * 2).toDouble / maxVal
+            sr += g; sg += g; sb += g
+            sa += samp(y, x * 2 + 1).toDouble / maxVal
+          case 6 =>
+            sr += samp(y, x * 4).toDouble / maxVal
+            sg += samp(y, x * 4 + 1).toDouble / maxVal
+            sb += samp(y, x * 4 + 2).toDouble / maxVal
+            sa += samp(y, x * 4 + 3).toDouble / maxVal
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val mr = (sr / n).toFloat; val mg = (sg / n).toFloat; val mb = (sb / n).toFloat
+    val f = new Array[Float](DecodeStub.FeatureDim)
+    f(0) = mb; f(1) = mg; f(2) = mr
+    f(3) = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
+    f(4) = n.toFloat
+    f(5) = (sa / n).toFloat
+    f
+  }
+
   /** Dispatch: real decoder where the format permits one, the
     * deterministic stub otherwise — the upgrade path a new codec drops
     * into. */
   def decodeAny(payload: Array[Byte]): Array[Float] = {
     if (isBmp24(payload)) {
       val f = decodeBmp24(payload)
+      if (f != null) return f
+    }
+    if (isPng(payload)) {
+      val f = decodePng(payload)
       if (f != null) return f
     }
     if (isPcm16(payload)) {

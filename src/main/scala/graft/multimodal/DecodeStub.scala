@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus a batch decode/feature stage.
   *
   * Decode is REAL where the format permits a library-free decoder
-  * ([[Codec]]: uncompressed 24-bit BMP pixels, 16-bit PCM WAV samples;
+  * ([[Codec]]: PNG pixels via JDK Inflater + the five filter
+  * predictors, uncompressed 24-bit BMP pixels, 16-bit PCM WAV samples;
   * header metadata via [[ImageMeta]]/[[AudioMeta]]) and STUBBED only
-  * where an actual compressed codec would be required (JPEG/PNG pixels,
+  * where an actual compressed codec would be required (JPEG pixels,
   * MP3 — no image/audio libs in this environment): `decodeStub`
   * produces a deterministic fake feature from the payload bytes.
   * Everything around either path — schema, batch shape, partition-level

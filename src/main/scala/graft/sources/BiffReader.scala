@@ -17,8 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * flag byte, compressed + UTF-16 strings) and the worksheet cell records
   * LABELSST / LABEL / NUMBER / RK / MULRK / BOOLERR. Values surface as
   * strings, like the XLSX/ODS readers (pandas `astype(str)` semantics).
-  * RC4-obfuscated workbooks (FILEPASS) are refused with a clear error —
-  * the modern agile-encrypted path is [[SpreadsheetSource.readEncryptedXlsx]].
+  * Password-protected workbooks (FILEPASS) decrypt for all three legacy
+  * schemes — XOR obfuscation, "standard" RC4, RC4 CryptoAPI
+  * ([[OfficeCrypto.decryptBiffWorkbook]]); the modern agile-encrypted
+  * path is [[SpreadsheetSource.readEncryptedXlsx]].
   *
   * Driver-side parse by design, like the rest of SpreadsheetSource:
   * workbooks are driver-scale artifacts; the downstream reshaping is the
@@ -130,11 +132,12 @@ object BiffReader {
     val encrypted = records(wb0).exists(_.t == 0x002F)
     val wb = (encrypted, password) match {
       case (false, _) => wb0
-      case (true, Some(pw)) => OfficeCrypto.Rc4CryptoApi.decryptWorkbook(wb0, pw)
+      case (true, Some(pw)) => OfficeCrypto.decryptBiffWorkbook(wb0, pw)
       case (true, None) => throw new IllegalArgumentException(
         "password-protected .xls (FILEPASS): pass a password " +
-          "(RC4 CryptoAPI) or use SpreadsheetSource.readEncryptedXlsx " +
-          "for modern agile-encrypted workbooks")
+          "(XOR-obfuscated, RC4 standard, or RC4 CryptoAPI) or use " +
+          "SpreadsheetSource.readEncryptedXlsx for modern " +
+          "agile-encrypted workbooks")
     }
     val recs = records(wb)
     // globals substream: sheet directory + shared strings

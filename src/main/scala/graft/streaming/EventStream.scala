@@ -589,6 +589,46 @@ object EventStream {
     }
   }
 
+  /** Streaming ANN index ingest — the IVF/PQ family's foreachBatch twin
+    * (every other §2.4 family already has one). Each micro-batch of new
+    * vectors is (1) assigned to its IVF cell against the trained
+    * centroids, (2) PQ-encoded with the trained codebooks — both
+    * broadcast-sized models riding along as literals, the same 100 TB
+    * split as the curation gates — and (3) appended into the
+    * cell-partitioned materialized index ([[graft.operators.IvfIndex
+    * .buildIndex]]'s layout plus the code columns), so
+    * `IvfIndex.searchIndexed` over `spark.read.parquet(indexPath)`
+    * serves queries against everything ingested so far with partition
+    * pruning intact.
+    *
+    * Exactly-once without a transaction log: the layout is partitioned
+    * `batch_id / centroid_id` and written with DYNAMIC partition
+    * overwrite, so a replayed micro-batch overwrites exactly its own
+    * batch's partitions — idempotent, never duplicated. `centroid_id`
+    * pruning still skips unprobed cells inside every batch directory; a
+    * periodic compaction can fold old batch dirs into one (the usual
+    * small-file maintenance, orthogonal to correctness). */
+  def annIngestBatch(indexPath: String, idCol: String, vecCol: String,
+                     centroids: Array[(Int, Array[Double])],
+                     books: Array[Array[Array[Double]]]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val cents = centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+        .toDF("centroid_id", "c")
+      val assigned = graft.operators.IvfIndex
+        .assign(batch, idCol, vecCol, cents)
+        .select(col("vid"), col("centroid_id"))
+      graft.operators.PqIndex.encode(batch, idCol, vecCol, books)
+        .join(assigned, "vid")
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id", "centroid_id")
+        .parquet(indexPath)
+  }
+
   /** Production state-store configuration: RocksDB-backed keyed state with
     * changelog checkpointing instead of the default on-heap HashMap
     * provider. At 100 TB-scale keyed state (dedup horizon, live sessions)

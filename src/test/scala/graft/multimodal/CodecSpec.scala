@@ -70,6 +70,162 @@ class CodecSpec extends SparkSpec {
     assert(silent(0) === 0.0f && silent(2) === 0.0f)
   }
 
+  /** Hand-built PNG encoder for fixtures: picks the given filter for every
+    * scanline, so each of the five predictors is exercised explicitly
+    * (ImageIO chooses its own filters, so it can't pin them). */
+  private def png(w: Int, h: Int, colorType: Int, depth: Int,
+                  raw: Array[Byte], filter: Int,
+                  palette: Array[Byte] = null): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
+    val bpp = math.max(1, channels * depth / 8)
+    val stride = (w * channels * depth + 7) / 8
+    val filtered = new Array[Byte](h * (stride + 1))
+    for (y <- 0 until h) {
+      filtered(y * (stride + 1)) = filter.toByte
+      for (x <- 0 until stride) {
+        val cur = raw(y * stride + x) & 0xff
+        val a = if (x >= bpp) raw(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) raw((y - 1) * stride + x - bpp) & 0xff else 0
+        val enc = filter match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        filtered(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new Array[Byte](filtered.length * 2 + 64)
+    var zlen = 0
+    while (!defl.finished()) zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
+    defl.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out.array(), 4, 4 + data.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++
+      (if (palette != null) chunk("PLTE", palette) else Array.empty[Byte]) ++
+      chunk("IDAT", java.util.Arrays.copyOf(zbuf, zlen)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("PNG decode: every filter type reconstructs the same known image") {
+    // 4x2 RGB8 with varied values so Sub/Up/Average/Paeth deltas differ
+    val raw = Array.tabulate(2, 4 * 3)((y, i) => ((y * 37 + i * 29) % 256).toByte)
+      .flatten
+    val expect = {
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      for (y <- 0 until 2; x <- 0 until 4) {
+        sr += (raw(y * 12 + x * 3) & 0xff) / 255.0
+        sg += (raw(y * 12 + x * 3 + 1) & 0xff) / 255.0
+        sb += (raw(y * 12 + x * 3 + 2) & 0xff) / 255.0
+      }
+      (sb / 8, sg / 8, sr / 8)
+    }
+    for (filter <- 0 to 4) {
+      val f = Codec.decodePng(png(4, 2, 2, 8, raw, filter))
+      assert(f != null, s"filter $filter decode failed")
+      assert(math.abs(f(0) - expect._1) < 1e-6, s"filter $filter blue ${f(0)}")
+      assert(math.abs(f(1) - expect._2) < 1e-6, s"filter $filter green ${f(1)}")
+      assert(math.abs(f(2) - expect._3) < 1e-6, s"filter $filter red ${f(2)}")
+      assert(f(4) === 8.0f)
+      assert(f(5) === 1.0f) // opaque color type
+    }
+  }
+
+  test("PNG decode: cross-validated against the JDK's independent encoder") {
+    // ImageIO writes its own PNG (its own filter/compression choices);
+    // our decoder must recover the exact channel means.
+    val w = 13; val h = 7
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sa = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 19 + y * 3) % 256; val g = (x * 7 + y * 31) % 256
+      val b = (x * 11 + y * 13) % 256; val a = 255 - ((x + y) * 9) % 128
+      img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+      sr += r / 255.0; sg += g / 255.0; sb += b / 255.0; sa += a / 255.0
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val f = Codec.decodePng(bos.toByteArray)
+    assert(f != null, "JDK-encoded PNG did not decode")
+    val n = w * h
+    assert(math.abs(f(0) - sb / n) < 1e-6, s"blue ${f(0)} vs ${sb / n}")
+    assert(math.abs(f(1) - sg / n) < 1e-6)
+    assert(math.abs(f(2) - sr / n) < 1e-6)
+    assert(math.abs(f(5) - sa / n) < 1e-6, s"alpha ${f(5)} vs ${sa / n}")
+    assert(f(4) === n.toFloat)
+    // grayscale via an independent JDK path too
+    val gray = new java.awt.image.BufferedImage(5, 5, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 5; x <- 0 until 5) {
+      val v = (x * 40 + y * 10) % 256
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val gos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", gos))
+    val gf = Codec.decodePng(gos.toByteArray)
+    assert(gf != null)
+    var gsum = 0.0
+    for (y <- 0 until 5; x <- 0 until 5) gsum += gray.getRaster.getSample(x, y, 0) / 255.0
+    assert(math.abs(gf(3) - gsum / 25) < 1e-6, s"gray luma ${gf(3)}") // r=g=b → luma = gray mean
+  }
+
+  test("PNG decode: palette, sub-byte depths, and 16-bit samples") {
+    // color type 3, depth 2: four palette entries, 5px wide (packed, padded)
+    val palette = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,   0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    // indices row0: 0,1,2,3,0  row1: 3,3,3,3,3  — packed 2-bit MSB-first
+    val row0 = Array(((0 << 6) | (1 << 4) | (2 << 2) | 3).toByte, (0 << 6).toByte)
+    val row1 = Array(((3 << 6) | (3 << 4) | (3 << 2) | 3).toByte, (3 << 6).toByte)
+    val pf = Codec.decodePng(png(5, 2, 3, 2, row0 ++ row1, 0, palette))
+    assert(pf != null)
+    // reds: idx0 ×2, idx3 ×6 → (2*1.0 + 6*1.0)/10 = 0.8; greens: idx1 + idx3×6 = 0.7
+    assert(math.abs(pf(2) - 0.8f) < 1e-6, s"palette red ${pf(2)}")
+    assert(math.abs(pf(1) - 0.7f) < 1e-6, s"palette green ${pf(1)}")
+    // gray depth 1: checkerboard 8x1 → mean 0.5
+    val g1 = Codec.decodePng(png(8, 1, 0, 1, Array(0xAA.toByte), 0))
+    assert(g1 != null && math.abs(g1(3) - 0.5f) < 1e-6, s"1-bit gray ${g1(3)}")
+    // gray 16-bit: two samples 0x0000 and 0xFFFF → mean 0.5
+    val g16 = Codec.decodePng(png(2, 1, 0, 16,
+      Array(0x00, 0x00, 0xFF, 0xFF).map(_.toByte), 1))
+    assert(g16 != null && math.abs(g16(3) - 0.5f) < 1e-6, s"16-bit gray ${g16(3)}")
+  }
+
+  test("PNG decode: malformed inputs filter, never crash") {
+    val raw = Array.tabulate(12)(i => (i * 20).toByte)
+    val good = png(2, 2, 2, 8, raw, 4)
+    assert(Codec.decodePng(good) != null)
+    // corrupt a CRC byte -> null
+    val badCrc = good.clone(); badCrc(good.length - 1) = (badCrc(good.length - 1) ^ 0x5a).toByte
+    assert(Codec.decodePng(badCrc) === null)
+    // truncated IDAT -> null
+    assert(Codec.decodePng(java.util.Arrays.copyOf(good, good.length - 20)) === null)
+    // interlaced flag -> declared unsupported -> null (not garbage)
+    val inter = good.clone(); inter(8 + 8 + 12) = 1
+    // fix the IHDR CRC after flipping the interlace byte
+    val crc = new java.util.zip.CRC32(); crc.update(inter, 12, 17)
+    val cb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(cb, 0, inter, 12 + 17, 4)
+    assert(Codec.decodePng(inter) === null)
+    // dispatch integration: a real PNG routes through decodePng
+    assert(Codec.decodeAny(good).toSeq == Codec.decodePng(good).toSeq)
+  }
+
   test("decodeFeatures dispatches: real BMP/PCM decode, stub for the rest") {
     val img = bmp(Array(Array((255, 0, 0))))
     val aud = wav16(Array.tabulate(50)(i => if (i % 2 == 0) 16384 else -16384)

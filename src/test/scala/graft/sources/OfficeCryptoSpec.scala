@@ -147,6 +147,50 @@ class OfficeCryptoSpec extends SparkSpec {
     assert(java.util.Arrays.equals(streams("Tiny"), small))
   }
 
+  test("XOR obfuscation tables: generator recurrence + published spot values") {
+    import OfficeCrypto.XorObfuscation
+    val m = XorObfuscation.Matrix
+    assert(m.length === 105)
+    // spot values as printed in MS-OFFCRYPTO 2.3.7.2's table
+    assert(m(0) === 0xAEFC); assert(m(1) === 0x4DD9); assert(m(2) === 0x9BB2)
+    assert(m(3) === 0x2745); assert(m(6) === 0x2A09)   // row 0 tail
+    assert(m(7) === 0x7B61); assert(m(13) === 0x2BBF)  // row 1
+    assert(m(14) === 0x4563); assert(m(98) === 0x1021) // row 2 / last-row seed
+    assert(m(104) === 0x48C4)                          // final entry
+    // every adjacent in-row pair satisfies the CRC-CCITT doubling step,
+    // so a single mistyped constant would break 6 assertions around it
+    for (row <- 0 until 15; i <- 0 until 6)
+      assert(m(row * 7 + i + 1) === XorObfuscation.lfsrStep(m(row * 7 + i)),
+        s"matrix row $row broke the generator at entry $i")
+  }
+
+  test("XOR obfuscation: verifier/key algebra and data-transform roundtrip") {
+    import OfficeCrypto.XorObfuscation
+    // hand-run of CreatePasswordVerifier_Method1 on "A":
+    // fold [0x01,0x41] reversed -> 0x83, xor 0xCE4B = 0xCEC8
+    assert(XorObfuscation.createVerifier("A") === 0xCEC8)
+    // key + verifier are deterministic and password-sensitive
+    assert(XorObfuscation.createXorKey("queso") === XorObfuscation.createXorKey("queso"))
+    assert(XorObfuscation.createXorKey("queso") !== XorObfuscation.createXorKey("quesp"))
+    assert(XorObfuscation.verifyPassword("pw123",
+      XorObfuscation.createXorKey("pw123"), XorObfuscation.createVerifier("pw123")))
+    assert(!XorObfuscation.verifyPassword("pw124",
+      XorObfuscation.createXorKey("pw123"), XorObfuscation.createVerifier("pw123")))
+    // 16-byte pad: encrypt/decrypt inverse at every phase offset
+    val pad = XorObfuscation.xorArray("crumpet7")
+    assert(pad.length === 16)
+    val data = Array.tabulate[Byte](64)(i => (i * 7 + 3).toByte)
+    for (phase <- 0 until 16) {
+      val enc = XorObfuscation.encryptData(pad, data, phase)
+      assert(!java.util.Arrays.equals(enc, data))
+      assert(XorObfuscation.decryptData(pad, enc, phase).toSeq === data.toSeq)
+    }
+    // 15-char max is enforced, not silently truncated
+    intercept[IllegalArgumentException] {
+      XorObfuscation.createXorKey("sixteen-chars-pw")
+    }
+  }
+
   test("non-agile EncryptionInfo is refused with a clear error") {
     val dir = Files.createTempDirectory("offcrypto-std").toString
     // version 3.2 = legacy "standard" encryption

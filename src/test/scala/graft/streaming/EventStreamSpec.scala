@@ -560,4 +560,45 @@ class EventStreamSpec extends SparkSpec {
       assert(streamCounts == batchCounts)
     } finally q.stop()
   }
+
+  test("annIngestBatch: stream-built IVF/PQ index == batch-built, replay-idempotent") {
+    import graft.operators.{IvfIndex, PqIndex}
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val all = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((i * 7 + d * 13) % 29).toFloat))
+    }.toDF("id", "emb")
+    // models trained once on the reference corpus (broadcast-sized)
+    val centroidsDf = IvfIndex.train(all, "id", "emb", k = 4, iters = 1)
+    val centroids = centroidsDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val books = PqIndex.trainBooks(all, "id", "emb", m = 2, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ann-ingest").toString
+    val idx = s"$dir/index"
+    val fn = EventStream.annIngestBatch(idx, "id", "emb", centroids, books)
+    val (b1, b2) = (all.where(col("id") < 10), all.where(col("id") >= 10))
+    fn(b1, 0L); fn(b2, 1L)
+    fn(b2, 1L) // replay: dynamic overwrite of batch 1's partitions, no dups
+    val ingested = spark.read.parquet(idx)
+    assert(ingested.count() === 24, "replay must not duplicate rows")
+    // content: assignments and codes match the one-shot batch computation
+    val batchAssigned = IvfIndex.assign(all, "id", "emb", centroidsDf)
+      .select(col("vid"), col("centroid_id"))
+    val batchCoded = PqIndex.encode(all, "id", "emb", books)
+      .select(col("vid"), col("code_0"), col("code_1"))
+    val expect = batchAssigned.join(batchCoded, "vid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val got = ingested.select("vid", "centroid_id", "code_0", "code_1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === expect)
+    // a query over the stream-built index == search over the raw table
+    val qv = Array.tabulate(dim)(d => (d + 1).toFloat)
+    val viaIndex = IvfIndex.searchIndexed(ingested, "id", centroidsDf, qv,
+        topK = 5, nProbes = 2, excludeId = None)
+      .collect().map(_.getLong(0)).toSeq
+    val viaRaw = IvfIndex.search(all, "id", "emb", centroidsDf, qv,
+        topK = 5, nProbes = 2, excludeId = None)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaIndex === viaRaw)
+  }
 }
