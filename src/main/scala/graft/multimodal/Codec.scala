@@ -142,14 +142,17 @@ object Codec {
     *
     * Coverage: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB 8/16),
     * 3 (palette, depths 1/2/4/8, PLTE required), 4 (gray+alpha 8/16),
-    * 6 (RGBA 8/16); non-interlaced only. Anything else — Adam7,
-    * truncated stream, bad CRC, inflate error — returns null
-    * (filter-don't-fail): the row is filtered, never a task crash. */
+    * 6 (RGBA 8/16), both non-interlaced and Adam7-interlaced (each pass
+    * is an independently-filtered sub-image; means need no pixel
+    * placement). Anything else — truncated stream, bad CRC, inflate
+    * error — returns null (filter-don't-fail): the row is filtered,
+    * never a task crash. */
   def decodePng(b: Array[Byte]): Array[Float] = {
     if (!isPng(b)) return null
     // --- chunk walk: IHDR, PLTE, IDAT*, IEND; CRC32 over type+data
     var w = 0; var h = 0; var depth = 0; var colorType = -1; var interlace = 0
     var plte: Array[Byte] = null
+    var trns: Array[Byte] = null // ct3: per-entry alpha; ct0/ct2: color key
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     var seenIhdr = false; var seenIend = false
@@ -169,13 +172,14 @@ object Codec {
           interlace = u8(b, i + 20)
           seenIhdr = true
         case "PLTE" => plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "tRNS" => trns = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
         case "IDAT" => idat.write(b, i + 8, len)
         case "IEND" => seenIend = true
         case _      => () // ancillary chunks ignored
       }
       i += 12 + len
     }
-    if (!seenIhdr || !seenIend || w <= 0 || h <= 0 || interlace != 0) return null
+    if (!seenIhdr || !seenIend || w <= 0 || h <= 0 || interlace > 1) return null
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return null
@@ -187,8 +191,18 @@ object Codec {
     }
     if (!depthOk) return null
     val bitsPerPixel = channels * depth
-    val rowBytes = (w.toLong * bitsPerPixel + 7) / 8
-    val raw = rowBytes * h + h // + filter byte per scanline
+    // sub-images: the whole frame, or the 7 Adam7 passes — channel MEANS
+    // are position-independent, and every pixel lands in exactly one
+    // pass, so interlacing only changes the scanline segmentation
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((w, h))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).map {
+        case (x0, y0, dx, dy) =>
+          (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+      }.filter(p => p._1 > 0 && p._2 > 0)
+    def strideOf(wp: Int): Int = ((wp.toLong * bitsPerPixel + 7) / 8).toInt
+    val raw = passes.map { case (wp, hp) => (strideOf(wp) + 1).toLong * hp }.sum
     if (raw > Int.MaxValue - 8 || w.toLong * h > Int.MaxValue) return null
     // --- inflate the full filtered image
     val inf = new java.util.zip.Inflater()
@@ -204,82 +218,98 @@ object Codec {
     } catch { case _: java.util.zip.DataFormatException => return null }
     finally inf.end()
     if (got < img.length) return null
-    // --- unfilter in place: prev row is already reconstructed
+    // --- per sub-image: unfilter in place, then accumulate channel sums
     val bpp = math.max(1, bitsPerPixel / 8)
-    val stride = rowBytes.toInt
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (stride + 1)
-      val filter = u8(img, rowOff)
-      if (filter > 4) return null
-      val cur = rowOff + 1
-      val prev = cur - stride - 1 // previous row's data start (filter byte skipped)
-      var x = 0
-      while (x < stride) {
-        val a = if (x >= bpp) u8(img, cur + x - bpp) else 0
-        val up = if (y > 0) u8(img, prev + x) else 0
-        val c = if (y > 0 && x >= bpp) u8(img, prev + x - bpp) else 0
-        val recon = filter match {
-          case 0 => u8(img, cur + x)
-          case 1 => u8(img, cur + x) + a
-          case 2 => u8(img, cur + x) + up
-          case 3 => u8(img, cur + x) + ((a + up) >> 1)
-          case 4 =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-            u8(img, cur + x) + pred
-        }
-        img(cur + x) = (recon & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    // --- accumulate channel sums (normalized 0-1 per sample)
-    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sa = 0.0
     val maxVal = (1 << math.min(depth, 16)) - 1
-    def samp(row: Int, idx: Int): Int = { // idx-th sample of the scanline, depth-aware
-      val base = row * (stride + 1) + 1
-      if (depth == 16) (u8(img, base + idx * 2) << 8) | u8(img, base + idx * 2 + 1)
-      else if (depth == 8) u8(img, base + idx)
-      else { // 1/2/4-bit packed MSB-first
-        val bitPos = idx * depth
-        (u8(img, base + (bitPos >> 3)) >> (8 - depth - (bitPos & 7))) & maxVal
-      }
-    }
-    y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        colorType match {
-          case 0 =>
-            val g = samp(y, x).toDouble / maxVal
-            sr += g; sg += g; sb += g; sa += 1.0
-          case 2 =>
-            sr += samp(y, x * 3).toDouble / maxVal
-            sg += samp(y, x * 3 + 1).toDouble / maxVal
-            sb += samp(y, x * 3 + 2).toDouble / maxVal
-            sa += 1.0
-          case 3 =>
-            val pi = samp(y, x) * 3
-            if (pi + 2 >= plte.length) return null
-            sr += u8(plte, pi) / 255.0
-            sg += u8(plte, pi + 1) / 255.0
-            sb += u8(plte, pi + 2) / 255.0
-            sa += 1.0
-          case 4 =>
-            val g = samp(y, x * 2).toDouble / maxVal
-            sr += g; sg += g; sb += g
-            sa += samp(y, x * 2 + 1).toDouble / maxVal
-          case 6 =>
-            sr += samp(y, x * 4).toDouble / maxVal
-            sg += samp(y, x * 4 + 1).toDouble / maxVal
-            sb += samp(y, x * 4 + 2).toDouble / maxVal
-            sa += samp(y, x * 4 + 3).toDouble / maxVal
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sa = 0.0
+    var segOff = 0
+    for ((wp, hp) <- passes) {
+      val stride = strideOf(wp)
+      var y = 0
+      while (y < hp) {
+        val rowOff = segOff + y * (stride + 1)
+        val filter = u8(img, rowOff)
+        if (filter > 4) return null
+        val cur = rowOff + 1
+        val prev = cur - stride - 1 // previous row of THIS pass
+        var x = 0
+        while (x < stride) {
+          val a = if (x >= bpp) u8(img, cur + x - bpp) else 0
+          val up = if (y > 0) u8(img, prev + x) else 0
+          val c = if (y > 0 && x >= bpp) u8(img, prev + x - bpp) else 0
+          val recon = filter match {
+            case 0 => u8(img, cur + x)
+            case 1 => u8(img, cur + x) + a
+            case 2 => u8(img, cur + x) + up
+            case 3 => u8(img, cur + x) + ((a + up) >> 1)
+            case 4 =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+              u8(img, cur + x) + pred
+          }
+          img(cur + x) = (recon & 0xff).toByte
+          x += 1
         }
-        x += 1
+        y += 1
       }
-      y += 1
+      // idx-th sample of row y of this pass, depth-aware
+      def samp(row: Int, idx: Int): Int = {
+        val base = segOff + row * (stride + 1) + 1
+        if (depth == 16) (u8(img, base + idx * 2) << 8) | u8(img, base + idx * 2 + 1)
+        else if (depth == 8) u8(img, base + idx)
+        else { // 1/2/4-bit packed MSB-first
+          val bitPos = idx * depth
+          (u8(img, base + (bitPos >> 3)) >> (8 - depth - (bitPos & 7))) & maxVal
+        }
+      }
+      y = 0
+      while (y < hp) {
+        var x = 0
+        while (x < wp) {
+          colorType match {
+            case 0 =>
+              val v = samp(y, x)
+              val g = v.toDouble / maxVal
+              sr += g; sg += g; sb += g
+              // tRNS on gray: a 2-byte color key marks the transparent value
+              sa += (if (trns != null && trns.length >= 2 &&
+                  v == ((u8(trns, 0) << 8) | u8(trns, 1))) 0.0 else 1.0)
+            case 2 =>
+              val r = samp(y, x * 3); val g = samp(y, x * 3 + 1); val b2 = samp(y, x * 3 + 2)
+              sr += r.toDouble / maxVal
+              sg += g.toDouble / maxVal
+              sb += b2.toDouble / maxVal
+              // tRNS on RGB: a 3x2-byte color key
+              sa += (if (trns != null && trns.length >= 6 &&
+                  r == ((u8(trns, 0) << 8) | u8(trns, 1)) &&
+                  g == ((u8(trns, 2) << 8) | u8(trns, 3)) &&
+                  b2 == ((u8(trns, 4) << 8) | u8(trns, 5))) 0.0 else 1.0)
+            case 3 =>
+              val idxP = samp(y, x)
+              val pi = idxP * 3
+              if (pi + 2 >= plte.length) return null
+              sr += u8(plte, pi) / 255.0
+              sg += u8(plte, pi + 1) / 255.0
+              sb += u8(plte, pi + 2) / 255.0
+              // tRNS on palette: per-entry alpha, entries past it opaque
+              sa += (if (trns != null && idxP < trns.length) u8(trns, idxP) / 255.0
+                     else 1.0)
+            case 4 =>
+              val g = samp(y, x * 2).toDouble / maxVal
+              sr += g; sg += g; sb += g
+              sa += samp(y, x * 2 + 1).toDouble / maxVal
+            case 6 =>
+              sr += samp(y, x * 4).toDouble / maxVal
+              sg += samp(y, x * 4 + 1).toDouble / maxVal
+              sb += samp(y, x * 4 + 2).toDouble / maxVal
+              sa += samp(y, x * 4 + 3).toDouble / maxVal
+          }
+          x += 1
+        }
+        y += 1
+      }
+      segOff += (stride + 1) * hp
     }
     val n = w.toDouble * h
     val mr = (sr / n).toFloat; val mg = (sg / n).toFloat; val mb = (sb / n).toFloat

@@ -75,7 +75,8 @@ class CodecSpec extends SparkSpec {
     * (ImageIO chooses its own filters, so it can't pin them). */
   private def png(w: Int, h: Int, colorType: Int, depth: Int,
                   raw: Array[Byte], filter: Int,
-                  palette: Array[Byte] = null): Array[Byte] = {
+                  palette: Array[Byte] = null,
+                  trns: Array[Byte] = null): Array[Byte] = {
     val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
     val bpp = math.max(1, channels * depth / 8)
     val stride = (w * channels * depth + 7) / 8
@@ -120,6 +121,7 @@ class CodecSpec extends SparkSpec {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     sig ++ chunk("IHDR", ihdr) ++
       (if (palette != null) chunk("PLTE", palette) else Array.empty[Byte]) ++
+      (if (trns != null) chunk("tRNS", trns) else Array.empty[Byte]) ++
       chunk("IDAT", java.util.Arrays.copyOf(zbuf, zlen)) ++
       chunk("IEND", Array.empty[Byte])
   }
@@ -197,6 +199,17 @@ class CodecSpec extends SparkSpec {
     // reds: idx0 ×2, idx3 ×6 → (2*1.0 + 6*1.0)/10 = 0.8; greens: idx1 + idx3×6 = 0.7
     assert(math.abs(pf(2) - 0.8f) < 1e-6, s"palette red ${pf(2)}")
     assert(math.abs(pf(1) - 0.7f) < 1e-6, s"palette green ${pf(1)}")
+    // palette tRNS: idx0 fully transparent, idx1 half, others opaque
+    // -> mean alpha over 10px (idx0 x2 at 0, idx1 x1 at 128/255, 7 at 1)
+    val pt = Codec.decodePng(png(5, 2, 3, 2, row0 ++ row1, 0, palette,
+      trns = Array(0, 128).map(_.toByte)))
+    assert(pt != null)
+    val expAlpha = (2 * 0.0 + 1 * (128 / 255.0) + 7 * 1.0) / 10
+    assert(math.abs(pt(5) - expAlpha) < 1e-6, s"palette tRNS alpha ${pt(5)}")
+    // gray tRNS color key: value 0 transparent in an 8x1 checkerboard
+    val gk = Codec.decodePng(png(8, 1, 0, 1, Array(0xAA.toByte), 0,
+      trns = Array(0, 0).map(_.toByte)))
+    assert(gk != null && math.abs(gk(5) - 0.5f) < 1e-6, s"gray color-key alpha ${gk(5)}")
     // gray depth 1: checkerboard 8x1 → mean 0.5
     val g1 = Codec.decodePng(png(8, 1, 0, 1, Array(0xAA.toByte), 0))
     assert(g1 != null && math.abs(g1(3) - 0.5f) < 1e-6, s"1-bit gray ${g1(3)}")
@@ -204,6 +217,36 @@ class CodecSpec extends SparkSpec {
     val g16 = Codec.decodePng(png(2, 1, 0, 16,
       Array(0x00, 0x00, 0xFF, 0xFF).map(_.toByte), 1))
     assert(g16 != null && math.abs(g16(3) - 0.5f) < 1e-6, s"16-bit gray ${g16(3)}")
+  }
+
+  test("PNG decode: Adam7 interlaced, cross-validated via ImageIO progressive mode") {
+    // 11x5 (odd dims exercise the empty/partial Adam7 passes) RGB
+    val w = 11; val h = 5
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 23 + y * 5) % 256; val g = (x * 3 + y * 41) % 256
+      val b = (x * 17 + y * 29) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      sr += r / 255.0; sg += g / 255.0; sb += b / 255.0
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    assert((bytes(8 + 8 + 12) & 0xff) === 1, "fixture must actually be interlaced")
+    val f = Codec.decodePng(bytes)
+    assert(f != null, "Adam7 PNG did not decode")
+    val n = w * h
+    assert(math.abs(f(0) - sb / n) < 1e-6, s"blue ${f(0)} vs ${sb / n}")
+    assert(math.abs(f(1) - sg / n) < 1e-6)
+    assert(math.abs(f(2) - sr / n) < 1e-6)
+    assert(f(4) === n.toFloat)
   }
 
   test("PNG decode: malformed inputs filter, never crash") {
@@ -215,7 +258,8 @@ class CodecSpec extends SparkSpec {
     assert(Codec.decodePng(badCrc) === null)
     // truncated IDAT -> null
     assert(Codec.decodePng(java.util.Arrays.copyOf(good, good.length - 20)) === null)
-    // interlaced flag -> declared unsupported -> null (not garbage)
+    // interlace flag flipped WITHOUT re-segmenting the scanlines: the
+    // Adam7 layout needs more bytes than the sequential one -> null
     val inter = good.clone(); inter(8 + 8 + 12) = 1
     // fix the IHDR CRC after flipping the interlace byte
     val crc = new java.util.zip.CRC32(); crc.update(inter, 12, 17)
