@@ -221,7 +221,7 @@ object OracleSql {
        |LIMIT 10""".stripMargin
   }
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1375,6 +1375,13 @@ object OracleSql {
          |SELECT vec_id, adc_d2 FROM ranked
          |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
 
+    // the materialized-codes variant encodes identically (same
+    // deterministic codebooks), so the same SQL is its oracle
+    "q_ann_pq_indexed" ->
+      s"""$pqCtes
+         |SELECT vec_id, adc_d2 FROM ranked
+         |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+
     // the PQ accuracy audit (the ANN analogue of q_minhash_verify): ADC
     // top-50 next to the exact d2 against the raw vectors
     "q_pq_verify" ->
@@ -1545,4 +1552,11 @@ object OracleSql {
         |  md5(canon) AS canon_md5, substr(canon, 1, 40) AS canon_head
         |FROM c""".stripMargin,
   )
+
+  /** The materialized cell-partitioned IVFPQ index encodes identically
+    * (same deterministic model, same ADC), so the direct query's SQL is
+    * its oracle verbatim — mirroring q_ann_pq_indexed's reuse of the
+    * q_ann_pq CTEs. */
+  val all: Map[String, String] =
+    base + ("q_ivf_pq_indexed" -> base("q_ivf_pq"))
 }

@@ -463,6 +463,24 @@ object SparkEntry {
     PqIndex.searchAdc(Tables.embeddings(s, d), "vec_id", "embedding",
       m = 4, k = 16, queryVec(s, d), topK = 10, excludeId = Some(0L))
 
+  /** [[qAnnPq]] routed through the materialized codes-only index — the
+    * 100 TB shape: encode once per dataset ([[PqIndex.buildIndex]],
+    * cached across calls), then every query's ADC scan reads the m int
+    * code columns, never the raw vectors. Same deterministic codebooks,
+    * same ADC, same oracle as q_ann_pq. */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def qAnnPqIndexed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val books = PqIndex.codebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+    val root = pqIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+      PqIndex.buildIndex(emb, "vec_id", "embedding", books, s"$dir/codes")
+      dir
+    })
+    PqIndex.searchEncoded(s.read.parquet(s"$root/codes"), "vec_id", books,
+      queryVec(s, d), topK = 10, excludeId = Some(0L))
+  }
+
   /** IVF-PQ composite ANN: 8 coarse cells, residuals PQ-encoded in 4x16
     * books, per-cell ADC over 4 probed cells — the FAISS IVFx,PQy layout
     * with a full oracle. */
@@ -470,6 +488,27 @@ object SparkEntry {
     IvfPq.searchAdc(Tables.embeddings(s, d), "vec_id", "embedding",
       nCells = 8, m = 4, k = 16, queryVec(s, d), topK = 10, nProbes = 4,
       excludeId = Some(0L))
+
+  /** [[qIvfPq]] routed through the materialized cell-partitioned
+    * codes-only index — the full FAISS IVFPQ on-disk shape: build once
+    * per dataset ([[IvfPq.buildIndex]], cached across calls), then a
+    * probe-4 query reads ONLY the 4 probed cells' partitions and ONLY
+    * the m int code columns. Same model, same ADC, same oracle as
+    * q_ivf_pq. */
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap[String, (String, IvfPq.Model)]()
+  private def qIvfPqIndexed(s: SparkSession, d: String): DataFrame = {
+    val (root, model) = ivfPqIndexCache.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val m = IvfPq.buildModel(emb, "vec_id", "embedding",
+        nCells = 8, m = 4, k = 16, dim = queryVec(s, d).length)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+      IvfPq.buildIndex(emb, "vec_id", "embedding", m, s"$dir/codes")
+      (dir, m)
+    })
+    IvfPq.searchEncoded(s.read.parquet(s"$root/codes"), "vec_id", model,
+      queryVec(s, d), topK = 10, nProbes = 4, excludeId = Some(0L))
+  }
 
   /** PQ accuracy audit: ADC top-50 next to the exact query distance. */
   private def qPqVerify(s: SparkSession, d: String): DataFrame = {
@@ -1241,6 +1280,7 @@ object SparkEntry {
     "q_pit_state" -> (qPitState _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_pq_verify" -> (qPqVerify _),
     "q_curation_pipeline" -> (qCurationPipeline _),
@@ -1249,6 +1289,7 @@ object SparkEntry {
     "q_concurrency" -> (qConcurrency _),
     "q_chunk" -> (qChunk _),
     "q_ivf_pq" -> (qIvfPq _),
+    "q_ivf_pq_indexed" -> (qIvfPqIndexed _),
     "q_dup_spans" -> (qDupSpans _),
     "q_canonicalize" -> (qCanonicalize _),
     "q_span_cut" -> (qSpanCut _),

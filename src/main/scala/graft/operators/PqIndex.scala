@@ -118,6 +118,30 @@ object PqIndex {
     * Lloyd-trained ones). */
   def searchAdcWith(df: DataFrame, idCol: String, vecCol: String,
                     books: Array[Array[Array[Double]]], queryVec: Array[Float],
+                    topK: Int, excludeId: Option[Long]): DataFrame =
+    searchEncoded(encode(df, idCol, vecCol, books), idCol, books,
+      queryVec, topK, excludeId)
+
+  /** Materialize the index: encode every vector and persist ONLY the id
+    * and the m code columns. This is the 100 TB layout — a query's ADC
+    * scan reads m small dictionary-packed int columns instead of the
+    * 4·dim float vectors, and the encode cost is paid once at ingest
+    * (EventStream.annIngestBatch appends to the same shape), not per
+    * query. */
+  def buildIndex(df: DataFrame, idCol: String, vecCol: String,
+                 books: Array[Array[Array[Double]]], path: String): Unit =
+    encode(df, idCol, vecCol, books)
+      .select(col("vid") +: books.indices.map(s => col(s"code_$s")): _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** ADC top-k over an already-encoded codes relation (vid + code_0..m-1
+    * — [[buildIndex]]'s layout, or [[encode]]'s output directly): the
+    * per-subspace query-to-centroid distances are driver-computed literal
+    * arrays, the approximate distance is m array lookups summed
+    * left-to-right inside codegen, and the top-k is
+    * TakeOrderedAndProject. Raw vectors are never touched. */
+  def searchEncoded(encoded: DataFrame, idCol: String,
+                    books: Array[Array[Array[Double]]], queryVec: Array[Float],
                     topK: Int, excludeId: Option[Long]): DataFrame = {
     val m = books.length
     val sub = books(0)(0).length
@@ -127,11 +151,10 @@ object PqIndex {
       val qq = dotSeq(qs, qs)
       books(s).map(c => qq - 2.0 * dotSeq(qs, c.toSeq) + dotSeq(c.toSeq, c.toSeq))
     }
-    val enc = encode(df, idCol, vecCol, books)
     val approx = (0 until m).map(s =>
         element_at(array(adc(s).map(lit): _*), col(s"code_$s") + 1))
       .reduceLeft(_ + _)
-    val base = excludeId.map(e => enc.where(col("vid") =!= e)).getOrElse(enc)
+    val base = excludeId.map(e => encoded.where(col("vid") =!= e)).getOrElse(encoded)
     base.select(col("vid").as(idCol), approx.as("adc_d2"))
       .orderBy(col("adc_d2"), col(idCol))
       .limit(topK)

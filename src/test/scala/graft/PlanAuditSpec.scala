@@ -216,4 +216,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(nFiles.exists(n => n > 0 && n <= 4),
       s"probe-4 over 8 cells read $nFiles files — partition pruning lost")
   }
+
+  test("q_ivf_pq_indexed prunes to probed cells AND scans only code columns") {
+    val df = SparkEntry.queries("q_ivf_pq_indexed")(spark, sfDir)
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("PartitionFilters"),
+      "the centroid_id probe filter must hit the partition layout")
+    df.collect()
+    val nFiles = p.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).headOption
+    assert(nFiles.exists(n => n > 0 && n <= 4),
+      s"probe-4 over 8 cells read $nFiles files — partition pruning lost")
+    val codesScan = p.toString.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("code_0")).mkString
+    assert(codesScan.nonEmpty, "no scan over the materialized codes table found")
+    assert(!codesScan.contains("embedding") && !codesScan.contains("array<"),
+      s"codes scan still reads a vector column: $codesScan")
+  }
+
+  test("q_ann_pq_indexed scans only the narrow code columns, never vectors") {
+    val p = plan("q_ann_pq_indexed")
+    assert(p.contains("TakeOrderedAndProject"), "ADC top-k must be a heap, not a sort")
+    // the codes-table scan: ReadSchema carries vid + code_*, no embedding
+    val codesScan = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("code_0")).mkString
+    assert(codesScan.nonEmpty, "no scan over the materialized codes table found")
+    assert(!codesScan.contains("embedding") && !codesScan.contains("array<"),
+      s"codes scan still reads a vector column: $codesScan")
+  }
 }

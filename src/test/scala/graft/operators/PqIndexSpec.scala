@@ -63,6 +63,25 @@ class PqIndexSpec extends SparkSpec {
     assert(out.map(_.getDouble(1)).toSeq === out.map(_.getDouble(1)).sorted.toSeq)
   }
 
+  test("buildIndex + searchEncoded equals the direct searchAdc, codes-only on disk") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val books = PqIndex.codebooks(df, "vec_id", "embedding", m = 4, k = 16)
+    val q = df.where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val dir = java.nio.file.Files.createTempDirectory("pq-index-spec").toString
+    PqIndex.buildIndex(df, "vec_id", "embedding", books, s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes")
+    // the persisted layout is id + m int codes — nothing else
+    assert(codes.schema.fieldNames.sorted.toSeq ===
+      Seq("code_0", "code_1", "code_2", "code_3", "vid"))
+    assert(codes.schema.forall(f => !f.dataType.typeName.contains("array")))
+    val indexed = PqIndex.searchEncoded(codes, "vec_id", books, q,
+      topK = 10, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    val direct = PqIndex.searchAdcWith(df, "vec_id", "embedding", books, q,
+      topK = 10, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(indexed === direct)
+  }
+
   test("searchAdc equals the hand-computed ADC ranking, exact doubles") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = vecs.head._2.map(_.toFloat).toArray // query = vector 0

@@ -600,5 +600,14 @@ class EventStreamSpec extends SparkSpec {
         topK = 5, nProbes = 2, excludeId = None)
       .collect().map(_.getLong(0)).toSeq
     assert(viaIndex === viaRaw)
+    // the SAME ingested store also serves the codes-only ADC path: the
+    // flat-PQ searchEncoded over it == encode-and-search over raw vectors
+    val viaAdc = PqIndex.searchEncoded(ingested, "id", books, qv,
+        topK = 5, excludeId = None)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaAdcRaw = PqIndex.searchAdcWith(all, "id", "emb", books, qv,
+        topK = 5, excludeId = None)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaAdc === viaAdcRaw)
   }
 }
