@@ -59,10 +59,13 @@ object Bench {
     // The ~100-entry per-query map overflows line-oriented tail capture
     // (round-6 BENCH parsed:null), so it goes to a FILE; stdout's final
     // line is the compact totals-only JSON the driver parses.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r7.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r8.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${best.size},"detail":"$outFile","sf":"$sfDir"}""")
+    // stop Spark BEFORE the parseable line: its shutdown may log to the
+    // console, and the driver reads the LAST stdout line as the result
+    // (build.sbt routes forked stdout through unprefixed + no [success])
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${best.size},"detail":"$outFile","sf":"$sfDir"}""")
   }
 }

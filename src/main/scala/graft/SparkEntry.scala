@@ -21,7 +21,7 @@ object SparkEntry {
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
   /** NTZ-safe epoch seconds (session TZ is UTC, matching the oracle). */
   private def tsSec(c: Column): Column = c.cast("timestamp").cast("long")
-  /** events.ts is read as BIGINT nanos (see Verify) -> epoch seconds. */
+  /** Tables.events normalizes ts to BIGINT nanos -> epoch seconds. */
   private val nsSec: Column = expr("ts DIV 1000000000")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables.
   *
@@ -12,6 +14,25 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Normalize an epoch column to the engine-wide contract of BIGINT
+    * epoch-NANOSECONDS (UTC), whatever the on-disk parquet encoding:
+    *  - INT64 TIMESTAMP(NANOS) read as BIGINT via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (testdata ≤ round 6);
+    *  - timestamp[us] read as TIMESTAMP / TIMESTAMP_NTZ (round 7+).
+    * The NTZ→TIMESTAMP cast is value-preserving because every session
+    * entry point (Bench/Verify/Explain/SharedSpark) pins the session
+    * time zone to UTC. Any other type fails fast with one readable
+    * message instead of 13 downstream analysis errors. */
+  def normalizeEpochNanos(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn(c, unix_micros(col(c).cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"schema contract: column '$c' must be BIGINT epoch-nanos or " +
+        s"TIMESTAMP[_NTZ]; testdata has $other — adapt Tables.normalizeEpochNanos")
+    }
+
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
@@ -19,7 +40,9 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  /** `events` with `ts` always BIGINT epoch-nanos (see normalizeEpochNanos). */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEpochNanos(t(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -14,8 +14,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet INT64 TIMESTAMP(NANOS): read as BIGINT nanos
-      // (full ns precision, matching the DuckDB oracle's TIMESTAMP_NS).
+      // Harmless with timestamp[us] testdata (r7+); makes INT64
+      // TIMESTAMP(NANOS) testdata (≤r6) read as BIGINT nanos. Either way
+      // Tables.events normalizes ts to BIGINT epoch-nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

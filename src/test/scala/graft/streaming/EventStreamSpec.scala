@@ -443,7 +443,7 @@ class EventStreamSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // stage a copy of the events table as a streaming source directory
     val src = java.nio.file.Files.createTempDirectory("evstream").toString
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.Tables.events(spark, sfDir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     batch.write.mode("overwrite").parquet(src)
     val stream = spark.readStream
