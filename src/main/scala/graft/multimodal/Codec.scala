@@ -3,11 +3,13 @@ package graft.multimodal
 /** REAL decoders for the formats that need no codec library —
   * uncompressed 24-bit BMP (raw BGR pixel array, public layout),
   * 16-bit PCM WAV (raw little-endian samples, layout from
-  * [[AudioMeta]]), and PNG pixels (zlib via `java.util.zip.Inflater` +
-  * the five W3C filter predictors). Together with the header parsers
-  * they upgrade the multimodal story from "all decode stubbed" to
-  * "stub only where an actual patented/complex compressed codec
-  * (JPEG pixels, MP3 frames) would be required".
+  * [[AudioMeta]]), PNG pixels (zlib via `java.util.zip.Inflater` +
+  * the five W3C filter predictors), and baseline JPEG pixels (ITU
+  * T.81 sequential DCT: Huffman entropy decode, dequant, IDCT, chroma
+  * upsampling, YCbCr→RGB). Together with the header parsers they
+  * upgrade the multimodal story from "all decode stubbed" to "stub
+  * only where an actual patented/complex compressed codec (MP3
+  * frames, progressive/arithmetic JPEG) would be required".
   *
   * Each decoder returns the [[DecodeStub.FeatureDim]]-wide feature
   * vector a training-data filter consumes (channel means / energy
@@ -321,6 +323,351 @@ object Codec {
     f
   }
 
+  // --------------------------------------------------------------- JPEG
+
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** True iff the payload starts with the JPEG SOI marker. */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length > 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
+
+  /** Zig-zag index -> natural (row-major) index, ITU T.81 Figure 5. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** ct(v)(x) = C(v) * cos((2x+1) v pi / 16) — the 1-D IDCT basis with
+    * the normalization folded in (C(0)=1/sqrt2, else 1). */
+  private val IdctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (v, x) =>
+    (if (v == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+      math.cos((2 * x + 1) * v * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman table in the T.81 F.2.2.3 decode form. */
+  private final class Huff(bits: Array[Int], val huffval: Array[Byte]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valptr(l) = k; mincode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxcode(l) = if (bits(l - 1) == 0) -1 else code - 1
+        code <<= 1; l += 1
+      }
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment; handles 0xFF00
+    * byte stuffing and stops (returns -1) at any real marker. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    var atMarker = false
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (atMarker || pos >= b.length) return -1
+        var byte = u8(b, pos); pos += 1
+        if (byte == 0xff) {
+          if (pos >= b.length) { atMarker = true; return -1 }
+          val m = u8(b, pos)
+          if (m == 0x00) pos += 1 // stuffed 0xFF data byte
+          else { atMarker = true; pos -= 1; return -1 }
+        }
+        cur = byte; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(n: Int): Int = { // n extra bits, MSB first; -1 on starvation
+      var v = 0; var i = 0
+      while (i < n) { val bit = nextBit(); if (bit < 0) return -1; v = (v << 1) | bit; i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker, skipping any
+      * unread padding bits / stuffed bytes / 0xFF fill before it. */
+    def syncRestart(expect: Int): Boolean = {
+      nbits = 0; atMarker = false
+      while (pos + 1 < b.length &&
+          !(u8(b, pos) == 0xff && u8(b, pos + 1) != 0x00 && u8(b, pos + 1) != 0xff))
+        pos += 1
+      if (pos + 1 >= b.length || u8(b, pos + 1) != expect) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def huffDecode(r: BitReader, h: Huff): Int = { // T.81 F.16; -1 on error
+    var code = r.nextBit()
+    if (code < 0) return -1
+    var l = 1
+    while (code > h.maxcode(l)) {
+      l += 1
+      if (l > 16) return -1
+      val bit = r.nextBit()
+      if (bit < 0) return -1
+      code = (code << 1) | bit
+    }
+    val idx = h.valptr(l) + code - h.mincode(l)
+    if (idx >= h.huffval.length) return -1
+    u8(h.huffval, idx)
+  }
+
+  private def extend(v: Int, t: Int): Int = // T.81 F.12 sign extension
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Baseline-sequential JPEG pixel decode, library-free (public ITU
+    * T.81): marker walk (DQT/DHT/SOF0-1/DRI/SOS) → canonical-Huffman
+    * entropy decode with byte unstuffing and restart markers → dequant
+    * (de-zigzagged) → separable double-precision 8x8 IDCT → per-pixel
+    * chroma replication upsampling (T.871 box placement) → YCbCr→RGB
+    * (JFIF / Rec.601 full-range) with per-pixel clamping. Same feature
+    * layout as [[decodeBmp24]]: mean B, G, R (0-1), Rec. 601 luma,
+    * pixel count, alpha 1 (JPEG has no alpha).
+    *
+    * Coverage: 8-bit baseline (SOF0) and extended-sequential Huffman
+    * (SOF1), 1 component (grayscale) or 3 components (YCbCr, any
+    * sampling factors 1-4 incl. 4:4:4 / 4:2:2 / 4:2:0), restart
+    * intervals. Progressive (SOF2), arithmetic coding, hierarchical,
+    * 12-bit, and CMYK return null (filter-don't-fail), falling back to
+    * the dispatch's deterministic stub — the same contract as every
+    * other decoder here. */
+  def decodeJpeg(b: Array[Byte]): Array[Float] = {
+    if (!isJpeg(b)) return null
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val qtSeen = new Array[Boolean](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var w = 0; var h = 0; var nComp = 0
+    // per component: id, hSamp, vSamp, quant id, DC tab, AC tab
+    var cH: Array[Int] = null; var cV: Array[Int] = null; var cQ: Array[Int] = null
+    var cDc: Array[Int] = null; var cAc: Array[Int] = null
+    var restartInterval = 0
+    var i = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (i + 3 >= b.length) return null
+      if (u8(b, i) != 0xff) return null
+      var m = u8(b, i + 1)
+      while (m == 0xff) { i += 1; if (i + 3 >= b.length) return null; m = u8(b, i + 1) }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val seg = i + 4; val segEnd = i + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (Pq<<4|Tq, 64 or 128 bytes)
+            var p = seg
+            while (p < segEnd) {
+              val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+              if (tq > 3 || pq > 1 || p + 1 + 64 * (pq + 1) > segEnd) return null
+              var k = 0
+              while (k < 64) {
+                qt(tq)(k) = if (pq == 1) be16(b, p + 1 + 2 * k) else u8(b, p + 1 + k)
+                k += 1
+              }
+              qtSeen(tq) = true
+              p += 1 + 64 * (pq + 1)
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return null
+              val bits = Array.tabulate(16)(l => u8(b, p + 1 + l))
+              val nv = bits.sum
+              if (nv > 256 || p + 17 + nv > segEnd) return null
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + nv)
+              val t = new Huff(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + nv
+            }
+          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            if (u8(b, seg) != 8) return null // precision
+            h = be16(b, seg + 1); w = be16(b, seg + 3)
+            nComp = u8(b, seg + 5)
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+                seg + 6 + 3 * nComp > segEnd) return null
+            cH = new Array[Int](nComp); cV = new Array[Int](nComp); cQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              cH(c) = u8(b, seg + 7 + 3 * c) >> 4
+              cV(c) = u8(b, seg + 7 + 3 * c) & 15
+              cQ(c) = u8(b, seg + 8 + 3 * c)
+              if (cH(c) < 1 || cH(c) > 4 || cV(c) < 1 || cV(c) > 4 || cQ(c) > 3) return null
+              c += 1
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf => return null // non-baseline frame types
+          case 0xdd => // DRI
+            if (len != 4) return null
+            restartInterval = be16(b, seg)
+          case 0xda => // SOS
+            if (nComp == 0) return null
+            val ns = u8(b, seg)
+            if (ns != nComp || seg + 1 + 2 * ns + 3 > segEnd) return null
+            cDc = new Array[Int](nComp); cAc = new Array[Int](nComp)
+            var c = 0
+            while (c < ns) {
+              // scan components are taken in frame order (the only layout
+              // baseline interleaved encoders emit)
+              cDc(c) = u8(b, seg + 2 + 2 * c) >> 4
+              cAc(c) = u8(b, seg + 2 + 2 * c) & 15
+              if (cDc(c) > 3 || cAc(c) > 3) return null
+              c += 1
+            }
+            sosAt = segEnd
+          case 0xd9 => return null // EOI before any scan
+          case _ => () // APPn / COM / others: skip
+        }
+        i += 2 + len
+      }
+    }
+    var c = 0
+    while (c < nComp) {
+      if (!qtSeen(cQ(c)) || dcTabs(cDc(c)) == null || acTabs(cAc(c)) == null) return null
+      c += 1
+    }
+    val hMax = cH.max; val vMax = cV.max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    if (w.toLong * h > Int.MaxValue / 4) return null // corpus-sanity bound
+    // component planes sized to whole MCUs (edge blocks decode fully)
+    val planeW = Array.tabulate(nComp)(c => mcusX * cH(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => mcusY * cV(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
+    val reader = new BitReader(b, sosAt)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val blk = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var rstCount = 0
+    var rstMarker = 0xd0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && rstCount == restartInterval) {
+          if (!reader.syncRestart(rstMarker)) return null
+          rstMarker = 0xd0 + ((rstMarker - 0xd0 + 1) & 7)
+          java.util.Arrays.fill(pred, 0)
+          rstCount = 0
+        }
+        c = 0
+        while (c < nComp) {
+          val q = qt(cQ(c)); val dcT = dcTabs(cDc(c)); val acT = acTabs(cAc(c))
+          var by = 0
+          while (by < cV(c)) {
+            var bx = 0
+            while (bx < cH(c)) {
+              // --- entropy-decode one 8x8 block into coef (zigzag)
+              java.util.Arrays.fill(coef, 0)
+              val t = huffDecode(reader, dcT)
+              if (t < 0 || t > 11) return null
+              val diffBits = reader.receive(t)
+              if (diffBits < 0) return null
+              pred(c) += extend(diffBits, t)
+              coef(0) = pred(c)
+              var k = 1
+              var eob = false
+              while (!eob && k < 64) {
+                val rs = huffDecode(reader, acT)
+                if (rs < 0) return null
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else eob = true      // EOB
+                } else {
+                  k += r
+                  if (k > 63) return null
+                  val vb = reader.receive(s)
+                  if (vb < 0) return null
+                  coef(k) = extend(vb, s)
+                  k += 1
+                }
+              }
+              // --- dequantize into natural order
+              java.util.Arrays.fill(blk, 0.0)
+              k = 0
+              while (k < 64) { blk(ZigZag(k)) = coef(k).toDouble * q(k); k += 1 }
+              // --- separable IDCT: rows (over v -> x), then columns
+              var u = 0
+              while (u < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s2 = 0.0
+                  var v = 0
+                  while (v < 8) { s2 += blk(u * 8 + v) * IdctBasis(v)(x); v += 1 }
+                  tmp(u * 8 + x) = 0.5 * s2
+                  x += 1
+                }
+                u += 1
+              }
+              val x0 = (mx * cH(c) + bx) * 8
+              val y0 = (my * cV(c) + by) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s2 = 0.0
+                  var u2 = 0
+                  while (u2 < 8) { s2 += tmp(u2 * 8 + x) * IdctBasis(u2)(y); u2 += 1 }
+                  val px = (0.5 * s2 + 128.0).round.toInt
+                  planes(c)((y0 + y) * planeW(c) + x0 + x) =
+                    (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        rstCount += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // --- per-pixel accumulate with replication upsampling + color convert
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (nComp == 1) {
+          val g = u8(planes(0), y * planeW(0) + x) / 255.0
+          sr += g; sg += g; sb += g
+        } else {
+          def sampC(c: Int): Int =
+            u8(planes(c), (y * cV(c) / vMax) * planeW(c) + (x * cH(c) / hMax))
+          val yy = sampC(0).toDouble
+          val cb = sampC(1).toDouble - 128.0
+          val cr = sampC(2).toDouble - 128.0
+          def clamp(v: Double): Double = if (v < 0) 0 else if (v > 255) 255 else v
+          sr += clamp(yy + 1.402 * cr) / 255.0
+          sg += clamp(yy - 0.344136 * cb - 0.714136 * cr) / 255.0
+          sb += clamp(yy + 1.772 * cb) / 255.0
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val mr = (sr / n).toFloat; val mg = (sg / n).toFloat; val mb = (sb / n).toFloat
+    val f = new Array[Float](DecodeStub.FeatureDim)
+    f(0) = mb; f(1) = mg; f(2) = mr
+    f(3) = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
+    f(4) = n.toFloat
+    f(5) = 1.0f // JPEG has no alpha channel
+    f
+  }
+
   /** Dispatch: real decoder where the format permits one, the
     * deterministic stub otherwise — the upgrade path a new codec drops
     * into. */
@@ -331,6 +678,10 @@ object Codec {
     }
     if (isPng(payload)) {
       val f = decodePng(payload)
+      if (f != null) return f
+    }
+    if (isJpeg(payload)) {
+      val f = decodeJpeg(payload)
       if (f != null) return f
     }
     if (isPcm16(payload)) {

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL where the format permits a library-free decoder
   * ([[Codec]]: PNG pixels via JDK Inflater + the five filter
-  * predictors, uncompressed 24-bit BMP pixels, 16-bit PCM WAV samples;
-  * header metadata via [[ImageMeta]]/[[AudioMeta]]) and STUBBED only
-  * where an actual compressed codec would be required (JPEG pixels,
-  * MP3 — no image/audio libs in this environment): `decodeStub`
+  * predictors, baseline-JPEG pixels via T.81 Huffman+IDCT,
+  * uncompressed 24-bit BMP pixels, 16-bit PCM WAV samples; header
+  * metadata via [[ImageMeta]]/[[AudioMeta]]) and STUBBED only where
+  * an actual compressed codec would be required (MP3, non-baseline
+  * JPEG — no image/audio libs in this environment): `decodeStub`
   * produces a deterministic fake feature from the payload bytes.
   * Everything around either path — schema, batch shape, partition-level
   * iteration, metadata columns — is the same plumbing.

@@ -270,6 +270,152 @@ class CodecSpec extends SparkSpec {
     assert(Codec.decodeAny(good).toSeq == Codec.decodePng(good).toSeq)
   }
 
+  /** Encode a BufferedImage as JPEG via ImageIO (independent encoder). */
+  private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float,
+                        progressive: Boolean = false): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Channel means (b, g, r) of ImageIO's OWN decode of the same bytes —
+    * the independent reference for the lossy formats. */
+  private def imageioMeans(bytes: Array[Byte]): (Double, Double, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      sr += ((rgb >> 16) & 0xff) / 255.0
+      sg += ((rgb >> 8) & 0xff) / 255.0
+      sb += (rgb & 0xff) / 255.0
+    }
+    val n = img.getWidth.toDouble * img.getHeight
+    (sb / n, sg / n, sr / n)
+  }
+
+  test("JPEG decode: cross-validated against the JDK's independent codec") {
+    // odd dims exercise partial edge MCUs; gradient content exercises AC
+    // coefficients at every frequency. ImageIO's decoder is libjpeg-style
+    // fixed-point; ours is double-precision T.81 — means agree to ~1 LSB.
+    val w = 37; val h = 23
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 19 + y * 3) % 256; val g = (x * 7 + y * 31) % 256
+      val b = (x * 11 + y * 13) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    for (q <- Seq(0.95f, 0.7f, 0.4f)) { // high q ~4:4:4, lower exercises subsampled paths
+      val bytes = jpegBytes(img, q)
+      val f = Codec.decodeJpeg(bytes)
+      assert(f != null, s"quality $q JPEG did not decode")
+      val (eb, eg, er) = imageioMeans(bytes)
+      assert(math.abs(f(0) - eb) < 0.01, s"q=$q blue ${f(0)} vs $eb")
+      assert(math.abs(f(1) - eg) < 0.01, s"q=$q green ${f(1)} vs $eg")
+      assert(math.abs(f(2) - er) < 0.01, s"q=$q red ${f(2)} vs $er")
+      assert(f(4) === (w * h).toFloat)
+      assert(f(5) === 1.0f)
+    }
+    // grayscale single-component scan
+    val gray = new java.awt.image.BufferedImage(21, 9, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 9; x <- 0 until 21)
+      gray.getRaster.setSample(x, y, 0, (x * 12 + y * 25) % 256)
+    val gbytes = jpegBytes(gray, 0.8f)
+    val gf = Codec.decodeJpeg(gbytes)
+    assert(gf != null, "grayscale JPEG did not decode")
+    // compare raw raster samples (getRGB would gamma-convert gray->sRGB)
+    val gref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    var gsum = 0.0
+    for (y <- 0 until 9; x <- 0 until 21)
+      gsum += gref.getRaster.getSample(x, y, 0) / 255.0
+    val gmean = gsum / (21 * 9)
+    assert(math.abs(gf(3) - gmean) < 0.01, s"gray luma ${gf(3)} vs $gmean")
+  }
+
+  /** Hand-built baseline JPEG: grayscale, flat 8x8 blocks (DC-only, unit
+    * quant), std Annex K Huffman DC table, optional restart interval.
+    * Flat blocks decode EXACTLY (DC-only IDCT is the constant
+    * (V-128)+128), so expected means are exact, and DRI=1 forces a
+    * restart marker between every MCU — the path ImageIO never emits. */
+  private def jpegDcOnly(blockVals: Seq[Int], restart: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int*): Unit = b.foreach(out.write)
+    m(0xff, 0xd8) // SOI
+    m(0xff, 0xdb, 0, 67, 0); (0 until 64).foreach(_ => out.write(1)) // DQT id0, all 1s
+    val w = blockVals.size * 8
+    m(0xff, 0xc0, 0, 11, 8, 0, 8, (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0) // SOF0 gray
+    // DC table 0: Annex K luminance (bits then 12 symbols)
+    val dcBits = Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    m(0xff, 0xc4, 0, (19 + 12) & 0xff, 0x00); dcBits.foreach(out.write); (0 to 11).foreach(out.write)
+    // AC table 0: a minimal 1-entry table — symbol 0x00 (EOB) as code "0"
+    m(0xff, 0xc4, 0, 20, 0x10); m(1); (1 until 16).foreach(_ => out.write(0)); m(0x00)
+    if (restart) m(0xff, 0xdd, 0, 4, 0, 1) // DRI = 1 MCU
+    m(0xff, 0xda, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS: comp 1, DC0/AC0
+    // Annex K DC codes: cat0="00"; cat1.."5" are "010".."110"; 6+ add 1s
+    def dcCode(cat: Int): (Int, Int) =
+      if (cat == 0) (0, 2)
+      else if (cat <= 5) (1 + cat, 3) // 010,011,100,101,110
+      else ((1 << (cat - 2)) - 2, cat - 2) // 1110, 11110, 111110, ...
+    var acc = 0L; var nb = 0
+    def putBits(v: Int, n: Int): Unit = { acc = (acc << n) | (v & ((1L << n) - 1)); nb += n
+      while (nb >= 8) { val byte = ((acc >> (nb - 8)) & 0xff).toInt; out.write(byte)
+        if (byte == 0xff) out.write(0x00); nb -= 8 } }
+    def flushAlign(): Unit = if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb)
+    var pred = 0
+    for ((v, idx) <- blockVals.zipWithIndex) {
+      if (restart && idx > 0) {
+        flushAlign(); m(0xff, 0xd0 + ((idx - 1) & 7)); pred = 0
+      }
+      val dc = 8 * (v - 128)
+      val diff = dc - pred; pred = dc
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCode(cat)
+      putBits(code, len)
+      if (cat > 0) putBits(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      putBits(0, 1) // EOB ("0" in the minimal AC table)
+    }
+    flushAlign()
+    m(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  test("JPEG decode: hand-built DC-only fixture, exact means, restart markers") {
+    for (restart <- Seq(false, true)) {
+      val vals = Seq(96, 192, 48)
+      val f = Codec.decodeJpeg(jpegDcOnly(vals, restart))
+      assert(f != null, s"restart=$restart fixture did not decode")
+      val exp = vals.map(_ / 255.0).sum / vals.size
+      assert(math.abs(f(3) - exp) < 1e-6, s"restart=$restart luma ${f(3)} vs $exp")
+      assert(f(4) === (vals.size * 64).toFloat)
+    }
+  }
+
+  test("JPEG decode: non-baseline and malformed inputs filter, never crash") {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (x * 16) << 8 | y * 16)
+    // progressive (SOF2) is out of scope -> null, stub fallback in dispatch
+    val prog = jpegBytes(img, 0.8f, progressive = true)
+    assert(Codec.decodeJpeg(prog) === null, "progressive must filter")
+    assert(Codec.decodeAny(prog).toSeq == DecodeStub.decodeStub(prog).toSeq)
+    // truncated entropy stream -> null
+    val good = jpegBytes(img, 0.8f)
+    assert(Codec.decodeJpeg(good) != null)
+    assert(Codec.decodeJpeg(java.util.Arrays.copyOf(good, good.length / 2)) === null)
+    // garbage after SOI -> null
+    val junk = Array[Byte](0xff.toByte, 0xd8.toByte) ++ Array.fill(64)(0x55.toByte)
+    assert(Codec.decodeJpeg(junk) === null)
+    // dispatch integration: a real JPEG routes through decodeJpeg
+    assert(Codec.decodeAny(good).toSeq == Codec.decodeJpeg(good).toSeq)
+  }
+
   test("decodeFeatures dispatches: real BMP/PCM decode, stub for the rest") {
     val img = bmp(Array(Array((255, 0, 0))))
     val aud = wav16(Array.tabulate(50)(i => if (i % 2 == 0) 16384 else -16384)
