@@ -7,9 +7,10 @@ a K-fold copy of sf0.1 with every key domain shifted consistently
 engines identical bigger inputs whose joins still resolve.
 
 pyarrow (driver-side tooling, like tools/compare.py) so the parquet
-schema is preserved BIT-FOR-BIT — in particular events.ts stays INT64
-TIMESTAMP(NANOS), which Spark reads via nanosAsLong and DuckDB as
-TIMESTAMP_NS; a DuckDB COPY would silently rewrite it to micros and
+schema is preserved BIT-FOR-BIT — in particular events.ts keeps the
+source tier's encoding (timestamp[us] since the r7 regeneration;
+INT64 TIMESTAMP(NANOS) before), so Spark's adaptive Tables.events and
+DuckDB see the same type; a DuckDB COPY could silently rewrite it and
 fork the two engines' views.
 
 Usage: python3 tools/make_sf.py <srcDir> <outDir> [K=5]
