@@ -398,6 +398,67 @@ class CodecSpec extends SparkSpec {
     }
   }
 
+  /** Hand-built subsampled COLOR JPEG: one MCU, flat DC-only blocks,
+    * neutral chroma (Cb=Cr=128 -> R=G=B=Y exactly), so the expected
+    * means are exact and the Y-block -> pixel placement + chroma
+    * upsampling indexing is pinned for a chosen sampling factor. */
+  private def jpegColorSub(hSamp: Int, vSamp: Int, yVals: Seq[Int]): Array[Byte] = {
+    require(yVals.size == hSamp * vSamp)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int*): Unit = b.foreach(out.write)
+    val w = hSamp * 8; val h = vSamp * 8
+    m(0xff, 0xd8)
+    m(0xff, 0xdb, 0, 67, 0); (0 until 64).foreach(_ => out.write(1))
+    m(0xff, 0xc0, 0, 17, 8, 0, h, 0, w, 3,
+      1, (hSamp << 4) | vSamp, 0,  2, 0x11, 0,  3, 0x11, 0)
+    val dcBits = Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    m(0xff, 0xc4, 0, 31, 0x00); dcBits.foreach(out.write); (0 to 11).foreach(out.write)
+    m(0xff, 0xc4, 0, 20, 0x10); m(1); (1 until 16).foreach(_ => out.write(0)); m(0x00)
+    m(0xff, 0xda, 0, 12, 3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
+    var acc = 0L; var nb = 0
+    def putBits(v: Int, n: Int): Unit = { acc = (acc << n) | (v & ((1L << n) - 1)); nb += n
+      while (nb >= 8) { val byte = ((acc >> (nb - 8)) & 0xff).toInt; out.write(byte)
+        if (byte == 0xff) out.write(0x00); nb -= 8 } }
+    def dcCode(cat: Int): (Int, Int) =
+      if (cat == 0) (0, 2) else if (cat <= 5) (1 + cat, 3)
+      else ((1 << (cat - 2)) - 2, cat - 2)
+    def putBlock(dc: Int, pred: Int): Int = {
+      val diff = dc - pred
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCode(cat)
+      putBits(code, len)
+      if (cat > 0) putBits(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      putBits(0, 1) // EOB
+      dc
+    }
+    var predY = 0
+    for (v <- yVals) predY = putBlock(8 * (v - 128), predY)
+    putBlock(0, 0) // Cb = 128 exactly
+    putBlock(0, 0) // Cr = 128 exactly
+    if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb)
+    m(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  test("JPEG decode: 4:2:2 and 4:2:0 chroma subsampling, exact means") {
+    // 4:2:2 — two Y blocks side by side; neutral chroma keeps RGB == Y
+    val f422 = Codec.decodeJpeg(jpegColorSub(2, 1, Seq(64, 192)))
+    assert(f422 != null, "4:2:2 fixture did not decode")
+    val exp422 = (64 + 192) / 2.0 / 255.0
+    assert(math.abs(f422(3) - exp422) < 1e-6, s"4:2:2 luma ${f422(3)} vs $exp422")
+    assert(math.abs(f422(0) - exp422) < 1e-6 && math.abs(f422(2) - exp422) < 1e-6)
+    assert(f422(4) === 128.0f)
+    // 4:2:0 — 2x2 Y blocks, one chroma pair for all four
+    val f420 = Codec.decodeJpeg(jpegColorSub(2, 2, Seq(32, 96, 160, 224)))
+    assert(f420 != null, "4:2:0 fixture did not decode")
+    val exp420 = (32 + 96 + 160 + 224) / 4.0 / 255.0
+    assert(math.abs(f420(3) - exp420) < 1e-6, s"4:2:0 luma ${f420(3)} vs $exp420")
+    assert(f420(4) === 256.0f)
+    // 4:4:4 — degenerate case through the same color path
+    val f444 = Codec.decodeJpeg(jpegColorSub(1, 1, Seq(100)))
+    assert(f444 != null && math.abs(f444(3) - 100 / 255.0) < 1e-6)
+  }
+
   test("JPEG decode: non-baseline and malformed inputs filter, never crash") {
     val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (x * 16) << 8 | y * 16)
