@@ -477,6 +477,48 @@ class CodecSpec extends SparkSpec {
     assert(Codec.decodeAny(good).toSeq == Codec.decodeJpeg(good).toSeq)
   }
 
+  test("fuzz: decodeAny never throws — arbitrary bytes, magic-prefixed tails, bit flips") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalatest.prop.Configuration
+    val magics = Seq[Array[Byte]](
+      Array(0xff, 0xd8).map(_.toByte),                                   // JPEG SOI
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), // PNG
+      Array('B', 'M').map(_.toByte),                                     // BMP
+      "RIFF".getBytes ++ Array[Byte](44, 0, 0, 0) ++ "WAVE".getBytes)    // WAV
+    val valid = Seq(
+      jpegDcOnly(Seq(96, 192), restart = true),
+      jpegColorSub(2, 2, Seq(32, 96, 160, 224)),
+      png(4, 2, 2, 8, Array.tabulate(24)(i => (i * 29).toByte), 4),
+      bmp(Array(Array((1, 2, 3), (4, 5, 6)))),
+      wav16(Array.tabulate(40)(i => (i * 991).toShort)))
+    val gen: Gen[Array[Byte]] = Gen.oneOf(
+      // pure noise
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      // valid magic + noise tail (reaches deep into each parser)
+      for {
+        m <- Gen.oneOf(magics)
+        t <- Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+      } yield m ++ t,
+      // valid fixture with one random byte corrupted (syntax-adjacent)
+      for {
+        v <- Gen.oneOf(valid)
+        i <- Gen.choose(0, v.length - 1)
+        b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield { val c = v.clone(); c(i) = b; c },
+      // valid fixture truncated at a random point
+      for {
+        v <- Gen.oneOf(valid)
+        n <- Gen.choose(0, v.length - 1)
+      } yield java.util.Arrays.copyOf(v, n))
+    val prop = Prop.forAll(gen) { bytes =>
+      val f = Codec.decodeAny(bytes) // must return, never throw
+      f != null && f.length == DecodeStub.FeatureDim
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("decodeFeatures dispatches: real BMP/PCM decode, stub for the rest") {
     val img = bmp(Array(Array((255, 0, 0))))
     val aud = wav16(Array.tabulate(50)(i => if (i % 2 == 0) 16384 else -16384)
