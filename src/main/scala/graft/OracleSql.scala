@@ -1551,6 +1551,18 @@ object OracleSql {
         |SELECT doc_id, CAST(length(canon) AS BIGINT) AS n_canon_chars,
         |  md5(canon) AS canon_md5, substr(canon, 1, 40) AS canon_head
         |FROM c""".stripMargin,
+
+    // time-windowed aggregate; [from, to) in epoch seconds matches the
+    // Spark side's native-domain pushed range (Tables.eventsBetween)
+    "q_time_slice" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec,
+        | MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
+        |FROM events
+        |WHERE epoch(ts) >= 1704672000 AND epoch(ts) < 1705276800
+        |GROUP BY event_type""".stripMargin,
   )
 
   /** The materialized cell-partitioned IVFPQ index encodes identically

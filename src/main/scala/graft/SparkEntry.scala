@@ -326,6 +326,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
 
+  /** Time-windowed aggregate through Tables.eventsBetween: the range
+    * predicate is applied in the raw column's native domain so it
+    * reaches the parquet scan (PushedFilters — TablesSpec pins it for
+    * both on-disk ts encodings). Jan 8-15 2024 UTC, one week of the
+    * 30-day synthetic span. */
+  private def qTimeSlice(s: SparkSession, d: String): DataFrame =
+    Tables.eventsBetween(s, d, 1704672000L, 1705276800L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"),
+        min(nsSec).cast("long").as("first_sec"),
+        max(nsSec).cast("long").as("last_sec"))
+
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     Sessionize.sessionize(
         Tables.events(s, d).withColumn("sec", nsSec),
@@ -1297,6 +1311,7 @@ object SparkEntry {
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_span_cut_keep" -> (qSpanCutKeep _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_time_slice" -> (qTimeSlice _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -43,6 +43,36 @@ object Tables {
   /** `events` with `ts` always BIGINT epoch-nanos (see normalizeEpochNanos). */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEpochNanos(t(s, d, "events"), "ts")
+
+  /** Time-windowed events read with the range predicate applied in the
+    * column's NATIVE domain, BEFORE nanos normalization. Filtering on
+    * the normalized (derived) column would sit above a Project and
+    * never reach the parquet scan; filtering on the raw column is a
+    * plain literal comparison Spark pushes into the scan, so row-group
+    * statistics skip everything outside [fromSec, toSec) — the
+    * difference between reading a day and reading 100 TB. Inclusive
+    * lower bound, exclusive upper (standard window convention);
+    * TablesSpec pins PushedFilters for both on-disk encodings. */
+  def eventsBetween(s: SparkSession, d: String,
+                    fromSec: Long, toSec: Long): DataFrame = {
+    val raw = t(s, d, "events")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => // BIGINT epoch-nanos on disk
+        raw.where(col("ts") >= fromSec * 1000000000L &&
+                  col("ts") <  toSec * 1000000000L)
+      case TimestampType | TimestampNTZType =>
+        // literals in the column's own type: comparable in the scan
+        val lo = org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.lit(fromSec * 1000000L)).cast(raw.schema("ts").dataType)
+        val hi = org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.lit(toSec * 1000000L)).cast(raw.schema("ts").dataType)
+        raw.where(col("ts") >= lo && col("ts") < hi)
+      case other => throw new IllegalStateException(
+        s"schema contract: column 'ts' must be BIGINT epoch-nanos or " +
+        s"TIMESTAMP[_NTZ]; testdata has $other — adapt Tables.eventsBetween")
+    }
+    normalizeEpochNanos(filtered, "ts")
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

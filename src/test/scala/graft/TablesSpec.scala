@@ -51,4 +51,23 @@ class TablesSpec extends SparkSpec {
   test("real testdata loads under the contract") {
     assert(Tables.events(spark, sfDir).schema("ts").dataType === LongType)
   }
+
+  test("eventsBetween pushes the time range into the parquet scan, both encodings") {
+    val base = java.nio.file.Files.createTempDirectory("evts-range").toString
+    writeEvents(s"$base/long", "ts_us * 1000")
+    writeEvents(s"$base/ntz", "CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)")
+    for (enc <- Seq("long", "ntz")) {
+      // [1700000000, 1700000100) keeps event 1, drops event 2
+      val df = Tables.eventsBetween(spark, s"$base/$enc", 1700000000L, 1700000100L)
+      assert(df.schema("ts").dataType === LongType, s"$enc: ts not normalized")
+      assert(df.select("event_id").as[Long].collect().toSeq === Seq(1L), s"$enc: wrong rows")
+      // the predicate must reach the scan as a pushed filter on the RAW
+      // column — sitting above the normalization Project would read
+      // every row group at scale
+      val p = df.queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+      assert(p.contains("PushedFilters"), s"$enc: no PushedFilters section")
+      assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+        s"$enc: ts range not pushed into the scan: $p")
+    }
+  }
 }
