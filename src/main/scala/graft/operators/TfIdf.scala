@@ -60,23 +60,33 @@ object TfIdf {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                query: Seq[String], topK: Int,
                scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
-    val toks = scope.cache(docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Text.tokens(col(textCol))).as("tok")))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sl")).head()
+    // dl (doc length) is size(tokens): computed MAP-SIDE inside one
+    // codegen stage, and only query-term hits ever reach a shuffle.
+    // The previous shape exploded the full corpus token stream and
+    // grouped it just to count per-doc lengths — at scale that is
+    // shuffling every token vs shuffling ~|query| rows per doc.
+    val base = scope.cache(docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => t.isInCollection(query)).as("hits")))
+    val st = base.agg(
+      count(when(col("dl") > 0, 1)).as("n"), sum("dl").as("sl")).head()
     val n = st.getLong(0)
     if (n == 0L) // empty / all-empty corpus: empty result, right schema
       return docs.sparkSession.range(0)
         .select(col("id").cast(docs.schema(idCol).dataType).as("doc_id"),
           col("id").as("score_ppm"))
     val avgdlX10 = st.getLong(1) * 10L / n
-    val hits = toks.where(col("tok").isin(query: _*))
-    val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // dl rides the grouping key (functionally dependent on doc_id):
+    // no post-hoc length join
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
+      .groupBy("doc_id", "tok", "dl").agg(count(lit(1)).as("tf"))
     // df falls out of tf (already one row per (doc, term)): no second
     // scan of the hits, no count_distinct expand
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "tok")
-      .join(dl, "doc_id")
       .withColumn("ts", expr(
         s"((${n}L - df + 1) * 1000000L DIV (df + 1)) * (tf * 22) DIV " +
           s"(tf * 10 + (12 * (2 + (8 * dl * 10) DIV ${avgdlX10}L)) DIV 10)"))
