@@ -79,7 +79,10 @@ object AudioMeta {
       } else if (tag(b, i, "data")) {
         dataBytes = math.min(size, (b.length - body).toLong) // truncated data ok
       }
-      i = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      // chunks pad to even; advance in Long — a ~2 GB declared size
+      // would wrap Int and turn i negative (AIOOBE), not end the walk
+      val next = body.toLong + size + (size & 1L)
+      if (next <= i || next > b.length) i = b.length else i = next.toInt
     }
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue ||
         bits <= 0 || block <= 0 || dataBytes < 0) null

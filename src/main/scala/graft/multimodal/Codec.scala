@@ -18,6 +18,13 @@ package graft.multimodal
   */
 object Codec {
 
+  /** Corpus-sanity pixel bound (64 Mpx ≈ 8192x8192): header-declared
+    * dimensions drive buffer allocation BEFORE any pixel data is
+    * validated, so a 100-byte crafted payload could otherwise demand
+    * multi-GB arrays and OOM the executor — an Error, not a
+    * filter-don't-fail null. Anything larger filters to the stub. */
+  val MaxPixels: Long = 1L << 26
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def le32(b: Array[Byte], i: Int): Long =
@@ -41,7 +48,9 @@ object Codec {
     val w = le32(b, 18).toInt
     val hRaw = le32(b, 22).toInt
     val h = math.abs(hRaw)
-    if (w <= 0 || h <= 0) return null
+    // MaxPixels also keeps w*3 far from Int overflow (a crafted width of
+    // ~0x55555557 would wrap rowBytes tiny and defeat the bounds check)
+    if (w <= 0 || h <= 0 || w.toLong * h > Codec.MaxPixels) return null
     val rowBytes = ((w * 3 + 3) / 4) * 4
     if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return null
     var sb = 0.0; var sg = 0.0; var sr = 0.0
@@ -64,6 +73,7 @@ object Codec {
     val luma = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
     val f = new Array[Float](DecodeStub.FeatureDim)
     f(0) = mb; f(1) = mg; f(2) = mr; f(3) = luma; f(4) = n.toFloat
+    f(5) = 1.0f // 24-bit BMP has no alpha: opaque, like the other decoders
     f
   }
 
@@ -86,10 +96,13 @@ object Codec {
     var i = 12
     var body = -1
     while (body < 0 && i + 8 <= b.length) {
-      val size = le32(b, i + 4).toInt
+      val size = le32(b, i + 4) // Long: a ~2 GB size would wrap Int below
       if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
         body = i + 8
-      else i += 8 + size + (size & 1)
+      else {
+        val next = i + 8L + size + (size & 1L)
+        if (next <= i || next > b.length) i = b.length else i = next.toInt
+      }
     }
     if (body < 0) return null
     // frames = dataBytes / fmt.blockAlign: a malformed WAV declaring
@@ -205,7 +218,7 @@ object Codec {
       }.filter(p => p._1 > 0 && p._2 > 0)
     def strideOf(wp: Int): Int = ((wp.toLong * bitsPerPixel + 7) / 8).toInt
     val raw = passes.map { case (wp, hp) => (strideOf(wp) + 1).toLong * hp }.sum
-    if (raw > Int.MaxValue - 8 || w.toLong * h > Int.MaxValue) return null
+    if (raw > Int.MaxValue - 8 || w.toLong * h > Codec.MaxPixels) return null
     // --- inflate the full filtered image
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -214,7 +227,9 @@ object Codec {
     try {
       while (got < img.length && !inf.finished()) {
         val n = inf.inflate(img, got, img.length - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // truncated stream, or an FDICT zlib header awaiting a preset
+        // dictionary (never valid in PNG): bail, don't spin forever
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return null }
@@ -531,11 +546,17 @@ object Codec {
       if (!qtSeen(cQ(c)) || dcTabs(cDc(c)) == null || acTabs(cAc(c)) == null) return null
       c += 1
     }
+    // T.81 A.2.3: a single-component scan is NON-interleaved — data
+    // units are plain 8x8 blocks in raster order and the frame's
+    // sampling factors do not shape the MCU. A grayscale SOF declaring
+    // 2x2 would otherwise mis-place every block (and miscount restart
+    // intervals, which tick per MCU).
+    if (nComp == 1) { cH(0) = 1; cV(0) = 1 }
     val hMax = cH.max; val vMax = cV.max
     val mcuW = 8 * hMax; val mcuH = 8 * vMax
     val mcusX = (w + mcuW - 1) / mcuW
     val mcusY = (h + mcuH - 1) / mcuH
-    if (w.toLong * h > Int.MaxValue / 4) return null // corpus-sanity bound
+    if (w.toLong * h > Codec.MaxPixels) return null // corpus-sanity bound
     // component planes sized to whole MCUs (edge blocks decode fully)
     val planeW = Array.tabulate(nComp)(c => mcusX * cH(c) * 8)
     val planeH = Array.tabulate(nComp)(c => mcusY * cV(c) * 8)
@@ -672,6 +693,7 @@ object Codec {
     * deterministic stub otherwise — the upgrade path a new codec drops
     * into. */
   def decodeAny(payload: Array[Byte]): Array[Float] = {
+    if (payload == null) return new Array[Float](DecodeStub.FeatureDim)
     if (isBmp24(payload)) {
       val f = decodeBmp24(payload)
       if (f != null) return f

@@ -345,13 +345,14 @@ class CodecSpec extends SparkSpec {
     * Flat blocks decode EXACTLY (DC-only IDCT is the constant
     * (V-128)+128), so expected means are exact, and DRI=1 forces a
     * restart marker between every MCU — the path ImageIO never emits. */
-  private def jpegDcOnly(blockVals: Seq[Int], restart: Boolean): Array[Byte] = {
+  private def jpegDcOnly(blockVals: Seq[Int], restart: Boolean,
+                         sofHV: Int = 0x11): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def m(b: Int*): Unit = b.foreach(out.write)
     m(0xff, 0xd8) // SOI
     m(0xff, 0xdb, 0, 67, 0); (0 until 64).foreach(_ => out.write(1)) // DQT id0, all 1s
     val w = blockVals.size * 8
-    m(0xff, 0xc0, 0, 11, 8, 0, 8, (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0) // SOF0 gray
+    m(0xff, 0xc0, 0, 11, 8, 0, 8, (w >> 8) & 0xff, w & 0xff, 1, 1, sofHV, 0) // SOF0 gray
     // DC table 0: Annex K luminance (bits then 12 symbols)
     val dcBits = Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
     m(0xff, 0xc4, 0, (19 + 12) & 0xff, 0x00); dcBits.foreach(out.write); (0 to 11).foreach(out.write)
@@ -475,6 +476,65 @@ class CodecSpec extends SparkSpec {
     assert(Codec.decodeJpeg(junk) === null)
     // dispatch integration: a real JPEG routes through decodeJpeg
     assert(Codec.decodeAny(good).toSeq == Codec.decodeJpeg(good).toSeq)
+  }
+
+  test("adversarial payloads filter, never crash/hang/OOM (review regressions)") {
+    // BMP: width crafted so w*3 wraps Int and would defeat the bounds
+    // check — must null, not AIOOBE
+    val bomb = bmp(Array(Array((1, 2, 3)))).clone()
+    val wb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x55555557).array()
+    System.arraycopy(wb, 0, bomb, 18, 4)
+    assert(Codec.decodeBmp24(bomb) === null)
+    // BMP alpha slot: opaque like PNG/JPEG, not 0
+    assert(Codec.decodeBmp24(bmp(Array(Array((1, 2, 3)))))(5) === 1.0f)
+
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out.array(), 4, 4 + data.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def ihdr(w: Int, h: Int): Array[Byte] = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // PNG: zlib FDICT header (0x78 0x20, checksum-valid) — Inflater
+    // waits for a preset dictionary forever unless detected: must null
+    val fdict = sig ++ chunk("IHDR", ihdr(1, 1)) ++
+      chunk("IDAT", Array(0x78, 0x20, 0, 0, 0, 1, 0).map(_.toByte)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(Codec.decodePng(fdict) === null)
+    // PNG: 400 Mpx header on a 100-byte payload — must null BEFORE
+    // allocating, not OOM the executor
+    val huge = sig ++ chunk("IHDR", ihdr(20000, 20000)) ++
+      chunk("IDAT", Array[Byte](0)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Codec.decodePng(huge) === null)
+
+    // RIFF: ~2 GB declared chunk size wraps the Int chunk advance —
+    // must walk off cleanly (stub fallback), not AIOOBE
+    val riff = java.nio.ByteBuffer.allocate(28)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes).putInt(20).put("WAVE".getBytes)
+    riff.put("JUNK".getBytes).putInt(0x7ffffff8)
+    val rb = riff.array()
+    assert(Codec.decodeAny(rb).toSeq == DecodeStub.decodeStub(rb).toSeq)
+
+    // JPEG: grayscale SOF declaring 2x2 sampling — a one-component scan
+    // is NON-interleaved per T.81 A.2.3, so it must decode identically
+    // to the 1x1 declaration (blocks in raster order), restarts included
+    for (restart <- Seq(false, true)) {
+      val ref = Codec.decodeJpeg(jpegDcOnly(Seq(96, 192, 48), restart))
+      val got = Codec.decodeJpeg(jpegDcOnly(Seq(96, 192, 48), restart, sofHV = 0x22))
+      assert(got != null, s"restart=$restart 2x2-gray did not decode")
+      assert(got.toSeq == ref.toSeq, s"restart=$restart sampling changed the result")
+    }
+
+    // null payload: zero feature vector, not an NPE
+    assert(Codec.decodeAny(null).toSeq ==
+      new Array[Float](DecodeStub.FeatureDim).toSeq)
   }
 
   test("fuzz: decodeAny never throws — arbitrary bytes, magic-prefixed tails, bit flips") {
