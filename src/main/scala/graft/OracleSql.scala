@@ -845,7 +845,9 @@ object OracleSql {
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS nd FROM documents),
-         |scored AS (SELECT doc_id, term, tf, df, tf * ((1000000 * nd) // df) AS score
+         |scored AS (SELECT doc_id, term, tf, df,
+         |             CAST(CAST(tf AS HUGEINT) * ((1000000::HUGEINT * nd) // df)
+         |               AS BIGINT) AS score
          |           FROM tf JOIN dfreq USING (term), n)
          |SELECT doc_id, term, tf, df, score, rank_in_group FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank_in_group

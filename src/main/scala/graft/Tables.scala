@@ -67,9 +67,9 @@ object Tables {
         val hi = org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.lit(toSec * 1000000L)).cast(raw.schema("ts").dataType)
         raw.where(col("ts") >= lo && col("ts") < hi)
-      case other => throw new IllegalStateException(
-        s"schema contract: column 'ts' must be BIGINT epoch-nanos or " +
-        s"TIMESTAMP[_NTZ]; testdata has $other — adapt Tables.eventsBetween")
+      // any other type: pass through unfiltered — normalizeEpochNanos
+      // below is the single fail-fast authority for the schema contract
+      case _ => raw
     }
     normalizeEpochNanos(filtered, "ts")
   }

@@ -28,21 +28,28 @@ object TfIdf {
     * rank_in_group). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                tokens: Column => Column, k: Int,
-               scale: Long = 1000000L): DataFrame = {
-    val tf = docs
+               scale: Long = 1000000L,
+               scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    val tf = scope.cache(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val nDocs = docs.select(col(idCol)).count()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // scale*nDocs precomputed as ONE long literal: an INT*INT product in
-    // the SQL text would overflow silently in non-ANSI mode
-    val scored = tf.join(dfreq, "term")
-      .withColumn("score", expr(s"tf * (${scale * nDocs}L DIV df)"))
-    Relational.topKPerGroup(scored, Seq("doc_id"),
-        Seq(col("score").desc, col("term")), k)
+    Relational.topKPerGroup(scoreTfIdf(tf.join(dfreq, "term"), scale, nDocs),
+        Seq("doc_id"), Seq(col("score").desc, col("term")), k)
       .select("doc_id", "term", "tf", "df", "score", "rank_in_group")
   }
+
+  /** tf * ((scale * nDocs) DIV df) with the product carried in
+    * DECIMAL(38,0): at the design scale (tens of billions of docs) the
+    * BIGINT product would wrap silently in non-ANSI Spark and invert
+    * the ranking; decimal arithmetic stays exact and the final BIGINT
+    * cast degrades to null (sorted last) instead of to garbage. The
+    * oracle mirrors this with HUGEINT. */
+  private def scoreTfIdf(scored: DataFrame, scale: Long, nDocs: Long): DataFrame =
+    scored.withColumn("score", expr(
+      s"CAST(CAST(tf AS DECIMAL(38,0)) * " +
+        s"(CAST('${BigInt(scale) * nDocs}' AS DECIMAL(38,0)) DIV df) AS BIGINT)"))
 
   /** BM25-shaped top-k retrieval for a literal query, in EXACT integer
     * arithmetic (the repo's ppm discipline — libm-free, so the whole
@@ -69,8 +76,15 @@ object TfIdf {
       .select(col(idCol).as("doc_id"),
         graft.functions.Text.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("dl"),
-        filter(col("toks"), t => t.isInCollection(query)).as("hits")))
+        greatest(coalesce(size(col("toks")), lit(0)), lit(0)).cast("long").as("dl0"),
+        filter(col("toks"), t => t.isInCollection(query)).as("hits0"))
+      // duplicate doc_id rows are ONE document (the oracle counts length
+      // per doc_id, not per row): doc-keyed fold of lengths + hits —
+      // still shuffling only per-doc longs and query-term arrays, never
+      // the corpus token stream
+      .groupBy("doc_id")
+      .agg(sum(col("dl0")).as("dl"),
+        flatten(collect_list(col("hits0"))).as("hits")))
     val st = base.agg(
       count(when(col("dl") > 0, 1)).as("n"), sum("dl").as("sl")).head()
     val n = st.getLong(0)
@@ -130,22 +144,36 @@ object TfIdf {
   def ingestBatch(storeDir: String, idCol: String, textCol: String,
                   tokens: Column => Column)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (exists(spark, s"$storeDir/meta") &&
-        !spark.read.parquet(s"$storeDir/meta")
-          .where(col("batch_id") === batchId).isEmpty) return
-    val tfNew = batch
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // A first-ever batch that crashed after creating meta/ but before a
+    // parquet footer committed leaves a directory spark.read throws on
+    // (only _temporary inside). Treat unreadable meta as "nothing
+    // committed" — the replay then re-overwrites its own partitions —
+    // instead of wedging every subsequent ingest on the same error.
+    val committed = exists(spark, s"$storeDir/meta") &&
+      scala.util.Try(!spark.read.parquet(s"$storeDir/meta")
+        .where(col("batch_id") === batchId).isEmpty).getOrElse(false)
+    if (committed) return
+    // one projected+tokenized pass feeds tf, df, AND the row count — the
+    // batch source itself is read once
+    val proj = batch
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .persist()
-    writeBatchPartition(tfNew, s"$storeDir/tf", batchId)
-    writeBatchPartition(tfNew.groupBy("term").agg(count(lit(1)).as("df")),
-      s"$storeDir/df_delta", batchId)
-    import spark.implicits._
-    // committed-batch marker lands LAST
-    writeBatchPartition(
-      Seq(batch.select(col(idCol)).count()).toDF("n_docs"),
-      s"$storeDir/meta", batchId)
-    tfNew.unpersist()
+    try {
+      val tfNew = proj
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      try {
+        writeBatchPartition(tfNew, s"$storeDir/tf", batchId)
+        writeBatchPartition(tfNew.groupBy("term").agg(count(lit(1)).as("df")),
+          s"$storeDir/df_delta", batchId)
+        import spark.implicits._
+        // committed-batch marker lands LAST
+        writeBatchPartition(
+          Seq(proj.count()).toDF("n_docs"),
+          s"$storeDir/meta", batchId)
+      } finally tfNew.unpersist()
+    } finally proj.unpersist()
   }
 
   /** Top-k per doc over the maintained store — identical output contract
@@ -157,10 +185,9 @@ object TfIdf {
       .agg(sum("n_docs")).head.getLong(0)
     val dfAll = spark.read.parquet(s"$storeDir/df_delta")
       .groupBy("term").agg(sum("df").as("df"))
-    val scored = spark.read.parquet(s"$storeDir/tf")
-      .drop("batch_id")
-      .join(dfAll, "term")
-      .withColumn("score", expr(s"tf * (${scale * nDocs}L DIV df)"))
+    val scored = scoreTfIdf(
+      spark.read.parquet(s"$storeDir/tf").drop("batch_id").join(dfAll, "term"),
+      scale, nDocs)
     Relational.topKPerGroup(scored, Seq("doc_id"),
         Seq(col("score").desc, col("term")), k)
       .select("doc_id", "term", "tf", "df", "score", "rank_in_group")

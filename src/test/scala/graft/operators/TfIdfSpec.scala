@@ -118,6 +118,18 @@ class TfIdfSpec extends SparkSpec {
     assert(common2 < 2 * common && common2 > common)
   }
 
+  test("bm25TopK: duplicate doc_id rows fold into ONE document, like the oracle") {
+    // doc 7 split across two rows must score as the 5-token document
+    // "a b a c d", not as two independent fragments
+    val split = Seq((7L, "a b"), (7L, "a c d"), (8L, "a")).toDF("doc_id", "text")
+    val whole = Seq((7L, "a b a c d"), (8L, "a")).toDF("doc_id", "text")
+    val gotSplit = TfIdf.bm25TopK(split, "doc_id", "text", Seq("a"), 10)
+      .as[(Long, Long)].collect().toSeq
+    val gotWhole = TfIdf.bm25TopK(whole, "doc_id", "text", Seq("a"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(gotSplit == gotWhole, s"split=$gotSplit whole=$gotWhole")
+  }
+
   test("bm25TopK: top-k plans as TakeOrderedAndProject with a broadcast df table") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val p = TfIdf.bm25TopK(docs, "doc_id", "text", Seq("b"), 1)
