@@ -175,7 +175,12 @@ object SnapshotTable {
   private def manifestFiles(spark: SparkSession, root: String, v: Long): Vector[String] = {
     val rootP = new Path(root)
     val manifest = readSmall(fs(spark, rootP), new Path(rootP, s"_manifests/manifest-$v"))
-    "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(manifest).get.group(1)
+    // a visible manifest is complete under the protocol (landed by
+    // atomic rename) — anything else is corruption worth a clear error
+    "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(manifest).getOrElse(
+        sys.error(s"snapshot-table: corrupt manifest-$v at $root " +
+          s"(no files field; ${manifest.length} bytes)"))
+      .group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toVector
   }

@@ -117,14 +117,26 @@ class SnapshotTableSpec extends SparkSpec {
     f.create(new org.apache.hadoop.fs.Path(root, "_manifests/claim-2"), false).close()
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    Future { // A lands manifest-2 shortly after B starts waiting
-      Thread.sleep(700)
+    Future {
+      // A lands manifest-2 once it SEES B's claim-3 — not on a timer:
+      // B's pre-wait data-write job can take arbitrarily long under a
+      // loaded full-suite run, and a wall-clock sleep risks either
+      // landing before B ever waits (weak test) or blowing past the
+      // claim grace window (B skips the claim as burned -> flake)
+      val claim3 = new org.apache.hadoop.fs.Path(root, "_manifests/claim-3")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!f.exists(claim3) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
       val m1 = f.open(new org.apache.hadoop.fs.Path(root, "_manifests/manifest-1"))
       val body = scala.io.Source.fromInputStream(m1).mkString
         .replace("\"version\": 1", "\"version\": 2")
       m1.close()
-      val out = f.create(new org.apache.hadoop.fs.Path(root, "_manifests/manifest-2"), true)
+      // land ATOMICALLY (tmp + rename) like the real writer: B polls for
+      // manifest-2 and a bare create+write would let it read torn bytes
+      val tmpM = new org.apache.hadoop.fs.Path(root, "_manifests/.tmp-a2")
+      val out = f.create(tmpM, true)
       out.write(body.getBytes("UTF-8")); out.close()
+      f.rename(tmpM, new org.apache.hadoop.fs.Path(root, "_manifests/manifest-2"))
     }
     // B appends: must block on claim-2, then carry manifest-2's files
     val v = SnapshotTable.write(Seq((3L, "c")).toDF("id", "v"), root, append = true)
