@@ -31,6 +31,28 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("total_value"))
 
+  /** One event folded into the running session. Late (out-of-order)
+    * events inside the admitted horizon merge with min/max — the naive
+    * `last = sec` would drag the session end BACKWARDS and emit
+    * end < start. A late event older than start - gap is its own
+    * already-closed earlier session and is emitted directly. */
+  private def foldSession(user: Long, sec: Long, value: Double, gapSec: Long,
+                          cur: Option[SessState],
+                          close: Session => Unit): Option[SessState] =
+    cur match {
+      case Some(s) if sec > s.last + gapSec => // next session: close current
+        close(Session(user, s.start, s.last, s.n, s.total))
+        Some(SessState(sec, sec, 1, value))
+      case Some(s) if sec < s.start - gapSec => // late earlier session
+        close(Session(user, sec, sec, 1, value))
+        cur
+      case Some(s) => // inside / adjacent: merge, possibly extending either end
+        Some(SessState(math.min(s.start, sec), math.max(s.last, sec),
+          s.n + 1, s.total + value))
+      case None =>
+        Some(SessState(sec, sec, 1, value))
+    }
+
   /** Gap-based sessionization with explicit state: one state entry per
     * live user, closed sessions emitted on gap or processing-time timeout.
     * Batch twin: [[graft.operators.Sessionize.sessionize]]. */
@@ -38,6 +60,13 @@ object EventStream {
                        timeout: GroupStateTimeout =
                          GroupStateTimeout.ProcessingTimeTimeout()): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // EventTimeTimeout needs a watermark and a different timeout call —
+    // that variant IS sessionizeEventTime; fail fast instead of starting
+    // a query that throws per-group at runtime
+    require(timeout == GroupStateTimeout.NoTimeout() ||
+        timeout == GroupStateTimeout.ProcessingTimeTimeout(),
+      "sessionizeStream supports NoTimeout/ProcessingTimeTimeout; " +
+        "use sessionizeEventTime for event-time closing")
     val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
@@ -54,16 +83,8 @@ object EventStream {
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val sec = e.ts.getTime / 1000
-              cur match {
-                case Some(s) if sec - s.last <= gapSec =>
-                  cur = Some(s.copy(last = sec, n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  closed ::= Session(user, s.start, s.last, s.n, s.total)
-                  cur = Some(SessState(sec, sec, 1, e.value))
-                case None =>
-                  cur = Some(SessState(sec, sec, 1, e.value))
-              }
+              cur = foldSession(user, e.ts.getTime / 1000, e.value, gapSec,
+                cur, closed ::= _)
             }
             cur.foreach { s =>
               state.update(s)
@@ -97,21 +118,17 @@ object EventStream {
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val sec = e.ts.getTime / 1000
-              cur match {
-                case Some(s) if sec - s.last <= gapSec =>
-                  cur = Some(s.copy(last = sec, n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  closed ::= Session(user, s.start, s.last, s.n, s.total)
-                  cur = Some(SessState(sec, sec, 1, e.value))
-                case None =>
-                  cur = Some(SessState(sec, sec, 1, e.value))
-              }
+              cur = foldSession(user, e.ts.getTime / 1000, e.value, gapSec,
+                cur, closed ::= _)
             }
             cur.foreach { s =>
               state.update(s)
-              // close when event-time watermark passes last + gap
-              state.setTimeoutTimestamp((s.last + gapSec) * 1000)
+              // close when event-time watermark passes last + gap; a
+              // merge-only batch can leave last + gap at or behind the
+              // watermark, where setTimeoutTimestamp throws — clamp just
+              // past it (the group then times out on the next trigger)
+              state.setTimeoutTimestamp(math.max((s.last + gapSec) * 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
@@ -152,7 +169,10 @@ object EventStream {
               val sec = e.ts.getTime / 1000
               cur match {
                 case Some(s) if s.state == e.event_type =>
-                  cur = Some(s.copy(last = sec, n = s.n + 1))
+                  // late same-type events merge with min/max: `last = sec`
+                  // would drag the interval end backwards (to < from)
+                  cur = Some(s.copy(from = math.min(s.from, sec),
+                    last = math.max(s.last, sec), n = s.n + 1))
                 case Some(s) =>
                   closed ::= Interval(user, s.state, s.from, s.last, s.n)
                   cur = Some(IntervalState(e.event_type, sec, sec, 1))
@@ -162,7 +182,10 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.last + flushSec) * 1000)
+              // clamp past the watermark like sessionizeEventTime: a
+              // merge-only batch can leave last + flush behind it
+              state.setTimeoutTimestamp(math.max((s.last + flushSec) * 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
@@ -173,7 +196,8 @@ object EventStream {
 
   /** Streaming earliest-entry funnel — the incremental twin of
     * [[graft.operators.Funnel.funnel]]: per user, `times` holds each
-    * reached step's second (-1 = unreached); an arriving event advances
+    * reached step's second (Long.MinValue = unreached — a real epoch
+    * second can be -1); an arriving event advances
     * the funnel iff it is the next step's type, strictly after the
     * previous step, and within `windowSec` of step 1. Every advance
     * emits a StepReach transition (Append mode) — `groupBy(step)` at the
@@ -217,12 +241,16 @@ object EventStream {
   /** Streaming exact dedup: one state entry per key within the watermark
     * horizon — the incremental form of Dedup.exactDupGroups for a
     * continuously-ingested corpus (content-hash the payload upstream and
-    * dedup on the hash column). */
+    * dedup on the hash column). Dedup is on the KEY ALONE:
+    * `dropDuplicatesWithinWatermark` expires state at the watermark
+    * without the legacy trick of appending the event-time column to the
+    * key — which silently re-admitted the same key re-delivered with a
+    * different timestamp (a restamping producer retry). */
   def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
                      watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming ingest hygiene for a DOCUMENT stream: per-row quality gate
     * (token floor + repeated-3gram ceiling, graft.functions.Text /
@@ -330,20 +358,22 @@ object EventStream {
                         sec: Long)
 
   /** Streaming Markov transitions — the incremental twin of
-    * [[graft.operators.Funnel.transitions]]: per-user state is ONE
-    * (sec, event_id, type) triple (the latest event), each arrival emits
-    * the (prev -> current) pair; `groupBy(from, to)` at the sink
-    * reproduces the batch matrix counts. Events sort in-batch and must
-    * arrive event-time-ordered across batches (same contract as the
-    * other per-user folds); ties use event_id, matching the batch
-    * window's (sec, tie) order. Append mode, cross-batch edge
-    * spec-pinned. */
+    * [[graft.operators.Funnel.transitions]]: per-user state is ONLY the
+    * latest event's type (nothing else participates in the fold — a
+    * late cross-batch event cannot be retro-inserted in append mode, so
+    * storing its (sec, id) would be dead weight masquerading as an
+    * ordering guard), each arrival emits the (prev -> current) pair;
+    * `groupBy(from, to)` at the sink reproduces the batch matrix
+    * counts. Events sort in-batch and must arrive event-time-ordered
+    * across batches (same contract as the other per-user folds); ties
+    * use event_id, matching the batch window's (sec, tie) order.
+    * Append mode, cross-batch edge spec-pinned. */
   def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, String), Transition](
+      .flatMapGroupsWithState[String, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[Event], state: GroupState[(Long, Long, String)]) =>
+        (user: Long, rows: Iterator[Event], state: GroupState[String]) =>
           var prev = state.getOption
           val out = List.newBuilder[Transition]
           // order by (SEC, id), not millis: the batch window sorts on
@@ -351,10 +381,10 @@ object EventStream {
           // with the event_id tie-break
           rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
             val sec = e.ts.getTime / 1000
-            prev.foreach { case (_, _, pType) =>
+            prev.foreach { pType =>
               out += Transition(user, pType, e.event_type, sec)
             }
-            prev = Some((sec, e.event_id, e.event_type))
+            prev = Some(e.event_type)
           }
           prev.foreach(state.update)
           out.result().iterator
@@ -480,41 +510,61 @@ object EventStream {
     *
     * Returns the writeStream-ready transformer: caller supplies the sink
     * for surviving docs inside `emit`. */
+  /** Band signatures of one micro-batch: (doc, band, sig), persisted —
+    * the caller releases it. Fails fast on a k/bands remainder (silent
+    * truncation would run a lower-recall LSH scheme than asked for). */
+  private def bandSignatures(batch: DataFrame, idCol: String, textCol: String,
+                             k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"minhash k=$k must divide into bands=$bands (trailing signature " +
+        "columns would be silently discarded)")
+    val rows = k / bands
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(batch.select(col(idCol), col(textCol)), idCol, textCol, k)
+    sigs.select(
+      col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      }: _*)).as(Seq("band", "sig"))).persist()
+  }
+
+  /** Shared survivor computation + emit of the two near-dup variants
+    * (plain store join vs bloom-prefiltered), parameterized by the
+    * store-hit lookup: anti-join store hits and intra-batch dups, emit
+    * survivors, return their signatures for the store commit. */
+  private def filterAndEmit(batch: DataFrame, idCol: String, banded: DataFrame,
+                            hitDocs: DataFrame,
+                            emit: DataFrame => Unit): DataFrame = {
+    // dedup within the batch itself (min doc id per bucket wins)
+    val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
+    val intraDup = banded.join(batchHub, Seq("band", "sig"))
+      .where(col("doc") =!= col("hub")).select("doc").distinct()
+    // base the survivor set on ALL batch docs, not just docs that
+    // produced signatures: a token-less document has no bands, is
+    // trivially not a near-dup, and must pass through (it previously
+    // vanished from the left_semi emit)
+    val survivors = batch.select(col(idCol).as("doc")).distinct()
+      .join(hitDocs, Seq("doc"), "left_anti")
+      .join(intraDup, Seq("doc"), "left_anti")
+    emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
+    banded.join(survivors, Seq("doc"), "left_semi").select("band", "sig")
+  }
+
   def nearDupFilterBatch(storePath: String, idCol: String, textCol: String,
                          k: Int = 16, bands: Int = 4,
                          emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val rows = k / bands
-      val sigs = graft.operators.Dedup
-        .minhashSignatures(batch.select(col(idCol), col(textCol)), idCol, textCol, k)
-      val banded = sigs.select(
-        col("doc"),
-        posexplode(array((0 until bands).map { b =>
-          concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-        }: _*)).as(Seq("band", "sig"))).persist()
+      val banded = bandSignatures(batch, idCol, textCol, k, bands)
       try {
         val seen = readStoreIfExists(spark, storePath).getOrElse(
           spark.emptyDataFrame
             .withColumn("band", lit(0)).withColumn("sig", lit("")))
-        // a doc survives iff NONE of its bands is already in the store;
-        // also dedup within the batch itself (min doc id per bucket wins)
+        // a doc survives iff NONE of its bands is already in the store
         val hitDocs = banded.join(seen.select("band", "sig").distinct(),
           Seq("band", "sig"), "left_semi").select("doc").distinct()
-        val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
-        val intraDup = banded.join(batchHub, Seq("band", "sig"))
-          .where(col("doc") =!= col("hub")).select("doc").distinct()
-        // base the survivor set on ALL batch docs, not just docs that
-        // produced signatures: a token-less document has no bands, is
-        // trivially not a near-dup, and must pass through (it previously
-        // vanished from the left_semi emit)
-        val survivors = batch.select(col(idCol).as("doc")).distinct()
-          .join(hitDocs, Seq("doc"), "left_anti")
-          .join(intraDup, Seq("doc"), "left_anti")
-        emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
         // commit survivors' signatures AFTER the emit so replays re-filter
-        banded.join(survivors, Seq("doc"), "left_semi")
-          .select("band", "sig")
+        filterAndEmit(batch, idCol, banded, hitDocs, emit)
           .write.mode("append").parquet(storePath)
       } finally banded.unpersist()
   }
@@ -535,24 +585,24 @@ object EventStream {
 
     override def apply(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
-      val rows = k / bands
-      val sigs = graft.operators.Dedup
-        .minhashSignatures(batch.select(col(idCol), col(textCol)), idCol, textCol, k)
-      val banded = sigs.select(
-        col("doc"),
-        posexplode(array((0 until bands).map { b =>
-          concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-        }: _*)).as(Seq("band", "sig"))).persist()
+      val banded = bandSignatures(batch, idCol, textCol, k, bands)
+      var b: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter] = null
       try {
         val store = readStoreIfExists(spark, storePath)
         if (bloom == null) {
           bloom = store match {
-            case Some(s) => s.stat.bloomFilter("sig", expectedSigs, fpp)
-            case None => org.apache.spark.util.sketch.BloomFilter
+            // stat.bloomFilter over ZERO rows yields a null sketch — a
+            // store dir can exist with no rows (first run saw only
+            // token-less docs), and a null here would NPE every batch
+            // after a restart
+            case Some(s) if !s.isEmpty =>
+              s.stat.bloomFilter("sig", expectedSigs, fpp)
+            case _ => org.apache.spark.util.sketch.BloomFilter
               .create(expectedSigs, fpp)
           }
         }
-        val b = spark.sparkContext.broadcast(bloom)
+        b = spark.sparkContext.broadcast(bloom)
         // the one justified UDF in the codebase: no public Catalyst
         // expression exposes sketch probes (BloomFilterMightContain is
         // internal to runtime filtering), and the probe guards IO — it is
@@ -566,26 +616,19 @@ object EventStream {
               .select("doc").distinct()
           case None => banded.select("doc").where(lit(false))
         }
-        val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
-        val intraDup = banded.join(batchHub, Seq("band", "sig"))
-          .where(col("doc") =!= col("hub")).select("doc").distinct()
-        // base the survivor set on ALL batch docs, not just docs that
-        // produced signatures: a token-less document has no bands, is
-        // trivially not a near-dup, and must pass through (it previously
-        // vanished from the left_semi emit)
-        val survivors = batch.select(col(idCol).as("doc")).distinct()
-          .join(hitDocs, Seq("doc"), "left_anti")
-          .join(intraDup, Seq("doc"), "left_anti")
-        emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
-        val newSigs = banded.join(survivors, Seq("doc"), "left_semi")
-          .select("band", "sig")
+        val newSigs = filterAndEmit(batch, idCol, banded, hitDocs, emit)
         newSigs.write.mode("append").parquet(storePath)
         // stat.bloomFilter over ZERO rows yields a null sketch (NPE on
         // read) — a batch can legitimately contribute no signatures
         // (all dups, or all token-less docs), so skip the merge then
         if (!newSigs.isEmpty)
           bloom.mergeInPlace(newSigs.stat.bloomFilter("sig", expectedSigs, fpp))
-      } finally banded.unpersist()
+      } finally {
+        banded.unpersist()
+        // a fresh broadcast per micro-batch: destroy it or thousands of
+        // batches pin gigabytes of dead broadcast blocks
+        if (b != null) b.destroy()
+      }
     }
   }
 
@@ -646,12 +689,15 @@ object EventStream {
   }
 
   /** Batch-run a streaming query over a bounded source for testing: the
-    * same plan Structured Streaming runs incrementally. */
-  def runOnce(spark: SparkSession, streamed: DataFrame, sinkTable: String): Unit = {
+    * same plan Structured Streaming runs incrementally. `mode` defaults
+    * to Append; pass Update for the mapGroupsWithState twins
+    * (kmvDistinctStream, cmsStream), which Append rejects at start. */
+  def runOnce(spark: SparkSession, streamed: DataFrame, sinkTable: String,
+              mode: OutputMode = OutputMode.Append()): Unit = {
     val q = streamed.writeStream
       .format("memory")
       .queryName(sinkTable)
-      .outputMode(OutputMode.Append())
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

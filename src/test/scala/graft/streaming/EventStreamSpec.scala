@@ -462,6 +462,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedHours >= batchHours - 1)
   }
 
+  test("event-time sessionization: late in-watermark events never invert the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    // generous watermark delay so batch-2's old event is ADMITTED late data
+    val q = EventStream.sessionizeEventTime(mem.toDS(), gapSec = 1800,
+        watermarkDelay = "2 hours").writeStream
+      .format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    try {
+      // batch 1: session state (start=base+600, last=base+600)
+      mem.addData(ev(1, base + 600, 1, 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event 500s EARLIER — within the gap, must extend
+      // the session's START backwards, not drag its END to base+100
+      mem.addData(ev(2, base + 100, 1, 2.0))
+      q.processAllAvailable()
+      // batch 3+: far-future events advance the watermark past the
+      // session's close point, then fire the timeout
+      mem.addData(ev(3, base + 20000, 2, 5.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, base + 20001, 2, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_late").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+      assert(closed.toSeq ===
+        Seq(EventStream.Session(1L, base + 100, base + 600, 2L, 3.0)))
+      assert(closed.forall(s => s.session_end >= s.session_start))
+    } finally q.stop()
+  }
+
   test("event-time sessionization closes sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
