@@ -74,7 +74,12 @@ object Curate {
     *
     * The cumulative sum is [[Stats.withRunningTotal]]'s distributed
     * prefix sum (range shuffle + bounded offset collect), never a global
-    * single-task window; the budget cut is then a per-row filter. */
+    * single-task window; the budget cut is then a per-row filter.
+    *
+    * `orderCols` must be a TOTAL order (append the doc id as the final
+    * tiebreak, as q_token_budget and its oracle do): with ties at the
+    * budget boundary, which of the tied docs survives the cut would
+    * otherwise vary run to run. */
   def tokenBudgetSelect(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
                         tokenCount: org.apache.spark.sql.Column,
                         budget: Long): DataFrame =
@@ -106,7 +111,13 @@ object Curate {
     * Plan shape: one posexplode, a distinct + groupBy on the line (hash
     * shuffle on uniform-ish text keys), an anti join co-partitioned on
     * the same key, and a per-document reassembly groupBy. Documents whose
-    * every line is boilerplate still appear (n_kept = 0, md5 of empty). */
+    * every line is boilerplate still appear (n_kept = 0, md5 of empty).
+    *
+    * `sep` is a JAVA REGEX (Spark's `split`), not a literal: pass "\n"
+    * as-is but escape regex metacharacters ("\\|", "\\."). An unescaped
+    * "|" would split between every character and scrub the whole corpus
+    * to empty. The DuckDB oracle mirrors with the literal string, which
+    * matches whenever the regex is an escaped literal. */
   def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
                         sep: String, maxLineDf: Int,
                         scope: PersistScope = PersistScope()): DataFrame = {
@@ -265,7 +276,11 @@ object Curate {
     * the 100 TB side is never shuffled. */
   def balancedSample(df: DataFrame, stratumCol: String,
                      key: org.apache.spark.sql.Column): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    // null strata are EXCLUDED: the inner rate join below drops their
+    // rows anyway, and letting a phantom null group set the global min
+    // would crush every real stratum's keep rate
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
     val mn = counts.agg(min(col("__n")).as("__mn"))
     val rates = counts.crossJoin(broadcast(mn))
       .select(col(stratumCol), expr("(__mn * 1000000) DIV __n").as("__ppm"))
@@ -284,15 +299,15 @@ object Curate {
     * doc x doc. Integer p_ppm = c * 1e6 DIV n both engines. Pairs with
     * zero shared vocabulary drop out (fully-disjoint sources are a
     * different alarm). */
-  def sourceDrift(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    val p = docs
+  def sourceDrift(docs: DataFrame, sourceCol: String, textCol: String,
+                  scope: PersistScope = PersistScope()): DataFrame = {
+    val p = scope.cache(docs
       .select(col(sourceCol).as("src"),
         explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
       .groupBy("src", "tok").agg(count(lit(1)).as("c"))
       .withColumn("n", sum("c").over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .select(col("src"), col("tok"), expr("c * 1000000 DIV n").as("p_ppm"))
-      .persist()
+      .select(col("src"), col("tok"), expr("c * 1000000 DIV n").as("p_ppm")))
     val totals = p.groupBy("src").agg(sum("p_ppm").as("t"))
     p.as("a").join(p.as("b"),
         col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))

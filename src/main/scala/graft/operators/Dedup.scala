@@ -112,7 +112,6 @@ object Dedup {
                   k: Int, w: Int, minShared: Int,
                   maxFpDf: Int = Int.MaxValue,
                   scope: PersistScope = PersistScope()): DataFrame = {
-    import graft.functions.Text
     val all = df
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__toks"))
       .select(col("doc"), graft.plans.NGrams.ngrams(col("__toks"), k).as("__gk"))
@@ -176,20 +175,33 @@ object Dedup {
     candidatePairsFromSigs(minhashSignatures(df, idCol, textCol, k),
       k, bands, maxBucket, scope)
 
+  /** (doc, band, sig) banding of a minhash signature frame — THE one
+    * banding expression (pairs path, star path, and the streaming
+    * filter all share it, so the LSH scheme cannot drift between them).
+    * Fails fast on a k/bands mismatch: bands > k would band on EMPTY
+    * signatures (every doc lands in one bucket — the doc x doc explosion
+    * this file's design forbids) and a remainder would silently drop
+    * trailing signature coordinates (a lower-recall scheme than asked). */
+  private[graft] def bandedSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"minhash k=$k must divide into bands=$bands")
+    val rows = k / bands
+    sigs.select(
+      col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      }: _*)).as(Seq("band", "sig")))
+  }
+
   /** [[minhashCandidatePairs]] from a PRE-COMPUTED signature relation —
     * callers that also consume the signatures (e.g. [[verifyPairs]])
     * cache them once instead of hashing the corpus twice. */
   def candidatePairsFromSigs(sigs: DataFrame, k: Int, bands: Int,
                              maxBucket: Int = Int.MaxValue,
                              scope: PersistScope = PersistScope()): DataFrame = {
-    val rows = k / bands
     // sized + filtered + both self-join sides consume the banded relation:
     // materialize once
-    val all = sigs.select(
-      col("doc"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "sig")))
+    val all = bandedSigs(sigs, k, bands)
     val banded = scope.cache(
       if (maxBucket == Int.MaxValue) all
       else {
@@ -227,8 +239,10 @@ object Dedup {
     // per-pair estimate both read them — the corpus is hashed one time
     val sigs = scope.cache(minhashSignatures(df, idCol, textCol, k))
     val pairs = candidatePairsFromSigs(sigs, k, bands, maxBucket, scope)
-    val tokSets = df.select(col(idCol).as("doc"),
-      array_distinct(Text.tokens(col(textCol))).as("ts"))
+    // consumed by BOTH pair sides: cache, or the corpus is re-tokenized
+    // and re-distincted once per side
+    val tokSets = scope.cache(df.select(col(idCol).as("doc"),
+      array_distinct(Text.tokens(col(textCol))).as("ts")))
     def side(p: String) =
       sigs.select(col("doc").as(s"doc_$p") +:
         (0 until k).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)
@@ -258,15 +272,10 @@ object Dedup {
   def minhashBucketStars(df: DataFrame, idCol: String, textCol: String,
                          k: Int, bands: Int,
                          scope: PersistScope = PersistScope()): DataFrame = {
-    val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k)
     // hub aggregation + the star join both consume the banded relation:
     // materialize once (the minhash pipeline above it is the heavy part)
-    val banded = scope.cache(sigs.select(
-      col("doc"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "sig"))))
+    val banded = scope.cache(bandedSigs(sigs, k, bands))
     val hubs = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
     banded.join(hubs, Seq("band", "sig"))
       .where(col("doc") =!= col("hub"))
@@ -440,10 +449,14 @@ object Dedup {
       df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
         .select(col("doc_id"),
           posexplode(col("__t")).as(Seq("pos", "tok"))))
-    val pos = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"),
-        posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
-      .select(col("doc_id"), col("pos"), Text.md5Long(col("__g")).as("g"))
+    // the heaviest chain in the operator (tokenize -> n-grams -> md5),
+    // consumed by the dupCols aggregate AND the hits join: cache like
+    // dupSpans does for the identical relation
+    val pos = scope.cache(
+      df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
+        .select(col("doc_id"),
+          posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
+        .select(col("doc_id"), col("pos"), Text.md5Long(col("__g")).as("g")))
     // keepCanonical = the Lee-et-al. keep-one policy: each duplicated
     // gram's min-doc occurrence survives, every other doc's is cut —
     // one per-window predicate on the same join, zero extra shuffles

@@ -494,39 +494,16 @@ object EventStream {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
-  /** Continuous NEAR-dup filtering for an ingestion stream: per
-    * micro-batch, compute MinHash LSH band signatures, anti-join against
-    * the accumulated signature store, emit only docs no band of which has
-    * been seen, then append the survivors' signatures to the store.
-    *
-    * The store is a parquet directory (at scale: bucketed by (band, sig)
-    * so the per-batch anti-join is exchange-free on the store side); state
-    * grows with the CORPUS, not the stream — this is deliberately heavier
-    * than watermarked exact dedup ([[streamingDedup]]) because near-dup
-    * identity never expires. foreachBatch is the right harness: each batch
-    * is one deterministic batch-plan, and the store append commits after
-    * the filtered output — at-least-once on replay errs toward dropping
-    * re-seen docs, never emitting a dup twice.
-    *
-    * Returns the writeStream-ready transformer: caller supplies the sink
-    * for surviving docs inside `emit`. */
   /** Band signatures of one micro-batch: (doc, band, sig), persisted —
-    * the caller releases it. Fails fast on a k/bands remainder (silent
-    * truncation would run a lower-recall LSH scheme than asked for). */
+    * the caller releases it. Delegates to [[graft.operators.Dedup
+    * .bandedSigs]], the ONE banding expression (with its k/bands
+    * fail-fast), so stream and batch LSH schemes cannot drift. */
   private def bandSignatures(batch: DataFrame, idCol: String, textCol: String,
-                             k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0,
-      s"minhash k=$k must divide into bands=$bands (trailing signature " +
-        "columns would be silently discarded)")
-    val rows = k / bands
-    val sigs = graft.operators.Dedup
-      .minhashSignatures(batch.select(col(idCol), col(textCol)), idCol, textCol, k)
-    sigs.select(
-      col("doc"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "sig"))).persist()
-  }
+                             k: Int, bands: Int): DataFrame =
+    graft.operators.Dedup.bandedSigs(
+      graft.operators.Dedup.minhashSignatures(
+        batch.select(col(idCol), col(textCol)), idCol, textCol, k),
+      k, bands).persist()
 
   /** Shared survivor computation + emit of the two near-dup variants
     * (plain store join vs bloom-prefiltered), parameterized by the
@@ -550,6 +527,22 @@ object EventStream {
     banded.join(survivors, Seq("doc"), "left_semi").select("band", "sig")
   }
 
+  /** Continuous NEAR-dup filtering for an ingestion stream: per
+    * micro-batch, compute MinHash LSH band signatures, anti-join against
+    * the accumulated signature store, emit only docs no band of which has
+    * been seen, then append the survivors' signatures to the store.
+    *
+    * The store is a parquet directory (at scale: bucketed by (band, sig)
+    * so the per-batch anti-join is exchange-free on the store side); state
+    * grows with the CORPUS, not the stream — this is deliberately heavier
+    * than watermarked exact dedup ([[streamingDedup]]) because near-dup
+    * identity never expires. foreachBatch is the right harness: each batch
+    * is one deterministic batch-plan, and the store append commits after
+    * the filtered output — at-least-once on replay errs toward dropping
+    * re-seen docs, never emitting a dup twice.
+    *
+    * Returns the writeStream-ready transformer: caller supplies the sink
+    * for surviving docs inside `emit`. */
   def nearDupFilterBatch(storePath: String, idCol: String, textCol: String,
                          k: Int = 16, bands: Int = 4,
                          emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
