@@ -60,6 +60,9 @@ object BiffReader {
       var left = n
       while (left > 0) {
         hop()
+        // past the final segment: a corrupt cRun/cbExt would otherwise
+        // leave take = 0 and spin this loop forever
+        if (off >= seg.length) sys.error("SST truncated (skip past end)")
         val take = math.min(left, (seg.length - off).toLong)
         off += take.toInt; left -= take
       }
@@ -73,7 +76,12 @@ object BiffReader {
       while (left > 0) {
         hop()
         if (off >= seg.length) sys.error("SST truncated")
-        if (off == 0 && sb.length > 0) wide = (u8() & 1) == 1 // continuation flag
+        // every CONTINUE fragment of an in-progress string restates the
+        // flag byte — including when the record boundary fell exactly
+        // between the string's cch/flags header and its first character
+        // (sb is still empty then, so keying on sb.length would consume
+        // the flag byte as a character and garble the rest of the SST)
+        if (off == 0 && si > 0) wide = (u8() & 1) == 1
         val avail = (seg.length - off) / (if (wide) 2 else 1)
         val take = math.min(left, math.max(avail, 1))
         var i = 0
@@ -129,17 +137,28 @@ object BiffReader {
     val streams = OfficeCrypto.Cfb.streams(xlsBytes)
     val wb0 = streams.getOrElse("Workbook", streams.getOrElse("Book",
       sys.error("no Workbook stream — not a BIFF .xls file")))
-    val encrypted = records(wb0).exists(_.t == 0x002F)
-    val wb = (encrypted, password) match {
-      case (false, _) => wb0
-      case (true, Some(pw)) => OfficeCrypto.decryptBiffWorkbook(wb0, pw)
+    val recs0 = records(wb0)
+    // BIFF5/95 'Book' streams reuse record types with DIFFERENT layouts
+    // (byte strings without the flags byte): parsing them as BIFF8 would
+    // garble silently, so check the BOF version up front
+    recs0.headOption.filter(r => r.t == 0x0809 && r.data.length >= 2)
+      .foreach { bof =>
+        val vers = (bof.data(0) & 0xFF) | ((bof.data(1) & 0xFF) << 8)
+        require(vers == 0x0600,
+          f"unsupported BIFF version 0x$vers%04X — only BIFF8 (Excel 97+)")
+      }
+    val encrypted = recs0.exists(_.t == 0x002F)
+    // the unencrypted (typical) case reuses the already-parsed records
+    // instead of a second full parse+copy pass over the stream
+    val recs = (encrypted, password) match {
+      case (false, _) => recs0
+      case (true, Some(pw)) => records(OfficeCrypto.decryptBiffWorkbook(wb0, pw))
       case (true, None) => throw new IllegalArgumentException(
         "password-protected .xls (FILEPASS): pass a password " +
           "(XOR-obfuscated, RC4 standard, or RC4 CryptoAPI) or use " +
           "SpreadsheetSource.readEncryptedXlsx for modern " +
           "agile-encrypted workbooks")
     }
-    val recs = records(wb)
     // globals substream: sheet directory + shared strings
     val globalsEnd = recs.indexWhere(_.t == 0x000A) // first EOF
     val globals = recs.take(if (globalsEnd < 0) recs.length else globalsEnd)

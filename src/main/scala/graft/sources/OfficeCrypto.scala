@@ -97,9 +97,16 @@ object OfficeCrypto {
     adjust(md.digest(), blockSize)
   }
 
+  /** keyData.* drives the PACKAGE cipher (segment IVs, package key
+    * size); encryptedKey (pw*) drives the password-derived blobs. The
+    * two elements' keyBits/blockSize are independent per MS-OFFCRYPTO
+    * 2.3.4.10/2.3.4.13 — mainstream writers use the same values for
+    * both, which is why mixing them up stays latent. */
   private case class AgileInfo(
     keySalt: Array[Byte], keyHashAlgo: String, keyBlockSize: Int,
+    keyKeyBits: Int,
     pwSalt: Array[Byte], pwHashAlgo: String, pwKeyBits: Int,
+    pwBlockSize: Int,
     spinCount: Int, encVerifierInput: Array[Byte],
     encVerifierHashValue: Array[Byte], encKeyValue: Array[Byte],
     hashSize: Int)
@@ -131,9 +138,11 @@ object OfficeCrypto {
       keySalt = b64(attr(keyData, "saltValue")),
       keyHashAlgo = attr(keyData, "hashAlgorithm"),
       keyBlockSize = attr(keyData, "blockSize").toInt,
+      keyKeyBits = attr(keyData, "keyBits").toInt,
       pwSalt = b64(attr(encKey, "saltValue")),
       pwHashAlgo = attr(encKey, "hashAlgorithm"),
       pwKeyBits = attr(encKey, "keyBits").toInt,
+      pwBlockSize = attr(encKey, "blockSize").toInt,
       spinCount = attr(encKey, "spinCount").toInt,
       encVerifierInput = b64(attr(encKey, "encryptedVerifierHashInput")),
       encVerifierHashValue = b64(attr(encKey, "encryptedVerifierHashValue")),
@@ -155,7 +164,9 @@ object OfficeCrypto {
 
     val keyBytes = info.pwKeyBits / 8
     val pwHash = hashPassword(info.pwSalt, password, info.spinCount, info.pwHashAlgo)
-    val pwIv = adjust(info.pwSalt, info.keyBlockSize)
+    // password-blob IV comes from the encryptedKey element's OWN
+    // blockSize, not keyData's (independent attributes per spec)
+    val pwIv = adjust(info.pwSalt, info.pwBlockSize)
     // password verifier
     val verifierInput = aes(encrypt = false,
       deriveKey(pwHash, BkVerifierInput, keyBytes, info.pwHashAlgo), pwIv,
@@ -167,10 +178,11 @@ object OfficeCrypto {
       .take(info.hashSize)
     if (!java.util.Arrays.equals(expectedHash, actualHash))
       throw new IllegalArgumentException(s"wrong password for $encPath")
-    // intermediate (package) key
+    // intermediate (package) key: sized by keyData.keyBits — the
+    // PACKAGE cipher's key size, not the password cipher's
     val key = aes(encrypt = false,
       deriveKey(pwHash, BkKeyValue, keyBytes, info.pwHashAlgo), pwIv,
-      info.encKeyValue).take(keyBytes)
+      info.encKeyValue).take(info.keyKeyBits / 8)
 
     // package: u64 LE plain size, then 4096-byte AES-CBC segments
     val plainLen = ByteBuffer.wrap(pkg, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong()
@@ -180,14 +192,27 @@ object OfficeCrypto {
     var off = 8
     var seg = 0
     while (off < pkg.length) {
-      val n = math.min(4096, pkg.length - off)
-      val iv = segmentIv(info.keySalt, seg, info.keyBlockSize, info.keyHashAlgo)
-      out.write(aes(encrypt = false, key, iv,
-        java.util.Arrays.copyOfRange(pkg, off, off + n)))
-      off += n
+      val navail = math.min(4096, pkg.length - off)
+      // CBC decrypts whole 16-byte blocks; a sub-block tail is CFB
+      // stream-size slack from unpadded writers, not ciphertext —
+      // passing it to NoPadding AES would throw on files other readers
+      // handle. plainLen is the truth for how much output is real.
+      val n = navail - (navail % 16)
+      if (n > 0) {
+        val iv = segmentIv(info.keySalt, seg, info.keyBlockSize, info.keyHashAlgo)
+        out.write(aes(encrypt = false, key, iv,
+          java.util.Arrays.copyOfRange(pkg, off, off + n)))
+      }
+      off += navail
       seg += 1
     }
-    val plain = java.util.Arrays.copyOf(out.toByteArray, plainLen.toInt)
+    val outB = out.toByteArray
+    // a SHORT decrypt means truncated ciphertext: error, never
+    // silently zero-pad the tail of the output package
+    require(outB.length >= plainLen,
+      s"EncryptedPackage truncated: ${outB.length} decrypted bytes < " +
+        s"declared $plainLen")
+    val plain = java.util.Arrays.copyOf(outB, plainLen.toInt)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath), plain)
     outPath
   }
@@ -429,11 +454,15 @@ object OfficeCrypto {
       var i = pw.length - 1
       while (i >= 0) {
         val c = pw(i) & 0xFF
-        var bit = 0
-        while (bit < 7) {
+        // spec order: test 0x40 then shift LEFT — bit 6 pairs with the
+        // current matrix row, bit 0 with row el-6 (a low-bit-first loop
+        // round-trips against itself but derives the wrong key for any
+        // real Excel file whose password bytes aren't bit-palindromes)
+        var bit = 6
+        while (bit >= 0) {
           if ((c & (1 << bit)) != 0) key ^= Matrix(el)
           el -= 1
-          bit += 1
+          bit -= 1
         }
         i -= 1
       }

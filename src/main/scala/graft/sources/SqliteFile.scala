@@ -170,20 +170,31 @@ object SqliteFile {
     var tablePk: Option[String] = None // single-column table-level PRIMARY KEY(x)
     var idx = 0
     defs.result().map(_.trim).filter(_.nonEmpty).foreach { d =>
+      // a QUOTED first token is always a column name, even if it spells
+      // a constraint keyword ("check", "unique", ...): classify on the
+      // raw text BEFORE unquoting, or the column silently vanishes and
+      // every later column's values shift by one
+      val quotedName = d.nonEmpty && "\"'`[".contains(d.head)
       val (colName, rest) = name(d)
       val toks = colName +: rest.trim.split("\\s+").toVector.filter(_.nonEmpty)
-      if (!constraintStart.contains(toks.head.toUpperCase)) {
+      if (quotedName || !constraintStart.contains(toks.head.toUpperCase)) {
         val typeToks = toks.tail.takeWhile { t =>
           val u = t.toUpperCase
           !constraintStart.contains(u) && u != "NOT" && u != "DEFAULT" &&
             u != "REFERENCES" && u != "COLLATE" && u != "GENERATED" && u != "AS"
         }
         val decl = typeToks.mkString(" ")
-        val upper = d.toUpperCase
         // rowid alias rules (empirically checked against sqlite3): the
-        // column-level form aliases only WITHOUT a DESC sort qualifier
-        if (decl.equalsIgnoreCase("INTEGER") && upper.contains("PRIMARY KEY") &&
-            !upper.contains("PRIMARY KEY DESC") && ipk.isEmpty)
+        // column-level form aliases only WITHOUT a DESC sort qualifier.
+        // Scan the post-name text with string literals blanked (a
+        // DEFAULT 'PRIMARY KEY' literal must not match) and whitespace-
+        // tolerant keywords (newlines between PRIMARY KEY and DESC).
+        val restNoStr = rest.replaceAll("'(?:[^']|'')*'", " ")
+        val pkM = "(?i)\\bPRIMARY\\s+KEY(?:\\s+(ASC|DESC))?".r
+          .findFirstMatchIn(restNoStr)
+        if (decl.equalsIgnoreCase("INTEGER") &&
+            pkM.exists(m => !"DESC".equalsIgnoreCase(
+              Option(m.group(1)).getOrElse(""))) && ipk.isEmpty)
           ipk = Some(idx)
         cols += ColumnDef(colName, decl)
         idx += 1

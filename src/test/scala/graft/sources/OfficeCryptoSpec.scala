@@ -172,6 +172,20 @@ class OfficeCryptoSpec extends SparkSpec {
     // key + verifier are deterministic and password-sensitive
     assert(XorObfuscation.createXorKey("queso") === XorObfuscation.createXorKey("queso"))
     assert(XorObfuscation.createXorKey("queso") !== XorObfuscation.createXorKey("quesp"))
+    // PIN the spec's bit -> matrix-row pairing (2.3.7.2: test 0x40 then
+    // shift LEFT — bit 6 pairs with row 0x68, bit b with row 0x68-(6-b)),
+    // independent of InitialCode by differencing keys. 'a'=0x61 and
+    // 'c'=0x63 differ only in bit 1 -> rows differ by Matrix(0x63);
+    // a reversed (low-bit-first) pairing would give Matrix(0x67), which
+    // self-round-trip tests can never catch.
+    assert((XorObfuscation.createXorKey("a") ^ XorObfuscation.createXorKey("c"))
+      === OfficeCrypto.XorObfuscation.Matrix(0x63))
+    // 2-char password: the FIRST char's rows start at 0x68-7=0x61, so
+    // 'b'(0x62) vs 'a'(0x61) in position 0 (differ in bits 0,1) flips
+    // rows 0x61-6=0x5B and 0x5C
+    assert((XorObfuscation.createXorKey("ba") ^ XorObfuscation.createXorKey("aa"))
+      === (OfficeCrypto.XorObfuscation.Matrix(0x5B) ^
+           OfficeCrypto.XorObfuscation.Matrix(0x5C)))
     assert(XorObfuscation.verifyPassword("pw123",
       XorObfuscation.createXorKey("pw123"), XorObfuscation.createVerifier("pw123")))
     assert(!XorObfuscation.verifyPassword("pw124",
