@@ -41,6 +41,11 @@ case class CmsSketch(child: Expression, d: Int, w: Int,
     extends TypedImperativeAggregate[Array[Long]] {
 
   require(d >= 1 && w >= 2, s"graft_cms needs d >= 1, w >= 2, got d=$d w=$w")
+  // bound the grid so d*w can neither overflow Int nor demand a
+  // multi-GB buffer per group: fail at plan time with a clear message,
+  // not mid-job with a wrapped allocation size
+  require(d.toLong * w <= (1L << 24),
+    s"graft_cms grid d*w = ${d.toLong * w} exceeds 2^24 cells")
 
   override def children: Seq[Expression] = Seq(child)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -50,18 +50,24 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 }
 
 object DeflateLen {
+  // one Deflater + scratch buffer per executor thread, reset() per row:
+  // constructing (and end()-ing) a native zlib context per row would
+  // dominate the per-row cost this expression exists to minimize
+  private val local = new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+    override def initialValue() =
+      (new java.util.zip.Deflater(6, true), new Array[Byte](8192))
+  }
+
   /** Raw-deflate (no zlib header) length at level 6. Fixed level, not
     * DEFAULT_COMPRESSION, so the value survives JDK default changes. */
   def deflatedLength(bytes: Array[Byte]): Int = {
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var n = 0
-      while (!d.finished()) n += d.deflate(buf)
-      n
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    n
   }
 
   def deflateLen(c: Column): Column =

@@ -112,63 +112,90 @@ object DotProduct {
 /** Session extension: `SELECT graft_dot(a, b)` from SQL.
   * Activate with spark.sql.extensions=graft.plans.GraftExtensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Wrap a builder with an arity check: a wrong argument count gets a
+    * message naming the function and its signature, not a bare
+    * IndexOutOfBoundsException from `children(1)`. */
+  private def sig(signature: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n) throw new IllegalArgumentException(
+        s"$signature expects $n argument(s), got ${children.length}")
+      f(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      sig("graft_dot(a, b)", 2)(c => DotProduct(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_md5long"),
       new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
-      (children: Seq[Expression]) => Md5Long(children(0))))
+      sig("graft_md5long(s)", 1)(c => Md5Long(c(0)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
-      (children: Seq[Expression]) => DeflateLen(children(0))))
+      sig("graft_deflate_len(payload)", 1)(c => DeflateLen(c(0)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_audio_meta"),
       new ExpressionInfo(classOf[graft.multimodal.AudioMeta].getName,
         "graft_audio_meta"),
-      (children: Seq[Expression]) => graft.multimodal.AudioMeta(children(0))))
+      sig("graft_audio_meta(payload)", 1)(c => graft.multimodal.AudioMeta(c(0)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_image_meta"),
       new ExpressionInfo(classOf[graft.multimodal.ImageMeta].getName,
         "graft_image_meta"),
-      (children: Seq[Expression]) => graft.multimodal.ImageMeta(children(0))))
+      sig("graft_image_meta(payload)", 1)(c => graft.multimodal.ImageMeta(c(0)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
-      (children: Seq[Expression]) => children(1) match {
+      sig("graft_kmv(hash, k)", 2)(c => c(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(kk: Int, _) =>
-          KmvSketch(children(0), kk)
+          KmvSketch(c(0), kk)
         case other => throw new IllegalArgumentException(
           s"graft_kmv(hash, k): k must be an integer literal, got $other")
-      }))
+      })))
     ext.injectFunction((
       new FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
-      (children: Seq[Expression]) => children match {
+      sig("graft_cms(key, d, w)", 3)(c => c match {
         case Seq(key,
             org.apache.spark.sql.catalyst.expressions.Literal(d: Int, _),
             org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
           CmsSketch(key, d, w)
         case other => throw new IllegalArgumentException(
           s"graft_cms(key, d, w): d and w must be integer literals, got $other")
-      }))
+      })))
     ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (children: Seq[Expression]) => NfcNormalize(children(0))))
+      sig("graft_nfc(s)", 1)(c => NfcNormalize(c(0)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
-      (children: Seq[Expression]) => children(1) match {
+      sig("graft_ngrams(tokens, n)", 2)(c => c(1) match {
         // n must be a literal: the shingle width shapes the expression
         case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
-          NGrams(children(0), n)
+          NGrams(c(0), n)
         case other => throw new IllegalArgumentException(
           s"graft_ngrams(tokens, n): n must be an integer literal, got $other")
-      }))
+      })))
+    // the WKB codec pair, SQL-visible like every sibling expression
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wkb_geom"),
+      new ExpressionInfo(classOf[WkbGeom].getName, "graft_wkb_geom"),
+      sig("graft_wkb_geom(wkb)", 1)(c => WkbGeom(c(0)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wkb_write"),
+      new ExpressionInfo(classOf[WkbWrite].getName, "graft_wkb_write"),
+      sig("graft_wkb_write(geom, geomType)", 2)(c => c(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(t: Int, _) =>
+          WkbWrite(c(0), t)
+        case other => throw new IllegalArgumentException(
+          s"graft_wkb_write(geom, geomType): geomType must be an integer " +
+            s"literal, got $other")
+      })))
     ext.injectOptimizerRule(_ => GridRangeJoinRule)
   }
 }

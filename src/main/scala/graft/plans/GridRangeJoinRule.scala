@@ -65,6 +65,8 @@ object GridRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     conjuncts.exists {
       case EqualTo(l, r) =>
         (refsIn(l, left) && refsIn(r, right)) || (refsIn(l, right) && refsIn(r, left))
+      case EqualNullSafe(l, r) => // <=> also plans as a hash join
+        (refsIn(l, left) && refsIn(r, right)) || (refsIn(l, right) && refsIn(r, left))
       case _ => false
     }
 
@@ -80,7 +82,12 @@ object GridRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         .find { case (_, r2) => r2 > 0 }
       hit match {
         case Some(((lx, ly, rx, ry), r2)) if !hasEquiKeys(conjuncts, left, right) =>
-          val r = math.sqrt(r2)
+          // nextUp: sqrt can round DOWN, and a pair at exactly the radius
+          // whose axis delta exceeds the rounded cell size by an ulp would
+          // land 2 cells apart and be pruned before the residual predicate
+          // (which keeps it) ever ran — the one float edge between this
+          // plan and the naive one
+          val r = Math.nextUp(math.sqrt(r2))
           val dx = AttributeReference("__dx", LongType, nullable = false)()
           val dy = AttributeReference("__dy", LongType, nullable = false)()
           val deltas = CreateArray(Seq(Literal(-1L), Literal(0L), Literal(1L)))

@@ -69,17 +69,20 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
       val k = ctx.freshName("k")
       val parts = ctx.freshName("parts")
       val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      // the separator is a constant: one shared instance per plan, not a
+      // fresh 1-byte UTF8String allocated on every row of the map stage
+      val sep = ctx.addReferenceObj("ngramSep", UTF8String.fromString(" "),
+        "org.apache.spark.unsafe.types.UTF8String")
       s"""
          |int $cnt = $a.numElements() - ${n - 1};
          |if ($cnt < 0) $cnt = 0;
          |Object[] $out = new Object[$cnt];
-         |$u8 ${parts}_sep = $u8.fromString(" ");
          |for (int $i = 0; $i < $cnt; $i++) {
          |  $u8[] $parts = new $u8[$n];
          |  for (int $k = 0; $k < $n; $k++) {
          |    $parts[$k] = $a.isNullAt($i + $k) ? null : $a.getUTF8String($i + $k);
          |  }
-         |  $out[$i] = $u8.concatWs(${parts}_sep, $parts);
+         |  $out[$i] = $u8.concatWs($sep, $parts);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

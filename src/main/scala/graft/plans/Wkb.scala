@@ -119,6 +119,12 @@ object Wkb {
     * using the first vertex, 2 = LineString, 3 = single-shell Polygon). */
   def fromArrayData(arr: ArrayData, geomType: Int): Array[Byte] = {
     val n = arr.numElements()
+    // empty geometry or a null vertex: NULL result, matching the parse
+    // side's malformed-input contract (the schema says containsNull=false
+    // but an upstream array(struct, null) literal can still arrive)
+    if (n == 0) return null
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
     geomType match {
       case 1 =>
         val buf = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
@@ -133,11 +139,11 @@ object Wkb {
         buf.put(1: Byte).putInt(geomType)
         if (geomType == 3) buf.putInt(1)
         buf.putInt(n)
-        var i = 0
-        while (i < n) {
-          val p = arr.getStruct(i, 2)
+        var j = 0
+        while (j < n) {
+          val p = arr.getStruct(j, 2)
           buf.putDouble(p.getDouble(0)).putDouble(p.getDouble(1))
-          i += 1
+          j += 1
         }
         buf.array()
       case t => throw new IllegalArgumentException(s"unsupported writer type $t")
@@ -198,13 +204,17 @@ case class WkbWrite(child: Expression, geomType: Int) extends UnaryExpression {
   }
 
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // empty/null-vertex input -> NULL
 
   override def nullSafeEval(input: Any): Any =
     Wkb.fromArrayData(input.asInstanceOf[ArrayData], geomType)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in =>
-      s"${ev.value} = graft.plans.Wkb.fromArrayData($in, $geomType);")
+      s"""
+         |${ev.value} = graft.plans.Wkb.fromArrayData($in, $geomType);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): WkbWrite =
     copy(child = newChild)
