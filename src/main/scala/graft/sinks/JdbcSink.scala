@@ -108,6 +108,16 @@ object JdbcSink {
     val cols = df.schema.fieldNames.toSeq
     val dataCols = cols.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
     val stage = s"${table}_stg${System.nanoTime() % 1000000}"
+    // quote identifiers that NEED quoting (workbook-derived columns like
+    // "Region Name" stage fine through Spark's quoted INSERT and would
+    // then break an unquoted MERGE after all the data movement). Plain
+    // identifiers stay UNQUOTED: the database folds them the same way it
+    // folded the unquoted CREATE, whereas always-quoting would pin a
+    // case that unquoted-created columns (e.g. Derby's upper-folding)
+    // don't have.
+    def q(ident: String): String =
+      if (ident.matches("[A-Za-z_][A-Za-z0-9_]*")) ident
+      else "\"" + ident.replace("\"", "\"\"") + "\""
     val jprops = new java.util.Properties()
     props.foreach { case (k, v) => jprops.setProperty(k, v) }
     def execute(sql: String): Unit = {
@@ -120,10 +130,10 @@ object JdbcSink {
     execute(s"CREATE TABLE $stage AS SELECT * FROM $table WITH NO DATA")
     try {
       append(df, url, stage, batchSize, numPartitions, props)
-      val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
-      val updates = dataCols.map(c => s"$c = s.$c").mkString(", ")
-      val insertCols = cols.mkString(", ")
-      val insertVals = cols.map(c => s"s.$c").mkString(", ")
+      val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val updates = dataCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val insertCols = cols.map(q).mkString(", ")
+      val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
       val matched =
         if (dataCols.isEmpty) "" else s"WHEN MATCHED THEN UPDATE SET $updates "
       execute(

@@ -95,7 +95,16 @@ object SnapshotTable {
       require(tries <= maxClaimRetries,
         s"snapshot-table: lost the version claim $maxClaimRetries times at $root")
       try {
-        f.create(new Path(rootP, s"_manifests/claim-$version"), false).close()
+        // exclusive-create must be ATOMIC: HDFS create(overwrite=false)
+        // is (namenode-side), but Hadoop's LocalFileSystem implements it
+        // as exists() THEN create — a TOCTOU window two local writers can
+        // both win, silently replacing each other's manifests. On file://
+        // go through NIO createFile (open O_CREAT|O_EXCL, kernel-atomic).
+        val claim = new Path(rootP, s"_manifests/claim-$version")
+        if (f.getScheme == "file") {
+          java.nio.file.Files.createFile( // FileAlreadyExists -> IOException
+            java.nio.file.Paths.get(claim.toUri.getPath))
+        } else f.create(claim, false).close()
         claimed = true
       } catch {
         case _: java.io.IOException => // slot taken: resync and go again

@@ -32,11 +32,35 @@ object XlsxSink {
       df.sparkSession.sessionState.newHadoopConf())
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
         val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
         val fs = path.getFileSystem(conf.value)
-        val out = new ZipOutputStream(fs.create(path, true))
-        try writeWorkbook(out, names, rows) finally out.close()
+        // attempt-unique temp + rename commit: concurrent speculative /
+        // zombie attempts of the same partition can never interleave
+        // writes into the final file (a torn zip), and a task that dies
+        // mid-write leaves only a .tmp the next attempt ignores
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          f".part-$pid%05d-attempt-${tc.taskAttemptId()}.xlsx.tmp")
+        val out = new ZipOutputStream(fs.create(tmp, true))
+        try {
+          writeWorkbook(out, names, rows)
+          out.close()
+          if (!fs.rename(tmp, path)) {
+            // rename refuses an existing target on HDFS: another attempt
+            // of this partition already committed identical content
+            fs.delete(tmp, false)
+            if (!fs.exists(path))
+              sys.error(s"xlsx commit failed for partition $pid: " +
+                s"rename $tmp -> $path")
+          }
+        } finally {
+          // close is idempotent after success; on the exception path a
+          // zip with no finished entries can throw from close itself —
+          // never mask the original failure
+          try out.close() catch { case _: Exception => () }
+          fs.delete(tmp, false)
+        }
       }
     }
   }
@@ -135,6 +159,15 @@ private[graft] final class WorkbookStream(zos: ZipOutputStream,
     sb.append("</row>").toString
   }
 
-  private def escape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def escape(s: String): String = {
+    // XML 1.0 forbids control chars below 0x20 (except tab/LF/CR) and
+    // U+FFFE/U+FFFF even when escaped: one raw control byte from a
+    // dirty source row would make the whole workbook unparseable for
+    // Excel AND the graft-xlsx reader, so sanitize (drop) them first
+    def ok(c: Char): Boolean =
+      (c >= 0x20 || c == '\t' || c == '\n' || c == '\r') &&
+        c != '\uFFFE' && c != '\uFFFF'
+    val clean = if (s.forall(ok)) s else s.filter(ok)
+    clean.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  }
 }

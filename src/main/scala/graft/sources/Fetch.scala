@@ -54,13 +54,24 @@ object Fetch {
     * stream does not throw), which would otherwise promote a truncated
     * download to the destination. */
   def fetchToStaging(url: String, stagingDir: String,
-                     maxRetries: Int = 3, baseDelayMs: Long = 100): Fetched = {
+                     maxRetries: Int = 3, baseDelayMs: Long = 100,
+                     destName: Option[String] = None): Fetched = {
     val dir = Files.createDirectories(Paths.get(stagingDir))
-    val dest = dir.resolve(fileNameOf(url))
+    val dest = dir.resolve(destName.getOrElse(fileNameOf(url)))
     val (_, attempts) = retrying(maxRetries, baseDelayMs) {
       val tmp = Files.createTempFile(dir, ".part-", ".tmp")
       try {
         val conn = new java.net.URI(url).toURL.openConnection()
+        conn match {
+          // a non-followed redirect (e.g. http->https 301) or error page
+          // has its own consistent Content-Length: without a status check
+          // its body would be silently promoted as the dataset
+          case h: java.net.HttpURLConnection =>
+            val code = h.getResponseCode
+            if (code < 200 || code >= 300) throw new IOException(
+              s"HTTP $code from $url (redirects across protocols are not followed)")
+          case _ => ()
+        }
         val declared = conn.getContentLengthLong // -1 when unknown/chunked
         val in = conn.getInputStream
         val copied =
@@ -137,15 +148,25 @@ object Fetch {
                 .flatMap(_.split('/').lastOption)
                 .flatMap(t => t.toLongOption).getOrElse(knownTotal)
               if (t416 >= 0 && have == t416) alreadyComplete = true
-              else throw new IOException(
-                s"range not satisfiable: have $have of $t416 bytes from $url")
-            case _ =>
+              else {
+                // the resource shrank/changed: the stale .part can never
+                // complete — discard it so the RETRY restarts from zero
+                // instead of wedging on the identical 416 forever
+                Files.deleteIfExists(part)
+                Files.deleteIfExists(metaF)
+                throw new IOException(
+                  s"range not satisfiable (stale .part discarded): " +
+                    s"have $have of $t416 bytes from $url")
+              }
+            case code if code >= 200 && code < 300 =>
               total = h.getContentLengthLong
               // fresh (or restarted) body: record this response's
               // validator for the next attempt's If-Range
               val v = Option(h.getHeaderField("ETag"))
                 .orElse(Option(h.getHeaderField("Last-Modified"))).getOrElse("")
               Files.writeString(metaF, s"$v\n$total")
+            case code => throw new IOException(
+              s"HTTP $code from $url (redirects across protocols are not followed)")
           }
         case c => total = c.getContentLengthLong
       }
@@ -206,11 +227,28 @@ object Fetch {
     * its own retries are exhausted. */
   def fetchMany(urls: Seq[String], stagingDir: String, parallelism: Int = 4,
                 maxRetries: Int = 3, baseDelayMs: Long = 100): Seq[Fetched] = {
+    // distinct URLs sharing a basename (hostA/data.zip vs hostB/data.zip,
+    // or ?page=1 vs ?page=2) would clobber each other in the staging dir:
+    // collisions get a short URL-hash suffix, unique names stay pretty
+    val names = urls.map(fileNameOf)
+    val dup = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }.toSet
+    val dests = urls.zip(names).map { case (u, n) =>
+      if (!dup(n)) n
+      else {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val dot = n.lastIndexOf('.')
+        if (dot > 0) s"${n.substring(0, dot)}-$h${n.substring(dot)}" else s"$n-$h"
+      }
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
-      urls.map(u => pool.submit(new java.util.concurrent.Callable[Fetched] {
-        def call(): Fetched = fetchToStaging(u, stagingDir, maxRetries, baseDelayMs)
-      })).map(_.get())
+      urls.zip(dests).map { case (u, d) =>
+        pool.submit(new java.util.concurrent.Callable[Fetched] {
+          def call(): Fetched =
+            fetchToStaging(u, stagingDir, maxRetries, baseDelayMs, Some(d))
+        })
+      }.map(_.get())
     } finally pool.shutdown()
   }
 

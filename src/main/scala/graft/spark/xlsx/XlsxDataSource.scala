@@ -369,57 +369,114 @@ object XlsxParse {
     acc - 1
   }
 
+  /** Resolve the 1-based `sheet` index to worksheet bytes through
+    * xl/workbook.xml's `<sheets>` ORDER and the workbook rels
+    * (r:id -> target): physical file names (sheetN.xml) do not track
+    * workbook order or deletions, so `sheet=1` must mean "the first
+    * sheet as the user sees it", not "whichever file was created
+    * first". Falls back to the filename convention for minimal
+    * workbooks without usable metadata (our own writer's output). */
+  private[xlsx] def sheetMember(zip: Array[Byte], sheet: Int): Array[Byte] = {
+    val viaWorkbook =
+      for {
+        wb <- member(zip, "xl/workbook.xml")
+        rels <- member(zip, "workbook.xml.rels")
+        rid <- {
+          val r = reader(wb)
+          val ids = mutable.ArrayBuffer.empty[String]
+          while (r.hasNext) r.next() match {
+            case XMLStreamConstants.START_ELEMENT if r.getLocalName == "sheet" =>
+              Option(r.getAttributeValue(null, "id")).foreach(ids += _)
+            case _ =>
+          }
+          ids.lift(sheet - 1)
+        }
+        target <- {
+          val r = reader(rels)
+          var t: Option[String] = None
+          while (r.hasNext && t.isEmpty) r.next() match {
+            case XMLStreamConstants.START_ELEMENT
+                if r.getLocalName == "Relationship" =>
+              if (r.getAttributeValue(null, "Id") == rid)
+                t = Option(r.getAttributeValue(null, "Target"))
+            case _ =>
+          }
+          t
+        }
+        bytes <- member(zip, "/" + target.split('/').last)
+      } yield bytes
+    viaWorkbook
+      .orElse(member(zip, s"sheet$sheet.xml"))
+      .getOrElse(sys.error(s"no worksheet for sheet=$sheet"))
+  }
+
   /** Streamed (0-based row, colIdx -> string value) pairs of one sheet,
-    * shared strings resolved, inline strings supported. */
+    * shared strings resolved, inline strings supported. LAZY: one row
+    * in memory at a time — a million-row workbook must not materialize
+    * every row Map before the caller filters/projects. */
   def rows(zip: Array[Byte], sheet: Int): Iterator[(Long, Map[Int, String])] = {
     val sst = sharedStrings(zip)
-    val sheetBytes = member(zip, s"sheet$sheet.xml").getOrElse(
-      sys.error(s"no worksheet sheet$sheet.xml"))
-    val r = reader(sheetBytes)
-    val out = mutable.ArrayBuffer.empty[(Long, Map[Int, String])]
-    var rn = 0L            // 1-based row number of the current <row>
-    var cells = mutable.Map.empty[Int, String]
-    var ci = -1; var lastCi = -1
-    var t: String = null
-    val text = new StringBuilder
-    var collecting = false // inside <v> or inline <t>
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT =>
-          r.getLocalName match {
-            case "row" =>
-              val attr = Option(r.getAttributeValue(null, "r"))
-              rn = attr.map(_.toLong).getOrElse(rn + 1)
-              cells = mutable.Map.empty; lastCi = -1
-            case "c" =>
-              val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
-              ci = colIdx(ref) match { case -1 => lastCi + 1; case k => k }
-              lastCi = ci
-              t = r.getAttributeValue(null, "t")
-              text.clear()
-            case "v" => collecting = true
-            case "t" if t == "inlineStr" => collecting = true
+    val r = reader(sheetMember(zip, sheet))
+    new Iterator[(Long, Map[Int, String])] {
+      private var pending: (Long, Map[Int, String]) = null
+      private var exhausted = false
+      private var rn = 0L // 1-based row number of the current <row>
+
+      private def advance(): Unit = {
+        var cells = mutable.Map.empty[Int, String]
+        var ci = -1; var lastCi = -1
+        var t: String = null
+        val text = new StringBuilder
+        var collecting = false // inside <v> or inline <t>
+        while (pending == null && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "row" =>
+                  val attr = Option(r.getAttributeValue(null, "r"))
+                  rn = attr.map(_.toLong).getOrElse(rn + 1)
+                  cells = mutable.Map.empty; lastCi = -1
+                case "c" =>
+                  val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
+                  ci = colIdx(ref) match { case -1 => lastCi + 1; case k => k }
+                  lastCi = ci
+                  t = r.getAttributeValue(null, "t")
+                  text.clear()
+                case "v" => collecting = true
+                case "t" if t == "inlineStr" => collecting = true
+                case _ =>
+              }
+            case XMLStreamConstants.CHARACTERS if collecting =>
+              text.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "v" | "t" => collecting = false
+                case "c" =>
+                  val raw = text.result()
+                  val v =
+                    if (t == "s")
+                      if (raw.trim.isEmpty) null else sst.lift(raw.trim.toInt).orNull
+                    else if (raw.nonEmpty) raw
+                    else null
+                  if (v != null) cells(ci) = v
+                case "row" => pending = ((rn - 1, cells.toMap))
+                case _ =>
+              }
             case _ =>
           }
-        case XMLStreamConstants.CHARACTERS if collecting => text.append(r.getText)
-        case XMLStreamConstants.END_ELEMENT =>
-          r.getLocalName match {
-            case "v" | "t" => collecting = false
-            case "c" =>
-              val raw = text.result()
-              val v =
-                if (t == "s")
-                  if (raw.trim.isEmpty) null else sst.lift(raw.trim.toInt).orNull
-                else if (raw.nonEmpty) raw
-                else null
-              if (v != null) cells(ci) = v
-            case "row" => out += ((rn - 1, cells.toMap))
-            case _ =>
-          }
-        case _ =>
+        }
+        if (pending == null) { exhausted = true; r.close() }
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !exhausted) advance()
+        pending != null
+      }
+      override def next(): (Long, Map[Int, String]) = {
+        if (!hasNext) throw new NoSuchElementException("rows exhausted")
+        val v = pending; pending = null; v
       }
     }
-    out.iterator
   }
 
   /** Data-row count of one sheet (0-based row number > headerRow) by a
@@ -427,9 +484,9 @@ object XlsxParse {
     * emit after the header filter (same `r`-attribute-or-sequential row
     * numbering), without loading shared strings or decoding any cell. */
   def countRows(zip: Array[Byte], sheet: Int, headerRow: Int): Long = {
-    val sheetBytes = member(zip, s"sheet$sheet.xml").getOrElse(
-      sys.error(s"no worksheet sheet$sheet.xml"))
-    val r = reader(sheetBytes)
+    // same workbook-order resolution as rows(): COUNT(*) and the full
+    // scan must agree on which sheet "sheet" means
+    val r = reader(sheetMember(zip, sheet))
     var rn = 0L
     var n = 0L
     while (r.hasNext) {

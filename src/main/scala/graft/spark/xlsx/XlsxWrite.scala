@@ -61,8 +61,15 @@ case class XlsxBatchWrite(schema: StructType, dir: String,
     messages.foreach {
       case XlsxCommit(_, null) => // empty partition: no file was opened
       case XlsxCommit(pid, tmp) =>
-        val dst = new Path(d, f"part-$pid%05d.xlsx")
-        fs.delete(dst, false)
+        // append mode gets query-unique part names: a plain part-<pid>
+        // would delete-and-replace an EARLIER append's workbook with the
+        // same partition id (mode("append") silently destroying data);
+        // truncate mode just cleared the directory, so plain names are
+        // fine there and keep the familiar layout
+        val dst =
+          if (truncate) new Path(d, f"part-$pid%05d.xlsx")
+          else new Path(d, f"part-$pid%05d-${queryId.take(8)}.xlsx")
+        fs.delete(dst, false) // idempotent re-commit of THIS query only
         if (!fs.rename(new Path(tmp), dst))
           sys.error(s"graft-xlsx: commit rename $tmp -> $dst failed")
       case other => sys.error(s"graft-xlsx: unexpected commit message $other")
