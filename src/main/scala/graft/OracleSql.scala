@@ -1031,10 +1031,10 @@ object OracleSql {
       """WITH rk AS (SELECT event_type, value,
         |              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
         |              COUNT(*) OVER (PARTITION BY event_type) AS n
-        |            FROM events)
+        |            FROM events WHERE value IS NOT NULL)
         |SELECT event_type,
-        | MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
-        | MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+        | MAX(CASE WHEN rn = CAST(ceil(0.5 * n * (1 - 1e-12)) AS BIGINT) THEN value END) AS p50,
+        | MAX(CASE WHEN rn = CAST(ceil(0.9 * n * (1 - 1e-12)) AS BIGINT) THEN value END) AS p90,
         | COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
         |FROM rk GROUP BY event_type""".stripMargin,
 

@@ -55,12 +55,19 @@ object AsofJoin {
       if (backward) col("__ats") >= ts - tol else col("__ats") <= ts + tol
     }
     merged
-      .withColumn("__av", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__ats", last(col("__rts"), ignoreNulls = true).over(w))
+      // ONE struct per right row, so the matched value and its timestamp
+      // can never decouple: two independent last(ignoreNulls) calls would
+      // take the value from an older event but the ts (and the tolerance
+      // gate) from a newer null-valued one — a pair that never existed
+      .withColumn("__rp",
+        when(col("__side") === 0, struct(col("__rts"), col("__rv"))))
+      .withColumn("__ap", last(col("__rp"), ignoreNulls = true).over(w))
+      .withColumn("__av", col("__ap.__rv"))
+      .withColumn("__ats", col("__ap.__rts"))
       .where(col("__side") === 1)
       .withColumn(s"asof_$valCol", when(within, col("__av")))
       .withColumn("asof_ts", when(within, col("__ats")))
-      .drop("__side", "__rv", "__rts", "__av", "__ats")
+      .drop("__side", "__rv", "__rts", "__rp", "__ap", "__av", "__ats")
   }
 
   /** leftDf(keyCol, tsCol, left cols), rightDf(keyCol, tsCol, valCol).
@@ -79,13 +86,20 @@ object AsofJoin {
     val merged = l.select((l.columns.filter(c => c != "__side" && c != "__rv" && c != "__rts")
         .map(col) ++ Seq(col("__side"), col("__rv"), col("__rts"))): _*)
       .unionByName(r, allowMissingColumns = true)
+    // __rv in the order pins same-(key, ts) right-row ties (matching
+    // asofJoinDir): without it a retry or partition-count change could
+    // flip which of two equal-ts right values wins
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     merged
-      .withColumn(s"asof_$valCol", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      // struct-paired like asofJoinDir: value and ts from the SAME row
+      .withColumn("__rp",
+        when(col("__side") === 0, struct(col("__rts"), col("__rv"))))
+      .withColumn("__ap", last(col("__rp"), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$valCol", col("__ap.__rv"))
+      .withColumn("asof_ts", col("__ap.__rts"))
       .where(col("__side") === 1)
-      .drop("__side", "__rv", "__rts")
+      .drop("__side", "__rv", "__rts", "__rp", "__ap")
   }
 }

@@ -41,8 +41,14 @@ object IvfIndex {
       .persist()
     // checkpoint each round: truncates the nested Lloyd plan so later
     // consumers (collect, assignment, rerank) don't replay training
+    // centroid ids are DENSE 0..k-1 by vid order, not vid.cast(int):
+    // 64-bit (e.g. hash-derived) vids would wrap modulo 2^32 and two
+    // colliding initial vectors would silently merge clusters. The
+    // window is over the k-row limit result — bounded, not a global sort.
     var centroids = ck(vecs.orderBy("vid").limit(k)
-      .select(col("vid").cast("int").as("centroid_id"), col("v").as("c")))
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vid"))) - 1)
+        .cast("int").as("centroid_id"), col("v").as("c")))
     for (_ <- 0 until iters) {
       val assigned = assignTo(vecs, centroids)
       // string-route the double->decimal cast (shortest-string repr is

@@ -130,9 +130,13 @@ object PqIndex {
     * query. */
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,
                  books: Array[Array[Array[Double]]], path: String): Unit =
-    encode(df, idCol, vecCol, books)
-      .select(col("vid") +: books.indices.map(s => col(s"code_$s")): _*)
-      .write.mode("overwrite").parquet(path)
+    // via ParquetSink like the sibling IvfIndex.buildIndex: one
+    // full-refresh write path to carry any future policy (options,
+    // compression, audit) instead of a drifting inline twin
+    graft.sinks.ParquetSink.writeReplace(
+      encode(df, idCol, vecCol, books)
+        .select(col("vid") +: books.indices.map(s => col(s"code_$s")): _*),
+      path)
 
   /** ADC top-k over an already-encoded codes relation (vid + code_0..m-1
     * — [[buildIndex]]'s layout, or [[encode]]'s output directly): the

@@ -15,15 +15,23 @@ object Stats {
   /** Exact discrete quantiles per group: value at rank ceil(q*n)
     * (percentile_disc semantics — picks an actual data value, so results
     * are engine-portable; interpolating percentiles differ across engines
-    * in float arithmetic). One shuffle + per-partition sort. */
+    * in float arithmetic). One shuffle + per-partition sort.
+    *
+    * NULL values are ignored (percentile_disc semantics — and the only
+    * cross-engine-safe choice: Spark orders nulls first, DuckDB last).
+    * The rank product is nudged down one part in 10^12 before ceil: the
+    * float product of an exact-integer rank can land one ulp HIGH
+    * (0.55*100 = 55.000000000000004 -> ceil 56, the 56th value, not the
+    * 55th); the oracle applies the identical nudge. */
   def quantileDisc(df: DataFrame, keys: Seq[String], valueCol: String,
                    qs: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
-    val ranked = df
+    val ranked = df.where(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
     val aggs = qs.map { q =>
-      max(when(col("__rn") === ceil(lit(q) * col("__n")), col(valueCol)))
+      max(when(col("__rn") ===
+          ceil(lit(q) * col("__n") * lit(1.0 - 1e-12)), col(valueCol)))
         .as(s"p${(q * 100).round}")
     }
     ranked.groupBy(keys.map(col): _*)
@@ -59,7 +67,8 @@ object Stats {
     * ranks are needed.
     */
   def cumLess(df: DataFrame, scoreCol: String,
-              numParts: Int = 0): (DataFrame, Long) = {
+              numParts: Int = 0,
+              scope: graft.PersistScope = graft.PersistScope()): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -68,11 +77,10 @@ object Stats {
     // must see the SAME partition ids (they do regardless — RangePartitioner
     // boundary sampling is seeded deterministically — but the cache also
     // saves recomputing the groupBy)
-    val parted = df.where(col(scoreCol).isNotNull)
+    val parted = scope.cache(df.where(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
       .repartitionByRange(parts, col(scoreCol))
-      .withColumn("__p", spark_partition_id())
-      .persist()
+      .withColumn("__p", spark_partition_id()))
     val totals = parted.groupBy("__p").agg(sum("__cnt").as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (totals.isEmpty)
@@ -95,8 +103,9 @@ object Stats {
     * same (rank-1)/(n-1) double division, same *100), but distributed:
     * see [[cumLess]]. Callers with an expensive upstream should persist
     * `df` — it is scanned twice (histogram + join-back). */
-  def withPercentRank100(df: DataFrame, scoreCol: String, outCol: String): DataFrame = {
-    val (cl, n) = cumLess(df, scoreCol)
+  def withPercentRank100(df: DataFrame, scoreCol: String, outCol: String,
+                         scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    val (cl, n) = cumLess(df, scoreCol, scope = scope)
     val denom = lit(math.max(n - 1L, 1L).toDouble)
     df.join(cl, Seq(scoreCol))
       .withColumn(outCol, col("__cnt_less").cast("double") / denom * 100)
@@ -109,8 +118,9 @@ object Stats {
     * ntile fill — first N % buckets buckets take one extra row — as a
     * scalar integer expression over (rn, N). */
   def withNtile(df: DataFrame, coarseCol: String, tieCols: Seq[Column],
-                buckets: Int, outCol: String): DataFrame = {
-    val (cl, n) = cumLess(df, coarseCol)
+                buckets: Int, outCol: String,
+                scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    val (cl, n) = cumLess(df, coarseCol, scope = scope)
     val base = n / buckets
     val rem = n % buckets
     val threshold = rem * (base + 1)
@@ -138,16 +148,16 @@ object Stats {
     * it); callers streaming 100 TB through this should pass a projection
     * of only the columns they need downstream. */
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], weight: Column,
-                       outCol: String, numParts: Int = 0): DataFrame = {
+                       outCol: String, numParts: Int = 0,
+                       scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
-    val parted = df
+    val parted = scope.cache(df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__p", spark_partition_id())
-      .withColumn("__w", weight.cast("long")) // integral weights: exact, order-free
-      .persist()
+      .withColumn("__w", weight.cast("long"))) // integral weights: exact, order-free
     val totals = parted.groupBy("__p").agg(coalesce(sum("__w"), lit(0L)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (totals.isEmpty)
@@ -173,24 +183,26 @@ object Stats {
     * strictly-earlier partitions from a window over the per-(partition,
     * group) totals (≤ numParts rows per group — aggregated data, never
     * the raw rows), then adds an ordinary (partition, group)-local
-    * running sum. Fully distributed: unlike [[withRunningTotal]] there
-    * is no driver collect at all — the offset table stays a DataFrame
-    * and joins back on (partition, group).
+    * running sum. Unlike [[withRunningTotal]] there is no EXPLICIT
+    * driver collect — the offset table stays a DataFrame — though the
+    * broadcast join-back does materialize it (~numParts + spanning
+    * groups rows; with extreme group cardinality drop the broadcast
+    * hint or raise numParts).
     *
     * This is `SUM(w) OVER (PARTITION BY g ORDER BY ...)` made safe for
     * skewed/low-cardinality `g`. The input is persisted (totals pass +
     * window pass); pass a pruned projection at 100 TB. */
   def withRunningTotalBy(df: DataFrame, groupCols: Seq[Column],
                          orderCols: Seq[Column], weight: Column,
-                         outCol: String, numParts: Int = 0): DataFrame = {
+                         outCol: String, numParts: Int = 0,
+                         scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
-    val parted = df
+    val parted = scope.cache(df
       .repartitionByRange(parts, (groupCols ++ orderCols): _*)
       .withColumn("__p", spark_partition_id())
-      .withColumn("__w", weight.cast("long")) // integral weights: exact, order-free
-      .persist()
+      .withColumn("__w", weight.cast("long"))) // integral weights: exact, order-free
     val groupNames = groupCols.indices.map(i => s"__g$i")
     val gCols = groupCols.zip(groupNames).map { case (c, n) => c.as(n) }
     // per-(partition, group) totals: bounded by rows-per-partition but in
@@ -206,11 +218,20 @@ object Stats {
     val wIn = Window.partitionBy(col("__p") +: groupNames.map(col): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-SAFE join back: an equi-join on the group columns would
+    // silently DROP every null-group row (null never satisfies EqualTo),
+    // while the window form this replaces keeps them as their own group
+    val offR = off.select(
+      (col("__p").as("__po") +: groupNames.map(n => col(n).as(n + "o"))) :+
+        col("__off"): _*)
+    val joinCond = (col("__p") === col("__po")) +: groupNames.map(n =>
+      col(n) <=> col(n + "o"))
     parted.select(col("*") +: gCols: _*)
       .withColumn("__within", sum(col("__w")).over(wIn))
-      .join(broadcast(off), "__p" +: groupNames)
+      .join(broadcast(offR), joinCond.reduce(_ && _))
       .withColumn(outCol, col("__off") + col("__within"))
-      .drop("__p" :: "__w" :: "__within" :: "__off" :: groupNames.toList: _*)
+      .drop("__p" :: "__po" :: "__w" :: "__within" :: "__off" ::
+        (groupNames.toList ++ groupNames.map(_ + "o")): _*)
   }
 
   /** Deterministic hash sampling: keep a row iff
