@@ -827,11 +827,11 @@ object OracleSql {
         |              ELSE '' END AS t
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_urls,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(t, '\+[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phones,
         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |      'https?://[^ ]+', '[URL]', 'g'),
+        |      'https?://[^\s]+', '[URL]', 'g'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      '\+[0-9][0-9 -]{7,}[0-9]', '[PHONE]', 'g')) AS scrubbed_md5
         |FROM e""".stripMargin,

@@ -39,7 +39,10 @@ object Text {
   def compressionRatioPpm(text: Column): Column = {
     val bytes = length(text.cast("binary")).cast("long")
     val defl = graft.plans.DeflateLen.deflateLen(text).cast("long")
-    when(bytes > 0, intDiv(defl * lit(1000000L), bytes))
+    // NULL text propagates NULL (a missing document is not "neutral
+    // prose"); only genuinely EMPTY text takes the 1e6 fallback
+    when(text.isNull, lit(null).cast("long"))
+      .when(bytes > 0, intDiv(defl * lit(1000000L), bytes))
       .otherwise(lit(1000000L))
   }
 
@@ -93,7 +96,10 @@ object Text {
     * and must match on both sides. Spark's regexp_replace is global by
     * default; DuckDB needs the 'g' flag. */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "url" -> "https?://[^ ]+",
+    // [^\s], not [^ ]: a bare space-class complement runs across
+    // newlines/tabs and swallows the first token of the next line
+    // (\s is in the Java-regex ∩ RE2 subset, so the oracle mirrors it)
+    "url" -> "https?://[^\\s]+",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "phone" -> "\\+[0-9][0-9 -]{7,}[0-9]")
 

@@ -70,8 +70,12 @@ object DupClusters {
         .distinct()
     }
     def signature(e: DataFrame): (Long, Long) = {
+      // xor of per-edge hashes: order-free like sum, but immune to the
+      // Long overflow that sum(src * k + dst) hits with 64-bit hash-
+      // derived doc ids (ANSI mode would throw ArithmeticException; the
+      // edge set is distinct, so set-xor is a sound signature)
       val r = e.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("src") * 1000003L + col("dst")), lit(0L)).as("h")).head
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head
       (r.getLong(0), r.getLong(1))
     }
 
@@ -90,11 +94,12 @@ object DupClusters {
       sig = s2
       iter += 1
     }
-    if (!done) {
-      // maxIters exhausted (or the convergence signature collided): only
-      // emit if the edge set actually IS a star forest — i.e. no member
-      // has two roots and no member is itself a root — otherwise the
-      // labels below would be silently wrong
+    // ALWAYS validate before emitting — not only when maxIters ran out:
+    // a signature COLLISION (same count + xor-hash for a different edge
+    // set) sets done=true with a non-fixpoint edge set, and guarding
+    // only the !done path would skip the check in exactly that case.
+    // Two tiny aggregates over the final (contracted) edges — cheap.
+    locally {
       val members = edges.select(col("src").as("doc"))
       val multiRoot = members.groupBy("doc").agg(count(lit(1)).as("n"))
         .where(col("n") > 1)
@@ -102,8 +107,9 @@ object DupClusters {
         .join(edges.select(col("dst").as("doc")), Seq("doc"), "left_semi")
       if (!multiRoot.isEmpty || !chained.isEmpty)
         throw new IllegalStateException(
-          s"clustersStar: edge set is not a star forest after $maxIters " +
-            "rounds; raise maxIters (refusing to emit wrong clusters)")
+          s"clustersStar: edge set is not a star forest after $iter " +
+            "rounds (unconverged or signature collision); raise maxIters " +
+            "(refusing to emit wrong clusters)")
     }
     // fixpoint edges form stars (member = src > root = dst = component min)
     val roots = edges.select(col("src").as("doc"), col("dst").as("cluster"))
@@ -129,10 +135,12 @@ object DupClusters {
       .where(col("src") =!= col("dst")).persist()
     val n = edges.count()
     if (n > driverEdgeLimit) {
-      val out = clustersStar(edges.select(col("src").as("doc_a"),
-        col("dst").as("doc_b")), maxIters, durable)
+      // pass the ORIGINAL pairs: clustersStar draws its node set from
+      // them, so docs whose only pair is a self-loop keep their
+      // singleton row (the self-loop filter above is for edges only);
+      // edges served its count and can release now
       edges.unpersist()
-      out
+      clustersStar(pairs, maxIters, durable)
     } else {
       val local = edges.as[(Long, Long)].collect()
       edges.unpersist()
@@ -151,7 +159,13 @@ object DupClusters {
         // the distributed algorithms' output contract
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      parent.keys.toSeq.map(d => (d, find(d))).toDF("doc", "cluster")
+      // node set from the UNFILTERED pairs, like the distributed paths:
+      // a doc whose only pair is a self-loop has no edge but is still a
+      // (singleton) member of the output
+      val allDocs = pairs.select(col("doc_a").as("doc")).unionByName(
+          pairs.select(col("doc_b").as("doc"))).distinct()
+        .as[Long].collect()
+      allDocs.toSeq.map(d => (d, find(d))).toDF("doc", "cluster")
     }
   }
 
@@ -202,6 +216,14 @@ object DupClusters {
       }
       iter += 1
     }
+    // unconverged propagation means the recorded moves label ONE
+    // component as several clusters — refuse loudly like clustersStar
+    // does. (Contraction converges in O(component diameter) rounds, not
+    // O(log d): a 30-edge chain needs 30 rounds. clustersStar is the
+    // adversarial-shape path; this guard keeps this variant honest.)
+    if (!done) throw new IllegalStateException(
+      s"clusters: min-label propagation did not converge in $maxIters " +
+        "rounds (long-chain graph?); raise maxIters or use clustersStar")
     // membership: every node starts as its own label, then the recorded
     // rounds of label moves apply in order — one lazy join chain over the
     // (checkpointed, small) deltas instead of a materialized relabel per

@@ -42,6 +42,12 @@ object Relational {
     * reached `completed`/WORK_STOP. NOT IN with a correlated subquery becomes
     * a `left_anti` join: one shuffle (or broadcast when the exclusion set is
     * small), never a driver-side collect.
+    *
+    * NULL semantics are NOT EXISTS's, not NOT IN's: a NULL key in
+    * `excluded` does not blank the whole result (SQL NOT IN would
+    * return zero rows), and NULL-keyed `df` rows are kept. That is the
+    * useful behavior for exclusion lists; use a real NOT IN subquery if
+    * three-valued-logic semantics are required.
     */
   def antiJoinOnKey(df: DataFrame, excluded: DataFrame, key: String): DataFrame =
     df.join(excluded.select(col(key)).distinct(), Seq(key), "left_anti")

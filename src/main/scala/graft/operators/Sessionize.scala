@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Adds `session_id` (0-based per user) given an epoch-seconds column. */
+  /** Adds `session_id` (0-based per user) given an epoch-seconds column.
+    * Rows with a NULL timestamp are EXCLUDED: they would sort first,
+    * each read gap-is-null (the "first event" signal), and every one
+    * would open a phantom session that shifts the real events' ids. */
   def sessionize(df: DataFrame, userCol: String, epochSecCol: String,
                  gapSec: Long, tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(epochSecCol), tieBreak)
     val gap = col(epochSecCol) - lag(col(epochSecCol), 1).over(w)
-    df.withColumn("__new_session",
+    df.where(col(epochSecCol).isNotNull)
+      .withColumn("__new_session",
         when(gap.isNull.or(gap > gapSec), 1L).otherwise(0L))
       .withColumn("session_id", sum(col("__new_session")).over(w) - 1)
       .drop("__new_session")
