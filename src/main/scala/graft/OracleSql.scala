@@ -389,7 +389,7 @@ object OracleSql {
         |  FROM events),
         |p AS (
         |  SELECT event_id,
-        |    regexp_extract_all(wkt, '(-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?)', 0) AS pts
+        |    regexp_extract_all(wkt, '(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)', 0) AS pts
         |  FROM w),
         |c AS (
         |  SELECT event_id,

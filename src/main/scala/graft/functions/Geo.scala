@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Geo {
 
-  private val NumPair = "(-?[0-9]+(?:\\.[0-9]+)?) (-?[0-9]+(?:\\.[0-9]+)?)"
+  // optional exponent: PostGIS/Shapely emit 1.5e-3 for near-zero coords,
+  // and without it the scanner would match "-3 2" INSIDE the exponent —
+  // fabricating a garbage vertex instead of parsing or failing cleanly
+  private val Num = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+  private val NumPair = s"($Num) ($Num)"
 
   /** Parse "POINT (x y)" / "LINESTRING (x y, x y, ...)" / single-shell
     * "POLYGON ((x y, ...))" into array<struct<x,y>>. */
@@ -80,7 +84,9 @@ object Geo {
     * sqrt per segment — identical across engines). */
   def stLength(geom: Column): Column = {
     val n = size(geom)
-    val segs = transform(slice(geom, lit(1), n - 1), (p, i) => {
+    // greatest(..., 0): an empty geometry (unparseable WKT) would pass
+    // slice a length of -1, which throws and kills the job on one row
+    val segs = transform(slice(geom, lit(1), greatest(n - 1, lit(0))), (p, i) => {
       val q = element_at(geom, i + 2)
       sqrt((q("x") - p("x")) * (q("x") - p("x")) +
         (q("y") - p("y")) * (q("y") - p("y")))

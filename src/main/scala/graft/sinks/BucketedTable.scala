@@ -14,7 +14,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object BucketedTable {
 
   def write(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
-    df.write
+    // pre-shuffle on the bucket column so each bucket is written by
+    // exactly ONE task: bucketBy alone writes one file per (task,
+    // bucket) pair — thousands of upstream tasks x hundreds of buckets
+    // recreates the small-files problem this sink exists to solve
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

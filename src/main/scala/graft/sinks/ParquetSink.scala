@@ -54,27 +54,55 @@ object ParquetSink {
                          partitionCols: Seq[String],
                          targetFileMB: Int = 512,
                          scopePredicate: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
     // an unpartitioned table has no dynamic-overwrite scope: writing the
     // scoped subset would replace the WHOLE path with it (silent data loss)
     require(partitionCols.nonEmpty || scopePredicate.isEmpty,
       "scopePredicate requires partitionCols: compacting an unpartitioned " +
         "table is all-or-nothing (the write replaces the entire path)")
-    val all = spark.read.parquet(path)
-    // at 100 TB you compact one partition scope (a month) per pass — that
-    // also bounds the materialization below
-    val scoped = scopePredicate.fold(all)(all.where(_))
-    val sizeBytes = scoped.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = math.max(1, (sizeBytes / (targetFileMB.toLong << 20)).toInt)
-    // materialize away from the source files: Spark refuses to overwrite a
-    // path that is also being read, and a lazy read would race the delete
-    val df = scoped.localCheckpoint()
-    val compacted =
-      if (partitionCols.nonEmpty)
-        // cluster rows of the same partition into the same task so each
-        // partition dir lands as few files as possible
-        df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      else df.repartition(nFiles)
-    if (partitionCols.nonEmpty) writePartitioned(compacted, path, partitionCols)
-    else writeReplace(compacted, path)
+    // partition DIR values must round-trip byte-identically: type
+    // inference would rewrite area=007 as area=7, and dynamic overwrite
+    // would then leave the original dirs behind as duplicate rows
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      val all = spark.read.parquet(path)
+      // at 100 TB you compact one partition scope (a month) per pass — that
+      // also bounds the staging copy below
+      val scoped = scopePredicate.fold(all)(all.where(_))
+      val sizeBytes = scoped.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nFiles = math.max(1, (sizeBytes / (targetFileMB.toLong << 20)).toInt)
+      // a source-file salt alongside the partition columns: hashing on
+      // partitionCols alone lands a whole partition dir in ONE task and
+      // writes it as one arbitrarily large file; the salt splits big dirs
+      // while still keeping files partition-pure
+      val salted =
+        if (partitionCols.isEmpty) scoped.repartition(nFiles)
+        else scoped
+          .withColumn("__salt",
+            pmod(xxhash64(input_file_name()), lit(nFiles.toLong)).cast("int"))
+          .repartition(nFiles, (partitionCols :+ "__salt").map(col): _*)
+          .drop("__salt")
+      // DURABLE two-phase swap: stage the compacted copy NEXT TO the
+      // table, then overwrite from the staged (fault-tolerant) copy.
+      // The previous in-place form (localCheckpoint + overwrite) deleted
+      // the only durable copy while the data lived in executor-local
+      // blocks — one lost executor mid-write lost the table.
+      val tmp = path.stripSuffix("/") + ".__compact_tmp"
+      if (partitionCols.nonEmpty) {
+        salted.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(tmp)
+        writePartitioned(spark.read.parquet(tmp), path, partitionCols)
+      } else {
+        salted.write.mode(SaveMode.Overwrite).parquet(tmp)
+        writeReplace(spark.read.parquet(tmp), path)
+      }
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      tmpP.getFileSystem(spark.sessionState.newHadoopConf()).delete(tmpP, true)
+    } finally prevInfer match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None => spark.conf.unset(inferKey)
+    }
   }
 }

@@ -50,6 +50,10 @@ object ZOrder {
     * by z-ordering within each partition's DataFrame before the write. */
   def write(df: DataFrame, path: String, clusterCols: Seq[String],
             nFiles: Int, bits: Int = 16): Unit = {
+    // the internal sort key would silently REPLACE (then drop) a user
+    // column of the same name — refuse instead of losing data
+    require(!df.columns.contains("__z"),
+      "ZOrder.write: input already has a __z column; rename it first")
     val aggs = clusterCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"mn_$c"),
       max(col(c).cast("double")).as(s"mx_$c")))

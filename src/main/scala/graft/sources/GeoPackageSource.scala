@@ -106,6 +106,9 @@ object GeoPackageSource {
         n.startsWith("gpkg_") || n.startsWith("sqlite_"))
     candidates match {
       case Seq(one) => one
+      case Seq() => sys.error( // tiles-only / metadata-only package
+        "graft-gpkg: no feature or user table found — " +
+          "pass .option(\"table\", ...) naming one explicitly")
       case many => sys.error(
         s"graft-gpkg: ambiguous table — pass .option(\"table\", ...); candidates: ${many.mkString(", ")}")
     }
@@ -160,8 +163,11 @@ object GeoPackageSource {
       val db = SqliteFile.open(path, spark.sessionState.newHadoopConf())
       try geometryColumns(db, table) finally db.close()
     }
-    geom.foldLeft(readTable(spark, path, table, minPartitions)) { (df, g) =>
-      df.withColumn(s"${g}_xy", graft.functions.Geo.stGeomFromWkb(col(g)))
-    }
+    // sorted: a Set fold would append the _xy columns in hash order,
+    // making the output column order vary across runs/Scala versions
+    geom.toSeq.sorted
+      .foldLeft(readTable(spark, path, table, minPartitions)) { (df, g) =>
+        df.withColumn(s"${g}_xy", graft.functions.Geo.stGeomFromWkb(col(g)))
+      }
   }
 }

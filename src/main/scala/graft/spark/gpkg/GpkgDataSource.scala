@@ -109,12 +109,14 @@ case class GpkgScan(t: GpkgTable, required: StructType)
     t.paths.flatMap { p =>
       val db = SqliteFile.open(p, GpkgRead.hadoopConf())
       try {
-        val info = db.table(t.table) // also re-checks the table exists per file
-        // layout must match the first file EXACTLY: names, declared types
-        // (affinity), and the rowid-alias column — a name-only check would
-        // silently substitute rowids into the wrong column
+        // layout must match the first file EXACTLY: names, mapped types
+        // (a REAL column where the first file declared INTEGER would be
+        // silently truncated by the Long coercion), and the rowid-alias
+        // column (a name-only check would substitute rowids into the
+        // wrong column). schemaOf also re-checks the table exists.
+        val (info, st) = GeoPackageSource.schemaOf(db, t.table)
         require(info.columns.map(_.name) == t.phys.fieldNames.toVector &&
-            info.ipk == t.ipk,
+            st == t.phys && info.ipk == t.ipk,
           s"graft-gpkg: $p#${t.table} column layout differs from ${t.paths.head}")
         db.subtreeRoots(info.rootPage, perFile)
           .map(r => GpkgInputPartition(p, r): InputPartition)
