@@ -44,7 +44,13 @@ object Centrality {
         .groupBy("dst").agg(sum(col("__c")).as("__s"))
       pr = contrib
         .select(col("dst").as("node"),
-          (lit(150000L) + expr("(850000 * __s) DIV 1000000")).as("pr"))
+          // split multiply: identical values to (850000 * __s) DIV 1e6
+          // (exactly, by the div/mod identity) but never overflows — a
+          // ~2e7-in-neighbor hub's summed ppm mass would push the direct
+          // product past Long.MaxValue and ANSI mode aborts the job
+          (lit(150000L) + expr(
+            "(__s DIV 1000000) * 850000 + ((__s % 1000000) * 850000) DIV 1000000"))
+            .as("pr"))
         .localCheckpoint()
     }
     pr.join(deg.select(col("src").as("node"), col("deg").as("degree")), "node")

@@ -42,7 +42,11 @@ object DataQuality {
     * fact table twice at 100 TB). */
   def overlappingKeysWithin(df: DataFrame, key: String,
                             inA: Column, inB: Column): DataFrame =
-    df.groupBy(col(key))
+    // NULL keys excluded: groupBy treats nulls as one group, so a null
+    // key in both slices would be reported as an overlap — the equi-join
+    // form this replaces (and the mirrored dbt test) drops nulls
+    df.where(col(key).isNotNull)
+      .groupBy(col(key))
       .agg(count(when(inA, 1)).as("__n_a"), count(when(inB, 1)).as("__n_b"))
       .where(col("__n_a") > 0 && col("__n_b") > 0)
       .select(col(key))
@@ -51,6 +55,9 @@ object DataQuality {
     * ...) into ONE aggregation over ONE scan — `count(when(pred))` per rule
     * unpivoted to (rule, n_violations) rows. N checks cost one pass, not N. */
   def scalarSuite(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty,
+      "scalarSuite needs at least one check (a config that filtered to " +
+        "zero rules would otherwise fail with a bare head-of-empty-list)")
     // positional aliases + typed struct/explode unpivot: rule names are
     // emitted only as string LITERALS, never parsed as SQL, so quotes /
     // backticks / any characters in them are safe
@@ -64,9 +71,11 @@ object DataQuality {
   }
 
   /** Run a named suite of checks, one summary row per rule. */
-  def suite(checks: Seq[(String, DataFrame)]): DataFrame =
+  def suite(checks: Seq[(String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty, "suite needs at least one check")
     checks.map { case (rule, viol) =>
       viol.agg(count(lit(1)).as("n_violations"))
         .select(lit(rule).as("rule"), col("n_violations"))
     }.reduce(_.unionByName(_))
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{MapType, NumericType, StringType}
 
 /** Dataset profiling: one summary row per column — the engine-grade form
   * of the eyeball checks the reference does when landing a new source
@@ -25,34 +25,43 @@ object Profile {
 
   private def profileImpl(df: DataFrame, exact: Boolean): DataFrame = {
     val cols = df.schema.fields
-    val aggs = cols.flatMap { f =>
-      val c = col(f.name)
+    // df(name) resolves the name LITERALLY; col("price.usd") would parse
+    // the dot as struct access and fail — and profiling runs on raw
+    // landed sources BEFORE ColumnNormalizer, where such names live.
+    // Derived aliases are positional for the same reason.
+    val aggs = cols.zipWithIndex.flatMap { case (f, i) =>
+      val c = df(f.name)
+      val distinctAgg = f.dataType match {
+        // countDistinct/approx_count_distinct reject MapType: skip the
+        // metric for that column instead of failing the whole profile
+        case _: MapType => lit(null).cast("long")
+        case _ => if (exact) countDistinct(c) else approx_count_distinct(c)
+      }
       Seq(
-        count(c).as(s"__nn_${f.name}"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c))
-          .as(s"__ad_${f.name}")) ++
+        count(c).as(s"__nn_$i"),
+        distinctAgg.as(s"__ad_$i")) ++
         (f.dataType match {
           case _: NumericType => Seq(
-            min(c).cast("double").as(s"__mn_${f.name}"),
-            max(c).cast("double").as(s"__mx_${f.name}"))
+            min(c).cast("double").as(s"__mn_$i"),
+            max(c).cast("double").as(s"__mx_$i"))
           case StringType => Seq(
-            min(length(c)).cast("double").as(s"__mn_${f.name}"),
-            max(length(c)).cast("double").as(s"__mx_${f.name}"))
+            min(length(c)).cast("double").as(s"__mn_$i"),
+            max(length(c)).cast("double").as(s"__mx_$i"))
           case _ => Seq(
-            lit(null).cast("double").as(s"__mn_${f.name}"),
-            lit(null).cast("double").as(s"__mx_${f.name}"))
+            lit(null).cast("double").as(s"__mn_$i"),
+            lit(null).cast("double").as(s"__mx_$i"))
         })
     }
     val total = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    val perCol = cols.map { f =>
+    val perCol = cols.zipWithIndex.map { case (f, i) =>
       struct(
         lit(f.name).as("column"),
         lit(f.dataType.simpleString).as("dtype"),
         col("__total").as("n_rows"),
-        (col("__total") - col(s"__nn_${f.name}")).as("n_nulls"),
-        col(s"__ad_${f.name}").as(if (exact) "n_distinct" else "approx_distinct"),
-        col(s"__mn_${f.name}").as("min_or_minlen"),
-        col(s"__mx_${f.name}").as("max_or_maxlen"))
+        (col("__total") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__ad_$i").as(if (exact) "n_distinct" else "approx_distinct"),
+        col(s"__mn_$i").as("min_or_minlen"),
+        col(s"__mx_$i").as("max_or_maxlen"))
     }
     total.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }

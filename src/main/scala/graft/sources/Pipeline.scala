@@ -21,33 +21,54 @@ object Pipeline {
     * per-stage counting). Retry wraps the terminal action: Spark already
     * retries lost tasks internally, so this catches whole-job transients —
     * the level the reference's insert retry operates at. Observations are
-    * rebuilt per attempt (an Observation binds to one action). */
+    * rebuilt per attempt (an Observation binds to one action).
+    *
+    * Because the stages execute FUSED in one job, per-stage retry knobs
+    * don't apply here (use [[run]] for those); when `maxRetries` /
+    * `baseDelayMs` are not given, the max over the stages' own settings
+    * is used so a `Stage(..., maxRetries = 10)` is still honored.
+    * Each record's `elapsed_ms` is the WHOLE pipeline's wall time — the
+    * fused job has no per-stage boundary to time ([[run]] does). */
   def runObserved(pipeline: String, input: DataFrame, stages: Seq[Stage],
                   action: DataFrame => Unit,
-                  maxRetries: Int = 3, baseDelayMs: Long = 100)
+                  maxRetries: Int = -1, baseDelayMs: Long = -1)
       : Seq[RunRecord] = {
+    val retries =
+      if (maxRetries > 0) maxRetries
+      else stages.map(_.maxRetries).maxOption.getOrElse(3)
+    val delay =
+      if (baseDelayMs > 0) baseDelayMs
+      else stages.map(_.baseDelayMs).maxOption.getOrElse(100L)
     var attempt = 0
     while (true) {
       attempt += 1
-      try {
-        val t0 = System.currentTimeMillis()
-        val (out, observations) =
-          stages.foldLeft((input, Seq.empty[(String, org.apache.spark.sql.Observation)])) {
-            case ((df, acc), stage) =>
-              val (observedDf, obs) = MetadataLog.observed(pipeline, stage.name)(stage.run(df))
-              (observedDf, acc :+ (stage.name -> obs))
-          }
-        action(out)
-        val elapsed = System.currentTimeMillis() - t0
+      // only the ACTION is inside the retry boundary: resolving the
+      // observations afterwards must not re-run a committed terminal
+      // write (a post-commit InterruptedException would have re-run a
+      // non-idempotent append and duplicated rows in the warehouse)
+      val succeeded: Option[(Seq[(String, org.apache.spark.sql.Observation)], Long)] =
+        try {
+          val t0 = System.currentTimeMillis()
+          val (out, observations) =
+            stages.foldLeft((input, Seq.empty[(String, org.apache.spark.sql.Observation)])) {
+              case ((df, acc), stage) =>
+                val (observedDf, obs) = MetadataLog.observed(pipeline, stage.name)(stage.run(df))
+                (observedDf, acc :+ (stage.name -> obs))
+            }
+          action(out)
+          Some((observations, System.currentTimeMillis() - t0))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            if (attempt >= retries)
+              throw new RuntimeException(
+                s"[$pipeline] failed after $attempt attempts", e)
+            Thread.sleep(delay * (1L << (attempt - 1)))
+            None
+        }
+      succeeded.foreach { case (observations, elapsed) =>
         return observations.map { case (name, obs) =>
           MetadataLog.resolve(pipeline, name, obs, elapsed)
         }
-      } catch {
-        case e: Throwable =>
-          if (attempt >= maxRetries)
-            throw new RuntimeException(
-              s"[$pipeline] failed after $attempt attempts", e)
-          Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
       }
     }
     sys.error("unreachable")

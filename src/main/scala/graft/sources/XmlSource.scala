@@ -23,15 +23,7 @@ object XmlSource {
   def parseColumn(df: DataFrame, xmlCol: String, schema: StructType,
                   sep: String = "_"): DataFrame =
     JsonFlatten.flatten(
-      df.withColumn(s"__parsed", from_xml(col(xmlCol), schema, Map.empty[String, String].asJava))
+      df.withColumn("__parsed", from_xml(col(xmlCol), schema))
         .drop(xmlCol),
       sep)
-
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val jm = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
-  }
 }
