@@ -23,17 +23,33 @@ trait CredentialProvider {
 object CredentialProvider {
 
   /** Environment-variable provider: fields of secret `db` are read from
-    * `GRAFT_SECRET_DB_USER`, `GRAFT_SECRET_DB_PASSWORD`, ... (field name
-    * lower-cased). The standard container/CI delivery path. */
+    * `GRAFT_SECRET_DB__USER`, `GRAFT_SECRET_DB__PASSWORD`, ... — the
+    * DOUBLE underscore separates secret name from field, so secret names
+    * containing underscores cannot collide (`db` vs `db_ro`: a single-
+    * underscore prefix match would merge db_ro's PASSWORD into db's map
+    * as field `ro_password`, leaking one credential into the other
+    * connection's properties). Single-underscore variables are still
+    * accepted for back-compat, but ONLY when no `__` variable exists for
+    * the secret and no LONGER secret-style name could claim them. */
   class EnvProvider(env: Map[String, String] = sys.env) extends CredentialProvider {
     def credentials(name: String): Map[String, String] = {
-      val prefix = s"GRAFT_SECRET_${name.toUpperCase}_"
+      val strict = s"GRAFT_SECRET_${name.toUpperCase}__"
+      val legacy = s"GRAFT_SECRET_${name.toUpperCase}_"
+      val strictFound = env.collect {
+        case (k, v) if k.startsWith(strict) =>
+          k.stripPrefix(strict).toLowerCase -> v
+      }
+      if (strictFound.nonEmpty) return strictFound
       val found = env.collect {
-        case (k, v) if k.startsWith(prefix) =>
-          k.stripPrefix(prefix).toLowerCase -> v
+        // legacy single-underscore form: exclude any var that belongs to
+        // a longer double-underscore-named secret (GRAFT_SECRET_DB_RO__X
+        // must never surface as db's field ro__x)
+        case (k, v) if k.startsWith(legacy) && !k.contains("__") =>
+          k.stripPrefix(legacy).toLowerCase -> v
       }
       if (found.isEmpty)
-        throw new NoSuchElementException(s"no $prefix* variables for secret '$name'")
+        throw new NoSuchElementException(
+          s"no $strict* (or legacy $legacy*) variables for secret '$name'")
       found
     }
   }

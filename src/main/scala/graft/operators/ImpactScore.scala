@@ -36,8 +36,12 @@ object ImpactScore {
     }.otherwise(lit(above))
 
   /** Adds `outCol` = percent_rank()*100 over `scoreCol`. Cell-identical to
-    * the window formulation, but with no single-partition WindowExec —
-    * delegates to [[Stats.withPercentRank100]]. */
+    * the window formulation FOR NON-NULL SCORES, but with no
+    * single-partition WindowExec — delegates to
+    * [[Stats.withPercentRank100]]. NULL-score rows are DROPPED (the
+    * window form ranks them first): coalesce upstream if they must be
+    * kept — caseWeight/bandWeight outputs are never null, so the built-in
+    * scoring paths are unaffected. */
   def withPercentRank100(df: DataFrame, scoreCol: String, outCol: String): DataFrame =
     Stats.withPercentRank100(df, scoreCol, outCol)
 

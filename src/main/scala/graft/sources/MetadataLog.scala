@@ -47,11 +47,21 @@ object MetadataLog {
       (df, RunRecord(pipeline, stage, "success", n,
         System.currentTimeMillis() - t0, System.currentTimeMillis()))
     } catch {
-      case e: Throwable =>
-        throw new RuntimeException(
-          s"[$pipeline/$stage] failed after ${System.currentTimeMillis() - t0} ms", e)
+      case scala.util.control.NonFatal(e) =>
+        throw new StageFailure(pipeline, stage,
+          RunRecord(pipeline, stage, "failure", -1L,
+            System.currentTimeMillis() - t0, System.currentTimeMillis()), e)
     }
   }
+
+  /** Stage failure carrying the status='failure' RunRecord, so callers
+    * (Pipeline.run) can LOG the failure before rethrowing — without it
+    * the metadata parquet could not distinguish 'failed' from 'never
+    * ran', defeating the run log's monitoring purpose. */
+  final class StageFailure(val pipeline: String, val stage: String,
+                           val record: RunRecord, cause: Throwable)
+      extends RuntimeException(
+        s"[$pipeline/$stage] failed after ${record.elapsed_ms} ms", cause)
 
   def append(spark: SparkSession, records: Seq[RunRecord], path: String): Unit = {
     import spark.implicits._

@@ -89,7 +89,16 @@ object Pipeline {
           records += rec
           result = Some(res)
         } catch {
-          case e: Throwable =>
+          case e: MetadataLog.StageFailure =>
+            // LOG the failure attempt: without its record the metadata
+            // parquet shows a failed stage as simply absent, and
+            // monitoring cannot tell "failed" from "never ran"
+            records += e.record
+            lastErr = e
+            attempt += 1
+            if (attempt < stage.maxRetries)
+              Thread.sleep(stage.baseDelayMs * (1L << (attempt - 1)))
+          case scala.util.control.NonFatal(e) =>
             lastErr = e
             attempt += 1
             if (attempt < stage.maxRetries)

@@ -24,16 +24,24 @@ object ColumnNormalizer {
     }
 
   /** snake_case + de-space column names (processors normalise CSV headers
-    * like "Sex (2 categories) Code"). */
-  def snakeCase(df: DataFrame): DataFrame =
+    * like "Sex (2 categories) Code"). Collisions — "Works Category" and
+    * "works-category" both cleaning to works_category — get _2/_3
+    * suffixes: a blind rename would create DUPLICATE columns and every
+    * later by-name reference would throw AMBIGUOUS_REFERENCE. */
+  def snakeCase(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
     df.columns.foldLeft(df) { (d, c) =>
-      val clean = c.trim
+      val clean0 = c.trim
         .replaceAll("[^A-Za-z0-9]+", "_")
         .replaceAll("_+", "_")
         .stripSuffix("_").stripPrefix("_")
         .toLowerCase
+      val n = seen.getOrElse(clean0, 0) + 1
+      seen(clean0) = n
+      val clean = if (n == 1) clean0 else s"${clean0}_$n"
       if (clean != c) d.withColumnRenamed(c, clean) else d
     }
+  }
 }
 
 object SchemaValidator {

@@ -33,11 +33,16 @@ object SpreadsheetSource {
     StructField("_r", LongType),
     StructField("c", ArrayType(StructType(Seq(
       StructField("_r", StringType),   // "A1" cell ref
-      StructField("_t", StringType),   // "s" = shared string
-      StructField("v", StringType)))))))
+      StructField("_t", StringType),   // "s" = shared string, "inlineStr"
+      StructField("v", StringType),
+      // inline strings (streaming writers): value in <is><t>, no <v>
+      StructField("is", StructType(Seq(StructField("t", StringType))))))))))
 
   private val sstSchema = StructType(Seq(
-    StructField("si", ArrayType(StructType(Seq(StructField("t", StringType)))))))
+    StructField("si", ArrayType(StructType(Seq(
+      StructField("t", StringType),
+      // rich-text entries carry runs <r><t>..</t></r> and no direct <t>
+      StructField("r", ArrayType(StructType(Seq(StructField("t", StringType)))))))))))
 
   /** "AB7" -> 0-based column index (base-26 letters). */
   private def colIdx(ref: Column): Column =
@@ -57,14 +62,21 @@ object SpreadsheetSource {
       .schema(xlsxRowSchema).load(sheetXml)
     val raw = rows.select((col("_r") - 1).as("rn"), explode(col("c")).as("cell"))
       .select(col("rn"), colIdx(col("cell._r")).as("ci"),
-        col("cell._t").as("t"), col("cell.v").as("v"))
+        col("cell._t").as("t"),
+        // inline-string cells carry their text in is.t, not v
+        when(col("cell._t") === "inlineStr", col("cell.is.t"))
+          .otherwise(col("cell.v")).as("v"))
     val resolved = members.find(_.endsWith("sharedStrings.xml")) match {
       case Some(ssPath) =>
         // sst read as ONE row so posexplode yields stable string indices
         val ss = spark.read.format("xml").option("rowTag", "sst")
           .schema(sstSchema).load(ssPath)
           .select(posexplode(col("si")).as(Seq("si_idx", "si")))
-          .select(col("si_idx"), col("si.t").as("s"))
+          // rich-text entries (formatted runs) have no direct <t>:
+          // concatenate the runs' texts, like every mainstream reader
+          .select(col("si_idx"),
+            coalesce(col("si.t"),
+              array_join(transform(col("si.r"), r => r("t")), "")).as("s"))
         // cast only shared-string refs: ANSI cast would throw on "12.5"
         raw.join(broadcast(ss),
             when(raw("t") === "s", raw("v")).cast("int") === ss("si_idx"), "left")
@@ -98,13 +110,22 @@ object SpreadsheetSource {
   private val odsTableSchema = StructType(Seq(
     StructField("_table:name", StringType),
     StructField("table:table-row", ArrayType(StructType(Seq(
+      StructField("_table:number-rows-repeated", LongType),
       StructField("table:table-cell", ArrayType(odsCellSchema))))))))
 
   /** Read one sheet of an .ods archive (content.xml). Handles the format's
     * `number-columns-repeated` run-length cells: positions come from a
     * cumulative repeat sum, and only NON-EMPTY repeated cells expand — so
     * the trailing "1000 empty columns" padding real ODS writers emit costs
-    * nothing. */
+    * nothing. `number-rows-repeated` gets the same treatment (real
+    * writers emit it for blank preamble runs — ignoring it would shift
+    * every later row index and break headerRow promotion).
+    *
+    * LIMITATION: horizontally merged cells are not position-corrected —
+    * `<table:covered-table-cell>` placeholders are separate sibling
+    * elements whose interleaving order with table-cells the XML source
+    * cannot preserve; cells right of a merge land `span-1` columns
+    * early. Unmerge in the source or use the xlsx export. */
   def readOds(spark: SparkSession, odsPath: String, stagingDir: String,
               headerRow: Int = 0, sheet: Option[String] = None): DataFrame = {
     val members = Fetch.unzip(odsPath, stagingDir)
@@ -113,10 +134,21 @@ object SpreadsheetSource {
     val tables = spark.read.format("xml").option("rowTag", "table:table")
       .schema(odsTableSchema).load(content)
     val t = sheet.fold(tables.limit(1))(n => tables.where(col("`_table:name`") === n))
-    val cells = t
-      .select(posexplode(col("`table:table-row`")).as(Seq("rn", "r")))
-      .select(col("rn"), posexplode(col("r").getField("table:table-cell"))
-        .as(Seq("pos", "cell")))
+    // row numbering via cumulative rows-repeated (one spreadsheet: the
+    // unpartitioned window is over one sheet's row elements, driver-scale
+    // by construction like promote's header collect)
+    val wr = Window.orderBy("rpos")
+    val rows = t
+      .select(posexplode(col("`table:table-row`")).as(Seq("rpos", "r")))
+      .select(col("rpos"),
+        coalesce(col("r").getField("_table:number-rows-repeated"), lit(1L)).as("rrep"),
+        col("r").getField("table:table-cell").as("cs"))
+      .withColumn("rn0", sum(col("rrep")).over(wr) - col("rrep"))
+      .where(col("cs").isNotNull) // empty repeated row runs only advance rn
+      .select(explode(sequence(col("rn0"), col("rn0") + col("rrep") - 1)).as("rn"),
+        col("cs"))
+    val cells = rows
+      .select(col("rn"), posexplode(col("cs")).as(Seq("pos", "cell")))
       .select(col("rn"), col("pos"),
         coalesce(col("cell").getField("_table:number-columns-repeated"), lit(1L)).as("rep"),
         when(col("cell").getField("_office:value-type") === "float",
@@ -142,14 +174,23 @@ object SpreadsheetSource {
       col("rn"), col("ci").cast("int").as("ci"), col("value"))
     val hdr = cells.where(col("rn") === headerRow)
       .select(col("ci"), col("value")).collect()
-      .map(r => r.getInt(0) -> r.getString(1)).toMap
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
     require(hdr.nonEmpty, s"header row $headerRow is empty")
     val nCols = hdr.keys.max + 1
     val data = cells.where(col("rn") > headerRow)
       .groupBy("rn")
       .agg(map_from_entries(collect_list(struct(col("ci"), col("value")))).as("m"))
-    val outCols = (0 until nCols).map(i =>
-      col("m").getItem(i).as(hdr.getOrElse(i, s"col_$i")))
+    // styled-but-empty header cells (value null) fall back to col_N
+    // instead of .as(null) NPE-ing the plan; duplicate headers (two
+    // "Total" columns — ubiquitous in stats releases) get _2/_3 suffixes
+    // so downstream by-name references aren't ambiguous
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val outCols = (0 until nCols).map { i =>
+      val base = hdr.getOrElse(i, None).filter(_.nonEmpty).getOrElse(s"col_$i")
+      val n = seen.getOrElse(base, 0) + 1
+      seen(base) = n
+      col("m").getItem(i).as(if (n == 1) base else s"${base}_$n")
+    }
     data.orderBy("rn").select(outCols: _*)
   }
 }

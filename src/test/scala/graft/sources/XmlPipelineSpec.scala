@@ -49,7 +49,11 @@ class XmlPipelineSpec extends SparkSpec {
           df.withColumn("ok", lit(true))
         }, maxRetries = 3, baseDelayMs = 1)))
     assert(out.columns.contains("ok"))
-    assert(recs.map(_.stage) === Seq("clean", "flaky"))
+    // the failed attempt is LOGGED (status=failure) before the retry —
+    // monitoring must be able to tell "failed then recovered" from
+    // "succeeded first try"
+    assert(recs.map(r => (r.stage, r.status)) ===
+      Seq(("clean", "success"), ("flaky", "failure"), ("flaky", "success")))
     assert(calls === 2)
   }
 }
