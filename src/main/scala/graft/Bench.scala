@@ -30,10 +30,17 @@ object Bench {
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        // LOUD failure: the -1 sentinel excludes the query from the
+        // total, so a silently-crashing regression would read as a
+        // speedup in the driver-parsed line
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -42,10 +49,13 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     // run the whole suite `runs` times (round-robin, not back-to-back per
     // query) so per-query numbers aren't flattered by a just-warmed cache
     val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
-      val pass = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+      val pass = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
       spark.catalog.clearCache() // release operator-persisted intermediates
       pass
     }
@@ -59,13 +69,22 @@ object Bench {
     // The ~100-entry per-query map overflows line-oriented tail capture
     // (round-6 BENCH parsed:null), so it goes to a FILE; stdout's final
     // line is the compact totals-only JSON the driver parses.
+    // env-supplied paths go through JSON escaping (a quote or backslash
+    // in SPARK_GRAFT_SF_DIR would otherwise break the driver's parse —
+    // the exact failure mode the file-output workaround exists to avoid)
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r8.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":${js(sfDir)}}""")
     // stop Spark BEFORE the parseable line: its shutdown may log to the
     // console, and the driver reads the LAST stdout line as the result
     // (build.sbt routes forked stdout through unprefixed + no [success])
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${best.size},"detail":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${best.size},"detail":${js(outFile)},"sf":${js(sfDir)}}""")
   }
 }

@@ -24,9 +24,15 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n========== $name ==========")
       df.explain("formatted")
+      // noop-sink like Bench: count() would let Catalyst prune the very
+      // expressions/Windows the printed plan shows, so the time would
+      // not correspond to the plan above it
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      df.write.format("noop").mode("overwrite").save()
+      println(f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // release operator-persisted intermediates between queries (the
+      // full default run would otherwise accumulate ~99 queries' caches)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -482,14 +482,18 @@ object SparkEntry {
     * cached across calls), then every query's ADC scan reads the m int
     * code columns, never the raw vectors. Same deterministic codebooks,
     * same ADC, same oracle as q_ann_pq. */
-  private val pqIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap[String, (String, Array[Array[Array[Double]]])]()
   private def qAnnPqIndexed(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val books = PqIndex.codebooks(emb, "vec_id", "embedding", m = 4, k = 16)
-    val root = pqIndexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
-      PqIndex.buildIndex(emb, "vec_id", "embedding", books, s"$dir/codes")
-      dir
+    // codebooks cached WITH the index path: recomputing them per call
+    // would rescan the raw embeddings table, defeating the codes-only
+    // claim (the ivfpq sibling already caches its model this way)
+    val (root, books) = pqIndexCache.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val bks = PqIndex.codebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+      val dir = tempIndexDir("graft-pq-index")
+      PqIndex.buildIndex(emb, "vec_id", "embedding", bks, s"$dir/codes")
+      (dir, bks)
     })
     PqIndex.searchEncoded(s.read.parquet(s"$root/codes"), "vec_id", books,
       queryVec(s, d), topK = 10, excludeId = Some(0L))
@@ -516,7 +520,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val m = IvfPq.buildModel(emb, "vec_id", "embedding",
         nCells = 8, m = 4, k = 16, dim = queryVec(s, d).length)
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+      val dir = tempIndexDir("graft-ivfpq-index")
       IvfPq.buildIndex(emb, "vec_id", "embedding", m, s"$dir/codes")
       (dir, m)
     })
@@ -556,10 +560,26 @@ object SparkEntry {
     * dataset (cached across calls), then every query partition-prunes to
     * its probed cells instead of re-assigning the full table. Same
     * centroids, same probes, same unrolled-Lloyd oracle as q_ann_ivf. */
+  /** Session-temp materialized-index dir, deleted at JVM exit — repeated
+    * Bench/Verify runs would otherwise accumulate full embedding-table
+    * copies in /tmp until the disk fills. */
+  private def tempIndexDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case _: Exception => () }
+    }))
+    dir.toString
+  }
+
   private val ivfIndexCache = scala.collection.concurrent.TrieMap[String, String]()
   private def qAnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
     val root = ivfIndexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      val dir = tempIndexDir("graft-ivf-index")
       val emb = Tables.embeddings(s, d)
       IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
         .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1211,7 +1231,7 @@ object SparkEntry {
         col("total_value").cast("double").as("total_value"))
 
   // ------------------------------------------------------------- registry
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (qPricingSummary _),
     "q_conditional_counts" -> (qConditionalCounts _),
     "q_distinct_on_latest" -> (qDistinctOnLatest _),

@@ -9,6 +9,10 @@ object Verify {
     // optional extra args: run only these queries (local iteration aid;
     // the driver always calls with exactly two args = full dump)
     val only: Set[String] = rest.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo here would silently verify nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +50,13 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any STALE dump from a prior run into the same outDir:
+        // leaving it would let the driver compare old results as current
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm))
+          p.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       // operators persist shared sub-relations (shingle/band indexes);
       // release them so 49 sequential queries don't accumulate blocks
