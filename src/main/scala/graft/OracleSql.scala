@@ -10,6 +10,17 @@ package graft
   * iterative min-label propagation's fixpoint equals the transitive
   * closure's per-node min label, which DuckDB computes with a recursive
   * CTE — the oracle checks the ALGORITHM'S RESULT, not its rounds.
+  *
+  * DTYPE HYGIENE (round-9 convention, after the q_transitions flake):
+  * every FINAL output column must have an engine-portable type. DuckDB
+  * silently promotes integer aggregates — `SUM(BIGINT)` → HUGEINT
+  * (INT128), and `//` inherits the promotion — and the driver's hasher
+  * serializes INT128 differently from Spark's INT64, so an uncast
+  * SUM/`//` in the outermost SELECT hash-fails even when every value is
+  * identical. Rule: wrap any outermost integer aggregate or integer
+  * division in `CAST(... AS BIGINT)` (see q_transitions p_ppm, q_bm25
+  * score_ppm, q_cms_heavy est_cnt). Intermediate CTEs don't need it.
+  * `tools/dtype_sweep.py` re-checks all oracles against a Verify dump.
   */
 object OracleSql {
 
@@ -540,7 +551,7 @@ object OracleSql {
         |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
         |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |  n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
         |FROM m ORDER BY from_type, to_type""".stripMargin,
 
     // the 4x256 md5-bucketed counter grid recomputed per (row, bucket):
