@@ -63,6 +63,22 @@ object OracleSql {
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** Per-column profile of `customer` (q_profile_exact / q_profile_customer):
+    * one UNION ALL branch per column; `extra` appends driver-row-specific
+    * output columns (the HLL-sanity TRUE literal). */
+  private def profileSql(extra: String): String = Seq(
+    ("c_custkey", "bigint", "MIN(c_custkey)", "MAX(c_custkey)", "c_custkey"),
+    ("c_name", "string", "MIN(length(c_name))", "MAX(length(c_name))", "c_name"),
+    ("c_nationkey", "int", "MIN(c_nationkey)", "MAX(c_nationkey)", "c_nationkey"),
+    ("c_acctbal", "double", "MIN(c_acctbal)", "MAX(c_acctbal)", "c_acctbal"),
+    ("c_mktsegment", "string", "MIN(length(c_mktsegment))", "MAX(length(c_mktsegment))", "c_mktsegment"))
+    .map { case (name, dtype, mn, mx, c) =>
+      s"""SELECT '$name' AS "column", '$dtype' AS dtype, COUNT(*) AS n_rows,
+         | COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+         | CAST($mn AS DOUBLE) AS min_or_minlen, CAST($mx AS DOUBLE) AS max_or_maxlen$extra
+         |FROM customer""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** 16 minhash permutation aggregate expressions, a_i = 2i+3, b_i = 5i+7. */
   private val minhashAggs = (0 until 16)
     .map(i => s"MIN((hv * ${2 * i + 3} + ${5 * i + 7}) % 1000000007) AS mh$i")
@@ -857,7 +873,7 @@ object OracleSql {
          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS nd FROM documents),
          |scored AS (SELECT doc_id, term, tf, df,
-         |             CAST(CAST(tf AS HUGEINT) * ((1000000::HUGEINT * nd) // df)
+         |             TRY_CAST(CAST(tf AS HUGEINT) * ((1000000::HUGEINT * nd) // df)
          |               AS BIGINT) AS score
          |           FROM tf JOIN dfreq USING (term), n)
          |SELECT doc_id, term, tf, df, score, rank_in_group FROM (
@@ -964,18 +980,16 @@ object OracleSql {
     "q_ann_ivf_indexed" -> annIvfSql,
 
     // exact-distinct profile: one row per column of `customer`
-    "q_profile_exact" -> Seq(
-      ("c_custkey", "bigint", "MIN(c_custkey)", "MAX(c_custkey)", "c_custkey"),
-      ("c_name", "string", "MIN(length(c_name))", "MAX(length(c_name))", "c_name"),
-      ("c_nationkey", "int", "MIN(c_nationkey)", "MAX(c_nationkey)", "c_nationkey"),
-      ("c_acctbal", "double", "MIN(c_acctbal)", "MAX(c_acctbal)", "c_acctbal"),
-      ("c_mktsegment", "string", "MIN(length(c_mktsegment))", "MAX(length(c_mktsegment))", "c_mktsegment"))
-      .map { case (name, dtype, mn, mx, c) =>
-        s"""SELECT '$name' AS "column", '$dtype' AS dtype, COUNT(*) AS n_rows,
-           | COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
-           | CAST($mn AS DOUBLE) AS min_or_minlen, CAST($mx AS DOUBLE) AS max_or_maxlen
-           |FROM customer""".stripMargin
-      }.mkString("\nUNION ALL\n"),
+    "q_profile_exact" -> profileSql(extra = ""),
+
+    // HLL profile's driver row (r9 promotion from rows-only): same
+    // deterministic columns plus hll_within_15pct, which Spark computes
+    // as |HLL estimate - exact| <= 0.15*exact. Spark's HLL++ is
+    // RNG-free, so for fixed testdata the boolean is stable and the
+    // oracle can assert TRUE — a real gate on the HLL path, not a
+    // rows-only shrug.
+    "q_profile_customer" ->
+      profileSql(extra = ",\n TRUE AS hll_within_15pct"),
 
     "q_binary_meta" ->
       """SELECT doc_id, 'text' AS modality,

@@ -802,10 +802,21 @@ object SparkEntry {
       "c_acctbal", Seq(col("c_custkey")), 4, "acctbal_quartile")
       .select("c_custkey", "c_acctbal", "acctbal_quartile")
 
-  /** One-pass dataset profile (rows-only: HLL estimates are
-    * implementation-specific). */
-  private def qProfileCustomer(s: SparkSession, d: String): DataFrame =
-    Profile.profile(Tables.customer(s, d))
+  /** HLL profile, oracle-checkable form (r9): the raw estimate is
+    * implementation-specific, so the driver row carries the deterministic
+    * columns plus `hll_within_15pct` — the HLL estimate validated against
+    * the exact count in-engine. Spark's HLL++ has no RNG, so the boolean
+    * is stable for fixed data and the oracle asserts TRUE. The pure
+    * shuffle-light HLL pass (no exact join) stays [[Profile.profile]]. */
+  private def qProfileCustomer(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val hll = Profile.profile(c).select(col("column"), col("approx_distinct"))
+    Profile.profileExact(c).join(hll, "column")
+      .select(col("column"), col("dtype"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_or_minlen"), col("max_or_maxlen"),
+        (abs(col("approx_distinct") - col("n_distinct")).cast("double") <=
+          col("n_distinct").cast("double") * 0.15).as("hll_within_15pct"))
+  }
 
   /** Exact-distinct profile variant — same machinery, oracle-checkable. */
   private def qProfileExact(s: SparkSession, d: String): DataFrame =

@@ -30,7 +30,11 @@ object CredentialProvider {
     * as field `ro_password`, leaking one credential into the other
     * connection's properties). Single-underscore variables are still
     * accepted for back-compat, but ONLY when no `__` variable exists for
-    * the secret and no LONGER secret-style name could claim them. */
+    * the secret AND the field part is a single token: a legacy key whose
+    * remainder contains `_` (GRAFT_SECRET_DB_RO_PASSWORD seen from `db`)
+    * is claimable by a longer secret name (`db_ro`) that this provider
+    * cannot rule out, so it is dropped rather than surfaced as a
+    * multi-token field — multi-token fields require the `__` form. */
   class EnvProvider(env: Map[String, String] = sys.env) extends CredentialProvider {
     def credentials(name: String): Map[String, String] = {
       val strict = s"GRAFT_SECRET_${name.toUpperCase}__"
@@ -40,17 +44,21 @@ object CredentialProvider {
           k.stripPrefix(strict).toLowerCase -> v
       }
       if (strictFound.nonEmpty) return strictFound
-      val found = env.collect {
+      val (unambiguous, ambiguous) = env.toSeq.collect {
         // legacy single-underscore form: exclude any var that belongs to
         // a longer double-underscore-named secret (GRAFT_SECRET_DB_RO__X
         // must never surface as db's field ro__x)
         case (k, v) if k.startsWith(legacy) && !k.contains("__") =>
           k.stripPrefix(legacy).toLowerCase -> v
-      }
-      if (found.isEmpty)
+      }.partition { case (f, _) => !f.contains("_") }
+      if (unambiguous.isEmpty)
         throw new NoSuchElementException(
-          s"no $strict* (or legacy $legacy*) variables for secret '$name'")
-      found
+          s"no $strict* (or legacy $legacy*) variables for secret '$name'" +
+            (if (ambiguous.nonEmpty)
+              s"; dropped ambiguous legacy key(s) ${
+                ambiguous.map(legacy + _._1.toUpperCase).sorted.mkString(", ")
+              } — use the double-underscore form" else ""))
+      unambiguous.toMap
     }
   }
 

@@ -43,12 +43,17 @@ object IvfIndex {
     // consumers (collect, assignment, rerank) don't replay training
     // centroid ids are DENSE 0..k-1 by vid order, not vid.cast(int):
     // 64-bit (e.g. hash-derived) vids would wrap modulo 2^32 and two
-    // colliding initial vectors would silently merge clusters. The
-    // window is over the k-row limit result — bounded, not a global sort.
-    var centroids = ck(vecs.orderBy("vid").limit(k)
-      .select((row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("vid"))) - 1)
-        .cast("int").as("centroid_id"), col("v").as("c")))
+    // colliding initial vectors would silently merge clusters. The k
+    // init rows are numbered DRIVER-side (take(k) of a TakeOrdered is
+    // bounded by contract) — an unpartitioned row_number window here
+    // would be equivalent but spams `WindowExec: No Partition Defined`
+    // into every ANN bench run.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val init = vecs.orderBy("vid").limit(k).select(col("v")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    var centroids = ck(init.toDF("centroid_id", "c"))
     for (_ <- 0 until iters) {
       val assigned = assignTo(vecs, centroids)
       // string-route the double->decimal cast (shortest-string repr is

@@ -40,16 +40,25 @@ object TfIdf {
       .select("doc_id", "term", "tf", "df", "score", "rank_in_group")
   }
 
-  /** tf * ((scale * nDocs) DIV df) with the product carried in
-    * DECIMAL(38,0): at the design scale (tens of billions of docs) the
-    * BIGINT product would wrap silently in non-ANSI Spark and invert
-    * the ranking; decimal arithmetic stays exact and the final BIGINT
-    * cast degrades to null (sorted last) instead of to garbage. The
-    * oracle mirrors this with HUGEINT. */
-  private def scoreTfIdf(scored: DataFrame, scale: Long, nDocs: Long): DataFrame =
+  /** tf * floor((scale * nDocs) / df) with every step carried in
+    * decimal: at the design scale (tens of billions of docs) the BIGINT
+    * product would wrap silently in non-ANSI Spark and invert the
+    * ranking. The quotient is NOT `DIV` — Spark's IntegralDivide returns
+    * LongType even for decimal operands, so `(scale*nDocs) DIV df` would
+    * Long-cap (null) at nDocs > ~9.2e12 for df=1. Instead the exact
+    * integer floor is `(a - a % b) / b`: decimal `%` is exact at scale 0
+    * and the division of the exactly-divisible remainder-free value is
+    * representable in the result's 6-digit fraction, so no rounding can
+    * perturb the floor. Only the FINAL score cast can overflow BIGINT,
+    * degrading to null (sorted last) — the oracle mirrors with HUGEINT
+    * `//` and TRY_CAST for the same null-on-overflow boundary. */
+  private def scoreTfIdf(scored: DataFrame, scale: Long, nDocs: Long): DataFrame = {
+    val a = s"CAST('${BigInt(scale) * nDocs}' AS DECIMAL(38,0))"
+    val b = "CAST(df AS DECIMAL(19,0))"
     scored.withColumn("score", expr(
       s"CAST(CAST(tf AS DECIMAL(38,0)) * " +
-        s"(CAST('${BigInt(scale) * nDocs}' AS DECIMAL(38,0)) DIV df) AS BIGINT)"))
+        s"CAST(($a - $a % $b) / $b AS DECIMAL(38,0)) AS BIGINT)"))
+  }
 
   /** BM25-shaped top-k retrieval for a literal query, in EXACT integer
     * arithmetic (the repo's ppm discipline — libm-free, so the whole

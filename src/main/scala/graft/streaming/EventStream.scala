@@ -31,27 +31,48 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("total_value"))
 
-  /** One event folded into the running session. Late (out-of-order)
-    * events inside the admitted horizon merge with min/max — the naive
-    * `last = sec` would drag the session end BACKWARDS and emit
-    * end < start. A late event older than start - gap is its own
-    * already-closed earlier session and is emitted directly. */
-  private def foldSession(user: Long, sec: Long, value: Double, gapSec: Long,
-                          cur: Option[SessState],
-                          close: Session => Unit): Option[SessState] =
-    cur match {
-      case Some(s) if sec > s.last + gapSec => // next session: close current
-        close(Session(user, s.start, s.last, s.n, s.total))
-        Some(SessState(sec, sec, 1, value))
-      case Some(s) if sec < s.start - gapSec => // late earlier session
-        close(Session(user, sec, sec, 1, value))
-        cur
-      case Some(s) => // inside / adjacent: merge, possibly extending either end
-        Some(SessState(math.min(s.start, sec), math.max(s.last, sec),
-          s.n + 1, s.total + value))
-      case None =>
-        Some(SessState(sec, sec, 1, value))
+  /** One sorted micro-batch of (sec, value) rows folded into the running
+    * session. In-horizon out-of-order events merge with min/max — the
+    * naive `last = sec` would drag the session end BACKWARDS and emit
+    * end < start. Events older than `start - gap` belong to an earlier,
+    * already-closed session: they gap-merge AMONG THEMSELVES within the
+    * batch (so a late burst that arrives together forms the same sessions
+    * the batch twin [[graft.operators.Sessionize]] would) and close at
+    * batch end. The one remaining divergence from the batch twin: a late
+    * burst SPLIT ACROSS micro-batches closes once per batch — inherent to
+    * closing late data eagerly instead of holding unbounded extra state. */
+  private def foldBatch(user: Long, sorted: Seq[(Long, Double)], gapSec: Long,
+                        cur0: Option[SessState],
+                        close: Session => Unit): Option[SessState] = {
+    var cur = cur0
+    var late: Option[SessState] = None
+    def emit(s: SessState): Unit =
+      close(Session(user, s.start, s.last, s.n, s.total))
+    sorted.foreach { case (sec, value) =>
+      cur match {
+        case Some(s) if sec < s.start - gapSec => // earlier closed session
+          late = late match {
+            // sorted input: sec >= late.last always, so only gap-split
+            // (close + restart) or merge-extend can happen here
+            case Some(l) if sec > l.last + gapSec =>
+              emit(l); Some(SessState(sec, sec, 1, value))
+            case Some(l) =>
+              Some(SessState(l.start, math.max(l.last, sec), l.n + 1, l.total + value))
+            case None => Some(SessState(sec, sec, 1, value))
+          }
+        case Some(s) if sec > s.last + gapSec => // next session: close current
+          emit(s)
+          cur = Some(SessState(sec, sec, 1, value))
+        case Some(s) => // inside / adjacent: merge, possibly extending either end
+          cur = Some(SessState(math.min(s.start, sec), math.max(s.last, sec),
+            s.n + 1, s.total + value))
+        case None =>
+          cur = Some(SessState(sec, sec, 1, value))
+      }
     }
+    late.foreach(emit)
+    cur
+  }
 
   /** Gap-based sessionization with explicit state: one state entry per
     * live user, closed sessions emitted on gap or processing-time timeout.
@@ -80,12 +101,9 @@ object EventStream {
             out
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .map(e => (e.ts.getTime / 1000, e.value))
             var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur = foldSession(user, e.ts.getTime / 1000, e.value, gapSec,
-                cur, closed ::= _)
-            }
+            val cur = foldBatch(user, sorted, gapSec, state.getOption, closed ::= _)
             cur.foreach { s =>
               state.update(s)
               if (useTimeout) state.setTimeoutDuration(gapSec * 1000)
@@ -115,12 +133,9 @@ object EventStream {
             out
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .map(e => (e.ts.getTime / 1000, e.value))
             var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur = foldSession(user, e.ts.getTime / 1000, e.value, gapSec,
-                cur, closed ::= _)
-            }
+            val cur = foldBatch(user, sorted, gapSec, state.getOption, closed ::= _)
             cur.foreach { s =>
               state.update(s)
               // close when event-time watermark passes last + gap; a

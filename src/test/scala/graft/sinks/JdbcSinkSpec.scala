@@ -75,6 +75,33 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("legacy env credentials cannot absorb a longer secret's fields") {
+    import graft.auth.CredentialProvider
+    // db + db_ro both present in legacy (single-underscore) form: from
+    // db's view, DB_RO_PASSWORD is claimable by secret db_ro, so it must
+    // NOT surface as db's field ro_password (cross-secret leak)
+    val env = Map(
+      "GRAFT_SECRET_DB_USER" -> "app",
+      "GRAFT_SECRET_DB_PASSWORD" -> "s3cret",
+      "GRAFT_SECRET_DB_RO_PASSWORD" -> "readonly-s3cret")
+    val db = new CredentialProvider.EnvProvider(env).credentials("db")
+    assert(db === Map("user" -> "app", "password" -> "s3cret"))
+    // the longer secret still resolves via its own prefix
+    val ro = new CredentialProvider.EnvProvider(env).credentials("db_ro")
+    assert(ro === Map("password" -> "readonly-s3cret"))
+    // ambiguous-only legacy vars: loud failure naming the dropped keys,
+    // not a silent empty map
+    val e = intercept[NoSuchElementException] {
+      new CredentialProvider.EnvProvider(Map(
+        "GRAFT_SECRET_DB_RO_PASSWORD" -> "x")).credentials("db")
+    }
+    assert(e.getMessage.contains("GRAFT_SECRET_DB_RO_PASSWORD"))
+    // the double-underscore form expresses multi-token fields exactly
+    val strict = new CredentialProvider.EnvProvider(Map(
+      "GRAFT_SECRET_DB__RO_PASSWORD" -> "y")).credentials("db")
+    assert(strict === Map("ro_password" -> "y"))
+  }
+
   test("refreshScope is an idempotent delete-then-insert for one scope") {
     table("t_scope")
     JdbcSink.append(Seq(

@@ -493,6 +493,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a same-batch late burst gap-merges like the batch twin, not per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(mem.toDS(), gapSec = 100,
+        watermarkDelay = "10 hours").writeStream
+      .format("memory").queryName("sess_burst")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    try {
+      // batch 1: live session far in the future of the late burst
+      mem.addData(ev(1, base + 10000, 1, 1.0))
+      q.processAllAvailable()
+      // batch 2: three late events, all older than start - gap. The first
+      // two are within gapSec of each other -> ONE closed session (the
+      // batch twin's answer); the third is gap-separated -> its own.
+      // The old per-event fold emitted three singletons here.
+      mem.addData(ev(2, base + 100, 1, 2.0), ev(3, base + 150, 1, 3.0),
+        ev(4, base + 400, 1, 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_burst").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start)
+      assert(closed.toSeq === Seq(
+        EventStream.Session(1L, base + 100, base + 150, 2L, 5.0),
+        EventStream.Session(1L, base + 400, base + 400, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("event-time sessionization closes sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]

@@ -85,6 +85,7 @@ def main():
             print(f"PASS {name} ({len(orr)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {len(oracles)} oracles")
+    return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
