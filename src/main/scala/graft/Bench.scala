@@ -78,7 +78,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r8.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_detail.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":${js(sfDir)}}""")
     // stop Spark BEFORE the parseable line: its shutdown may log to the

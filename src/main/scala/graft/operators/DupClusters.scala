@@ -131,19 +131,26 @@ object DupClusters {
                        durable: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .where(col("src") =!= col("dst")).persist()
-    val n = edges.count()
+    // persist the UNFILTERED pair list: one materialization serves the
+    // branch-deciding count, the driver collect, AND the node set. The
+    // r8 shape derived the node set from `pairs` in a separate pass,
+    // which re-ran the entire upstream candidate pipeline (minhash +
+    // banding + hub join) — the q_dedup_keep bench regression.
+    val p2 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist()
+    val n = p2.where(col("src") =!= col("dst")).count()
     if (n > driverEdgeLimit) {
       // pass the ORIGINAL pairs: clustersStar draws its node set from
       // them, so docs whose only pair is a self-loop keep their
-      // singleton row (the self-loop filter above is for edges only);
-      // edges served its count and can release now
-      edges.unpersist()
+      // singleton row; the cache served its count and can release now
+      p2.unpersist()
       clustersStar(pairs, maxIters, durable)
     } else {
-      val local = edges.as[(Long, Long)].collect()
-      edges.unpersist()
+      // self-loops stay IN the collect: their endpoints register below
+      // as union-find nodes, which is what keeps singleton docs in the
+      // output without a second pass over `pairs`
+      val local = p2.as[(Long, Long)].collect()
+      p2.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -159,13 +166,7 @@ object DupClusters {
         // the distributed algorithms' output contract
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      // node set from the UNFILTERED pairs, like the distributed paths:
-      // a doc whose only pair is a self-loop has no edge but is still a
-      // (singleton) member of the output
-      val allDocs = pairs.select(col("doc_a").as("doc")).unionByName(
-          pairs.select(col("doc_b").as("doc"))).distinct()
-        .as[Long].collect()
-      allDocs.toSeq.map(d => (d, find(d))).toDF("doc", "cluster")
+      parent.keys.toSeq.map(d => (d, find(d))).toDF("doc", "cluster")
     }
   }
 
