@@ -1590,6 +1590,57 @@ object OracleSql {
         |FROM events
         |WHERE epoch(ts) >= 1704672000 AND epoch(ts) < 1705276800
         |GROUP BY event_type""".stripMargin,
+
+    // temperature mixture, alpha = 0.5: sqrt is IEEE-correctly-rounded in
+    // both engines (pow is not — why alpha is fixed); the rate floors to
+    // integer ppm immediately, the keep predicate is the shared md5
+    // threshold (see q_balanced_sample)
+    "q_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |m AS (SELECT source, SUM(n_tokens) AS n FROM d
+         |      WHERE source IS NOT NULL GROUP BY 1),
+         |mn AS (SELECT MIN(n) AS mn FROM m),
+         |r AS (SELECT source, CAST(FLOOR(1000000.0 * sqrt(CAST(mn AS DOUBLE))
+         |        / sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rate_ppm
+         |      FROM m, mn)
+         |SELECT d.doc_id, d.source, d.n_tokens, r.rate_ppm
+         |FROM d JOIN r USING (source)
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % 1000000 < r.rate_ppm""".stripMargin,
+
+    // the distributed token prefix sum equals the global running-sum
+    // window; every output is cast at the boundary (SUM window is HUGEINT)
+    "q_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_off,
+         |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 AS BIGINT)
+         |    AS n_splits
+         |FROM c""".stripMargin,
+
+    // the grouped distributed prefix sum (weight 1) equals the per-shard
+    // ROW_NUMBER window; 'o|' salts the order hash independent of the
+    // shard hash
+    "q_shard" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 8 AS shard,
+        |    ('0x' || substr(md5('o|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS ord
+        |  FROM documents)
+        |SELECT doc_id, source, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |    AS BIGINT) AS shard_pos
+        |FROM d""".stripMargin,
   )
 
   /** The materialized cell-partitioned IVFPQ index encodes identically

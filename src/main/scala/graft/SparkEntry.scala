@@ -752,6 +752,38 @@ object SparkEntry {
           size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
       Seq(col("n_chars").desc, col("doc_id")), col("n_tokens"), 15000L)
 
+  /** Temperature-flattened (alpha=0.5) mixture sampling over sources:
+    * keep rate sqrt(min_mass)/sqrt(source_mass) in floored integer ppm,
+    * applied as a deterministic md5-threshold scan filter
+    * (TrainMix.temperatureSample — the corpus-mixing primitive). */
+  private def qMixture(s: SparkSession, d: String): DataFrame =
+    TrainMix.temperatureSample(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      "source", "n_tokens", col("doc_id"))
+      .select("doc_id", "source", "n_tokens", "rate_ppm")
+
+  /** Concat-and-chunk sequence packing into 2048-token training
+    * sequences: per-doc seq_id/offset/boundary-cut count off the
+    * distributed token prefix sum (TrainMix.packSequences). */
+  private def qPack(s: SparkSession, d: String): DataFrame =
+    TrainMix.packSequences(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      Seq(col("doc_id")), "n_tokens", 2048L)
+      .select("doc_id", "n_tokens", "seq_id", "seq_off", "n_splits")
+
+  /** Deterministic 8-shard training layout: content-hash shard + dense
+    * within-shard read position from an independent salted hash — a
+    * reproducible global shuffle (TrainMix.shardLayout). */
+  private def qShard(s: SparkSession, d: String): DataFrame =
+    TrainMix.shardLayout(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      col("doc_id"), 8)
+      .select("doc_id", "source", "shard", "shard_pos")
+
   /** Uniform-mixture downsampling: every event_type stratum is hash-
     * sampled down to ~the smallest stratum's size with an exact integer
     * rate (Curate.balancedSample — the curriculum-mixture primitive). */
@@ -1343,6 +1375,9 @@ object SparkEntry {
     "q_span_cut_keep" -> (qSpanCutKeep _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_time_slice" -> (qTimeSlice _),
+    "q_mixture" -> (qMixture _),
+    "q_pack" -> (qPack _),
+    "q_shard" -> (qShard _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Md5Long
+
+/** Training-batch assembly: the last mile from a curated corpus to what a
+  * trainer actually reads. Three primitives, all deterministic (no rand()
+  * anywhere — retries, reruns, and the DuckDB oracle agree cell-exactly)
+  * and all built on the repo's skew-safe distributed prefix-sum machinery
+  * ([[Stats.withRunningTotal]] / [[Stats.withRunningTotalBy]]) so none of
+  * them degenerates into a single-task global window at corpus scale:
+  *
+  *  - [[temperatureSample]] — WHAT to sample: per-source keep rates from
+  *    temperature-flattened source shares (the multilingual-corpus mixing
+  *    scheme: rare sources are upsampled relative to their natural share,
+  *    bulk sources downsampled).
+  *  - [[packSequences]]     — HOW to pack it: concat-and-chunk assignment
+  *    of every document into fixed token-budget training sequences.
+  *  - [[shardLayout]]       — WHERE it lands: deterministic shard
+  *    assignment + a within-shard read order from a content hash, so the
+  *    training order is a reproducible global shuffle.
+  *
+  * Reference anchor: the reference's pipelines end at warehouse tables
+  * (src/data_processors write DuckDB/Postgres tables); these operators are
+  * the mandated training-data extension of that hand-off boundary.
+  */
+object TrainMix {
+
+  /** Temperature-based mixture sampling at alpha = 0.5: source `s` with
+    * token mass `n_s` gets keep rate `sqrt(min_n) / sqrt(n_s)` — the
+    * smallest source keeps everything, a source 100x larger keeps 10%, so
+    * sampled shares are proportional to `sqrt(n_s)` (the flattened
+    * distribution `p_s^alpha` that multilingual pretraining mixes use to
+    * keep bulk sources from drowning rare ones).
+    *
+    * alpha is FIXED at 0.5 because sqrt is the one power IEEE 754
+    * requires to be correctly rounded — `pow(x, a)` is libm-dependent
+    * and would break cross-engine cell-exactness; the rate is floored to
+    * integer ppm immediately and everything downstream is exact integer
+    * math ([[Stats.hashSample]]'s md5 threshold).
+    *
+    * Plan shape: one groupBy(source) token-mass pass, a 1-row min
+    * broadcast into the per-source rate table (broadcast — sources are
+    * few by definition), then a scan-level hash filter on the corpus:
+    * the 100 TB side is never shuffled.
+    *
+    * Null sources are excluded (same contract as
+    * [[Curate.balancedSample]]: a phantom null group must not set
+    * `min_n`). Output adds `rate_ppm` so audits can see the applied
+    * mixture. */
+  def temperatureSample(df: DataFrame, sourceCol: String, tokensCol: String,
+                        key: Column): DataFrame = {
+    val mass = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__n"))
+    val mn = mass.agg(min(col("__n")).as("__mn"))
+    val rates = mass.crossJoin(broadcast(mn))
+      .select(col(sourceCol),
+        floor(lit(1000000.0) * sqrt(col("__mn").cast("double"))
+          / sqrt(col("__n").cast("double"))).cast("long").as("rate_ppm"))
+    Stats.hashSample(df.join(broadcast(rates), Seq(sourceCol)),
+      key, col("rate_ppm"))
+  }
+
+  /** Concat-and-chunk sequence packing: documents are laid out in
+    * `orderCols` order, concatenated, and cut every `budget` tokens; each
+    * document learns which training sequence its first token lands in
+    * (`seq_id`), at what offset (`seq_off`), and how many sequence
+    * boundaries cut through it (`n_splits` — the "document fragmented by
+    * packing" signal curation reports track, 0 when it fits entirely
+    * inside its sequence).
+    *
+    * The global token offset is [[Stats.withRunningTotal]]'s distributed
+    * prefix sum (range shuffle + bounded offsets collect) — NOT
+    * `SUM() OVER (ORDER BY ...)`, whose single task would hold the whole
+    * corpus. Zero-token documents are dropped (they occupy no tokens, so
+    * "which sequence" is undefined for them).
+    *
+    * `tokensCol` must be a non-negative integral column. */
+  def packSequences(df: DataFrame, orderCols: Seq[Column], tokensCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val cum = Stats.withRunningTotal(
+      df.where(col(tokensCol) > 0), orderCols, col(tokensCol), "__cum")
+    cum
+      .withColumn("__start", col("__cum") - col(tokensCol))
+      .withColumn("seq_id", expr(s"__start DIV ${budget}L"))
+      .withColumn("seq_off", pmod(col("__start"), lit(budget)))
+      .withColumn("n_splits", expr(s"(__cum - 1) DIV ${budget}L") - col("seq_id"))
+      .drop("__cum", "__start")
+  }
+
+  /** Deterministic shard layout: every row hashes to one of `shards`
+    * output shards (`md5(key) mod shards` — stable across runs, retries,
+    * and engines), and gets a dense 1-based `shard_pos` read position
+    * inside its shard ordered by an INDEPENDENT salted content hash
+    * (prefix "o|" — reusing the shard hash would sort each shard by the
+    * very value that is constant mod `shards` within it, leaving runs of
+    * colliding order). The result is a reproducible global shuffle: a
+    * trainer reading shard files in `shard_pos` order sees a fixed
+    * pseudo-random document order with no coordination.
+    *
+    * `shard_pos` comes from [[Stats.withRunningTotalBy]]'s grouped
+    * distributed prefix sum, NOT `row_number() OVER (PARTITION BY
+    * shard)`: with a handful of shards over a 100 TB corpus a
+    * per-shard window is a single multi-TB task, while the grouped
+    * prefix sum range-partitions on (shard, order-hash) so each shard
+    * spans many balanced partitions. */
+  def shardLayout(df: DataFrame, key: Column, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val keyed = df
+      .withColumn("shard",
+        pmod(Md5Long.md5Long(key.cast("string")), lit(shards.toLong)))
+      .withColumn("__ord",
+        Md5Long.md5Long(concat(lit("o|"), key.cast("string"))))
+    Stats.withRunningTotalBy(keyed, Seq(col("shard")),
+        Seq(col("__ord"), key), lit(1L), "shard_pos")
+      .drop("__ord")
+  }
+}

@@ -12,11 +12,11 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("rows-only queries are exactly the documented set") {
-    // q_dup_clusters (recursive-CTE closure) and q_ann_ivf (unrolled Lloyd
-    // rounds) carry full oracles since round 2; only the HLL profile and
-    // the stub-codec decode are inherently oracle-free
+    // q_profile_customer gained a full oracle in round 9 (the HLL estimate
+    // is checked in-engine and exported as a stable boolean); only the
+    // stub-codec decode remains inherently oracle-free
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_multimodal_decode", "q_profile_customer"))
+    assert(rowsOnly === Set("q_multimodal_decode"))
   }
 
   test("all queries run and return rows on sf0.001") {

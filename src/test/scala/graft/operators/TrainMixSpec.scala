@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Training-batch assembly (TrainMix): temperature mixture rates, packing
+  * arithmetic against an in-memory reference, shard layout vs the window
+  * form it replaces, and determinism across re-runs. */
+class TrainMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- temperatureSample ----------------------------------------------
+
+  test("temperatureSample: rates follow sqrt shares; smallest source keeps all") {
+    // masses 100, 400, 10000 -> rates 1e6, 5e5, 1e5 ppm exactly
+    val docs = Seq.tabulate(100)(i => (i.toLong, "small", 1L)) ++
+      Seq.tabulate(100)(i => (1000L + i, "mid", 4L)) ++
+      Seq.tabulate(100)(i => (2000L + i, "big", 100L))
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val out = TrainMix.temperatureSample(df, "source", "n_tokens", col("doc_id"))
+    val rates = out.select("source", "rate_ppm").distinct().as[(String, Long)]
+      .collect().toMap
+    assert(rates("small") == 1000000L)
+    assert(rates("mid") == 500000L)   // sqrt(100/400)  = 1/2
+    assert(rates("big") == 100000L)   // sqrt(100/10000) = 1/10
+    // rate 1e6 keeps every row of the smallest source
+    assert(out.where($"source" === "small").count() == 100)
+    // kept set is the md5-threshold subset, deterministic on re-run
+    val again = TrainMix.temperatureSample(df, "source", "n_tokens", col("doc_id"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("temperatureSample: null sources are dropped and never set the min") {
+    val df = Seq((1L, "a", 4L), (2L, "a", 5L), (3L, null, 1L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = TrainMix.temperatureSample(df, "source", "n_tokens", col("doc_id"))
+    // null-source row gone; 'a' is the only (hence smallest) source: rate 1e6
+    assert(out.select("source").distinct().as[String].collect().toSeq == Seq("a"))
+    assert(out.count() == 2)
+  }
+
+  // ---- packSequences ---------------------------------------------------
+
+  test("packSequences: seq_id/seq_off/n_splits match the serial layout") {
+    // budget 10; docs in id order with token counts 4, 7, 10, 1, 25
+    val df = Seq((1L, 4L), (2L, 7L), (3L, 10L), (4L, 1L), (5L, 25L), (6L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val out = TrainMix.packSequences(df, Seq(col("doc_id")), "n_tokens", 10L)
+      .select("doc_id", "seq_id", "seq_off", "n_splits")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // serial reference: starts 0,4,11,21,22 -> seq floor(start/10),
+    // offset start%10, splits = floor((end-1)/10) - floor(start/10)
+    assert(out == List(
+      (1L, 0L, 0L, 0L),  // [0,4)   fits seq 0
+      (2L, 0L, 4L, 1L),  // [4,11)  straddles 0->1
+      (3L, 1L, 1L, 1L),  // [11,21) straddles 1->2
+      (4L, 2L, 1L, 0L),  // [21,22) fits seq 2
+      (5L, 2L, 2L, 2L))) // [22,47) spans 2..4: two cuts
+    // zero-token doc 6 is dropped
+  }
+
+  test("packSequences: layout is independent of partitioning") {
+    val docs = (1L to 500L).map(i => (i, (i * 7 % 13) + 1))
+    val a = TrainMix.packSequences(docs.toDF("doc_id", "n_tokens").repartition(7),
+      Seq(col("doc_id")), "n_tokens", 64L)
+    val b = TrainMix.packSequences(docs.toDF("doc_id", "n_tokens").coalesce(1),
+      Seq(col("doc_id")), "n_tokens", 64L)
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq)
+  }
+
+  // ---- shardLayout -----------------------------------------------------
+
+  test("shardLayout: equals the per-shard ROW_NUMBER window; positions dense") {
+    val df = (1L to 300L).toDF("doc_id")
+    val out = TrainMix.shardLayout(df, col("doc_id"), 4)
+    // every row lands in [0, 4)
+    assert(out.where($"shard" < 0 || $"shard" >= 4).count() == 0)
+    // dense 1..n_s positions per shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("shard_pos").as("mn"),
+        max("shard_pos").as("mx"), countDistinct("shard_pos").as("nd"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    perShard.foreach { case (_, n, mn, mx, nd) =>
+      assert(mn == 1L && mx == n && nd == n)
+    }
+    // cell-identical to the window formulation it replaces at scale
+    val md5 = graft.plans.Md5Long.md5Long(col("doc_id").cast("string"))
+    val ord = graft.plans.Md5Long.md5Long(
+      concat(lit("o|"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(md5, lit(4L))).orderBy(ord, col("doc_id"))
+    val ref = df.select(col("doc_id"), pmod(md5, lit(4L)).as("shard"),
+      row_number().over(w).cast("long").as("shard_pos"))
+    assert(out.select("doc_id", "shard", "shard_pos").orderBy("doc_id")
+      .collect().toSeq ==
+      ref.orderBy("doc_id").collect().toSeq)
+  }
+}
