@@ -116,6 +116,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "offset join shuffles the fact side")
   }
 
+  test("q_mixture: broadcast rate join, scan-level hash filter, no fact shuffle") {
+    val p = plan("q_mixture")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "mixture rate join fell back to shuffling the corpus side")
+  }
+
+  test("q_pack / q_shard prefix sums carry no single-partition WindowExec") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_pack", "q_shard")) {
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty,
+        s"$q packing/layout regressed to a global window: ${global.mkString("; ")}")
+    }
+  }
+
   test("q_ann_pq: shuffle-free encode, TakeOrderedAndProject top-k") {
     val p = plan("q_ann_pq")
     assert(p.contains("TakeOrderedAndProject"), "PQ top-k became a global sort")
