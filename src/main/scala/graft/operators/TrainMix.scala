@@ -63,6 +63,24 @@ object TrainMix {
       key, col("rate_ppm"))
   }
 
+  /** Batch-train half of the train-batch/apply-stream split (the
+    * [[Curate.lmModel]] discipline): the per-source temperature rates as
+    * a broadcastable map for [[graft.streaming.EventStream
+    * .mixtureGateStream]]'s stateless apply. Sources are few by
+    * definition (the same contract that lets [[temperatureSample]]
+    * broadcast the rate table), so the collect is bounded. */
+  def mixtureRates(df: DataFrame, sourceCol: String,
+                   tokensCol: String): Map[String, Long] = {
+    val mass = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__n"))
+    val mn = mass.agg(min(col("__n")).as("__mn"))
+    mass.crossJoin(broadcast(mn))
+      .select(col(sourceCol),
+        floor(lit(1000000.0) * sqrt(col("__mn").cast("double"))
+          / sqrt(col("__n").cast("double"))).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid out in
     * `orderCols` order, concatenated, and cut every `budget` tokens; each
     * document learns which training sequence its first token lands in

@@ -471,6 +471,31 @@ object EventStream {
       .select(col(idCol), col(textCol), col("n_bigrams"), col("lm_score_ppm"))
   }
 
+  /** Streaming mixture gate + shard label (the train-batch/apply-stream
+    * split of [[graft.operators.TrainMix]]): per-source temperature
+    * rates trained once on the corpus ([[graft.operators.TrainMix
+    * .mixtureRates]]) ride along as a map literal; each stream document
+    * keeps iff `md5(key) mod 1e6 < rate_ppm(source)` — the IDENTICAL
+    * deterministic predicate as the batch
+    * [[graft.operators.TrainMix.temperatureSample]], so stream and batch
+    * select the same documents — and is labeled with its deterministic
+    * `md5(key) mod shards` output shard. STATELESS: no state store, no
+    * watermark, no shuffle. Unknown/null sources are dropped (no trained
+    * rate — the conservative gate for a mixture contract). `shard_pos`
+    * is batch-only by design: a dense read position requires a total
+    * order over the finished corpus, which a stream does not have. */
+  def mixtureGateStream(docs: DataFrame, keyCol: String, sourceCol: String,
+                        rates: Map[String, Long], shards: Int): DataFrame = {
+    val m = typedLit(rates)
+    val key = col(keyCol).cast("string")
+    docs
+      .withColumn("rate_ppm", element_at(m, col(sourceCol)))
+      .where(col("rate_ppm").isNotNull &&
+        pmod(graft.plans.Md5Long.md5Long(key), lit(1000000L)) < col("rate_ppm"))
+      .withColumn("shard",
+        pmod(graft.plans.Md5Long.md5Long(key), lit(shards.toLong)))
+  }
+
   /** The full curation recipe ON THE STREAM — the streaming twin of the
     * batch `q_curation_pipeline`: quality gate (token count + 3-gram
     * repetition + PII scrub) → benchmark decontamination → LM-quality

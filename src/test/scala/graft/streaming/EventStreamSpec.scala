@@ -668,4 +668,41 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaAdc === viaAdcRaw)
   }
+
+  test("mixtureGateStream: batch-trained rates gate the stream == batch sample") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TrainMix
+    // corpus with masses small=4, big=16 -> rates 1e6, 500000 ppm
+    val corpus = (1L to 4L).map(i => (i, "small", 1L)) ++
+      (10L to 25L).map(i => (i, "big", 1L))
+    val corpusDf = corpus.toDF("doc_id", "source", "n_tokens")
+    val rates = TrainMix.mixtureRates(corpusDf, "source", "n_tokens")
+    assert(rates === Map("small" -> 1000000L, "big" -> 500000L))
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(corpus.map { case (id, src, _) => (id, src) }: _*)
+    mem.addData((99L, "unknown")) // untrained source: dropped
+    val q = EventStream.mixtureGateStream(
+        mem.toDF().toDF("doc_id", "source"), "doc_id", "source", rates, 4)
+      .writeStream.format("memory").queryName("mix_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mix_gate")
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      // stream keeps exactly the batch temperatureSample's documents
+      val batch = TrainMix.temperatureSample(
+          corpusDf, "source", "n_tokens",
+          org.apache.spark.sql.functions.col("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed.keySet === batch)
+      assert(!streamed.contains(99L))
+      // shard labels agree with the batch layout
+      val layout = TrainMix.shardLayout(
+          corpusDf.select("doc_id"),
+          org.apache.spark.sql.functions.col("doc_id"), 4)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      streamed.foreach { case (id, sh) => assert(layout(id) == sh) }
+    } finally q.stop()
+  }
 }
