@@ -16,7 +16,18 @@ import scala.collection.mutable
   */
 final class PersistScope {
   private val dfs = mutable.Buffer[DataFrame]()
-  def cache(df: DataFrame): DataFrame = { dfs += df; df.persist() }
+
+  /** Persist `df` and register it for [[close]]. If the plan is ALREADY
+    * cached (CacheManager matches by logical plan, so a different
+    * DataFrame over the same plan counts — e.g. two operators in one
+    * query sharing a sub-relation, or a bench pass re-running a query),
+    * this scope does NOT claim it: re-persisting would only log
+    * CacheManager's "already cached" warning, and unpersisting it at
+    * close() would pull the cache out from under the first owner. */
+  def cache(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else { dfs += df; df.persist() }
+
   def close(): Unit = { dfs.foreach(_.unpersist(blocking = false)); dfs.clear() }
 }
 
