@@ -1641,6 +1641,22 @@ object OracleSql {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
         |    AS BIGINT) AS shard_pos
         |FROM d""".stripMargin,
+
+    // round-robin interleave: per-source shuffled round, then the global
+    // (round, source) order; 'i|' salts the order hash
+    "q_interleave" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('i|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS ord
+        |  FROM documents WHERE source IS NOT NULL),
+        |r AS (SELECT doc_id, source,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY ord, doc_id) AS BIGINT) AS round
+        |      FROM d)
+        |SELECT doc_id, source, round,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY round, source, doc_id)
+        |    AS BIGINT) AS global_pos
+        |FROM r""".stripMargin,
   )
 
   /** The materialized cell-partitioned IVFPQ index encodes identically

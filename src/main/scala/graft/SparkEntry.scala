@@ -784,6 +784,15 @@ object SparkEntry {
       col("doc_id"), 8)
       .select("doc_id", "source", "shard", "shard_pos")
 
+  /** Round-robin source interleave: per-source shuffled round + global
+    * training position, both off the skew-safe prefix-sum machines
+    * (TrainMix.interleaveBySource). */
+  private def qInterleave(s: SparkSession, d: String): DataFrame =
+    TrainMix.interleaveBySource(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", col("doc_id"))
+      .select("doc_id", "source", "round", "global_pos")
+
   /** Uniform-mixture downsampling: every event_type stratum is hash-
     * sampled down to ~the smallest stratum's size with an exact integer
     * rate (Curate.balancedSample — the curriculum-mixture primitive). */
@@ -1378,6 +1387,7 @@ object SparkEntry {
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
     "q_shard" -> (qShard _),
+    "q_interleave" -> (qInterleave _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -109,6 +109,33 @@ object TrainMix {
       .drop("__cum", "__start")
   }
 
+  /** Deterministic round-robin source interleave: the global training
+    * ORDER for a multi-source corpus. Within each source, documents get
+    * a deterministic shuffled round number (rank by salted content
+    * hash); the global order is then (round, source) — round 1 of every
+    * source first, then round 2, … — so consecutive training documents
+    * cycle through sources instead of draining one source before the
+    * next (the curriculum failure mode source-sequential layouts have).
+    *
+    * Both ranks are the skew-safe prefix-sum machines: the per-source
+    * round via [[Stats.withRunningTotalBy]] (a source holding 30% of
+    * the corpus spans many range partitions, not one window task), the
+    * global position via [[Stats.withRunningTotal]] over (round,
+    * source) — never a global `ROW_NUMBER() OVER (ORDER BY ...)`.
+    *
+    * Null sources are dropped (same contract as [[temperatureSample]]).
+    * Output adds `round` and the 1-based `global_pos`. */
+  def interleaveBySource(df: DataFrame, sourceCol: String,
+                         key: Column): DataFrame = {
+    val hashed = df.where(col(sourceCol).isNotNull)
+      .withColumn("__ord", Md5Long.md5Long(concat(lit("i|"), key.cast("string"))))
+    val rounds = Stats.withRunningTotalBy(hashed, Seq(col(sourceCol)),
+        Seq(col("__ord"), key), lit(1L), "round")
+      .drop("__ord")
+    Stats.withRunningTotal(rounds,
+      Seq(col("round"), col(sourceCol), key), lit(1L), "global_pos")
+  }
+
   /** Deterministic shard layout: every row hashes to one of `shards`
     * output shards (`md5(key) mod shards` — stable across runs, retries,
     * and engines), and gets a dense 1-based `shard_pos` read position

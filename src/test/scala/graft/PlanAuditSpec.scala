@@ -125,7 +125,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_pack / q_shard prefix sums carry no single-partition WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q_pack", "q_shard")) {
+    for (q <- Seq("q_pack", "q_shard", "q_interleave")) {
       val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
       val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       assert(global.isEmpty,

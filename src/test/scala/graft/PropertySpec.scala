@@ -428,4 +428,54 @@ class PropertySpec extends SparkSpec {
     val res = check(Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- training-batch assembly --------------------------------------
+
+  test("property: packSequences == serial concat-and-chunk on random corpora") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0L, 40L))
+      budget <- Gen.chooseNum(1L, 16L)
+    } yield (toks, budget)
+    val prop = Prop.forAll(gen) { case (toks, budget) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tokens").repartition(3)
+      val got = graft.operators.TrainMix
+        .packSequences(df, Seq(col("doc_id")), "n_tokens", budget)
+        .select("doc_id", "seq_id", "seq_off", "n_splits")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      // serial reference: walk the docs in id order, keep a running start
+      var start = 0L
+      val ref = toks.zipWithIndex.collect {
+        case (t, i) if t > 0 =>
+          val row = (i.toLong, start / budget, start % budget,
+            (start + t - 1) / budget - start / budget)
+          start += t
+          row
+        case (t, _) => start += t; null
+      }.filter(_ != null)
+      got == ref
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: shardLayout positions are a dense per-shard permutation") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      ids <- Gen.listOfN(n, Gen.chooseNum(1L, 1000000L)).map(_.distinct)
+      shards <- Gen.chooseNum(1, 7)
+    } yield (ids, shards)
+    val prop = Prop.forAll(gen) { case (ids, shards) =>
+      val out = graft.operators.TrainMix
+        .shardLayout(ids.toDF("doc_id").repartition(3), col("doc_id"), shards)
+        .select("shard", "shard_pos").as[(Long, Long)].collect().toList
+      out.forall { case (s, _) => s >= 0 && s < shards } &&
+        out.groupBy(_._1).values.forall { g =>
+          g.map(_._2).sorted == (1L to g.size.toLong).toList
+        }
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -71,6 +71,36 @@ class TrainMixSpec extends SparkSpec {
       b.orderBy("doc_id").collect().toSeq)
   }
 
+  // ---- interleaveBySource ----------------------------------------------
+
+  test("interleaveBySource: round-robin across sources, window-equivalent") {
+    val df = ((1L to 40L).map(i => (i, "a")) ++ (100L to 109L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val out = TrainMix.interleaveBySource(df, "source", col("doc_id"))
+    // the first 2*min(n_a, n_b) global positions alternate sources:
+    // round r of every source precedes round r+1 of any source
+    val seq = out.orderBy("global_pos")
+      .select("source", "round").as[(String, Long)].collect()
+    assert(seq.take(20).count(_._1 == "b") == 10,
+      "source b's 10 rounds must all land in the first 10 interleave cycles")
+    // global_pos is a dense 1..n permutation
+    assert(out.select("global_pos").as[Long].collect().sorted.toSeq ==
+      (1L to 50L))
+    // cell-identical to the two-window formulation it replaces
+    val ord = graft.plans.Md5Long.md5Long(
+      concat(lit("i|"), col("doc_id").cast("string")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(ord, col("doc_id"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .orderBy(col("round"), col("source"), col("doc_id"))
+    val ref = df.withColumn("round", row_number().over(wr).cast("long"))
+      .withColumn("global_pos", row_number().over(wg).cast("long"))
+    assert(out.select("doc_id", "source", "round", "global_pos")
+      .orderBy("doc_id").collect().toSeq ==
+      ref.select("doc_id", "source", "round", "global_pos")
+        .orderBy("doc_id").collect().toSeq)
+  }
+
   // ---- shardLayout -----------------------------------------------------
 
   test("shardLayout: equals the per-shard ROW_NUMBER window; positions dense") {
