@@ -109,6 +109,30 @@ object TrainMix {
       .drop("__cum", "__start")
   }
 
+  /** Materialize [[shardLayout]] as the files a trainer actually reads:
+    * one `shard=N/` directory per shard, rows WITHIN each file in
+    * `shard_pos` order (`sortWithinPartitions` after a shard
+    * repartition: each shard is written by its own task set, so every
+    * file is an ordered run of the shard's read sequence). A reader
+    * streaming `shard=K` in file order replays the deterministic
+    * global shuffle with zero coordination — and because shard and
+    * position derive from content hashes, RE-RUNNING the writer on the
+    * same corpus reproduces the same layout bit-for-bit (the retry /
+    * resume contract rand()-based shuffles cannot give).
+    *
+    * `partsPerShard` splits a shard across that many writer tasks
+    * (contiguous `shard_pos` ranges via range repartition) — at 100 TB
+    * a shard is written in parallel and read as a few ordered files. */
+  def writeShards(df: DataFrame, key: Column, shards: Int, path: String,
+                  partsPerShard: Int = 1): Unit =
+    shardLayout(df, key, shards)
+      .repartitionByRange(shards * math.max(partsPerShard, 1),
+        col("shard"), col("shard_pos"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Deterministic round-robin source interleave: the global training
     * ORDER for a multi-source corpus. Within each source, documents get
     * a deterministic shuffled round number (rank by salted content

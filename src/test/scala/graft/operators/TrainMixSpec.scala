@@ -71,6 +71,37 @@ class TrainMixSpec extends SparkSpec {
       b.orderBy("doc_id").collect().toSeq)
   }
 
+  // ---- writeShards -----------------------------------------------------
+
+  test("writeShards: shard directories, in-file shard_pos order, rerun-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (1L to 200L).toDF("doc_id")
+    TrainMix.writeShards(df, col("doc_id"), 4, dir, partsPerShard = 2)
+    // one directory per shard
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // within every file, rows are an ascending shard_pos run
+    for (sd <- shardDirs) {
+      val files = new java.io.File(s"$dir/$sd").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      for (f <- files) {
+        val pos = spark.read.parquet(f.getAbsolutePath)
+          .select("shard_pos").as[Long].collect()
+        assert(pos.sameElements(pos.sorted), s"$sd/${f.getName} out of order")
+      }
+    }
+    // the materialized layout equals the in-memory one (and a rerun's)
+    val back = spark.read.parquet(dir)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    val mem = TrainMix.shardLayout(df, col("doc_id"), 4)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(back == mem)
+  }
+
   // ---- interleaveBySource ----------------------------------------------
 
   test("interleaveBySource: round-robin across sources, window-equivalent") {
