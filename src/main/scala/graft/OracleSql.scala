@@ -1657,6 +1657,39 @@ object OracleSql {
         |  CAST(ROW_NUMBER() OVER (ORDER BY round, source, doc_id)
         |    AS BIGINT) AS global_pos
         |FROM r""".stripMargin,
+
+    // data-constrained epoch plan: budget 3x corpus tokens, 4-epoch cap,
+    // integer sqrt weights (a SUM of doubles would be order-sensitive),
+    // all products/floors in HUGEINT mirroring the DECIMAL(38,0) side;
+    // one redistribution round, remainder unallocated by contract
+    "q_epoch_plan" ->
+      s"""WITH d AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS nt
+         |           FROM documents WHERE source IS NOT NULL),
+         |m AS (SELECT source, SUM(nt) AS n,
+         |        CAST(FLOOR(SQRT(CAST(SUM(nt) AS DOUBLE))) AS BIGINT) AS w
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT SUM(n) AS tn, SUM(w) AS tw FROM m),
+         |i AS (SELECT source, n, w, tw,
+         |        (CAST(tn AS HUGEINT) * 3000000) // 1000000 AS tt,
+         |        CAST(n AS HUGEINT) * 4 AS cap
+         |      FROM m, t),
+         |a AS (SELECT *,
+         |        LEAST((CAST(w AS HUGEINT) * tt) // tw, cap) AS alloc0,
+         |        (CAST(w AS HUGEINT) * tt) // tw >= cap AS capped0
+         |      FROM i),
+         |s AS (SELECT SUM(alloc0) AS sum0,
+         |        SUM(CASE WHEN NOT capped0 THEN w END) AS uw FROM a),
+         |f AS (SELECT source, n, cap,
+         |        LEAST(alloc0 + CASE WHEN capped0 OR uw IS NULL
+         |            THEN CAST(0 AS HUGEINT)
+         |            ELSE (CAST(w AS HUGEINT) * (tt - sum0)) // uw END,
+         |          cap) AS alloc
+         |      FROM a, s)
+         |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(alloc AS BIGINT) AS alloc_tokens,
+         |  CAST((alloc * 1000000) // CAST(n AS HUGEINT) AS BIGINT) AS epochs_ppm,
+         |  alloc = cap AS capped
+         |FROM f""".stripMargin,
   )
 
   /** The materialized cell-partitioned IVFPQ index encodes identically

@@ -784,6 +784,17 @@ object SparkEntry {
       col("doc_id"), 8)
       .select("doc_id", "source", "shard", "shard_pos")
 
+  /** Data-constrained epoch plan at budget 3x corpus tokens, 4-epoch
+    * cap: sqrt-flattened per-source allocation with one deterministic
+    * surplus-redistribution round, exact DECIMAL(38,0) arithmetic
+    * (TrainMix.epochPlan). */
+  private def qEpochPlan(s: SparkSession, d: String): DataFrame =
+    TrainMix.epochPlan(
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      "source", "n_tokens", budgetPpm = 3000000L, maxEpochs = 4)
+
   /** Round-robin source interleave: per-source shuffled round + global
     * training position, both off the skew-safe prefix-sum machines
     * (TrainMix.interleaveBySource). */
@@ -1388,6 +1399,7 @@ object SparkEntry {
     "q_pack" -> (qPack _),
     "q_shard" -> (qShard _),
     "q_interleave" -> (qInterleave _),
+    "q_epoch_plan" -> (qEpochPlan _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -109,6 +109,58 @@ object TrainMix {
       .drop("__cum", "__start")
   }
 
+  /** Data-constrained epoch planning: how many times to repeat each
+    * source when the training token budget exceeds the corpus (the
+    * epoch-capped mixing question data-constrained scaling work poses).
+    * Budget `T = corpus_tokens * budgetPpm / 1e6` is allocated across
+    * sources proportional to the sqrt-flattened weight `w_s =
+    * floor(sqrt(n_s))` (integer weights — a SUM of doubles would be
+    * ordering-sensitive across engines), capped at `maxEpochs * n_s`
+    * per source, with ONE deterministic redistribution round: the
+    * surplus the caps (and floor losses) free up is re-shared across
+    * uncapped sources ∝ w and capped again. Output per source:
+    * `n_tokens`, `alloc_tokens`, `epochs_ppm = alloc * 1e6 / n`, and
+    * `capped`. Any remainder after the single round stays unallocated
+    * (documented; iterative water-filling would not be
+    * SQL-expressible for the oracle).
+    *
+    * All arithmetic is exact: products in DECIMAL(38,0) (long products
+    * overflow at 100 TB token counts), floors via the `(a - a % b) / b`
+    * decimal idiom (Spark's `DIV` is Long-typed even for decimals —
+    * see TfIdf.scoreTfIdf). The per-source table is tiny by contract;
+    * the corpus side is one groupBy pass. */
+  def epochPlan(df: DataFrame, sourceCol: String, tokensCol: String,
+                budgetPpm: Long = 3000000L, maxEpochs: Int = 4): DataFrame = {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val mass = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("__w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = mass.agg(sum("n_tokens").as("__tn"), sum("__w").as("__tw"))
+    val first = mass.crossJoin(broadcast(tot))
+      .withColumn("__T", expr(fdiv(
+        s"CAST(__tn AS DECIMAL(38,0)) * $budgetPpm", "CAST(1000000 AS DECIMAL(19,0))")))
+      .withColumn("__ideal", expr(fdiv(
+        "CAST(__w AS DECIMAL(38,0)) * __T", "CAST(__tw AS DECIMAL(19,0))")))
+      .withColumn("__cap", expr(s"CAST(n_tokens AS DECIMAL(38,0)) * $maxEpochs"))
+      .withColumn("__alloc0", least(col("__ideal"), col("__cap")))
+      .withColumn("__capped0", col("__ideal") >= col("__cap"))
+    val round2 = first.agg(sum("__alloc0").as("__sum0"),
+      sum(when(!col("__capped0"), col("__w"))).as("__uw"))
+    first.crossJoin(broadcast(round2))
+      .withColumn("__extra",
+        when(col("__capped0") || col("__uw").isNull, expr("CAST(0 AS DECIMAL(38,0))"))
+          .otherwise(expr(fdiv(
+            "CAST(__w AS DECIMAL(38,0)) * (__T - CAST(__sum0 AS DECIMAL(38,0)))",
+            "CAST(__uw AS DECIMAL(19,0))"))))
+      .withColumn("__alloc", least(col("__alloc0") + col("__extra"), col("__cap")))
+      .select(col(sourceCol), col("n_tokens"),
+        col("__alloc").cast("long").as("alloc_tokens"),
+        expr(fdiv("__alloc * 1000000", "CAST(n_tokens AS DECIMAL(19,0))"))
+          .cast("long").as("epochs_ppm"),
+        (col("__alloc") === col("__cap")).as("capped"))
+  }
+
   /** Materialize [[shardLayout]] as the files a trainer actually reads:
     * one `shard=N/` directory per shard, rows WITHIN each file in
     * `shard_pos` order (`sortWithinPartitions` after a shard

@@ -71,6 +71,34 @@ class TrainMixSpec extends SparkSpec {
       b.orderBy("doc_id").collect().toSeq)
   }
 
+  // ---- epochPlan -------------------------------------------------------
+
+  test("epochPlan: caps, one redistribution round, hand-computed allocation") {
+    // masses 100/400/10000 -> w 10/20/100, tw 130, tn 10500; budget 2x ->
+    // T 21000; ideals 1615/3230/16153: a and b cap at 4 epochs (400/1600),
+    // c absorbs the 2847 surplus -> 19000 tokens = 1.9 epochs
+    val df = Seq(("a", 100L), ("b", 400L), ("c", 10000L))
+      .toDF("source", "n_tokens")
+    val out = TrainMix.epochPlan(df, "source", "n_tokens",
+        budgetPpm = 2000000L, maxEpochs = 4)
+      .select("source", "alloc_tokens", "epochs_ppm", "capped")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toList
+    assert(out == List(
+      ("a", 400L, 4000000L, true),
+      ("b", 1600L, 4000000L, true),
+      ("c", 19000L, 1900000L, false)))
+  }
+
+  test("epochPlan: every source capped leaves the surplus unallocated") {
+    val df = Seq(("a", 100L), ("b", 100L)).toDF("source", "n_tokens")
+    val out = TrainMix.epochPlan(df, "source", "n_tokens",
+        budgetPpm = 9000000L, maxEpochs = 4)
+      .select("source", "alloc_tokens", "epochs_ppm", "capped")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toList
+    // T = 1800 but both sources stop at 4 epochs = 400 tokens each
+    assert(out == List(("a", 400L, 4000000L, true), ("b", 400L, 4000000L, true)))
+  }
+
   // ---- writeShards -----------------------------------------------------
 
   test("writeShards: shard directories, in-file shard_pos order, rerun-identical") {
