@@ -123,6 +123,12 @@ class PlanAuditSpec extends SparkSpec {
       "mixture rate join fell back to shuffling the corpus side")
   }
 
+  test("q_epoch_plan: one corpus aggregation, totals joined broadcast-only") {
+    val p = plan("q_epoch_plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the tiny per-source table must join its totals by broadcast")
+  }
+
   test("q_pack / q_shard prefix sums carry no single-partition WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q_pack", "q_shard", "q_interleave")) {
