@@ -123,4 +123,49 @@ class IntegrationSpec extends SparkSpec {
     assert(m("Alnwick") >= 1L && m("Berwick") >= 1L)
     assert(v2 == v1 + 1)
   }
+
+  test("curate -> mixture -> pack -> shard files: corpus to training layout") {
+    import graft.operators.{Dedup, TrainMix}
+    val corpus = Seq(
+      (1L, "webA", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "webA", "one two three four five six seven eight nine"),
+      (3L, "webA", "red green blue cyan magenta yellow black white"),
+      (4L, "webA", "north south east west up down left right"),
+      (5L, "booksB", "lorem ipsum dolor sit amet consectetur"),
+      (6L, "booksB", "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (7L, "booksB", "tiny")                                           // quality cut
+    ).toDF("doc_id", "source", "text")
+    // --- curation: quality gate + exact dedup (keep canonical min id)
+    val gated = graft.streaming.EventStream
+      .qualityScrubStream(corpus, "doc_id", "text", minTokens = 5,
+        maxRepRatioPpm = 900000L)
+      .select($"doc_id", $"scrubbed_text".as("text"), $"n_tokens")
+      .join(corpus.select("doc_id", "source"), Seq("doc_id"))
+    val canon = Dedup.exactDupGroups(gated, "doc_id", "text")
+      .select($"canonical_id".as("doc_id"))
+    val clean = gated.join(canon, Seq("doc_id"), "left_semi")
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L)) // 6 deduped, 7 quality-cut
+    // --- assembly: mixture (webA 32 tokens, booksB 6 -> rates 433012/1e6)
+    val mixed = TrainMix.temperatureSample(clean, "source", "n_tokens", $"doc_id")
+    assert(mixed.where($"source" === "booksB").count() == 1) // rate 1e6
+    // --- pack into 8-token sequences: invariants over whatever survived
+    val packed = TrainMix.packSequences(mixed, Seq($"doc_id"), "n_tokens", 8L)
+    val total = mixed.agg(sum("n_tokens")).as[Long].head()
+    val nSeqs = packed.agg(max($"seq_id")).as[Long].head() + 1
+    assert(nSeqs == (total - 1) / 8 + 1)
+    // --- shard layout materialized; reading back matches the in-memory plan
+    val dir = Files.createTempDirectory("graft-train").toString + "/shards"
+    TrainMix.writeShards(mixed.select("doc_id", "source", "n_tokens"),
+      $"doc_id", 2, dir)
+    val back = spark.read.parquet(dir)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    val mem = TrainMix.shardLayout(
+        mixed.select("doc_id", "source", "n_tokens"), $"doc_id", 2)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(back == mem && back.map(_._1) == mixed.select("doc_id")
+      .as[Long].collect().toSet)
+  }
 }
