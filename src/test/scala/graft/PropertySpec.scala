@@ -460,6 +460,66 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: temperatureSample rates == in-memory sqrt formula, filter == md5 reference") {
+    val gen = for {
+      nSrc <- Gen.chooseNum(1, 5)
+      masses <- Gen.listOfN(nSrc, Gen.chooseNum(1L, 500L))
+    } yield masses
+    val prop = Prop.forAll(gen) { masses =>
+      // one doc per source carrying the whole mass keeps the table tiny
+      val rows = masses.zipWithIndex.map { case (m, i) => (i.toLong, s"s$i", m) }
+      val df = rows.toDF("doc_id", "source", "n_tokens")
+      val out = graft.operators.TrainMix
+        .temperatureSample(df, "source", "n_tokens", col("doc_id"))
+        .select("doc_id", "rate_ppm").as[(Long, Long)].collect().toMap
+      val mn = masses.min
+      val refRate = masses.zipWithIndex.map { case (m, i) =>
+        i.toLong -> math.floor(
+          1000000.0 * math.sqrt(mn.toDouble) / math.sqrt(m.toDouble)).toLong
+      }.toMap
+      // kept set: the identical md5-threshold predicate, computed here
+      // from the digest directly (independent of Stats.hashSample)
+      def md5mod(id: Long): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        val top = java.nio.ByteBuffer.wrap(d.take(8)).getLong >>> 4
+        ((top % 1000000) + 1000000) % 1000000
+      }
+      val refKept = refRate.filter { case (id, r) => md5mod(id) < r }
+      out == refKept.map { case (id, r) => id -> r }
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: interleaveBySource is a round-robin permutation") {
+    val gen = for {
+      nSrc <- Gen.chooseNum(1, 4)
+      sizes <- Gen.listOfN(nSrc, Gen.chooseNum(1, 15))
+    } yield sizes
+    val prop = Prop.forAll(gen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map(i => ((s * 1000 + i).toLong, s"s$s"))
+      }
+      val out = graft.operators.TrainMix
+        .interleaveBySource(rows.toDF("doc_id", "source").repartition(3),
+          "source", col("doc_id"))
+        .select("source", "round", "global_pos")
+        .as[(String, Long, Long)].collect().sortBy(_._3).toList
+      val n = rows.size.toLong
+      // dense permutation, rounds non-decreasing along the global order,
+      // and within a round sources strictly ascend (the cycle structure)
+      out.map(_._3) == (1L to n).toList &&
+        out.sliding(2).forall {
+          case List((sa, ra, _), (sb, rb, _)) =>
+            ra < rb || (ra == rb && sa < sb)
+          case _ => true
+        }
+    }
+    val res = check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: shardLayout positions are a dense per-shard permutation") {
     val gen = for {
       n <- Gen.chooseNum(1, 60)
