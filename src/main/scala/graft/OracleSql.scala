@@ -1658,6 +1658,27 @@ object OracleSql {
         |    AS BIGINT) AS global_pos
         |FROM r""".stripMargin,
 
+    // packing segments: one row per (doc, spanned sequence) off the same
+    // running-sum window as q_pack; range() enumerates the spanned ids
+    "q_pack_segments" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM t WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, cum, cum - n_tokens AS s,
+         |        unnest(range((cum - n_tokens) // 2048, (cum - 1) // 2048 + 1))
+         |          AS seq_id
+         |      FROM c)
+         |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(GREATEST(s, seq_id * 2048) - s AS BIGINT) AS doc_off,
+         |  CAST(GREATEST(s, seq_id * 2048) % 2048 AS BIGINT) AS seq_off,
+         |  CAST(LEAST(cum, (seq_id + 1) * 2048)
+         |    - GREATEST(s, seq_id * 2048) AS BIGINT) AS seg_len
+         |FROM e""".stripMargin,
+
     // data-constrained epoch plan: budget 3x corpus tokens, 4-epoch cap,
     // integer sqrt weights (a SUM of doubles would be order-sensitive),
     // all products/floors in HUGEINT mirroring the DECIMAL(38,0) side;

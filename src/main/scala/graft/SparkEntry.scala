@@ -775,6 +775,17 @@ object SparkEntry {
       Seq(col("doc_id")), "n_tokens", 2048L)
       .select("doc_id", "n_tokens", "seq_id", "seq_off", "n_splits")
 
+  /** Per-(doc, sequence) packing segments at the same 2048-token budget:
+    * the materialized layout a trainer consumes — boundary-cut docs emit
+    * one row per spanned sequence (TrainMix.packSegments). */
+  private def qPackSegments(s: SparkSession, d: String): DataFrame =
+    TrainMix.packSegments(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      Seq(col("doc_id")), "n_tokens", 2048L)
+      .select("doc_id", "seq_id", "doc_off", "seq_off", "seg_len")
+
   /** Deterministic 8-shard training layout: content-hash shard + dense
     * within-shard read position from an independent salted hash — a
     * reproducible global shuffle (TrainMix.shardLayout). */
@@ -1400,6 +1411,7 @@ object SparkEntry {
     "q_shard" -> (qShard _),
     "q_interleave" -> (qInterleave _),
     "q_epoch_plan" -> (qEpochPlan _),
+    "q_pack_segments" -> (qPackSegments _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

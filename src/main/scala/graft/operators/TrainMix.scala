@@ -109,6 +109,37 @@ object TrainMix {
       .drop("__cum", "__start")
   }
 
+  /** The materialized form of [[packSequences]]: one row per
+    * (document, training sequence) SEGMENT — a document spanning k
+    * boundary cuts emits k+1 rows, each saying which token range of the
+    * doc (`doc_off`, `seg_len`) lands where in which sequence
+    * (`seq_id`, `seq_off`). This is the table a trainer (or a
+    * token-level writer) actually consumes: per sequence, segments tile
+    * `[0, budget)` exactly (the last sequence may be shorter), and per
+    * document the segment lengths sum to its token count.
+    *
+    * Same single distributed prefix sum as [[packSequences]]; the
+    * segment explode is a pure expression (`sequence()` over the
+    * spanned seq ids — bounded by ceil(L/budget) per doc, never a
+    * shuffle). */
+  def packSegments(df: DataFrame, orderCols: Seq[Column], tokensCol: String,
+                   budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val cum = Stats.withRunningTotal(
+      df.where(col(tokensCol) > 0), orderCols, col(tokensCol), "__cum")
+    cum
+      .withColumn("__start", col("__cum") - col(tokensCol))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start DIV ${budget}L"), expr(s"(__cum - 1) DIV ${budget}L"))))
+      .withColumn("__segs", greatest(col("__start"), col("seq_id") * budget))
+      .withColumn("__sege", least(col("__cum"), (col("seq_id") + 1) * budget))
+      .select(col("*") +: Seq(
+        (col("__segs") - col("__start")).as("doc_off"),
+        pmod(col("__segs"), lit(budget)).as("seq_off"),
+        (col("__sege") - col("__segs")).as("seg_len")): _*)
+      .drop("__cum", "__start", "__segs", "__sege")
+  }
+
   /** Data-constrained epoch planning: how many times to repeat each
     * source when the training token budget exceeds the corpus (the
     * epoch-capped mixing question data-constrained scaling work poses).

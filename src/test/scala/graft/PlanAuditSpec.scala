@@ -129,9 +129,9 @@ class PlanAuditSpec extends SparkSpec {
       "the tiny per-source table must join its totals by broadcast")
   }
 
-  test("q_pack / q_shard prefix sums carry no single-partition WindowExec") {
+  test("assembly prefix sums (pack/segments/shard/interleave) carry no single-partition WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q_pack", "q_shard", "q_interleave")) {
+    for (q <- Seq("q_pack", "q_pack_segments", "q_shard", "q_interleave")) {
       val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
       val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       assert(global.isEmpty,

@@ -71,6 +71,35 @@ class TrainMixSpec extends SparkSpec {
       b.orderBy("doc_id").collect().toSeq)
   }
 
+  // ---- packSegments ----------------------------------------------------
+
+  test("packSegments: boundary-cut docs emit one exact segment per sequence") {
+    // budget 10; starts 0,4,11,21,22 (same layout as the packSequences test)
+    val df = Seq((1L, 4L), (2L, 7L), (3L, 10L), (4L, 1L), (5L, 25L), (6L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val out = TrainMix.packSegments(df, Seq(col("doc_id")), "n_tokens", 10L)
+      .select("doc_id", "seq_id", "doc_off", "seq_off", "seg_len")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(out == List(
+      (1L, 0L, 0L, 0L, 4L),             // [0,4)   whole doc in seq 0
+      (2L, 0L, 0L, 4L, 6L),             // [4,10)  first 6 tokens
+      (2L, 1L, 6L, 0L, 1L),             // [10,11) last token opens seq 1
+      (3L, 1L, 0L, 1L, 9L), (3L, 2L, 9L, 0L, 1L),
+      (4L, 2L, 0L, 1L, 1L),
+      (5L, 2L, 0L, 2L, 8L), (5L, 3L, 8L, 0L, 10L), (5L, 4L, 18L, 0L, 7L)))
+    // invariants: per-doc lengths sum to token count; per-seq segments
+    // tile [0, budget) exactly (last sequence short)
+    val byDoc = out.groupBy(_._1).map { case (d, g) => d -> g.map(_._5).sum }
+    assert(byDoc == Map(1L -> 4L, 2L -> 7L, 3L -> 10L, 4L -> 1L, 5L -> 25L))
+    for ((_, g) <- out.groupBy(_._2)) {
+      val segs = g.sortBy(_._4).map(s => (s._4, s._4 + s._5))
+      assert(segs.head._1 == 0L)
+      assert(segs.sliding(2).forall {
+        case List((_, e), (s2, _)) => e == s2; case _ => true
+      }, "segments must tile the sequence with no gap/overlap")
+    }
+  }
+
   // ---- epochPlan -------------------------------------------------------
 
   test("epochPlan: caps, one redistribution round, hand-computed allocation") {
