@@ -63,6 +63,30 @@ object OracleSql {
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** q_bpe_encode: the merge chain is generated from the SAME Scala
+    * constant the Spark query folds into its plan
+    * ([[SparkEntry.BpeMerges]]), so the two sides cannot drift. A word
+    * renders as `' a  b  c '` (each symbol owns both flanking spaces);
+    * merge (a,b) is then `replace(s, ' a  b ', ' ab ')` — literal,
+    * greedy, non-overlapping in both engines. */
+  private def bpeEncodeSql: String = {
+    val spaced = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
+    val chain = SparkEntry.BpeMerges.foldLeft(spaced) { case (s, (a, b)) =>
+      s"replace($s, ' $a  $b ', ' ${a + b} ')"
+    }
+    s"""WITH e AS (SELECT doc_id,
+       |  list_transform($toksSql,
+       |    w -> string_split(trim($chain), '  ')) AS ew
+       |  FROM documents),
+       |r AS (SELECT doc_id, ew,
+       |        array_to_string(list_transform(ew,
+       |          a -> array_to_string(a, ' ')), ' | ') AS enc
+       |      FROM e)
+       |SELECT doc_id, CAST(len(flatten(ew)) AS BIGINT) AS n_bpe,
+       |  md5(enc) AS enc_md5, substr(enc, 1, 40) AS enc_head
+       |FROM r""".stripMargin
+  }
+
   /** Per-column profile of `customer` (q_profile_exact / q_profile_customer):
     * one UNION ALL branch per column; `extra` appends driver-row-specific
     * output columns (the HLL-sanity TRUE literal). */
@@ -1567,6 +1591,12 @@ object OracleSql {
          |  CASE WHEN len(hs) < 16 THEN CAST(len(hs) AS BIGINT)
          |       ELSE (15 * (1::BIGINT << 55)) // hs[16] END AS est_distinct
          |FROM a""".stripMargin,
+
+    // corpus BPE encode under the shared literal merge table
+    // (SparkEntry.BpeMerges — same constants, zero drift): the
+    // double-space symbol rendering makes every merge a LITERAL
+    // greedy-left-to-right replace, identical in both engines (no regex)
+    "q_bpe_encode" -> bpeEncodeSql,
 
     // canonicalization: NFC (nfc_normalize == the native graft_nfc, both
     // UAX #15) + lower + non-alnum collapse + trim

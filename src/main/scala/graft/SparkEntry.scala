@@ -1093,6 +1093,33 @@ object SparkEntry {
   /** Dedup-grade canonical text (NFC + lower + non-alnum collapse via
     * the native graft_nfc expression) — the map stage every dedup
     * signature consumes; shuffle-free. */
+  /** Fixed literal merge table for q_bpe_encode — trained once with
+    * `Bpe.train(documents@sf0.001, text, 16)` and embedded as literals on
+    * BOTH sides (the LSH-hyperplane discipline: the oracle cannot re-run
+    * training, so the learned artifact becomes a shared constant). */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"))
+
+  /** Corpus BPE encode under the fixed learned merge table: per document,
+    * the BPE token count, an md5 over the full encoded rendering (tokens
+    * space-joined within a word, words joined by " | " so word boundaries
+    * checksum too) and its head. Scan -> codegen'd project, no shuffle —
+    * the apply-side of the tokenizer (train is [[operators.Bpe.train]]). */
+  private def qBpeEncode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(Text.tokens(col("text")),
+          w => Bpe.encodeWord(w, BpeMerges)).as("ew"))
+      .select(col("doc_id"),
+        size(flatten(col("ew"))).cast("long").as("n_bpe"),
+        array_join(transform(col("ew"), a => array_join(a, " ")), " | ")
+          .as("enc"))
+      .select(col("doc_id"), col("n_bpe"),
+        md5(col("enc").cast("binary")).as("enc_md5"),
+        substring(col("enc"), 1, 40).as("enc_head"))
+
   private def qCanonicalize(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), Text.canonicalize(col("text")).as("canon"))
@@ -1412,6 +1439,7 @@ object SparkEntry {
     "q_interleave" -> (qInterleave _),
     "q_epoch_plan" -> (qEpochPlan _),
     "q_pack_segments" -> (qPackSegments _),
+    "q_bpe_encode" -> (qBpeEncode _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -77,6 +77,46 @@ object Bpe {
         .otherwise(concat(st.getField("out"), array(st.getField("prev")))))
   }
 
+  /** Corpus-scale BPE ENCODE — the half a training pipeline actually runs
+    * over 100 TB (train is one bounded pass; apply touches every token).
+    *
+    * Pure codegen'd string expressions, no UDF, no shuffle: a word is
+    * rendered as a double-space-delimited symbol string where every
+    * symbol owns a leading AND trailing space (`" a  b  c "`), so merge
+    * rank k is the LITERAL replacement `" a  b " -> " ab "`. Literal
+    * `replace` is greedy left-to-right non-overlapping in one pass —
+    * exactly the per-merge BPE round semantics ([[applyMerges]]) — and
+    * needs no regex, so DuckDB mirrors it verbatim
+    * (`replace`/`array_to_string`/`string_split`). Symbols never contain
+    * whitespace (they come from whitespace-tokenized words), so the
+    * delimiting is unambiguous even when one symbol prefixes another.
+    * The merge list arrives as literals folded into the plan (the
+    * broadcast-literal discipline of the LSH hyperplanes). */
+  def encodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    val spaced = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), "  "),
+      lit(" "))
+    val replaced = merges.foldLeft(spaced) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+    // sequence(1, 0) DESCENDS in Spark: empty input must short-circuit
+    when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(replaced), "  "))
+  }
+
+  /** Encode whitespace tokens of `text`, flattened in document order. */
+  def encodeText(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(graft.functions.Text.tokens(text),
+      w => encodeWord(w, merges)))
+
+  /** DataFrame-level corpus encode: appends `outCol` with the BPE token
+    * array of `textCol` under `merges`. Scan -> project, zero shuffles;
+    * the whole chain stays inside whole-stage codegen. */
+  def encode(df: DataFrame, textCol: Column, merges: Seq[(String, String)],
+             outCol: String = "bpe_tokens"): DataFrame =
+    df.withColumn(outCol, encodeText(textCol, merges))
+
   /** Apply a learned merge list to one word (driver/executor-side helper
     * for encode paths and specs) — same greedy pass per merge, in order. */
   def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {

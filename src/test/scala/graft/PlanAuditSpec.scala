@@ -164,6 +164,19 @@ class PlanAuditSpec extends SparkSpec {
       "canonicalization introduced a shuffle")
   }
 
+  test("q_bpe_encode: shuffle-free codegen'd scan->project, pruned to doc_id+text") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Exchange"), "corpus BPE encode introduced a shuffle")
+    // the HOF-lambda projects are interpreted (Spark never codegens
+    // higher-order functions) but the scan + final hash/head project stay
+    // inside whole-stage codegen spans
+    assert(p.contains("*("), "scan/project lost its codegen span")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("n_chars"),
+      s"documents scan not pruned to doc_id+text: $read")
+  }
+
   test("q_lm_score / q_winnow_pairs / q_span_cut / q_quality_classifier / q_corpus_report stay equi-join shaped (no BNLJ/cartesian)") {
     for (q <- Seq("q_lm_score", "q_winnow_pairs", "q_span_cut",
         "q_quality_classifier", "q_corpus_report")) {

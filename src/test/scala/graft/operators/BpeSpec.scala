@@ -2,9 +2,13 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
 
 class BpeSpec extends SparkSpec {
   import spark.implicits._
+
+  private val params = Parameters.default.withMinSuccessfulTests(12)
 
   test("train learns the frequency-ordered merges with deterministic ties") {
     // words: "aaab" x3, "ab" x2. Pair counts round 1: (a,a)=6, (a,b)=5
@@ -38,5 +42,38 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerges("low", merges) === Seq("low"))
     // unseen characters survive as singletons
     assert(Bpe.applyMerges("xyz", merges) === Seq("x", "y", "z"))
+  }
+
+  test("property: encodeWord == applyMerges greedy reference on random words+merges") {
+    // arbitrary space-free symbols, small alphabet to force overlaps and
+    // prefix-symbol ambiguity (e.g. symbols "a" and "ab" coexisting)
+    val symGen = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val mergesGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(symGen, symGen)))
+    val wordsGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b")).map(_.mkString))))
+    val prop = Prop.forAll(wordsGen, mergesGen) { (words, merges) =>
+      val out = words.toDF("w")
+        .select(col("w"), Bpe.encodeWord(col("w"), merges).as("e"))
+        .as[(String, Seq[String])].collect().toMap
+      words.forall(w => out(w) == Bpe.applyMerges(w, merges))
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("encode applies trained merges corpus-wide == per-word applyMerges") {
+    val corpus = Seq("low low low lower lowest", "slow lower  slowest")
+      .toDF("text")
+    val merges = Bpe.train(corpus, col("text"), 4)
+    val rows = Bpe.encode(corpus, col("text"), merges)
+      .select(col("text"), col("bpe_tokens"))
+      .as[(String, Seq[String])].collect()
+    rows.foreach { case (t, toks) =>
+      val ref = t.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(w => Bpe.applyMerges(w, merges))
+      assert(toks === ref, s"corpus encode diverged on '$t'")
+    }
   }
 }
