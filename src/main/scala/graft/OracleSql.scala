@@ -468,6 +468,31 @@ object OracleSql {
         | ((44.0 - cx) * (44.0 - cx) + (44.0 - cy) * (44.0 - cy)) <= 400.0 AS near_center
         |FROM c""".stripMargin,
 
+    // mirrors q_geo_geojson WITHOUT going through GeoJSON: expected
+    // outputs come straight from the integer coordinate formulas (the
+    // q_geo_wkb discipline — any parse drift moves cx/cy)
+    "q_geo_geojson" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    event_id % 3 AS m,
+        |    CAST(event_id % 89 AS DOUBLE) AS x1,
+        |    CAST(user_id % 89 AS DOUBLE) AS y1,
+        |    CAST((event_id * 7) % 89 AS DOUBLE) AS x2,
+        |    CAST((user_id * 11) % 89 AS DOUBLE) AS y2,
+        |    CAST((event_id + user_id) % 89 AS DOUBLE) AS x3,
+        |    CAST((event_id * 3 + user_id * 5) % 89 AS DOUBLE) AS y3
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE m WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString'
+        |         ELSE 'Polygon' END AS gtype,
+        |  CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+        |    AS n_vertices,
+        |  CASE m WHEN 0 THEN x1 WHEN 1 THEN (x1 + x2 + x3) / 3
+        |         ELSE (x1 + x2 + x3 + x1) / 4 END AS cx,
+        |  CASE m WHEN 0 THEN y1 WHEN 1 THEN (y1 + y2 + y3) / 3
+        |         ELSE (y1 + y2 + y3 + y1) / 4 END AS cy
+        |FROM c""".stripMargin,
+
     "q_wellbeing_impact" ->
       """WITH p AS (SELECT event_id, value AS x, CAST(event_id AS DOUBLE) AS y FROM events),
         |agg AS (

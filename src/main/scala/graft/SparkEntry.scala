@@ -317,6 +317,40 @@ object SparkEntry {
         Geo.withinBuffer(center, col("c"), 20.0).as("near_center"))
   }
 
+  /** GeoJSON ingestion path (cadent_underground.py:252,263-275): build
+    * RFC 7946 Point / LineString / Polygon strings from integer event
+    * coordinates, parse with the no-UDF Geo.stGeomFromGeoJson, then the
+    * standard vertex-count/centroid pipeline. The oracle computes the
+    * same outputs straight from the integer coordinates (the q_geo_wkb
+    * discipline) — any parse drift moves cx/cy. */
+  private def qGeoGeoJson(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Geo
+    val x1 = col("event_id") % 89; val y1 = col("user_id") % 89
+    val x2 = (col("event_id") * 7) % 89; val y2 = (col("user_id") * 11) % 89
+    val x3 = (col("event_id") + col("user_id")) % 89
+    val y3 = (col("event_id") * 3 + col("user_id") * 5) % 89
+    def pr(x: Column, y: Column): Column = concat(lit("["),
+      x.cast("string"), lit(","), y.cast("string"), lit("]"))
+    val gj = when(col("event_id") % 3 === 0, concat(
+        lit("{\"type\":\"Point\",\"coordinates\":"), pr(x1, y1), lit("}")))
+      .when(col("event_id") % 3 === 1, concat(
+        lit("{\"type\":\"LineString\",\"coordinates\":["),
+        pr(x1, y1), lit(","), pr(x2, y2), lit(","), pr(x3, y3), lit("]}")))
+      .otherwise(concat(
+        lit("{\"type\":\"Polygon\",\"coordinates\":[["),
+        pr(x1, y1), lit(","), pr(x2, y2), lit(","), pr(x3, y3), lit(","),
+        pr(x1, y1), lit("]]}")))
+    Tables.events(s, d)
+      .select(col("event_id"), gj.as("gj"))
+      .select(col("event_id"),
+        get_json_object(col("gj"), "$.type").as("gtype"),
+        Geo.stGeomFromGeoJson(col("gj")).as("geom"))
+      .select(col("event_id"), col("gtype"),
+        size(col("geom")).as("n_vertices"), Geo.stCentroid(col("geom")).as("c"))
+      .select(col("event_id"), col("gtype"), col("n_vertices"),
+        Geo.stX(col("c")).as("cx"), Geo.stY(col("c")).as("cy"))
+  }
+
   // ---------------------------------------------------------------- §2.3
   private def qTumblingWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1440,6 +1474,7 @@ object SparkEntry {
     "q_epoch_plan" -> (qEpochPlan _),
     "q_pack_segments" -> (qPackSegments _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_geo_geojson" -> (qGeoGeoJson _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

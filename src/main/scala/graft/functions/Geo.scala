@@ -56,6 +56,34 @@ object Geo {
     sqrt(dx * dx + dy * dy)
   }
 
+  /** Parse a GeoJSON geometry string (RFC 7946 `Point` / `LineString` /
+    * `Polygon`) into the same `array<struct<x,y>>` model — the reference's
+    * cadent ingestion converts exactly these GeoJSON shapes to WKT before
+    * load (`src/data_processors/cadent_underground.py:252` Point(lon,lat),
+    * `:263-275` geojson_to_wkt via shapely.shape). No UDF: the type tag
+    * routes via `get_json_object`, coordinates parse with `from_json` at
+    * the nesting depth of each shape (Polygon takes the outer shell,
+    * `$.coordinates[0]`, matching the single-shell WKT model above).
+    * Unknown types and malformed JSON -> NULL, never a throw. */
+  def stGeomFromGeoJson(j: Column): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val typ = get_json_object(j, "$.type")
+    val pair = from_json(get_json_object(j, "$.coordinates"),
+      ArrayType(DoubleType))
+    val line = from_json(get_json_object(j, "$.coordinates"),
+      ArrayType(ArrayType(DoubleType)))
+    val shell = from_json(get_json_object(j, "$.coordinates[0]"),
+      ArrayType(ArrayType(DoubleType)))
+    def pts(arr: Column): Column = transform(arr, p =>
+      struct(element_at(p, 1).as("x"), element_at(p, 2).as("y")))
+    when(typ === "Point" && pair.isNotNull,
+        array(struct(element_at(pair, 1).as("x"),
+          element_at(pair, 2).as("y"))))
+      .when(typ === "LineString", pts(line))
+      .when(typ === "Polygon", pts(shell))
+      .otherwise(lit(null).cast("array<struct<x:double,y:double>>"))
+  }
+
   /** Parse (GeoPackage-)WKB binary into the same array<struct<x,y>> model
     * — the post-extract geometry path of the reference's .gpkg ingestion
     * (built_up_areas.py:80), parsed natively without GDAL: see

@@ -17,6 +17,32 @@ class GeoSpec extends SparkSpec {
     out.foreach { case (n, e) => assert(n === e) }
   }
 
+  test("stGeomFromGeoJson: RFC 7946 shapes == the WKT parse of the same geometry") {
+    // cadent_underground.py:252,263-275 — Point/LineString/Polygon GeoJSON
+    val df = Seq(
+      ("{\"type\":\"Point\",\"coordinates\":[1.5,2.5]}",
+        "POINT (1.5 2.5)"),
+      ("{\"type\":\"LineString\",\"coordinates\":[[0,0],[10,0],[10,10]]}",
+        "LINESTRING (0 0, 10 0, 10 10)"),
+      ("{\"type\":\"Polygon\",\"coordinates\":[[[0,0],[4,0],[4,4],[0,0]]]}",
+        "POLYGON ((0 0, 4 0, 4 4, 0 0))")
+    ).toDF("gj", "wkt")
+    val rows = df.select(
+        Geo.stGeomFromGeoJson(col("gj")).as("g"),
+        Geo.stGeomFromText(col("wkt")).as("w"))
+      .as[(Seq[(Double, Double)], Seq[(Double, Double)])].collect()
+    rows.foreach { case (g, w) => assert(g === w, "GeoJSON != WKT parse") }
+    // polygon keeps only the outer shell (single-shell model, like WKT)
+    val hole = "{\"type\":\"Polygon\",\"coordinates\":[[[0,0],[9,0],[9,9],[0,0]],[[1,1],[2,1],[2,2],[1,1]]]}"
+    assert(Seq(hole).toDF("gj")
+      .select(size(Geo.stGeomFromGeoJson(col("gj")))).as[Int].head() === 4)
+    // unknown type / malformed JSON -> NULL, never a throw
+    val bad = Seq("{\"type\":\"MultiPoint\",\"coordinates\":[[1,2]]}",
+      "not json at all", "{\"type\":\"Point\"}").toDF("gj")
+    assert(bad.select(Geo.stGeomFromGeoJson(col("gj"))).collect()
+      .forall(_.isNullAt(0)))
+  }
+
   test("centroid / stX / stY / distance mirror the reference's spatial chain") {
     // stg_emergency_works_by_authority.sql:24-38: ST_X(ST_Centroid(ST_GeomFromText(...)))
     val df = Seq(Tuple1("LINESTRING (0 0, 10 0, 10 10, 0 10)")).toDF("wkt")
