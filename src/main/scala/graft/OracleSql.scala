@@ -1738,6 +1738,10 @@ object OracleSql {
     // integer sqrt weights (a SUM of doubles would be order-sensitive),
     // all products/floors in HUGEINT mirroring the DECIMAL(38,0) side;
     // one redistribution round, remainder unallocated by contract
+    // unrolled water-filling, rounds = 3 (initial + 2 redistribution
+    // CTE rounds) + the closing greedy fill window — mirrors
+    // TrainMix.epochPlan's fixed unroll exactly; the fill makes
+    // SUM(alloc) == LEAST(T, SUM(cap)) an identity both engines satisfy
     "q_epoch_plan" ->
       s"""WITH d AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS nt
          |           FROM documents WHERE source IS NOT NULL),
@@ -1749,18 +1753,35 @@ object OracleSql {
          |        (CAST(tn AS HUGEINT) * 3000000) // 1000000 AS tt,
          |        CAST(n AS HUGEINT) * 4 AS cap
          |      FROM m, t),
-         |a AS (SELECT *,
-         |        LEAST((CAST(w AS HUGEINT) * tt) // tw, cap) AS alloc0,
-         |        (CAST(w AS HUGEINT) * tt) // tw >= cap AS capped0
-         |      FROM i),
-         |s AS (SELECT SUM(alloc0) AS sum0,
-         |        SUM(CASE WHEN NOT capped0 THEN w END) AS uw FROM a),
-         |f AS (SELECT source, n, cap,
-         |        LEAST(alloc0 + CASE WHEN capped0 OR uw IS NULL
+         |a0 AS (SELECT *,
+         |        LEAST((CAST(w AS HUGEINT) * tt) // tw, cap) AS alloc0
+         |       FROM i),
+         |s1 AS (SELECT SUM(alloc0) AS sa0,
+         |        SUM(CASE WHEN alloc0 < cap THEN w END) AS uw0 FROM a0),
+         |a1 AS (SELECT a0.*,
+         |        LEAST(alloc0 + CASE WHEN alloc0 >= cap OR uw0 IS NULL
          |            THEN CAST(0 AS HUGEINT)
-         |            ELSE (CAST(w AS HUGEINT) * (tt - sum0)) // uw END,
-         |          cap) AS alloc
-         |      FROM a, s)
+         |            ELSE (CAST(w AS HUGEINT) * (tt - sa0)) // uw0 END,
+         |          cap) AS alloc1
+         |       FROM a0, s1),
+         |s2 AS (SELECT SUM(alloc1) AS sa1,
+         |        SUM(CASE WHEN alloc1 < cap THEN w END) AS uw1 FROM a1),
+         |a2 AS (SELECT a1.*,
+         |        LEAST(alloc1 + CASE WHEN alloc1 >= cap OR uw1 IS NULL
+         |            THEN CAST(0 AS HUGEINT)
+         |            ELSE (CAST(w AS HUGEINT) * (tt - sa1)) // uw1 END,
+         |          cap) AS alloc2
+         |       FROM a1, s2),
+         |sf AS (SELECT SUM(alloc2) AS sa2, SUM(cap) AS sc FROM a2),
+         |f AS (SELECT source, n, cap, alloc2 +
+         |        GREATEST(LEAST(cap - alloc2,
+         |          (LEAST(tt, sc) - sa2) -
+         |            COALESCE(SUM(cap - alloc2) OVER (
+         |              ORDER BY w DESC, source
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |              CAST(0 AS HUGEINT))),
+         |          CAST(0 AS HUGEINT)) AS alloc
+         |      FROM a2, sf)
          |SELECT source, CAST(n AS BIGINT) AS n_tokens,
          |  CAST(alloc AS BIGINT) AS alloc_tokens,
          |  CAST((alloc * 1000000) // CAST(n AS HUGEINT) AS BIGINT) AS epochs_ppm,

@@ -147,44 +147,70 @@ object TrainMix {
     * sources proportional to the sqrt-flattened weight `w_s =
     * floor(sqrt(n_s))` (integer weights — a SUM of doubles would be
     * ordering-sensitive across engines), capped at `maxEpochs * n_s`
-    * per source, with ONE deterministic redistribution round: the
-    * surplus the caps (and floor losses) free up is re-shared across
-    * uncapped sources ∝ w and capped again. Output per source:
-    * `n_tokens`, `alloc_tokens`, `epochs_ppm = alloc * 1e6 / n`, and
-    * `capped`. Any remainder after the single round stays unallocated
-    * (documented; iterative water-filling would not be
-    * SQL-expressible for the oracle).
+    * per source, by UNROLLED water-filling: `rounds` deterministic
+    * redistribution rounds (the surplus the caps and floor losses free
+    * up is re-shared across still-uncapped sources ∝ w and capped
+    * again — the fixed-unroll Lloyd-round discipline), then a closing
+    * greedy fill that hands any residual, in (w desc, source) order,
+    * to sources with remaining cap room. The closing fill makes the
+    * allocation EXACT: `sum(alloc_tokens) == min(T, sum(cap))` always
+    * (spec-pinned) — the budget is fully spent unless every source is
+    * epoch-capped. Output per source: `n_tokens`, `alloc_tokens`,
+    * `epochs_ppm = alloc * 1e6 / n`, and `capped`.
     *
     * All arithmetic is exact: products in DECIMAL(38,0) (long products
     * overflow at 100 TB token counts), floors via the `(a - a % b) / b`
     * decimal idiom (Spark's `DIV` is Long-typed even for decimals —
-    * see TfIdf.scoreTfIdf). The per-source table is tiny by contract;
-    * the corpus side is one groupBy pass. */
+    * see TfIdf.scoreTfIdf). The per-source table is tiny by contract
+    * (cardinality = #sources), so its round aggregates broadcast and
+    * the closing fill's ordered window is over a bounded relation —
+    * the corpus side remains one groupBy pass. */
   def epochPlan(df: DataFrame, sourceCol: String, tokensCol: String,
-                budgetPpm: Long = 3000000L, maxEpochs: Int = 4): DataFrame = {
+                budgetPpm: Long = 3000000L, maxEpochs: Int = 4,
+                rounds: Int = 3): DataFrame = {
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val dec0 = expr("CAST(0 AS DECIMAL(38,0))")
     val mass = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("n_tokens"))
       .withColumn("__w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val tot = mass.agg(sum("n_tokens").as("__tn"), sum("__w").as("__tw"))
-    val first = mass.crossJoin(broadcast(tot))
+    var cur = mass.crossJoin(broadcast(tot))
       .withColumn("__T", expr(fdiv(
         s"CAST(__tn AS DECIMAL(38,0)) * $budgetPpm", "CAST(1000000 AS DECIMAL(19,0))")))
-      .withColumn("__ideal", expr(fdiv(
-        "CAST(__w AS DECIMAL(38,0)) * __T", "CAST(__tw AS DECIMAL(19,0))")))
       .withColumn("__cap", expr(s"CAST(n_tokens AS DECIMAL(38,0)) * $maxEpochs"))
-      .withColumn("__alloc0", least(col("__ideal"), col("__cap")))
-      .withColumn("__capped0", col("__ideal") >= col("__cap"))
-    val round2 = first.agg(sum("__alloc0").as("__sum0"),
-      sum(when(!col("__capped0"), col("__w"))).as("__uw"))
-    first.crossJoin(broadcast(round2))
-      .withColumn("__extra",
-        when(col("__capped0") || col("__uw").isNull, expr("CAST(0 AS DECIMAL(38,0))"))
-          .otherwise(expr(fdiv(
-            "CAST(__w AS DECIMAL(38,0)) * (__T - CAST(__sum0 AS DECIMAL(38,0)))",
-            "CAST(__uw AS DECIMAL(19,0))"))))
-      .withColumn("__alloc", least(col("__alloc0") + col("__extra"), col("__cap")))
+      .withColumn("__alloc", least(expr(fdiv(
+        "CAST(__w AS DECIMAL(38,0)) * __T", "CAST(__tw AS DECIMAL(19,0))")),
+        col("__cap")))
+    for (_ <- 1 until math.max(rounds, 1)) {
+      val agg = cur.agg(sum("__alloc").as("__sumA"),
+        sum(when(col("__alloc") < col("__cap"), col("__w"))).as("__uw"))
+      cur = cur.crossJoin(broadcast(agg))
+        .withColumn("__alloc", least(col("__alloc") +
+          when(col("__alloc") >= col("__cap") || col("__uw").isNull, dec0)
+            .otherwise(expr(fdiv(
+              "CAST(__w AS DECIMAL(38,0)) * (__T - CAST(__sumA AS DECIMAL(38,0)))",
+              "CAST(__uw AS DECIMAL(19,0))"))),
+          col("__cap")))
+        .drop("__sumA", "__uw")
+    }
+    // closing greedy fill: residual R = min(T, sum(cap)) - sum(alloc)
+    // goes to cap room in (w desc, source) order — the sequential take is
+    // the clamp of (R - room consumed by earlier sources) to [0, room].
+    // The window is single-partition BY DESIGN: its input has one row
+    // per source (bounded contract), never corpus-scale.
+    val fin = cur.agg(sum("__alloc").as("__sumA"), sum("__cap").as("__sumC"))
+    cur.crossJoin(broadcast(fin))
+      .withColumn("__room", col("__cap") - col("__alloc"))
+      .withColumn("__prev", coalesce(sum("__room").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__w").desc, col(sourceCol))
+          .rowsBetween(Long.MinValue, -1)), dec0))
+      .withColumn("__R",
+        least(col("__T"), col("__sumC").cast("decimal(38,0)")) -
+          col("__sumA").cast("decimal(38,0)"))
+      .withColumn("__alloc", col("__alloc") +
+        greatest(least(col("__room"), col("__R") - col("__prev")), dec0))
       .select(col(sourceCol), col("n_tokens"),
         col("__alloc").cast("long").as("alloc_tokens"),
         expr(fdiv("__alloc * 1000000", "CAST(n_tokens AS DECIMAL(19,0))"))

@@ -102,6 +102,39 @@ class TrainMixSpec extends SparkSpec {
 
   // ---- epochPlan -------------------------------------------------------
 
+  test("epochPlan: closing fill spends the budget exactly (caps bind sequentially)") {
+    // T = 3375; w = 10/20/25; ideals 613/1227/1534 -> a caps at 400;
+    // redistribution round 1 hands b +95 / c +118 (floor residue 1),
+    // round 2 floors to zero — the closing greedy fill gives the final
+    // token to c (largest w with cap room), landing sum(alloc) == T
+    val df = Seq(("a", 100L), ("b", 400L), ("c", 625L))
+      .toDF("source", "n_tokens")
+    val out = TrainMix.epochPlan(df, "source", "n_tokens",
+        budgetPpm = 3000000L, maxEpochs = 4)
+      .select("source", "alloc_tokens").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 400L, "b" -> 1322L, "c" -> 1653L))
+    assert(out.values.sum == 3375L)
+  }
+
+  test("epochPlan invariant: sum(alloc) == min(T, sum(cap)) on randomized masses") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val massesGen = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 5000L)))
+    val prop = Prop.forAll(massesGen, Gen.oneOf(500000L, 2000000L, 9000000L),
+        Gen.chooseNum(1, 4)) { (masses, ppm, eps) =>
+      val df = masses.zipWithIndex
+        .map { case (m, i) => (s"s$i", m) }.toDF("source", "n_tokens")
+      val alloc = TrainMix.epochPlan(df, "source", "n_tokens", ppm, eps)
+        .select("alloc_tokens", "n_tokens").as[(Long, Long)].collect()
+      val t = masses.sum * ppm / 1000000L
+      val sumCap = masses.map(_ * eps).sum
+      alloc.forall { case (a, n) => a <= n * eps } &&
+        alloc.map(_._1).sum == math.min(t, sumCap)
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(10), prop).passed)
+  }
+
   test("epochPlan: caps, one redistribution round, hand-computed allocation") {
     // masses 100/400/10000 -> w 10/20/100, tw 130, tn 10500; budget 2x ->
     // T 21000; ideals 1615/3230/16153: a and b cap at 4 epochs (400/1600),
