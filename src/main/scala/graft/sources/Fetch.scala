@@ -45,6 +45,70 @@ object Fetch {
     base.replaceAll("[^A-Za-z0-9._-]", "_")
   }
 
+  /** Resolve a redirect hub to its final URL BEFORE downloading — the
+    * reference resolves ArcGIS-hub style indirection the same way
+    * (national_stat_postcode_lookup.py:46 fetch_redirect_url). The JDK
+    * never crosses protocols on its own (an http→https 301 surfaces as
+    * the 301 itself), so hops are followed here, bounded and
+    * policy-checked per hop:
+    *
+    *  - same host: followed, INCLUDING the http→https upgrade the JDK
+    *    refuses (https→http downgrades are refused — a hijacked hop
+    *    must not silently strip transport security);
+    *  - a host in `allowHosts`: followed (the explicit CDN allow-list);
+    *  - anything else, a hop past `maxHops`, or a 3xx without
+    *    Location: refused with a clear error, never silently fetched.
+    *
+    * Relative `Location` headers resolve against the current URL
+    * (RFC 9110 §10.2.2). Non-HTTP URLs pass through untouched. */
+  def resolveRedirects(url: String, maxHops: Int = 3,
+                       allowHosts: Set[String] = Set.empty): String = {
+    val (conn, resolved) = openResolved(url, maxHops, allowHosts)
+    conn match { case h: java.net.HttpURLConnection => h.disconnect(); case _ => () }
+    resolved
+  }
+
+  /** Open `url`, following redirects per the [[resolveRedirects]] policy
+    * ON the request itself (no pre-flight probe — a probe would double
+    * every fetch and skew retry semantics). Returns the LIVE connection
+    * positioned at the first non-3xx response plus the resolved URL.
+    * `prepare` runs on every hop's request before it is sent (Range /
+    * If-Range headers must reach the final artifact, and are harmless
+    * on intermediate redirect responses). */
+  private def openResolved(url: String, maxHops: Int,
+                           allowHosts: Set[String],
+                           prepare: java.net.HttpURLConnection => Unit = _ => ())
+      : (java.net.URLConnection, String) = {
+    var cur = url
+    for (_ <- 0 to maxHops) {
+      val conn = new java.net.URI(cur).toURL.openConnection()
+      conn match {
+        case h: java.net.HttpURLConnection =>
+          h.setInstanceFollowRedirects(false)
+          prepare(h)
+          val code = h.getResponseCode
+          if (code < 300 || code >= 400 || code == 304) return (h, cur)
+          val locOpt = Option(h.getHeaderField("Location"))
+          h.disconnect()
+          val loc = locOpt.getOrElse(
+            throw new IOException(s"HTTP $code without Location from $cur"))
+          val next = new java.net.URI(cur).resolve(loc)
+          val curU = new java.net.URI(cur)
+          val sameHost = Option(next.getHost) == Option(curU.getHost)
+          val downgrade = curU.getScheme == "https" && next.getScheme == "http"
+          val allowed = (sameHost && !downgrade) ||
+            Option(next.getHost).exists(allowHosts.contains)
+          if (!allowed) throw new IOException(
+            s"refusing redirect off-policy: $cur -> $next " +
+              "(follow requires same host without https->http downgrade, " +
+              "or an allowHosts entry)")
+          cur = next.toString
+        case c => return (c, cur)
+      }
+    }
+    throw new IOException(s"redirect chain exceeded $maxHops hops from $url")
+  }
+
   /** Stream a `http(s)://` or `file://` URL into `stagingDir` with
     * retry/backoff (the reference's requests retry loop,
     * data_processor_utils.py:22). Writes via a temp file + atomic move so a
@@ -55,21 +119,27 @@ object Fetch {
     * download to the destination. */
   def fetchToStaging(url: String, stagingDir: String,
                      maxRetries: Int = 3, baseDelayMs: Long = 100,
-                     destName: Option[String] = None): Fetched = {
+                     destName: Option[String] = None,
+                     redirectHops: Int = 3,
+                     allowRedirectHosts: Set[String] = Set.empty): Fetched = {
     val dir = Files.createDirectories(Paths.get(stagingDir))
+    // destination name stays keyed to the REQUESTED url (stable across a
+    // hub whose resolved target rotates), unless destName overrides
     val dest = dir.resolve(destName.getOrElse(fileNameOf(url)))
     val (_, attempts) = retrying(maxRetries, baseDelayMs) {
       val tmp = Files.createTempFile(dir, ".part-", ".tmp")
       try {
-        val conn = new java.net.URI(url).toURL.openConnection()
+        // redirects resolve on the download request itself (no probe)
+        val (conn, target) =
+          openResolved(url, redirectHops, allowRedirectHosts)
         conn match {
-          // a non-followed redirect (e.g. http->https 301) or error page
-          // has its own consistent Content-Length: without a status check
-          // its body would be silently promoted as the dataset
+          // an unresolved error page has its own consistent
+          // Content-Length: without a status check its body would be
+          // silently promoted as the dataset
           case h: java.net.HttpURLConnection =>
             val code = h.getResponseCode
             if (code < 200 || code >= 300) throw new IOException(
-              s"HTTP $code from $url (redirects across protocols are not followed)")
+              s"HTTP $code from $target")
           case _ => ()
         }
         val declared = conn.getContentLengthLong // -1 when unknown/chunked
@@ -102,7 +172,9 @@ object Fetch {
     * atomic move — the same no-partial-file-ever-visible contract as
     * [[fetchToStaging]]. */
   def fetchResumable(url: String, stagingDir: String,
-                     maxRetries: Int = 3, baseDelayMs: Long = 100): Fetched = {
+                     maxRetries: Int = 3, baseDelayMs: Long = 100,
+                     redirectHops: Int = 3,
+                     allowRedirectHosts: Set[String] = Set.empty): Fetched = {
     val dir = Files.createDirectories(Paths.get(stagingDir))
     val dest = dir.resolve(fileNameOf(url))
     val part = dir.resolve(fileNameOf(url) + ".part")
@@ -123,16 +195,19 @@ object Fetch {
     val (_, attempts) = retrying(maxRetries, baseDelayMs) {
       val (validator, knownTotal) = readMeta()
       val have = if (Files.exists(part)) Files.size(part) else 0L
-      val conn = new java.net.URI(url).toURL.openConnection()
+      // redirects resolve on the request itself; the Range/If-Range
+      // headers ride EVERY hop so they reach the resolved artifact
+      // (harmless on the intermediate 3xx responses)
+      val (conn, target) = openResolved(url, redirectHops,
+        allowRedirectHosts, h => if (have > 0) {
+          h.setRequestProperty("Range", s"bytes=$have-")
+          if (validator.nonEmpty) h.setRequestProperty("If-Range", validator)
+        })
       var total = -1L
       var resumed = false
       var alreadyComplete = false
       conn match {
         case h: java.net.HttpURLConnection =>
-          if (have > 0) {
-            h.setRequestProperty("Range", s"bytes=$have-")
-            if (validator.nonEmpty) h.setRequestProperty("If-Range", validator)
-          }
           h.getResponseCode match {
             case 206 =>
               resumed = true
@@ -165,8 +240,7 @@ object Fetch {
               val v = Option(h.getHeaderField("ETag"))
                 .orElse(Option(h.getHeaderField("Last-Modified"))).getOrElse("")
               Files.writeString(metaF, s"$v\n$total")
-            case code => throw new IOException(
-              s"HTTP $code from $url (redirects across protocols are not followed)")
+            case code => throw new IOException(s"HTTP $code from $target")
           }
         case c => total = c.getContentLengthLong
       }

@@ -61,6 +61,113 @@ class FetchSpec extends SparkSpec {
       === Seq("Angel", "Bank"))
   }
 
+  test("redirect hub: same-host 301 chain is resolved before download") {
+    // the ArcGIS-hub shape (national_stat_postcode_lookup.py:46): the
+    // published URL 301s (twice) to the actual artifact on the same host
+    val body = "k,v\n1,2\n".getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hub", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.getResponseHeaders.add("Location", "/hop2") // relative Location
+      x.sendResponseHeaders(301, -1); x.close()
+    })
+    server.createContext("/hop2", (x: com.sun.net.httpserver.HttpExchange) => {
+      val p = x.getHttpContext.getServer.getAddress.getPort
+      x.getResponseHeaders.add("Location", s"http://127.0.0.1:$p/real.csv")
+      x.sendResponseHeaders(302, -1); x.close()
+    })
+    server.createContext("/real.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.sendResponseHeaders(200, body.length.toLong)
+      x.getResponseBody.write(body); x.close()
+    })
+    server.start()
+    val staging = Files.createTempDirectory("fetch-redir").toString
+    try {
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchToStaging(s"http://127.0.0.1:$port/hub", staging,
+        maxRetries = 2, baseDelayMs = 1)
+      assert(f.attempts === 1)
+      // destination stays keyed to the REQUESTED url, not the target
+      assert(Paths.get(f.path).getFileName.toString === "hub")
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
+    } finally server.stop(0)
+  }
+
+  test("redirect policy: cross-host refused unless allow-listed; hop bound enforced") {
+    val body = "ok".getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // 'localhost' and '127.0.0.1' are the same loopback but DIFFERENT
+    // hosts to the policy — a cross-host hop testable without egress
+    server.createContext("/cross", (x: com.sun.net.httpserver.HttpExchange) => {
+      val p = x.getHttpContext.getServer.getAddress.getPort
+      x.getResponseHeaders.add("Location", s"http://localhost:$p/ok.csv")
+      x.sendResponseHeaders(301, -1); x.close()
+    })
+    server.createContext("/loop", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.getResponseHeaders.add("Location", "/loop")
+      x.sendResponseHeaders(302, -1); x.close()
+    })
+    server.createContext("/ok.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.sendResponseHeaders(200, body.length.toLong)
+      x.getResponseBody.write(body); x.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val crossErr = intercept[IOException] {
+        Fetch.resolveRedirects(s"http://127.0.0.1:$port/cross")
+      }
+      assert(crossErr.getMessage.contains("off-policy"))
+      // the explicit allow-list follows the same hop
+      val resolved = Fetch.resolveRedirects(s"http://127.0.0.1:$port/cross",
+        allowHosts = Set("localhost"))
+      assert(resolved === s"http://localhost:$port/ok.csv")
+      val loopErr = intercept[IOException] {
+        Fetch.resolveRedirects(s"http://127.0.0.1:$port/loop", maxHops = 3)
+      }
+      assert(loopErr.getMessage.contains("exceeded 3 hops"))
+    } finally server.stop(0)
+  }
+
+  test("fetchResumable resumes THROUGH a redirect hub (Range hits the target)") {
+    val body = (1 to 3000).map(i => s"row-$i").mkString("\n").getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var sawRange: String = null
+    server.createContext("/hub", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.getResponseHeaders.add("Location", "/artifact.csv")
+      x.sendResponseHeaders(302, -1); x.close()
+    })
+    server.createContext("/artifact.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      val n = requests.incrementAndGet()
+      val range = x.getRequestHeaders.getFirst("Range")
+      if (n == 1) { // first body attempt: cut the connection mid-body
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body, 0, 1000); x.close()
+      } else {
+        sawRange = range
+        val from = range.stripPrefix("bytes=").stripSuffix("-").toInt
+        x.getResponseHeaders.add("Content-Range",
+          s"bytes $from-${body.length - 1}/${body.length}")
+        x.sendResponseHeaders(206, (body.length - from).toLong)
+        x.getResponseBody.write(body, from, body.length - from); x.close()
+      }
+    })
+    server.start()
+    val staging = Files.createTempDirectory("fetch-redir-resume").toString
+    try {
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchResumable(s"http://127.0.0.1:$port/hub", staging,
+        maxRetries = 3, baseDelayMs = 1)
+      assert(f.attempts === 2)
+      assert(sawRange === "bytes=1000-",
+        "the resume Range request did not reach the resolved artifact")
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
+    } finally server.stop(0)
+  }
+
   test("fetchToStaging retries then fails with attempt count in the error") {
     val staging = Files.createTempDirectory("fetch-retry").toString
     val err = intercept[IOException] {
