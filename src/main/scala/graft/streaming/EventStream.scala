@@ -636,15 +636,12 @@ object EventStream {
           }
         }
         b = spark.sparkContext.broadcast(bloom)
-        // the one justified UDF in the codebase: no public Catalyst
-        // expression exposes sketch probes (BloomFilterMightContain is
-        // internal to runtime filtering), and the probe guards IO — it is
-        // not a per-row compute hot path
-        val mightHit = udf((s: String) => b.value.mightContainString(s))
-        // only bands the bloom cannot rule out consult the store
+        // only bands the bloom cannot rule out consult the store; the
+        // probe is a codegen'd native expression (plans.BloomProbe), so
+        // the gate stage stays inside whole-stage codegen
         val hitDocs = store match {
           case Some(s) =>
-            banded.where(mightHit(col("sig")))
+            banded.where(graft.plans.BloomProbe.mightContain(col("sig"), b))
               .join(s.select("band", "sig").distinct(), Seq("band", "sig"), "left_semi")
               .select("doc").distinct()
           case None => banded.select("doc").where(lit(false))
