@@ -224,6 +224,30 @@ object SnapshotTable {
     else spark.read.parquet(added.map(n => new Path(root, n).toString): _*)
   }
 
+  /** Rewrite the live snapshot's file set into size-targeted files and
+    * land it as a REPLACE commit (version N+1) — the table maintenance
+    * pass SURVEY §4 calls for: append-mode commits accrete small files
+    * and ever-growing manifests, and compact resets both in one atomic
+    * publish. Readers are never torn (it is an ordinary commit), every
+    * pre-compact version still time-travels (manifests stay until
+    * [[vacuum]]), and the superseded data directories are reclaimed by
+    * the next vacuum once unreferenced.
+    *
+    * File count comes from the live snapshot's scan stats against
+    * `targetFileMB` (the [[ParquetSink.compactPartitioned]] sizing
+    * rule). Like any replace, compact shadows commits that land between
+    * its read and its publish — run it from the table's single
+    * maintenance owner, not alongside appenders. Returns the new
+    * version. */
+  def compact(spark: SparkSession, root: String,
+              targetFileMB: Int = 512): Long = {
+    val live = liveVersion(spark, root)
+    val df = read(spark, root, Some(live))
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L, (sizeBytes / (targetFileMB.toLong << 20)).toLong)
+    write(df.repartition(nFiles.toInt), root)
+  }
+
   /** Drop all but the newest `keep` manifests (the newest is the live
     * snapshot — it is always kept) and every data directory no
     * kept manifest references. Unreferenced dirs and burned claim slots

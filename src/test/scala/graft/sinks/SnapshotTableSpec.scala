@@ -71,6 +71,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readChanges(spark, root, 3L).count() == 0L)
   }
 
+  test("compact: replace-commit shrinks the file set; time travel intact; vacuum reclaims") {
+    val root = tmp()
+    // three append commits, 4 files each -> live manifest lists 12 files
+    SnapshotTable.write((1L to 40L).toDF("id").repartition(4), root)
+    SnapshotTable.write((41L to 80L).toDF("id").repartition(4), root,
+      append = true)
+    SnapshotTable.write((81L to 120L).toDF("id").repartition(4), root,
+      append = true)
+    def manifestCount(v: Long): Int =
+      SnapshotTable.read(spark, root, Some(v)).inputFiles.length
+    assert(manifestCount(3L) == 12)
+    val v4 = SnapshotTable.compact(spark, root)
+    assert(v4 == 4L)
+    // data identical, file count reset (120 tiny rows -> one target file)
+    assert(manifestCount(4L) == 1)
+    assert(SnapshotTable.read(spark, root).as[Long].collect().sorted.toSeq ==
+      (1L to 120L))
+    // every pre-compact version still time-travels
+    assert(SnapshotTable.read(spark, root, Some(2L)).as[Long]
+      .collect().sorted.toSeq == (1L to 80L))
+    // vacuum to the compacted version reclaims the superseded dirs
+    SnapshotTable.vacuum(spark, root, keep = 1, orphanGraceMs = 0)
+    val dataDirs = new java.io.File(s"$root/data").listFiles().toSeq
+    assert(dataDirs.size == 1, s"superseded dirs survived: $dataDirs")
+    assert(SnapshotTable.read(spark, root).as[Long].collect().sorted.toSeq ==
+      (1L to 120L))
+  }
+
   test("vacuum keeps data dirs referenced by kept APPEND manifests") {
     val root = tmp()
     SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
