@@ -23,7 +23,15 @@ final class PersistScope {
     * query sharing a sub-relation, or a bench pass re-running a query),
     * this scope does NOT claim it: re-persisting would only log
     * CacheManager's "already cached" warning, and unpersisting it at
-    * close() would pull the cache out from under the first owner. */
+    * close() would pull the cache out from under the first owner.
+    *
+    * Hazard under CONCURRENT scopes (correctness-safe, perf cliff): the
+    * guard makes ownership first-persist-wins, so if the owning scope
+    * closes while a non-owning caller's job is mid-flight, the cache
+    * vanishes and that job recomputes the plan. Callers chaining
+    * prefix-sum passes over one relation (e.g. interleaveBySource)
+    * should share a single scope for the chain rather than nest one
+    * scope per pass. */
   def cache(df: DataFrame): DataFrame =
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
     else { dfs += df; df.persist() }

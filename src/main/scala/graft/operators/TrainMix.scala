@@ -51,16 +51,25 @@ object TrainMix {
     * `min_n`). Output adds `rate_ppm` so audits can see the applied
     * mixture. */
   def temperatureSample(df: DataFrame, sourceCol: String, tokensCol: String,
-                        key: Column): DataFrame = {
+                        key: Column): DataFrame =
+    Stats.hashSample(
+      df.join(broadcast(rateTable(df, sourceCol, tokensCol)), Seq(sourceCol)),
+      key, col("rate_ppm"))
+
+  /** The one rate derivation both mixture halves share (mass -> min ->
+    * `floor(1e6 * sqrt(min_n) / sqrt(n_s))` ppm): [[temperatureSample]]
+    * joins it broadcast, [[mixtureRates]] collects it — a single
+    * definition so the streaming gate's "stream selects the same
+    * documents as batch" contract cannot drift between copies. */
+  private def rateTable(df: DataFrame, sourceCol: String,
+                        tokensCol: String): DataFrame = {
     val mass = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__n"))
     val mn = mass.agg(min(col("__n")).as("__mn"))
-    val rates = mass.crossJoin(broadcast(mn))
+    mass.crossJoin(broadcast(mn))
       .select(col(sourceCol),
         floor(lit(1000000.0) * sqrt(col("__mn").cast("double"))
           / sqrt(col("__n").cast("double"))).cast("long").as("rate_ppm"))
-    Stats.hashSample(df.join(broadcast(rates), Seq(sourceCol)),
-      key, col("rate_ppm"))
   }
 
   /** Batch-train half of the train-batch/apply-stream split (the
@@ -70,16 +79,9 @@ object TrainMix {
     * definition (the same contract that lets [[temperatureSample]]
     * broadcast the rate table), so the collect is bounded. */
   def mixtureRates(df: DataFrame, sourceCol: String,
-                   tokensCol: String): Map[String, Long] = {
-    val mass = df.where(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__n"))
-    val mn = mass.agg(min(col("__n")).as("__mn"))
-    mass.crossJoin(broadcast(mn))
-      .select(col(sourceCol),
-        floor(lit(1000000.0) * sqrt(col("__mn").cast("double"))
-          / sqrt(col("__n").cast("double"))).cast("long"))
+                   tokensCol: String): Map[String, Long] =
+    rateTable(df, sourceCol, tokensCol)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
 
   /** Concat-and-chunk sequence packing: documents are laid out in
     * `orderCols` order, concatenated, and cut every `budget` tokens; each

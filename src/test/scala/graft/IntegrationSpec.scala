@@ -146,7 +146,8 @@ class IntegrationSpec extends SparkSpec {
     val clean = gated.join(canon, Seq("doc_id"), "left_semi")
     assert(clean.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L)) // 6 deduped, 7 quality-cut
-    // --- assembly: mixture (webA 32 tokens, booksB 6 -> rates 433012/1e6)
+    // --- assembly: mixture (webA 33 tokens (8+9+8+8), booksB 6 ->
+    // rates floor(1e6*sqrt(6)/sqrt(33)) = 426401 / 1e6)
     val mixed = TrainMix.temperatureSample(clean, "source", "n_tokens", $"doc_id")
     assert(mixed.where($"source" === "booksB").count() == 1) // rate 1e6
     // --- pack into 8-token sequences: invariants over whatever survived
