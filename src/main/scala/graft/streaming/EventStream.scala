@@ -496,6 +496,62 @@ object EventStream {
         pmod(graft.plans.Md5Long.md5Long(key), lit(shards.toLong)))
   }
 
+  /** Streaming concat-and-chunk packing — the foreachBatch twin of
+    * [[graft.operators.TrainMix.packSequences]], completing §2.4e's
+    * streaming story (mixture already had its gate twin). Documents
+    * arriving in micro-batches are laid out into the SAME global
+    * training sequences the batch operator would assign: each batch
+    * runs the distributed within-batch prefix sum
+    * ([[graft.operators.Stats.withRunningTotal]] — never a global
+    * window) shifted by the carried global token offset, so
+    * `seq_id`/`seq_off`/`n_splits` continue the stream-long
+    * concatenation across batches (spec pins stream == batch on the
+    * same corpus).
+    *
+    * Carried state is ONE ROW per batch: a (batch_id, start_off,
+    * end_off) ledger at `statePath`, committed AFTER emit. Replay of a
+    * batch id finds its own ledger row, reuses its recorded start
+    * offset, and emits the IDENTICAL deterministic layout without
+    * advancing state — so an at-least-once replay is harmless and a
+    * batch-id-partitioned sink (the annIngestBatch discipline) makes
+    * it exactly-once. Zero-token documents drop, matching the batch
+    * operator's contract. */
+  def packStream(statePath: String, orderCols: Seq[String],
+                 tokensCol: String, budget: Long,
+                 emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val ledger = readStoreIfExists(spark, statePath)
+      val mine = ledger.flatMap(
+        _.where(col("batch_id") === batchId)
+          .select("start_off").collect().headOption.map(_.getLong(0)))
+      val start = mine.getOrElse(
+        ledger.flatMap(l => Option(l.agg(max("end_off")).head())
+          .filterNot(_.isNullAt(0)).map(_.getLong(0))).getOrElse(0L))
+      val positive = batch.where(col(tokensCol) > 0)
+      val laid = graft.operators.Stats.withRunningTotal(
+          positive, orderCols.map(col), col(tokensCol), "__cum")
+        .withColumn("__start", col("__cum") - col(tokensCol) + lit(start))
+        .withColumn("__end", col("__cum") + lit(start))
+        .withColumn("seq_id", expr(s"__start DIV ${budget}L"))
+        .withColumn("seq_off", pmod(col("__start"), lit(budget)))
+        .withColumn("n_splits",
+          expr(s"(__end - 1) DIV ${budget}L") - col("seq_id"))
+        .drop("__cum", "__start", "__end")
+      emit(laid)
+      if (mine.isEmpty) { // commit AFTER emit; replay never re-commits
+        val total = positive
+          .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("long"))
+          .head().getLong(0)
+        import spark.implicits._
+        Seq((batchId, start, start + total))
+          .toDF("batch_id", "start_off", "end_off")
+          .coalesce(1).write.mode("append").parquet(statePath)
+      }
+    }
+  }
+
   /** The full curation recipe ON THE STREAM — the streaming twin of the
     * batch `q_curation_pipeline`: quality gate (token count + 3-gram
     * repetition + PII scrub) → benchmark decontamination → LM-quality

@@ -669,6 +669,35 @@ class EventStreamSpec extends SparkSpec {
     assert(viaAdc === viaAdcRaw)
   }
 
+  test("packStream: micro-batches continue the global packing == batch packSequences; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.TrainMix
+    // tokens 1..5 cycling, plus a zero-token doc both sides must drop
+    val docs = (1L to 20L).map(i => (i, 1L + i % 5)) :+ ((21L, 0L))
+    val df = docs.toDF("doc_id", "n_tokens")
+    val batchTwin = TrainMix.packSequences(df, Seq($"doc_id"), "n_tokens", 8L)
+      .select("doc_id", "seq_id", "seq_off", "n_splits")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toVector
+    val state = java.nio.file.Files
+      .createTempDirectory("pack-stream").toString + "/ledger"
+    var emitted = Vector.empty[(Long, Long, Long, Long)]
+    val emit: org.apache.spark.sql.DataFrame => Unit = d =>
+      emitted = emitted ++ d.select("doc_id", "seq_id", "seq_off", "n_splits")
+        .as[(Long, Long, Long, Long)].collect()
+    val fn = EventStream.packStream(state, Seq("doc_id"), "n_tokens", 8L, emit)
+    fn(df.where($"doc_id" <= 7), 0L)
+    fn(df.where($"doc_id" > 7 && $"doc_id" <= 14), 1L)
+    val beforeReplay = emitted
+    // replay of batch 1 re-emits the IDENTICAL layout, no state advance
+    fn(df.where($"doc_id" > 7 && $"doc_id" <= 14), 1L)
+    assert(emitted.drop(beforeReplay.size).sortBy(_._1) ==
+      beforeReplay.filter(_._1 > 7).sortBy(_._1),
+      "replayed batch diverged from its first emission")
+    fn(df.where($"doc_id" > 14), 2L)
+    assert(emitted.distinct.sortBy(_._1) == batchTwin,
+      "stream packing diverged from the batch twin")
+  }
+
   test("mixtureGateStream: batch-trained rates gate the stream == batch sample") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TrainMix
