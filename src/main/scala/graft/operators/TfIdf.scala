@@ -102,20 +102,16 @@ object TfIdf {
         .select(col("id").cast(docs.schema(idCol).dataType).as("doc_id"),
           col("id").as("score_ppm"))
     val avgdlX10 = st.getLong(1) * 10L / n
-    // tf is MAP-SIDE: base is already one row per doc, so per-term
-    // counts fold out of the hits array as a pure expression (quadratic
-    // only in |query-term hits| per doc, which is tiny by construction)
-    // — the r9 shape shuffled every (doc, term, dl) row through a
-    // groupBy just to count what the array already held
-    val tf = base
-      .where(size(col("hits")) > 0)
-      .select(col("doc_id"), col("dl"),
-        explode(transform(array_distinct(col("hits")), t => struct(
-          t.as("tok"),
-          size(filter(col("hits"), h => h === t)).cast("long").as("tf"))))
-          .as("p"))
-      .select(col("doc_id"), col("dl"),
-        col("p.tok").as("tok"), col("p.tf").as("tf"))
+    // dl rides the grouping key (functionally dependent on doc_id):
+    // no post-hoc length join. (R10 A/B note: a map-side HOF tf —
+    // counting each term inside the per-doc hits array — was measured
+    // 19% SLOWER at sf0.5 and a wash at sf1.5: Spark never codegens
+    // higher-order functions, so the interpreted per-doc fold costs
+    // more than this codegen'd hash-agg over query-term hits only.
+    // The shuffle here is ~|query terms| rows per matching doc, not
+    // the corpus.)
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
+      .groupBy("doc_id", "tok", "dl").agg(count(lit(1)).as("tf"))
     // df falls out of tf (already one row per (doc, term)): no second
     // scan of the hits, no count_distinct expand
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
