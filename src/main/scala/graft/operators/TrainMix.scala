@@ -173,9 +173,15 @@ object TrainMix {
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
     val dec0 = expr("CAST(0 AS DECIMAL(38,0))")
+    // localCheckpoint: every redistribution round (and the closing fill)
+    // runs its own tiny-table aggregate action — without materializing
+    // the per-source mass here, EACH of those jobs would re-run the
+    // corpus groupBy (measured 2.6x on the bench when rounds went 1->3).
+    // The table is one row per source (bounded contract).
     val mass = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("n_tokens"))
       .withColumn("__w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .localCheckpoint()
     val tot = mass.agg(sum("n_tokens").as("__tn"), sum("__w").as("__tw"))
     var cur = mass.crossJoin(broadcast(tot))
       .withColumn("__T", expr(fdiv(
