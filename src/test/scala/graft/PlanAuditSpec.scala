@@ -164,6 +164,15 @@ class PlanAuditSpec extends SparkSpec {
       "canonicalization introduced a shuffle")
   }
 
+  test("q_geo_geojson: shuffle-free map plan, events scan pruned to the two id columns") {
+    val p = plan("q_geo_geojson")
+    assert(!p.contains("Exchange"), "GeoJSON parse introduced a shuffle")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("event_id") && read.contains("user_id") &&
+      !read.contains("event_type") && !read.contains("value"),
+      s"events scan not pruned to event_id+user_id: $read")
+  }
+
   test("q_bpe_encode: shuffle-free codegen'd scan->project, pruned to doc_id+text") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Exchange"), "corpus BPE encode introduced a shuffle")
