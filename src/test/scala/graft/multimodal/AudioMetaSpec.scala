@@ -31,6 +31,50 @@ class AudioMetaSpec extends SparkSpec {
     b.array()
   }
 
+  /** Hand-built MP3: `n` Layer III frames, optional ID3v2 prefix.
+    * MPEG-1 128 kbps 44100 Hz stereo -> frame length floor(144 *
+    * 128000 / 44100) = 417 bytes, 1152 samples per frame. */
+  private def mp3(n: Int, id3: Boolean = false, mono: Boolean = false,
+                  v2: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3) {
+      out.write("ID3".getBytes("US-ASCII")) // + ver/flags + synchsafe 10
+      out.write(Array[Byte](4, 0, 0, 0, 0, 0, 10))
+      out.write(new Array[Byte](10))
+    }
+    val frameLen =
+      if (v2) 72 * 64000 / 22050 else 144 * 128000 / 44100 // 209 / 417
+    for (_ <- 0 until n) {
+      // sync + version + layer III + no CRC; V1: 0xFB, V2: 0xF3
+      out.write(0xff); out.write(if (v2) 0xf3 else 0xfb)
+      // V1: bitrate idx 9 = 128k; V2: idx 8 = 64k; sr idx 0, no pad
+      out.write(if (v2) 0x80 else 0x90)
+      out.write(if (mono) 0xc0 else 0x00)
+      out.write(new Array[Byte](frameLen - 4))
+    }
+    out.toByteArray
+  }
+
+  test("MP3 frame-header walk: channels, rate, summed samples, past an ID3v2 tag") {
+    val rows = Seq(
+      ("v1stereo", mp3(3)),
+      ("v1id3mono", mp3(2, id3 = true, mono = true)),
+      ("v2", mp3(4, v2 = true)))
+      .toDF("name", "bytes")
+      .select(col("name"), AudioMeta.audioMeta(col("bytes")).as("m"))
+      .select(col("name"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits"), col("m.n_frames"))
+      .as[(String, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows("v1stereo") === (2, 44100, 0, 3 * 1152L))
+    assert(rows("v1id3mono") === (1, 44100, 0, 2 * 1152L))
+    assert(rows("v2") === (2, 22050, 0, 4 * 576L))
+    // non-audio bytes -> null row
+    val junk = Seq(Tuple1(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)))
+      .toDF("bytes").select(AudioMeta.audioMeta(col("bytes"))).collect()
+    assert(junk.head.isNullAt(0))
+  }
+
   test("WAV fmt/data chunks parse: channels, rate, bits, frame count") {
     val rows = Seq(
       (1L, wav(2, 44100, 16, 1000)),
