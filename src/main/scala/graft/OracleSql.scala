@@ -1617,6 +1617,30 @@ object OracleSql {
          |       ELSE (15 * (1::BIGINT << 55)) // hs[16] END AS est_distinct
          |FROM a""".stripMargin,
 
+    // one-pass histogram quantiles over an integral domain: the bounded
+    // shuffle twin of q_percentiles — pure integer binning/rank math,
+    // mirrored term for term (truncating DIV vs floor // differ only on
+    // negative offsets, which both sides clamp to bin 0)
+    "q_hist_quantiles" ->
+      """WITH h AS (SELECT LEAST(GREATEST((n_chars - 0) // 10, 0), 99) AS bin,
+        |             COUNT(*) AS cnt
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (SELECT bin, cnt,
+        |        SUM(cnt) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM h),
+        |t AS (SELECT SUM(cnt) AS n FROM h),
+        |q(q_ppm) AS (VALUES (100000), (250000), (500000), (750000),
+        |             (900000), (990000), (1000000))
+        |SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+        |  CAST(MIN(bin) AS BIGINT) AS bin,
+        |  CAST(MIN(bin) * 10 AS BIGINT) AS bin_lo,
+        |  CAST(MIN(cum) AS BIGINT) AS cum_count,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM q, c, t
+        |WHERE cum >= GREATEST((q_ppm * n + 999999) // 1000000, 1)
+        |GROUP BY q_ppm""".stripMargin,
+
     // corpus BPE encode under the shared literal merge table
     // (SparkEntry.BpeMerges — same constants, zero drift): the
     // double-space symbol rendering makes every merge a LITERAL

@@ -1154,6 +1154,17 @@ object SparkEntry {
         md5(col("enc").cast("binary")).as("enc_md5"),
         substring(col("enc"), 1, 40).as("enc_head"))
 
+  /** Corpus length-distribution percentiles from a one-pass bounded
+    * histogram (Stats.histogramQuantiles): p10..p100 of document char
+    * length at bin-width-10 resolution. The at-scale twin of
+    * q_percentiles' exact rank selection — the shuffle is <= 100 bin
+    * rows regardless of corpus size. */
+  private def qHistQuantiles(s: SparkSession, d: String): DataFrame =
+    Stats.histogramQuantiles(Tables.documents(s, d), col("n_chars"),
+      lo = 0L, hi = 1000L, bins = 100,
+      qsPpm = Seq(100000L, 250000L, 500000L, 750000L,
+        900000L, 990000L, 1000000L))
+
   private def qCanonicalize(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), Text.canonicalize(col("text")).as("canon"))
@@ -1475,6 +1486,7 @@ object SparkEntry {
     "q_pack_segments" -> (qPackSegments _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_geo_geojson" -> (qGeoGeoJson _),
+    "q_hist_quantiles" -> (qHistQuantiles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

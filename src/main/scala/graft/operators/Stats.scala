@@ -41,6 +41,61 @@ object Stats {
         max(col(valueCol)).as("max_v")): _*)
   }
 
+  /** One-pass histogram quantiles over an INTEGRAL value domain — the
+    * 100 TB shape for "p50/p90/p99 of a distribution": [[quantileDisc]]
+    * is exact but shuffles a per-key sort; this shuffles AT MOST `bins`
+    * rows no matter the corpus size (the per-bin counts partial-combine
+    * map-side), answering at bin-width resolution. Deterministic and
+    * engine-exact by construction: integral domain, integral width
+    * (`(hi-lo) % bins == 0` enforced), truncating DIV + edge clamps
+    * (negative offsets truncate differently across engines but both
+    * clamp to bin 0), ceil-rank in pure integer math.
+    *
+    * For each requested quantile q (ppm): the first bin whose cumulative
+    * count reaches `max(ceil(q*n/1e6), 1)` — i.e. the bin CONTAINING the
+    * exact rank statistic (spec-pinned against the sorted reference).
+    * Output per q: `q_ppm, bin, bin_lo (inclusive lower bound),
+    * cum_count, n`. The cumulative window and the quantile probe run
+    * over <= `bins` rows (bounded by contract, like the per-source
+    * fill in TrainMix); NULLs are ignored; an empty input yields an
+    * empty result. */
+  def histogramQuantiles(df: DataFrame, value: Column, lo: Long, hi: Long,
+                         bins: Int, qsPpm: Seq[Long]): DataFrame = {
+    require(hi > lo && bins > 0, "need hi > lo and bins > 0")
+    require((hi - lo) % bins == 0,
+      s"bin width must be integral: ($hi - $lo) % $bins != 0")
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 0L && q <= 1000000L),
+      "quantiles are ppm in [0, 1e6]")
+    val width = (hi - lo) / bins
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.where(value.isNotNull)
+      .select(value.cast("long").as("__v"))
+      .selectExpr(
+        s"LEAST(GREATEST((__v - ${lo}L) DIV ${width}L, 0L), ${bins - 1}L) AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    // n comes from an unbounded frame over the SAME windowed relation —
+    // a separate hist.agg(sum) branch would re-run the corpus groupBy
+    // (the plan referenced `hist` twice; caught by the plan pin)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy(col("bin")).rowsBetween(Long.MinValue, 0)))
+      .withColumn("n", sum("cnt").over(
+        Window.orderBy(col("bin")).rowsBetween(Long.MinValue, Long.MaxValue)))
+    qsPpm.toDF("q_ppm").crossJoin(cum)
+      .where(col("cum") >= greatest(
+        expr("CAST((q_ppm * n + 999999) DIV 1000000 AS BIGINT)"), lit(1L)))
+      // cum is monotone in bin, so MIN(cum) rides with MIN(bin)
+      .groupBy("q_ppm")
+      .agg(min("bin").as("bin"), min("cum").as("cum_count"),
+        first("n").as("n"))
+      .select(col("q_ppm").cast("long").as("q_ppm"),
+        col("bin").cast("long").as("bin"),
+        (lit(lo) + col("bin") * lit(width)).cast("long").as("bin_lo"),
+        col("cum_count").cast("long").as("cum_count"),
+        col("n").cast("long").as("n"))
+  }
+
   /** Exact count of rows strictly below each distinct `scoreCol` value,
     * with NO single-partition window: the distinct-score table is
     * range-partitioned (Spark's RangePartitioner — sampled boundaries, so

@@ -164,6 +164,21 @@ class PlanAuditSpec extends SparkSpec {
       "canonicalization introduced a shuffle")
   }
 
+  test("q_hist_quantiles: the corpus shuffles once (bin groupBy); windows see only bin rows") {
+    val p = plan("q_hist_quantiles")
+    // exactly two hash exchanges: the corpus bin groupBy, and the
+    // quantile-probe groupBy over <= bins * |qs| rows. A third would be
+    // the hist relation re-aggregating the corpus (the bug this pins).
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2,
+      s"histogram quantiles re-aggregated the corpus: $shuffles hash exchanges")
+    // the cumulative window and quantile probe run AFTER the bin
+    // aggregation: their single-partition exchanges carry <= bins rows
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("n_chars") && !read.contains("text"),
+      s"documents scan not pruned to n_chars: $read")
+  }
+
   test("q_geo_geojson: shuffle-free map plan, events scan pruned to the two id columns") {
     val p = plan("q_geo_geojson")
     assert(!p.contains("Exchange"), "GeoJSON parse introduced a shuffle")

@@ -19,6 +19,42 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Double]("max_v") === 10.0)
   }
 
+  test("histogramQuantiles: answering bin CONTAINS the exact rank statistic (randomized)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val valsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-5L, 120L))) // includes out-of-range lows
+    val qsGen = Gen.someOf(Seq(1L, 100000L, 500000L, 900000L, 1000000L))
+      .map(_.toList).suchThat(_.nonEmpty)
+    val prop = Prop.forAll(valsGen, qsGen) { (vals, qs) =>
+      val out = Stats.histogramQuantiles(vals.toDF("v"), col("v"),
+          lo = 0L, hi = 100L, bins = 10, qsPpm = qs)
+        .select("q_ppm", "bin", "cum_count", "n")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      def binOf(v: Long): Long = math.min(math.max((v - 0L) / 10L, 0L), 9L)
+      val sorted = vals.map(v => binOf(v)).sorted // clamp BEFORE ranking:
+      // the histogram ranks clamped bins, so the reference must too
+      qs.forall { q =>
+        val rank = math.max((q * vals.size + 999999L) / 1000000L, 1L).toInt
+        val (bin, cum, n) = out(q)
+        n == vals.size && bin == sorted(rank - 1) &&
+          cum == sorted.count(_ <= bin)
+      }
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(12), prop).passed)
+  }
+
+  test("histogramQuantiles: empty and all-null inputs yield empty results") {
+    val empty = Stats.histogramQuantiles(
+      Seq.empty[Long].toDF("v"), col("v"), 0L, 100L, 10, Seq(500000L))
+    assert(empty.count() === 0L)
+    val nulls = Stats.histogramQuantiles(
+      Seq[Option[Long]](None, None).toDF("v"), col("v"), 0L, 100L, 10,
+      Seq(500000L))
+    assert(nulls.count() === 0L)
+  }
+
   test("withPercentRank100 matches the global-window percent_rank cell-exactly") {
     import org.apache.spark.sql.expressions.Window
     // adversarial: heavy ties, negative scores, a hot value
