@@ -438,6 +438,37 @@ object EventStream {
       }
   }
 
+  case class HistGroup(key: String, bins: Seq[Long])
+
+  /** Streaming histogram — the mergeable-sketch twin of
+    * [[graft.operators.Stats.histogramQuantiles]]'s binning (the
+    * kmv/cms family discipline): per-key bin counts held as
+    * `mapGroupsWithState` state, updated with the IDENTICAL
+    * truncating-division + edge-clamp binning (JVM `Long` division ==
+    * Spark `DIV`, spec-pinned), full histogram emitted after every
+    * batch. Quantile extraction from a snapshot is the same
+    * first-bin-at-ceil-rank integer arithmetic as the batch operator
+    * and composes downstream. State is O(bins) per key — bounded by
+    * construction, never value-cardinality. */
+  def histStream(rows: Dataset[(String, Long)], lo: Long, hi: Long,
+                 bins: Int): Dataset[HistGroup] = {
+    require(hi > lo && bins > 0 && (hi - lo) % bins == 0,
+      s"need hi > lo, bins > 0, integral width: ($lo, $hi, $bins)")
+    val width = (hi - lo) / bins
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], HistGroup](GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val h = state.getOption.getOrElse(new Array[Long](bins))
+          it.foreach { case (_, v) =>
+            val b = math.min(math.max((v - lo) / width, 0L), bins - 1L).toInt
+            h(b) += 1L
+          }
+          state.update(h)
+          HistGroup(key, h.toSeq)
+      }
+  }
+
   /** Streaming LM-quality gate (the CCNet train-batch / apply-stream
     * split): a bigram model trained once on a bounded reference corpus
     * ([[graft.operators.Curate.lmModel]]) rides along as a map literal;

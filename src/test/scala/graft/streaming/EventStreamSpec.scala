@@ -669,6 +669,45 @@ class EventStreamSpec extends SparkSpec {
     assert(viaAdc === viaAdcRaw)
   }
 
+  test("histStream: per-key histogram after batched arrival == batch binning, bin for bin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Stats
+    // values straddle the domain edges: negatives and >hi must clamp
+    val aVals = Seq(-5L, 0L, 7L, 10L, 55L, 99L, 100L, 120L)
+    val bVals = Seq(33L, 34L, 35L)
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStream.histStream(mem.toDS(), lo = 0L, hi = 100L, bins = 10)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(aVals.take(4).map(("A", _)) ++ bVals.take(1).map(("B", _)): _*)
+      q.processAllAvailable()
+      mem.addData(aVals.drop(4).map(("A", _)) ++ bVals.drop(1).map(("B", _)): _*)
+      q.processAllAvailable()
+      val emitted = spark.table("hist_stream")
+        .as[(String, Seq[Long])].collect().toSeq
+      def batchBins(vs: Seq[Long]): Seq[Long] = {
+        val h = new Array[Long](10)
+        vs.foreach(v => h(math.min(math.max(v / 10L, 0L), 9L).toInt) += 1L)
+        h.toSeq
+      }
+      assert(emitted.contains(("A", batchBins(aVals))),
+        "stream never reached the batch histogram for A")
+      assert(emitted.contains(("B", batchBins(bVals))))
+      // and the snapshot feeds the SAME quantile arithmetic as batch:
+      // p50 of A's stream histogram == histogramQuantiles on A's values
+      val batchQ = Stats.histogramQuantiles(aVals.toDF("v"),
+          org.apache.spark.sql.functions.col("v"), 0L, 100L, 10, Seq(500000L))
+        .select("bin").as[Long].head()
+      val streamBins = emitted.filter(_._1 == "A").last._2
+      val n = streamBins.sum
+      val rank = math.max((500000L * n + 999999L) / 1000000L, 1L)
+      val streamBin = streamBins.scanLeft(0L)(_ + _).tail.indexWhere(_ >= rank)
+      assert(streamBin.toLong === batchQ,
+        "stream-histogram quantile diverged from the batch operator")
+    } finally q.stop()
+  }
+
   test("packStream: micro-batches continue the global packing == batch packSequences; replay idempotent") {
     import spark.implicits._
     import graft.operators.TrainMix
