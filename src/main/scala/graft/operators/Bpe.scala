@@ -117,6 +117,82 @@ object Bpe {
              outCol: String = "bpe_tokens"): DataFrame =
     df.withColumn(outCol, encodeText(textCol, merges))
 
+  /** Token-id table in the standard BPE vocab layout: the (sorted,
+    * deduplicated) base alphabet first, then one id per merge PRODUCT in
+    * rank order (products already in the alphabet keep their alphabet
+    * id). Deterministic: same merges + alphabet => same ids on every
+    * machine and run. */
+  def vocab(merges: Seq[(String, String)],
+            alphabet: Seq[String]): Map[String, Int] = {
+    val base = alphabet.distinct.sorted
+    val seen = scala.collection.mutable.LinkedHashSet(base: _*)
+    merges.foreach { case (a, b) => seen += (a + b) }
+    seen.toSeq.zipWithIndex.toMap
+  }
+
+  /** Corpus encode to TRAINER IDS: [[encodeText]] then a broadcast
+    * vocab-map lookup per token (`element_at` over a map literal —
+    * still zero shuffles). Symbols outside the vocab (characters never
+    * seen at train time) become `unkId`, the standard UNK contract. */
+  def encodeIds(df: DataFrame, textCol: Column,
+                merges: Seq[(String, String)], alphabet: Seq[String],
+                unkId: Int = -1, outCol: String = "bpe_ids"): DataFrame = {
+    val v = typedLit(vocab(merges, alphabet))
+    df.withColumn(outCol,
+      transform(encodeText(textCol, merges),
+        t => coalesce(element_at(v, t), lit(unkId))))
+  }
+
+  /** Persist a learned merge table as the training artifact (one merge
+    * per line, rank order, two escaped fields). Symbols never contain
+    * spaces (they come from whitespace-split words) but CAN contain
+    * newlines/tabs, so both fields are backslash-escaped. */
+  def saveMerges(path: String, merges: Seq[(String, String)]): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+    val body = merges.map { case (a, b) => s"${esc(a)}\t${esc(b)}" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Load a merge table written by [[saveMerges]], rank order intact. */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    def unesc(s: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case '\\' => out += '\\'
+            case 'n' => out += '\n'
+            case 'r' => out += '\r'
+            case 't' => out += '\t'
+            case c => out += c
+          }
+          i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toString
+    }
+    java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1).toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val t = line.split("\t", -1)
+        require(t.length == 2, s"malformed merge line: '$line'")
+        (unesc(t(0)), unesc(t(1)))
+      }
+  }
+
   /** Apply a learned merge list to one word (driver/executor-side helper
     * for encode paths and specs) — same greedy pass per merge, in order. */
   def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {

@@ -63,6 +63,37 @@ class BpeSpec extends SparkSpec {
     assert(check(params, prop).passed)
   }
 
+  test("vocab/encodeIds: deterministic id layout, UNK for unseen, ids invert to tokens") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val alphabet = Seq("l", "o", "w", "e", "r")
+    val v = Bpe.vocab(merges, alphabet)
+    // sorted alphabet first, then merge products in rank order
+    assert(v == Map("e" -> 0, "l" -> 1, "o" -> 2, "r" -> 3, "w" -> 4,
+      "lo" -> 5, "low" -> 6))
+    val df = Seq("low lower", "lox").toDF("text")
+    val ids = Bpe.encodeIds(df, col("text"), merges, alphabet)
+      .select("bpe_ids").as[Seq[Int]].collect()
+    // "low" -> [low]; "lower" -> [low, e, r]
+    assert(ids(0) === Seq(6, 6, 0, 3))
+    // 'x' was never in the alphabet -> UNK (-1)
+    assert(ids(1) === Seq(5, -1))
+    // round trip: every non-UNK id inverts to the token encode emitted
+    val inv = v.map(_.swap)
+    assert(ids(0).map(inv) === Seq("low", "low", "e", "r"))
+  }
+
+  test("saveMerges/loadMerges round-trips rank order and escaped symbols") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact")
+    val path = dir.resolve("merges.txt").toString
+    // symbols may contain newlines/tabs/backslashes (tokens split on
+    // ' ' only), the artifact must survive them
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x\ny", "z\t\\w"))
+    Bpe.saveMerges(path, merges)
+    assert(Bpe.loadMerges(path) === merges)
+    // and a loaded table drives encode identically
+    assert(Bpe.applyMerges("abc", Bpe.loadMerges(path)) === Seq("abc"))
+  }
+
   test("encode applies trained merges corpus-wide == per-word applyMerges") {
     val corpus = Seq("low low low lower lowest", "slow lower  slowest")
       .toDF("text")
