@@ -342,9 +342,10 @@ object SparkEntry {
         pr(x1, y1), lit("]]}")))
     Tables.events(s, d)
       .select(col("event_id"), gj.as("gj"))
-      .select(col("event_id"),
-        get_json_object(col("gj"), "$.type").as("gtype"),
-        Geo.stGeomFromGeoJson(col("gj")).as("geom"))
+      .select(col("event_id"), col("gj"),
+        get_json_object(col("gj"), "$.type").as("gtype"))
+      .select(col("event_id"), col("gtype"),
+        Geo.stGeomFromGeoJsonTyped(col("gj"), col("gtype")).as("geom"))
       .select(col("event_id"), col("gtype"),
         size(col("geom")).as("n_vertices"), Geo.stCentroid(col("geom")).as("c"))
       .select(col("event_id"), col("gtype"), col("n_vertices"),

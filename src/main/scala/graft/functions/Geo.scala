@@ -65,22 +65,32 @@ object Geo {
     * the nesting depth of each shape (Polygon takes the outer shell,
     * `$.coordinates[0]`, matching the single-shell WKT model above).
     * Unknown types and malformed JSON -> NULL, never a throw. */
-  def stGeomFromGeoJson(j: Column): Column = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val typ = get_json_object(j, "$.type")
-    val pair = from_json(get_json_object(j, "$.coordinates"),
-      ArrayType(DoubleType))
-    val line = from_json(get_json_object(j, "$.coordinates"),
-      ArrayType(ArrayType(DoubleType)))
-    val shell = from_json(get_json_object(j, "$.coordinates[0]"),
-      ArrayType(ArrayType(DoubleType)))
+  def stGeomFromGeoJson(j: Column): Column =
+    stGeomFromGeoJsonTyped(j, get_json_object(j, "$.type"))
+
+  /** [[stGeomFromGeoJson]] when the caller has already extracted the
+    * type tag (one JSON pass saved per row on a corpus scan). Each
+    * CaseWhen branch parses the WHOLE document once with `from_json`
+    * at that shape's coordinate depth — branches are lazy, so a row
+    * costs exactly one `from_json` — rather than `get_json_object`
+    * re-extracting coordinates as text and parsing them again. */
+  def stGeomFromGeoJsonTyped(j: Column, typ: Column): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType,
+      StructField, StructType}
+    def docSchema(coords: org.apache.spark.sql.types.DataType) =
+      StructType(Seq(StructField("type", StringType),
+        StructField("coordinates", coords)))
+    val pt = from_json(j, docSchema(ArrayType(DoubleType)))("coordinates")
+    val ln = from_json(j,
+      docSchema(ArrayType(ArrayType(DoubleType))))("coordinates")
+    val pg = from_json(j,
+      docSchema(ArrayType(ArrayType(ArrayType(DoubleType)))))("coordinates")
     def pts(arr: Column): Column = transform(arr, p =>
       struct(element_at(p, 1).as("x"), element_at(p, 2).as("y")))
-    when(typ === "Point" && pair.isNotNull,
-        array(struct(element_at(pair, 1).as("x"),
-          element_at(pair, 2).as("y"))))
-      .when(typ === "LineString", pts(line))
-      .when(typ === "Polygon", pts(shell))
+    when(typ === "Point" && pt.isNotNull,
+        array(struct(element_at(pt, 1).as("x"), element_at(pt, 2).as("y"))))
+      .when(typ === "LineString", pts(ln))
+      .when(typ === "Polygon", pts(element_at(pg, 1)))
       .otherwise(lit(null).cast("array<struct<x:double,y:double>>"))
   }
 
