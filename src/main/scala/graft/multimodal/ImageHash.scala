@@ -1,0 +1,173 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Perceptual image hashing (dHash, Krawetz) — ties the multimodal
+  * columns into the dedup machinery: a 64-bit gradient hash over a
+  * 9x8 box-averaged luminance grid, where bit (r,c) says "pixel (r,c)
+  * is brighter than its right neighbor". Near-duplicate images (small
+  * crops, recompression, minor edits) land within a few Hamming bits;
+  * pair detection then reuses the repo's Hamming-block equi-join shape
+  * ([[graft.operators.Dedup]]'s simhash discipline — pigeonhole: at
+  * Hamming distance <= 3, at least one of the 4 16-bit blocks is
+  * identical, so candidates come from an equi-join, never all-pairs).
+  *
+  * The pixel source is the repo's own library-free decoder for 24-bit
+  * BMP ([[Codec.decodeBmp24]]'s layout); other formats flow through
+  * once decoded to that layout upstream (the decode stage of
+  * [[DecodeStub.decodeFeatures]]) — the HASH contract is over the luma
+  * grid and is format-independent ([[dHashFromGrid]]). */
+object ImageHash {
+
+  /** Grid geometry: 9 columns x 8 rows -> 8x8 = 64 horizontal-gradient
+    * bits. */
+  val GridW = 9
+  val GridH = 8
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** Box-averaged Rec. 601 luminance grid (GridW x GridH, row-major)
+    * from a 24-bit BMP; null when the payload is not one this decoder
+    * handles (same acceptance as [[Codec.isBmp24]], bounds included).
+    * Box averaging IS the resize step: every source pixel lands in
+    * exactly one cell, so the grid is the mean-pooled downsample. */
+  def lumaGridBmp24(b: Array[Byte]): Array[Double] = {
+    if (!Codec.isBmp24(b)) return null
+    val off = le32(b, 10).toInt
+    val w = le32(b, 18).toInt
+    val hRaw = le32(b, 22).toInt
+    val h = math.abs(hRaw)
+    if (w < GridW || h < GridH || w.toLong * h > Codec.MaxPixels) return null
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return null
+    val sum = new Array[Double](GridW * GridH)
+    val cnt = new Array[Long](GridW * GridH)
+    var y = 0
+    while (y < h) {
+      // bottom-up rows unless height is negative (top-down)
+      val imgY = if (hRaw > 0) h - 1 - y else y
+      val gy = imgY * GridH / h
+      val base = off + y * rowBytes
+      var x = 0
+      while (x < w) {
+        val gx = x * GridW / w
+        val bl = u8(b, base + x * 3)
+        val g = u8(b, base + x * 3 + 1)
+        val r = u8(b, base + x * 3 + 2)
+        val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+        sum(gy * GridW + gx) += luma
+        cnt(gy * GridW + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](GridW * GridH)
+    var i = 0
+    while (i < out.length) { out(i) = sum(i) / cnt(i); i += 1 }
+    out
+  }
+
+  /** dHash over any GridW x GridH luma grid: bit 63-… set when cell
+    * (r,c) is strictly brighter than cell (r,c+1) — format-independent,
+    * deterministic, and stable under global brightness shifts (only
+    * gradients matter). */
+  def dHashFromGrid(g: Array[Double]): Long = {
+    require(g != null && g.length == GridW * GridH,
+      s"luma grid must be $GridW x $GridH")
+    var h = 0L
+    var r = 0
+    while (r < GridH) {
+      var c = 0
+      while (c < GridW - 1) {
+        h = (h << 1) | (if (g(r * GridW + c) > g(r * GridW + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Boxed dHash of a 24-bit BMP payload; null for anything else (the
+    * filter-don't-fail codec contract). Static entry for the codegen
+    * expression below. */
+  def dHash64(b: Array[Byte]): java.lang.Long = {
+    val g = lumaGridBmp24(b)
+    if (g == null) null else java.lang.Long.valueOf(dHashFromGrid(g))
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Column form: `graft_dhash(binary) -> long` (null on undecodable
+    * payloads), as a native expression so corpus-scale hashing stays a
+    * scan-level projection — no UDF, no shuffle. */
+  def dHash(c: Column): Column =
+    GraftShims.column(DHash(GraftShims.expression(c)))
+
+  /** Near-duplicate image pairs within `maxHamming` (<= 3 for the
+    * pigeonhole guarantee): hash at scan, explode each hash into its 4
+    * 16-bit blocks, self-equi-join on (block index, block value),
+    * exact `bit_count(a ^ b)` filter. Shuffle volume = 4 rows per
+    * image, candidates bounded by block-bucket sizes — the
+    * [[graft.operators.Dedup]] shape, never all-pairs. */
+  def nearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole over 4 blocks guarantees recall only for maxHamming <= 3")
+    val hashed = df
+      .select(col(idCol).as("img"), dHash(col(payloadCol)).as("h"))
+      .where(col("h").isNotNull)
+    val blocks = hashed.select(col("img"), col("h"),
+      explode(expr(
+        "transform(sequence(0, 3), i -> struct(i AS blk, " +
+          "shiftright(h, i * 16) & 65535 AS bv))")).as("p"))
+      .select(col("img"), col("h"), col("p.blk"), col("p.bv"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.img") < col("b.img"))
+      .select(col("a.img").as("img_a"), col("b.img").as("img_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .where(col("hamming") <= maxHamming)
+      .select("img_a", "img_b", "hamming")
+  }
+}
+
+/** `graft_dhash`: see [[ImageHash.dHash]]. */
+case class DHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_dhash requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageHash.dHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val boxed = ctx.freshName("dh")
+      s"""
+         |java.lang.Long $boxed = graft.multimodal.ImageHash.dHash64($in);
+         |${ev.isNull} = ($boxed == null);
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DHash =
+    copy(child = newChild)
+}
