@@ -114,33 +114,18 @@ object ImageHash {
     GraftShims.column(DHash(GraftShims.expression(c)))
 
   /** Near-duplicate image pairs within `maxHamming` (<= 3 for the
-    * pigeonhole guarantee): hash at scan, explode each hash into its 4
-    * 16-bit blocks, self-equi-join on (block index, block value),
-    * exact `bit_count(a ^ b)` filter. Shuffle volume = 4 rows per
-    * image, candidates bounded by block-bucket sizes — the
+    * pigeonhole guarantee): hash at scan, then the shared Hamming-block
+    * candidate join ([[HammingPairs.pairs64]]) — 4 shuffle rows per
+    * image, candidates bounded by block-bucket sizes, the
     * [[graft.operators.Dedup]] shape, never all-pairs. */
   def nearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "pigeonhole over 4 blocks guarantees recall only for maxHamming <= 3")
-    val hashed = df
-      .select(col(idCol).as("img"), dHash(col(payloadCol)).as("h"))
-      .where(col("h").isNotNull)
-    val blocks = hashed.select(col("img"), col("h"),
-      explode(expr(
-        "transform(sequence(0, 3), i -> struct(i AS blk, " +
-          "shiftright(h, i * 16) & 65535 AS bv))")).as("p"))
-      .select(col("img"), col("h"), col("p.blk"), col("p.bv"))
-    blocks.as("a").join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
-          col("a.img") < col("b.img"))
-      .select(col("a.img").as("img_a"), col("b.img").as("img_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
-      .where(col("hamming") <= maxHamming)
-      .select("img_a", "img_b", "hamming")
-  }
+                   maxHamming: Int = 3): DataFrame =
+    HammingPairs.pairs64(
+        df.select(col(idCol).as("id"), dHash(col(payloadCol)).as("h"))
+          .where(col("h").isNotNull),
+        maxHamming)
+      .withColumnRenamed("id_a", "img_a")
+      .withColumnRenamed("id_b", "img_b")
 }
 
 /** `graft_dhash`: see [[ImageHash.dHash]]. */
