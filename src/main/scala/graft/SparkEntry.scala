@@ -831,9 +831,10 @@ object SparkEntry {
       .select("doc_id", "source", "shard", "shard_pos")
 
   /** Data-constrained epoch plan at budget 3x corpus tokens, 4-epoch
-    * cap: sqrt-flattened per-source allocation with one deterministic
-    * surplus-redistribution round, exact DECIMAL(38,0) arithmetic
-    * (TrainMix.epochPlan). */
+    * cap: sqrt-flattened per-source allocation by unrolled
+    * water-filling (3 redistribution rounds + the closing greedy fill
+    * — `sum(alloc) == min(T, sum(cap))` exactly), exact DECIMAL(38,0)
+    * arithmetic (TrainMix.epochPlan). */
   private def qEpochPlan(s: SparkSession, d: String): DataFrame =
     TrainMix.epochPlan(
       Tables.documents(s, d)
@@ -1125,9 +1126,6 @@ object SparkEntry {
     Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
       k = 4, w = 5, minShared = 2, maxFpDf = 64)
 
-  /** Dedup-grade canonical text (NFC + lower + non-alnum collapse via
-    * the native graft_nfc expression) — the map stage every dedup
-    * signature consumes; shuffle-free. */
   /** Fixed literal merge table for q_bpe_encode — trained once with
     * `Bpe.train(documents@sf0.001, text, 16)` and embedded as literals on
     * BOTH sides (the LSH-hyperplane discipline: the oracle cannot re-run
@@ -1166,6 +1164,9 @@ object SparkEntry {
       qsPpm = Seq(100000L, 250000L, 500000L, 750000L,
         900000L, 990000L, 1000000L))
 
+  /** Dedup-grade canonical text (NFC + lower + non-alnum collapse via
+    * the native graft_nfc expression) — the map stage every dedup
+    * signature consumes; shuffle-free. */
   private def qCanonicalize(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), Text.canonicalize(col("text")).as("canon"))

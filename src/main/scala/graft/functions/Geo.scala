@@ -87,10 +87,17 @@ object Geo {
       docSchema(ArrayType(ArrayType(ArrayType(DoubleType)))))("coordinates")
     def pts(arr: Column): Column = transform(arr, p =>
       struct(element_at(p, 1).as("x"), element_at(p, 2).as("y")))
-    when(typ === "Point" && pt.isNotNull,
+    // every element_at is guarded by a size check in the SAME branch:
+    // under ANSI mode (Spark 4 default) an out-of-bounds element_at
+    // THROWS, so a degenerate coordinates array ([] or [5]) would
+    // otherwise kill the job instead of nulling the row
+    def allPairs(arr: Column): Column =
+      arr.isNotNull && forall(arr, p => size(p) >= 2)
+    val shell = element_at(pg, 1)
+    when(typ === "Point" && pt.isNotNull && size(pt) >= 2,
         array(struct(element_at(pt, 1).as("x"), element_at(pt, 2).as("y"))))
-      .when(typ === "LineString", pts(ln))
-      .when(typ === "Polygon", pts(element_at(pg, 1)))
+      .when(typ === "LineString" && allPairs(ln), pts(ln))
+      .when(typ === "Polygon" && size(pg) >= 1 && allPairs(shell), pts(shell))
       .otherwise(lit(null).cast("array<struct<x:double,y:double>>"))
   }
 

@@ -27,31 +27,20 @@ object AudioHash {
   /** 65 windows -> 64 gradient bits. */
   val Windows = 65
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le32(b: Array[Byte], i: Int): Long =
-    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
-      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def u8(b: Array[Byte], i: Int): Int = Codec.u8(b, i)
 
   /** Mean-|amplitude| envelope over [[Windows]] equal windows of a
     * PCM16 WAV (channels mixed); null when the payload is not PCM16 or
-    * is shorter than one frame per window. */
+    * is shorter than one frame per window. Chunk location shares
+    * [[Codec.dataChunkBody]] with `decodePcm16` — one walk, one set of
+    * bounds guards. */
   def energyGridPcm16(b: Array[Byte]): Array[Double] = {
     val meta = AudioMeta.parse(b)
     if (meta == null || meta.getInt(2) != 16) return null
     val channels = meta.getInt(0)
     val frames = meta.getLong(3)
     if (frames < Windows || channels <= 0) return null
-    var i = 12
-    var body = -1
-    while (body < 0 && i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
-        body = i + 8
-      else {
-        val next = i + 8L + size + (size & 1L)
-        if (next <= i || next > b.length) i = b.length else i = next.toInt
-      }
-    }
+    val body = Codec.dataChunkBody(b)
     if (body < 0) return null
     val usable = math.min(frames, (b.length - body).toLong / (2L * channels))
     if (usable < Windows) return null

@@ -25,9 +25,9 @@ object Codec {
     * filter-don't-fail null. Anything larger filters to the stub. */
   val MaxPixels: Long = 1L << 26
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private[multimodal] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
+  private[multimodal] def le32(b: Array[Byte], i: Int): Long =
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
       (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
@@ -83,6 +83,26 @@ object Codec {
     m != null && m.getInt(2) == 16
   }
 
+  /** Byte offset of the RIFF `data` chunk body, -1 when absent — the
+    * ONE chunk walk every PCM consumer shares ([[decodePcm16]],
+    * [[AudioHash.energyGridPcm16]]): odd chunk sizes pad to even, the
+    * size advances in Long so a ~2 GB declared size cannot wrap Int and
+    * loop. */
+  private[multimodal] def dataChunkBody(b: Array[Byte]): Int = {
+    var i = 12
+    var body = -1
+    while (body < 0 && i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
+        body = i + 8
+      else {
+        val next = i + 8L + size + (size & 1L)
+        if (next <= i || next > b.length) i = b.length else i = next.toInt
+      }
+    }
+    body
+  }
+
   /** RMS energy (0-1), zero-crossing rate (fraction of successive
     * same-channel sample pairs changing sign), peak amplitude (0-1),
     * frame count — over the interleaved 16-bit little-endian samples of
@@ -93,17 +113,7 @@ object Codec {
     val channels = meta.getInt(0)
     val frames = meta.getLong(3)
     // find the data chunk body again (cheap: header walk is tiny)
-    var i = 12
-    var body = -1
-    while (body < 0 && i + 8 <= b.length) {
-      val size = le32(b, i + 4) // Long: a ~2 GB size would wrap Int below
-      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
-        body = i + 8
-      else {
-        val next = i + 8L + size + (size & 1L)
-        if (next <= i || next > b.length) i = b.length else i = next.toInt
-      }
-    }
+    val body = dataChunkBody(b)
     if (body < 0) return null
     // frames = dataBytes / fmt.blockAlign: a malformed WAV declaring
     // block < channels*2 inflates the frame count past the actual

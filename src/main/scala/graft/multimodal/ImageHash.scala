@@ -30,11 +30,8 @@ object ImageHash {
   val GridW = 9
   val GridH = 8
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
-      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def u8(b: Array[Byte], i: Int): Int = Codec.u8(b, i)
+  private def le32(b: Array[Byte], i: Int): Long = Codec.le32(b, i)
 
   /** Box-averaged Rec. 601 luminance grid (GridW x GridH, row-major)
     * from a 24-bit BMP; null when the payload is not one this decoder

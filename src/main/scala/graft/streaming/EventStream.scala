@@ -561,25 +561,33 @@ object EventStream {
         ledger.flatMap(l => Option(l.agg(max("end_off")).head())
           .filterNot(_.isNullAt(0)).map(_.getLong(0))).getOrElse(0L))
       val positive = batch.where(col(tokensCol) > 0)
-      val laid = graft.operators.Stats.withRunningTotal(
-          positive, orderCols.map(col), col(tokensCol), "__cum")
-        .withColumn("__start", col("__cum") - col(tokensCol) + lit(start))
-        .withColumn("__end", col("__cum") + lit(start))
-        .withColumn("seq_id", expr(s"__start DIV ${budget}L"))
-        .withColumn("seq_off", pmod(col("__start"), lit(budget)))
-        .withColumn("n_splits",
-          expr(s"(__end - 1) DIV ${budget}L") - col("seq_id"))
-        .drop("__cum", "__start", "__end")
-      emit(laid)
-      if (mine.isEmpty) { // commit AFTER emit; replay never re-commits
-        val total = positive
-          .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("long"))
-          .head().getLong(0)
-        import spark.implicits._
-        Seq((batchId, start, start + total))
-          .toDF("batch_id", "start_off", "end_off")
-          .coalesce(1).write.mode("append").parquet(statePath)
-      }
+      // per-batch scope: the prefix sum persists its repartitioned
+      // input, and a foreachBatch handler runs for the stream's
+      // lifetime — without closing, every micro-batch would pin one
+      // more cached DataFrame (the NearDupFilter lesson)
+      val scope = graft.PersistScope()
+      try {
+        val laid = graft.operators.Stats.withRunningTotal(
+            positive, orderCols.map(col), col(tokensCol), "__cum",
+            scope = scope)
+          .withColumn("__start", col("__cum") - col(tokensCol) + lit(start))
+          .withColumn("__end", col("__cum") + lit(start))
+          .withColumn("seq_id", expr(s"__start DIV ${budget}L"))
+          .withColumn("seq_off", pmod(col("__start"), lit(budget)))
+          .withColumn("n_splits",
+            expr(s"(__end - 1) DIV ${budget}L") - col("seq_id"))
+          .drop("__cum", "__start", "__end")
+        emit(laid)
+        if (mine.isEmpty) { // commit AFTER emit; replay never re-commits
+          val total = positive
+            .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("long"))
+            .head().getLong(0)
+          import spark.implicits._
+          Seq((batchId, start, start + total))
+            .toDF("batch_id", "start_off", "end_off")
+            .coalesce(1).write.mode("append").parquet(statePath)
+        }
+      } finally scope.close()
     }
   }
 

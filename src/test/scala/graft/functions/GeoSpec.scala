@@ -36,9 +36,16 @@ class GeoSpec extends SparkSpec {
     val hole = "{\"type\":\"Polygon\",\"coordinates\":[[[0,0],[9,0],[9,9],[0,0]],[[1,1],[2,1],[2,2],[1,1]]]}"
     assert(Seq(hole).toDF("gj")
       .select(size(Geo.stGeomFromGeoJson(col("gj")))).as[Int].head() === 4)
-    // unknown type / malformed JSON -> NULL, never a throw
+    // unknown type / malformed JSON / degenerate coordinate arrays ->
+    // NULL, never a throw (ANSI element_at would otherwise kill the job
+    // on [] / [5] / short inner pairs)
     val bad = Seq("{\"type\":\"MultiPoint\",\"coordinates\":[[1,2]]}",
-      "not json at all", "{\"type\":\"Point\"}").toDF("gj")
+      "not json at all", "{\"type\":\"Point\"}",
+      "{\"type\":\"Point\",\"coordinates\":[]}",
+      "{\"type\":\"Point\",\"coordinates\":[5]}",
+      "{\"type\":\"LineString\",\"coordinates\":[[0,0],[1]]}",
+      "{\"type\":\"Polygon\",\"coordinates\":[]}",
+      "{\"type\":\"Polygon\",\"coordinates\":[[[0,0],[9]]]}").toDF("gj")
     assert(bad.select(Geo.stGeomFromGeoJson(col("gj"))).collect()
       .forall(_.isNullAt(0)))
   }
