@@ -96,8 +96,9 @@ object Geo {
     val shell = element_at(pg, 1)
     when(typ === "Point" && pt.isNotNull && size(pt) >= 2,
         array(struct(element_at(pt, 1).as("x"), element_at(pt, 2).as("y"))))
-      .when(typ === "LineString" && allPairs(ln), pts(ln))
-      .when(typ === "Polygon" && size(pg) >= 1 && allPairs(shell), pts(shell))
+      .when(typ === "LineString" && size(ln) >= 1 && allPairs(ln), pts(ln))
+      .when(typ === "Polygon" && size(pg) >= 1 && size(shell) >= 1 &&
+          allPairs(shell), pts(shell))
       .otherwise(lit(null).cast("array<struct<x:double,y:double>>"))
   }
 

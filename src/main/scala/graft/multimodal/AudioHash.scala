@@ -139,7 +139,12 @@ case class AudioDHash(child: Expression) extends UnaryExpression {
   * candidates bounded by block-bucket sizes — never all-pairs. */
 object HammingPairs {
 
-  /** `hashed` must carry columns `id` (orderable) and `h` (long). */
+  /** `hashed` must carry columns `id` (orderable AND unique — one row
+    * per id: duplicate ids with different hashes would emit repeated
+    * rows for the same pair, and id==id collisions between distinct
+    * rows are dropped by the `a.id < b.id` predicate) and `h` (long).
+    * Both `nearDupPairs` entry points satisfy this by hashing one row
+    * per source id. */
   def pairs64(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "pigeonhole over 4 blocks guarantees recall only for maxHamming <= 3")

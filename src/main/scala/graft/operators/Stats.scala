@@ -83,8 +83,11 @@ object Stats {
       .withColumn("n", sum("cnt").over(
         Window.orderBy(col("bin")).rowsBetween(Long.MinValue, Long.MaxValue)))
     qsPpm.toDF("q_ppm").crossJoin(cum)
+      // ceil-rank in DECIMAL(38,0): q_ppm*n as a Long overflows past
+      // ~9.2e12 rows (q_ppm up to 1e6) — within the 100 TB design scale
       .where(col("cum") >= greatest(
-        expr("CAST((q_ppm * n + 999999) DIV 1000000 AS BIGINT)"), lit(1L)))
+        expr("CAST((CAST(q_ppm AS DECIMAL(38,0)) * n + 999999) " +
+          "DIV 1000000 AS BIGINT)"), lit(1L)))
       // cum is monotone in bin, so MIN(cum) rides with MIN(bin)
       .groupBy("q_ppm")
       .agg(min("bin").as("bin"), min("cum").as("cum_count"),

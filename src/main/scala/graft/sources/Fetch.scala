@@ -55,7 +55,9 @@ object Fetch {
     *  - same host: followed, INCLUDING the http→https upgrade the JDK
     *    refuses (https→http downgrades are refused — a hijacked hop
     *    must not silently strip transport security);
-    *  - a host in `allowHosts`: followed (the explicit CDN allow-list);
+    *  - a host in `allowHosts`: followed (the explicit CDN allow-list —
+    *    the downgrade refusal applies to these hops too: an allow-listed
+    *    host never opts out of transport security);
     *  - anything else, a hop past `maxHops`, or a 3xx without
     *    Location: refused with a clear error, never silently fetched.
     *
@@ -96,8 +98,8 @@ object Fetch {
           val curU = new java.net.URI(cur)
           val sameHost = Option(next.getHost) == Option(curU.getHost)
           val downgrade = curU.getScheme == "https" && next.getScheme == "http"
-          val allowed = (sameHost && !downgrade) ||
-            Option(next.getHost).exists(allowHosts.contains)
+          val allowed = !downgrade &&
+            (sameHost || Option(next.getHost).exists(allowHosts.contains))
           if (!allowed) throw new IOException(
             s"refusing redirect off-policy: $cur -> $next " +
               "(follow requires same host without https->http downgrade, " +

@@ -44,7 +44,9 @@ class GeoSpec extends SparkSpec {
       "{\"type\":\"Point\",\"coordinates\":[]}",
       "{\"type\":\"Point\",\"coordinates\":[5]}",
       "{\"type\":\"LineString\",\"coordinates\":[[0,0],[1]]}",
+      "{\"type\":\"LineString\",\"coordinates\":[]}",
       "{\"type\":\"Polygon\",\"coordinates\":[]}",
+      "{\"type\":\"Polygon\",\"coordinates\":[[]]}",
       "{\"type\":\"Polygon\",\"coordinates\":[[[0,0],[9]]]}").toDF("gj")
     assert(bad.select(Geo.stGeomFromGeoJson(col("gj"))).collect()
       .forall(_.isNullAt(0)))
