@@ -5,8 +5,7 @@ package graft
   * Conventions matching SparkEntry (see SURVEY §5): DECIMAL(18,2) casts for
   * money math, `CAST(x AS DOUBLE)` before any division, epoch-second
   * BIGINTs for timestamps, deterministic tie-breaks everywhere.
-  * `q_multimodal_decode` is intentionally absent (float-accumulating codec
-  * stub: rows-only check). `q_dup_clusters` IS oracle-checked: the
+  * `q_dup_clusters` IS oracle-checked: the
   * iterative min-label propagation's fixpoint equals the transitive
   * closure's per-node min label, which DuckDB computes with a recursive
   * CTE — the oracle checks the ALGORITHM'S RESULT, not its rounds.
@@ -1045,6 +1044,50 @@ object OracleSql {
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         | md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // ANALYTIC ground truth for the end-to-end encode→decode proof:
+    // Spark synthesizes BMP/PNG/WAV payloads from these exact modular
+    // formulas (SynthMedia), decodes them with the real codecs, and
+    // emits exact integer aggregates; the oracle never touches a byte —
+    // it evaluates the same formulas over generate_series. A decoder
+    // bug (filter predictor, row padding, sample order) breaks the
+    // equality. Series bounds are the formula maxima (w≤24, h≤16,
+    // ns≤640), filtered per-row to the actual size.
+    "q_multimodal_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |         8 + (doc_id % 5) * 4 AS w,
+        |         8 + (doc_id % 3) * 4 AS h,
+        |         256 + (doc_id % 7) * 64 AS ns
+        |  FROM documents
+        |),
+        |img AS (
+        |  SELECT p.doc_id AS media_id,
+        |         CASE WHEN p.m = 0 THEN 'bmp' ELSE 'png' END AS modality,
+        |         CAST(p.w * p.h AS BIGINT) AS n_units,
+        |         CAST(sum((p.doc_id*31 + (t.i % p.w)*7  + (t.i // p.w)*13) % 256) AS BIGINT) AS s0,
+        |         CAST(sum((p.doc_id*17 + (t.i % p.w)*11 + (t.i // p.w)*3 ) % 256) AS BIGINT) AS s1,
+        |         CAST(sum((p.doc_id*23 + (t.i % p.w)*5  + (t.i // p.w)*19) % 256) AS BIGINT) AS s2
+        |  FROM p, generate_series(0, 24*16 - 1) AS t(i)
+        |  WHERE p.m < 2 AND t.i < p.w * p.h
+        |  GROUP BY 1, 2, 3
+        |),
+        |wav AS (
+        |  SELECT doc_id AS media_id, 'wav' AS modality,
+        |         CAST(ns AS BIGINT) AS n_units,
+        |         CAST(sum(s * s) AS BIGINT) AS s0,
+        |         CAST(sum(CASE WHEN i >= 1 AND ((s < 0) <> (sp < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(max(abs(s)) AS BIGINT) AS s2
+        |  FROM (
+        |    SELECT p.doc_id, p.ns, t.i,
+        |      (p.doc_id*7919 + t.i*104729) % 65536 - 32768 AS s,
+        |      (p.doc_id*7919 + (t.i - 1)*104729) % 65536 - 32768 AS sp
+        |    FROM p, generate_series(0, 640 - 1) AS t(i)
+        |    WHERE p.m = 2 AND t.i < p.ns
+        |  )
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT * FROM img UNION ALL SELECT * FROM wav""".stripMargin,
 
     // INDEPENDENT formulation (not the union-scan mirror): nearest
     // eligible click per purchase via row_number over an inequality join —

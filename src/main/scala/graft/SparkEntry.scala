@@ -1013,19 +1013,25 @@ object SparkEntry {
       .where(col("cos_sim") >= 0.25)
   }
 
-  /** Multimodal decode via partition-batched mapPartitions (stubbed codec;
-    * real Spark plumbing). Rows-only check: the feature vector isn't
-    * SQL-expressible, so emit a scalar digest of it (raw array<float>
-    * columns crash the driver's pandas sort — unhashable ndarray). */
+  /** Multimodal decode, ORACLE-VERIFIED end to end: per doc_id a media
+    * payload is synthesized from closed-form integer formulas
+    * ([[graft.multimodal.SynthMedia]] — BMP/PNG/WAV by id%3), decoded
+    * back through the REAL codecs via the partition-batched
+    * mapPartitions plumbing, and the decoded EXACT integer aggregates
+    * (channel sums / Σsample² as BIGINT) must equal the same formulas
+    * evaluated analytically by the DuckDB oracle over generate_series.
+    * Narrow (no shuffle): encode+decode are per-row, the plan is one
+    * scan → mapPartitions. JPEG is excluded (lossy — its witness is
+    * CodecSpec's ImageIO cross-validation). */
   private def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        graft.multimodal.DecodeStub.MediaRow(id, "text", t.getBytes("UTF-8")) }
-    graft.multimodal.DecodeStub.decodeFeatures(media).toDF()
-      .select(col("media_id"), col("modality"), col("n_bytes"), col("content_md5"),
-        md5(col("feature").cast("string").cast("binary")).as("feature_md5"))
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val (m, payload) = graft.multimodal.SynthMedia.forId(id)
+        graft.multimodal.DecodeStub.MediaRow(id, m, payload) }
+    graft.multimodal.DecodeStub.decodeStats(media).toDF()
+      .select(col("media_id"), col("modality"), col("n_units"),
+        col("s0"), col("s1"), col("s2"))
   }
 
   /** Duplicate clusters: minhash LSH bucket STARS (linear in bucket sizes,

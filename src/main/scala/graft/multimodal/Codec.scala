@@ -18,6 +18,21 @@ package graft.multimodal
   */
 object Codec {
 
+  /** Exact integer pixel aggregates — the ORACLE-VERIFIABLE face of a
+    * decode: every decoder produces integer samples before any float
+    * math, so channel sums in native sample units (`maxVal` = 255 for
+    * 8-bit, 65535 for 16-bit, always 255 for palette entries) plus the
+    * pixel count determine the float features exactly. Alpha is in the
+    * same units (opaque = `maxVal` per pixel). */
+  final case class PixelStats(nPixels: Long, maxVal: Int,
+                              sumB: Long, sumG: Long, sumR: Long, sumA: Long)
+
+  /** Exact integer sample aggregates for PCM audio: sum of squared raw
+    * 16-bit samples, sign-change count between successive same-channel
+    * samples, and the peak |sample| (0..32768). */
+  final case class AudioStats(nSamples: Long, frames: Long, channels: Int,
+                              sumSq: Long, crossings: Long, peakRaw: Int)
+
   /** Corpus-sanity pixel bound (64 Mpx ≈ 8192x8192): header-declared
     * dimensions drive buffer allocation BEFORE any pixel data is
     * validated, so a 100-byte crafted payload could otherwise demand
@@ -43,6 +58,23 @@ object Codec {
     * MEANS are row-order invariant anyway, but bounds are honored
     * per-spec. Returns null if the pixel array is truncated. */
   def decodeBmp24(b: Array[Byte]): Array[Float] = {
+    val st = statsBmp24(b)
+    if (st == null) return null
+    val n = st.nPixels.toDouble
+    val mb = (st.sumB / n / 255.0).toFloat
+    val mg = (st.sumG / n / 255.0).toFloat
+    val mr = (st.sumR / n / 255.0).toFloat
+    val luma = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
+    val f = new Array[Float](DecodeStub.FeatureDim)
+    f(0) = mb; f(1) = mg; f(2) = mr; f(3) = luma; f(4) = n.toFloat
+    f(5) = 1.0f // 24-bit BMP has no alpha: opaque, like the other decoders
+    f
+  }
+
+  /** [[decodeBmp24]]'s exact integer core: raw channel byte sums —
+    * Long accumulation, no float on the path, so the result is an
+    * oracle-checkable exact aggregate. */
+  def statsBmp24(b: Array[Byte]): PixelStats = {
     if (!isBmp24(b)) return null
     val off = le32(b, 10).toInt
     val w = le32(b, 18).toInt
@@ -53,7 +85,7 @@ object Codec {
     if (w <= 0 || h <= 0 || w.toLong * h > Codec.MaxPixels) return null
     val rowBytes = ((w * 3 + 3) / 4) * 4
     if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return null
-    var sb = 0.0; var sg = 0.0; var sr = 0.0
+    var sb = 0L; var sg = 0L; var sr = 0L
     var y = 0
     while (y < h) {
       var x = 0
@@ -66,15 +98,8 @@ object Codec {
       }
       y += 1
     }
-    val n = w.toDouble * h
-    val mb = (sb / n / 255.0).toFloat
-    val mg = (sg / n / 255.0).toFloat
-    val mr = (sr / n / 255.0).toFloat
-    val luma = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
-    val f = new Array[Float](DecodeStub.FeatureDim)
-    f(0) = mb; f(1) = mg; f(2) = mr; f(3) = luma; f(4) = n.toFloat
-    f(5) = 1.0f // 24-bit BMP has no alpha: opaque, like the other decoders
-    f
+    val n = w.toLong * h
+    PixelStats(n, 255, sb, sg, sr, 255L * n)
   }
 
   /** True iff the payload is a 16-bit PCM WAV [[decodePcm16]] handles. */
@@ -108,6 +133,23 @@ object Codec {
     * frame count — over the interleaved 16-bit little-endian samples of
     * the `data` chunk. */
   def decodePcm16(b: Array[Byte]): Array[Float] = {
+    val st = statsPcm16(b)
+    if (st == null) return null
+    val f = new Array[Float](DecodeStub.FeatureDim)
+    if (st.nSamples > 0) {
+      // 32768^2 per unit: sumSq is the raw-sample square sum
+      f(0) = math.sqrt(st.sumSq / (st.nSamples * 32768.0 * 32768.0)).toFloat
+      f(1) = (st.crossings.toDouble /
+        math.max(1L, st.nSamples - st.channels)).toFloat
+      f(2) = (st.peakRaw / 32768.0).toFloat
+      f(3) = st.frames.toFloat
+    }
+    f
+  }
+
+  /** [[decodePcm16]]'s exact integer core: Long sum of squared raw
+    * samples, sign-change count, raw peak — no float on the path. */
+  def statsPcm16(b: Array[Byte]): AudioStats = {
     val meta = AudioMeta.parse(b)
     if (meta == null || meta.getInt(2) != 16) return null
     val channels = meta.getInt(0)
@@ -122,27 +164,20 @@ object Codec {
     // range doesn't fit in the bytes present after the data header.
     val nSamples = (frames * channels).toInt
     if (nSamples < 0 || frames * channels * 2 > (b.length - body).toLong) return null
-    var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+    var sumSq = 0L; var peak = 0; var crossings = 0L
     val prev = new Array[Int](channels)
     var s = 0
     while (s < nSamples) {
       val v = le16(b, body + s * 2).toShort.toInt
-      val a = math.abs(v / 32768.0)
-      sumSq += (v / 32768.0) * (v / 32768.0)
+      val a = math.abs(v)
+      sumSq += v.toLong * v
       if (a > peak) peak = a
       val ch = s % channels
       if (s >= channels && (v < 0) != (prev(ch) < 0)) crossings += 1
       prev(ch) = v
       s += 1
     }
-    val f = new Array[Float](DecodeStub.FeatureDim)
-    if (nSamples > 0) {
-      f(0) = math.sqrt(sumSq / nSamples).toFloat
-      f(1) = (crossings.toDouble / math.max(1, nSamples - channels)).toFloat
-      f(2) = peak.toFloat
-      f(3) = frames.toFloat
-    }
-    f
+    AudioStats(nSamples.toLong, frames, channels, sumSq, crossings, peak)
   }
 
   // ---------------------------------------------------------------- PNG
@@ -173,6 +208,27 @@ object Codec {
     * error — returns null (filter-don't-fail): the row is filtered,
     * never a task crash. */
   def decodePng(b: Array[Byte]): Array[Float] = {
+    val st = statsPng(b)
+    if (st == null) return null
+    val n = st.nPixels.toDouble
+    val scale = st.maxVal.toDouble
+    val mr = (st.sumR / scale / n).toFloat
+    val mg = (st.sumG / scale / n).toFloat
+    val mb = (st.sumB / scale / n).toFloat
+    val f = new Array[Float](DecodeStub.FeatureDim)
+    f(0) = mb; f(1) = mg; f(2) = mr
+    f(3) = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
+    f(4) = n.toFloat
+    f(5) = (st.sumA / scale / n).toFloat
+    f
+  }
+
+  /** [[decodePng]]'s exact integer core: Long channel sums in native
+    * sample units (`maxVal` = (1<<depth)-1; palette entries and their
+    * tRNS alpha are always 8-bit so `maxVal` is 255 for color type 3
+    * regardless of index depth). Same coverage and filter-don't-fail
+    * contract as the float face. */
+  def statsPng(b: Array[Byte]): PixelStats = {
     if (!isPng(b)) return null
     // --- chunk walk: IHDR, PLTE, IDAT*, IEND; CRC32 over type+data
     var w = 0; var h = 0; var depth = 0; var colorType = -1; var interlace = 0
@@ -248,7 +304,10 @@ object Codec {
     // --- per sub-image: unfilter in place, then accumulate channel sums
     val bpp = math.max(1, bitsPerPixel / 8)
     val maxVal = (1 << math.min(depth, 16)) - 1
-    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sa = 0.0
+    // palette samples and per-entry tRNS alpha are 8-bit regardless of
+    // the (index) depth: color type 3 accumulates in 255 units
+    val chScale = if (colorType == 3) 255 else maxVal
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
     var segOff = 0
     for ((wp, hp) <- passes) {
       val stride = strideOf(wp)
@@ -297,40 +356,37 @@ object Codec {
           colorType match {
             case 0 =>
               val v = samp(y, x)
-              val g = v.toDouble / maxVal
-              sr += g; sg += g; sb += g
+              sr += v; sg += v; sb += v
               // tRNS on gray: a 2-byte color key marks the transparent value
               sa += (if (trns != null && trns.length >= 2 &&
-                  v == ((u8(trns, 0) << 8) | u8(trns, 1))) 0.0 else 1.0)
+                  v == ((u8(trns, 0) << 8) | u8(trns, 1))) 0L else maxVal.toLong)
             case 2 =>
               val r = samp(y, x * 3); val g = samp(y, x * 3 + 1); val b2 = samp(y, x * 3 + 2)
-              sr += r.toDouble / maxVal
-              sg += g.toDouble / maxVal
-              sb += b2.toDouble / maxVal
+              sr += r; sg += g; sb += b2
               // tRNS on RGB: a 3x2-byte color key
               sa += (if (trns != null && trns.length >= 6 &&
                   r == ((u8(trns, 0) << 8) | u8(trns, 1)) &&
                   g == ((u8(trns, 2) << 8) | u8(trns, 3)) &&
-                  b2 == ((u8(trns, 4) << 8) | u8(trns, 5))) 0.0 else 1.0)
+                  b2 == ((u8(trns, 4) << 8) | u8(trns, 5))) 0L else maxVal.toLong)
             case 3 =>
               val idxP = samp(y, x)
               val pi = idxP * 3
               if (pi + 2 >= plte.length) return null
-              sr += u8(plte, pi) / 255.0
-              sg += u8(plte, pi + 1) / 255.0
-              sb += u8(plte, pi + 2) / 255.0
+              sr += u8(plte, pi)
+              sg += u8(plte, pi + 1)
+              sb += u8(plte, pi + 2)
               // tRNS on palette: per-entry alpha, entries past it opaque
-              sa += (if (trns != null && idxP < trns.length) u8(trns, idxP) / 255.0
-                     else 1.0)
+              sa += (if (trns != null && idxP < trns.length) u8(trns, idxP).toLong
+                     else 255L)
             case 4 =>
-              val g = samp(y, x * 2).toDouble / maxVal
+              val g = samp(y, x * 2)
               sr += g; sg += g; sb += g
-              sa += samp(y, x * 2 + 1).toDouble / maxVal
+              sa += samp(y, x * 2 + 1)
             case 6 =>
-              sr += samp(y, x * 4).toDouble / maxVal
-              sg += samp(y, x * 4 + 1).toDouble / maxVal
-              sb += samp(y, x * 4 + 2).toDouble / maxVal
-              sa += samp(y, x * 4 + 3).toDouble / maxVal
+              sr += samp(y, x * 4)
+              sg += samp(y, x * 4 + 1)
+              sb += samp(y, x * 4 + 2)
+              sa += samp(y, x * 4 + 3)
           }
           x += 1
         }
@@ -338,14 +394,7 @@ object Codec {
       }
       segOff += (stride + 1) * hp
     }
-    val n = w.toDouble * h
-    val mr = (sr / n).toFloat; val mg = (sg / n).toFloat; val mb = (sb / n).toFloat
-    val f = new Array[Float](DecodeStub.FeatureDim)
-    f(0) = mb; f(1) = mg; f(2) = mr
-    f(3) = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
-    f(4) = n.toFloat
-    f(5) = (sa / n).toFloat
-    f
+    PixelStats(w.toLong * h, chScale, sb, sg, sr, sa)
   }
 
   // --------------------------------------------------------------- JPEG

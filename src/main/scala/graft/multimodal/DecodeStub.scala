@@ -54,6 +54,42 @@ object DecodeStub {
     }
   }
 
+  /** One decoded row of EXACT integer aggregates — the oracle-checkable
+    * face of a decode ([[Codec.PixelStats]]/[[Codec.AudioStats]]):
+    * images carry (n_units = pixel count, s0/s1/s2 = raw B/G/R channel
+    * sums in native sample units); PCM audio carries (n_units = sample
+    * count, s0 = Σ sample², s1 = sign-change count, s2 = peak |sample|).
+    * Unrecognized payloads → null aggregates (filter-don't-fail). */
+  case class DecodedStatsRow(media_id: Long, modality: String, n_bytes: Int,
+                             n_units: Option[Long], s0: Option[Long],
+                             s1: Option[Long], s2: Option[Long])
+
+  /** Integer-aggregate decode through the same partition-batched
+    * plumbing as [[decodeFeatures]]; dispatch mirrors [[Codec.decodeAny]]
+    * minus JPEG (lossy — no exact aggregate contract to expose). */
+  def decodeStats(media: Dataset[MediaRow]): Dataset[DecodedStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        val (n, a, b, c) =
+          if (p == null) (None, None, None, None)
+          else if (Codec.isBmp24(p) || Codec.isPng(p)) {
+            val st = if (Codec.isBmp24(p)) Codec.statsBmp24(p) else Codec.statsPng(p)
+            if (st == null) (None, None, None, None)
+            else (Some(st.nPixels), Some(st.sumB), Some(st.sumG), Some(st.sumR))
+          } else if (Codec.isPcm16(p)) {
+            val st = Codec.statsPcm16(p)
+            if (st == null) (None, None, None, None)
+            else (Some(st.nSamples), Some(st.sumSq), Some(st.crossings),
+              Some(st.peakRaw.toLong))
+          } else (None, None, None, None)
+        DecodedStatsRow(r.media_id, r.modality,
+          if (p == null) 0 else p.length, n, a, b, c)
+      }
+    }
+  }
+
   /** Video-style frame SUBSAMPLING plumbing: a payload holding
     * fixed-size frames explodes to every `every`-th frame as its own
     * (media_id, frame_idx, frame) row — the "sample 1 fps before the

@@ -11,12 +11,11 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only queries are exactly the documented set") {
-    // q_profile_customer gained a full oracle in round 9 (the HLL estimate
-    // is checked in-engine and exported as a stable boolean); only the
-    // stub-codec decode remains inherently oracle-free
+  test("every query is oracle-checked — no rows-only queries remain") {
+    // q_multimodal_decode gained its analytic oracle in round 11
+    // (SynthMedia closed-form aggregates); the suite is 100% verifiable
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_multimodal_decode"))
+    assert(rowsOnly === Set.empty[String])
   }
 
   test("all queries run and return rows on sf0.001") {

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** The encode→decode→exact-aggregate loop behind q_multimodal_decode:
+  * SynthMedia renders closed-form pixels/samples into real containers,
+  * the Codec integer-stat decoders must recover the closed-form sums
+  * EXACTLY (the property the DuckDB oracle asserts analytically), and
+  * the PNG encoder is independently witnessed by ImageIO. */
+class SynthMediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def closedFormImage(id: Long): (Long, Long, Long, Long) = {
+    val w = SynthMedia.widthOf(id); val h = SynthMedia.heightOf(id)
+    var sb = 0L; var sg = 0L; var sr = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sb += SynthMedia.blue(id, x, y)
+      sg += SynthMedia.green(id, x, y)
+      sr += SynthMedia.red(id, x, y)
+    }
+    (w.toLong * h, sb, sg, sr)
+  }
+
+  private def closedFormWav(id: Long): (Long, Long, Long, Long) = {
+    val n = SynthMedia.nSamplesOf(id)
+    var sq = 0L; var cross = 0L; var peak = 0L
+    for (i <- 0 until n) {
+      val s = SynthMedia.sample(id, i)
+      sq += s.toLong * s
+      peak = math.max(peak, math.abs(s.toLong))
+      if (i >= 1 && (s < 0) != (SynthMedia.sample(id, i - 1) < 0)) cross += 1
+    }
+    (n.toLong, sq, cross, peak)
+  }
+
+  test("decoded integer aggregates equal the closed-form formulas, every modality") {
+    for (id <- 0L until 21L) {
+      val (mod, payload) = SynthMedia.forId(id)
+      if (mod == "wav") {
+        val st = Codec.statsPcm16(payload)
+        assert(st != null, s"id=$id wav must parse")
+        val (n, sq, cross, peak) = closedFormWav(id)
+        assert((st.nSamples, st.sumSq, st.crossings, st.peakRaw.toLong) ===
+          ((n, sq, cross, peak)), s"id=$id wav stats")
+      } else {
+        val st = if (mod == "bmp") Codec.statsBmp24(payload) else Codec.statsPng(payload)
+        assert(st != null, s"id=$id $mod must parse")
+        val (n, sb, sg, sr) = closedFormImage(id)
+        assert((st.nPixels, st.sumB, st.sumG, st.sumR) === ((n, sb, sg, sr)),
+          s"id=$id $mod channel sums")
+        assert(st.maxVal === 255)
+      }
+    }
+  }
+
+  test("PNG encoder is witnessed by ImageIO pixel-for-pixel") {
+    val id = 4L // id%3==1 -> png
+    val (_, payload) = SynthMedia.forId(id)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO must accept the synthesized PNG")
+    assert(img.getWidth === SynthMedia.widthOf(id))
+    assert(img.getHeight === SynthMedia.heightOf(id))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === SynthMedia.red(id, x, y), s"r@$x,$y")
+      assert(((rgb >> 8) & 0xff) === SynthMedia.green(id, x, y), s"g@$x,$y")
+      assert((rgb & 0xff) === SynthMedia.blue(id, x, y), s"b@$x,$y")
+    }
+  }
+
+  test("decodeStats dataset plumbing: unrecognized payloads filter to null aggregates") {
+    val media = Seq(
+      DecodeStub.MediaRow(1L, "bmp", SynthMedia.forId(0L)._2),
+      DecodeStub.MediaRow(2L, "junk", Array[Byte](1, 2, 3)),
+      DecodeStub.MediaRow(3L, "wav", SynthMedia.forId(2L)._2)).toDS()
+    val rows = DecodeStub.decodeStats(media).collect().sortBy(_.media_id)
+    assert(rows(0).n_units.isDefined && rows(2).n_units.isDefined)
+    assert(rows(1).n_units.isEmpty && rows(1).s0.isEmpty)
+    assert(rows(1).n_bytes === 3)
+  }
+}
