@@ -399,14 +399,14 @@ object Codec {
 
   // --------------------------------------------------------------- JPEG
 
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private[multimodal] def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
 
   /** True iff the payload starts with the JPEG SOI marker. */
   def isJpeg(b: Array[Byte]): Boolean =
     b != null && b.length > 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
 
   /** Zig-zag index -> natural (row-major) index, ITU T.81 Figure 5. */
-  private val ZigZag: Array[Int] = Array(
+  private[multimodal] val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -414,13 +414,13 @@ object Codec {
 
   /** ct(v)(x) = C(v) * cos((2x+1) v pi / 16) — the 1-D IDCT basis with
     * the normalization folded in (C(0)=1/sqrt2, else 1). */
-  private val IdctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (v, x) =>
+  private[multimodal] val IdctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (v, x) =>
     (if (v == 0) 1.0 / math.sqrt(2.0) else 1.0) *
       math.cos((2 * x + 1) * v * math.Pi / 16.0)
   }
 
   /** Canonical Huffman table in the T.81 F.2.2.3 decode form. */
-  private final class Huff(bits: Array[Int], val huffval: Array[Byte]) {
+  private[multimodal] final class Huff(bits: Array[Int], val huffval: Array[Byte]) {
     val mincode = new Array[Int](17)
     val maxcode = new Array[Int](17)
     val valptr = new Array[Int](17)
@@ -437,7 +437,7 @@ object Codec {
 
   /** MSB-first bit reader over the entropy-coded segment; handles 0xFF00
     * byte stuffing and stops (returns -1) at any real marker. */
-  private final class BitReader(b: Array[Byte], var pos: Int) {
+  private[multimodal] final class BitReader(b: Array[Byte], var pos: Int) {
     private var cur = 0
     private var nbits = 0
     var atMarker = false
@@ -474,7 +474,7 @@ object Codec {
     }
   }
 
-  private def huffDecode(r: BitReader, h: Huff): Int = { // T.81 F.16; -1 on error
+  private[multimodal] def huffDecode(r: BitReader, h: Huff): Int = { // T.81 F.16; -1 on error
     var code = r.nextBit()
     if (code < 0) return -1
     var l = 1
@@ -490,7 +490,7 @@ object Codec {
     u8(h.huffval, idx)
   }
 
-  private def extend(v: Int, t: Int): Int = // T.81 F.12 sign extension
+  private[multimodal] def extend(v: Int, t: Int): Int = // T.81 F.12 sign extension
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
   /** Baseline-sequential JPEG pixel decode, library-free (public ITU
@@ -505,11 +505,28 @@ object Codec {
     * Coverage: 8-bit baseline (SOF0) and extended-sequential Huffman
     * (SOF1), 1 component (grayscale) or 3 components (YCbCr, any
     * sampling factors 1-4 incl. 4:4:4 / 4:2:2 / 4:2:0), restart
-    * intervals. Progressive (SOF2), arithmetic coding, hierarchical,
-    * 12-bit, and CMYK return null (filter-don't-fail), falling back to
-    * the dispatch's deterministic stub — the same contract as every
-    * other decoder here. */
+    * intervals; progressive (SOF2) dispatches to [[ProgressiveJpeg]]
+    * (T.81 Annex G). Arithmetic coding, hierarchical, 12-bit, and CMYK
+    * return null (filter-don't-fail), falling back to the dispatch's
+    * deterministic stub — the same contract as every other decoder
+    * here. */
   def decodeJpeg(b: Array[Byte]): Array[Float] = {
+    val px = decodeJpegPixels(b)
+    if (px == null) null else jpegFeatures(px)
+  }
+
+  /** Decoded JPEG pixel planes (either coding mode) plus the sampling
+    * geometry needed to read them — the shared pixel-level product
+    * consumed by [[jpegFeatures]] and [[ImageHash]]'s luma grid. */
+  private[multimodal] final case class JpegPixels(
+      planes: Array[Array[Byte]], planeW: Array[Int],
+      cH: Array[Int], cV: Array[Int], hMax: Int, vMax: Int,
+      nComp: Int, w: Int, h: Int)
+
+  /** [[decodeJpeg]] up to (but not including) the feature accumulation:
+    * full pixel planes. Baseline/extended-sequential here; SOF2 routes
+    * to [[ProgressiveJpeg]]. */
+  private[multimodal] def decodeJpegPixels(b: Array[Byte]): JpegPixels = {
     if (!isJpeg(b)) return null
     val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
     val qtSeen = new Array[Boolean](4)
@@ -574,7 +591,9 @@ object Codec {
               if (cH(c) < 1 || cH(c) > 4 || cV(c) < 1 || cV(c) > 4 || cQ(c) > 3) return null
               c += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc2 => // SOF2 progressive: the multi-scan sibling decoder
+            return ProgressiveJpeg.decodePixels(b)
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf => return null // non-baseline frame types
           case 0xdd => // DRI
             if (len != 4) return null
@@ -670,39 +689,8 @@ object Codec {
                   k += 1
                 }
               }
-              // --- dequantize into natural order
-              java.util.Arrays.fill(blk, 0.0)
-              k = 0
-              while (k < 64) { blk(ZigZag(k)) = coef(k).toDouble * q(k); k += 1 }
-              // --- separable IDCT: rows (over v -> x), then columns
-              var u = 0
-              while (u < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s2 = 0.0
-                  var v = 0
-                  while (v < 8) { s2 += blk(u * 8 + v) * IdctBasis(v)(x); v += 1 }
-                  tmp(u * 8 + x) = 0.5 * s2
-                  x += 1
-                }
-                u += 1
-              }
-              val x0 = (mx * cH(c) + bx) * 8
-              val y0 = (my * cV(c) + by) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s2 = 0.0
-                  var u2 = 0
-                  while (u2 < 8) { s2 += tmp(u2 * 8 + x) * IdctBasis(u2)(y); u2 += 1 }
-                  val px = (0.5 * s2 + 128.0).round.toInt
-                  planes(c)((y0 + y) * planeW(c) + x0 + x) =
-                    (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                  x += 1
-                }
-                y += 1
-              }
+              dequantIdctToPlane(coef, q, blk, tmp, planes(c), planeW(c),
+                (mx * cH(c) + bx) * 8, (my * cV(c) + by) * 8)
               bx += 1
             }
             by += 1
@@ -714,31 +702,44 @@ object Codec {
       }
       my += 1
     }
-    // --- per-pixel accumulate with replication upsampling + color convert
+    JpegPixels(planes, planeW, cH, cV, hMax, vMax, nComp, w, h)
+  }
+
+  /** (r, g, b) of one pixel from decoded planes: replication upsampling
+    * (T.871 box placement) + YCbCr→RGB (JFIF full-range) with clamping —
+    * the ONE pixel-read path shared by features and the luma grid. */
+  private[multimodal] def jpegRgbAt(px: JpegPixels, x: Int, y: Int): (Double, Double, Double) = {
+    if (px.nComp == 1) {
+      val g = u8(px.planes(0), y * px.planeW(0) + x).toDouble
+      (g, g, g)
+    } else {
+      def sampC(c: Int): Int =
+        u8(px.planes(c),
+          (y * px.cV(c) / px.vMax) * px.planeW(c) + (x * px.cH(c) / px.hMax))
+      val yy = sampC(0).toDouble
+      val cb = sampC(1).toDouble - 128.0
+      val cr = sampC(2).toDouble - 128.0
+      def clamp(v: Double): Double = if (v < 0) 0 else if (v > 255) 255 else v
+      (clamp(yy + 1.402 * cr), clamp(yy - 0.344136 * cb - 0.714136 * cr),
+        clamp(yy + 1.772 * cb))
+    }
+  }
+
+  /** Shared JPEG output stage ([[decodeJpeg]] / [[ProgressiveJpeg]]):
+    * per-pixel accumulate into the standard feature layout. */
+  private[multimodal] def jpegFeatures(px: JpegPixels): Array[Float] = {
     var sr = 0.0; var sg = 0.0; var sb = 0.0
     var y = 0
-    while (y < h) {
+    while (y < px.h) {
       var x = 0
-      while (x < w) {
-        if (nComp == 1) {
-          val g = u8(planes(0), y * planeW(0) + x) / 255.0
-          sr += g; sg += g; sb += g
-        } else {
-          def sampC(c: Int): Int =
-            u8(planes(c), (y * cV(c) / vMax) * planeW(c) + (x * cH(c) / hMax))
-          val yy = sampC(0).toDouble
-          val cb = sampC(1).toDouble - 128.0
-          val cr = sampC(2).toDouble - 128.0
-          def clamp(v: Double): Double = if (v < 0) 0 else if (v > 255) 255 else v
-          sr += clamp(yy + 1.402 * cr) / 255.0
-          sg += clamp(yy - 0.344136 * cb - 0.714136 * cr) / 255.0
-          sb += clamp(yy + 1.772 * cb) / 255.0
-        }
+      while (x < px.w) {
+        val (r, g, b2) = jpegRgbAt(px, x, y)
+        sr += r / 255.0; sg += g / 255.0; sb += b2 / 255.0
         x += 1
       }
       y += 1
     }
-    val n = w.toDouble * h
+    val n = px.w.toDouble * px.h
     val mr = (sr / n).toFloat; val mg = (sg / n).toFloat; val mb = (sb / n).toFloat
     val f = new Array[Float](DecodeStub.FeatureDim)
     f(0) = mb; f(1) = mg; f(2) = mr
@@ -746,6 +747,45 @@ object Codec {
     f(4) = n.toFloat
     f(5) = 1.0f // JPEG has no alpha channel
     f
+  }
+
+  /** Dequantize (zigzag `coef` × `q`), separable double-precision 8x8
+    * IDCT, level-shift + clamp into `plane` at (x0,y0) — the shared
+    * per-block output stage of both JPEG entropy decoders. `blk`/`tmp`
+    * are caller-owned 64-wide scratch. */
+  private[multimodal] def dequantIdctToPlane(coef: Array[Int], q: Array[Int],
+      blk: Array[Double], tmp: Array[Double],
+      plane: Array[Byte], planeW: Int, x0: Int, y0: Int): Unit = {
+    java.util.Arrays.fill(blk, 0.0)
+    var k = 0
+    while (k < 64) { blk(ZigZag(k)) = coef(k).toDouble * q(k); k += 1 }
+    // separable IDCT: rows (over v -> x), then columns
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s2 = 0.0
+        var v = 0
+        while (v < 8) { s2 += blk(u * 8 + v) * IdctBasis(v)(x); v += 1 }
+        tmp(u * 8 + x) = 0.5 * s2
+        x += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s2 = 0.0
+        var u2 = 0
+        while (u2 < 8) { s2 += tmp(u2 * 8 + x) * IdctBasis(u2)(y); u2 += 1 }
+        val px = (0.5 * s2 + 128.0).round.toInt
+        plane((y0 + y) * planeW + x0 + x) =
+          (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        x += 1
+      }
+      y += 1
+    }
   }
 
   /** Dispatch: real decoder where the format permits one, the

@@ -18,11 +18,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * Hamming distance <= 3, at least one of the 4 16-bit blocks is
   * identical, so candidates come from an equi-join, never all-pairs).
   *
-  * The pixel source is the repo's own library-free decoder for 24-bit
-  * BMP ([[Codec.decodeBmp24]]'s layout); other formats flow through
-  * once decoded to that layout upstream (the decode stage of
-  * [[DecodeStub.decodeFeatures]]) — the HASH contract is over the luma
-  * grid and is format-independent ([[dHashFromGrid]]). */
+  * The pixel sources are the repo's own library-free decoders: 24-bit
+  * BMP ([[Codec.decodeBmp24]]'s layout) and JPEG in both coding modes
+  * ([[Codec.decodeJpegPixels]] — baseline and progressive, so a
+  * progressive re-encode of a baseline image hashes to within a few
+  * bits); other formats flow through once decoded upstream (the decode
+  * stage of [[DecodeStub.decodeFeatures]]) — the HASH contract is over
+  * the luma grid and is format-independent ([[dHashFromGrid]]). */
 object ImageHash {
 
   /** Grid geometry: 9 columns x 8 rows -> 8x8 = 64 horizontal-gradient
@@ -94,11 +96,42 @@ object ImageHash {
     h
   }
 
-  /** Boxed dHash of a 24-bit BMP payload; null for anything else (the
-    * filter-don't-fail codec contract). Static entry for the codegen
-    * expression below. */
+  /** Box-averaged luminance grid from a decoded JPEG (either coding
+    * mode — [[Codec.decodeJpegPixels]] routes SOF0/1 and SOF2): the
+    * same mean-pooled downsample as the BMP path, over the shared
+    * upsample+YCbCr pixel read. A baseline and a progressive re-encode
+    * of one image therefore land within a few Hamming bits. */
+  def lumaGridJpeg(b: Array[Byte]): Array[Double] = {
+    val px = Codec.decodeJpegPixels(b)
+    if (px == null || px.w < GridW || px.h < GridH) return null
+    val sum = new Array[Double](GridW * GridH)
+    val cnt = new Array[Long](GridW * GridH)
+    var y = 0
+    while (y < px.h) {
+      val gy = y * GridH / px.h
+      var x = 0
+      while (x < px.w) {
+        val gx = x * GridW / px.w
+        val (r, g, bl) = Codec.jpegRgbAt(px, x, y)
+        sum(gy * GridW + gx) += 0.299 * r + 0.587 * g + 0.114 * bl
+        cnt(gy * GridW + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](GridW * GridH)
+    var i = 0
+    while (i < out.length) { out(i) = sum(i) / cnt(i); i += 1 }
+    out
+  }
+
+  /** Boxed dHash of a 24-bit BMP or JPEG payload; null for anything
+    * else (the filter-don't-fail codec contract). Static entry for the
+    * codegen expression below. */
   def dHash64(b: Array[Byte]): java.lang.Long = {
-    val g = lumaGridBmp24(b)
+    val g =
+      if (Codec.isJpeg(b)) lumaGridJpeg(b)
+      else lumaGridBmp24(b)
     if (g == null) null else java.lang.Long.valueOf(dHashFromGrid(g))
   }
 

@@ -460,13 +460,55 @@ class CodecSpec extends SparkSpec {
     assert(f444 != null && math.abs(f444(3) - 100 / 255.0) < 1e-6)
   }
 
+  test("progressive JPEG decode: spectral selection + successive approximation vs ImageIO") {
+    // same harness as the baseline cross-validation: odd dims (partial
+    // edge MCUs), full-spectrum gradient content, three qualities
+    // (4:4:4 down through subsampled chroma). ImageIO writes multi-scan
+    // SOF2 with successive approximation — the full Annex G surface.
+    val w = 37; val h = 23
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 19 + y * 3) % 256; val g = (x * 7 + y * 31) % 256
+      val b = (x * 11 + y * 13) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    for (q <- Seq(0.95f, 0.7f, 0.4f)) {
+      val bytes = jpegBytes(img, q, progressive = true)
+      // the fixture must actually be progressive: SOF2 marker present
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "fixture must be SOF2")
+      val f = Codec.decodeJpeg(bytes)
+      assert(f != null, s"quality $q progressive JPEG did not decode")
+      val (eb, eg, er) = imageioMeans(bytes)
+      assert(math.abs(f(0) - eb) < 0.01, s"q=$q blue ${f(0)} vs $eb")
+      assert(math.abs(f(1) - eg) < 0.01, s"q=$q green ${f(1)} vs $eg")
+      assert(math.abs(f(2) - er) < 0.01, s"q=$q red ${f(2)} vs $er")
+      assert(f(4) === (w * h).toFloat)
+      assert(f(5) === 1.0f)
+    }
+    // grayscale progressive: single-component scans, no interleave
+    val gray = new java.awt.image.BufferedImage(21, 9, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 9; x <- 0 until 21)
+      gray.getRaster.setSample(x, y, 0, (x * 12 + y * 25) % 256)
+    val gbytes = jpegBytes(gray, 0.8f, progressive = true)
+    val gf = Codec.decodeJpeg(gbytes)
+    assert(gf != null, "grayscale progressive JPEG did not decode")
+    val gref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    var gsum = 0.0
+    for (y <- 0 until 9; x <- 0 until 21)
+      gsum += gref.getRaster.getSample(x, y, 0) / 255.0
+    assert(math.abs(gf(3) - gsum / (21 * 9)) < 0.01, s"gray luma ${gf(3)}")
+  }
+
   test("JPEG decode: non-baseline and malformed inputs filter, never crash") {
     val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (x * 16) << 8 | y * 16)
-    // progressive (SOF2) is out of scope -> null, stub fallback in dispatch
+    // progressive (SOF2) decodes for real since R11 — dispatch routes it
     val prog = jpegBytes(img, 0.8f, progressive = true)
-    assert(Codec.decodeJpeg(prog) === null, "progressive must filter")
-    assert(Codec.decodeAny(prog).toSeq == DecodeStub.decodeStub(prog).toSeq)
+    assert(Codec.decodeJpeg(prog) != null, "progressive must decode")
+    assert(Codec.decodeAny(prog).toSeq == Codec.decodeJpeg(prog).toSeq)
+    // truncated progressive entropy stream -> null, never a crash
+    assert(Codec.decodeJpeg(java.util.Arrays.copyOf(prog, prog.length / 2)) === null)
     // truncated entropy stream -> null
     val good = jpegBytes(img, 0.8f)
     assert(Codec.decodeJpeg(good) != null)

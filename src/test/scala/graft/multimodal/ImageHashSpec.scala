@@ -77,6 +77,56 @@ class ImageHashSpec extends SparkSpec {
     assert(d >= 1 && d <= 3, s"perturbation should move 1-3 bits, moved $d")
   }
 
+  test("baseline/progressive JPEG re-encodes of one image pair up as near-dups") {
+    // the R10 gap: a web corpus holds the SAME image as both a baseline
+    // and a progressive JPEG; near-dup must see through the coding mode
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      // blocky content (not a monotone ramp): distinct gradient signs
+      // per cell so the decoy below can actually differ in hash
+      val v = if (((x / 6) + (y / 4)) % 2 == 0) 40 + x * 2 else 220 - x * 3
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def jpeg(progressive: Boolean): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.85f)
+      if (progressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val base = jpeg(progressive = false)
+    val prog = jpeg(progressive = true)
+    assert(prog.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "fixture must be SOF2")
+    val hb = ImageHash.dHash64(base); val hp = ImageHash.dHash64(prog)
+    assert(hb != null && hp != null, "both coding modes must hash")
+    assert(ImageHash.hamming(hb, hp) <= 3,
+      s"re-encode pair drifted ${ImageHash.hamming(hb, hp)} bits")
+    // decoy: the same checkerboard mirrored left-right — every cell's
+    // horizontal gradient flips sign, so the hash is far away
+    val mirror = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) mirror.setRGB(x, y, img.getRGB(w - 1 - x, y))
+    val decoy = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(mirror, "jpeg", bos)
+      bos.toByteArray
+    }
+    val pairs = ImageHash.nearDupPairs(
+        Seq((10L, base), (20L, prog), (30L, decoy)).toDF("img_id", "payload"),
+        "img_id", "payload", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((10L, 20L)),
+      s"expected exactly the re-encode pair, got ${pairs.toSeq}")
+  }
+
   test("block pigeonhole == brute force on randomized image sets (hamming <= 3)") {
     val rnd = new scala.util.Random(42)
     val imgs = (1L to 12L).map { id =>
