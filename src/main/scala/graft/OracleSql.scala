@@ -1046,8 +1046,10 @@ object OracleSql {
         |FROM documents""".stripMargin,
 
     // ANALYTIC ground truth for the end-to-end encode→decode proof:
-    // Spark synthesizes BMP/PNG/WAV payloads from these exact modular
-    // formulas (SynthMedia), decodes them with the real codecs, and
+    // Spark synthesizes BMP/PNG/WAV/GIF payloads from these exact
+    // modular formulas (SynthMedia), decodes them with the real codecs
+    // (GIF exercises the LZW path; its gray ramp makes all three
+    // channel sums equal the `b` formula sum), and
     // emits exact integer aggregates; the oracle never touches a byte —
     // it evaluates the same formulas over generate_series. A decoder
     // bug (filter predictor, row padding, sample order) breaks the
@@ -1055,7 +1057,7 @@ object OracleSql {
     // ns≤640), filtered per-row to the actual size.
     "q_multimodal_decode" ->
       """WITH p AS (
-        |  SELECT doc_id, doc_id % 3 AS m,
+        |  SELECT doc_id, doc_id % 4 AS m,
         |         8 + (doc_id % 5) * 4 AS w,
         |         8 + (doc_id % 3) * 4 AS h,
         |         256 + (doc_id % 7) * 64 AS ns
@@ -1070,6 +1072,16 @@ object OracleSql {
         |         CAST(sum((p.doc_id*23 + (t.i % p.w)*5  + (t.i // p.w)*19) % 256) AS BIGINT) AS s2
         |  FROM p, generate_series(0, 24*16 - 1) AS t(i)
         |  WHERE p.m < 2 AND t.i < p.w * p.h
+        |  GROUP BY 1, 2, 3
+        |),
+        |gif AS (
+        |  SELECT p.doc_id AS media_id, 'gif' AS modality,
+        |         CAST(p.w * p.h AS BIGINT) AS n_units,
+        |         CAST(sum((p.doc_id*31 + (t.i % p.w)*7  + (t.i // p.w)*13) % 256) AS BIGINT) AS s0,
+        |         CAST(sum((p.doc_id*31 + (t.i % p.w)*7  + (t.i // p.w)*13) % 256) AS BIGINT) AS s1,
+        |         CAST(sum((p.doc_id*31 + (t.i % p.w)*7  + (t.i // p.w)*13) % 256) AS BIGINT) AS s2
+        |  FROM p, generate_series(0, 24*16 - 1) AS t(i)
+        |  WHERE p.m = 3 AND t.i < p.w * p.h
         |  GROUP BY 1, 2, 3
         |),
         |wav AS (
@@ -1087,7 +1099,8 @@ object OracleSql {
         |  )
         |  GROUP BY 1, 2, 3
         |)
-        |SELECT * FROM img UNION ALL SELECT * FROM wav""".stripMargin,
+        |SELECT * FROM img UNION ALL SELECT * FROM gif
+        |UNION ALL SELECT * FROM wav""".stripMargin,
 
     // INDEPENDENT formulation (not the union-scan mirror): nearest
     // eligible click per purchase via row_number over an inequality join —

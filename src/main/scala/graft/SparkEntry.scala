@@ -1015,7 +1015,7 @@ object SparkEntry {
 
   /** Multimodal decode, ORACLE-VERIFIED end to end: per doc_id a media
     * payload is synthesized from closed-form integer formulas
-    * ([[graft.multimodal.SynthMedia]] — BMP/PNG/WAV by id%3), decoded
+    * ([[graft.multimodal.SynthMedia]] — BMP/PNG/WAV/GIF by id%4), decoded
     * back through the REAL codecs via the partition-batched
     * mapPartitions plumbing, and the decoded EXACT integer aggregates
     * (channel sums / Σsample² as BIGINT) must equal the same formulas

@@ -788,6 +788,220 @@ object Codec {
     }
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  /** True iff the payload starts with a GIF87a/GIF89a signature. */
+  def isGif(b: Array[Byte]): Boolean =
+    b != null && b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Frame-0 of a decoded GIF: palette indices in raster order plus the
+    * (local-or-global) color table and the GCE transparent index (-1 if
+    * opaque) — the pixel-level product behind [[decodeGif]] and the
+    * GIF luma grid. */
+  private[multimodal] final case class GifPixels(
+      w: Int, h: Int, idx: Array[Byte], palette: Array[Byte],
+      transparentIdx: Int)
+
+  /** GIF frame-0 pixel decode, library-free (public GIF89a spec):
+    * logical-screen walk → extensions (Graphic Control gives the
+    * transparent index) → first image descriptor → variable-width LZW
+    * over the concatenated data sub-blocks (clear/EOI codes, dictionary
+    * to 12 bits, the KwKwK case) → optional 4-pass interlace
+    * de-permutation. Later frames are ignored (frame 0 is the corpus
+    * feature contract). Truncated/corrupt streams, a missing color
+    * table, or oversized dimensions → null (filter-don't-fail). */
+  private[multimodal] def decodeGifPixels(b: Array[Byte]): GifPixels = {
+    if (!isGif(b)) return null
+    val packed = u8(b, 10)
+    val gctSize = 2 << (packed & 7)
+    var i = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      if (i + 3 * gctSize > b.length) return null
+      gct = java.util.Arrays.copyOfRange(b, i, i + 3 * gctSize)
+      i += 3 * gctSize
+    }
+    var transparentIdx = -1
+    while (true) {
+      if (i >= b.length) return null
+      u8(b, i) match {
+        case 0x3b => return null // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          if (i + 2 > b.length) return null
+          val label = u8(b, i + 1)
+          i += 2
+          // Graphic Control Extension: transparency flag + index
+          if (label == 0xf9 && i + 5 <= b.length && u8(b, i) == 4) {
+            if ((u8(b, i + 1) & 1) != 0) transparentIdx = u8(b, i + 4)
+          }
+          var sz = if (i < b.length) u8(b, i) else return null
+          while (sz != 0) {
+            i += 1 + sz
+            if (i >= b.length) return null
+            sz = u8(b, i)
+          }
+          i += 1 // block terminator
+        case 0x2c => // image descriptor: frame 0
+          if (i + 10 > b.length) return null
+          val fw = le16(b, i + 5); val fh = le16(b, i + 7)
+          val p2 = u8(b, i + 9)
+          i += 10
+          if (fw <= 0 || fh <= 0 || fw.toLong * fh > MaxPixels) return null
+          var palette = gct
+          if ((p2 & 0x80) != 0) {
+            val lctSize = 2 << (p2 & 7)
+            if (i + 3 * lctSize > b.length) return null
+            palette = java.util.Arrays.copyOfRange(b, i, i + 3 * lctSize)
+            i += 3 * lctSize
+          }
+          if (palette == null) return null
+          if (i >= b.length) return null
+          val minCode = u8(b, i)
+          i += 1
+          if (minCode < 1 || minCode > 11) return null
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var sz = if (i < b.length) u8(b, i) else return null
+          while (sz != 0) {
+            if (i + 1 + sz > b.length) return null
+            data.write(b, i + 1, sz)
+            i += 1 + sz
+            if (i >= b.length) return null
+            sz = u8(b, i)
+          }
+          val raster = lzwDecode(data.toByteArray, minCode, fw * fh)
+          if (raster == null) return null
+          // de-interlace: rows arrive in the 4 GIF passes
+          val idx =
+            if ((p2 & 0x40) == 0) raster
+            else {
+              val out = new Array[Byte](fw * fh)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < fh) {
+                  System.arraycopy(raster, src * fw, out, y * fw, fw)
+                  src += 1; y += step
+                }
+              }
+              out
+            }
+          // every index must address the palette (strict: corrupt data
+          // filters rather than aliasing colors)
+          val nPal = palette.length / 3
+          var k = 0
+          while (k < idx.length) {
+            if ((idx(k) & 0xff) >= nPal) return null
+            k += 1
+          }
+          return GifPixels(fw, fh, idx, palette, transparentIdx)
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  /** GIF-flavored LZW (variable code width, LSB-first bit packing,
+    * clear + EOI codes, 12-bit dictionary cap, KwKwK). Returns exactly
+    * `npix` indices or null. */
+  private def lzwDecode(data: Array[Byte], minCode: Int, npix: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var c = 0
+    while (c < clear) { prefix(c) = -1; suffix(c) = c.toByte; c += 1 }
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    var prevCode = -1
+    val out = new Array[Byte](npix)
+    var op = 0
+    var bitPos = 0
+    val nBits = data.length * 8
+    def readCode(width: Int): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val p = bitPos + k
+        if (((data(p >> 3) >> (p & 7)) & 1) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    def firstChar(code: Int): Byte = {
+      var cc = code
+      while (prefix(cc) >= 0) cc = prefix(cc)
+      suffix(cc)
+    }
+    while (op < npix) {
+      val code = readCode(codeSize)
+      if (code < 0 || code == eoi) return null // short of npix
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCode + 1; prevCode = -1
+      } else if (prevCode < 0) {
+        if (code >= clear) return null
+        out(op) = suffix(code); op += 1
+        prevCode = code
+      } else {
+        if (code > dictSize || code == clear || code == eoi) return null
+        // expand (KwKwK: code == dictSize borrows prev + its first char)
+        var sp = 0
+        if (code == dictSize) { stack(sp) = firstChar(prevCode); sp += 1 }
+        var cc = if (code == dictSize) prevCode else code
+        while (cc >= 0) { stack(sp) = suffix(cc); sp += 1; cc = prefix(cc) }
+        if (op + sp > npix) return null
+        while (sp > 0) { sp -= 1; out(op) = stack(sp); op += 1 }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prevCode
+          suffix(dictSize) = firstChar(code)
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prevCode = code
+      }
+    }
+    out
+  }
+
+  /** [[decodeGif]]'s exact integer core: palette-resolved Long channel
+    * sums (255 units), alpha 0 for the GCE-transparent index. */
+  def statsGif(b: Array[Byte]): PixelStats = {
+    val px = decodeGifPixels(b)
+    if (px == null) return null
+    var sb = 0L; var sg = 0L; var sr = 0L; var sa = 0L
+    var k = 0
+    while (k < px.idx.length) {
+      val pi = (px.idx(k) & 0xff) * 3
+      sr += u8(px.palette, pi)
+      sg += u8(px.palette, pi + 1)
+      sb += u8(px.palette, pi + 2)
+      sa += (if ((px.idx(k) & 0xff) == px.transparentIdx) 0L else 255L)
+      k += 1
+    }
+    PixelStats(px.idx.length.toLong, 255, sb, sg, sr, sa)
+  }
+
+  /** GIF frame-0 features (same layout as [[decodePng]]): mean B, G, R,
+    * Rec. 601 luma, pixel count, mean alpha. */
+  def decodeGif(b: Array[Byte]): Array[Float] = {
+    val st = statsGif(b)
+    if (st == null) return null
+    val n = st.nPixels.toDouble
+    val mr = (st.sumR / 255.0 / n).toFloat
+    val mg = (st.sumG / 255.0 / n).toFloat
+    val mb = (st.sumB / 255.0 / n).toFloat
+    val f = new Array[Float](DecodeStub.FeatureDim)
+    f(0) = mb; f(1) = mg; f(2) = mr
+    f(3) = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
+    f(4) = n.toFloat
+    f(5) = (st.sumA / 255.0 / n).toFloat
+    f
+  }
+
   /** Dispatch: real decoder where the format permits one, the
     * deterministic stub otherwise — the upgrade path a new codec drops
     * into. */
@@ -795,6 +1009,10 @@ object Codec {
     if (payload == null) return new Array[Float](DecodeStub.FeatureDim)
     if (isBmp24(payload)) {
       val f = decodeBmp24(payload)
+      if (f != null) return f
+    }
+    if (isGif(payload)) {
+      val f = decodeGif(payload)
       if (f != null) return f
     }
     if (isPng(payload)) {

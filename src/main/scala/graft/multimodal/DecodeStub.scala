@@ -74,8 +74,11 @@ object DecodeStub {
         val p = r.payload
         val (n, a, b, c) =
           if (p == null) (None, None, None, None)
-          else if (Codec.isBmp24(p) || Codec.isPng(p)) {
-            val st = if (Codec.isBmp24(p)) Codec.statsBmp24(p) else Codec.statsPng(p)
+          else if (Codec.isBmp24(p) || Codec.isPng(p) || Codec.isGif(p)) {
+            val st =
+              if (Codec.isBmp24(p)) Codec.statsBmp24(p)
+              else if (Codec.isGif(p)) Codec.statsGif(p)
+              else Codec.statsPng(p)
             if (st == null) (None, None, None, None)
             else (Some(st.nPixels), Some(st.sumB), Some(st.sumG), Some(st.sumR))
           } else if (Codec.isPcm16(p)) {

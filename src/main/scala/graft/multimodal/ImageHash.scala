@@ -125,12 +125,41 @@ object ImageHash {
     out
   }
 
-  /** Boxed dHash of a 24-bit BMP or JPEG payload; null for anything
-    * else (the filter-don't-fail codec contract). Static entry for the
-    * codegen expression below. */
+  /** Box-averaged luminance grid from a GIF frame 0 — palette-resolved
+    * pixels through [[Codec.decodeGifPixels]], same pooling as the
+    * other formats. */
+  def lumaGridGif(b: Array[Byte]): Array[Double] = {
+    val px = Codec.decodeGifPixels(b)
+    if (px == null || px.w < GridW || px.h < GridH) return null
+    val sum = new Array[Double](GridW * GridH)
+    val cnt = new Array[Long](GridW * GridH)
+    var y = 0
+    while (y < px.h) {
+      val gy = y * GridH / px.h
+      var x = 0
+      while (x < px.w) {
+        val gx = x * GridW / px.w
+        val pi = (px.idx(y * px.w + x) & 0xff) * 3
+        sum(gy * GridW + gx) += 0.299 * u8(px.palette, pi) +
+          0.587 * u8(px.palette, pi + 1) + 0.114 * u8(px.palette, pi + 2)
+        cnt(gy * GridW + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](GridW * GridH)
+    var i = 0
+    while (i < out.length) { out(i) = sum(i) / cnt(i); i += 1 }
+    out
+  }
+
+  /** Boxed dHash of a 24-bit BMP, JPEG, or GIF payload; null for
+    * anything else (the filter-don't-fail codec contract). Static entry
+    * for the codegen expression below. */
   def dHash64(b: Array[Byte]): java.lang.Long = {
     val g =
       if (Codec.isJpeg(b)) lumaGridJpeg(b)
+      else if (Codec.isGif(b)) lumaGridGif(b)
       else lumaGridBmp24(b)
     if (g == null) null else java.lang.Long.valueOf(dHashFromGrid(g))
   }

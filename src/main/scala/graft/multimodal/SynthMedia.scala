@@ -22,11 +22,16 @@ package graft.multimodal
   *   ns(id) = 256 + (id % 7) * 64       (256..640 samples)
   *   s(i)   = (id*7919 + i*104729) % 65536 - 32768
   *
-  * Modality routes by id % 3: 0 → 24-bit BMP, 1 → 8-bit RGB PNG
+  * Modality routes by id % 4: 0 → 24-bit BMP, 1 → 8-bit RGB PNG
   * (deflate + CRC via `java.util.zip`, filter 0 — the decoder handles
-  * all five predictors, spec-pinned elsewhere), 2 → 16-bit PCM WAV.
-  * JPEG is deliberately absent: lossy decode has no analytic oracle —
-  * its witness is the ImageIO cross-validation in CodecSpec. */
+  * all five predictors, spec-pinned elsewhere), 2 → 16-bit PCM WAV,
+  * 3 → grayscale GIF (256-gray palette, LZW-coded with the literal+
+  * periodic-clear emission — a GIF image cannot hold more than 256
+  * colors, so the gray ramp keeps the pixel formula exactly
+  * representable; gray level = the `b(x,y)` formula, so the decoded
+  * channel sums are all equal to Σb). JPEG is deliberately absent:
+  * lossy decode has no analytic oracle — its witness is the ImageIO
+  * cross-validation in CodecSpec. */
 object SynthMedia {
 
   def widthOf(id: Long): Int = (8 + (id % 5) * 4).toInt
@@ -38,11 +43,12 @@ object SynthMedia {
   def red(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 5 + y * 19) % 256).toInt
   def sample(id: Long, i: Int): Int = ((id * 7919 + i * 104729L) % 65536 - 32768).toInt
 
-  /** The (modality, payload) for a row id — id % 3 routes the format. */
-  def forId(id: Long): (String, Array[Byte]) = (id % 3) match {
+  /** The (modality, payload) for a row id — id % 4 routes the format. */
+  def forId(id: Long): (String, Array[Byte]) = (id % 4) match {
     case 0 => ("bmp", bmpFor(id))
     case 1 => ("png", pngFor(id))
-    case _ => ("wav", wavFor(id))
+    case 2 => ("wav", wavFor(id))
+    case _ => ("gif", gifFor(id))
   }
 
   private def bmpFor(id: Long): Array[Byte] =
@@ -60,6 +66,9 @@ object SynthMedia {
     while (i < n) { s(i) = sample(id, i).toShort; i += 1 }
     encodeWavPcm16(s, sampleRate = 16000)
   }
+
+  private def gifFor(id: Long): Array[Byte] =
+    encodeGifGray(widthOf(id), heightOf(id), (x, y) => blue(id, x, y))
 
   private def putLe16(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
@@ -153,6 +162,68 @@ object SynthMedia {
     chunk("IHDR", ihdr)
     chunk("IDAT", idat)
     chunk("IEND", Array.empty)
+    bos.toByteArray
+  }
+
+  /** Grayscale GIF89a from a per-pixel gray function: full 256-gray
+    * global color table so the pixel value IS the palette index, LZW
+    * with 8-bit roots emitted as literal codes plus a clear every 254
+    * codes (the classic "uncompressed GIF" emission — the code width
+    * never leaves 9 bits, and the decoder's dictionary resets before it
+    * would force a width change). `interlace` emits rows in the 4-pass
+    * order; `transparentIdx` adds a Graphic Control Extension. */
+  def encodeGifGray(w: Int, h: Int, gray: (Int, Int) => Int,
+                    interlace: Boolean = false,
+                    transparentIdx: Int = -1): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    bos.write(0x80 | 0x70 | 0x07) // GCT present, 8-bit color res, 256 entries
+    bos.write(0); bos.write(0) // background index, aspect
+    var p = 0
+    while (p < 256) { bos.write(p); bos.write(p); bos.write(p); p += 1 }
+    if (transparentIdx >= 0) {
+      bos.write(0x21); bos.write(0xf9); bos.write(4)
+      bos.write(0x01) // transparency flag
+      bos.write(0); bos.write(0) // delay
+      bos.write(transparentIdx); bos.write(0)
+    }
+    bos.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    bos.write(if (interlace) 0x40 else 0)
+    bos.write(8) // LZW minimum code size
+    // --- LZW literal emission, 9-bit codes, LSB-first
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nAcc; nAcc += 9
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    val clear = 256; val eoi = 257
+    putCode(clear)
+    var emitted = 0
+    val rows: Seq[Int] =
+      if (!interlace) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap {
+        case (start, step) => start until h by step }
+    for (y <- rows; x <- 0 until w) {
+      if (emitted == 254) { putCode(clear); emitted = 0 }
+      putCode(gray(x, y) & 0xff)
+      emitted += 1
+    }
+    putCode(eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    // --- sub-block the code stream
+    val stream = bits.toByteArray
+    var off = 0
+    while (off < stream.length) {
+      val n = math.min(255, stream.length - off)
+      bos.write(n); bos.write(stream, off, n)
+      off += n
+    }
+    bos.write(0) // block terminator
+    bos.write(0x3b) // trailer
     bos.toByteArray
   }
 

@@ -34,23 +34,63 @@ class SynthMediaSpec extends SparkSpec {
   }
 
   test("decoded integer aggregates equal the closed-form formulas, every modality") {
-    for (id <- 0L until 21L) {
+    for (id <- 0L until 28L) {
       val (mod, payload) = SynthMedia.forId(id)
-      if (mod == "wav") {
-        val st = Codec.statsPcm16(payload)
-        assert(st != null, s"id=$id wav must parse")
-        val (n, sq, cross, peak) = closedFormWav(id)
-        assert((st.nSamples, st.sumSq, st.crossings, st.peakRaw.toLong) ===
-          ((n, sq, cross, peak)), s"id=$id wav stats")
-      } else {
-        val st = if (mod == "bmp") Codec.statsBmp24(payload) else Codec.statsPng(payload)
-        assert(st != null, s"id=$id $mod must parse")
-        val (n, sb, sg, sr) = closedFormImage(id)
-        assert((st.nPixels, st.sumB, st.sumG, st.sumR) === ((n, sb, sg, sr)),
-          s"id=$id $mod channel sums")
-        assert(st.maxVal === 255)
+      mod match {
+        case "wav" =>
+          val st = Codec.statsPcm16(payload)
+          assert(st != null, s"id=$id wav must parse")
+          val (n, sq, cross, peak) = closedFormWav(id)
+          assert((st.nSamples, st.sumSq, st.crossings, st.peakRaw.toLong) ===
+            ((n, sq, cross, peak)), s"id=$id wav stats")
+        case "gif" =>
+          // gray ramp: every channel sum equals the b-formula sum
+          val st = Codec.statsGif(payload)
+          assert(st != null, s"id=$id gif must parse")
+          val (n, sb, _, _) = closedFormImage(id)
+          assert((st.nPixels, st.sumB, st.sumG, st.sumR) === ((n, sb, sb, sb)),
+            s"id=$id gif channel sums")
+          assert(st.sumA === 255L * n, "no transparency -> fully opaque")
+        case _ =>
+          val st = if (mod == "bmp") Codec.statsBmp24(payload) else Codec.statsPng(payload)
+          assert(st != null, s"id=$id $mod must parse")
+          val (n, sb, sg, sr) = closedFormImage(id)
+          assert((st.nPixels, st.sumB, st.sumG, st.sumR) === ((n, sb, sg, sr)),
+            s"id=$id $mod channel sums")
+          assert(st.maxVal === 255)
       }
     }
+  }
+
+  test("GIF encoder is witnessed by ImageIO pixel-for-pixel; interlace + transparency decode") {
+    val id = 3L // id%4==3 -> gif
+    val (_, payload) = SynthMedia.forId(id)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO must accept the synthesized GIF")
+    assert(img.getWidth === SynthMedia.widthOf(id))
+    assert(img.getHeight === SynthMedia.heightOf(id))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val v = SynthMedia.blue(id, x, y)
+      assert((img.getRGB(x, y) & 0xff) === v, s"gray@$x,$y")
+    }
+    // interlaced emission decodes to the SAME pixels (4-pass inverse)
+    val w = SynthMedia.widthOf(id); val h = SynthMedia.heightOf(id)
+    val inter = SynthMedia.encodeGifGray(w, h,
+      (x, y) => SynthMedia.blue(id, x, y), interlace = true)
+    val stP = Codec.statsGif(payload); val stI = Codec.statsGif(inter)
+    assert(stI === stP, "interlace must not change the decoded sums")
+    val gridP = ImageHash.lumaGridGif(payload)
+    val gridI = ImageHash.lumaGridGif(inter)
+    assert(gridP != null && gridP.toSeq === gridI.toSeq,
+      "interlace must not move pixels (grid is position-sensitive)")
+    // GCE transparency: the marked gray level zeroes its pixels' alpha
+    val trans = SynthMedia.encodeGifGray(w, h,
+      (x, y) => SynthMedia.blue(id, x, y), transparentIdx = SynthMedia.blue(id, 0, 0))
+    val stT = Codec.statsGif(trans)
+    assert(stT != null && stT.sumA < 255L * stT.nPixels,
+      "transparent index must reduce the alpha sum")
+    assert((stT.sumB, stT.sumG, stT.sumR) === ((stP.sumB, stP.sumG, stP.sumR)),
+      "transparency must not change the color sums")
   }
 
   test("PNG encoder is witnessed by ImageIO pixel-for-pixel") {
