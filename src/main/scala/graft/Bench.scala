@@ -27,6 +27,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The only unpartitioned windows in the suite run over
+    // post-aggregation relations bounded by construction (≤ bins rows in
+    // q_hist_quantiles, one row per source in q_epoch_plan) —
+    // PlanAuditSpec pins exactly that — so WindowExec's blanket "No
+    // Partition Defined" warning is noise here, not a scale signal.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
 

@@ -179,6 +179,29 @@ class PlanAuditSpec extends SparkSpec {
       s"documents scan not pruned to n_chars: $read")
   }
 
+  test("unpartitioned-window whitelist: every global WindowExec in the suite consumes a post-aggregation relation") {
+    // The ONLY allowed unpartitioned windows are bounded by construction:
+    // q_hist_quantiles' cum/total run over <= bins aggregated rows,
+    // q_epoch_plan's water-filling rounds over one row per source. This
+    // pins the boundedness structurally — the window's child subtree must
+    // contain the aggregation that shrank the corpus — so a refactor that
+    // slid a global window BELOW its aggregate (re-sorting the corpus in
+    // one task) fails here, and the WindowExec "No Partition Defined"
+    // warnings in a bench tail are explained once, by this whitelist.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("q_hist_quantiles", "q_epoch_plan")) {
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val globals = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(globals.nonEmpty, s"$q lost its documented bounded window — update the whitelist")
+      globals.foreach { w =>
+        val aggBelow = w.child.collect { case a: BaseAggregateExec => a }
+        assert(aggBelow.nonEmpty,
+          s"$q has a global window over a NON-aggregated input (unbounded single-task sort):\n$w")
+      }
+    }
+  }
+
   test("q_geo_geojson: shuffle-free map plan, events scan pruned to the two id columns") {
     val p = plan("q_geo_geojson")
     assert(!p.contains("Exchange"), "GeoJSON parse introduced a shuffle")
