@@ -1023,6 +1023,38 @@ object OracleSql {
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
+
+    // SemDeDup closure oracle: the q_ann_ivf discipline (Lloyd rounds
+    // unrolled as CTEs, identical centroid/assignment arithmetic)
+    // composed with the q_dedup_keep discipline (recursive transitive
+    // closure -> min-label clusters -> keep canonical). Pairs use the
+    // IVF cell as the blocking key exactly like the Spark side; the
+    // cosine doubles are bit-identical (ordered fold + IEEE sqrt/div),
+    // so the tau comparison cannot flip between engines.
+    "q_semantic_dedup_keep" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM ev ORDER BY vec_id LIMIT 8),
+         |${ivfAssign("a1", "c0")},
+         |${ivfMeans("c1", "a1")},
+         |${ivfAssign("a2", "c1")},
+         |${ivfMeans("c2", "a2")},
+         |${ivfAssign("af", "c2")},
+         |pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+         |          FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |          WHERE list_inner_product(a.v, b.v) /
+         |            (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.33),
+         |edges AS (SELECT pa AS s, pb AS d FROM pairs UNION SELECT pb, pa FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT e2.s, r.m FROM edges e2 JOIN reach r ON e2.d = r.n
+         |),
+         |labels AS (SELECT n AS doc, MIN(m) AS cluster FROM reach GROUP BY n)
+         |SELECT em.vec_id, em.label FROM embeddings em
+         |WHERE NOT EXISTS (SELECT 1 FROM labels l
+         |                  WHERE l.doc = em.vec_id AND l.doc <> l.cluster)""".stripMargin,
     // identical semantics to q_ann_ivf — the index changes the physical
     // layout (cell-partitioned parquet + partition pruning), not the math
     "q_ann_ivf_indexed" -> annIvfSql,

@@ -1056,6 +1056,25 @@ object SparkEntry {
       qEmbedNeardup(s, d)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
 
+  /** UNBLOCKED corpus-scale semantic dedup (the SemDeDup shape):
+    * q_semantic_clusters blocks on `label` — a crutch real corpora
+    * lack. Here the blocking key is the trained IVF cell assignment
+    * (same centroids/rounds as q_ann_ivf): within-cell exact cosine
+    * pairs at tau=0.33 → hub-safe star-round connected components →
+    * the KEPT corpus (canonical = min vec_id per cluster). Oracle:
+    * the same Lloyd rounds unrolled as CTEs + the recursive-closure
+    * labels (the q_ann_ivf + q_dedup_keep disciplines composed). */
+  private def qSemanticDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val labels = DupClusters.clustersAdaptive(
+      Similarity.cellCosinePairs(emb, "vec_id", "embedding", centroids, 0.33)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    emb.join(labels.where(col("doc") =!= col("cluster"))
+        .select(col("doc").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Per-source token-share cap (source mixing): best docs per source
     * (longest first) until the source holds 4% of corpus tokens. The
     * per-source running total is the GROUPED distributed prefix sum —
@@ -1452,6 +1471,7 @@ object SparkEntry {
     "q_rolling_1h" -> (qRolling1h _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_semantic_clusters" -> (qSemanticClusters _),
+    "q_semantic_dedup_keep" -> (qSemanticDedupKeep _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dup_clusters_star" -> (qDupClustersStar _),

@@ -138,6 +138,36 @@ object Similarity {
       .where(col("cos_sim") >= tau)
   }
 
+  /** SemDeDup-shaped near-dup candidate pairs at corpus scale: the IVF
+    * cell assignment ([[IvfIndex.assign]]) is the BLOCKING key — real
+    * corpora carry no label column, but a trained coarse quantizer puts
+    * semantically-close vectors in the same cell, so exact cosine runs
+    * only within cells via a plain equi-join on the cell id. Recall is
+    * bounded by the quantizer (a pair split across cells is missed —
+    * the standard SemDeDup trade; raise k for smaller cells and more
+    * parallelism, or cluster residuals per cell downstream).
+    *
+    * Scale shape: two assignment passes (broadcast centroid argmin,
+    * map-side-combined — the corpus shuffles once per side on the cell
+    * key), then the within-cell join; pair work is Σ cell² instead of
+    * n², and the join is a hash/sort-merge equi-join, never a cartesian.
+    * Norms are precomputed per vector, not per pair. */
+  def cellCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = graft.operators.IvfIndex.assign(df, idCol, vecCol, centroids)
+      .select(col("vid"), col("centroid_id").as("cell"), col("v"))
+      .withColumn("nv", norm(col("v")))
+    val a = assigned.select(col("cell"), col("vid").as("vec_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = assigned.select(col("cell"), col("vid").as("vec_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
+  }
+
   /** Per-label embedding centroid (exact decimal mean per dimension).
     * posexplode -> groupBy (label, dim): the shuffle key is (label, dim) so
     * high-dim x many-labels parallelizes; sums are decimal => exact and

@@ -202,6 +202,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_semantic_dedup_keep: within-cell pairs are an equi-join on the cell id, never cartesian") {
+    // the SemDeDup scale contract: pair work is Σ cell², realized as a
+    // hash/sort-merge join keyed on the IVF cell — the only nested-loop
+    // joins in the plan are the 8-row broadcast centroid argmins. The
+    // full query truncates lineage in its star rounds (localCheckpoint),
+    // so the audit pins the pair STAGE, the plan that scales with n².
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val pairs = operators.Similarity.cellCosinePairs(
+      emb, "vec_id", "embedding", cents, 0.25)
+    val exec = pairs.queryExecution.sparkPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), "pair join regressed to cartesian")
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val equiOnCell = exec.collect {
+      case j: SortMergeJoinExec if j.leftKeys.mkString.contains("cell") => j
+      case j: ShuffledHashJoinExec if j.leftKeys.mkString.contains("cell") => j
+    }
+    assert(equiOnCell.nonEmpty, s"within-cell pairs lost the cell equi-join:\n$p")
+    exec.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      // every BNLJ must be a centroid-table cross (tiny broadcast side)
+      assert(j.joinType.toString.contains("Inner") || j.toString.contains("Cross"),
+        s"unexpected BNLJ in semantic dedup pair plan: $j")
+      assert(j.toString.contains("centroid") || j.toString.contains("cc"),
+        s"BNLJ is not the centroid argmin cross: ${j.toString.take(200)}")
+    }
+  }
+
   test("q_geo_geojson: shuffle-free map plan, events scan pruned to the two id columns") {
     val p = plan("q_geo_geojson")
     assert(!p.contains("Exchange"), "GeoJSON parse introduced a shuffle")

@@ -86,6 +86,26 @@ class SimilaritySpec extends SparkSpec {
     assert(single.subsetOf(found))
   }
 
+  test("cellCosinePairs: k=1 equals brute force; k>1 is the cell-blocked subset") {
+    val tau = 0.25
+    val brute = (for {
+      (a, va) <- all.toSeq; (b, vb) <- all.toSeq if a < b
+      c = cosScala(va, vb) if c >= tau
+    } yield (a, b)).toSet
+    // one cell -> no blocking loss: the equi-join IS all-pairs
+    val c1 = IvfIndex.train(emb, "vec_id", "embedding", k = 1, iters = 1)
+    val got1 = Similarity.cellCosinePairs(emb, "vec_id", "embedding", c1, tau)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got1 === brute, "single-cell pairs must equal brute force")
+    // real blocking: every reported pair is a true pair (no false
+    // positives — cosine is exact within cells), recall <= 1 by design
+    val c8 = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val got8 = Similarity.cellCosinePairs(emb, "vec_id", "embedding", c8, tau)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got8.subsetOf(brute), "cell blocking must not invent pairs")
+    assert(got8.nonEmpty, "the trained cells must keep some near pairs together")
+  }
+
   test("labelCentroids matches manual mean per (label, dim)") {
     val out = Similarity.labelCentroids(emb, "label", "embedding")
       .where(col("label") === 0 && col("dim") === 0)
