@@ -86,6 +86,36 @@ object OracleSql {
        |FROM r""".stripMargin
   }
 
+  /** Byte-level BPE mirror: the LUT, pretokenization pattern, and merge
+    * chain all render from the SAME Scala constants the Spark side
+    * folds into its plan (Bpe.byteAlphabet / PretokenPattern /
+    * SparkEntry.BpeByteMerges). Byte extraction is hex-pair substr over
+    * the UTF-8 blob (DuckDB blobs don't slice); RE2 has no lookahead,
+    * which is exactly why PretokenPattern is lookahead-free. */
+  private def bpeEncodeBytesSql: String = {
+    def q(s: String): String = s.replace("'", "''")
+    val lut = graft.operators.Bpe.byteAlphabet
+      .map(c => s"'${q(c)}'").mkString("[", ", ", "]")
+    val render = "' ' || array_to_string(list_transform(" +
+      "range(1, octet_length(encode(w)) + 1), " +
+      s"i -> $lut[('0x' || substr(hex(encode(w)), 2*i - 1, 2))::INT + 1]), '  ') || ' '"
+    val chain = SparkEntry.BpeByteMerges.foldLeft(render) { case (s, (a, b)) =>
+      s"replace($s, ' ${q(a)}  ${q(b)} ', ' ${q(a + b)} ')"
+    }
+    val pat = graft.operators.Bpe.PretokenPattern.replace("\\", "\\")
+    s"""WITH e AS (SELECT doc_id,
+       |  list_transform(regexp_extract_all(text, '$pat'),
+       |    w -> string_split(trim($chain), '  ')) AS ew
+       |  FROM documents),
+       |r AS (SELECT doc_id, ew,
+       |        array_to_string(list_transform(ew,
+       |          a -> array_to_string(a, ' ')), ' | ') AS enc
+       |      FROM e)
+       |SELECT doc_id, CAST(len(flatten(ew)) AS BIGINT) AS n_bpe,
+       |  md5(enc) AS enc_md5, substr(enc, 1, 40) AS enc_head
+       |FROM r""".stripMargin
+  }
+
   /** Per-column profile of `customer` (q_profile_exact / q_profile_customer):
     * one UNION ALL branch per column; `extra` appends driver-row-specific
     * output columns (the HLL-sanity TRUE literal). */
@@ -1734,6 +1764,7 @@ object OracleSql {
     // double-space symbol rendering makes every merge a LITERAL
     // greedy-left-to-right replace, identical in both engines (no regex)
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_bpe_encode_bytes" -> bpeEncodeBytesSql,
 
     // canonicalization: NFC (nfc_normalize == the native graft_nfc, both
     // UAX #15) + lower + non-alnum collapse + trim

@@ -1178,6 +1178,35 @@ object SparkEntry {
         md5(col("enc").cast("binary")).as("enc_md5"),
         substring(col("enc"), 1, 40).as("enc_head"))
 
+  /** Fixed byte-level merge table for q_bpe_encode_bytes — trained once
+    * with `Bpe.trainBytes(documents@sf0.001, text, 16)`, symbols in the
+    * byte↔unicode remap domain (Ġ = the space byte, GPT-2's Ġ).
+    * Same shared-constant discipline as [[BpeMerges]]. */
+  private[graft] val BpeByteMerges: Seq[(String, String)] = Seq(
+    ("Ġ", "s"), ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("Ġ", "a"), ("Ġ", "v"),
+    ("a", "s"), ("Ġ", "c"), ("m", "er"), ("a", "t"), ("Ġ", "f"),
+    ("Ġ", "t"))
+
+  /** BYTE-LEVEL corpus BPE encode (GPT-2 shape): lookahead-free
+    * pretokenization (space attaches to the following word), UTF-8
+    * bytes remapped through Bpe.byteAlphabet so ANY input encodes with
+    * no UNK, then the same literal-replace merge chain — still a
+    * shuffle-free scan→project. Oracle renders the identical LUT,
+    * pattern, and merge literals from the same Scala constants. */
+  private def qBpeEncodeBytes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(Bpe.pretokenize(col("text")),
+          w => Bpe.encodeWordBytes(w, BpeByteMerges)).as("ew"))
+      .select(col("doc_id"),
+        size(flatten(col("ew"))).cast("long").as("n_bpe"),
+        array_join(transform(col("ew"), a => array_join(a, " ")), " | ")
+          .as("enc"))
+      .select(col("doc_id"), col("n_bpe"),
+        md5(col("enc").cast("binary")).as("enc_md5"),
+        substring(col("enc"), 1, 40).as("enc_head"))
+
   /** Corpus length-distribution percentiles from a one-pass bounded
     * histogram (Stats.histogramQuantiles): p10..p100 of document char
     * length at bin-width-10 resolution. The at-scale twin of
@@ -1513,6 +1542,7 @@ object SparkEntry {
     "q_epoch_plan" -> (qEpochPlan _),
     "q_pack_segments" -> (qPackSegments _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_encode_bytes" -> (qBpeEncodeBytes _),
     "q_geo_geojson" -> (qGeoGeoJson _),
     "q_hist_quantiles" -> (qHistQuantiles _),
   )

@@ -28,10 +28,28 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
     // sequence(1, 0) DESCENDS in Spark, so the empty word must be guarded
     // even though tokens() never emits one
-    var syms = vocab.select(col("n"),
-        expr("CASE WHEN length(w) = 0 THEN array() " +
-          "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END").as("s"))
-      .localCheckpoint()
+    trainFromSyms(vocab.select(col("n"),
+      expr("CASE WHEN length(w) = 0 THEN array() " +
+        "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END").as("s")),
+      nMerges)
+  }
+
+  /** Learn `nMerges` merges at the BYTE level (GPT-2 style): pretokens
+    * from the lookahead-free split, symbols from the byte↔unicode
+    * remap — see [[encodeWordBytes]] for why that keeps every merge a
+    * literal replace. */
+  def trainBytes(df: DataFrame, textCol: Column, nMerges: Int): Seq[(String, String)] = {
+    val vocab = df
+      .select(explode(pretokenize(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    trainFromSyms(vocab.select(col("n"), byteSymbols(col("w")).as("s")), nMerges)
+  }
+
+  /** The shared greedy merge-learning loop over an aggregated
+    * (count, symbol-array) vocabulary — the symbol domain (chars or
+    * remapped bytes) is the caller's choice. */
+  private def trainFromSyms(symsDf: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var syms = symsDf.localCheckpoint()
     val merges = mutable.Buffer.empty[(String, String)]
     var exhausted = false
     for (_ <- 0 until nMerges if !exhausted) {
@@ -109,6 +127,75 @@ object Bpe {
   def encodeText(text: Column, merges: Seq[(String, String)]): Column =
     flatten(transform(graft.functions.Text.tokens(text),
       w => encodeWord(w, merges)))
+
+  // ------------------------------------------------ byte-level (GPT-2)
+
+  /** The GPT-2 byte↔unicode remap (public gpt-2 `bytes_to_unicode`):
+    * printable bytes map to themselves, the rest to U+0100+n, so every
+    * one of the 256 byte values renders as exactly ONE visible non-space
+    * character. Consequences this module relies on: (a) arbitrary UTF-8
+    * encodes with NO UNK — the base alphabet is closed over all bytes;
+    * (b) no symbol contains whitespace, so the double-space literal-
+    * replace encode ([[encodeWord]]) stays sound at the byte level. */
+  val byteAlphabet: IndexedSeq[String] = {
+    val self = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (self(b)) b.toChar.toString
+      else { val c = (256 + n).toChar.toString; n += 1; c }
+    }
+  }
+
+  /** GPT-2-shaped pretokenization WITHOUT lookahead:
+    * ` ?\p{L}+ | ?\p{N}+ | ?[^\s\p{L}\p{N}]+ | \s+` — the reference
+    * pattern minus the English contraction branches and minus the
+    * `\s+(?!\S)` trailing-space branch (RE2, hence the DuckDB oracle,
+    * has no lookahead; the only divergence is that a multi-space run
+    * keeps ALL its spaces instead of donating the last one to the next
+    * word). A single leading space still attaches to the following
+    * word — the property byte-level BPE vocabularies are built on. */
+  val PretokenPattern: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretokens of `text` in document order (regexp_extract_all: the
+    * pattern branches cover every character, so concatenating the
+    * pretokens reconstructs the text — nothing is dropped). */
+  def pretokenize(text: Column): Column =
+    call_function("regexp_extract_all", text, lit(PretokenPattern), lit(0))
+
+  /** A pretoken as its byte-remap symbol array: UTF-8 bytes via
+    * `encode`, each byte indexed into the [[byteAlphabet]] literal —
+    * pure codegen'd expressions, no UDF. */
+  def byteSymbols(w: Column): Column = {
+    val lut = array(byteAlphabet.map(lit): _*)
+    // fully qualified: Bpe.encode (the DataFrame entry point) shadows
+    // the functions.encode string→binary conversion
+    val bin = org.apache.spark.sql.functions.encode(w, "UTF-8")
+    when(octet_length(bin) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), octet_length(bin)), i =>
+        call_function("element_at", lut,
+          conv(hex(bin.substr(i, lit(1))), 16, 10).cast("int") + 1)))
+  }
+
+  /** Byte-level [[encodeWord]]: the same double-space literal-replace
+    * merge chain over the byte-remapped symbols. Merge tables for this
+    * entry point come from [[trainBytes]] (their symbols live in the
+    * remapped domain). */
+  def encodeWordBytes(word: Column, merges: Seq[(String, String)]): Column = {
+    val spaced = concat(lit(" "), array_join(byteSymbols(word), "  "), lit(" "))
+    val replaced = merges.foldLeft(spaced) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+    when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(replaced), "  "))
+  }
+
+  /** Byte-level corpus encode: pretokenize, then per-pretoken
+    * [[encodeWordBytes]], flattened in document order. Total function:
+    * any UTF-8 input, no UNK, scan→project, zero shuffles. */
+  def encodeTextBytes(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(pretokenize(text), w => encodeWordBytes(w, merges)))
 
   /** DataFrame-level corpus encode: appends `outCol` with the BPE token
     * array of `textCol` under `merges`. Scan -> project, zero shuffles;
@@ -195,8 +282,15 @@ object Bpe {
 
   /** Apply a learned merge list to one word (driver/executor-side helper
     * for encode paths and specs) — same greedy pass per merge, in order. */
-  def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: List[String] = word.map(_.toString).toList
+  def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] =
+    applyMergesSyms(word.map(_.toString), merges)
+
+  /** The same serial reference from an explicit initial symbol list —
+    * the byte-level paths start from [[byteAlphabet]]-rendered bytes
+    * instead of characters. */
+  def applyMergesSyms(init: Seq[String],
+                      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: List[String] = init.toList
     merges.foreach { case (a, b) =>
       val out = mutable.ListBuffer.empty[String]
       var i = 0
@@ -209,4 +303,10 @@ object Bpe {
     }
     syms
   }
+
+  /** Driver-side byte rendering of one pretoken (the serial mirror of
+    * [[byteSymbols]]). */
+  def byteRender(w: String): Seq[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => byteAlphabet(b & 0xff))
 }

@@ -63,6 +63,70 @@ class BpeSpec extends SparkSpec {
     assert(check(params, prop).passed)
   }
 
+  test("property: encodeWordBytes == serial byte reference on random multi-byte inputs") {
+    // code points across ASCII, Latin-1, CJK, and astral planes: every
+    // UTF-8 length 1-4 appears, so the LUT indexing and the no-UNK
+    // closure are exercised on the full byte range
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("é"), Gen.const("ß"),
+      Gen.const("中"), Gen.const("文"), Gen.const("🙂"), Gen.const("€"))
+    val wordGen = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val symGen = Gen.oneOf(
+      Bpe.byteRender("e"), Bpe.byteRender("r"), Bpe.byteRender(" ").map(identity),
+      Bpe.byteRender("é"), Bpe.byteRender("中")).flatMap(Gen.oneOf(_))
+    val mergesGen = Gen.chooseNum(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(symGen, symGen)))
+    val prop = Prop.forAll(Gen.listOfN(6, wordGen), mergesGen) { (words, merges) =>
+      val out = words.distinct.toDF("w")
+        .select(col("w"), Bpe.encodeWordBytes(col("w"), merges).as("e"))
+        .as[(String, Seq[String])].collect().toMap
+      words.distinct.forall { w =>
+        out(w) == Bpe.applyMergesSyms(Bpe.byteRender(w), merges)
+      }
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("byte-level: no UNK — any UTF-8 input encodes into the closed byte vocab") {
+    val merges = graft.SparkEntry.BpeByteMerges
+    val vocab = Bpe.vocab(merges, Bpe.byteAlphabet)
+    val nasty = Seq("hello world", "naïve café", "中文 文本", "🙂🙃",
+      "tab\tand\nnewline", "mixed 中e🙂ß", "")
+    val out = nasty.toDF("t")
+      .select(col("t"), Bpe.encodeTextBytes(col("t"), merges).as("e"))
+      .as[(String, Seq[String])].collect().toMap
+    nasty.foreach { t =>
+      out(t).foreach(tok => assert(vocab.contains(tok),
+        s"token '$tok' of input '$t' not in the closed vocab"))
+      // lossless: concatenated tokens re-render the exact input bytes
+      val bytes = out(t).flatMap(tok => tok.map(c =>
+        Bpe.byteAlphabet.indexOf(c.toString))).map(_.toByte).toArray
+      assert(new String(bytes, "UTF-8") === t, s"byte round-trip of '$t'")
+    }
+  }
+
+  test("pretokenize: covers every character (concatenation reconstructs), space attaches") {
+    val texts = Seq("hello wörld  12 a-b\ntail", " lead", "a  b", "")
+    val got = texts.toDF("t")
+      .select(col("t"), Bpe.pretokenize(col("t")).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    texts.foreach(t => assert(got(t).mkString === t, s"coverage of '$t'"))
+    assert(got("hello wörld  12 a-b\ntail") ===
+      Seq("hello", " wörld", "  ", "12", " a", "-", "b", "\n", "tail"),
+      "pretoken shape (single space attaches; runs stay whole)")
+  }
+
+  test("trainBytes learns space-prefixed merges (the Ġ tokens)") {
+    val docs = Seq.fill(8)("low low lower lowest").toDF("text")
+    val merges = Bpe.trainBytes(docs, col("text"), 6)
+    assert(merges.nonEmpty)
+    // the space byte is in play: some merge touches the Ġ remap
+    val g = Bpe.byteAlphabet(' '.toInt)
+    assert(merges.exists { case (a, b) => (a + b).contains(g) },
+      s"no space-attached merge learned in $merges")
+  }
+
   test("vocab/encodeIds: deterministic id layout, UNK for unseen, ids invert to tokens") {
     val merges = Seq(("l", "o"), ("lo", "w"))
     val alphabet = Seq("l", "o", "w", "e", "r")
