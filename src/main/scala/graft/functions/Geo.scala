@@ -113,6 +113,28 @@ object Geo {
   def stAsWkb(geom: Column, geomType: Int): Column =
     graft.plans.Wkb.wkbWrite(geom, geomType)
 
+  /** Render a geometry as WKT text (same type codes as [[stAsWkb]]) —
+    * the export inverse of [[stGeomFromText]], used by the code-point
+    * pipeline exactly where the reference renders shapely `wkt.dumps`
+    * (code_point.py:157). NULL/empty geometry → NULL (ANSI-safe: the
+    * empty case is guarded before any element_at). */
+  def stAsText(geom: Column, geomType: Int): Column = {
+    val pts = array_join(transform(geom, p =>
+      concat(p("x").cast("string"), lit(" "), p("y").cast("string"))), ", ")
+    val body = geomType match {
+      case 1 =>
+        val p0 = element_at(geom, 1)
+        concat(lit("POINT ("), p0("x").cast("string"), lit(" "),
+          p0("y").cast("string"), lit(")"))
+      case 2 => concat(lit("LINESTRING ("), pts, lit(")"))
+      case 3 => concat(lit("POLYGON (("), pts, lit("))"))
+      case other =>
+        throw new IllegalArgumentException(s"geometry type $other")
+    }
+    when(geom.isNotNull && size(geom) >= 1, body)
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Shoelace area of a ring (array<struct<x,y>>, closing edge implied):
     * |Σ x_i·y_{i+1} − x_{i+1}·y_i| / 2. Pure HOF expressions —
     * shuffle-free, codegen'd; with integer-grid coordinates every cross
