@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -755,6 +755,67 @@ object EventStream {
         if (b != null) b.destroy()
       }
     }
+  }
+
+  /** Streaming SEMANTIC near-dup gate — the embedding-space twin of
+    * [[nearDupFilterBatch]] and the stream face of
+    * `Similarity.cellCosinePairs` / q_semantic_dedup_keep (the SemDeDup
+    * shape): each micro-batch of (id, vector) rows is assigned to its
+    * IVF cell against the trained broadcast centroids, exact-cosine
+    * checked against the accumulated store RESTRICTED to the batch's
+    * own cells (the store is cell-partitioned parquet, so the per-batch
+    * read prunes to those partitions — a batch never scans the full
+    * vector history), deduped within the batch (min id per near-pair
+    * wins), and survivors append into the store. Same commit order as
+    * the lexical gate: store append AFTER emit, so an at-least-once
+    * replay re-filters and errs toward dropping, never double-emits. */
+  def semanticGateBatch(storePath: String, idCol: String, vecCol: String,
+                        centroids: Array[(Int, Array[Double])], tau: Double,
+                        emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      import graft.operators.Similarity
+      val cents = centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+        .toDF("centroid_id", "c")
+      val assigned = graft.operators.IvfIndex
+        .assign(batch, idCol, vecCol, cents)
+        .select(col("vid"), col("centroid_id").as("cell"), col("v"))
+        .withColumn("nv", Similarity.norm(col("v")))
+        .localCheckpoint() // assignment reused 3x below; never re-derive
+      try {
+        val cells = assigned.select("cell").distinct().as[Int].collect().toSeq
+        val store = readStoreIfExists(spark, storePath)
+          .map(_.where(col("cell").isin(cells: _*))) // partition-pruned
+          .getOrElse(Seq.empty[(Long, Int, Seq[Double], Double)]
+            .toDF("vid", "cell", "v", "nv"))
+        def cosHit(a: DataFrame, b: DataFrame, strict: Column): DataFrame =
+          a.join(b, Seq("cell"))
+            .where(strict &&
+              Similarity.dot(col("va"), col("vb")) /
+                (col("na") * col("nb")) >= tau)
+            .select(col("vid_a").as("vid")).distinct()
+        val l = assigned.select(col("cell"), col("vid").as("vid_a"),
+          col("v").as("va"), col("nv").as("na"))
+        val storeHits = cosHit(l,
+          store.select(col("cell"), col("vid").as("vid_b"),
+            col("v").as("vb"), col("nv").as("nb")), lit(true))
+        val intraHits = cosHit(l,
+          assigned.select(col("cell"), col("vid").as("vid_b"),
+            col("v").as("vb"), col("nv").as("nb")),
+          col("vid_a") > col("vid_b")) // earlier (min) id wins
+        val survivors = assigned.select(col("vid"))
+          .join(storeHits, Seq("vid"), "left_anti")
+          .join(intraHits, Seq("vid"), "left_anti")
+        emit(batch.join(survivors, batch(idCol) === survivors("vid"), "left_semi"))
+        assigned.join(survivors, Seq("vid"), "left_semi")
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("batch_id", "cell") // replay overwrites its own dirs
+          .parquet(storePath)
+      } finally assigned.unpersist()
   }
 
   /** Streaming ANN index ingest — the IVF/PQ family's foreachBatch twin

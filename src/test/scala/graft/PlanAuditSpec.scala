@@ -241,6 +241,14 @@ class PlanAuditSpec extends SparkSpec {
       s"events scan not pruned to event_id+user_id: $read")
   }
 
+  test("q_bpe_encode_bytes: shuffle-free scan->project (byte-level path)") {
+    val p = plan("q_bpe_encode_bytes")
+    assert(!p.contains("Exchange"), "byte-level BPE encode introduced a shuffle")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars"), s"documents scan not pruned: $read")
+  }
+
   test("q_bpe_encode: shuffle-free codegen'd scan->project, pruned to doc_id+text") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Exchange"), "corpus BPE encode introduced a shuffle")

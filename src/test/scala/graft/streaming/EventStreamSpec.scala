@@ -341,6 +341,35 @@ class EventStreamSpec extends SparkSpec {
     assert(emitted.size === 2, "replay re-emitted already-committed docs")
   }
 
+  test("semanticGateBatch: cross-batch + intra-batch embedding near-dups drop; replay-idempotent") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("sem-store").toString + "/vecs"
+    var emitted = Seq.empty[Long]
+    val emit: org.apache.spark.sql.DataFrame => Unit =
+      df => emitted = emitted ++ df.select("id").as[Long].collect()
+    // two well-separated cells on the x/y axes; tau high so only
+    // near-parallel vectors within a cell collide
+    val centroids = Array(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    val fn = EventStream.semanticGateBatch(store, "id", "emb",
+      centroids, tau = 0.95, emit = emit)
+    def df(rows: (Long, Seq[Double])*) = rows.toDF("id", "emb")
+    // batch 0: 1 and 2 are near-parallel (same cell) -> min id 1 wins;
+    // 3 is the other cell and survives
+    fn(df(1L -> Seq(10.0, 0.1), 2L -> Seq(9.9, 0.2), 3L -> Seq(0.1, 8.0)), 0L)
+    assert(emitted.toSet === Set(1L, 3L), s"batch-0 survivors: $emitted")
+    // batch 1: 4 duplicates the STORED 1 -> dropped; 5 is genuinely new
+    emitted = Seq.empty
+    fn(df(4L -> Seq(10.1, 0.11), 5L -> Seq(7.0, -6.9)), 1L)
+    assert(emitted.toSet === Set(5L), s"batch-1 survivors: $emitted")
+    // replayed delivery of batch 1: the store already holds 5 -> drops
+    emitted = Seq.empty
+    fn(df(4L -> Seq(10.1, 0.11), 5L -> Seq(7.0, -6.9)), 1L)
+    assert(emitted.isEmpty, s"replay re-emitted: $emitted")
+    // the store holds exactly the survivors, cell-partitioned
+    val kept = spark.read.parquet(store).select("vid").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
   test("near-dup filter passes token-less documents through") {
     // a doc with no tokens produces no minhash bands — it is trivially
     // not a near-dup of anything and must be emitted, not dropped
