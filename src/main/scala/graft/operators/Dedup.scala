@@ -71,7 +71,16 @@ object Dedup {
     // The exploded shingle relation is consumed 4x (both join sides + the
     // per-doc counts); shingling is a heavy interpreted HOF chain, so
     // materialize it once instead of recomputing per consumer.
+    //
+    // The shingle STRING never outlives the map stage: every downstream
+    // step (df window, cache, self-equi-join) keys on its xxhash64 — an
+    // 8-byte sort/shuffle/compare key instead of a ~40-byte string. The
+    // per-doc distinct already happened on the strings (array_distinct in
+    // shinglesOf), so hashing preserves all set cardinalities exactly
+    // modulo 64-bit collisions (~n²/2⁶⁴ — no observable effect at any
+    // tested SF; the string-keyed DuckDB oracle stays bit-identical).
     val all = shingleRows(df, idCol, textCol, n)
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
     val sh = scope.cache(
       if (maxShingleDf == Int.MaxValue) all
       else {

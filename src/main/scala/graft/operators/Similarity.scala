@@ -147,16 +147,22 @@ object Similarity {
     * the standard SemDeDup trade; raise k for smaller cells and more
     * parallelism, or cluster residuals per cell downstream).
     *
-    * Scale shape: two assignment passes (broadcast centroid argmin,
-    * map-side-combined — the corpus shuffles once per side on the cell
-    * key), then the within-cell join; pair work is Σ cell² instead of
-    * n², and the join is a hash/sort-merge equi-join, never a cartesian.
-    * Norms are precomputed per vector, not per pair. */
+    * Scale shape: ONE assignment pass (broadcast centroid argmin,
+    * map-side-combined), cached — the assignment's `first(v)` aggregate
+    * is non-deterministic, so without the cache the two join sides fail
+    * `sameResult` and the whole argmin subplan (distance pass + vid
+    * shuffle) runs twice with no ReusedExchange (measured: 4 shuffles →
+    * 2). Both sides then scan the one materialized relation and the
+    * cell-key exchange is reused across them; pair work is Σ cell²
+    * instead of n², and the join is a hash/sort-merge equi-join, never
+    * a cartesian. Norms are precomputed per vector, not per pair. */
   def cellCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                      centroids: DataFrame, tau: Double): DataFrame = {
-    val assigned = graft.operators.IvfIndex.assign(df, idCol, vecCol, centroids)
-      .select(col("vid"), col("centroid_id").as("cell"), col("v"))
-      .withColumn("nv", norm(col("v")))
+                      centroids: DataFrame, tau: Double,
+                      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    val assigned = scope.cache(
+      graft.operators.IvfIndex.assign(df, idCol, vecCol, centroids)
+        .select(col("vid"), col("centroid_id").as("cell"), col("v"))
+        .withColumn("nv", norm(col("v"))))
     val a = assigned.select(col("cell"), col("vid").as("vec_a"),
       col("v").as("va"), col("nv").as("na"))
     val b = assigned.select(col("cell"), col("vid").as("vec_b"),

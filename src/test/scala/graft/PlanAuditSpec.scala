@@ -223,6 +223,12 @@ class PlanAuditSpec extends SparkSpec {
       case j: ShuffledHashJoinExec if j.leftKeys.mkString.contains("cell") => j
     }
     assert(equiOnCell.nonEmpty, s"within-cell pairs lost the cell equi-join:\n$p")
+    // single-assignment-pass pin: the argmin's first(v) is
+    // non-deterministic, so the two join sides only share work through
+    // the cached assignment — both must scan the one InMemoryRelation
+    // (without it the distance pass + vid shuffle run twice, no reuse)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"assignment not cached — argmin subplan would run once per join side:\n$p")
     exec.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
       // every BNLJ must be a centroid-table cross (tiny broadcast side)
       assert(j.joinType.toString.contains("Inner") || j.toString.contains("Cross"),
