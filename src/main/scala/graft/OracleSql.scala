@@ -102,7 +102,10 @@ object OracleSql {
     val chain = SparkEntry.BpeByteMerges.foldLeft(render) { case (s, (a, b)) =>
       s"replace($s, ' ${q(a)}  ${q(b)} ', ' ${q(a + b)} ')"
     }
-    val pat = graft.operators.Bpe.PretokenPattern.replace("\\", "\\")
+    // the pattern text passes to RE2 verbatim: DuckDB single-quoted
+    // strings keep backslashes literal, and every escape in the pattern
+    // (\t \n \x0B \f \r \p{..}) reads identically in Java and RE2
+    val pat = graft.operators.Bpe.PretokenPattern
     s"""WITH e AS (SELECT doc_id,
        |  list_transform(regexp_extract_all(text, '$pat'),
        |    w -> string_split(trim($chain), '  ')) AS ew

@@ -705,13 +705,18 @@ object Codec {
     JpegPixels(planes, planeW, cH, cV, hMax, vMax, nComp, w, h)
   }
 
-  /** (r, g, b) of one pixel from decoded planes: replication upsampling
-    * (T.871 box placement) + YCbCr→RGB (JFIF full-range) with clamping —
-    * the ONE pixel-read path shared by features and the luma grid. */
-  private[multimodal] def jpegRgbAt(px: JpegPixels, x: Int, y: Int): (Double, Double, Double) = {
+  /** (r, g, b) of one pixel from decoded planes into `out(0..2)`:
+    * replication upsampling (T.871 box placement) + YCbCr→RGB (JFIF
+    * full-range) with clamping — the ONE pixel-read path shared by
+    * features and the luma grid. Out-param instead of a Tuple3 return:
+    * both consumers call this once per pixel (up to MaxPixels times per
+    * image), and an unspecialized Tuple3 would box three Doubles per
+    * call — pure GC pressure on the corpus decode/hash hot loop. */
+  private[multimodal] def jpegRgbAt(px: JpegPixels, x: Int, y: Int,
+      out: Array[Double]): Unit = {
     if (px.nComp == 1) {
       val g = u8(px.planes(0), y * px.planeW(0) + x).toDouble
-      (g, g, g)
+      out(0) = g; out(1) = g; out(2) = g
     } else {
       def sampC(c: Int): Int =
         u8(px.planes(c),
@@ -720,8 +725,9 @@ object Codec {
       val cb = sampC(1).toDouble - 128.0
       val cr = sampC(2).toDouble - 128.0
       def clamp(v: Double): Double = if (v < 0) 0 else if (v > 255) 255 else v
-      (clamp(yy + 1.402 * cr), clamp(yy - 0.344136 * cb - 0.714136 * cr),
-        clamp(yy + 1.772 * cb))
+      out(0) = clamp(yy + 1.402 * cr)
+      out(1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+      out(2) = clamp(yy + 1.772 * cb)
     }
   }
 
@@ -729,12 +735,13 @@ object Codec {
     * per-pixel accumulate into the standard feature layout. */
   private[multimodal] def jpegFeatures(px: JpegPixels): Array[Float] = {
     var sr = 0.0; var sg = 0.0; var sb = 0.0
+    val rgb = new Array[Double](3)
     var y = 0
     while (y < px.h) {
       var x = 0
       while (x < px.w) {
-        val (r, g, b2) = jpegRgbAt(px, x, y)
-        sr += r / 255.0; sg += g / 255.0; sb += b2 / 255.0
+        jpegRgbAt(px, x, y, rgb)
+        sr += rgb(0) / 255.0; sg += rgb(1) / 255.0; sb += rgb(2) / 255.0
         x += 1
       }
       y += 1

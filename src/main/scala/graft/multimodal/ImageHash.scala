@@ -106,14 +106,15 @@ object ImageHash {
     if (px == null || px.w < GridW || px.h < GridH) return null
     val sum = new Array[Double](GridW * GridH)
     val cnt = new Array[Long](GridW * GridH)
+    val rgb = new Array[Double](3)
     var y = 0
     while (y < px.h) {
       val gy = y * GridH / px.h
       var x = 0
       while (x < px.w) {
         val gx = x * GridW / px.w
-        val (r, g, bl) = Codec.jpegRgbAt(px, x, y)
-        sum(gy * GridW + gx) += 0.299 * r + 0.587 * g + 0.114 * bl
+        Codec.jpegRgbAt(px, x, y, rgb)
+        sum(gy * GridW + gx) += 0.299 * rgb(0) + 0.587 * rgb(1) + 0.114 * rgb(2)
         cnt(gy * GridW + gx) += 1
         x += 1
       }

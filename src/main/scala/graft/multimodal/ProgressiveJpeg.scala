@@ -29,6 +29,17 @@ import Codec._
   * against ImageIO's independent codec. */
 private[multimodal] object ProgressiveJpeg {
 
+  /** Pixel bound for the multi-scan path, tighter than
+    * [[Codec.MaxPixels]]: progressive decode must hold every
+    * component's full coefficient bank in memory before the first
+    * entropy byte is validated (~3 Shorts per pixel at 4:4:4, plus the
+    * output planes), so the header-driven worst case is bounded here to
+    * stay at parity with the baseline path's allocation budget.
+    * 33.5 Mpx (e.g. 8192x4096) covers any real training-corpus image;
+    * larger progressive frames null out (filter-don't-fail) while
+    * ImageMeta still reports their dimensions. */
+  val MaxProgressivePixels: Long = Codec.MaxPixels / 2
+
   def decode(b: Array[Byte]): Array[Float] = {
     val px = decodePixels(b)
     if (px == null) null else jpegFeatures(px)
@@ -50,7 +61,7 @@ private[multimodal] object ProgressiveJpeg {
     var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
     var blocksW: Array[Int] = null // MCU-padded block dims (coef storage)
     var compBW: Array[Int] = null; var compBH: Array[Int] = null // T.81 A.2.2 dims
-    var coefs: Array[Array[Int]] = null
+    var coefs: Array[Array[Short]] = null
     var i = 2
     var seenEoi = false
     var anyScan = false
@@ -101,7 +112,14 @@ private[multimodal] object ProgressiveJpeg {
             nComp = u8(b, seg + 5)
             if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
                 seg + 6 + 3 * nComp > segEnd) return null
-            if (w.toLong * h > Codec.MaxPixels) return null
+            // progressive frames materialize the FULL coefficient bank
+            // before any entropy data is validated (multi-scan decode
+            // requires it), so the header-driven allocation is ~3x the
+            // pixel count in Shorts; the tighter bound keeps a crafted
+            // 200-byte SOF2's worst-case demand at baseline-path parity
+            // (~300 MB) instead of ~1 GB. 33.5 Mpx covers any real
+            // training-corpus image.
+            if (w.toLong * h > MaxProgressivePixels) return null
             cId = new Array[Int](nComp)
             cH = new Array[Int](nComp); cV = new Array[Int](nComp); cQ = new Array[Int](nComp)
             var c = 0
@@ -123,8 +141,14 @@ private[multimodal] object ProgressiveJpeg {
               ((w * cH(c) + hMax - 1) / hMax + 7) / 8)
             compBH = Array.tabulate(nComp)(c =>
               ((h * cV(c) + vMax - 1) / vMax + 7) / 8)
+            // Short banks: conforming 8-bit streams keep every stored
+            // value at |coef| <= 2047 (the scan encodes coef >> Al, the
+            // store shifts it back, and T.81 bounds the full-precision
+            // quantized coefficient to 11 bits + sign) — a crafted
+            // stream can wrap, which only garbles output that was
+            // already garbage; no crash, half the footprint of Int.
             coefs = Array.tabulate(nComp)(c =>
-              new Array[Int](blocksW(c) * (mcusY * cV(c)) * 64))
+              new Array[Short](blocksW(c) * (mcusY * cV(c)) * 64))
             cDcLast = new Array[Int](nComp); cAcLast = new Array[Int](nComp)
           case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
@@ -194,7 +218,9 @@ private[multimodal] object ProgressiveJpeg {
       while (by < bh) {
         var bx = 0
         while (bx < bw) {
-          System.arraycopy(coefs(c), (by * bw + bx) * 64, coef, 0, 64)
+          val cbase = (by * bw + bx) * 64
+          var ci = 0
+          while (ci < 64) { coef(ci) = coefs(c)(cbase + ci); ci += 1 }
           dequantIdctToPlane(coef, q, blk, tmp, planes(c), planeW(c),
             bx * 8, by * 8)
           bx += 1
@@ -212,7 +238,7 @@ private[multimodal] object ProgressiveJpeg {
     * block raster when the scan holds one component (T.81 A.2.3). */
   private def decodeDcScan(r: BitReader, scanComp: Array[Int], ah: Int, al: Int,
       cH: Array[Int], cV: Array[Int], cDc: Array[Int], dcTabs: Array[Huff],
-      coefs: Array[Array[Int]], blocksW: Array[Int],
+      coefs: Array[Array[Short]], blocksW: Array[Int],
       unitsX: Int, unitsY: Int, nonInterleaved: Boolean,
       restartInterval: Int): Boolean = {
     val pred = new Array[Int](scanComp.length)
@@ -248,11 +274,11 @@ private[multimodal] object ProgressiveJpeg {
                 val diffBits = r.receive(t)
                 if (diffBits < 0) return false
                 pred(sc) += extend(diffBits, t)
-                coefs(c)(idx) = pred(sc) << al
+                coefs(c)(idx) = (pred(sc) << al).toShort
               } else {
                 val bit = r.nextBit()
                 if (bit < 0) return false
-                if (bit == 1) coefs(c)(idx) |= (1 << al)
+                if (bit == 1) coefs(c)(idx) = (coefs(c)(idx) | (1 << al)).toShort
               }
               bx += 1
             }
@@ -275,7 +301,7 @@ private[multimodal] object ProgressiveJpeg {
     * stay in zigzag order (position k indexes the band directly). */
   private def decodeAcScan(r: BitReader, c: Int, ss: Int, se: Int,
       ah: Int, al: Int, cAc: Array[Int], acTabs: Array[Huff],
-      coefs: Array[Array[Int]], blocksW: Array[Int],
+      coefs: Array[Array[Short]], blocksW: Array[Int],
       bw: Int, bh: Int, restartInterval: Int): Boolean = {
     val acT = acTabs(cAc(c))
     if (acT == null) return false
@@ -321,7 +347,7 @@ private[multimodal] object ProgressiveJpeg {
                 if (k > se) return false
                 val vb = r.receive(s)
                 if (vb < 0) return false
-                coefs(c)(base + k) = extend(vb, s) << al
+                coefs(c)(base + k) = (extend(vb, s) << al).toShort
                 k += 1
               }
             }
@@ -332,7 +358,8 @@ private[multimodal] object ProgressiveJpeg {
             val bit = r.nextBit()
             if (bit < 0) return false
             if (bit == 1 && (coefs(c)(idx) & p1) == 0)
-              coefs(c)(idx) += (if (coefs(c)(idx) >= 0) p1 else m1)
+              coefs(c)(idx) =
+                (coefs(c)(idx) + (if (coefs(c)(idx) >= 0) p1 else m1)).toShort
             true
           }
           var k = ss
@@ -368,7 +395,7 @@ private[multimodal] object ProgressiveJpeg {
                     if (!correctionBit(idx)) return false
                   } else {
                     if (run == 0) {
-                      if (newVal != 0) coefs(c)(idx) = newVal
+                      if (newVal != 0) coefs(c)(idx) = newVal.toShort
                       placed = true
                     } else run -= 1
                   }

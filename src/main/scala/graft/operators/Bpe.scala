@@ -148,15 +148,22 @@ object Bpe {
   }
 
   /** GPT-2-shaped pretokenization WITHOUT lookahead:
-    * ` ?\p{L}+ | ?\p{N}+ | ?[^\s\p{L}\p{N}]+ | \s+` — the reference
+    * ` ?\p{L}+ | ?\p{N}+ | ?[^WS\p{L}\p{N}]+ | WS+` — the reference
     * pattern minus the English contraction branches and minus the
     * `\s+(?!\S)` trailing-space branch (RE2, hence the DuckDB oracle,
     * has no lookahead; the only divergence is that a multi-space run
     * keeps ALL its spaces instead of donating the last one to the next
     * word). A single leading space still attaches to the following
-    * word — the property byte-level BPE vocabularies are built on. */
-  val PretokenPattern: String =
-    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    * word — the property byte-level BPE vocabularies are built on.
+    *
+    * Whitespace is an EXPLICIT class, not `\s`: Java's `\s` includes
+    * vertical tab (\x0B) but RE2's does not, so the shorthand would
+    * tokenize VT-containing text differently per engine. The literal
+    * class below means the same six characters to both. */
+  val PretokenPattern: String = {
+    val ws = "\\t\\n\\x0B\\f\\r " // identical escape text in Java + RE2
+    s" ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
+  }
 
   /** Pretokens of `text` in document order (regexp_extract_all: the
     * pattern branches cover every character, so concatenating the

@@ -79,18 +79,28 @@ object Catalog {
           warehouseRoot: String): Map[String, String] = {
     val scratch = java.nio.file.Files
       .createTempDirectory(s"graft-${pipeline.name}").toString
-    pipeline.parse(spark, input, scratch).map { case TableLoad(table, raw) =>
-      val template = pipeline.templates(table)
-      val root = s"$warehouseRoot/${pipeline.schemaName}/$table"
-      val records = Pipeline.runObserved(
-        pipeline.name, raw,
-        Seq(Pipeline.Stage("conform",
-          df => conform(df, template, pipeline.allowMissing))),
-        out => { SnapshotTable.write(out, root); () })
-      MetadataLog.append(spark, records,
-        s"$warehouseRoot/${pipeline.schemaName}/processing_logs")
-      table -> root
-    }.toMap
+    try {
+      pipeline.parse(spark, input, scratch).map { case TableLoad(table, raw) =>
+        val template = pipeline.templates(table)
+        val root = s"$warehouseRoot/${pipeline.schemaName}/$table"
+        val records = Pipeline.runObserved(
+          pipeline.name, raw,
+          Seq(Pipeline.Stage("conform",
+            df => conform(df, template, pipeline.allowMissing))),
+          out => { SnapshotTable.write(out, root); () })
+        MetadataLog.append(spark, records,
+          s"$warehouseRoot/${pipeline.schemaName}/processing_logs")
+        table -> root
+      }.toMap
+    } finally {
+      // every table load has materialized through SnapshotTable.write by
+      // here, so the unzipped payload (multi-GB for real archives) must
+      // not outlive the run — scheduled loads would accrete /tmp forever
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(scratch)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Convenience: run by name from [[all]]. */
@@ -258,7 +268,7 @@ object Catalog {
   // ------------------------------------------------------------ naptan
 
   /** NaPTAN national stop registry CSV (naptan.py): one table
-    * (`LATEST_STOPS`), full 41-column header contract, typed casts for
+    * (`LATEST_STOPS`), full 43-column header contract, typed casts for
     * the coordinate/timestamp/revision columns — the reference's
     * clean_naptan_data typing. */
   val naptan: SourcePipeline = SourcePipeline(

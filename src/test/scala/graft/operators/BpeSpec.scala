@@ -107,7 +107,10 @@ class BpeSpec extends SparkSpec {
   }
 
   test("pretokenize: covers every character (concatenation reconstructs), space attaches") {
-    val texts = Seq("hello wörld  12 a-b\ntail", " lead", "a  b", "")
+    // "a <VT>!" pins the explicit whitespace class: Java's \s includes
+    // vertical tab, RE2's does not — the literal [\t\n\x0B\f\r ] class
+    // makes VT whitespace on BOTH engines (see Bpe.PretokenPattern)
+    val texts = Seq("hello wörld  12 a-b\ntail", " lead", "a  b", "", "a \u000B!")
     val got = texts.toDF("t")
       .select(col("t"), Bpe.pretokenize(col("t")).as("p"))
       .as[(String, Seq[String])].collect().toMap
