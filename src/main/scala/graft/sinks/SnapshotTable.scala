@@ -73,7 +73,22 @@ object SnapshotTable {
     * the highest manifest, so visibility is atomic and monotone with
     * no pointer file to race over. */
   def write(df: DataFrame, root: String, append: Boolean = false,
-            maxClaimRetries: Int = 20): Long = {
+            maxClaimRetries: Int = 20): Long =
+    commitWith(df, root, maxClaimRetries) { (spark, f, rootP, version) =>
+      if (!append) Vector.empty
+      else {
+        awaitLowerClaims(f, rootP, version)
+        versions(spark, root).filter(_ < version).lastOption
+          .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+      }
+    }
+
+  /** The shared commit core: write `df`'s files once, claim a version,
+    * land the manifest as `carried(version) ++ fresh`. The `carried`
+    * callback runs AFTER the claim is exclusive (append resolves the
+    * previous manifest there; replace/merge pass a fixed list). */
+  private def commitWith(df: DataFrame, root: String, maxClaimRetries: Int)(
+      carried: (SparkSession, FileSystem, Path, Long) => Vector[String]): Long = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
@@ -115,21 +130,16 @@ object SnapshotTable {
     // The claim is exclusive from here on. For append, the carried list
     // is only complete once every LOWER claim has landed its manifest: a
     // claimed-but-unlanded version K < ours holds files that would be
-    // permanently excluded the moment our higher manifest lands. Wait
-    // for those claims to resolve; one older than `claimGraceMs` with no
-    // manifest is a crashed writer (the claim->land window is an empty
-    // create + tiny rename, normally milliseconds) and its burned slot
-    // is skipped. A replace (!append) carries nothing, so late-landing
-    // lower versions are legitimately shadowed by it.
-    val carried =
-      if (!append) Vector.empty
-      else {
-        awaitLowerClaims(f, rootP, version)
-        versions(spark, root).filter(_ < version).lastOption
-          .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
-      }
+    // permanently excluded the moment our higher manifest lands — append
+    // waits for those claims inside its callback; one older than
+    // `claimGraceMs` with no manifest is a crashed writer (the
+    // claim->land window is an empty create + tiny rename, normally
+    // milliseconds) and its burned slot is skipped. Replace/merge carry
+    // a fixed list, so late-landing lower versions are legitimately
+    // shadowed by them.
+    val carriedFiles = carried(spark, f, rootP, version)
     val body = s"""{"version": $version, "files": [${
-      (carried ++ fresh).map(jsonStr).mkString(", ")}]}"""
+      (carriedFiles ++ fresh).map(jsonStr).mkString(", ")}]}"""
     val tmpM = new Path(rootP, s"_manifests/.tmp-$version")
     val outM = f.create(tmpM, true)
     try outM.write(body.getBytes(StandardCharsets.UTF_8)) finally outM.close()
@@ -222,6 +232,62 @@ object SnapshotTable {
     val added = manifestFiles(spark, root, until).filterNot(old)
     if (added.isEmpty) read(spark, root, Some(until)).limit(0)
     else spark.read.parquet(added.map(n => new Path(root, n).toString): _*)
+  }
+
+  /** Copy-on-write MERGE (upsert) by key — the warehouse-table half of
+    * the reference's delete-then-insert refresh (data_processor_utils
+    * .py:60) and JdbcSink's stage-then-MERGE, expressed on the snapshot
+    * format itself: target rows whose key appears in `source` are
+    * replaced by the source row; unmatched source rows insert. One
+    * atomic commit publishes the result; every pre-merge version still
+    * time-travels.
+    *
+    * Scale shape (the Delta/Iceberg CoW merge): only data files that
+    * actually CONTAIN a matched key are rewritten. Finding them is one
+    * key-columns-only scan (parquet column pruning: `ReadSchema` is the
+    * key set + file name) semi-joined to the source keys; the file list
+    * is collected (bounded by the manifest's file count, driver-held by
+    * the protocol anyway). Untouched files are carried into the new
+    * manifest VERBATIM — no rewrite, no copy — so a point upsert into a
+    * 100 TB table rewrites the few files holding the matched keys, not
+    * the table. The rewrite reads only the touched files, anti-joins
+    * the source keys (the surviving remainder), and unions the whole
+    * source.
+    *
+    * Contracts: `source` must be key-unique (two source rows with one
+    * key would both land — same as a SQL MERGE with multiple matches)
+    * and column-compatible with the table (unionByName). Replaying the
+    * SAME source is idempotent (matched keys replace to the same rows),
+    * which is exactly the property a foreachBatch streaming upsert
+    * needs. Like compact, a merge shadows commits landing between its
+    * read and its publish — run upserts from the table's single write
+    * owner, not alongside appenders. Returns the new version. */
+  def merge(source: DataFrame, root: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "snapshot-table: merge needs at least one key")
+    val spark = source.sparkSession
+    if (versions(spark, root).isEmpty) return write(source, root)
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val live = liveVersion(spark, root)
+    val files = manifestFiles(spark, root, live)
+    val rootP = new Path(root)
+    val abs = files.map(n => new Path(rootP, n).toString)
+    // one key-pruned scan to locate the files holding matched keys
+    val keyed = spark.read.parquet(abs: _*)
+      .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+    val touchedAbs = keyed
+      .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet // bounded by the file count
+    // input_file_name is a URI; match manifest entries by path suffix
+    val touched = files.filter(n => touchedAbs.exists(_.endsWith("/" + n)))
+    val untouched = files.filterNot(touched.toSet)
+    val remainder =
+      if (touched.isEmpty) source.limit(0)
+      else spark.read
+        .parquet(touched.map(n => new Path(rootP, n).toString): _*)
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    commitWith(remainder.unionByName(source), root, maxClaimRetries = 20)(
+      (_, _, _, _) => untouched)
   }
 
   /** Rewrite the live snapshot's file set into size-targeted files and

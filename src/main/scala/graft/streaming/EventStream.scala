@@ -858,6 +858,34 @@ object EventStream {
         .parquet(indexPath)
   }
 
+  /** foreachBatch CDC upsert into a [[graft.sinks.SnapshotTable]] — the
+    * stream face of `SnapshotTable.merge` and the closing arc of the CDC
+    * loop (readChanges consumes incrementally, this produces
+    * incrementally): each micro-batch is reduced to its LAST change per
+    * key (`row_number` over `orderCol` descending, partitioned by the
+    * keys — batch-bounded and key-partitioned, never a global window)
+    * and copy-on-write merged, so the table always holds current-state
+    * rows while every pre-batch version still time-travels.
+    *
+    * Replay-safe by the merge contract: re-running a delivered batch
+    * merges identical rows onto identical keys — same table content —
+    * so at-least-once foreachBatch delivery needs no dedup ledger here.
+    * Cross-batch ordering is the stream's own (a later batch's change
+    * for a key overwrites an earlier batch's — event-time regressions
+    * across batches need an upstream watermark policy, not this sink). */
+  def upsertBatch(root: String, keys: Seq[String],
+                  orderCol: Column): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(orderCol.desc)
+      val latest = batch
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      graft.sinks.SnapshotTable.merge(latest, root, keys)
+      ()
+  }
+
   /** Production state-store configuration: RocksDB-backed keyed state with
     * changelog checkpointing instead of the default on-heap HashMap
     * provider. At 100 TB-scale keyed state (dedup horizon, live sessions)

@@ -99,6 +99,55 @@ class SnapshotTableSpec extends SparkSpec {
       (1L to 120L))
   }
 
+  test("merge: upsert by key — matched rows replaced, unmatched inserted, one commit") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    val v = SnapshotTable.merge(
+      Seq((2L, "B"), (4L, "d")).toDF("id", "v"), root, Seq("id"))
+    assert(v == 2L)
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // time travel: the pre-merge snapshot is intact
+    assert(SnapshotTable.read(spark, root, Some(1L)).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("merge: only files containing matched keys are rewritten (CoW file pruning)") {
+    val root = tmp()
+    // two files with disjoint key ranges: repartitionByRange on a sorted
+    // 2-split puts ids 1-2 and 11-12 in separate parquet files
+    val base = Seq((1L, "a"), (2L, "b"), (11L, "x"), (12L, "y")).toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+    SnapshotTable.write(base, root)
+    val before = SnapshotTable.read(spark, root)
+      .select(input_file_name().as("f"), col("id"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(before.size == 2, s"fixture wants 2 files, got ${before.keys}")
+    val lowFile = before.find(_._2.contains(1L)).get._1
+    val highFile = before.find(_._2.contains(11L)).get._1
+    assert(lowFile != highFile, "fixture wants disjoint key files")
+    SnapshotTable.merge(Seq((2L, "B")).toDF("id", "v"), root, Seq("id"))
+    val after = SnapshotTable.read(spark, root)
+      .select(input_file_name().as("f")).distinct().as[String].collect().toSet
+    // the file holding only UNMATCHED keys is carried verbatim (same
+    // physical path); the matched-key file is gone, replaced by fresh ones
+    assert(after.contains(highFile), "untouched file must be carried, not rewritten")
+    assert(!after.contains(lowFile), "touched file must be replaced")
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "B"), (11L, "x"), (12L, "y")))
+  }
+
+  test("merge: replaying the same source is idempotent; empty table bootstraps") {
+    val root = tmp()
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    SnapshotTable.merge(batch, root, Seq("id")) // no live version -> plain write
+    SnapshotTable.merge(batch, root, Seq("id")) // replay
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+  }
+
   test("vacuum keeps data dirs referenced by kept APPEND manifests") {
     val root = tmp()
     SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)

@@ -648,6 +648,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertBatch: last-change-per-key CDC upsert; replay-idempotent; time travel") {
+    import spark.implicits._
+    import graft.sinks.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    val fn = EventStream.upsertBatch(root, Seq("id"),
+      org.apache.spark.sql.functions.col("seq"))
+    def df(rows: (Long, Long, String)*) = rows.toDF("id", "seq", "v")
+    // batch 0: two changes for key 1 in one batch -> the higher seq wins
+    fn(df((1L, 1L, "a0"), (1L, 2L, "a1"), (2L, 1L, "b0")), 0L)
+    assert(SnapshotTable.read(spark, root).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a1"), (2L, "b0")))
+    // batch 1: update key 2, insert key 3
+    fn(df((2L, 2L, "b1"), (3L, 1L, "c0")), 1L)
+    assert(SnapshotTable.read(spark, root).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a1"), (2L, "b1"), (3L, "c0")))
+    // at-least-once redelivery of batch 1: same content, new version
+    fn(df((2L, 2L, "b1"), (3L, 1L, "c0")), 1L)
+    assert(SnapshotTable.read(spark, root).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a1"), (2L, "b1"), (3L, "c0")))
+    // pre-batch-1 state still time-travels (version 1 = batch 0)
+    assert(SnapshotTable.read(spark, root, Some(1L)).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a1"), (2L, "b0")))
+  }
+
   test("annIngestBatch: stream-built IVF/PQ index == batch-built, replay-idempotent") {
     import graft.operators.{IvfIndex, PqIndex}
     import org.apache.spark.sql.functions.col
