@@ -86,6 +86,64 @@ object OracleSql {
        |FROM r""".stripMargin
   }
 
+
+  /** Unigram-LM encode mirror: the EXACT integer Viterbi the native
+    * UnigramSegment expression runs, unrolled as UnigramChunk NESTED
+    * subselect levels — one added column per level, so every dp value
+    * is a physical column of the level below. (A single SELECT with
+    * lateral alias references looks equivalent but DuckDB resolves
+    * those by INLINING: d24's expanded tree is ~4^24 nodes and the
+    * query never finishes. Nesting pins the evaluation to O(P*L) per
+    * row — measured 0.63 s for 50k chunks.) The MAP literal and every
+    * constant render from SparkEntry.UnigramPieces — the same
+    * constants that build the Spark expression's table. Both engines'
+    * substr/len count CODE POINTS, so chunking and piece lookups
+    * align; integer costs + the first-minimal-candidate tie rule
+    * (CASE arms in ascending split-start order) reproduce the DP's
+    * longest-final-piece choice bit-exactly. The DP runs on DISTINCT
+    * chunks and joins back (the corpus re-uses words). */
+  private def unigramEncodeSql: String = {
+    def q(x: String): String = x.replace("'", "''")
+    val P = SparkEntry.UnigramChunk
+    val L = SparkEntry.UnigramPieces.map(_._1.length).max
+    val unk = SparkEntry.UnigramUnk
+    val keys = SparkEntry.UnigramPieces.map(x => s"'${q(x._1)}'").mkString(", ")
+    val vals = SparkEntry.UnigramPieces.map(_._2).mkString(", ")
+    def costOf(j: Int, k: Int): String = {
+      val sub = s"substr(w, ${j + 1}, ${k - j})"
+      if (k - j == 1) s"coalesce(m[$sub][1], $unk)" else s"m[$sub][1]"
+    }
+    var dp = s"(SELECT w, MAP([$keys], [$vals]) AS m, " +
+      "0::BIGINT AS d0, ''::VARCHAR AS s0 FROM dw)"
+    for (k <- 1 to P) {
+      val js = math.max(0, k - L) until k
+      val cands = js.map(j => s"(d$j + ${costOf(j, k)})").mkString(", ")
+      dp = s"(SELECT *, CASE WHEN $k <= len(w) THEN " +
+        s"list_aggregate([$cands], 'min') END AS d$k FROM $dp)"
+      val arms = js.map(j =>
+        s"WHEN (d$j + ${costOf(j, k)}) = d$k THEN s$j || chr(31) || substr(w, ${j + 1}, ${k - j})")
+        .mkString(" ")
+      dp = s"(SELECT *, CASE WHEN d$k IS NOT NULL THEN (CASE $arms END) END " +
+        s"AS s$k FROM $dp)"
+    }
+    val finalS = "CASE len(w) " +
+      (1 to P).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END"
+    s"""WITH e AS (SELECT doc_id, regexp_extract_all(text, '${graft.operators.Bpe.PretokenPattern}') AS ws FROM documents),
+       |w1 AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word FROM e),
+       |ch AS (SELECT doc_id, wi, generate_subscripts(cs, 1) AS ci, unnest(cs) AS w FROM
+       |        (SELECT doc_id, wi, list_transform(range(0, CAST((len(word) + ${P - 1}) // $P AS INT)),
+       |                 k -> substr(word, k * $P + 1, $P)) AS cs FROM w1)),
+       |dw AS (SELECT DISTINCT w FROM ch),
+       |seg AS (SELECT w, ltrim($finalS, chr(31)) AS s FROM $dp),
+       |agg AS (SELECT c.doc_id, string_agg(g.s, chr(31) ORDER BY c.wi, c.ci) AS enc
+       |        FROM ch c JOIN seg g ON c.w = g.w GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN a.enc IS NULL THEN 0
+       |       ELSE len(string_split(a.enc, chr(31))) END AS BIGINT) AS n_pieces,
+       |  md5(coalesce(a.enc, '')) AS enc_md5
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   /** Byte-level BPE mirror: the LUT, pretokenization pattern, and merge
     * chain all render from the SAME Scala constants the Spark side
     * folds into its plan (Bpe.byteAlphabet / PretokenPattern /
@@ -1768,6 +1826,7 @@ object OracleSql {
     // greedy-left-to-right replace, identical in both engines (no regex)
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_encode_bytes" -> bpeEncodeBytesSql,
+    "q_unigram_encode" -> unigramEncodeSql,
 
     // canonicalization: NFC (nfc_normalize == the native graft_nfc, both
     // UAX #15) + lower + non-alnum collapse + trim

@@ -1207,6 +1207,61 @@ object SparkEntry {
         md5(col("enc").cast("binary")).as("enc_md5"),
         substring(col("enc"), 1, 40).as("enc_head"))
 
+  /** Fixed unigram piece table for q_unigram_encode — trained once via
+    * `Unigram.train(documents@sf0.001, vocabSize=48, rounds=2,
+    * maxPieceLen=4)` and embedded as shared literals: the SAME constants
+    * render the Spark expression's piece table and the oracle's MAP +
+    * unrolled-DP SQL (the BpeByteMerges discipline — zero drift). */
+  private[graft] val UnigramChunk = 24 // DP unroll depth (word cp cap)
+  private[graft] val UnigramUnk = 12433
+  private[graft] val UnigramPieces: Seq[(String, Int)] = Seq(
+    (" ", 1902), (" a", 4616), (" b", 3951), (" c", 4664),
+    (" co", 4568), (" f", 3937), (" ord", 4568), (" s", 3538),
+    (" t", 4634), (" v", 3914), (" wi", 4566), ("a", 3515),
+    ("agg", 4573), ("al", 4633), ("alue", 4594), ("as", 4605),
+    ("at", 3934), ("b", 4601), ("c", 3894), ("d", 4603),
+    ("e", 2809), ("er", 3896), ("f", 8032), ("g", 3510),
+    ("h", 3226), ("i", 3933), ("in", 4591), ("j", 4591),
+    ("k", 3907), ("l", 3233), ("line", 4581), ("lumn", 4547),
+    ("m", 3928), ("mer", 3924), ("n", 11433), ("ndow", 4566),
+    ("o", 3913), ("or", 4597), ("orde", 8600), ("ow", 3936),
+    ("p", 11433), ("par", 4619), ("part", 4563), ("q", 4593),
+    ("r", 3519), ("ro", 4593), ("s", 7604), ("scan", 4541),
+    ("sort", 4551), ("st", 3524), ("t", 3904), ("ta", 4627),
+    ("u", 4643), ("ue", 4593), ("up", 4563), ("v", 8342),
+    ("valu", 8600), ("w", 11433), ("wind", 8660), ("y", 3894))
+  private lazy val unigramTable =
+    new graft.plans.UnigramTable(UnigramPieces, UnigramUnk)
+  /** Piece separator for the encode digest: ASCII unit separator, absent
+    * from the corpus (pieces themselves may contain spaces — space-run
+    * pretokens — so a space join would be ambiguous). */
+  private[graft] val UnigramSep = "\u001f"
+
+  /** UNIGRAM-LM corpus encode (the SentencePiece apply step): pretokens
+    * chunked to [[UnigramChunk]] code points (the DP depth the oracle
+    * unrolls), each chunk Viterbi-segmented by the native
+    * [[graft.plans.UnigramSegment]] expression against the embedded
+    * integer-cost table — still a shuffle-free scan→project. The oracle
+    * runs the IDENTICAL DP as UnigramChunk unrolled lateral columns
+    * over a MAP literal rendered from the same constants, on DISTINCT
+    * chunks joined back (integer costs + the longest-final-piece tie
+    * rule make the optimum engine-exact). */
+  private def qUnigramEncode(s: SparkSession, d: String): DataFrame = {
+    val ck = lit(UnigramChunk)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        flatten(transform(Bpe.pretokenize(col("text")), w => {
+          val nch = ((length(w) + lit(UnigramChunk - 1)) / ck).cast("int")
+          flatten(transform(sequence(lit(1), nch),
+            k => graft.plans.UnigramSegment.segment(
+              w.substr((k - 1) * ck + 1, ck), unigramTable)))
+        })).as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        md5(array_join(col("pieces"), UnigramSep).cast("binary"))
+          .as("enc_md5"))
+  }
+
   /** Corpus length-distribution percentiles from a one-pass bounded
     * histogram (Stats.histogramQuantiles): p10..p100 of document char
     * length at bin-width-10 resolution. The at-scale twin of
@@ -1543,6 +1598,7 @@ object SparkEntry {
     "q_pack_segments" -> (qPackSegments _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_encode_bytes" -> (qBpeEncodeBytes _),
+    "q_unigram_encode" -> (qUnigramEncode _),
     "q_geo_geojson" -> (qGeoGeoJson _),
     "q_hist_quantiles" -> (qHistQuantiles _),
   )

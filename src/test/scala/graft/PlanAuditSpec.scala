@@ -255,6 +255,14 @@ class PlanAuditSpec extends SparkSpec {
       !read.contains("n_chars"), s"documents scan not pruned: $read")
   }
 
+  test("q_unigram_encode: shuffle-free scan->project (Viterbi expression path)") {
+    val p = plan("q_unigram_encode")
+    assert(!p.contains("Exchange"), "unigram encode introduced a shuffle")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars"), s"documents scan not pruned: $read")
+  }
+
   test("q_bpe_encode: shuffle-free codegen'd scan->project, pruned to doc_id+text") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Exchange"), "corpus BPE encode introduced a shuffle")
