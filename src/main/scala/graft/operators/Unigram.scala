@@ -126,4 +126,74 @@ object Unigram {
   def encodeText(text: Column, table: UnigramTable): Column =
     flatten(transform(Bpe.pretokenize(text),
       w => UnigramSegment.segment(w, table)))
+
+  /** Deterministic id layout: pieces in sorted order (the order
+    * [[graft.plans.UnigramTable.pieces]] returns) — same table, same
+    * ids, anywhere. */
+  def vocab(table: UnigramTable): Map[String, Int] =
+    table.pieces.map(_._1).zipWithIndex.toMap
+
+  /** Corpus encode to ids under [[vocab]]'s layout; pieces outside the
+    * table (UNK code points surfaced by the DP's fallback) become
+    * `unkId` — the [[Bpe.encodeIds]] contract. */
+  def encodeIds(df: DataFrame, textCol: Column, table: UnigramTable,
+                unkId: Int = -1, outCol: String = "piece_ids"): DataFrame = {
+    val v = typedLit(vocab(table))
+    df.withColumn(outCol,
+      transform(encodeText(textCol, table),
+        t => coalesce(element_at(v, t), lit(unkId))))
+  }
+
+  /** Persist a trained piece table (first line = the UNK cost, then one
+    * `piece \t cost` per line in sorted piece order). Pieces CAN contain
+    * spaces (space-run pretokens), tabs, and newlines, so the piece
+    * field is backslash-escaped exactly like [[Bpe.saveMerges]]. */
+  def savePieces(path: String, table: UnigramTable): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+    val body = (table.unkCost.toString +: table.pieces.map { case (p, c) =>
+      s"${esc(p)}\t$c" }).mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Load a piece table written by [[savePieces]]. */
+  def loadPieces(path: String): UnigramTable = {
+    def unesc(s: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case '\\' => out += '\\'
+            case 'n' => out += '\n'
+            case 'r' => out += '\r'
+            case 't' => out += '\t'
+            case c => out += c
+          }
+          i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toString
+    }
+    val lines = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1).toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty, s"empty piece artifact: $path")
+    val unk = lines.head.toInt
+    val pieces = lines.tail.map { line =>
+      val cut = line.lastIndexOf('\t')
+      require(cut > 0, s"malformed piece line: '$line'")
+      (unesc(line.substring(0, cut)), line.substring(cut + 1).toInt)
+    }
+    new UnigramTable(pieces, unk)
+  }
 }

@@ -118,6 +118,27 @@ class UnigramSpec extends SparkSpec {
         s"lone-surrogate piece '$p' in the table") }
   }
 
+  test("savePieces/loadPieces round-trips nasty pieces; encodeIds deterministic layout") {
+    val dir = java.nio.file.Files.createTempDirectory("uni-artifact")
+    val path = dir.resolve("pieces.txt").toString
+    // pieces with spaces (space-run pretokens), tabs, newlines, backslash
+    val t = new UnigramTable(Seq((" ", 50), ("  ", 40), ("a\tb", 100),
+      ("x\ny", 120), ("z\\w", 130), ("lo", 90), ("l", 400), ("o", 410)), 2000)
+    Unigram.savePieces(path, t)
+    val back = Unigram.loadPieces(path)
+    assert(back.pieces == t.pieces && back.unkCost == t.unkCost,
+      "piece artifact round-trip")
+    // a loaded table drives the DP identically
+    assert(toksOf(back, "lol") == toksOf(t, "lol"))
+    // ids: sorted-piece layout, UNK -> -1
+    val v = Unigram.vocab(t)
+    assert(v.keys.toSeq.sorted.zipWithIndex.forall { case (p, i) => v(p) == i })
+    val ids = Unigram.encodeIds(Seq("lo q").toDF("text"), col("text"), t)
+      .select("piece_ids").as[Seq[Int]].collect().head
+    assert(ids.length == 3 && ids(0) == v("lo") && ids(1) == v(" ") &&
+      ids(2) == -1, s"ids: $ids") // 'q' is UNK
+  }
+
   test("tie-break: equal-cost segmentations resolve to the longest final piece") {
     // "ab|c" vs "a|bc": equal totals; the DP must take the LONGER final
     // piece (smaller last split start) -> a|bc
