@@ -101,7 +101,11 @@ object OracleSql {
     * align; integer costs + the first-minimal-candidate tie rule
     * (CASE arms in ascending split-start order) reproduce the DP's
     * longest-final-piece choice bit-exactly. The DP runs on DISTINCT
-    * chunks and joins back (the corpus re-uses words). */
+    * chunks and joins back (the corpus re-uses words). Separators are
+    * inserted CONDITIONALLY (s_j = '' means "no pieces yet") rather
+    * than leading-sep + ltrim: ltrim would also strip a first piece's
+    * own leading U+001F characters, silently diverging from the Spark
+    * side on a corpus that contains the separator char. */
   private def unigramEncodeSql: String = {
     def q(x: String): String = x.replace("'", "''")
     val P = SparkEntry.UnigramChunk
@@ -121,7 +125,8 @@ object OracleSql {
       dp = s"(SELECT *, CASE WHEN $k <= len(w) THEN " +
         s"list_aggregate([$cands], 'min') END AS d$k FROM $dp)"
       val arms = js.map(j =>
-        s"WHEN (d$j + ${costOf(j, k)}) = d$k THEN s$j || chr(31) || substr(w, ${j + 1}, ${k - j})")
+        s"WHEN (d$j + ${costOf(j, k)}) = d$k THEN " +
+        s"(CASE WHEN s$j = '' THEN '' ELSE s$j || chr(31) END) || substr(w, ${j + 1}, ${k - j})")
         .mkString(" ")
       dp = s"(SELECT *, CASE WHEN d$k IS NOT NULL THEN (CASE $arms END) END " +
         s"AS s$k FROM $dp)"
@@ -134,7 +139,7 @@ object OracleSql {
        |        (SELECT doc_id, wi, list_transform(range(0, CAST((len(word) + ${P - 1}) // $P AS INT)),
        |                 k -> substr(word, k * $P + 1, $P)) AS cs FROM w1)),
        |dw AS (SELECT DISTINCT w FROM ch),
-       |seg AS (SELECT w, ltrim($finalS, chr(31)) AS s FROM $dp),
+       |seg AS (SELECT w, $finalS AS s FROM $dp),
        |agg AS (SELECT c.doc_id, string_agg(g.s, chr(31) ORDER BY c.wi, c.ci) AS enc
        |        FROM ch c JOIN seg g ON c.w = g.w GROUP BY c.doc_id)
        |SELECT d.doc_id,

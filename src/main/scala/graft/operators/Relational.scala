@@ -23,9 +23,14 @@ object Relational {
     */
   def distinctOn(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    // collision-checked rank alias: withColumn REPLACES an existing
+    // column, so a caller schema that legitimately contains "__rn"
+    // would silently lose that field through the drop below
+    val rn = Iterator.iterate("__rn")(_ + "_")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Top-k rows per group by `order` (rank window, deterministic ties via

@@ -78,9 +78,13 @@ object Unigram {
         .groupBy("piece").agg(sum(col("cnt")).as("total"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val used = segCounts.toMap
-      val singlesKept = table.pieces.map(_._1).filter(_.length == 1)
+      // singles = one CODE POINT (seeding's Spark length() counts code
+      // points, so an astral char is a protected single there; a Java
+      // char-length test here would eject it from the coverage floor)
+      def cp1(p: String) = p.codePointCount(0, p.length) == 1
+      val singlesKept = table.pieces.map(_._1).filter(cp1)
         .map(p => (p, used.getOrElse(p, 0L) max 1L))
-      val multisKept = segCounts.filter(_._1.length > 1)
+      val multisKept = segCounts.filterNot(c => cp1(c._1))
         .sortBy { case (p, n) => (-n, p) }.take(vocabSize)
       table = toTable(singlesKept ++ multisKept, scale)
       r += 1
@@ -90,27 +94,15 @@ object Unigram {
 
   /** Integer costs from weighted counts: cost = round(scale * ln(T/n)).
     * Unknown-char fallback = the worst in-vocab cost + scale (one "nat"
-    * worse than the rarest piece — always the last resort). Pieces with
-    * unpaired surrogates are dropped: SQL `substring` seeds by Java
-    * char, so astral text yields split-emoji fragments that the
-    * code-point DP can never match anyway — dead weight in the table. */
+    * worse than the rarest piece — always the last resort). No
+    * surrogate filtering is needed: Spark's substring (the seeding
+    * path) and the segment DP are both code-point based, so lone
+    * surrogates never reach a piece. */
   private def toTable(counts: Seq[(String, Long)], scale: Int): UnigramTable = {
-    def wellFormed(p: String): Boolean = {
-      var i = 0
-      while (i < p.length) {
-        val c = p.charAt(i)
-        if (Character.isHighSurrogate(c)) {
-          if (i + 1 >= p.length || !Character.isLowSurrogate(p.charAt(i + 1)))
-            return false
-          i += 2
-        } else if (Character.isLowSurrogate(c)) return false
-        else i += 1
-      }
-      true
-    }
-    val kept = counts.filter(c => wellFormed(c._1))
-    val total = kept.map(_._2).sum.toDouble
-    val costs = kept.map { case (p, n) =>
+    require(counts.nonEmpty,
+      "unigram: no pieces to score — empty or whitespace-only corpus")
+    val total = counts.map(_._2).sum.toDouble
+    val costs = counts.map { case (p, n) =>
       (p, math.round(scale * math.log(total / n)).toInt)
     }
     new UnigramTable(costs, costs.map(_._2).max + scale)

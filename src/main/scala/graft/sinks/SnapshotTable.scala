@@ -267,27 +267,46 @@ object SnapshotTable {
     val spark = source.sparkSession
     if (versions(spark, root).isEmpty) return write(source, root)
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val live = liveVersion(spark, root)
-    val files = manifestFiles(spark, root, live)
-    val rootP = new Path(root)
-    val abs = files.map(n => new Path(rootP, n).toString)
-    // one key-pruned scan to locate the files holding matched keys
-    val keyed = spark.read.parquet(abs: _*)
-      .select(keys.map(col) :+ input_file_name().as("__file"): _*)
-    val touchedAbs = keyed
-      .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet // bounded by the file count
-    // input_file_name is a URI; match manifest entries by path suffix
-    val touched = files.filter(n => touchedAbs.exists(_.endsWith("/" + n)))
-    val untouched = files.filterNot(touched.toSet)
-    val remainder =
-      if (touched.isEmpty) source.limit(0)
-      else spark.read
-        .parquet(touched.map(n => new Path(rootP, n).toString): _*)
-        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    commitWith(remainder.unionByName(source), root, maxClaimRetries = 20)(
-      (_, _, _, _) => untouched)
+    // the source plan feeds three consumers (touched-file probe,
+    // remainder anti-join, commit write) — persist it for the merge's
+    // duration or a non-trivial upstream (e.g. upsertBatch's window)
+    // recomputes per consumer
+    val preCached =
+      source.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val src = if (preCached) source else source.persist()
+    try {
+      val live = liveVersion(spark, root)
+      val files = manifestFiles(spark, root, live)
+      val rootP = new Path(root)
+      val abs = files.map(n => new Path(rootP, n).toString)
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      // NULL-SAFE key equality (<=>) throughout: with plain equality a
+      // null-keyed source row never matches its stored twin, so every
+      // replay of the same batch would insert another copy — breaking
+      // the idempotence contract upsertBatch depends on. Under <=>,
+      // null keys match like values (the DISTINCT-semantics choice).
+      def keyCond(l: DataFrame, r: DataFrame) =
+        keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+      // one key-pruned scan to locate the files holding matched keys
+      val keyed = spark.read.parquet(abs: _*)
+        .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+      val touchedAbs = keyed
+        .join(srcKeys, keyCond(keyed, srcKeys), "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet // bounded by the file count
+      // input_file_name is a URI; match manifest entries by path suffix
+      val touched = files.filter(n => touchedAbs.exists(_.endsWith("/" + n)))
+      val untouched = files.filterNot(touched.toSet)
+      val remainder =
+        if (touched.isEmpty) src.limit(0)
+        else {
+          val t = spark.read
+            .parquet(touched.map(n => new Path(rootP, n).toString): _*)
+          t.join(srcKeys, keyCond(t, srcKeys), "left_anti")
+        }
+      commitWith(remainder.unionByName(src), root, maxClaimRetries = 20)(
+        (_, _, _, _) => untouched)
+    } finally if (!preCached) src.unpersist(blocking = false)
   }
 
   /** Rewrite the live snapshot's file set into size-targeted files and

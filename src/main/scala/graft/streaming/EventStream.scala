@@ -870,18 +870,20 @@ object EventStream {
     * Replay-safe by the merge contract: re-running a delivered batch
     * merges identical rows onto identical keys — same table content —
     * so at-least-once foreachBatch delivery needs no dedup ledger here.
-    * Cross-batch ordering is the stream's own (a later batch's change
-    * for a key overwrites an earlier batch's — event-time regressions
-    * across batches need an upstream watermark policy, not this sink). */
+    * That contract requires the per-key winner itself to be
+    * deterministic, so orderCol ties break on every remaining column
+    * (descending): two changes sharing a key AND orderCol value pick
+    * the same winner on replay regardless of shuffle arrival order
+    * (fully identical rows make the choice moot). Cross-batch ordering
+    * is the stream's own (a later batch's change for a key overwrites
+    * an earlier batch's — event-time regressions across batches need
+    * an upstream watermark policy, not this sink). */
   def upsertBatch(root: String, keys: Seq[String],
                   orderCol: Column): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*)
-        .orderBy(orderCol.desc)
-      val latest = batch
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
+      val tieBreak = batch.columns.toSeq.map(c => col(c).desc)
+      val latest = graft.operators.Relational.distinctOn(
+        batch, keys, orderCol.desc +: tieBreak)
       graft.sinks.SnapshotTable.merge(latest, root, keys)
       ()
   }

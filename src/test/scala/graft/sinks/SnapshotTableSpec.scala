@@ -138,6 +138,18 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a"), (2L, "B"), (11L, "x"), (12L, "y")))
   }
 
+  test("merge: null keys match null-safely — replay inserts no duplicates") {
+    val root = tmp()
+    SnapshotTable.write(Seq((Some(1L), "a")).toDF("id", "v"), root)
+    val batch = Seq((Option.empty[Long], "n"), (Some(2L), "b")).toDF("id", "v")
+    SnapshotTable.merge(batch, root, Seq("id"))
+    SnapshotTable.merge(batch, root, Seq("id")) // at-least-once redelivery
+    val rows = SnapshotTable.read(spark, root)
+      .as[(Option[Long], String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((None, "n"), (Some(1L), "a"), (Some(2L), "b")),
+      s"null-keyed row duplicated or lost: ${rows.toSeq}")
+  }
+
   test("merge: replaying the same source is idempotent; empty table bootstraps") {
     val root = tmp()
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
