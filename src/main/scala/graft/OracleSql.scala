@@ -118,7 +118,7 @@ object OracleSql {
       if (k - j == 1) s"coalesce(m[$sub][1], $unk)" else s"m[$sub][1]"
     }
     var dp = s"(SELECT w, MAP([$keys], [$vals]) AS m, " +
-      "0::BIGINT AS d0, ''::VARCHAR AS s0 FROM dw)"
+      "0::BIGINT AS d0, ''::VARCHAR AS s0, 0::BIGINT AS c0 FROM dw)"
     for (k <- 1 to P) {
       val js = math.max(0, k - L) until k
       val cands = js.map(j => s"(d$j + ${costOf(j, k)})").mkString(", ")
@@ -128,23 +128,31 @@ object OracleSql {
         s"WHEN (d$j + ${costOf(j, k)}) = d$k THEN " +
         s"(CASE WHEN s$j = '' THEN '' ELSE s$j || chr(31) END) || substr(w, ${j + 1}, ${k - j})")
         .mkString(" ")
+      // piece-count twin of the same backtrack choice: counting via
+      // string_split(enc) would overcount when a PIECE contains the
+      // U+001F separator (it is a legal single-code-point UNK piece)
+      val cntArms = js.map(j =>
+        s"WHEN (d$j + ${costOf(j, k)}) = d$k THEN c$j + 1").mkString(" ")
       dp = s"(SELECT *, CASE WHEN d$k IS NOT NULL THEN (CASE $arms END) END " +
-        s"AS s$k FROM $dp)"
+        s"AS s$k, CASE WHEN d$k IS NOT NULL THEN (CASE $cntArms END) END " +
+        s"AS c$k FROM $dp)"
     }
     val finalS = "CASE len(w) " +
       (1 to P).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END"
+    val finalC = "CASE len(w) " +
+      (1 to P).map(k => s"WHEN $k THEN c$k").mkString(" ") + " END"
     s"""WITH e AS (SELECT doc_id, regexp_extract_all(text, '${graft.operators.Bpe.PretokenPattern}') AS ws FROM documents),
        |w1 AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word FROM e),
        |ch AS (SELECT doc_id, wi, generate_subscripts(cs, 1) AS ci, unnest(cs) AS w FROM
        |        (SELECT doc_id, wi, list_transform(range(0, CAST((len(word) + ${P - 1}) // $P AS INT)),
        |                 k -> substr(word, k * $P + 1, $P)) AS cs FROM w1)),
        |dw AS (SELECT DISTINCT w FROM ch),
-       |seg AS (SELECT w, $finalS AS s FROM $dp),
-       |agg AS (SELECT c.doc_id, string_agg(g.s, chr(31) ORDER BY c.wi, c.ci) AS enc
+       |seg AS (SELECT w, $finalS AS s, $finalC AS n FROM $dp),
+       |agg AS (SELECT c.doc_id, string_agg(g.s, chr(31) ORDER BY c.wi, c.ci) AS enc,
+       |               SUM(g.n) AS np
        |        FROM ch c JOIN seg g ON c.w = g.w GROUP BY c.doc_id)
        |SELECT d.doc_id,
-       |  CAST(CASE WHEN a.enc IS NULL THEN 0
-       |       ELSE len(string_split(a.enc, chr(31))) END AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(a.np, 0) AS BIGINT) AS n_pieces,
        |  md5(coalesce(a.enc, '')) AS enc_md5
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   }

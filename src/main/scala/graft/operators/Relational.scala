@@ -26,8 +26,10 @@ object Relational {
     // collision-checked rank alias: withColumn REPLACES an existing
     // column, so a caller schema that legitimately contains "__rn"
     // would silently lose that field through the drop below
+    // case-INSENSITIVE check: withColumn/drop resolve names
+    // case-insensitively under the default spark.sql.caseSensitive=false
     val rn = Iterator.iterate("__rn")(_ + "_")
-      .find(n => !df.columns.contains(n)).get
+      .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
     df.withColumn(rn, row_number().over(w))
       .where(col(rn) === 1)
       .drop(rn)

@@ -871,17 +871,26 @@ object EventStream {
     * merges identical rows onto identical keys — same table content —
     * so at-least-once foreachBatch delivery needs no dedup ledger here.
     * That contract requires the per-key winner itself to be
-    * deterministic, so orderCol ties break on every remaining column
-    * (descending): two changes sharing a key AND orderCol value pick
-    * the same winner on replay regardless of shuffle arrival order
-    * (fully identical rows make the choice moot). Cross-batch ordering
+    * deterministic, so orderCol ties break on every remaining
+    * ORDERABLE non-key column (descending; keys are constant within
+    * the partition, and map-typed columns cannot be sort keys): two
+    * changes sharing a key AND orderCol value pick the same winner on
+    * replay regardless of shuffle arrival order. Rows identical on
+    * every orderable column make the choice moot unless they differ
+    * ONLY in an unorderable column — that residual tie is the
+    * caller's to resolve upstream. Cross-batch ordering
     * is the stream's own (a later batch's change for a key overwrites
     * an earlier batch's — event-time regressions across batches need
     * an upstream watermark policy, not this sink). */
   def upsertBatch(root: String, keys: Seq[String],
                   orderCol: Column): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
-      val tieBreak = batch.columns.toSeq.map(c => col(c).desc)
+      import org.apache.spark.sql.catalyst.expressions.RowOrdering
+      val lowerKeys = keys.map(_.toLowerCase).toSet
+      val tieBreak = batch.schema.fields.toSeq
+        .filter(f => RowOrdering.isOrderable(f.dataType) &&
+          !lowerKeys.contains(f.name.toLowerCase))
+        .map(f => col(s"`${f.name}`").desc) // backticks: dotted names
       val latest = graft.operators.Relational.distinctOn(
         batch, keys, orderCol.desc +: tieBreak)
       graft.sinks.SnapshotTable.merge(latest, root, keys)
