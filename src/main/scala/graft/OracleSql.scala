@@ -39,6 +39,132 @@ object OracleSql {
 
   private def severity(c: String) = severityCase.format(c, c, c, c)
 
+  /** Shared CTE chain for the dbt-models-layer queries: dress
+    * orders/customer/nation as the Street Manager permit-event table +
+    * dimensions (the exact mirror of SparkEntry.modelPermitEvents /
+    * modelOpenUsrns / modelLinkedIds), then run the list DAG
+    * (in-progress + completed London lists -> enriched union ->
+    * deci-point weights -> raw per-USRN totals). */
+  private val modelAuthoritiesSql =
+    "('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7', 'NATION_9', 'NATION_11', 'NATION_19', 'NATION_23')"
+
+  private val modelCtes: String =
+    s"""oc AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       |         c_name, n_name, n_nationkey
+       |       FROM orders
+       |       JOIN customer ON o_custkey = c_custkey
+       |       JOIN nation ON c_nationkey = n_nationkey),
+       |ev AS (SELECT
+       |    CAST(o_orderkey AS VARCHAR) AS permit_reference_number,
+       |    o_orderkey * 10 + v AS event_reference,
+       |    CAST(o_orderkey * 10 + v AS VARCHAR) AS event_time,
+       |    CASE WHEN o_orderstatus = 'F' AND v = 2 THEN 'WORK_STOP'
+       |         ELSE 'WORK_START' END AS event_type,
+       |    CASE WHEN o_orderstatus = 'O' THEN 'in_progress'
+       |         WHEN o_orderstatus = 'F' THEN 'completed'
+       |         ELSE 'proposed' END AS work_status_ref,
+       |    n_name AS highway_authority,
+       |    'SWA' || CAST(n_nationkey AS VARCHAR)
+       |      AS highway_authority_swa_code,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN 'Section 81'
+       |         WHEN o_orderpriority = '1-URGENT' THEN
+       |           (CASE WHEN o_orderkey % 2 = 0 THEN 'Immediate - urgent'
+       |                 ELSE 'Immediate - emergency' END)
+       |         WHEN o_orderpriority = '2-HIGH' THEN 'Major'
+       |         WHEN o_orderpriority = '3-MEDIUM' THEN 'Standard'
+       |         WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'Minor'
+       |         ELSE 'HS2 (Highway)' END AS work_category,
+       |    CASE WHEN o_orderkey % 2 = 0 THEN 'Yes' ELSE 'No' END
+       |      AS is_ttro_required,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN 'Yes' ELSE 'No' END
+       |      AS is_traffic_sensitive,
+       |    CASE (o_orderkey + v) % 13
+       |      WHEN 0 THEN 'road_closure' WHEN 1 THEN 'contra_flow'
+       |      WHEN 2 THEN 'lane_closure' WHEN 3 THEN 'convoy_workings'
+       |      WHEN 4 THEN 'multi_way_signals' WHEN 5 THEN 'two_way_signals'
+       |      WHEN 6 THEN 'give_and_take' WHEN 7 THEN 'stop_go_boards'
+       |      WHEN 8 THEN 'priority_working'
+       |      WHEN 9 THEN 'some_carriageway_incursion'
+       |      WHEN 10 THEN 'no_carriageway_incursion'
+       |      WHEN 11 THEN NULL ELSE 'lane_rental' END
+       |      AS traffic_management_type_ref,
+       |    c_name AS street_name,
+       |    CAST(o_custkey AS VARCHAR) AS usrn
+       |  FROM oc CROSS JOIN (SELECT unnest([1, 2]) AS v)),
+       |usrn_dim AS (SELECT c_custkey AS usrn,
+       |    'POINT (' || CAST(c_custkey % 1000 AS VARCHAR) || ' ' ||
+       |      CAST(c_nationkey * 10 AS VARCHAR) || ')' AS geometry
+       |  FROM customer),
+       |cnts AS (SELECT o_custkey AS usrn, COUNT(*) AS uprn_count
+       |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+       |compl_keys AS (SELECT DISTINCT permit_reference_number,
+       |    highway_authority
+       |  FROM ev
+       |  WHERE work_status_ref = 'completed' AND event_type = 'WORK_STOP'),
+       |inprog AS (SELECT * FROM (
+       |    SELECT e.*, ROW_NUMBER() OVER (
+       |        PARTITION BY permit_reference_number
+       |        ORDER BY event_time DESC, event_reference DESC) AS rn
+       |    FROM ev e
+       |    WHERE work_status_ref = 'in_progress'
+       |      AND highway_authority IN $modelAuthoritiesSql
+       |      AND NOT EXISTS (SELECT 1 FROM compl_keys ck
+       |        WHERE ck.permit_reference_number = e.permit_reference_number
+       |          AND ck.highway_authority = e.highway_authority))
+       |  WHERE rn = 1),
+       |done AS (SELECT * FROM (
+       |    SELECT e.*, ROW_NUMBER() OVER (
+       |        PARTITION BY permit_reference_number
+       |        ORDER BY event_time DESC, event_reference DESC) AS rn
+       |    FROM ev e
+       |    WHERE work_status_ref = 'completed' AND event_type = 'WORK_STOP'
+       |      AND highway_authority IN $modelAuthoritiesSql)
+       |  WHERE rn = 1),
+       |lists AS (
+       |  SELECT usrn, street_name, highway_authority,
+       |    highway_authority_swa_code, work_category, is_ttro_required,
+       |    is_traffic_sensitive, traffic_management_type_ref
+       |  FROM inprog
+       |  UNION ALL
+       |  SELECT usrn, street_name, highway_authority,
+       |    highway_authority_swa_code, work_category, is_ttro_required,
+       |    is_traffic_sensitive, traffic_management_type_ref
+       |  FROM done),
+       |enr AS (SELECT l.*, COALESCE(c.uprn_count, 0) AS uprn_count,
+       |    u.geometry
+       |  FROM lists l
+       |  LEFT JOIN cnts c ON CAST(l.usrn AS BIGINT) = c.usrn
+       |  LEFT JOIN usrn_dim u ON CAST(l.usrn AS BIGINT) = u.usrn),
+       |wtd AS (SELECT usrn, street_name, highway_authority,
+       |    LOWER(highway_authority_swa_code) AS highway_authority_swa_code,
+       |    uprn_count, geometry,
+       |    (CASE work_category WHEN 'Standard' THEN 20 WHEN 'Major' THEN 50
+       |       WHEN 'Minor' THEN 10 WHEN 'HS2 (Highway)' THEN 20
+       |       WHEN 'Immediate - urgent' THEN 40
+       |       WHEN 'Immediate - emergency' THEN 40 ELSE 0 END
+       |     + CASE WHEN is_ttro_required = 'Yes' THEN 5 ELSE 0 END
+       |     + CASE WHEN is_traffic_sensitive = 'Yes' THEN 5 ELSE 0 END
+       |     + CASE WHEN traffic_management_type_ref IS NULL THEN 5
+       |         WHEN traffic_management_type_ref IN ('road_closure',
+       |           'contra_flow', 'lane_closure', 'convoy_workings',
+       |           'multi_way_signals', 'two_way_signals') THEN 20
+       |         WHEN traffic_management_type_ref IN ('give_and_take',
+       |           'stop_go_boards', 'priority_working') THEN 10
+       |         WHEN traffic_management_type_ref =
+       |           'some_carriageway_incursion' THEN 5
+       |         WHEN traffic_management_type_ref =
+       |           'no_carriageway_incursion' THEN 0
+       |         ELSE 0 END
+       |     + CASE WHEN uprn_count <= 5 THEN 2 WHEN uprn_count <= 10 THEN 4
+       |         WHEN uprn_count <= 25 THEN 6 WHEN uprn_count <= 50 THEN 8
+       |         WHEN uprn_count <= 100 THEN 10 WHEN uprn_count <= 200 THEN 12
+       |         WHEN uprn_count <= 500 THEN 14 ELSE 16 END) AS impact10
+       |  FROM enr),
+       |raw AS (SELECT usrn, street_name, highway_authority,
+       |    highway_authority_swa_code, uprn_count, geometry,
+       |    SUM(impact10) AS total10
+       |  FROM wtd GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
+
   /** q_zorder oracle: the SAME 16-bit min/max normalization and 32
     * bit-interleave terms as sinks.ZOrder.zValue, generated rather than
     * hand-unrolled (bit b of column i lands at position b*2 + i). */
@@ -2005,6 +2131,89 @@ object OracleSql {
          |  CAST((alloc * 1000000) // CAST(n AS HUGEINT) AS BIGINT) AS epochs_ppm,
          |  alloc = cap AS capped
          |FROM f""".stripMargin,
+
+    // dbt-models layer (pipelines.Models over the real Street Manager
+    // schema, dressed from orders/customer/nation — see SparkEntry
+    // modelPermitEvents): uprn_usrn_count is the linked-identifier
+    // rollup; the two impact models run the full list DAG (DISTINCT ON
+    // dedup via ROW_NUMBER, correlated completed-WORK_STOP exclusion,
+    // dimension joins, deci-point CASE weights, min-max / percent-rank
+    // normalisation)
+    "q_model_uprn_usrn_count" ->
+      """SELECT c_custkey AS usrn, COUNT(*) AS uprn_count
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_model_impact_scores" ->
+      s"""WITH $modelCtes,
+         |b AS (SELECT MIN(total10) AS mn10, MAX(total10) AS mx10 FROM raw)
+         |SELECT usrn, street_name, highway_authority,
+         |  highway_authority_swa_code,
+         |  CAST(uprn_count AS BIGINT) AS uprn_count, geometry,
+         |  CAST(total10 AS DOUBLE) / 10 AS total_impact_level,
+         |  CASE WHEN mx10 = mn10 THEN 50.0
+         |       ELSE 1.0 + (99.0 * (total10 - mn10))
+         |            / CAST(mx10 - mn10 AS DOUBLE) END AS impact_index_score,
+         |  ${severity("impact_index_score")} AS impact_category
+         |FROM raw, b""".stripMargin,
+
+    "q_model_authority_scores" ->
+      s"""WITH $modelCtes,
+         |rk AS (SELECT raw.*,
+         |         CAST(RANK() OVER (ORDER BY total10) - 1 AS BIGINT) AS cl
+         |       FROM raw),
+         |nn AS (SELECT CAST(GREATEST(COUNT(*) - 1, 1) AS DOUBLE) AS denom
+         |       FROM raw),
+         |agg AS (SELECT highway_authority, highway_authority_swa_code,
+         |    COUNT(DISTINCT usrn) AS total_usrns_count,
+         |    CAST(SUM(uprn_count) AS DOUBLE) / COUNT(*) AS avg_uprn_count,
+         |    CAST(SUM(uprn_count) AS BIGINT) AS total_uprn_count,
+         |    SUM(total10) AS t10, COUNT(*) AS nr,
+         |    MAX(total10) AS mx10, MIN(total10) AS mn10, SUM(cl) AS sum_cl
+         |  FROM rk GROUP BY 1, 2),
+         |bd AS (SELECT highway_authority,
+         |    LOWER(highway_authority_swa_code) AS highway_authority_swa_code,
+         |    COUNT(CASE WHEN work_category = 'Major' THEN 1 END)
+         |      AS major_works_count,
+         |    COUNT(CASE WHEN work_category = 'Standard' THEN 1 END)
+         |      AS standard_works_count,
+         |    COUNT(CASE WHEN work_category = 'Minor' THEN 1 END)
+         |      AS minor_works_count,
+         |    COUNT(CASE WHEN work_category = 'HS2 (Highway)' THEN 1 END)
+         |      AS hs2_works_count,
+         |    COUNT(CASE WHEN work_category IN
+         |      ('Immediate - urgent', 'Immediate - emergency') THEN 1 END)
+         |      AS emergency_works_count,
+         |    COUNT(CASE WHEN is_ttro_required = 'Yes' THEN 1 END)
+         |      AS ttro_required_count,
+         |    COUNT(CASE WHEN is_traffic_sensitive = 'Yes' THEN 1 END)
+         |      AS traffic_sensitive_count,
+         |    COUNT(CASE WHEN traffic_management_type_ref IN
+         |      ('road_closure', 'contra_flow', 'lane_closure',
+         |       'convoy_workings', 'multi_way_signals', 'two_way_signals')
+         |      THEN 1 END) AS high_impact_traffic_mgmt_count
+         |  FROM enr GROUP BY 1, 2),
+         |rkd AS (SELECT agg.*,
+         |    PERCENT_RANK() OVER (ORDER BY t10) * 100
+         |      AS highway_authority_impact_score
+         |  FROM agg)
+         |SELECT highway_authority, highway_authority_swa_code,
+         |  CAST(total_usrns_count AS BIGINT) AS total_usrns_count,
+         |  avg_uprn_count, total_uprn_count,
+         |  CAST(t10 AS DOUBLE) / 10 AS total_impact_level,
+         |  (CAST(t10 AS DOUBLE) / 10) / nr AS avg_impact_level_per_usrn,
+         |  CAST(mx10 AS DOUBLE) / 10 AS max_impact_level,
+         |  CAST(mn10 AS DOUBLE) / 10 AS min_impact_level,
+         |  100.0 * sum_cl / denom AS total_impact_index_score,
+         |  100.0 * sum_cl / denom / nr AS avg_impact_index_score,
+         |  highway_authority_impact_score,
+         |  ${severity("highway_authority_impact_score")} AS impact_category,
+         |  major_works_count, standard_works_count, minor_works_count,
+         |  hs2_works_count, emergency_works_count, ttro_required_count,
+         |  traffic_sensitive_count, high_impact_traffic_mgmt_count
+         |FROM rkd CROSS JOIN nn
+         |LEFT JOIN bd USING (highway_authority, highway_authority_swa_code)"""
+        .stripMargin,
   )
 
   /** The materialized cell-partitioned IVFPQ index encodes identically

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.operators._
+import graft.pipelines.Models
 
 /** Driver contract: one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
@@ -1487,6 +1488,127 @@ object SparkEntry {
       .select(col("event_type"), col("n_rows"),
         col("total_value").cast("double").as("total_value"))
 
+  // ----------------------------------------------- §2.6 dbt models layer
+  // The reference's dbt analytics DAG (pipelines.Models) run over
+  // REAL-SCHEMA warehouse tables derived deterministically from the test
+  // tables: orders dress as the Street Manager monthly permit events
+  // (two event versions per permit, so the DISTINCT ON dedup is
+  // exercised), customer as os_open_usrns, nation as the geoplace SWA
+  // dimension, and the per-customer order count as the linked-identifier
+  // UPRN rollup. The oracle mirrors the same dressing in SQL.
+
+  /** Stand-in for the London-borough authority filter (8 of 25 nations). */
+  private val modelAuthorities = Seq("NATION_1", "NATION_3", "NATION_5", "NATION_7", "NATION_9", "NATION_11", "NATION_19", "NATION_23")
+
+  private val modelTmRefs = Seq("road_closure", "contra_flow",
+    "lane_closure", "convoy_workings", "multi_way_signals",
+    "two_way_signals", "give_and_take", "stop_go_boards",
+    "priority_working", "some_carriageway_incursion",
+    "no_carriageway_incursion")
+
+  /** The permit-event table: 2 versions per order; WORK_STOP lands on
+    * v2 of 'F' orders, so in-progress exclusion + completed filter both
+    * bite; tm ref cycles all 11 known values + NULL + one unknown. */
+  private def modelPermitEvents(s: SparkSession, d: String): DataFrame = {
+    val tmIdx = pmod(col("o_orderkey") + col("v"), lit(13))
+    val tmRef = modelTmRefs.zipWithIndex
+      .foldLeft(when(tmIdx === 11, lit(null).cast("string"))) {
+        case (acc, (name, i)) => acc.when(tmIdx === i, lit(name))
+      }.otherwise(lit("lane_rental"))
+    val workCat = when(col("o_orderkey") % 13 === 0, lit("Section 81"))
+      .when(col("o_orderpriority") === "1-URGENT",
+        when(col("o_orderkey") % 2 === 0, "Immediate - urgent")
+          .otherwise("Immediate - emergency"))
+      .when(col("o_orderpriority") === "2-HIGH", "Major")
+      .when(col("o_orderpriority") === "3-MEDIUM", "Standard")
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", "Minor")
+      .otherwise("HS2 (Highway)")
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("v", explode(array(lit(1L), lit(2L))))
+      .select(
+        col("o_orderkey").cast("string").as("permit_reference_number"),
+        (col("o_orderkey") * 10 + col("v")).as("event_reference"),
+        (col("o_orderkey") * 10 + col("v")).cast("string").as("event_time"),
+        when(col("o_orderstatus") === "F" && col("v") === 2, "WORK_STOP")
+          .otherwise("WORK_START").as("event_type"),
+        when(col("o_orderstatus") === "O", "in_progress")
+          .when(col("o_orderstatus") === "F", "completed")
+          .otherwise("proposed").as("work_status_ref"),
+        col("n_name").as("highway_authority"),
+        concat(lit("SWA"), col("n_nationkey").cast("string"))
+          .as("highway_authority_swa_code"),
+        (col("o_custkey") % 60).cast("string").as("promoter_swa_code"),
+        concat(lit("PROM#"), (col("o_custkey") % 60).cast("string"))
+          .as("promoter_organisation"),
+        workCat.as("work_category"),
+        when(col("o_orderkey") % 2 === 0, "Yes").otherwise("No")
+          .as("is_ttro_required"),
+        when(col("o_orderkey") % 3 === 0, "Yes").otherwise("No")
+          .as("is_traffic_sensitive"),
+        tmRef.as("traffic_management_type_ref"),
+        col("c_name").as("street_name"),
+        col("o_custkey").cast("string").as("usrn"),
+        col("o_orderpriority").as("activity_type"),
+        lit("Footway").as("works_location_type"),
+        (col("o_orderkey") % 5).cast("string").as("road_category"),
+        col("o_orderdate").cast("string").as("proposed_start_date"),
+        col("o_orderdate").cast("string").as("proposed_end_date"),
+        col("o_orderdate").cast("string").as("actual_start_date_time"),
+        col("o_orderdate").cast("string").as("actual_end_date_time"),
+        when(col("o_orderkey") % 7 === 0, "Yes").otherwise("No")
+          .as("collaborative_working"))
+  }
+
+  private def modelOpenUsrns(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("usrn"),
+      col("c_mktsegment").as("street_type"),
+      concat(lit("POINT ("), (col("c_custkey") % 1000).cast("string"),
+        lit(" "), (col("c_nationkey") * 10).cast("string"), lit(")"))
+        .as("geometry"))
+
+  private def modelSwaCodes(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").cast("string").as("swa_code"),
+      when(col("n_nationkey") % 2 === 0, "Yes").otherwise("No")
+        .as("ofgem_electricity_licence"),
+      when(col("n_nationkey") % 3 === 0, "Yes").otherwise("No")
+        .as("ofgem_gas_licence"),
+      concat(lit("OF"), col("n_nationkey").cast("string")).as("ofcom_licence"),
+      when(col("n_nationkey") % 5 === 0, "Yes").otherwise("No")
+        .as("ofwat_licence"))
+
+  private def modelLinkedIds(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("correlation_id"),
+      col("o_custkey").as("identifier_2"))
+
+  private def qModelUprnUsrnCount(s: SparkSession, d: String): DataFrame =
+    Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d))
+
+  private def modelLists(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val permits = modelPermitEvents(s, d)
+    val usrns = modelOpenUsrns(s, d)
+    val swa = modelSwaCodes(s, d)
+    val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
+    (Models.inProgressList(permits, usrns, swa, counts, modelAuthorities,
+        correlateOnAuthority = true),
+      Models.completedList(permits, usrns, swa, counts, modelAuthorities))
+  }
+
+  private def qModelImpactScores(s: SparkSession, d: String): DataFrame = {
+    val (inP, done) = modelLists(s, d)
+    Models.impactScores(inP, done)
+  }
+
+  private def qModelAuthorityScores(s: SparkSession, d: String): DataFrame = {
+    val (inP, done) = modelLists(s, d)
+    Models.impactScoresHighwayAuthority(inP, done)
+  }
+
   // ------------------------------------------------------------- registry
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (qPricingSummary _),
@@ -1601,6 +1723,9 @@ object SparkEntry {
     "q_unigram_encode" -> (qUnigramEncode _),
     "q_geo_geojson" -> (qGeoGeoJson _),
     "q_hist_quantiles" -> (qHistQuantiles _),
+    "q_model_uprn_usrn_count" -> (qModelUprnUsrnCount _),
+    "q_model_impact_scores" -> (qModelImpactScores _),
+    "q_model_authority_scores" -> (qModelAuthorityScores _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

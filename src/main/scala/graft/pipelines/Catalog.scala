@@ -98,8 +98,10 @@ object Catalog {
       // not outlive the run — scheduled loads would accrete /tmp forever
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(scratch)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 

@@ -1,0 +1,597 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import graft.operators.{DataQuality, ImpactScore, RangeJoin, Relational, Stats}
+
+/** The reference's dbt analytics DAG as named transforms over the
+  * Catalog's REAL landed schemas — staging → int → marts for the
+  * street-works analysis warehouse.
+  *
+  * Reference models (dbt/street_manager_street_works_analysis/models/):
+  *  - uprn_usrn_counts/uprn_usrn_count.sql:1-12
+  *  - london_overview/in_progress_list_london.sql:8-87 (+ england twin)
+  *  - london_overview/completed_list_london.sql:8-80
+  *  - london_overview/usrn_permit_details_london.sql:4-46
+  *  - london_overview/impact_scores_london.sql:17-160 (min–max norm)
+  *  - london_overview/impact_scores_highway_authority_london.sql:17-215
+  *    (percent-rank norm + authority rollup + work-category breakdown)
+  *  - wellbeing_overview/stg_{emergency,major}_works_by_authority.sql,
+  *    int_postcodes.sql, int_*_postcodes_by_authority.sql,
+  *    {emergency,major}_wellbeing.sql, clean_up.sql
+  *  - data_tests/assert_no_duplicate_permits_*.sql
+  *
+  * Inputs are the Catalog's landed tables with their real column names:
+  * the monthly Street Manager permit table ([[Catalog.streetManager]]),
+  * `os_open_usrns.open_usrns_latest` ([[Catalog.osOpenUsrn]]),
+  * `geoplace_swa_codes.LATEST_ACTIVE` ([[Catalog.geoplaceSwa]]),
+  * `os_open_linked_identifiers.*_uprn_usrn_latest` ([[Catalog.osUsrnUprn]]),
+  * and `post_code_data.{code_point_latest,pcd_p001,pcd_p002}`.
+  *
+  * Deviations from the dbt SQL, all deliberate and documented per method:
+  *  - DuckDB's bare `SELECT DISTINCT ON (k)` with no ORDER BY picks an
+  *    ARBITRARY row per key; here every dedup orders by
+  *    (event_time DESC, event_reference DESC) so reruns are deterministic.
+  *  - `NOT IN (subquery)` is an anti-join (NOT EXISTS semantics): a NULL
+  *    permit reference in the exclusion list does not blank the result —
+  *    see [[Relational.antiJoinOnKey]].
+  *  - `{{ current_timestamp() }} AS date_processed` audit columns are NOT
+  *    emitted (callers append `current_timestamp()` at write time);
+  *    model outputs stay pure functions of their inputs.
+  *
+  * Scale shape: every model is one declarative plan — the permit table is
+  * the only big input and is touched by at most one hash shuffle per
+  * dedup/rollup; dimension joins (open_usrns, swa codes, uprn counts) are
+  * plain equi-joins Spark broadcasts when small; the two global
+  * normalisations avoid single-partition windows (min–max is a 1-row
+  * broadcast agg; percent-rank is the distributed [[Stats.cumLess]]).
+  */
+object Models {
+
+  /** The 34 London highway authorities
+    * (in_progress_list_london.sql:42-77). */
+  val londonAuthorities: Seq[String] = Seq(
+    "LONDON BOROUGH OF BARNET", "TRANSPORT FOR LONDON (TFL)",
+    "LONDON BOROUGH OF HARROW", "LONDON BOROUGH OF BRENT",
+    "LONDON BOROUGH OF TOWER HAMLETS", "LONDON BOROUGH OF ENFIELD",
+    "LONDON BOROUGH OF EALING", "LONDON BOROUGH OF MERTON",
+    "LONDON BOROUGH OF CROYDON", "LONDON BOROUGH OF BARKING AND DAGENHAM",
+    "LONDON BOROUGH OF SUTTON", "LONDON BOROUGH OF BEXLEY",
+    "ROYAL BOROUGH OF KENSINGTON AND CHELSEA", "LONDON BOROUGH OF SOUTHWARK",
+    "LONDON BOROUGH OF HILLINGDON", "LONDON BOROUGH OF CAMDEN",
+    "LONDON BOROUGH OF WALTHAM FOREST", "LONDON BOROUGH OF REDBRIDGE",
+    "CITY OF WESTMINSTER", "ROYAL BOROUGH OF GREENWICH",
+    "LONDON BOROUGH OF ISLINGTON", "LONDON BOROUGH OF HARINGEY",
+    "LONDON BOROUGH OF NEWHAM", "LONDON BOROUGH OF HACKNEY",
+    "LONDON BOROUGH OF HAMMERSMITH & FULHAM", "LONDON BOROUGH OF HOUNSLOW",
+    "LONDON BOROUGH OF WANDSWORTH", "ROYAL BOROUGH OF KINGSTON UPON THAMES",
+    "LONDON BOROUGH OF LAMBETH", "LONDON BOROUGH OF HAVERING",
+    "LONDON BOROUGH OF RICHMOND UPON THAMES", "LONDON BOROUGH OF LEWISHAM",
+    "CITY OF LONDON CORPORATION", "LONDON BOROUGH OF BROMLEY")
+
+  /** High-impact traffic-management refs
+    * (impact_scores_highway_authority_london.sql:38-45). */
+  val highImpactTm: Seq[String] = Seq("road_closure", "contra_flow",
+    "lane_closure", "convoy_workings", "multi_way_signals", "two_way_signals")
+
+  /** Medium-impact refs (lines 47-51). */
+  val mediumImpactTm: Seq[String] =
+    Seq("give_and_take", "stop_go_boards", "priority_working")
+
+  /** Per-permit impact weight in integer DECI-points (×10 — 5 == the dbt
+    * 0.5), so per-key sums are exact and order-independent under partial
+    * aggregation (the dbt CASE ladder sums 0.5-granular decimals:
+    * impact_scores_highway_authority_london.sql:17-70). Divide by 10 at
+    * the edge for the reference's scale. */
+  def permitImpact10(workCategory: Column, isTtro: Column,
+                     isSensitive: Column, tmRef: Column,
+                     uprnCount: Column): Column = {
+    val cat = when(workCategory === "Standard", 20)
+      .when(workCategory === "Major", 50)
+      .when(workCategory === "Minor", 10)
+      .when(workCategory === "HS2 (Highway)", 20)
+      .when(workCategory.isin("Immediate - urgent", "Immediate - emergency"), 40)
+      .otherwise(0)
+    val ttro = when(isTtro === "Yes", 5).otherwise(0)
+    val sens = when(isSensitive === "Yes", 5).otherwise(0)
+    // NULL ref scores 0.5 (line 57) — test NULL FIRST: isin(NULL) is
+    // NULL-falsy and would fall through to the generic ELSE 0
+    val tm = when(tmRef.isNull, 5)
+      .when(tmRef.isin(highImpactTm.map(lit): _*), 20)
+      .when(tmRef.isin(mediumImpactTm.map(lit): _*), 10)
+      .when(tmRef === "some_carriageway_incursion", 5)
+      .when(tmRef === "no_carriageway_incursion", 0)
+      .otherwise(0)
+    val density = ImpactScore.bandWeight(uprnCount,
+      Seq(5.0 -> 2, 10.0 -> 4, 25.0 -> 6, 50.0 -> 8, 100.0 -> 10,
+        200.0 -> 12, 500.0 -> 14), 16)
+    cat + ttro + sens + tm + density
+  }
+
+  // ------------------------------------------------------ uprn_usrn_count
+
+  /** uprn_usrn_count.sql: linked-identifier UPRNs counted per USRN.
+    * One equi-join + hash agg on `usrn` — `identifier_2` is the USRN side
+    * of the OS linked-identifiers table; count is of non-null
+    * `correlation_id` exactly like `COUNT(uprn.CORRELATION_ID)`. */
+  def uprnUsrnCount(openUsrns: DataFrame, linkedIds: DataFrame): DataFrame =
+    openUsrns.select(col("usrn"))
+      .join(linkedIds.select(col("identifier_2").as("usrn"),
+        col("correlation_id")), Seq("usrn"))
+      .groupBy("usrn")
+      .agg(count(col("correlation_id")).as("uprn_count"))
+
+  // ------------------------------------------------- permit list models
+
+  /** The columns both list models emit (in_progress_list_london.sql:9-35,
+    * before the geometry/licence/uprn enrichments). */
+  private val permitListCols: Seq[String] = Seq(
+    "event_type", "event_time", "permit_reference_number",
+    "promoter_organisation", "promoter_swa_code", "highway_authority",
+    "highway_authority_swa_code", "work_category", "works_location_type",
+    "proposed_start_date", "proposed_end_date", "actual_start_date_time",
+    "actual_end_date_time", "collaborative_working", "activity_type",
+    "is_traffic_sensitive", "is_ttro_required",
+    "traffic_management_type_ref", "street_name", "road_category", "usrn",
+    "work_status_ref")
+
+  /** One row per permit reference: the dbt `SELECT DISTINCT ON
+    * (permit_reference_number)` with a DETERMINISTIC pick (latest
+    * event_time, then event_reference — the dbt form has no ORDER BY and
+    * lets DuckDB pick arbitrarily). */
+  private def latestPerPermit(events: DataFrame): DataFrame =
+    Relational.distinctOn(events, Seq("permit_reference_number"),
+      Seq(col("event_time").desc, col("event_reference").desc))
+
+  /** The three dimension enrichments shared by both lists (lines 31-40):
+    * street geometry by USRN, regulator licences by promoter SWA code
+    * (both sides cast to INT exactly like the dbt join), UPRN count by
+    * USRN with COALESCE 0. Dimension tables are unique per key, so
+    * enriching AFTER the per-permit dedup is row-for-row identical to the
+    * dbt join-then-DISTINCT-ON order — and cheaper: the joins see one row
+    * per permit. */
+  private def enrichPermitList(permits: DataFrame, openUsrns: DataFrame,
+                               swaCodes: DataFrame,
+                               uprnCounts: DataFrame): DataFrame =
+    permits
+      .join(openUsrns.select(col("usrn").cast("long").as("__usrn_k"),
+        col("geometry")), col("usrn").cast("long") === col("__usrn_k"), "left")
+      .drop("__usrn_k")
+      .join(swaCodes.select(col("swa_code").cast("int").as("__swa_k"),
+        col("ofgem_electricity_licence"), col("ofgem_gas_licence"),
+        col("ofcom_licence"), col("ofwat_licence")),
+        col("promoter_swa_code").cast("int") === col("__swa_k"), "left")
+      .drop("__swa_k")
+      .join(uprnCounts.select(col("usrn").cast("long").as("__cnt_k"),
+        col("uprn_count").as("__uprn_count")),
+        col("usrn").cast("long") === col("__cnt_k"), "left")
+      .drop("__cnt_k")
+      .withColumn("uprn_count", coalesce(col("__uprn_count"), lit(0L)))
+      .drop("__uprn_count")
+      .select((permitListCols ++ Seq("geometry",
+        "ofgem_electricity_licence", "ofgem_gas_licence", "ofcom_licence",
+        "ofwat_licence", "uprn_count")).map(col): _*)
+
+  /** in_progress_list_{london,england}: in-progress permits (optionally
+    * restricted to `authorities`), excluding any permit that ALSO has a
+    * completed WORK_STOP event. The London model correlates that
+    * exclusion on highway_authority (in_progress_list_london.sql:81-87);
+    * the England model doesn't (`correlateOnAuthority = false`). The
+    * exclusion is a left-anti join (broadcast when the completed set is
+    * small), then one dedup shuffle, then the dimension joins. */
+  def inProgressList(permits: DataFrame, openUsrns: DataFrame,
+                     swaCodes: DataFrame, uprnCounts: DataFrame,
+                     authorities: Seq[String] = Nil,
+                     correlateOnAuthority: Boolean = true): DataFrame = {
+    val base0 = permits.where(col("work_status_ref") === "in_progress")
+    val base = if (authorities.isEmpty) base0
+      else base0.where(col("highway_authority").isin(authorities.map(lit): _*))
+    val completed = permits.where(col("work_status_ref") === "completed" &&
+      col("event_type") === "WORK_STOP")
+    val exclKeys = if (correlateOnAuthority)
+      Seq("permit_reference_number", "highway_authority")
+    else Seq("permit_reference_number")
+    val kept = base.join(
+      completed.select(exclKeys.map(col): _*).distinct(), exclKeys, "left_anti")
+    enrichPermitList(latestPerPermit(kept), openUsrns, swaCodes, uprnCounts)
+  }
+
+  /** completed_list_{london,england}: completed WORK_STOP permits
+    * (completed_list_london.sql:41-43), same dedup + enrichments. */
+  def completedList(permits: DataFrame, openUsrns: DataFrame,
+                    swaCodes: DataFrame, uprnCounts: DataFrame,
+                    authorities: Seq[String] = Nil): DataFrame = {
+    val base0 = permits.where(col("work_status_ref") === "completed" &&
+      col("event_type") === "WORK_STOP")
+    val base = if (authorities.isEmpty) base0
+      else base0.where(col("highway_authority").isin(authorities.map(lit): _*))
+    enrichPermitList(latestPerPermit(base), openUsrns, swaCodes, uprnCounts)
+  }
+
+  /** usrn_permit_details_{london,england}: the UNION ALL of both lists
+    * projected to the per-permit detail columns (usrn_permit_details_
+    * london.sql:5-41). */
+  def usrnPermitDetails(inProgress: DataFrame, completed: DataFrame): DataFrame = {
+    val cols = Seq("usrn", "street_name", "highway_authority",
+      "permit_reference_number", "promoter_organisation", "work_category",
+      "activity_type", "is_ttro_required", "is_traffic_sensitive",
+      "traffic_management_type_ref", "collaborative_working",
+      "ofgem_electricity_licence", "ofgem_gas_licence", "ofcom_licence",
+      "ofwat_licence").map(col)
+    inProgress.select(cols: _*).unionByName(completed.select(cols: _*))
+  }
+
+  // ------------------------------------------------------- impact scores
+
+  /** base_permit_data → raw_impact_level (impact_scores_london.sql:9-134):
+    * both lists unioned, per-permit deci-point weights, summed per
+    * (usrn, street, authority, LOWER(swa), uprn_count, geometry). The
+    * lists already carry the COALESCE'd uprn_count the dbt inner
+    * subquery re-joins for — same value, one join less. */
+  private def rawImpactLevel(inProgress: DataFrame, completed: DataFrame): DataFrame = {
+    val cols = Seq("usrn", "street_name", "highway_authority",
+      "highway_authority_swa_code", "work_category", "is_ttro_required",
+      "is_traffic_sensitive", "traffic_management_type_ref", "uprn_count",
+      "geometry").map(col)
+    inProgress.select(cols: _*).unionByName(completed.select(cols: _*))
+      .withColumn("impact10", permitImpact10(col("work_category"),
+        col("is_ttro_required"), col("is_traffic_sensitive"),
+        col("traffic_management_type_ref"), col("uprn_count")))
+      .groupBy(col("usrn"), col("street_name"), col("highway_authority"),
+        lower(col("highway_authority_swa_code"))
+          .as("highway_authority_swa_code"),
+        col("uprn_count"), col("geometry"))
+      .agg(sum(col("impact10")).as("total10"))
+  }
+
+  /** impact_scores_{london,england}: per-USRN totals min–max normalised
+    * to 1-100 (impact_scores_london.sql:136-152 — this variant is min–max,
+    * NOT percent-rank), all-equal degenerates to 50.0. The bounds are a
+    * 1-row global agg cross-joined back as a broadcast — no window, no
+    * single-partition sort; the normalisation on deci-point INTEGERS is
+    * value-identical to the dbt decimal form ((t-mn)/(mx-mn) is scale
+    * invariant) and engine-exact (integer differences are exact doubles;
+    * one rounding at the division). */
+  def impactScores(inProgress: DataFrame, completed: DataFrame): DataFrame = {
+    val raw = rawImpactLevel(inProgress, completed)
+    val bounds = raw.agg(min("total10").as("__mn10"), max("total10").as("__mx10"))
+    raw.crossJoin(broadcast(bounds))
+      .withColumn("total_impact_level", col("total10").cast("double") / 10)
+      .withColumn("impact_index_score",
+        when(col("__mx10") === col("__mn10"), lit(50.0))
+          .otherwise(lit(1.0) +
+            (lit(99.0) * (col("total10") - col("__mn10"))) /
+              (col("__mx10") - col("__mn10")).cast("double")))
+      .withColumn("impact_category",
+        ImpactScore.severityBucket(col("impact_index_score")))
+      .select("usrn", "street_name", "highway_authority",
+        "highway_authority_swa_code", "uprn_count", "geometry",
+        "total_impact_level", "impact_index_score", "impact_category")
+  }
+
+  /** impact_scores_highway_authority_{london,england}: USRN-level
+    * percent-rank scores rolled up per highway authority, plus the
+    * work-category breakdown and the authority-level percent-rank
+    * (impact_scores_highway_authority_london.sql:107-215).
+    *
+    * Exactness: per-USRN `PERCENT_RANK()*100` is cnt_less/(n-1)*100; the
+    * authority SUM of those doubles is computed as
+    * `100*SUM(cnt_less)/(n-1)` — the integer rank counts sum exactly, so
+    * the result doesn't depend on partial-agg order (a naive SUM of
+    * per-row doubles does). AVG columns divide those exact sums by the
+    * row count. The authority-level rank reuses the distributed
+    * [[Stats.withPercentRank100]] on the integer deci-point totals (same
+    * ordering as the dbt SUM(total_impact_level)). */
+  def impactScoresHighwayAuthority(inProgress: DataFrame,
+                                   completed: DataFrame): DataFrame = {
+    val raw = rawImpactLevel(inProgress, completed)
+    // per-USRN integer rank counts (rank-1 == rows strictly below)
+    val (cl, n) = Stats.cumLess(raw, "total10")
+    val denom = lit(math.max(n - 1L, 1L).toDouble)
+    val byAuth = raw.join(cl, Seq("total10"))
+      .groupBy("highway_authority", "highway_authority_swa_code")
+      .agg(
+        countDistinct(col("usrn")).as("total_usrns_count"),
+        (sum("uprn_count").cast("double") / count(lit(1))).as("avg_uprn_count"),
+        sum("uprn_count").as("total_uprn_count"),
+        sum("total10").as("__t10"),
+        count(lit(1)).as("__n_rows"),
+        max("total10").as("__mx10"), min("total10").as("__mn10"),
+        sum("__cnt_less").as("__sum_cl"))
+      .withColumn("total_impact_level", col("__t10").cast("double") / 10)
+      .withColumn("avg_impact_level_per_usrn",
+        (col("__t10").cast("double") / 10) / col("__n_rows"))
+      .withColumn("max_impact_level", col("__mx10").cast("double") / 10)
+      .withColumn("min_impact_level", col("__mn10").cast("double") / 10)
+      .withColumn("total_impact_index_score",
+        (lit(100.0) * col("__sum_cl")) / denom)
+      .withColumn("avg_impact_index_score",
+        (lit(100.0) * col("__sum_cl")) / denom / col("__n_rows"))
+    // authority-level percent-rank over the integer total (same order
+    // as the dbt SUM(total_impact_level))
+    val ranked = Stats.withPercentRank100(byAuth, "__t10",
+        "highway_authority_impact_score")
+      .withColumn("impact_category",
+        ImpactScore.severityBucket(col("highway_authority_impact_score")))
+    // work-category breakdown over permit-level rows (lines 154-177)
+    val breakdown = permitBreakdown(inProgress, completed)
+    ranked.join(breakdown,
+        Seq("highway_authority", "highway_authority_swa_code"), "left")
+      .select("highway_authority", "highway_authority_swa_code",
+        "total_usrns_count", "avg_uprn_count", "total_uprn_count",
+        "total_impact_level", "avg_impact_level_per_usrn",
+        "max_impact_level", "min_impact_level", "total_impact_index_score",
+        "avg_impact_index_score", "highway_authority_impact_score",
+        "impact_category", "major_works_count", "standard_works_count",
+        "minor_works_count", "hs2_works_count", "emergency_works_count",
+        "ttro_required_count", "traffic_sensitive_count",
+        "high_impact_traffic_mgmt_count")
+  }
+
+  /** work_category_breakdown (lines 154-177): conditional counts per
+    * authority over the unioned permit-level rows. */
+  private def permitBreakdown(inProgress: DataFrame,
+                              completed: DataFrame): DataFrame = {
+    val cols = Seq("highway_authority", "highway_authority_swa_code",
+      "work_category", "is_ttro_required", "is_traffic_sensitive",
+      "traffic_management_type_ref").map(col)
+    inProgress.select(cols: _*).unionByName(completed.select(cols: _*))
+      .groupBy(col("highway_authority"),
+        lower(col("highway_authority_swa_code"))
+          .as("highway_authority_swa_code"))
+      .agg(
+        count(when(col("work_category") === "Major", 1)).as("major_works_count"),
+        count(when(col("work_category") === "Standard", 1)).as("standard_works_count"),
+        count(when(col("work_category") === "Minor", 1)).as("minor_works_count"),
+        count(when(col("work_category") === "HS2 (Highway)", 1)).as("hs2_works_count"),
+        count(when(col("work_category").isin("Immediate - urgent",
+          "Immediate - emergency"), 1)).as("emergency_works_count"),
+        count(when(col("is_ttro_required") === "Yes", 1)).as("ttro_required_count"),
+        count(when(col("is_traffic_sensitive") === "Yes", 1)).as("traffic_sensitive_count"),
+        count(when(col("traffic_management_type_ref")
+          .isin(highImpactTm.map(lit): _*), 1)).as("high_impact_traffic_mgmt_count"))
+  }
+
+  // --------------------------------------------------- wellbeing chain
+
+  /** stg_{emergency,major}_works_by_authority: one row per completed or
+    * in-progress permit of the given work-category refs for one
+    * authority SWA code, with the WKT centroid, display
+    * easting/northing, and the duration-days rule
+    * (stg_emergency_works_by_authority.sql:10-108).
+    *
+    * Duration: same start/end month → day(end)-day(start); otherwise
+    * days into the end month (lines 40-49). In-progress works get
+    * end = start + 7 days and duration 7 (lines 70-96), and exclude
+    * permits with a completed WORK_STOP anywhere (uncorrelated NOT IN →
+    * anti-join). The dedup here IS ordered in the dbt source
+    * (ORDER BY permit_reference_number, actual_start_date_time) —
+    * earliest start wins; event_reference breaks residual ties. */
+  def stgWorksByAuthority(permits: DataFrame, categoryRefs: Seq[String],
+                          swaCode: String): DataFrame = {
+    val startTs = col("actual_start_date_time").cast("timestamp")
+    val endTs = col("actual_end_date_time").cast("timestamp")
+    val sharedCols = Seq("permit_reference_number", "promoter_organisation",
+      "promoter_swa_code", "highway_authority", "street_name",
+      "activity_type", "work_category", "work_status",
+      "works_location_coordinates", "usrn").map(col)
+
+    def dressed(df: DataFrame): DataFrame = {
+      val centroid = Geo.stCentroid(
+        Geo.stGeomFromText(col("works_location_coordinates")))
+      df.withColumn("work_point", centroid)
+        .withColumn("easting", round(col("work_point.x"), 2))
+        .withColumn("northing", round(col("work_point.y"), 2))
+    }
+
+    val completed = permits
+      .where(col("work_status_ref") === "completed" &&
+        col("event_type") === "WORK_STOP" &&
+        col("work_category_ref").isin(categoryRefs.map(lit): _*) &&
+        col("actual_start_date_time").isNotNull &&
+        col("actual_end_date_time").isNotNull &&
+        col("works_location_coordinates").isNotNull &&
+        col("highway_authority_swa_code") === swaCode)
+      .select(sharedCols :+ startTs.as("__start") :+ endTs.as("__end")
+        :+ col("event_reference"): _*)
+      .withColumn("duration_days",
+        when(year(col("__start")) === year(col("__end")) &&
+          month(col("__start")) === month(col("__end")),
+          dayofmonth(col("__end")) - dayofmonth(col("__start")))
+          .otherwise(dayofmonth(col("__end"))).cast("long"))
+
+    val completedAnywhere = permits
+      .where(col("work_status_ref") === "completed" &&
+        col("event_type") === "WORK_STOP")
+      .select("permit_reference_number")
+
+    val inProgress = permits
+      .where(col("work_status_ref") === "in_progress" &&
+        col("work_category_ref").isin(categoryRefs.map(lit): _*) &&
+        col("actual_start_date_time").isNotNull &&
+        col("works_location_coordinates").isNotNull &&
+        col("highway_authority_swa_code") === swaCode)
+      .join(completedAnywhere.distinct(),
+        Seq("permit_reference_number"), "left_anti")
+      .select(sharedCols :+ startTs.as("__start")
+        :+ (startTs + expr("INTERVAL 7 DAYS")).as("__end")
+        :+ col("event_reference"): _*)
+      .withColumn("duration_days", lit(7L))
+
+    val unioned = completed.unionByName(inProgress)
+    dressed(Relational.distinctOn(unioned, Seq("permit_reference_number"),
+        Seq(col("__start").asc, col("event_reference").asc)))
+      .withColumn("actual_start_date_time", col("__start"))
+      .withColumn("actual_end_date_time", col("__end"))
+      .drop("__start", "__end", "event_reference")
+  }
+
+  /** int_postcodes (int_postcodes.sql:7-49): Code-Point postcodes with
+    * census population (P001, sex split) and household (P002) counts,
+    * COALESCE 0. P001/P002 use the Catalog's SQL-safe template names
+    * (`Sex_Code`, `Count` — post_code_p001.py:76-81). */
+  def intPostcodes(codePoint: DataFrame, p001: DataFrame,
+                   p002: DataFrame): DataFrame = {
+    val population = p001.groupBy(col("Postcode").as("postcode"))
+      .agg(sum("Count").as("__pop"),
+        sum(when(col("Sex_Code") === 1, col("Count")).otherwise(0L)).as("__f"),
+        sum(when(col("Sex_Code") === 2, col("Count")).otherwise(0L)).as("__m"))
+    val households = p002.select(col("Postcode").as("postcode"),
+      col("Count").as("__hh"))
+    codePoint.select(col("postcode"), col("positional_quality_indicator"),
+        col("country_code"), col("nhs_regional_ha_code"), col("nhs_ha_code"),
+        col("admin_county_code"), col("admin_district_code"),
+        col("admin_ward_code"), col("geometry").as("postcode_point"))
+      .join(population, Seq("postcode"), "left")
+      .join(households, Seq("postcode"), "left")
+      .withColumn("total_population", coalesce(col("__pop"), lit(0L)))
+      .withColumn("female_population", coalesce(col("__f"), lit(0L)))
+      .withColumn("male_population", coalesce(col("__m"), lit(0L)))
+      .withColumn("total_households", coalesce(col("__hh"), lit(0L)))
+      .drop("__pop", "__f", "__m", "__hh")
+  }
+
+  /** int_{emergency,major}_works_postcodes_by_authority: every postcode
+    * centroid within 500 m of each work point
+    * (int_emergency_works_postcodes_by_authority.sql:9-38). The dbt
+    * ±500 bounding box + ST_Contains(circular buffer) IS a radius
+    * predicate; here it's the grid-cell EQUI-join ([[RangeJoin]] — no
+    * broadcast-nested-loop at scale) with the exact distance filter.
+    * dbt's LEFT join keeps works with no postcode in range; mirrored by
+    * unioning the unmatched works back with null postcode columns. */
+  def intWorksPostcodes(stgWorks: DataFrame, postcodes: DataFrame): DataFrame = {
+    val works = stgWorks.select(
+      col("permit_reference_number"),
+      col("easting").as("work_easting"), col("northing").as("work_northing"),
+      col("duration_days"), col("actual_start_date_time"),
+      col("actual_end_date_time"), col("highway_authority"),
+      col("work_point.x").as("__wx"), col("work_point.y").as("__wy"))
+    val pcs = postcodes.select(col("postcode"),
+      col("positional_quality_indicator"),
+      Geo.stX(Geo.stCentroid(Geo.stGeomFromText(col("postcode_point"))))
+        .as("postcode_easting"),
+      Geo.stY(Geo.stCentroid(Geo.stGeomFromText(col("postcode_point"))))
+        .as("postcode_northing"),
+      col("country_code"), col("nhs_regional_ha_code"), col("nhs_ha_code"),
+      col("admin_county_code"), col("admin_district_code"),
+      col("admin_ward_code"), col("total_population"),
+      col("female_population"), col("male_population"),
+      col("total_households"))
+    val joined = RangeJoin.radiusJoin(works, pcs,
+        "__wx", "__wy", "postcode_easting", "postcode_northing", 500.0)
+      .withColumn("distance_m", Geo.stDistance(
+        Geo.stPoint(col("__wx"), col("__wy")),
+        Geo.stPoint(col("postcode_easting"), col("postcode_northing"))))
+    val unmatched = works
+      .join(joined.select("permit_reference_number").distinct(),
+        Seq("permit_reference_number"), "left_anti")
+    joined.drop("__wx", "__wy")
+      .unionByName(unmatched.drop("__wx", "__wy"), allowMissingColumns = true)
+  }
+
+  /** {emergency,major}_wellbeing: per-permit rollup of affected
+    * postcodes with the DfT wellbeing formula £2.10 × days × households
+    * ({emergency,major}_wellbeing.sql:5-47). The £2.10 multiply runs in
+    * DECIMAL against integer day/household counts — exact to the penny,
+    * so ROUND(…, 2) is a no-op both here and in DuckDB. */
+  def wellbeingImpact(worksPostcodes: DataFrame, stgWorks: DataFrame): DataFrame =
+    worksPostcodes
+      .join(stgWorks.select("permit_reference_number",
+        "promoter_organisation", "highway_authority", "street_name",
+        "activity_type", "work_category", "work_status", "usrn")
+        .withColumnRenamed("highway_authority", "__ha"),
+        Seq("permit_reference_number"))
+      .drop("highway_authority").withColumnRenamed("__ha", "highway_authority")
+      .groupBy("permit_reference_number", "promoter_organisation",
+        "highway_authority", "street_name", "activity_type",
+        "work_category", "work_status", "usrn", "work_easting",
+        "work_northing", "actual_start_date_time", "actual_end_date_time",
+        "duration_days")
+      .agg(
+        countDistinct(col("postcode")).as("postcode_count"),
+        sum("total_population").as("total_population_affected"),
+        sum("female_population").as("total_female_population"),
+        sum("male_population").as("total_male_population"),
+        sum("total_households").as("total_households_affected"))
+      .withColumn("wellbeing_total_impact",
+        round(lit(BigDecimal("2.10")) * col("duration_days") *
+          col("total_households_affected"), 2).cast("double"))
+
+  /** clean_up.sql: the post-hook summary row (intermediate-table
+    * lifecycle is the caller's storage concern; the model's observable
+    * output is the two record counts). */
+  def wellbeingCleanupSummary(emergency: DataFrame, major: DataFrame): DataFrame = {
+    val e = emergency.agg(count(lit(1)).as("emergency_wellbeing_records"))
+    val m = major.agg(count(lit(1)).as("major_wellbeing_records"))
+    e.crossJoin(m).withColumn("message", lit("Intermediate tables dropped"))
+  }
+
+  // ----------------------------------------------------------- data tests
+
+  /** data_tests/assert_no_duplicate_permits_between_progress_and_completed:
+    * rows = permits in BOTH lists (must be empty). */
+  def duplicatePermitsAcrossLists(inProgress: DataFrame,
+                                  completed: DataFrame): DataFrame =
+    DataQuality.overlappingKeys(
+      inProgress.select("permit_reference_number"),
+      completed.select("permit_reference_number"), "permit_reference_number")
+
+  /** test_impact_scores_{london,england}.yml: not_null on
+    * total_impact_level and uprn_count — rows = violations. */
+  def impactScoresNullViolations(impactScores: DataFrame): DataFrame =
+    DataQuality.notNullViolations(impactScores, "total_impact_level")
+      .unionByName(DataQuality.notNullViolations(impactScores, "uprn_count"))
+
+  // ------------------------------------------------------------ full DAG
+
+  /** The complete dbt DAG by model name over the landed tables — the
+    * run-everything entry a dbt user maps their `dbt run` onto. Wellbeing
+    * staging/intermediate models are parameterized the reference's way
+    * (emergency = immediate refs, major = 'major', authority 4720). */
+  def streetworksModels(permits: DataFrame, openUsrns: DataFrame,
+                        swaCodes: DataFrame, linkedIds: DataFrame,
+                        codePoint: DataFrame, p001: DataFrame,
+                        p002: DataFrame,
+                        wellbeingSwaCode: String = "4720"): Map[String, DataFrame] = {
+    val counts = uprnUsrnCount(openUsrns, linkedIds)
+    val inLondon = inProgressList(permits, openUsrns, swaCodes, counts,
+      londonAuthorities, correlateOnAuthority = true)
+    val doneLondon = completedList(permits, openUsrns, swaCodes, counts,
+      londonAuthorities)
+    val inEngland = inProgressList(permits, openUsrns, swaCodes, counts,
+      Nil, correlateOnAuthority = false)
+    val doneEngland = completedList(permits, openUsrns, swaCodes, counts, Nil)
+    val stgEmergency = stgWorksByAuthority(permits,
+      Seq("immediate_urgent", "immediate_emergency"), wellbeingSwaCode)
+    val stgMajor = stgWorksByAuthority(permits, Seq("major"), wellbeingSwaCode)
+    val pcs = intPostcodes(codePoint, p001, p002)
+    val emergencyPcs = intWorksPostcodes(stgEmergency, pcs)
+    val majorPcs = intWorksPostcodes(stgMajor, pcs)
+    val emergencyWellbeing = wellbeingImpact(emergencyPcs, stgEmergency)
+    val majorWellbeing = wellbeingImpact(majorPcs, stgMajor)
+    Map(
+      "uprn_usrn_count" -> counts,
+      "in_progress_list_london" -> inLondon,
+      "completed_list_london" -> doneLondon,
+      "usrn_permit_details_london" -> usrnPermitDetails(inLondon, doneLondon),
+      "impact_scores_london" -> impactScores(inLondon, doneLondon),
+      "impact_scores_highway_authority_london" ->
+        impactScoresHighwayAuthority(inLondon, doneLondon),
+      "in_progress_list_england" -> inEngland,
+      "completed_list_england" -> doneEngland,
+      "usrn_permit_details_england" -> usrnPermitDetails(inEngland, doneEngland),
+      "impact_scores_england" -> impactScores(inEngland, doneEngland),
+      "impact_scores_highway_authority_england" ->
+        impactScoresHighwayAuthority(inEngland, doneEngland),
+      "stg_emergency_works_by_authority" -> stgEmergency,
+      "stg_major_works_by_authority" -> stgMajor,
+      "int_postcodes" -> pcs,
+      "int_emergency_works_postcodes_by_authority" -> emergencyPcs,
+      "int_major_works_postcodes_by_authority" -> majorPcs,
+      "emergency_wellbeing" -> emergencyWellbeing,
+      "major_wellbeing" -> majorWellbeing,
+      "clean_up" -> wellbeingCleanupSummary(emergencyWellbeing, majorWellbeing))
+  }
+}

@@ -79,6 +79,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("model-layer queries: no single-partition window, no cartesian beyond the 1-row bounds broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_model_impact_scores", "q_model_authority_scores")) {
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      // the dedup window partitions by permit ref; both normalisations
+      // are distributed (min-max = 1-row broadcast agg, percent-rank =
+      // Stats.cumLess) — a bare WindowExec would re-centralize the rank
+      val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty,
+        s"$q sorts its whole keyspace in one task: ${global.mkString("; ")}")
+      assert(!exec.toString.contains("CartesianProduct"),
+        s"$q planned a real cartesian")
+    }
+    // dimension enrichments broadcast; the permit fact side never
+    // sort-merges against a dim
+    val p = plan("q_model_impact_scores")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q_token_budget's prefix sum carries no single-partition WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     val exec = SparkEntry.queries("q_token_budget")(spark, sfDir)

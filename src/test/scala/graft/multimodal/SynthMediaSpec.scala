@@ -94,8 +94,12 @@ class SynthMediaSpec extends SparkSpec {
   }
 
   test("PNG encoder is witnessed by ImageIO pixel-for-pixel") {
-    val id = 4L // id%3==1 -> png
-    val (_, payload) = SynthMedia.forId(id)
+    val id = 5L // id%4==1 -> png
+    val (mod, payload) = SynthMedia.forId(id)
+    assert(mod === "png")
+    assert(payload.take(8).toSeq ===
+      Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      "payload must carry the PNG signature (not another format)")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     assert(img != null, "ImageIO must accept the synthesized PNG")
     assert(img.getWidth === SynthMedia.widthOf(id))
