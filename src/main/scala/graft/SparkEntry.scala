@@ -1590,6 +1590,9 @@ object SparkEntry {
     Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d))
 
   private def modelLists(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // NOT persisted: the dressed frame is 27 string columns wide — an
+    // A/B at sf0.1 measured persist() 3s SLOWER than recomputing the
+    // map-only dressing per scan (same lesson as the r10 HOF A/B)
     val permits = modelPermitEvents(s, d)
     val usrns = modelOpenUsrns(s, d)
     val swa = modelSwaCodes(s, d)

@@ -230,12 +230,21 @@ object Models {
     * (usrn, street, authority, LOWER(swa), uprn_count, geometry). The
     * lists already carry the COALESCE'd uprn_count the dbt inner
     * subquery re-joins for — same value, one join less. */
-  private def rawImpactLevel(inProgress: DataFrame, completed: DataFrame): DataFrame = {
-    val cols = Seq("usrn", "street_name", "highway_authority",
-      "highway_authority_swa_code", "work_category", "is_ttro_required",
-      "is_traffic_sensitive", "traffic_management_type_ref", "uprn_count",
-      "geometry").map(col)
-    inProgress.select(cols: _*).unionByName(completed.select(cols: _*))
+  private val scoringCols = Seq("usrn", "street_name", "highway_authority",
+    "highway_authority_swa_code", "work_category", "is_ttro_required",
+    "is_traffic_sensitive", "traffic_management_type_ref", "uprn_count",
+    "geometry")
+
+  /** UNION ALL of both lists projected to the 10 scoring columns — the
+    * frame every impact model aggregates; callers cache THIS projection
+    * (not the 27-column lists) when it is scanned twice. */
+  private def combinedPermitRows(inProgress: DataFrame,
+                                 completed: DataFrame): DataFrame =
+    inProgress.select(scoringCols.map(col): _*)
+      .unionByName(completed.select(scoringCols.map(col): _*))
+
+  private def rawImpactLevel(both: DataFrame): DataFrame = {
+    both
       .withColumn("impact10", permitImpact10(col("work_category"),
         col("is_ttro_required"), col("is_traffic_sensitive"),
         col("traffic_management_type_ref"), col("uprn_count")))
@@ -254,8 +263,10 @@ object Models {
     * value-identical to the dbt decimal form ((t-mn)/(mx-mn) is scale
     * invariant) and engine-exact (integer differences are exact doubles;
     * one rounding at the division). */
-  def impactScores(inProgress: DataFrame, completed: DataFrame): DataFrame = {
-    val raw = rawImpactLevel(inProgress, completed)
+  def impactScores(inProgress: DataFrame, completed: DataFrame,
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    // raw feeds both the bounds agg and the normalised output
+    val raw = scope.cache(rawImpactLevel(combinedPermitRows(inProgress, completed)))
     val bounds = raw.agg(min("total10").as("__mn10"), max("total10").as("__mx10"))
     raw.crossJoin(broadcast(bounds))
       .withColumn("total_impact_level", col("total10").cast("double") / 10)
@@ -284,9 +295,14 @@ object Models {
     * row count. The authority-level rank reuses the distributed
     * [[Stats.withPercentRank100]] on the integer deci-point totals (same
     * ordering as the dbt SUM(total_impact_level)). */
-  def impactScoresHighwayAuthority(inProgress: DataFrame,
-                                   completed: DataFrame): DataFrame = {
-    val raw = rawImpactLevel(inProgress, completed)
+  def impactScoresHighwayAuthority(inProgress: DataFrame, completed: DataFrame,
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    // the combined permit rows are scanned twice (raw totals +
+    // breakdown) and raw twice more (rank histogram + join-back): cache
+    // the 10-column projection or the permit dressing/dedup re-runs 4x
+    // per action
+    val both = scope.cache(combinedPermitRows(inProgress, completed))
+    val raw = scope.cache(rawImpactLevel(both))
     // per-USRN integer rank counts (rank-1 == rows strictly below)
     val (cl, n) = Stats.cumLess(raw, "total10")
     val denom = lit(math.max(n - 1L, 1L).toDouble)
@@ -316,7 +332,7 @@ object Models {
       .withColumn("impact_category",
         ImpactScore.severityBucket(col("highway_authority_impact_score")))
     // work-category breakdown over permit-level rows (lines 154-177)
-    val breakdown = permitBreakdown(inProgress, completed)
+    val breakdown = permitBreakdown(both)
     ranked.join(breakdown,
         Seq("highway_authority", "highway_authority_swa_code"), "left")
       .select("highway_authority", "highway_authority_swa_code",
@@ -332,12 +348,8 @@ object Models {
 
   /** work_category_breakdown (lines 154-177): conditional counts per
     * authority over the unioned permit-level rows. */
-  private def permitBreakdown(inProgress: DataFrame,
-                              completed: DataFrame): DataFrame = {
-    val cols = Seq("highway_authority", "highway_authority_swa_code",
-      "work_category", "is_ttro_required", "is_traffic_sensitive",
-      "traffic_management_type_ref").map(col)
-    inProgress.select(cols: _*).unionByName(completed.select(cols: _*))
+  private def permitBreakdown(both: DataFrame): DataFrame = {
+    both
       .groupBy(col("highway_authority"),
         lower(col("highway_authority_swa_code"))
           .as("highway_authority_swa_code"))
