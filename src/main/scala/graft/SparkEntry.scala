@@ -1727,6 +1727,12 @@ object SparkEntry {
     "q_geo_geojson" -> (qGeoGeoJson _),
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_model_uprn_usrn_count" -> (qModelUprnUsrnCount _),
+    // the two model-score queries use the default PersistScope: the cached
+    // combined/raw projections are owned by the SESSION (never unpersisted
+    // here — the returned plan is lazy, so a close() before the caller's
+    // action would defeat the cache). Long-lived embedders should call
+    // Models.impactScores*(…, scope) with their own scope and close() it
+    // after materializing.
     "q_model_impact_scores" -> (qModelImpactScores _),
     "q_model_authority_scores" -> (qModelAuthorityScores _),
   )

@@ -145,10 +145,22 @@ object Models {
     Relational.distinctOn(events, Seq("permit_reference_number"),
       Seq(col("event_time").desc, col("event_reference").desc))
 
+  /** One row per dimension key, deterministically (payload-desc
+    * tie-break): dimension loads are unique per key by contract, but
+    * enrichment joins run AFTER the per-permit dedup, so a dirty load
+    * with a duplicated key would silently duplicate permit rows and
+    * break the one-row-per-permit DISTINCT ON invariant (the dbt order
+    * dedups after the join). This guard makes that impossible instead
+    * of assumed; on a clean dimension it is a no-op dedup over a
+    * broadcast-sized input. */
+  private def uniqueDim(dim: DataFrame, key: String): DataFrame =
+    Relational.distinctOn(dim, Seq(key),
+      dim.columns.filterNot(_ == key).map(col(_).desc_nulls_last).toSeq)
+
   /** The three dimension enrichments shared by both lists (lines 31-40):
     * street geometry by USRN, regulator licences by promoter SWA code
     * (both sides cast to INT exactly like the dbt join), UPRN count by
-    * USRN with COALESCE 0. Dimension tables are unique per key, so
+    * USRN with COALESCE 0. Dimensions pass through [[uniqueDim]], so
     * enriching AFTER the per-permit dedup is row-for-row identical to the
     * dbt join-then-DISTINCT-ON order — and cheaper: the joins see one row
     * per permit. */
@@ -156,16 +168,19 @@ object Models {
                                swaCodes: DataFrame,
                                uprnCounts: DataFrame): DataFrame =
     permits
-      .join(openUsrns.select(col("usrn").cast("long").as("__usrn_k"),
-        col("geometry")), col("usrn").cast("long") === col("__usrn_k"), "left")
+      .join(uniqueDim(openUsrns.select(
+        col("usrn").cast("long").as("__usrn_k"), col("geometry")), "__usrn_k"),
+        col("usrn").cast("long") === col("__usrn_k"), "left")
       .drop("__usrn_k")
-      .join(swaCodes.select(col("swa_code").cast("int").as("__swa_k"),
+      .join(uniqueDim(swaCodes.select(
+        col("swa_code").cast("int").as("__swa_k"),
         col("ofgem_electricity_licence"), col("ofgem_gas_licence"),
-        col("ofcom_licence"), col("ofwat_licence")),
+        col("ofcom_licence"), col("ofwat_licence")), "__swa_k"),
         col("promoter_swa_code").cast("int") === col("__swa_k"), "left")
       .drop("__swa_k")
-      .join(uprnCounts.select(col("usrn").cast("long").as("__cnt_k"),
-        col("uprn_count").as("__uprn_count")),
+      .join(uniqueDim(uprnCounts.select(
+        col("usrn").cast("long").as("__cnt_k"),
+        col("uprn_count").as("__uprn_count")), "__cnt_k"),
         col("usrn").cast("long") === col("__cnt_k"), "left")
       .drop("__cnt_k")
       .withColumn("uprn_count", coalesce(col("__uprn_count"), lit(0L)))
@@ -472,8 +487,12 @@ object Models {
     * predicate; here it's the grid-cell EQUI-join ([[RangeJoin]] — no
     * broadcast-nested-loop at scale) with the exact distance filter.
     * dbt's LEFT join keeps works with no postcode in range; mirrored by
-    * unioning the unmatched works back with null postcode columns. */
-  def intWorksPostcodes(stgWorks: DataFrame, postcodes: DataFrame): DataFrame = {
+    * unioning the unmatched works back with null postcode columns. The
+    * radius join is cached through `scope`: the unmatched-works anti-join
+    * re-evaluates it, and without the cache the most expensive stage
+    * (RangeJoin + distance filter) would run twice per action. */
+  def intWorksPostcodes(stgWorks: DataFrame, postcodes: DataFrame,
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
     val works = stgWorks.select(
       col("permit_reference_number"),
       col("easting").as("work_easting"), col("northing").as("work_northing"),
@@ -491,11 +510,11 @@ object Models {
       col("admin_ward_code"), col("total_population"),
       col("female_population"), col("male_population"),
       col("total_households"))
-    val joined = RangeJoin.radiusJoin(works, pcs,
+    val joined = scope.cache(RangeJoin.radiusJoin(works, pcs,
         "__wx", "__wy", "postcode_easting", "postcode_northing", 500.0)
       .withColumn("distance_m", Geo.stDistance(
         Geo.stPoint(col("__wx"), col("__wy")),
-        Geo.stPoint(col("postcode_easting"), col("postcode_northing"))))
+        Geo.stPoint(col("postcode_easting"), col("postcode_northing")))))
     val unmatched = works
       .join(joined.select("permit_reference_number").distinct(),
         Seq("permit_reference_number"), "left_anti")
