@@ -336,4 +336,66 @@ object Fetch {
     val fetched = fetchToStaging(url, stagingDir, maxRetries, baseDelayMs)
     unzip(fetched.path, fetched.path + ".d")
   }
+
+  private val hrefRe = """(?is)href\s*=\s*["']([^"'<>]+)["']""".r
+
+  /** Discover attachment links on a publication hub page (reference:
+    * src/data_sources/bduk_premises_sept_2025.py:58-99 scans the gov.uk
+    * page's attachment sections for `.zip` hrefs and resolves them to
+    * absolute asset URLs). Bounded and allow-listed by construction:
+    *
+    *  - the page body is read through a HARD `maxBytes` cap — a hub page
+    *    is tens of KB, and a link that turns out to be a multi-GB
+    *    artifact must fail loudly instead of buffering into the driver;
+    *  - `href` attributes are extracted with a streaming regex (no HTML
+    *    parser dependency), HTML-entity-unescaped (&amp;), resolved
+    *    against the page URL per RFC 3986, then filtered to those whose
+    *    RESOLVED form matches `pattern`;
+    *  - only links on the page's own host or a host in `allowHosts` are
+    *    returned (the reference's assets.publishing.service.gov.uk
+    *    special case, generalized to an explicit allow-list) — a
+    *    compromised page cannot point the fetcher off-policy.
+    *
+    * Returns resolved URLs in page order, deduped. Feed the result into
+    * [[fetchResumable]] / [[fetchMany]]. */
+  def discoverLinks(pageUrl: String, pattern: scala.util.matching.Regex,
+                    allowHosts: Set[String] = Set.empty,
+                    maxBytes: Int = 4 << 20,
+                    redirectHops: Int = 3): Seq[String] = {
+    val (conn, resolved) = openResolved(pageUrl, redirectHops, allowHosts)
+    val html =
+      try {
+        val in = conn.getInputStream
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0) {
+            if (buf.size() + n > maxBytes) throw new IOException(
+              s"hub page exceeds $maxBytes bytes: $pageUrl — not a page?")
+            buf.write(chunk, 0, n)
+            n = in.read(chunk)
+          }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      } finally conn match {
+        case h: java.net.HttpURLConnection => h.disconnect(); case _ => ()
+      }
+    val base = new java.net.URI(resolved)
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    hrefRe.findAllMatchIn(html).foreach { m =>
+      val raw = m.group(1).trim
+        .replace("&amp;", "&").replace("&#38;", "&")
+        .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      try {
+        val abs = base.resolve(raw)
+        val sameHost = Option(abs.getHost) == Option(base.getHost)
+        val hostOk = sameHost || Option(abs.getHost).exists(allowHosts.contains)
+        val noDowngrade = !(base.getScheme == "https" && abs.getScheme == "http")
+        if (hostOk && noDowngrade && pattern.findFirstIn(abs.toString).isDefined)
+          seen += abs.toString
+      } catch { case _: IllegalArgumentException => () /* malformed href */ }
+    }
+    seen.toSeq
+  }
 }

@@ -362,4 +362,63 @@ class FetchSpec extends SparkSpec {
         "appending a full restart onto stale part bytes would corrupt the file")
     } finally server.stop(0)
   }
+
+  test("discoverLinks: attachment hrefs on a hub page, allow-listed and bounded") {
+    // the gov.uk BDUK publication shape (bduk_premises_sept_2025.py:58-99):
+    // gem-c-attachment sections with .zip asset hrefs — some relative, some
+    // absolute on an asset CDN host, plus decoys the scan must skip
+    val hub =
+      """<html><body>
+        |<section class="gem-c-attachment">
+        |  <h3 class="gem-c-attachment__title">Region West</h3>
+        |  <a href="/assets/bduk_west.zip">Download</a></section>
+        |<section class="gem-c-attachment">
+        |  <a href="HTTP_CDN/releases/bduk_east.zip?v=1&amp;x=2">East</a></section>
+        |<a href="/guide.pdf">not a zip</a>
+        |<a href="http://evil.invalid/bduk_fake.zip">off-host zip</a>
+        |<a href="/assets/bduk_west.zip">duplicate</a>
+        |</body></html>""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/pub", (x: com.sun.net.httpserver.HttpExchange) => {
+      val p = x.getHttpContext.getServer.getAddress.getPort
+      // 'localhost' = the allow-listed CDN host (distinct host, same loopback)
+      val body = hub.replace("HTTP_CDN", s"http://localhost:$p").getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length.toLong)
+      x.getResponseBody.write(body); x.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val links = Fetch.discoverLinks(s"http://127.0.0.1:$port/pub", "\\.zip".r,
+        allowHosts = Set("localhost"))
+      assert(links === Seq(
+        s"http://127.0.0.1:$port/assets/bduk_west.zip",
+        s"http://localhost:$port/releases/bduk_east.zip?v=1&x=2"),
+        "relative resolved + allow-listed CDN kept, in page order, deduped; " +
+          "off-host and non-matching hrefs dropped")
+      // without the allow-list the CDN link is off-policy
+      assert(Fetch.discoverLinks(s"http://127.0.0.1:$port/pub", "\\.zip".r)
+        === Seq(s"http://127.0.0.1:$port/assets/bduk_west.zip"))
+      // the size bound refuses a page that is actually an artifact
+      val e = intercept[IOException] {
+        Fetch.discoverLinks(s"http://127.0.0.1:$port/pub", "\\.zip".r,
+          maxBytes = 16)
+      }
+      assert(e.getMessage.contains("exceeds"))
+    } finally server.stop(0)
+  }
+
+  test("discoverLinks resolves file:// hubs (fixture-driven pipelines)") {
+    val dir = Files.createTempDirectory("hub-fixture")
+    Files.write(dir.resolve("region_a.zip"), Array[Byte](0x50, 0x4B))
+    Files.write(dir.resolve("hub.html"),
+      """<a href="region_a.zip">A</a><a href="other.txt">no</a>"""
+        .getBytes("UTF-8"))
+    val links = Fetch.discoverLinks(s"file://$dir/hub.html", "\\.zip$".r)
+    // URI.resolve renders the single-slash authority-less form; both are
+    // equivalent and the JDK opens either
+    assert(links === Seq(s"file:$dir/region_a.zip"))
+    assert(Files.readAllBytes(Paths.get(new java.net.URI(links.head))).length === 2)
+  }
 }
