@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sinks.SnapshotTable
-import graft.sources.{ColumnNormalizer, Fetch, GeoPackageSource, JsonFlatten,
-  MetadataLog, Pipeline, SchemaValidator}
+import graft.sources.{BiffReader, ColumnNormalizer, Fetch, GeoPackageSource,
+  JsonFlatten, MetadataLog, Pipeline, SchemaValidator, SpreadsheetSource}
 
 /** The CONCRETE pipeline catalog: each entry binds the generic ingestion
   * primitives (Fetch → parse → normalize → [[graft.sources.SchemaValidator]]
@@ -46,7 +46,11 @@ object Catalog {
   /** Conform a parsed DataFrame to its template: unexpected columns are
     * a hard failure (never silently load drifted data); missing columns
     * null-fill only when the source's policy allows; output columns in
-    * template order with template types. */
+    * template order with template types. Value typing COERCES (try_cast):
+    * a malformed numeric cell nulls like the reference's
+    * `pd.to_numeric(errors="coerce")` (national_stat_postcode_lookup.py:
+    * 18-42) instead of killing the load under ANSI mode — header drift is
+    * the abort condition, not a dirty cell. */
   private[pipelines] def conform(df: DataFrame,
       template: Seq[(String, DataType)], allowMissing: Boolean): DataFrame = {
     val (missing, extra) = SchemaValidator.validate(df, template.map(_._1))
@@ -55,7 +59,7 @@ object Catalog {
       s"source is missing template columns: ${missing.mkString(", ")}")
     val have = df.columns.toSet
     df.select(template.map { case (n, t) =>
-      (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      (if (have(n)) col(n).try_cast(t) else lit(null).cast(t)).as(n)
     }: _*)
   }
 
@@ -66,9 +70,20 @@ object Catalog {
         case "BIGINT" => LongType
         case "DOUBLE" => DoubleType
         case "TIMESTAMP" => TimestampType
+        case "BOOLEAN" => BooleanType
         case other => throw new IllegalArgumentException(other)
       })
     }
+
+  /** Template for `table`, honoring the `"*"` wildcard used by pipelines
+    * whose table NAMES are data-driven (BDUK: one table per discovered
+    * region zip; DfT: one per file code) but whose column contract is one
+    * shared shape. */
+  private def templateFor(pipeline: SourcePipeline,
+                          table: String): Seq[(String, DataType)] =
+    pipeline.templates.getOrElse(table,
+      pipeline.templates.getOrElse("*",
+        sys.error(s"no template for table $table in ${pipeline.name}")))
 
   /** Run `pipeline` from a staged input into `warehouseRoot`: every
     * output table becomes the SnapshotTable `warehouseRoot/<schema>/
@@ -81,7 +96,7 @@ object Catalog {
       .createTempDirectory(s"graft-${pipeline.name}").toString
     try {
       pipeline.parse(spark, input, scratch).map { case TableLoad(table, raw) =>
-        val template = pipeline.templates(table)
+        val template = templateFor(pipeline, table)
         val root = s"$warehouseRoot/${pipeline.schemaName}/$table"
         val records = Pipeline.runObserved(
           pipeline.name, raw,
@@ -303,9 +318,442 @@ object Catalog {
     parse = (spark, input, _) => Seq(TableLoad("LATEST_STOPS",
       spark.read.option("header", "true").csv(input))))
 
+  // -------------------------------------------------- cadent underground
+
+  /** Render a parsed geometry as WKT with the tag the GeoJSON declared —
+    * cadent rows mix Point/LineString/Polygon shapes in one column. */
+  private def wktByType(geom: Column, typ: Column): Column =
+    when(typ === "Point", graft.functions.Geo.stAsText(geom, 1))
+      .when(typ === "LineString", graft.functions.Geo.stAsText(geom, 2))
+      .when(typ === "Polygon", graft.functions.Geo.stAsText(geom, 3))
+
+  /** Cadent gas underground pipes (cadent_underground.py): the API CSV
+    * as-is (column names keep their spaces — the reference loads the
+    * header verbatim, `expected_columns=None`), plus the two WKT columns
+    * the reference derives in-flight: `Geo Point` ("lat, lon") becomes
+    * POINT(lon lat) (cadent_underground.py:243-252) and `Geo Shape`
+    * (a GeoJSON geometry) becomes its WKT (`:260-275` shapely shape →
+    * wkt). Unparseable values null-fill, never throw — the reference
+    * returns None per bad row. */
+  val cadentUnderground: SourcePipeline = SourcePipeline(
+    name = "cadent_underground",
+    schemaName = "cadent_underground_pipes",
+    templates = Map("cadent_underground_pipes" -> ddl(
+      "Geo Point" -> "VARCHAR", "Geo Shape" -> "VARCHAR",
+      "TYPE" -> "VARCHAR", "PRESSURE" -> "VARCHAR",
+      "MATERIAL" -> "VARCHAR", "DIAMETER" -> "VARCHAR",
+      "DIAM_UNIT" -> "VARCHAR", "CARR_MAT" -> "VARCHAR",
+      "CARR_DIA" -> "VARCHAR", "CARR_DI_UN" -> "VARCHAR",
+      "ASSET_ID" -> "VARCHAR", "DEPTH" -> "VARCHAR",
+      "AG_IND" -> "VARCHAR", "INST_DATE" -> "VARCHAR",
+      "geo_point_wkt" -> "VARCHAR", "geo_shape_wkt" -> "VARCHAR")),
+    allowMissing = false,
+    parse = (spark, input, _) => {
+      import graft.functions.Geo
+      // escape=": the Geo Shape column is RFC-4180-quoted GeoJSON (embedded
+      // doubled quotes) — Spark's default backslash escape would shred it
+      val raw = spark.read.option("header", "true")
+        .option("escape", "\"").csv(input)
+      val parts = split(col("`Geo Point`"), ",")
+      // try_cast: a malformed coordinate nulls the WKT (the reference
+      // returns None per bad row) instead of throwing under ANSI mode
+      val lat = trim(element_at(parts, 1)).try_cast(DoubleType)
+      val lon = when(size(parts) >= 2, trim(element_at(parts, 2)))
+        .try_cast(DoubleType)
+      val df = raw
+        .withColumn("geo_point_wkt",
+          when(size(parts) === 2 && lat.isNotNull && lon.isNotNull,
+            Geo.stAsText(array(struct(lon.as("x"), lat.as("y"))), 1)))
+        .withColumn("geo_shape_wkt", wktByType(
+          Geo.stGeomFromGeoJson(col("`Geo Shape`")),
+          get_json_object(col("`Geo Shape`"), "$.type")))
+      Seq(TableLoad("cadent_underground_pipes", df))
+    })
+
+  // ----------------------------------------------------- dft road stats
+
+  /** The reference's column cleaning for DfT ODS sheets
+    * (dft_road_stats.py:76-100 clean_dataframe_columns): lowercase,
+    * space/hyphen/slash → underscore, parens and quotes dropped,
+    * trailing underscores stripped. */
+  private[pipelines] def dftCleanName(c: String): String =
+    c.toLowerCase
+      .replace(" ", "_").replace("-", "_").replace("/", "_")
+      .replace("(", "").replace(")", "").replace("'", "")
+      .reverse.dropWhile(_ == '_').reverse
+
+  /** Per-file-code sheet names and 0-based header rows — the pipeline's
+    * hand-maintained map (dft_road_stats.py pipeline:54-66: RDL0101a at
+    * header 6, RDL0202a at header 7, …). */
+  private val dftSheets: Map[String, (String, Int)] = Map(
+    "rdl0101" -> (("RDL0101a", 6)), "rdl0102" -> (("RDL0102a", 7)),
+    "rdl0201" -> (("RDL0201a", 6)), "rdl0202" -> (("RDL0202a", 7)))
+
+  /** DfT road lengths statistics (dft_road_stats.py): each staged .ods
+    * file (file code = basename) is one landed table — sheet and header
+    * row come from the file-code map, headers promote then snake-case
+    * exactly like the reference's pandas read, every value lands as
+    * STRING (`df.astype(str)`). Input: one .ods file or a directory of
+    * them. */
+  val dftRoadStats: SourcePipeline = SourcePipeline(
+    name = "dft_road_stats",
+    schemaName = "dft_road_stats",
+    templates = Map("*" -> ddl(
+      "ons_area_code" -> "VARCHAR", "region" -> "VARCHAR",
+      "centrally_managed_motorways" -> "VARCHAR",
+      "locally_managed_motorways" -> "VARCHAR",
+      "all_motorways" -> "VARCHAR",
+      "centrally_managed_rural_a_roads" -> "VARCHAR",
+      "centrally_managed_urban_a_roads" -> "VARCHAR",
+      "locally_managed_rural_a_roads" -> "VARCHAR",
+      "locally_managed_urban_a_roads" -> "VARCHAR",
+      "all_a_roads" -> "VARCHAR",
+      "major_centrally_managed_roads" -> "VARCHAR",
+      "major_locally_managed_roads" -> "VARCHAR",
+      "all_major_roads" -> "VARCHAR", "rural_b_roads" -> "VARCHAR",
+      "urban_b_roads" -> "VARCHAR", "rural_c_and_u_roads" -> "VARCHAR",
+      "urban_c_and_u_roads" -> "VARCHAR", "all_minor_roads" -> "VARCHAR",
+      "total_road_length" -> "VARCHAR", "notes" -> "VARCHAR")),
+    allowMissing = true,
+    parse = (spark, input, scratch) => {
+      val f = new java.io.File(input)
+      val odsFiles =
+        if (f.isDirectory)
+          f.listFiles().toSeq.map(_.getPath).filter(_.endsWith(".ods")).sorted
+        else Seq(input)
+      odsFiles.map { path =>
+        val code = new java.io.File(path).getName.stripSuffix(".ods").toLowerCase
+        val (sheet, headerRow) = dftSheets.getOrElse(code, (null, 6))
+        val df = SpreadsheetSource.readOds(spark, path,
+          java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(scratch), code).toString,
+          headerRow = headerRow, sheet = Option(sheet))
+        TableLoad(code, df.toDF(df.columns.map(dftCleanName): _*))
+      }
+    })
+
+  // ------------------------------------------------------ geoplace swa
+
+  /** The reference's authority-name scrub for future joins
+    * (geoplace_swa.py:16-36): strip org-form words as SUBSTRINGS in this
+    * exact order (each with a trim), then lowercase. Mirrors python
+    * `str.replace` semantics — substrings anywhere, including inside
+    * words, exactly as the reference behaves. */
+  private[pipelines] def geoplaceCleanName(c: Column): Column = {
+    val stripped = Seq("LONDON BOROUGH OF", "COUNTY COUNCIL",
+      "BOROUGH COUNCIL", "CITY COUNCIL", "COUNCIL", "ROYAL BOROUGH OF",
+      "COUNCIL OF THE", "CITY OF", "COUNTY", "BOROUGH", "CITY",
+      "METROPOLITAN", "DISTRICT", "CORPORATION", "OF")
+      .foldLeft(c)((acc, w) => trim(replace(acc, lit(w), lit(""))))
+    lower(stripped)
+  }
+
+  /** The post-clean literal fixups (geoplace_swa.py:71-88). */
+  private val geoplaceFixups: Seq[(String, String)] = Seq(
+    "peter" -> "peterborough",
+    "bournemouth, christchurch and poole" -> "bournemouth christchurch and poole",
+    "brighton & hove" -> "brighton and hove",
+    "telford & wrekin" -> "telford and wrekin",
+    "hammersmith & fulham" -> "hammersmith and fulham",
+    "cheshire east" -> "east cheshire",
+    "cheshire west and chester" -> "west cheshire",
+    "east riding  yorkshire" -> "eastridingyorkshire")
+
+  /** GeoPlace SWA street-works authority codes (geoplace_swa.py): a
+    * LEGACY ENCRYPTED .xls (Excel's default "VelvetSweatshop" sheet
+    * password) — decrypted and parsed natively ([[BiffReader.readXls]]),
+    * header promoted from row 1 (`pd.read_excel(header=1)`), columns
+    * snake-cased, `account_name` scrubbed for downstream authority joins,
+    * and the load-audit `date_time_processed` column appended. */
+  val geoplaceSwa: SourcePipeline = SourcePipeline(
+    name = "geoplace_swa",
+    schemaName = "geoplace_swa_codes",
+    templates = Map("LATEST_ACTIVE" -> ddl(
+      "swa_code" -> "VARCHAR", "account_name" -> "VARCHAR",
+      "prefix" -> "VARCHAR", "account_type" -> "VARCHAR",
+      "registered_for_street_manager" -> "VARCHAR",
+      "account_status" -> "VARCHAR",
+      "companies_house_number" -> "VARCHAR",
+      "previous_company_names" -> "VARCHAR",
+      "linked_parent_company" -> "VARCHAR", "website" -> "VARCHAR",
+      "plant_enquiries" -> "VARCHAR",
+      "ofgem_electricity_licence" -> "VARCHAR",
+      "ofgem_gas_licence" -> "VARCHAR", "ofcom_licence" -> "VARCHAR",
+      "ofwat_licence" -> "VARCHAR", "company_subsumed_by" -> "VARCHAR",
+      "swa_code_of_new_company" -> "VARCHAR",
+      "date_time_processed" -> "VARCHAR")),
+    allowMissing = false,
+    parse = (spark, input, _) => {
+      val raw = BiffReader.readXls(spark, input, headerRow = 1,
+        password = Some("VelvetSweatshop"))
+      val snake = raw.toDF(raw.columns.map(
+        _.toLowerCase.replace(" ", "_").replace("/", "_")): _*)
+      val fixed = geoplaceFixups.foldLeft(
+        geoplaceCleanName(col("account_name"))) { case (acc, (from, to)) =>
+        when(acc === from, to).otherwise(acc)
+      }
+      Seq(TableLoad("LATEST_ACTIVE", snake
+        .withColumn("account_name", fixed)
+        .withColumn("date_time_processed",
+          date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss"))))
+    })
+
+  // ------------------------------------- national statistics postcodes
+
+  /** NSPL — National Statistics Postcode Lookup
+    * (national_stat_postcode_lookup.py): the staged archive (fetched
+    * through the ArcGIS redirect hub — [[Fetch.resolveRedirects]]) holds
+    * the postcode CSV under `Data/` with "NSPL" in the name
+    * (`:205-215`); numeric columns type per the template with blank →
+    * NULL (the reference's clean_dataframe_for_motherduck). */
+  val nationalStatPostcodeLookup: SourcePipeline = SourcePipeline(
+    name = "national_stat_postcode_lookup",
+    schemaName = "post_code_data",
+    templates = Map("national_statistic_postcode_lookup" -> ddl(
+      "pcd" -> "VARCHAR", "pcd2" -> "VARCHAR", "pcds" -> "VARCHAR",
+      "dointr" -> "BIGINT", "doterm" -> "BIGINT", "usertype" -> "BIGINT",
+      "oseast1m" -> "BIGINT", "osnrth1m" -> "VARCHAR",
+      "osgrdind" -> "BIGINT", "oa21" -> "VARCHAR", "cty" -> "VARCHAR",
+      "ced" -> "VARCHAR", "laua" -> "VARCHAR", "ward" -> "VARCHAR",
+      "nhser" -> "VARCHAR", "ctry" -> "VARCHAR", "rgn" -> "VARCHAR",
+      "pcon" -> "VARCHAR", "ttwa" -> "VARCHAR", "itl" -> "VARCHAR",
+      "park" -> "VARCHAR", "lsoa21" -> "VARCHAR", "msoa21" -> "VARCHAR",
+      "wz11" -> "VARCHAR", "sicbl" -> "VARCHAR", "bua24" -> "VARCHAR",
+      "ruc21" -> "VARCHAR", "oac11" -> "VARCHAR", "lat" -> "DOUBLE",
+      "long" -> "DOUBLE", "lep1" -> "VARCHAR", "lep2" -> "VARCHAR",
+      "pfa" -> "VARCHAR", "imd" -> "BIGINT", "icb" -> "VARCHAR")),
+    allowMissing = false,
+    parse = (spark, input, scratch) => {
+      val members = Fetch.unzip(input, scratch)
+      val csvPath = members.find(m => m.endsWith(".csv") &&
+          new java.io.File(m).getName.contains("NSPL"))
+        .getOrElse(sys.error("no NSPL .csv member in archive"))
+      Seq(TableLoad("national_statistic_postcode_lookup",
+        spark.read.option("header", "true").csv(csvPath)))
+    })
+
+  // ------------------------------------------------------ gpkg sources
+
+  /** OS Open Built Up Areas (built_up_areas.py): zip → the
+    * `*built_up_areas*.gpkg` member (any .gpkg as fallback, `:99-115`),
+    * read natively, POLYGON geometry rendered to WKT like the
+    * reference's shapely `wkt.dumps`. */
+  val builtUpAreas: SourcePipeline = SourcePipeline(
+    name = "built_up_areas",
+    schemaName = "built_up_areas",
+    templates = Map("os_open_built_up_areas" -> ddl(
+      "gsscode" -> "VARCHAR", "name1_text" -> "VARCHAR",
+      "name1_language" -> "VARCHAR", "name2_text" -> "VARCHAR",
+      "name2_language" -> "VARCHAR", "areahectares" -> "VARCHAR",
+      "geometry_area_m" -> "VARCHAR", "geometry" -> "VARCHAR")),
+    allowMissing = false,
+    parse = (spark, input, scratch) => {
+      val gpkg = findGpkg(input, scratch, preferred = "built_up_areas")
+      val feats = GeoPackageSource.readFeatures(spark, gpkg,
+        "os_open_built_up_areas")
+      Seq(TableLoad("os_open_built_up_areas", feats
+        .withColumn("geometry",
+          graft.functions.Geo.stAsText(col("geom_xy"), 3))
+        .drop("geom", "geom_xy", "fid")))
+    })
+
+  /** OS Open USRN street centrelines (open_usrn.py /
+    * os_open_usrn.py:80): zip → gpkg, LINESTRING geometry to WKT,
+    * (geometry, street_type, usrn) — the dbt models' street-geometry
+    * dimension. */
+  val osOpenUsrn: SourcePipeline = SourcePipeline(
+    name = "os_open_usrn",
+    schemaName = "os_open_usrns",
+    templates = Map("open_usrns_latest" -> ddl(
+      "geometry" -> "VARCHAR", "street_type" -> "VARCHAR",
+      "usrn" -> "BIGINT")),
+    allowMissing = false,
+    parse = (spark, input, scratch) => {
+      val gpkg = findGpkg(input, scratch, preferred = "usrn")
+      val feats = GeoPackageSource.readFeatures(spark, gpkg, "openUSRN")
+      Seq(TableLoad("open_usrns_latest", feats
+        .withColumn("geometry",
+          graft.functions.Geo.stAsText(col("geom_xy"), 2))
+        .drop("geom", "geom_xy", "fid")))
+    })
+
+  /** Locate the .gpkg member of a staged archive (or pass a bare .gpkg
+    * through): prefer a member whose name contains `preferred`, fall
+    * back to any .gpkg — the reference's two-pass walk
+    * (built_up_areas.py:99-115). */
+  private def findGpkg(input: String, scratch: String,
+                       preferred: String): String =
+    if (input.endsWith(".gpkg")) input
+    else {
+      val members = Fetch.unzip(input, scratch).filter(_.endsWith(".gpkg"))
+      members.find(_.toLowerCase.contains(preferred))
+        .orElse(members.headOption)
+        .getOrElse(sys.error(s"no .gpkg member in $input"))
+    }
+
+  // ------------------------------------------- linked identifiers csvs
+
+  /** OS Open Linked Identifiers UPRN↔USRN (os_usrn_uprn.py): zip → the
+    * single correlation CSV (`:160-175`), typed per the template. */
+  val osUsrnUprn: SourcePipeline = SourcePipeline(
+    name = "os_usrn_uprn",
+    schemaName = "os_open_linked_identifiers",
+    templates = Map("os_open_linked_identifiers_uprn_usrn_latest" -> ddl(
+      "correlation_id" -> "VARCHAR", "identifier_1" -> "BIGINT",
+      "version_number_1" -> "VARCHAR", "version_date_1" -> "BIGINT",
+      "identifier_2" -> "BIGINT", "version_number_2" -> "VARCHAR",
+      "version_date_2" -> "BIGINT", "confidence" -> "VARCHAR")),
+    allowMissing = false,
+    parse = (spark, input, scratch) => {
+      val csvPath = Fetch.unzip(input, scratch).find(_.endsWith(".csv"))
+        .getOrElse(sys.error("no .csv member in archive"))
+      Seq(TableLoad("os_open_linked_identifiers_uprn_usrn_latest",
+        spark.read.option("header", "true").csv(csvPath)))
+    })
+
+  /** ONS UPRN Directory (ons_uprn_directory.py): the archive carries one
+    * `ONSUD_*.csv` PER REGION (`:203-214`) with a shared header — all of
+    * them union into the one directory table. The multi-file read is one
+    * distributed scan (spark.read over the member list), not a
+    * driver-side concat. */
+  val onsUprnDirectory: SourcePipeline = SourcePipeline(
+    name = "ons_uprn_directory",
+    schemaName = "post_code_data",
+    templates = Map("ons_uprn_directory" -> ddl(
+      "uprn" -> "BIGINT", "gridgb1e" -> "BIGINT", "gridgb1n" -> "BIGINT",
+      "pcds" -> "VARCHAR", "cty24cd" -> "VARCHAR", "ced23cd" -> "VARCHAR",
+      "lad24cd" -> "VARCHAR", "wd24cd" -> "VARCHAR",
+      "parncp24cd" -> "VARCHAR", "hlth19cd" -> "VARCHAR",
+      "ctry24cd" -> "VARCHAR", "rgn24cd" -> "VARCHAR",
+      "pcon24cd" -> "VARCHAR", "eer20cd" -> "VARCHAR",
+      "ttwa15cd" -> "VARCHAR", "itl25cd" -> "VARCHAR",
+      "npark16cd" -> "VARCHAR", "oa21cd" -> "VARCHAR",
+      "lsoa21cd" -> "VARCHAR", "msoa21cd" -> "VARCHAR",
+      "wz11cd" -> "VARCHAR", "sicbl24cd" -> "VARCHAR",
+      "bua24cd" -> "VARCHAR", "buasd11cd" -> "VARCHAR",
+      "ruc21ind" -> "VARCHAR", "oac21ind" -> "VARCHAR",
+      "lep21cd1" -> "VARCHAR", "lep21cd2" -> "VARCHAR",
+      "pfa23cd" -> "VARCHAR", "imd19ind" -> "BIGINT")),
+    allowMissing = false,
+    parse = (spark, input, scratch) => {
+      val csvs = Fetch.unzip(input, scratch).filter(m => m.endsWith(".csv") &&
+        new java.io.File(m).getName.startsWith("ONSUD"))
+      require(csvs.nonEmpty, "no ONSUD_*.csv members in archive")
+      Seq(TableLoad("ons_uprn_directory",
+        spark.read.option("header", "true").csv(csvs: _*)))
+    })
+
+  // ------------------------------------------------ postcode estimates
+
+  /** ONS postcode population estimates P001 (post_code_p001.py):
+    * postcode × sex counts CSV, streamed straight to the typed table. */
+  val postCodeP001: SourcePipeline = SourcePipeline(
+    name = "post_code_p001",
+    schemaName = "post_code_data",
+    templates = Map("pcd_p001" -> ddl(
+      "Postcode" -> "VARCHAR", "Sex_Code" -> "BIGINT",
+      "Sex_Label" -> "VARCHAR", "Count" -> "BIGINT")),
+    allowMissing = false,
+    parse = (spark, input, _) => Seq(TableLoad("pcd_p001",
+      spark.read.option("header", "true").csv(input))))
+
+  /** ONS postcode household estimates P002 (post_code_p002.py). */
+  val postCodeP002: SourcePipeline = SourcePipeline(
+    name = "post_code_p002",
+    schemaName = "post_code_data",
+    templates = Map("pcd_p002" -> ddl(
+      "Postcode" -> "VARCHAR", "Count" -> "BIGINT")),
+    allowMissing = false,
+    parse = (spark, input, _) => Seq(TableLoad("pcd_p002",
+      spark.read.option("header", "true").csv(input))))
+
+  // ----------------------------------------------------- bduk premises
+
+  /** Python str.title() for table-name derivation: uppercase after any
+    * non-letter, lowercase otherwise (bduk_premises_sept_2025.py:137). */
+  private[pipelines] def pythonTitle(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var prevLetter = false
+    s.foreach { ch =>
+      out += (if (ch.isLetter && !prevLetter) ch.toUpper
+              else if (ch.isLetter) ch.toLower else ch)
+      prevLetter = ch.isLetter
+    }
+    out.toString
+  }
+
+  /** `202509_BDUK_uprn_release_Region_Name` from the hub month segment +
+    * zip URL (bduk_premises_sept_2025.py:107-140). */
+  private[pipelines] def bdukTableName(hubUrl: String, zipUrl: String): String = {
+    val months = Map("january" -> "01", "february" -> "02", "march" -> "03",
+      "april" -> "04", "may" -> "05", "june" -> "06", "july" -> "07",
+      "august" -> "08", "september" -> "09", "october" -> "10",
+      "november" -> "11", "december" -> "12")
+    val prefix = hubUrl.split('/')
+      .find(_.matches("[a-z]+-\\d{4}.*")) match {
+        case Some(seg) =>
+          val Array(m, y) = seg.split('-').take(2)
+          s"$y${months.getOrElse(m.toLowerCase, "00")}_"
+        case None => ""
+      }
+    val base = zipUrl.split('/').last.split('?').head
+      .stripSuffix(".zip").replace('_', ' ')
+    prefix + "BDUK_uprn_release_" + pythonTitle(base).replace(' ', '_')
+  }
+
+  /** BDUK premises gigabit-coverage releases (bduk_premises_sept_2025.py,
+    * jul twin): the input IS the publication hub URL — attachment links
+    * are discovered from the page ([[Fetch.discoverLinks]], the
+    * reference's gem-c-attachment scan `:58-99`), each region zip is
+    * fetched + unzipped, and each lands as its own
+    * `{yyyymm}_BDUK_uprn_release_*` table with the shared premise
+    * template (BOOLEAN flags cast from the CSV's True/False text). */
+  val bdukPremises: SourcePipeline = SourcePipeline(
+    name = "bduk_premises",
+    schemaName = "bduk_premises",
+    templates = Map("*" -> ddl(
+      "uprn" -> "BIGINT", "struprn" -> "VARCHAR",
+      "bduk_recognised_premises" -> "BOOLEAN", "country" -> "VARCHAR",
+      "postcode" -> "VARCHAR", "lot_id" -> "BIGINT",
+      "lot_name" -> "VARCHAR", "subsidy_control_status" -> "VARCHAR",
+      "current_gigabit" -> "BOOLEAN", "future_gigabit" -> "BOOLEAN",
+      "local_authority_district_ons_code" -> "VARCHAR",
+      "local_authority_district_ons" -> "VARCHAR",
+      "region_ons_code" -> "VARCHAR", "region_ons" -> "VARCHAR",
+      "bduk_gis" -> "BOOLEAN", "bduk_gis_contract_scope" -> "VARCHAR",
+      "bduk_gis_final_coverage_date" -> "VARCHAR",
+      "bduk_gis_contract_name" -> "VARCHAR",
+      "bduk_gis_supplier" -> "VARCHAR", "bduk_vouchers" -> "BOOLEAN",
+      "bduk_vouchers_contract_name" -> "VARCHAR",
+      "bduk_vouchers_supplier" -> "VARCHAR",
+      "bduk_superfast" -> "BOOLEAN",
+      "bduk_superfast_contract_name" -> "VARCHAR",
+      "bduk_superfast_supplier" -> "VARCHAR", "bduk_hubs" -> "BOOLEAN",
+      "bduk_hubs_contract_name" -> "VARCHAR",
+      "bduk_hubs_supplier" -> "VARCHAR")),
+    allowMissing = false,
+    parse = (spark, input, scratch) => {
+      val links = Fetch.discoverLinks(input, "\\.zip".r,
+        allowHosts = Set("assets.publishing.service.gov.uk"))
+      require(links.nonEmpty, s"no .zip attachment links found on $input")
+      links.map { zipUrl =>
+        val table = bdukTableName(input, zipUrl)
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(scratch), "bduk").toString
+        val members = Fetch.unzip(
+          Fetch.fetchToStaging(zipUrl, dir).path, s"$dir/x")
+        val csvs = members.filter(_.toLowerCase.endsWith(".csv"))
+        require(csvs.nonEmpty, s"no .csv member in $zipUrl")
+        TableLoad(table, spark.read.option("header", "true").csv(csvs: _*))
+      }
+    })
+
   /** Every catalog entry by pipeline name — the dispatch table behind
     * the by-name [[run]]. */
   val all: Map[String, SourcePipeline] = Seq(
-    streetManager, nhsPrescriptions, codePoint, bodsTimetables, naptan)
+    streetManager, nhsPrescriptions, codePoint, bodsTimetables, naptan,
+    cadentUnderground, dftRoadStats, geoplaceSwa,
+    nationalStatPostcodeLookup, builtUpAreas, osOpenUsrn, osUsrnUprn,
+    onsUprnDirectory, postCodeP001, postCodeP002, bdukPremises)
     .map(p => p.name -> p).toMap
 }
