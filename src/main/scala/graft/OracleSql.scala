@@ -356,11 +356,13 @@ object OracleSql {
     * arithmetic IvfIndex.train runs, so 2 unrolled rounds reproduce
     * training bit-for-bit. */
   private def ivfAssign(aName: String, cPrev: String): String =
+    ivfAssignRel(aName, cPrev, "ev")
+  private def ivfAssignRel(aName: String, cPrev: String, rel: String): String =
     s"""$aName AS (SELECT vec_id, v, cid FROM (
        |  SELECT ev.vec_id, ev.v, c.cid,
        |         ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
        |           ev.vv - 2.0 * list_inner_product(ev.v, c.c) + list_inner_product(c.c, c.c), c.cid) AS rn
-       |  FROM ev CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+       |  FROM $rel ev CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
   private def ivfMeans(cName: String, aPrev: String): String =
     s"""$cName AS (SELECT cid, list(m ORDER BY dim) AS c FROM (
        |  SELECT cid, dim, CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
@@ -407,6 +409,48 @@ object OracleSql {
       |  JOIN adc a2 ON a2.s = 2 AND a2.cid = c.c2
       |  JOIN adc a3 ON a3.s = 3 AND a3.cid = c.c3
       |  WHERE c.vec_id <> 0)""".stripMargin
+
+  /** Trained-PQ pipeline (q_ann_pq_trained): q_ann_pq's ADC search with
+    * the positional codebooks replaced by PER-SUBSPACE 2-round Lloyd
+    * training — each 16-dim slice gets the full q_ann_ivf CTE
+    * discipline (dense init in vec_id order, argmin assignment,
+    * string-routed decimal-exact means), then the final assignment IS
+    * the PQ encode and the query's per-centroid d2 table IS the ADC. */
+  private def pqTrainedSql: String = {
+    val per = (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = s * 16 + 16
+      s"""ev$s AS (SELECT vec_id, v[$lo : $hi] AS v,
+         |  list_inner_product(v[$lo : $hi], v[$lo : $hi]) AS vv FROM e),
+         |c0$s AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS c FROM (
+         |  SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+         |  FROM ev$s ORDER BY vec_id LIMIT 8)),
+         |${ivfAssignRel(s"a1$s", s"c0$s", s"ev$s")},
+         |${ivfMeans(s"c1$s", s"a1$s")},
+         |${ivfAssignRel(s"a2$s", s"c1$s", s"ev$s")},
+         |${ivfMeans(s"c2$s", s"a2$s")},
+         |${ivfAssignRel(s"af$s", s"c2$s", s"ev$s")},
+         |adct$s AS (SELECT c.cid,
+         |    q.vv - 2.0 * list_inner_product(q.v, c.c)
+         |      + list_inner_product(c.c, c.c) AS d2
+         |  FROM c2$s c, (SELECT v, vv FROM ev$s WHERE vec_id = 0) q)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |$per
+       |SELECT af0.vec_id, t0.d2 + t1.d2 + t2.d2 + t3.d2 AS adc_d2
+       |FROM af0
+       |JOIN af1 ON af0.vec_id = af1.vec_id
+       |JOIN af2 ON af0.vec_id = af2.vec_id
+       |JOIN af3 ON af0.vec_id = af3.vec_id
+       |JOIN adct0 t0 ON t0.cid = af0.cid
+       |JOIN adct1 t1 ON t1.cid = af1.cid
+       |JOIN adct2 t2 ON t2.cid = af2.cid
+       |JOIN adct3 t3 ON t3.cid = af3.cid
+       |WHERE af0.vec_id <> 0
+       |ORDER BY adc_d2, af0.vec_id
+       |LIMIT 10""".stripMargin
+  }
 
   private def dupClustersSql: String =
     s"""$dupClusterCtes
@@ -1775,6 +1819,10 @@ object OracleSql {
       s"""$pqCtes
          |SELECT vec_id, adc_d2 FROM ranked
          |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+
+    // trained codebooks: four unrolled per-subspace Lloyd chains feed
+    // the same ADC ranking (the q_ann_ivf discipline, sliced)
+    "q_ann_pq_trained" -> pqTrainedSql,
 
     // the PQ accuracy audit (the ANN analogue of q_minhash_verify): ADC
     // top-50 next to the exact d2 against the raw vectors

@@ -513,6 +513,18 @@ object SparkEntry {
     PqIndex.searchAdc(Tables.embeddings(s, d), "vec_id", "embedding",
       m = 4, k = 16, queryVec(s, d), topK = 10, excludeId = Some(0L))
 
+  /** [[qAnnPq]] with TRAINED codebooks: per-subspace 2-round Lloyd
+    * ([[PqIndex.trainBooks]] — the deterministic decimal-exact k-means
+    * the q_ann_ivf oracle unrolls), then the same ADC search. The oracle
+    * unrolls all four subspace trainings as CTE chains. */
+  private def qAnnPqTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val books = PqIndex.trainBooks(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2)
+    PqIndex.searchAdcWith(emb, "vec_id", "embedding", books,
+      queryVec(s, d), topK = 10, excludeId = Some(0L))
+  }
+
   /** [[qAnnPq]] routed through the materialized codes-only index — the
     * 100 TB shape: encode once per dataset ([[PqIndex.buildIndex]],
     * cached across calls), then every query's ADC scan reads the m int
@@ -1698,6 +1710,7 @@ object SparkEntry {
     "q_dedup_keep" -> (qDedupKeep _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_indexed" -> (qAnnPqIndexed _),
+    "q_ann_pq_trained" -> (qAnnPqTrained _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_pq_verify" -> (qPqVerify _),
     "q_curation_pipeline" -> (qCurationPipeline _),

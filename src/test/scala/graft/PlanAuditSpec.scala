@@ -166,6 +166,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "PQ ADC must not join; lookups are literal arrays")
   }
 
+  test("q_ann_pq_trained: trained-book search keeps the shuffle-free ADC shape") {
+    // training happens BEFORE the returned plan (collected codebooks);
+    // the search itself must stay the q_ann_pq shape: literal-array
+    // lookups + TakeOrderedAndProject, no joins, no shuffles
+    val p = plan("q_ann_pq_trained")
+    assert(p.contains("TakeOrderedAndProject"), "PQ top-k became a global sort")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "trained ADC introduced a shuffle — it must stay a scalar expression chain")
+    assert(!p.contains("Join"), "trained ADC must not join; lookups are literal arrays")
+  }
+
   test("q_dup_spans: inverted-index equi-join, island window partitioned by doc") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q_dup_spans")(spark, sfDir)

@@ -63,6 +63,43 @@ class PqIndexSpec extends SparkSpec {
     assert(out.map(_.getDouble(1)).toSeq === out.map(_.getDouble(1)).sorted.toSeq)
   }
 
+  test("trained books: ADC recall at least matches untrained on clustered randomized sets") {
+    // three deterministic pseudo-random clustered sets: training must
+    // never LOSE recall vs the positional first-k codebook, and the
+    // clustered structure is exactly where k-means should help
+    def recall(top: Seq[Long], exact: Seq[Long]): Double =
+      top.count(exact.toSet).toDouble / exact.size
+
+    (1 to 3).foreach { seed =>
+      def h(i: Long, d: Int): Double =
+        (((i * 2654435761L + d * 40503L + seed * 97L) % 1000 + 1000) % 1000) / 1000.0
+      val n = 120; val dim = 8; val m = 2; val k = 4
+      val data: Seq[(Long, Seq[Float])] = (0L until n.toLong).map { i =>
+        val cluster = (i % 4).toInt
+        i -> (0 until dim).map(d =>
+          (cluster * 3.0 + (if (d % 2 == cluster % 2) 1.0 else -1.0)
+            + 0.2 * h(i, d)).toFloat)
+      }
+      val df = data.toDF("vec_id", "embedding")
+      val q = data(5)._2.toArray
+      val qd = q.map(_.toDouble)
+      val exact = data.filter(_._1 != 5L).map { case (id, v) =>
+        val d2 = v.map(_.toDouble).zip(qd)
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+        (d2, id)
+      }.sorted.take(10).map(_._2)
+
+      val untrained = PqIndex.codebooks(df, "vec_id", "embedding", m, k)
+      val trained = PqIndex.trainBooks(df, "vec_id", "embedding", m, k, iters = 2)
+      def top(books: Array[Array[Array[Double]]]): Seq[Long] =
+        PqIndex.searchAdcWith(df, "vec_id", "embedding", books, q,
+          topK = 10, excludeId = Some(5L)).select("vec_id").as[Long].collect().toSeq
+      val (ru, rt) = (recall(top(untrained), exact), recall(top(trained), exact))
+      assert(rt >= ru,
+        s"seed $seed: trained recall $rt below untrained $ru")
+    }
+  }
+
   test("buildIndex + searchEncoded equals the direct searchAdc, codes-only on disk") {
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val books = PqIndex.codebooks(df, "vec_id", "embedding", m = 4, k = 16)
