@@ -14,4 +14,11 @@ object GraftShims {
     * render values outside the row format, e.g. the graft-xlsx writer. */
   def toScalaConverter(dt: types.DataType): Any => Any =
     catalyst.CatalystTypeConverters.createToScalaConverter(dt)
+
+  /** Drop every in-memory streaming state-store provider (the
+    * `private[sql]` StateStore.unloadAll) — restart-recovery tests use
+    * this to force the next query run to rebuild state from checkpoint
+    * files, exactly like a new executor after a crash. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }
