@@ -38,9 +38,40 @@ object Curate {
                     idCol: String, textCol: String,
                     n: Int, minShared: Int,
                     maxNgramDf: Int = Int.MaxValue,
+                    broadcastBenchMaxDocs: Long = 1000000,
                     scope: PersistScope = PersistScope()): DataFrame = {
-    val corp = Dedup.shingleRows(corpus, idCol, textCol, n)
-    val benchAll = Dedup.shingleRows(benchmark, idCol, textCol, n)
+    // xxhash64 the shingle strings right after the map stage: the join
+    // key, the df-cap window key, and the BROADCAST payload all shrink
+    // to 8-byte longs (the jaccardPairs discipline — identical results
+    // modulo 2^-64 collisions; the shingle text never reaches the output)
+    def hashed(df: DataFrame): DataFrame =
+      Dedup.shingleRows(df, idCol, textCol, n)
+        .select(col("doc"), xxhash64(col("sh")).as("sh"))
+    // broadcast-or-shuffle guard: counting the benchmark docs is one
+    // cheap driver job (eval sets are small by nature — at 100 TB this
+    // never touches the corpus), and it decides what the static planner
+    // can't (the window-capped index defeats its size estimate) and AQE
+    // won't (the index exceeds the 10 MB conversion threshold long
+    // before the broadcast actually stops paying).
+    val benchIsSmall =
+      benchmark.select(idCol).limit(broadcastBenchMaxDocs.toInt + 1)
+        .count() <= broadcastBenchMaxDocs
+    // Broadcasting removes every exchange upstream of the pair count, so
+    // the whole shingle-explode + probe + partial-agg pipeline runs at
+    // the SCAN's parallelism — which for an under-split input (few
+    // parquet files) is the file count, not the cluster. Floor it before
+    // shingling: the repartition moves raw documents once (bounded by
+    // numPartitions x maxPartitionBytes, i.e. only ever cheap inputs)
+    // and is a no-op at real scale where file count >= cores. Measured
+    // at sf1.5 (one 8 MB file, local[32]): broadcast without the floor
+    // 56 s — single task; with it 4.2 s vs 7.8 s for the shuffled join.
+    val sc = corpus.sparkSession.sparkContext
+    val corpSrc =
+      if (benchIsSmall && corpus.rdd.getNumPartitions < sc.defaultParallelism)
+        corpus.repartition(sc.defaultParallelism)
+      else corpus
+    val corp = hashed(corpSrc)
+    val benchAll = hashed(benchmark)
     // capped benchmark inverted index: consumed twice (join + per-doc
     // totals) — materialize once; df via an unordered window count
     // (one pass, co-partitioned with the join key)
@@ -54,11 +85,10 @@ object Curate {
       })
     val nBench = bench.groupBy(col("doc").as("doc_b"))
       .agg(count(lit(1)).as("n_bench_sh"))
-    // benchmark sides broadcast EXPLICITLY: eval sets are small by nature,
-    // but the window-capped index defeats the planner's size estimate, so
-    // without the hint the 100 TB corpus side would shuffle on the n-gram
+    val benchIdx = bench.select(col("doc").as("doc_b"), col("sh"))
+    val joinSide = if (benchIsSmall) broadcast(benchIdx) else benchIdx
     corp.select(col("doc").as("doc_a"), col("sh"))
-      .join(broadcast(bench.select(col("doc").as("doc_b"), col("sh"))), Seq("sh"))
+      .join(joinSide, Seq("sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
