@@ -26,9 +26,13 @@ os.makedirs(OUT, exist_ok=True)
 def make_street_manager():
     rows = []
     for i in range(6):
+        # row 5 is the COMPLETED WORK_STOP twin of permit -03: the permit
+        # list models must exclude -03 from the in-progress list
+        stopped = i == 5
         rows.append({
             "event_reference": 529770 + i,
-            "event_type": "WORK_UPDATED" if i % 2 else "WORK_START",
+            "event_type": "WORK_STOP" if stopped else (
+                "WORK_UPDATED" if i % 2 else "WORK_START"),
             "event_time": f"2025-01-{10+i:02d}T08:0{i}:00.000Z",
             "object_type": "PERMIT",
             "object_reference": f"TSR1591199404915-{i:02d}",
@@ -36,11 +40,15 @@ def make_street_manager():
             "object_data": {
                 "work_reference_number": f"TSR1591199404915",
                 "work_category": ["Standard", "Minor", "Major"][i % 3],
-                "work_status": "Works in progress",
+                "work_status": "Works stopped" if stopped else "Works in progress",
+                "work_status_ref": "completed" if stopped else "in_progress",
+                "works_location_type": "Footway",
                 "activity_type": "Remedial works",
-                "permit_reference_number": f"TSR1591199404915-{i:02d}",
+                "permit_reference_number":
+                    "TSR1591199404915-03" if stopped
+                    else f"TSR1591199404915-{i:02d}",
                 "permit_status": ["granted", "permit_modification_request"][i % 2],
-                "promoter_swa_code": "STPR",
+                "promoter_swa_code": "7049",
                 "promoter_organisation": "Promoter Org %d" % (i % 2),
                 "highway_authority": "CITY OF WESTMINSTER",
                 "highway_authority_swa_code": "5990",
