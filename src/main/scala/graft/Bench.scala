@@ -29,7 +29,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // The only unpartitioned windows in the suite run over
     // post-aggregation relations bounded by construction (≤ bins rows in
-    // q_hist_quantiles, one row per source in q_epoch_plan) —
+    // q_hist_quantiles, one row per source in q_epoch_plan, one row per
+    // highway authority in q_model_authority_scores) —
     // PlanAuditSpec pins exactly that — so WindowExec's blanket "No
     // Partition Defined" warning is noise here, not a scale signal.
     org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -1582,17 +1582,6 @@ object SparkEntry {
         lit(" "), (col("c_nationkey") * 10).cast("string"), lit(")"))
         .as("geometry"))
 
-  private def modelSwaCodes(s: SparkSession, d: String): DataFrame =
-    Tables.nation(s, d).select(
-      col("n_nationkey").cast("string").as("swa_code"),
-      when(col("n_nationkey") % 2 === 0, "Yes").otherwise("No")
-        .as("ofgem_electricity_licence"),
-      when(col("n_nationkey") % 3 === 0, "Yes").otherwise("No")
-        .as("ofgem_gas_licence"),
-      concat(lit("OF"), col("n_nationkey").cast("string")).as("ofcom_licence"),
-      when(col("n_nationkey") % 5 === 0, "Yes").otherwise("No")
-        .as("ofwat_licence"))
-
   private def modelLinkedIds(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
       col("o_orderkey").cast("string").as("correlation_id"),
@@ -1601,28 +1590,21 @@ object SparkEntry {
   private def qModelUprnUsrnCount(s: SparkSession, d: String): DataFrame =
     Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d))
 
-  private def modelLists(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    // NOT persisted: the dressed frame is 27 string columns wide — an
-    // A/B at sf0.1 measured persist() 3s SLOWER than recomputing the
-    // map-only dressing per scan (same lesson as the r10 HOF A/B)
-    val permits = modelPermitEvents(s, d)
-    val usrns = modelOpenUsrns(s, d)
-    val swa = modelSwaCodes(s, d)
-    val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
-    (Models.inProgressList(permits, usrns, swa, counts, modelAuthorities,
-        correlateOnAuthority = true),
-      Models.completedList(permits, usrns, swa, counts, modelAuthorities))
-  }
+  // the impact models use the FUSED event-level scoring frame
+  // (combinedPermitRowsFromEvents): one narrow events shuffle instead of
+  // building both 27-column lists; row-identical to the list route (the
+  // oracle is the list union, and ModelsSpec pins the two paths equal)
+  private def qModelImpactScores(s: SparkSession, d: String): DataFrame =
+    Models.impactScoresFromEvents(modelPermitEvents(s, d),
+      modelOpenUsrns(s, d),
+      Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d)),
+      modelAuthorities, correlateOnAuthority = true)
 
-  private def qModelImpactScores(s: SparkSession, d: String): DataFrame = {
-    val (inP, done) = modelLists(s, d)
-    Models.impactScores(inP, done)
-  }
-
-  private def qModelAuthorityScores(s: SparkSession, d: String): DataFrame = {
-    val (inP, done) = modelLists(s, d)
-    Models.impactScoresHighwayAuthority(inP, done)
-  }
+  private def qModelAuthorityScores(s: SparkSession, d: String): DataFrame =
+    Models.impactScoresHighwayAuthorityFromEvents(modelPermitEvents(s, d),
+      modelOpenUsrns(s, d),
+      Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d)),
+      modelAuthorities, correlateOnAuthority = true)
 
   // ------------------------------------------------------------- registry
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

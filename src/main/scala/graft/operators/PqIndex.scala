@@ -48,24 +48,69 @@ object PqIndex {
   }
 
   /** TRAINED per-subspace codebooks: `iters` Lloyd rounds of
-    * [[IvfIndex.train]]'s deterministic k-means run independently on each
-    * subspace's slices (init = the [[codebooks]] sub-vectors, so by
-    * k-means' monotone-SSE property the trained books never quantize
-    * worse than the untrained ones). m bounded driver loops; each round
-    * is the same decimal-exact distributed mean as IVF training. Clusters
-    * that empty out drop from their book (k shrinks, codes stay
-    * positional). */
+    * [[IvfIndex.train]]'s deterministic k-means on each subspace's slices
+    * (init = the [[codebooks]] sub-vectors, so by k-means' monotone-SSE
+    * property the trained books never quantize worse than the untrained
+    * ones). The m per-subspace problems are independent, so they train
+    * FUSED: one (sub, vid, sub-vector) relation, assignment and the
+    * decimal-exact mean keyed by `sub` — all m books advance with ONE
+    * shuffle round-trip per Lloyd round instead of m sequential
+    * [[IvfIndex.train]] loops (m× fewer passes over the vectors; the
+    * per-(sub, cluster) arithmetic is identical, so the books are
+    * bit-identical and the oracle unchanged). Clusters that empty out
+    * drop from their book (k shrinks, codes stay positional). */
   def trainBooks(df: DataFrame, idCol: String, vecCol: String,
                  m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // init = first k vectors by id, collected once and sliced — the same
+    // k rows every per-subspace train would take
+    val initRows = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+      .orderBy("vid").limit(k).select("v").collect()
+    require(initRows.nonEmpty, "trainBooks: empty input")
+    val dim = initRows.head.getSeq[Double](0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
+    val vecs = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v0"))
+      .select(col("vid"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("v0"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+      .select(col("vid"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+      .withColumn("vv", Similarity.dot(col("v"), col("v")))
+      .persist()
+    var centroids = initRows.zipWithIndex.flatMap { case (r, cid) =>
+      val full = r.getSeq[Double](0)
+      (0 until m).map(s => (s, cid, full.slice(s * sub, (s + 1) * sub)))
+    }.toSeq.toDF("sub", "centroid_id", "c").localCheckpoint()
+    for (_ <- 0 until iters) {
+      val cents = broadcast(centroids
+        .withColumn("cc", Similarity.dot(col("c"), col("c"))))
+      val assigned = vecs.join(cents, Seq("sub"))
+        .groupBy(col("vid"), col("sub"))
+        .agg(
+          min_by(col("centroid_id"), struct(
+            col("vv") - lit(2.0) * Similarity.dot(col("v"), col("c")) +
+              col("cc"),
+            col("centroid_id"))).as("centroid_id"),
+          first(col("v")).as("v"))
+      // string-route the double->decimal cast + exact decimal sum + one
+      // double division — identical to IvfIndex.train's round, keyed by sub
+      centroids = assigned
+        .select(col("sub"), col("centroid_id"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("sub", "centroid_id", "dim")
+        .agg((sum(col("x").cast("string").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy("sub", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("sub"), col("centroid_id"),
+          transform(col("dm"), s => s.getField("m")).as("c"))
+        .localCheckpoint()
+    }
+    val out = centroids.orderBy("sub", "centroid_id").collect()
+    vecs.unpersist()
     Array.tabulate(m) { s =>
-      val sdf = df.select(col(idCol),
-        slice(vecD(col(vecCol)), s * sub + 1, sub).as("__sv"))
-      IvfIndex.train(sdf, idCol, "__sv", k, iters)
-        .orderBy("centroid_id").collect()
-        .map(_.getSeq[Double](1).toArray)
+      out.filter(_.getInt(0) == s).map(_.getSeq[Double](2).toArray)
     }
   }
 

@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Geo
@@ -258,6 +259,68 @@ object Models {
     inProgress.select(scoringCols.map(col): _*)
       .unionByName(completed.select(scoringCols.map(col): _*))
 
+  /** The same 10-column scoring frame built DIRECTLY from permit events —
+    * row-identical to unioning [[inProgressList]] + [[completedList]] and
+    * projecting [[scoringCols]] (the oracle the correctness gate checks),
+    * but fused for scale. Through the lists, the permit events shuffle
+    * TWICE through 27-column dedup windows, every dimension joins once
+    * per leg, and the licence-dimension join survives even though the
+    * impact models project it away (Catalyst cannot prune a LEFT join —
+    * it can't prove the dim side unique). Here the events shuffle ONCE,
+    * narrow (12 columns), through a single exchange that serves both the
+    * exclusion flag and the per-(leg, permit) dedup: the completed-stop
+    * exclusion is a `collect_set` window over the permit reference (the
+    * dbt event-level NOT-IN, in_progress_list_london.sql:81-87, evaluated
+    * before the dedup exactly as the dbt CTE order does), and the
+    * latest-event pick is a `lag` over the same partitioning ordered
+    * (leg, event_time DESC, event_reference DESC) — a filter between the
+    * two windows preserves the hash partitioning, so no second exchange.
+    * The geometry and uprn-count dimensions then join once. */
+  def combinedPermitRowsFromEvents(permits: DataFrame, openUsrns: DataFrame,
+      uprnCounts: DataFrame, authorities: Seq[String] = Nil,
+      correlateOnAuthority: Boolean = true): DataFrame = {
+    val needed = (Seq("permit_reference_number", "event_time",
+      "event_reference", "event_type", "work_status_ref") ++ scoringCols)
+      .filterNot(c => c == "geometry" || c == "uprn_count").distinct
+    val base0 = permits.select(needed.map(col): _*)
+    val base = if (authorities.isEmpty) base0
+      else base0.where(col("highway_authority").isin(authorities.map(lit): _*))
+    val isStop = col("work_status_ref") === "completed" &&
+      col("event_type") === "WORK_STOP"
+    val tagged = base
+      .where(col("work_status_ref") === "in_progress" || isStop)
+      .withColumn("__leg", when(isStop, lit(1)).otherwise(lit(0)))
+    val wAll = Window.partitionBy(col("permit_reference_number"))
+    val wOrd = wAll.orderBy(col("__leg"),
+      col("event_time").desc, col("event_reference").desc)
+    // a null-key anti-join never matches, so a NULL authority is never
+    // excluded — coalesce(false) reproduces that
+    val excl =
+      if (correlateOnAuthority)
+        array_contains(
+          collect_set(when(col("__leg") === 1, col("highway_authority")))
+            .over(wAll),
+          col("highway_authority"))
+      else max(col("__leg")).over(wAll) === 1
+    val latest = tagged
+      .withColumn("__excl", coalesce(excl, lit(false)))
+      .where(col("__leg") === 1 || !col("__excl"))
+      .withColumn("__prev_leg", lag(col("__leg"), 1).over(wOrd))
+      .where(col("__prev_leg").isNull || col("__prev_leg") =!= col("__leg"))
+    latest
+      .join(uniqueDim(openUsrns.select(
+        col("usrn").cast("long").as("__usrn_k"), col("geometry")), "__usrn_k"),
+        col("usrn").cast("long") === col("__usrn_k"), "left")
+      .drop("__usrn_k")
+      .join(uniqueDim(uprnCounts.select(
+        col("usrn").cast("long").as("__cnt_k"),
+        col("uprn_count").as("__uprn_count")), "__cnt_k"),
+        col("usrn").cast("long") === col("__cnt_k"), "left")
+      .drop("__cnt_k")
+      .withColumn("uprn_count", coalesce(col("__uprn_count"), lit(0L)))
+      .select(scoringCols.map(col): _*)
+  }
+
   private def rawImpactLevel(both: DataFrame): DataFrame = {
     both
       .withColumn("impact10", permitImpact10(col("work_category"),
@@ -279,9 +342,23 @@ object Models {
     * invariant) and engine-exact (integer differences are exact doubles;
     * one rounding at the division). */
   def impactScores(inProgress: DataFrame, completed: DataFrame,
-      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame =
+    impactScoresOver(combinedPermitRows(inProgress, completed), scope)
+
+  /** [[impactScores]] over the fused event-level scoring frame
+    * ([[combinedPermitRowsFromEvents]]) — same result, one events
+    * shuffle instead of the two list builds. */
+  def impactScoresFromEvents(permits: DataFrame, openUsrns: DataFrame,
+      uprnCounts: DataFrame, authorities: Seq[String] = Nil,
+      correlateOnAuthority: Boolean = true,
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame =
+    impactScoresOver(combinedPermitRowsFromEvents(permits, openUsrns,
+      uprnCounts, authorities, correlateOnAuthority), scope)
+
+  private def impactScoresOver(both: DataFrame,
+      scope: graft.PersistScope): DataFrame = {
     // raw feeds both the bounds agg and the normalised output
-    val raw = scope.cache(rawImpactLevel(combinedPermitRows(inProgress, completed)))
+    val raw = scope.cache(rawImpactLevel(both))
     val bounds = raw.agg(min("total10").as("__mn10"), max("total10").as("__mx10"))
     raw.crossJoin(broadcast(bounds))
       .withColumn("total_impact_level", col("total10").cast("double") / 10)
@@ -311,17 +388,35 @@ object Models {
     * [[Stats.withPercentRank100]] on the integer deci-point totals (same
     * ordering as the dbt SUM(total_impact_level)). */
   def impactScoresHighwayAuthority(inProgress: DataFrame, completed: DataFrame,
-      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame =
+    impactScoresHighwayAuthorityOver(
+      combinedPermitRows(inProgress, completed), scope)
+
+  /** [[impactScoresHighwayAuthority]] over the fused event-level scoring
+    * frame ([[combinedPermitRowsFromEvents]]) — same result, one events
+    * shuffle instead of the two list builds. */
+  def impactScoresHighwayAuthorityFromEvents(permits: DataFrame,
+      openUsrns: DataFrame, uprnCounts: DataFrame,
+      authorities: Seq[String] = Nil, correlateOnAuthority: Boolean = true,
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame =
+    impactScoresHighwayAuthorityOver(combinedPermitRowsFromEvents(permits,
+      openUsrns, uprnCounts, authorities, correlateOnAuthority), scope)
+
+  private def impactScoresHighwayAuthorityOver(bothRows: DataFrame,
+      scope: graft.PersistScope): DataFrame = {
     // the combined permit rows are scanned twice (raw totals +
     // breakdown) and raw twice more (rank histogram + join-back): cache
     // the 10-column projection or the permit dressing/dedup re-runs 4x
     // per action
-    val both = scope.cache(combinedPermitRows(inProgress, completed))
+    val both = scope.cache(bothRows)
     val raw = scope.cache(rawImpactLevel(both))
     // per-USRN integer rank counts (rank-1 == rows strictly below)
     val (cl, n) = Stats.cumLess(raw, "total10")
     val denom = lit(math.max(n - 1L, 1L).toDouble)
-    val byAuth = raw.join(cl, Seq("total10"))
+    // byAuth is re-derived 3x downstream (the percent-rank's cumLess,
+    // its join-back, and the final breakdown join) — cache the ~one-row-
+    // per-authority aggregate or the rank-histogram join re-runs each time
+    val byAuth = scope.cache(raw.join(cl, Seq("total10"))
       .groupBy("highway_authority", "highway_authority_swa_code")
       .agg(
         countDistinct(col("usrn")).as("total_usrns_count"),
@@ -339,11 +434,17 @@ object Models {
       .withColumn("total_impact_index_score",
         (lit(100.0) * col("__sum_cl")) / denom)
       .withColumn("avg_impact_index_score",
-        (lit(100.0) * col("__sum_cl")) / denom / col("__n_rows"))
-    // authority-level percent-rank over the integer total (same order
-    // as the dbt SUM(total_impact_level))
-    val ranked = Stats.withPercentRank100(byAuth, "__t10",
-        "highway_authority_impact_score")
+        (lit(100.0) * col("__sum_cl")) / denom / col("__n_rows")))
+    // authority-level percent-rank over the integer total (same order as
+    // the dbt SUM(total_impact_level)). Unlike the per-USRN rank above,
+    // this frame has ONE ROW PER HIGHWAY AUTHORITY — cardinality bounded
+    // by the political map (~400 in Great Britain), not the data — so a
+    // plain single-partition window is correct at every scale and costs
+    // one stage where the distributed cumLess machinery costs ~8
+    // (StatsSpec pins the two forms cell-exact)
+    val ranked = byAuth
+      .withColumn("highway_authority_impact_score",
+        percent_rank().over(Window.orderBy(col("__t10"))) * 100)
       .withColumn("impact_category",
         ImpactScore.severityBucket(col("highway_authority_impact_score")))
     // work-category breakdown over permit-level rows (lines 154-177)

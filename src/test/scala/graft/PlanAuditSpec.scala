@@ -79,16 +79,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("model-layer queries: no single-partition window, no cartesian beyond the 1-row bounds broadcast") {
+  test("model-layer queries: no single-partition window over unbounded keyspaces, no cartesian beyond the 1-row bounds broadcast") {
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     for (q <- Seq("q_model_impact_scores", "q_model_authority_scores")) {
       val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
-      // the dedup window partitions by permit ref; both normalisations
-      // are distributed (min-max = 1-row broadcast agg, percent-rank =
-      // Stats.cumLess) — a bare WindowExec would re-centralize the rank
+      // the dedup window partitions by permit ref; the per-USRN
+      // normalisations are distributed (min-max = 1-row broadcast agg,
+      // percent-rank = Stats.cumLess). The ONE allowed global window is
+      // the authority-level percent-rank: its input is the per-authority
+      // aggregate (cardinality bounded by the political map), and the
+      // aggregation must sit BELOW the window in the plan
       val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-      assert(global.isEmpty,
-        s"$q sorts its whole keyspace in one task: ${global.mkString("; ")}")
+      global.foreach { w =>
+        // the aggregate may sit inside a cached relation (byAuth is
+        // scope.cache'd) — traverse InMemoryTableScan into its cachedPlan
+        def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty ||
+            p.collect {
+              case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+                s.relation.cachedPlan
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                a.inputPlan
+            }.exists(hasAgg)
+        assert(hasAgg(w.child),
+          s"$q has a global window over a NON-aggregated input " +
+            s"(unbounded single-task sort):\n$w")
+      }
       assert(!exec.toString.contains("CartesianProduct"),
         s"$q planned a real cartesian")
     }

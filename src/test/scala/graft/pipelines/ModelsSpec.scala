@@ -117,6 +117,37 @@ class ModelsSpec extends SparkSpec {
     assert(doneE.count() === 2)
   }
 
+  test("combinedPermitRowsFromEvents: the fused scale path is row-identical to the list union, with and without authority correlation") {
+    val scoring = Seq("usrn", "street_name", "highway_authority",
+      "highway_authority_swa_code", "work_category", "is_ttro_required",
+      "is_traffic_sensitive", "traffic_management_type_ref", "uprn_count",
+      "geometry")
+    for ((auth, corr) <- Seq(
+        (Models.londonAuthorities, true), (Seq.empty[String], false))) {
+      val inP = Models.inProgressList(permits, openUsrns, swaCodes, counts,
+        auth, correlateOnAuthority = corr)
+      val done = Models.completedList(permits, openUsrns, swaCodes, counts,
+        auth)
+      val viaLists = inP.select(scoring.map(col): _*)
+        .unionByName(done.select(scoring.map(col): _*))
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val fused = Models.combinedPermitRowsFromEvents(permits, openUsrns,
+        counts, auth, correlateOnAuthority = corr)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(fused.toSeq === viaLists.toSeq, s"(auth=$auth corr=$corr)")
+    }
+  }
+
+  test("impactScoresHighwayAuthorityFromEvents ≡ the list route") {
+    val (inP, done) = londonLists
+    val viaLists = Models.impactScoresHighwayAuthority(inP, done)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val fused = Models.impactScoresHighwayAuthorityFromEvents(permits,
+      openUsrns, counts, Models.londonAuthorities, correlateOnAuthority = true)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(fused.toSeq === viaLists.toSeq)
+  }
+
   test("usrn_permit_details: union of both lists with the detail columns") {
     val (inP, done) = londonLists
     val det = Models.usrnPermitDetails(inP, done)
