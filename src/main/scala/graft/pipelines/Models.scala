@@ -321,7 +321,12 @@ object Models {
       .select(scoringCols.map(col): _*)
   }
 
-  private def rawImpactLevel(both: DataFrame): DataFrame = {
+  /** With `withBreakdown`, the per-USRN-group aggregate also carries the
+    * work-category breakdown counts at this grain — counts are
+    * associative, so summing them per authority later equals the dbt
+    * permit-level breakdown groupBy without a second pass over `both`. */
+  private def rawImpactLevel(both: DataFrame,
+                             withBreakdown: Boolean = false): DataFrame = {
     both
       .withColumn("impact10", permitImpact10(col("work_category"),
         col("is_ttro_required"), col("is_traffic_sensitive"),
@@ -330,8 +335,29 @@ object Models {
         lower(col("highway_authority_swa_code"))
           .as("highway_authority_swa_code"),
         col("uprn_count"), col("geometry"))
-      .agg(sum(col("impact10")).as("total10"))
+      .agg(sum(col("impact10")).as("total10"),
+        (if (withBreakdown) breakdownAggs else Nil): _*)
   }
+
+  /** work_category_breakdown (impact_scores_highway_authority_london.sql:
+    * 154-177): conditional permit counts, emitted at the raw grain and
+    * summed per authority. */
+  private def breakdownAggs: Seq[Column] = Seq(
+    count(when(col("work_category") === "Major", 1)).as("major_works_count"),
+    count(when(col("work_category") === "Standard", 1)).as("standard_works_count"),
+    count(when(col("work_category") === "Minor", 1)).as("minor_works_count"),
+    count(when(col("work_category") === "HS2 (Highway)", 1)).as("hs2_works_count"),
+    count(when(col("work_category").isin("Immediate - urgent",
+      "Immediate - emergency"), 1)).as("emergency_works_count"),
+    count(when(col("is_ttro_required") === "Yes", 1)).as("ttro_required_count"),
+    count(when(col("is_traffic_sensitive") === "Yes", 1)).as("traffic_sensitive_count"),
+    count(when(col("traffic_management_type_ref")
+      .isin(highImpactTm.map(lit): _*), 1)).as("high_impact_traffic_mgmt_count"))
+
+  private val breakdownCols: Seq[String] = Seq("major_works_count",
+    "standard_works_count", "minor_works_count", "hs2_works_count",
+    "emergency_works_count", "ttro_required_count",
+    "traffic_sensitive_count", "high_impact_traffic_mgmt_count")
 
   /** impact_scores_{london,england}: per-USRN totals min–max normalised
     * to 1-100 (impact_scores_london.sql:136-152 — this variant is min–max,
@@ -406,26 +432,27 @@ object Models {
       scope: graft.PersistScope): DataFrame = {
     // the combined permit rows are scanned twice (raw totals +
     // breakdown) and raw twice more (rank histogram + join-back): cache
-    // the 10-column projection or the permit dressing/dedup re-runs 4x
-    // per action
-    val both = scope.cache(bothRows)
-    val raw = scope.cache(rawImpactLevel(both))
+    // the permit rows are consumed ONCE (the raw aggregate carries the
+    // breakdown partials too), so `bothRows` is not cached; raw feeds the
+    // rank histogram and the join-back — cache it or the dedup re-runs
+    val raw = scope.cache(rawImpactLevel(bothRows, withBreakdown = true))
     // per-USRN integer rank counts (rank-1 == rows strictly below)
     val (cl, n) = Stats.cumLess(raw, "total10")
     val denom = lit(math.max(n - 1L, 1L).toDouble)
-    // byAuth is re-derived 3x downstream (the percent-rank's cumLess,
-    // its join-back, and the final breakdown join) — cache the ~one-row-
-    // per-authority aggregate or the rank-histogram join re-runs each time
+    // byAuth is re-derived downstream of the global rank window — cache
+    // the ~one-row-per-authority aggregate
+    val byAuthAggs = Seq(
+      countDistinct(col("usrn")).as("total_usrns_count"),
+      (sum("uprn_count").cast("double") / count(lit(1))).as("avg_uprn_count"),
+      sum("uprn_count").as("total_uprn_count"),
+      sum("total10").as("__t10"),
+      count(lit(1)).as("__n_rows"),
+      max("total10").as("__mx10"), min("total10").as("__mn10"),
+      sum("__cnt_less").as("__sum_cl")) ++
+      breakdownCols.map(c => sum(col(c)).as(c))
     val byAuth = scope.cache(raw.join(cl, Seq("total10"))
       .groupBy("highway_authority", "highway_authority_swa_code")
-      .agg(
-        countDistinct(col("usrn")).as("total_usrns_count"),
-        (sum("uprn_count").cast("double") / count(lit(1))).as("avg_uprn_count"),
-        sum("uprn_count").as("total_uprn_count"),
-        sum("total10").as("__t10"),
-        count(lit(1)).as("__n_rows"),
-        max("total10").as("__mx10"), min("total10").as("__mn10"),
-        sum("__cnt_less").as("__sum_cl"))
+      .agg(byAuthAggs.head, byAuthAggs.tail: _*)
       .withColumn("total_impact_level", col("__t10").cast("double") / 10)
       .withColumn("avg_impact_level_per_usrn",
         (col("__t10").cast("double") / 10) / col("__n_rows"))
@@ -442,15 +469,11 @@ object Models {
     // plain single-partition window is correct at every scale and costs
     // one stage where the distributed cumLess machinery costs ~8
     // (StatsSpec pins the two forms cell-exact)
-    val ranked = byAuth
+    byAuth
       .withColumn("highway_authority_impact_score",
         percent_rank().over(Window.orderBy(col("__t10"))) * 100)
       .withColumn("impact_category",
         ImpactScore.severityBucket(col("highway_authority_impact_score")))
-    // work-category breakdown over permit-level rows (lines 154-177)
-    val breakdown = permitBreakdown(both)
-    ranked.join(breakdown,
-        Seq("highway_authority", "highway_authority_swa_code"), "left")
       .select("highway_authority", "highway_authority_swa_code",
         "total_usrns_count", "avg_uprn_count", "total_uprn_count",
         "total_impact_level", "avg_impact_level_per_usrn",
@@ -460,26 +483,6 @@ object Models {
         "minor_works_count", "hs2_works_count", "emergency_works_count",
         "ttro_required_count", "traffic_sensitive_count",
         "high_impact_traffic_mgmt_count")
-  }
-
-  /** work_category_breakdown (lines 154-177): conditional counts per
-    * authority over the unioned permit-level rows. */
-  private def permitBreakdown(both: DataFrame): DataFrame = {
-    both
-      .groupBy(col("highway_authority"),
-        lower(col("highway_authority_swa_code"))
-          .as("highway_authority_swa_code"))
-      .agg(
-        count(when(col("work_category") === "Major", 1)).as("major_works_count"),
-        count(when(col("work_category") === "Standard", 1)).as("standard_works_count"),
-        count(when(col("work_category") === "Minor", 1)).as("minor_works_count"),
-        count(when(col("work_category") === "HS2 (Highway)", 1)).as("hs2_works_count"),
-        count(when(col("work_category").isin("Immediate - urgent",
-          "Immediate - emergency"), 1)).as("emergency_works_count"),
-        count(when(col("is_ttro_required") === "Yes", 1)).as("ttro_required_count"),
-        count(when(col("is_traffic_sensitive") === "Yes", 1)).as("traffic_sensitive_count"),
-        count(when(col("traffic_management_type_ref")
-          .isin(highImpactTm.map(lit): _*), 1)).as("high_impact_traffic_mgmt_count"))
   }
 
   // --------------------------------------------------- wellbeing chain
