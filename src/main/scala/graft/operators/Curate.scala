@@ -48,14 +48,18 @@ object Curate {
       Dedup.shingleRows(df, idCol, textCol, n)
         .select(col("doc"), xxhash64(col("sh")).as("sh"))
     // broadcast-or-shuffle guard: counting the benchmark docs is one
-    // cheap driver job (eval sets are small by nature — at 100 TB this
-    // never touches the corpus), and it decides what the static planner
-    // can't (the window-capped index defeats its size estimate) and AQE
-    // won't (the index exceeds the 10 MB conversion threshold long
-    // before the broadcast actually stops paying).
-    val benchIsSmall =
-      benchmark.select(idCol).limit(broadcastBenchMaxDocs.toInt + 1)
-        .count() <= broadcastBenchMaxDocs
+    // cheap driver job AT PLAN-CONSTRUCTION TIME (eval sets are small by
+    // nature — at 100 TB this never touches the corpus, and the limit
+    // stops the scan after cap+1 rows even on a huge benchmark). It
+    // decides what the static planner can't (the window-capped index
+    // defeats its size estimate) and AQE won't (the index exceeds the
+    // 10 MB conversion threshold long before the broadcast actually
+    // stops paying). Callers that must stay construction-lazy pass
+    // broadcastBenchMaxDocs = 0 to force the shuffle path probe-free.
+    val benchCap = math.min(broadcastBenchMaxDocs,
+      (Int.MaxValue - 1).toLong).toInt.max(0)
+    val benchIsSmall = benchCap > 0 &&
+      benchmark.select(idCol).limit(benchCap + 1).count() <= benchCap
     // Broadcasting removes every exchange upstream of the pair count, so
     // the whole shingle-explode + probe + partial-agg pipeline runs at
     // the SCAN's parallelism — which for an under-split input (few
@@ -92,7 +96,11 @@ object Curate {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-      .join(broadcast(nBench), Seq("doc_b"))
+      // the per-doc totals follow the same guard: one row per benchmark
+      // doc, so a benchmark too big to broadcast as an index is also too
+      // big here (the pair frame is already keyed by doc_b — the shuffle
+      // join reuses its partitioning)
+      .join(if (benchIsSmall) broadcast(nBench) else nBench, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_bench_sh"),
         expr("(n_shared * 1000000) DIV n_bench_sh").as("coverage_ppm"))
   }

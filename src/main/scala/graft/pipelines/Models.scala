@@ -283,12 +283,18 @@ object Models {
       "event_reference", "event_type", "work_status_ref") ++ scoringCols)
       .filterNot(c => c == "geometry" || c == "uprn_count").distinct
     val base0 = permits.select(needed.map(col): _*)
-    val base = if (authorities.isEmpty) base0
-      else base0.where(col("highway_authority").isin(authorities.map(lit): _*))
     val isStop = col("work_status_ref") === "completed" &&
       col("event_type") === "WORK_STOP"
-    val tagged = base
-      .where(col("work_status_ref") === "in_progress" || isStop)
+    // the authority filter applies to the OUTPUT rows only — the dbt
+    // NOT-IN subquery is unfiltered (in_progress_list_london.sql:81-87),
+    // so completed-stop rows must reach the exclusion window whatever
+    // their authority. In-progress rows outside the list can never be
+    // emitted nor excluded-from, so they prune BEFORE the shuffle
+    val inAuthorities = if (authorities.isEmpty) lit(true)
+      else col("highway_authority").isin(authorities.map(lit): _*)
+    val tagged = base0
+      .where((col("work_status_ref") === "in_progress" && inAuthorities) ||
+        isStop)
       .withColumn("__leg", when(isStop, lit(1)).otherwise(lit(0)))
     val wAll = Window.partitionBy(col("permit_reference_number"))
     val wOrd = wAll.orderBy(col("__leg"),
@@ -304,7 +310,7 @@ object Models {
       else max(col("__leg")).over(wAll) === 1
     val latest = tagged
       .withColumn("__excl", coalesce(excl, lit(false)))
-      .where(col("__leg") === 1 || !col("__excl"))
+      .where(inAuthorities && (col("__leg") === 1 || !col("__excl")))
       .withColumn("__prev_leg", lag(col("__leg"), 1).over(wOrd))
       .where(col("__prev_leg").isNull || col("__prev_leg") =!= col("__leg"))
     latest
@@ -410,9 +416,13 @@ object Models {
     * `100*SUM(cnt_less)/(n-1)` — the integer rank counts sum exactly, so
     * the result doesn't depend on partial-agg order (a naive SUM of
     * per-row doubles does). AVG columns divide those exact sums by the
-    * row count. The authority-level rank reuses the distributed
-    * [[Stats.withPercentRank100]] on the integer deci-point totals (same
-    * ordering as the dbt SUM(total_impact_level)). */
+    * row count. The authority-level rank is a single-partition
+    * `percent_rank` window on the integer deci-point totals (same
+    * ordering as the dbt SUM(total_impact_level)): its input is the
+    * one-row-per-authority aggregate, cardinality bounded by the
+    * political map, so a global window is correct at every scale —
+    * PlanAuditSpec whitelists exactly this shape (the per-USRN rank
+    * above stays on the distributed [[Stats.cumLess]]). */
   def impactScoresHighwayAuthority(inProgress: DataFrame, completed: DataFrame,
       scope: graft.PersistScope = graft.PersistScope()): DataFrame =
     impactScoresHighwayAuthorityOver(

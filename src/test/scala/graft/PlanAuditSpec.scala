@@ -87,24 +87,30 @@ class PlanAuditSpec extends SparkSpec {
       // the dedup window partitions by permit ref; the per-USRN
       // normalisations are distributed (min-max = 1-row broadcast agg,
       // percent-rank = Stats.cumLess). The ONE allowed global window is
-      // the authority-level percent-rank: its input is the per-authority
-      // aggregate (cardinality bounded by the political map), and the
-      // aggregation must sit BELOW the window in the plan
+      // the authority-level percent-rank: its DIRECT input (descending
+      // only through unary wrappers — a join or union below would mean
+      // the window re-widened past the aggregate) must be the
+      // per-authority aggregate, whose grouping keys are exactly the
+      // bounded (highway_authority, swa) pair — an agg merely existing
+      // somewhere below (e.g. the per-USRN rawImpactLevel) must NOT pass
       val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       global.foreach { w =>
-        // the aggregate may sit inside a cached relation (byAuth is
-        // scope.cache'd) — traverse InMemoryTableScan into its cachedPlan
-        def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-          p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty ||
-            p.collect {
-              case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-                s.relation.cachedPlan
-              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-                a.inputPlan
-            }.exists(hasAgg)
-        assert(hasAgg(w.child),
-          s"$q has a global window over a NON-aggregated input " +
-            s"(unbounded single-task sort):\n$w")
+        def boundingAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p match {
+            case a: BaseAggregateExec =>
+              a.groupingExpressions.size <= 2 &&
+                a.groupingExpressions.exists(
+                  _.toString.contains("highway_authority"))
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              boundingAgg(s.relation.cachedPlan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              boundingAgg(a.inputPlan)
+            case u if u.children.size == 1 => boundingAgg(u.children.head)
+            case _ => false
+          }
+        assert(boundingAgg(w.child),
+          s"$q has a global window whose direct input is not the bounded " +
+            s"per-authority aggregate (unbounded single-task sort):\n$w")
       }
       assert(!exec.toString.contains("CartesianProduct"),
         s"$q planned a real cartesian")

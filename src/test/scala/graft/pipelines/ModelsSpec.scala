@@ -122,19 +122,42 @@ class ModelsSpec extends SparkSpec {
       "highway_authority_swa_code", "work_category", "is_ttro_required",
       "is_traffic_sensitive", "traffic_management_type_ref", "uprn_count",
       "geometry")
+    // P6: in-progress under a LISTED authority, its completed WORK_STOP
+    // under an UNLISTED one — the dbt NOT-IN subquery has no authority
+    // predicate, so with corr=false the stop must exclude P6 from an
+    // authority-filtered list even though the stop event itself is
+    // filtered out; this is the combination where an exclusion set built
+    // AFTER the authority filter would silently keep the row
+    val crossAuthority = Seq(
+      ModelsSpec.Ev("P6", 8L, "60", "WORK_START", "in_progress", westminster,
+        "SWA1", "07", "Standard", "No", "No", Some("road_closure"),
+        "Oxford St", "100"),
+      ModelsSpec.Ev("P6", 9L, "61", "WORK_STOP", "completed", leeds,
+        "SWA9", "99", "Standard", "No", "No", Some("road_closure"),
+        "Oxford St", "100")).toDF()
+    val events = permits.unionByName(crossAuthority,
+      allowMissingColumns = true)
     for ((auth, corr) <- Seq(
-        (Models.londonAuthorities, true), (Seq.empty[String], false))) {
-      val inP = Models.inProgressList(permits, openUsrns, swaCodes, counts,
+        (Models.londonAuthorities, true), (Models.londonAuthorities, false),
+        (Seq.empty[String], true), (Seq.empty[String], false))) {
+      val inP = Models.inProgressList(events, openUsrns, swaCodes, counts,
         auth, correlateOnAuthority = corr)
-      val done = Models.completedList(permits, openUsrns, swaCodes, counts,
+      val done = Models.completedList(events, openUsrns, swaCodes, counts,
         auth)
       val viaLists = inP.select(scoring.map(col): _*)
         .unionByName(done.select(scoring.map(col): _*))
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
-      val fused = Models.combinedPermitRowsFromEvents(permits, openUsrns,
+      val fused = Models.combinedPermitRowsFromEvents(events, openUsrns,
         counts, auth, correlateOnAuthority = corr)
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
       assert(fused.toSeq === viaLists.toSeq, s"(auth=$auth corr=$corr)")
+      // pin the ground truth itself, not just route agreement: under
+      // corr=false the unlisted-authority stop excludes P6; under
+      // corr=true it does not
+      val inRefs = inP.select("permit_reference_number")
+        .as[String].collect().toSet
+      assert(inRefs.contains("P6") === corr,
+        s"(auth=$auth corr=$corr) in-progress refs: $inRefs")
     }
   }
 

@@ -45,17 +45,33 @@ def duck_solo(con, sql, runs, timeout):
     import threading
     best = None
     for _ in range(runs):
-        timer = threading.Timer(timeout, con.interrupt)
+        # the done-flag + lock close the race where the timer fires
+        # between fetchall() returning and cancel(): a stray interrupt
+        # would poison the connection and abort the NEXT run instantly
+        lock = threading.Lock()
+        done = [False]
+
+        def maybe_interrupt():
+            with lock:
+                if not done[0]:
+                    con.interrupt()
+        timer = threading.Timer(timeout, maybe_interrupt)
         timer.start()
         t0 = time.monotonic()
         try:
             con.execute(sql).fetchall()
+            with lock:
+                done[0] = True
             took = time.monotonic() - t0
             best = took if best is None else min(best, took)
         except Exception:
+            with lock:
+                done[0] = True
             took = time.monotonic() - t0
             if took >= timeout - 0.5:
-                return -timeout
+                # a completed earlier run is a valid minimum — a later
+                # timeout (box load) must not discard it as a DNF
+                return best if best is not None else -timeout
             raise
         finally:
             timer.cancel()
@@ -68,8 +84,17 @@ def main():
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     duck_timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 300.0
 
-    # oracle SQL from the last Verify dump, or regenerate
+    # oracle SQL from the last Verify dump; regenerate it (one tiny
+    # Verify run at sf0.001 — the oracle text is sf-independent) when the
+    # dump is missing so the tool is reproducible from the repo alone
     oracle_path = "/tmp/vout01/oracle_sql.json"
+    if not os.path.exists(oracle_path):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(
+            ["sbt", "-batch",
+             "runMain graft.Verify /root/testdata/sf0.001 /tmp/vout01 "
+             + QUERIES[0]],
+            check=True, capture_output=True, text=True, cwd=repo)
     oracles = json.load(open(oracle_path))
 
     con = duckdb.connect()
@@ -77,13 +102,18 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    # resume: keep rows already measured in a previous partial run
-    result = {"mode": f"solo-min-of-{runs}", "sf": sf, "queries": {}}
+    # resume: keep rows already measured in a previous partial run —
+    # only for queries still in the current list, and only if the prior
+    # run used the same sf AND the same run count (mixing min-of-N tiers
+    # under one mode label would mislabel the artifact)
+    mode = f"solo-min-of-{runs}"
+    result = {"mode": mode, "sf": sf, "queries": {}}
     if os.path.exists(out_path):
         prior = json.load(open(out_path))
-        if prior.get("sf") == sf:
-            result["queries"] = prior.get("queries", {})
-            result["mode"] = prior.get("mode", result["mode"])
+        if prior.get("sf") == sf and prior.get("mode") == mode:
+            result["queries"] = {q: v for q, v in
+                                 prior.get("queries", {}).items()
+                                 if q in QUERIES}
     for q in QUERIES:
         if q in result["queries"]:
             continue
@@ -102,8 +132,8 @@ def main():
             "gate": gate}
         print(q, result["queries"][q], flush=True)
         json.dump(result, open(out_path, "w"), indent=1)
-    npass = sum(1 for v in result["queries"].values()
-                if v["gate"].startswith("PASS"))
+    npass = sum(1 for q, v in result["queries"].items()
+                if q in QUERIES and v["gate"].startswith("PASS"))
     result["summary"] = f"{npass}/{len(QUERIES)} pass the 2x gate"
     json.dump(result, open(out_path, "w"), indent=1)
     print(result["summary"])
