@@ -102,6 +102,64 @@ object Geo {
       .otherwise(lit(null).cast("array<struct<x:double,y:double>>"))
   }
 
+  /** Render a GeoJSON geometry string directly as WKT, covering the six
+    * concrete RFC 7946 types — Point / LineString / Polygon (interior
+    * rings INTACT) / MultiPoint / MultiLineString / MultiPolygon — the
+    * way the reference's shapely `shape(geojson).wkt` does
+    * (cadent_underground.py:263-275). The single-ring
+    * `array<struct<x,y>>` model above is the right shape for the
+    * geometry OPERATORS (centroid, area, range join); for the cadent
+    * load the WKT is a pass-through string, so it renders from the full
+    * nested coordinate arrays without losing Multi* shapes or holes.
+    * Each CaseWhen branch parses the whole document once with
+    * `from_json` at that type's depth (branches are lazy); malformed /
+    * degenerate / unknown-type input → NULL, never a throw (every
+    * element_at is guarded in the same branch — ANSI-safe). */
+  def geoJsonToWkt(j: Column): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType,
+      StructField, StructType}
+    def docSchema(coords: org.apache.spark.sql.types.DataType) =
+      StructType(Seq(StructField("type", StringType),
+        StructField("coordinates", coords)))
+    val d1 = ArrayType(DoubleType)
+    val c1 = from_json(j, docSchema(d1))("coordinates")
+    val c2 = from_json(j, docSchema(ArrayType(d1)))("coordinates")
+    val c3 = from_json(j, docSchema(ArrayType(ArrayType(d1))))("coordinates")
+    val c4 = from_json(j,
+      docSchema(ArrayType(ArrayType(ArrayType(d1)))))("coordinates")
+    def pt(p: Column): Column =
+      concat(element_at(p, 1).cast("string"), lit(" "),
+        element_at(p, 2).cast("string"))
+    def ring(r: Column): Column = array_join(transform(r, pt(_)), ", ")
+    def rings(poly: Column): Column = array_join(
+      transform(poly, r => concat(lit("("), ring(r), lit(")"))), ", ")
+    def polys(mp: Column): Column = array_join(
+      transform(mp, poly => concat(lit("("), rings(poly), lit(")"))), ", ")
+    // validity at each nesting level: non-empty arrays, every point >= 2
+    def okPts(r: Column): Column =
+      r.isNotNull && size(r) >= 1 && forall(r, p => size(p) >= 2)
+    def okRings(poly: Column): Column =
+      poly.isNotNull && size(poly) >= 1 && forall(poly, okPts)
+    def okPolys(mp: Column): Column =
+      mp.isNotNull && size(mp) >= 1 && forall(mp, okRings)
+    val typ = get_json_object(j, "$.type")
+    when(typ === "Point" && c1.isNotNull && size(c1) >= 2,
+        concat(lit("POINT ("), pt(c1), lit(")")))
+      .when(typ === "LineString" && okPts(c2),
+        concat(lit("LINESTRING ("), ring(c2), lit(")")))
+      .when(typ === "MultiPoint" && okPts(c2),
+        concat(lit("MULTIPOINT ("),
+          array_join(transform(c2, p =>
+            concat(lit("("), pt(p), lit(")"))), ", "), lit(")")))
+      .when(typ === "Polygon" && okRings(c3),
+        concat(lit("POLYGON ("), rings(c3), lit(")")))
+      .when(typ === "MultiLineString" && okRings(c3),
+        concat(lit("MULTILINESTRING ("), rings(c3), lit(")")))
+      .when(typ === "MultiPolygon" && okPolys(c4),
+        concat(lit("MULTIPOLYGON ("), polys(c4), lit(")")))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Parse (GeoPackage-)WKB binary into the same array<struct<x,y>> model
     * — the post-extract geometry path of the reference's .gpkg ingestion
     * (built_up_areas.py:80), parsed natively without GDAL: see

@@ -91,10 +91,10 @@ object Catalog {
     * table format), with per-stage row counts recorded through the
     * observed single-action path. Returns the landed table roots. */
   def run(spark: SparkSession, pipeline: SourcePipeline, input: String,
-          warehouseRoot: String): Map[String, String] = {
-    val scratch = java.nio.file.Files
-      .createTempDirectory(s"graft-${pipeline.name}").toString
-    try {
+          warehouseRoot: String): Map[String, String] =
+    // every table load materializes through SnapshotTable.write before
+    // withScratchDir deletes the staged payload
+    Fetch.withScratchDir(s"graft-${pipeline.name}") { scratch =>
       pipeline.parse(spark, input, scratch).map { case TableLoad(table, raw) =>
         val template = templateFor(pipeline, table)
         val root = s"$warehouseRoot/${pipeline.schemaName}/$table"
@@ -107,18 +107,7 @@ object Catalog {
           s"$warehouseRoot/${pipeline.schemaName}/processing_logs")
         table -> root
       }.toMap
-    } finally {
-      // every table load has materialized through SnapshotTable.write by
-      // here, so the unzipped payload (multi-GB for real archives) must
-      // not outlive the run — scheduled loads would accrete /tmp forever
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(scratch)
-      val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
     }
-  }
 
   /** Convenience: run by name from [[all]]. */
   def run(spark: SparkSession, name: String, input: String,
@@ -158,15 +147,23 @@ object Catalog {
       "actual_end_date_time" -> "VARCHAR", "is_ttro_required" -> "VARCHAR",
       "is_traffic_sensitive" -> "VARCHAR", "is_deemed" -> "VARCHAR")),
     allowMissing = true,
-    parse = (spark, input, scratch) => {
-      val dir =
-        if (input.endsWith(".zip")) { Fetch.unzip(input, scratch); scratch }
-        else input
-      val nested = spark.read.option("multiLine", "true").json(dir)
-      val flat = ColumnNormalizer.stripPrefix(
-        JsonFlatten.flatten(nested, sep = "."), "object_data.")
-      Seq(TableLoad("01_2025", flat))
-    })
+    parse = (spark, input, scratch) =>
+      Seq(TableLoad("01_2025",
+        parseStreetManagerArchive(spark, input, scratch))))
+
+  /** The Street Manager feed parse shape — zip of nested event json,
+    * flattened with the `object_data.` prefix stripped — shared by the
+    * raw monthly load above and the Section 58 staging load
+    * ([[Section58.stage]]), which consume the same archive format. */
+  private[pipelines] def parseStreetManagerArchive(spark: SparkSession,
+      input: String, scratch: String): DataFrame = {
+    val dir =
+      if (input.endsWith(".zip")) { Fetch.unzip(input, scratch); scratch }
+      else input
+    val nested = spark.read.option("multiLine", "true").json(dir)
+    ColumnNormalizer.stripPrefix(
+      JsonFlatten.flatten(nested, sep = "."), "object_data.")
+  }
 
   // ------------------------------------------------- nhs prescriptions
 
@@ -250,9 +247,16 @@ object Catalog {
         "start_date" -> "VARCHAR", "end_date" -> "VARCHAR"),
       "calendar_dates" -> ddl("service_id" -> "VARCHAR", "date" -> "VARCHAR",
         "exception_type" -> "VARCHAR"),
+      "feed_info" -> ddl("feed_publisher_name" -> "VARCHAR",
+        "feed_publisher_url" -> "VARCHAR", "feed_lang" -> "VARCHAR",
+        "feed_start_date" -> "VARCHAR", "feed_end_date" -> "VARCHAR",
+        "feed_version" -> "VARCHAR"),
       "routes" -> ddl("route_id" -> "VARCHAR", "agency_id" -> "VARCHAR",
         "route_short_name" -> "VARCHAR", "route_long_name" -> "VARCHAR",
         "route_type" -> "VARCHAR"),
+      "shapes" -> ddl("shape_id" -> "VARCHAR", "shape_pt_lat" -> "VARCHAR",
+        "shape_pt_lon" -> "VARCHAR", "shape_pt_sequence" -> "VARCHAR",
+        "shape_dist_traveled" -> "VARCHAR"),
       "stops" -> ddl("stop_id" -> "VARCHAR", "stop_code" -> "VARCHAR",
         "stop_name" -> "VARCHAR", "stop_lat" -> "VARCHAR",
         "stop_lon" -> "VARCHAR", "wheelchair_boarding" -> "VARCHAR",
@@ -262,13 +266,12 @@ object Catalog {
         "departure_time" -> "VARCHAR", "stop_id" -> "VARCHAR",
         "stop_sequence" -> "VARCHAR", "stop_headsign" -> "VARCHAR",
         "pickup_type" -> "VARCHAR", "drop_off_type" -> "VARCHAR",
-        "shape_dist_traveled" -> "VARCHAR", "timepoint" -> "VARCHAR",
-        "stop_direction_name" -> "VARCHAR"),
+        "shape_dist_traveled" -> "VARCHAR", "timepoint" -> "VARCHAR"),
       "trips" -> ddl("route_id" -> "VARCHAR", "service_id" -> "VARCHAR",
         "trip_id" -> "VARCHAR", "trip_headsign" -> "VARCHAR",
         "direction_id" -> "VARCHAR", "block_id" -> "VARCHAR",
         "shape_id" -> "VARCHAR", "wheelchair_accessible" -> "VARCHAR",
-        "trip_direction_name" -> "VARCHAR", "vehicle_journey_code" -> "VARCHAR")),
+        "vehicle_journey_code" -> "VARCHAR")),
     allowMissing = false,
     parse = (spark, input, scratch) => {
       val members = Fetch.unzip(input, scratch)
@@ -320,13 +323,6 @@ object Catalog {
 
   // -------------------------------------------------- cadent underground
 
-  /** Render a parsed geometry as WKT with the tag the GeoJSON declared —
-    * cadent rows mix Point/LineString/Polygon shapes in one column. */
-  private def wktByType(geom: Column, typ: Column): Column =
-    when(typ === "Point", graft.functions.Geo.stAsText(geom, 1))
-      .when(typ === "LineString", graft.functions.Geo.stAsText(geom, 2))
-      .when(typ === "Polygon", graft.functions.Geo.stAsText(geom, 3))
-
   /** Cadent gas underground pipes (cadent_underground.py): the API CSV
     * as-is (column names keep their spaces — the reference loads the
     * header verbatim, `expected_columns=None`), plus the two WKT columns
@@ -364,9 +360,9 @@ object Catalog {
         .withColumn("geo_point_wkt",
           when(size(parts) === 2 && lat.isNotNull && lon.isNotNull,
             Geo.stAsText(array(struct(lon.as("x"), lat.as("y"))), 1)))
-        .withColumn("geo_shape_wkt", wktByType(
-          Geo.stGeomFromGeoJson(col("`Geo Shape`")),
-          get_json_object(col("`Geo Shape`"), "$.type")))
+        // full GeoJSON coverage like the reference's shapely shape().wkt:
+        // all six concrete types, polygon holes intact
+        .withColumn("geo_shape_wkt", Geo.geoJsonToWkt(col("`Geo Shape`")))
       Seq(TableLoad("cadent_underground_pipes", df))
     })
 
@@ -421,9 +417,16 @@ object Catalog {
         if (f.isDirectory)
           f.listFiles().toSeq.map(_.getPath).filter(_.endsWith(".ods")).sorted
         else Seq(input)
-      odsFiles.map { path =>
+      // only KNOWN file codes load — the reference's hand-maintained
+      // filtered_links map never processes anything else, and guessing a
+      // sheet/header for an unknown code would land a silently-garbage
+      // table of null-filled rows under the '*' template
+      odsFiles.filter { path =>
         val code = new java.io.File(path).getName.stripSuffix(".ods").toLowerCase
-        val (sheet, headerRow) = dftSheets.getOrElse(code, (null, 6))
+        dftSheets.contains(code)
+      }.map { path =>
+        val code = new java.io.File(path).getName.stripSuffix(".ods").toLowerCase
+        val (sheet, headerRow) = dftSheets(code)
         val df = SpreadsheetSource.readOds(spark, path,
           java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get(scratch), code).toString,

@@ -308,8 +308,13 @@ object Models {
             .over(wAll),
           col("highway_authority"))
       else max(col("__leg")).over(wAll) === 1
+    // NULL join keys never match an anti-join, so the list route keeps a
+    // NULL-ref in-progress row even when a NULL-ref stop exists; the
+    // window would pool all NULL refs into one partition and wrongly
+    // exclude them — gate the flag on a real reference
     val latest = tagged
-      .withColumn("__excl", coalesce(excl, lit(false)))
+      .withColumn("__excl", coalesce(excl, lit(false)) &&
+        col("permit_reference_number").isNotNull)
       .where(inAuthorities && (col("__leg") === 1 || !col("__excl")))
       .withColumn("__prev_leg", lag(col("__leg"), 1).over(wOrd))
       .where(col("__prev_leg").isNull || col("__prev_leg") =!= col("__leg"))

@@ -69,15 +69,10 @@ object Section58 {
     * Manager feed shape) into the staging contract: flatten,
     * `object_data.` prefix stripped, conformed to the template with
     * null-fill (events carry only the keys present). */
-  def stage(spark: SparkSession, input: String, scratch: String): DataFrame = {
-    val dir =
-      if (input.endsWith(".zip")) { Fetch.unzip(input, scratch); scratch }
-      else input
-    val nested = spark.read.option("multiLine", "true").json(dir)
-    val flat = ColumnNormalizer.stripPrefix(
-      JsonFlatten.flatten(nested, sep = "."), "object_data.")
-    Catalog.conform(flat, stagingTemplate, allowMissing = true)
-  }
+  def stage(spark: SparkSession, input: String, scratch: String): DataFrame =
+    Catalog.conform(
+      Catalog.parseStreetManagerArchive(spark, input, scratch),
+      stagingTemplate, allowMissing = true)
 
   /** Latest staged event per restriction: `ROW_NUMBER() OVER (PARTITION
     * BY reference ORDER BY event_time DESC, event_reference DESC) = 1`
@@ -157,17 +152,23 @@ object Section58 {
             when(col("__close"), lit(false)).otherwise(col("is_current")))
           .drop("__l_ts", "__close")
         // insert keys that are brand new OR strictly newer than the
-        // newest dim version for that key (insert_new_changed :338-353)
+        // newest dim version for that key (insert_new_changed :338-353).
+        // Key presence is its own flag: `max(event_time) IS NULL` cannot
+        // distinguish an absent key from a present key whose versions all
+        // carry NULL event_time — the reference's NOT EXISTS skips the
+        // insert for the latter (a NULL-timestamped current row would
+        // otherwise gain a duplicate open version that no later load can
+        // ever close)
         val dMax = d.groupBy("section_58_reference_number")
           .agg(max("event_time").as("__d_max"),
-            max("surrogate_key").as("__ignore")).drop("__ignore")
+            max(lit(true)).as("__d_present"))
         val maxKey = d.agg(coalesce(max("surrogate_key"), lit(0)))
           .head().getInt(0)
         val inserts = fresh
           .join(dMax, Seq("section_58_reference_number"), "left")
-          .where(col("__d_max").isNull ||
+          .where(col("__d_present").isNull ||
             (col("event_time").isNotNull && col("event_time") > col("__d_max")))
-          .drop("__d_max")
+          .drop("__d_max", "__d_present")
           .withColumn("surrogate_key",
             (row_number().over(keyed) + maxKey).cast("int"))
           .select(("surrogate_key" +: dimAttrCols).map(col): _*)
@@ -179,10 +180,8 @@ object Section58 {
     * clear_staging + INSERT), dimension advanced one SCD2 snapshot.
     * Returns the two table roots. */
   def run(spark: SparkSession, input: String, warehouseRoot: String,
-          loadTs: Timestamp): Map[String, String] = {
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft-section58").toString
-    try {
+          loadTs: Timestamp): Map[String, String] =
+    Fetch.withScratchDir("graft-section58") { scratch =>
       val stagingRoot = s"$warehouseRoot/$schemaName/$stagingTable"
       val dimRoot = s"$warehouseRoot/$schemaName/$dimensionTable"
       val staged = stage(spark, input, scratch)
@@ -194,13 +193,5 @@ object Section58 {
       val next = applyScd2(prior, SnapshotTable.read(spark, stagingRoot), loadTs)
       SnapshotTable.write(next, dimRoot)
       Map(stagingTable -> stagingRoot, dimensionTable -> dimRoot)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(scratch)
-      val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
     }
-  }
 }

@@ -273,6 +273,22 @@ object Fetch {
     * paths (files only, in archive order). Entries stream straight to disk
     * — memory is one copy buffer regardless of member size. Entry names are
     * resolved inside `destDir` (zip-slip guarded). */
+  /** Run `f` with a fresh scratch directory, deleting it (recursively)
+    * afterwards — staged payloads are multi-GB for real archives and must
+    * not outlive the run, or scheduled loads accrete /tmp forever. Shared
+    * by every pipeline runner (Catalog.run, Section58.run). */
+  def withScratchDir[A](prefix: String)(f: String => A): A = {
+    val scratch = java.nio.file.Files.createTempDirectory(prefix)
+    try f(scratch.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   def unzip(zipPath: String, destDir: String): Seq[String] = {
     val dest = Files.createDirectories(Paths.get(destDir)).toAbsolutePath.normalize
     val out = Seq.newBuilder[String]
@@ -319,12 +335,26 @@ object Fetch {
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
-      urls.zip(dests).map { case (u, d) =>
+      val futures = urls.zip(dests).map { case (u, d) =>
         pool.submit(new java.util.concurrent.Callable[Fetched] {
           def call(): Fetched =
             fetchToStaging(u, stagingDir, maxRetries, baseDelayMs, Some(d))
         })
-      }.map(_.get())
+      }
+      try futures.map(f =>
+        try f.get()
+        catch {
+          // surface the documented IOException, not the executor wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        })
+      catch {
+        case e: Throwable =>
+          // a failed download must not leave the rest of the pool
+          // consuming bandwidth in the background
+          futures.foreach(_.cancel(true))
+          throw e
+      }
     } finally pool.shutdown()
   }
 
@@ -384,9 +414,12 @@ object Fetch {
     val base = new java.net.URI(resolved)
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     hrefRe.findAllMatchIn(html).foreach { m =>
+      // &amp; decodes LAST: decoding it first would double-decode
+      // sequences like "&amp;lt;" (the escaped literal text "&lt;")
+      // into "<" instead of "&lt;"
       val raw = m.group(1).trim
-        .replace("&amp;", "&").replace("&#38;", "&")
         .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&amp;", "&").replace("&#38;", "&")
       try {
         val abs = base.resolve(raw)
         val sameHost = Option(abs.getHost) == Option(base.getHost)

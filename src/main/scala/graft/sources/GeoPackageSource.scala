@@ -114,24 +114,40 @@ object GeoPackageSource {
     }
   }
 
-  /** Scan one table of a SQLite/GeoPackage file as a DataFrame. Partition
-    * count ≈ max(minPartitions, defaultParallelism), bounded by the
-    * table's B-tree fan-out — each partition walks one subtree. */
-  def readTable(spark: SparkSession, path: String, table: String,
-                minPartitions: Int = 0): DataFrame = {
+  /** Everything the distributed read needs, resolved in ONE driver-side
+    * open (schema, partition subtree roots, geometry columns) — readTable
+    * and readFeatures share it so a feature read doesn't open and
+    * schema-parse the file twice. */
+  private case class Resolved(schema: StructType, roots: Vector[Int],
+      ipk: Option[Int], types: Vector[DataType], geom: Set[String],
+      serConf: graft.spark.xlsx.SerializableHadoopConf)
+
+  private def resolve(spark: SparkSession, path: String, table: String,
+                      minPartitions: Int): Resolved = {
     // session Hadoop conf both sides: spark.hadoop.* (credentials,
     // filesystem impls) must reach the positioned reads on the executors
     val hconf = spark.sessionState.newHadoopConf()
     val serConf = new graft.spark.xlsx.SerializableHadoopConf(hconf)
     val db = SqliteFile.open(path, hconf)
-    val (schema, roots, ipk, types) =
-      try {
-        val (info, st) = schemaOf(db, table)
-        val target = math.max(minPartitions, spark.sparkContext.defaultParallelism)
-        (st, db.subtreeRoots(info.rootPage, target), info.ipk,
-          st.fields.toVector.map(_.dataType))
-      } finally db.close()
+    try {
+      val (info, st) = schemaOf(db, table)
+      val target = math.max(minPartitions, spark.sparkContext.defaultParallelism)
+      Resolved(st, db.subtreeRoots(info.rootPage, target), info.ipk,
+        st.fields.toVector.map(_.dataType), geometryColumns(db, table),
+        serConf)
+    } finally db.close()
+  }
 
+  /** Scan one table of a SQLite/GeoPackage file as a DataFrame. Partition
+    * count ≈ max(minPartitions, defaultParallelism), bounded by the
+    * table's B-tree fan-out — each partition walks one subtree. */
+  def readTable(spark: SparkSession, path: String, table: String,
+                minPartitions: Int = 0): DataFrame =
+    distributedRead(spark, path, resolve(spark, path, table, minPartitions))
+
+  private def distributedRead(spark: SparkSession, path: String,
+                              r: Resolved): DataFrame = {
+    val Resolved(schema, roots, ipk, types, _, serConf) = r
     val nCols = types.size
     val rdd = spark.sparkContext
       .parallelize(roots, math.max(roots.size, 1))
@@ -159,14 +175,11 @@ object GeoPackageSource {
     * the raw GeoPackage-binary column stays for round-tripping. */
   def readFeatures(spark: SparkSession, path: String, table: String,
                    minPartitions: Int = 0): DataFrame = {
-    val geom = {
-      val db = SqliteFile.open(path, spark.sessionState.newHadoopConf())
-      try geometryColumns(db, table) finally db.close()
-    }
+    val r = resolve(spark, path, table, minPartitions)
     // sorted: a Set fold would append the _xy columns in hash order,
     // making the output column order vary across runs/Scala versions
-    geom.toSeq.sorted
-      .foldLeft(readTable(spark, path, table, minPartitions)) { (df, g) =>
+    r.geom.toSeq.sorted
+      .foldLeft(distributedRead(spark, path, r)) { (df, g) =>
         df.withColumn(s"${g}_xy", graft.functions.Geo.stGeomFromWkb(col(g)))
       }
   }

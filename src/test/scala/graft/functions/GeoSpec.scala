@@ -52,6 +52,38 @@ class GeoSpec extends SparkSpec {
       .forall(_.isNullAt(0)))
   }
 
+  test("geoJsonToWkt: all six RFC 7946 types render like shapely shape().wkt — Multi* and polygon holes intact") {
+    val cases = Seq(
+      ("{\"type\":\"Point\",\"coordinates\":[1.5,2.5]}",
+        "POINT (1.5 2.5)"),
+      ("{\"type\":\"LineString\",\"coordinates\":[[0.5,0.5],[10.5,0.5]]}",
+        "LINESTRING (0.5 0.5, 10.5 0.5)"),
+      ("{\"type\":\"MultiPoint\",\"coordinates\":[[1.5,2.5],[3.5,4.5]]}",
+        "MULTIPOINT ((1.5 2.5), (3.5 4.5))"),
+      // polygon with an interior ring — the hole must survive
+      ("{\"type\":\"Polygon\",\"coordinates\":[[[0.0,0.0],[9.0,0.0],[9.0,9.0],[0.0,0.0]],[[1.0,1.0],[2.0,1.0],[2.0,2.0],[1.0,1.0]]]}",
+        "POLYGON ((0.0 0.0, 9.0 0.0, 9.0 9.0, 0.0 0.0), " +
+          "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 1.0))"),
+      ("{\"type\":\"MultiLineString\",\"coordinates\":[[[0.5,0.5],[1.5,1.5]],[[2.5,2.5],[3.5,3.5]]]}",
+        "MULTILINESTRING ((0.5 0.5, 1.5 1.5), (2.5 2.5, 3.5 3.5))"),
+      ("{\"type\":\"MultiPolygon\",\"coordinates\":[[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]]],[[[10.0,10.0],[14.0,10.0],[14.0,14.0],[10.0,10.0]],[[11.0,11.0],[12.0,11.0],[12.0,12.0],[11.0,11.0]]]]}",
+        "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 0.0)), " +
+          "((10.0 10.0, 14.0 10.0, 14.0 14.0, 10.0 10.0), " +
+          "(11.0 11.0, 12.0 11.0, 12.0 12.0, 11.0 11.0)))"))
+    val rows = cases.toDF("gj", "expected")
+      .select(Geo.geoJsonToWkt(col("gj")), col("expected"))
+      .as[(String, String)].collect()
+    rows.foreach { case (got, want) => assert(got === want) }
+    // malformed / degenerate / unknown types null, never throw
+    val bad = Seq("not json", "{\"type\":\"Point\"}",
+      "{\"type\":\"Point\",\"coordinates\":[5]}",
+      "{\"type\":\"GeometryCollection\",\"geometries\":[]}",
+      "{\"type\":\"MultiPolygon\",\"coordinates\":[[[]]]}",
+      "{\"type\":\"MultiLineString\",\"coordinates\":[[[0.0]]]}").toDF("gj")
+    assert(bad.select(Geo.geoJsonToWkt(col("gj"))).collect()
+      .forall(_.isNullAt(0)))
+  }
+
   test("centroid / stX / stY / distance mirror the reference's spatial chain") {
     // stg_emergency_works_by_authority.sql:24-38: ST_X(ST_Centroid(ST_GeomFromText(...)))
     val df = Seq(Tuple1("LINESTRING (0 0, 10 0, 10 10, 0 10)")).toDF("wkt")

@@ -85,9 +85,15 @@ class CatalogSpec extends SparkSpec {
     val wh = warehouse()
     val tables = Catalog.run(spark, "bods_timetables", fixture("bods_gtfs.zip"), wh)
     assert(tables.keySet === Set("agency", "routes", "stops", "calendar",
-      "trips", "stop_times")) // readme.md skipped
+      "trips", "stop_times", "feed_info", "shapes")) // readme.md skipped
     assert(SnapshotTable.read(spark, tables("agency")).count() === 2)
     assert(SnapshotTable.read(spark, tables("stop_times")).count() === 2)
+    assert(SnapshotTable.read(spark, tables("feed_info")).count() === 1)
+    // shapes joins back to trips on shape_id — the provenance the
+    // reference's 9-table set carries and a 7-table load would lose
+    assert(SnapshotTable.read(spark, tables("shapes"))
+      .join(SnapshotTable.read(spark, tables("trips")), "shape_id")
+      .count() === 2)
     val stops = SnapshotTable.read(spark, tables("stops"))
     assert(stops.columns.toSeq === Catalog.bodsTimetables
       .templates("stops").map(_._1))
@@ -121,7 +127,7 @@ class CatalogSpec extends SparkSpec {
     val tables = Catalog.run(spark, "cadent_underground",
       fixture("cadent_underground.csv"), wh)
     val df = SnapshotTable.read(spark, tables("cadent_underground_pipes"))
-    assert(df.count() === 4)
+    assert(df.count() === 5)
     assert(df.columns.toSeq === Catalog.cadentUnderground
       .templates("cadent_underground_pipes").map(_._1))
     val byId = df.collect().map(r => r.getAs[String]("ASSET_ID") -> r).toMap
@@ -135,12 +141,24 @@ class CatalogSpec extends SparkSpec {
     // malformed point + malformed GeoJSON null-fill, never throw
     assert(byId("A0004").getAs[String]("geo_point_wkt") === null)
     assert(byId("A0004").getAs[String]("geo_shape_wkt") === null)
+    // Multi* shapes render like the reference's shapely shape().wkt —
+    // a network export's MultiLineString must not null out
+    assert(byId("A0005").getAs[String]("geo_shape_wkt") ===
+      "MULTILINESTRING ((-2.5 53.5, -2.6 53.6), (-2.7 53.7, -2.8 53.8))")
   }
 
   test("dft_road_stats: one table per ODS file code, per-code sheet + header row") {
     val wh = warehouse()
-    val tables = Catalog.run(spark, "dft_road_stats",
-      fixture("dft_road_stats"), wh)
+    // an unknown file code in the same directory is SKIPPED (the
+    // reference only ever processes its hand-maintained code map) —
+    // never guessed into a null-filled table
+    val srcDir = java.nio.file.Files.createTempDirectory("dft-src")
+    new java.io.File(fixture("dft_road_stats")).listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, srcDir.resolve(f.getName))
+    }
+    java.nio.file.Files.copy(srcDir.resolve("rdl0101.ods"),
+      srcDir.resolve("rdl9999.ods"))
+    val tables = Catalog.run(spark, "dft_road_stats", srcDir.toString, wh)
     assert(tables.keySet === Set("rdl0101", "rdl0202"))
     val r1 = SnapshotTable.read(spark, tables("rdl0101"))
     assert(r1.count() === 2)

@@ -128,12 +128,22 @@ class ModelsSpec extends SparkSpec {
     // authority-filtered list even though the stop event itself is
     // filtered out; this is the combination where an exclusion set built
     // AFTER the authority filter would silently keep the row
+    // NULL-ref pair: a NULL join key never matches an anti-join, so the
+    // NULL-ref in-progress row survives its NULL-ref stop in the list
+    // route — the fused path must not pool NULL refs into one window
+    // partition and exclude it
     val crossAuthority = Seq(
       ModelsSpec.Ev("P6", 8L, "60", "WORK_START", "in_progress", westminster,
         "SWA1", "07", "Standard", "No", "No", Some("road_closure"),
         "Oxford St", "100"),
       ModelsSpec.Ev("P6", 9L, "61", "WORK_STOP", "completed", leeds,
         "SWA9", "99", "Standard", "No", "No", Some("road_closure"),
+        "Oxford St", "100"),
+      ModelsSpec.Ev(null, 10L, "70", "WORK_START", "in_progress",
+        westminster, "SWA1", "07", "Minor", "No", "No",
+        Some("road_closure"), "Oxford St", "100"),
+      ModelsSpec.Ev(null, 11L, "71", "WORK_STOP", "completed", westminster,
+        "SWA1", "07", "Minor", "No", "No", Some("road_closure"),
         "Oxford St", "100")).toDF()
     val events = permits.unionByName(crossAuthority,
       allowMissingColumns = true)

@@ -98,4 +98,48 @@ class Section58Spec extends SparkSpec {
     assert(vs.size === 2)
     assert(SnapshotTable.read(spark, dimRoot, Some(vs.head)).count() === 2)
   }
+
+  test("applyScd2: a NULL-event_time current version never gains a duplicate open row") {
+    // month 1 lands an unparseable event_time -> the dim's only version
+    // for the key carries event_time NULL. Month 2 replays the key: the
+    // reference's NOT EXISTS inserts nothing (the key exists), and the
+    // close predicate is NULL — the dim must stay at exactly ONE current
+    // row. A presence check built on max(event_time) IS NULL would
+    // insert a second forever-open version here.
+    import spark.implicits._
+    def staging(rows: (String, Long, String)*) =
+      rows.toDF("section_58_reference_number", "event_reference",
+          "event_time")
+        .withColumn("object_type", lit("SECTION_58"))
+        .withColumn("usrn", lit("100"))
+        .withColumn("section_58_status", lit("in force"))
+        .withColumn("start_date", lit("2025-01-01"))
+        .withColumn("end_date", lit("2025-06-01"))
+        .withColumn("section_58_duration", lit("5 months"))
+        .withColumn("section_58_extent", lit("Whole street"))
+        .withColumn("section_58_location_type", lit("Footway"))
+        .withColumn("section_58_coordinates", lit("POINT (1 1)"))
+        .withColumn("status_change_date", lit("2025-01-01 00:00:00"))
+        .withColumn("highway_authority_swa_code", lit("5990"))
+        .withColumn("highway_authority", lit("CITY OF WESTMINSTER"))
+        .withColumn("street_name", lit("Oxford St"))
+        .withColumn("area_name", lit("Westminster"))
+        .withColumn("town", lit("London"))
+        .withColumn("event_type", lit("SECTION_58_IN_FORCE"))
+    val dim1 = Section58.applyScd2(None,
+      staging(("S58-N", 1L, "not-a-timestamp")), t1)
+    assert(dim1.count() === 1)
+    assert(dim1.head().getAs[java.sql.Timestamp]("event_time") === null)
+    val dim2 = Section58.applyScd2(Some(dim1),
+      staging(("S58-N", 2L, "not-a-timestamp-either")), t2)
+    val rows = dim2.collect()
+    assert(rows.length === 1, s"duplicate open version: ${rows.toSeq}")
+    assert(rows.head.getAs[Boolean]("is_current"))
+    // a brand-new key in the same load still inserts
+    val dim3 = Section58.applyScd2(Some(dim1),
+      staging(("S58-N", 3L, "junk"), ("S58-NEW", 4L, "junk")), t2)
+    assert(dim3.count() === 2)
+    assert(dim3.where(col("section_58_reference_number") === "S58-NEW")
+      .head().getAs[Boolean]("is_current"))
+  }
 }

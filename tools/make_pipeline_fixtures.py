@@ -160,12 +160,19 @@ def make_bods():
           ["service_id","monday","tuesday","wednesday","thursday","friday","saturday","sunday","start_date","end_date"],
           [["SV1","1","1","1","1","1","0","0","20250101","20251231"]]))
         z.writestr("trips.txt", txt(
-          ["route_id","service_id","trip_id","trip_headsign","direction_id","block_id","shape_id","wheelchair_accessible","trip_direction_name","vehicle_journey_code"],
-          [["R1","SV1","T1","Station","0","","","1","outbound","VJ1"]]))
+          ["route_id","service_id","trip_id","trip_headsign","direction_id","block_id","shape_id","wheelchair_accessible","vehicle_journey_code"],
+          [["R1","SV1","T1","Station","0","","SH1","1","VJ1"]]))
         z.writestr("stop_times.txt", txt(
-          ["trip_id","arrival_time","departure_time","stop_id","stop_sequence","stop_headsign","pickup_type","drop_off_type","shape_dist_traveled","timepoint","stop_direction_name"],
-          [["T1","08:00:00","08:00:00","S1","1","","0","0","","1",""],
-           ["T1","08:07:00","08:07:00","S2","2","","0","0","","1",""]]))
+          ["trip_id","arrival_time","departure_time","stop_id","stop_sequence","stop_headsign","pickup_type","drop_off_type","shape_dist_traveled","timepoint"],
+          [["T1","08:00:00","08:00:00","S1","1","","0","0","","1"],
+           ["T1","08:07:00","08:07:00","S2","2","","0","0","","1"]]))
+        z.writestr("feed_info.txt", txt(
+          ["feed_publisher_name","feed_publisher_url","feed_lang","feed_start_date","feed_end_date","feed_version"],
+          [["Example Transit","https://example.org","en","20250101","20251231","2025-01"]]))
+        z.writestr("shapes.txt", txt(
+          ["shape_id","shape_pt_lat","shape_pt_lon","shape_pt_sequence","shape_dist_traveled"],
+          [["SH1","51.55","-0.30","1",""],
+           ["SH1","51.56","-0.29","2","1200"]]))
         # unrecognized member: the mapping must SKIP it, not fail
         z.writestr("readme.md", "not a gtfs table\n")
 
@@ -206,6 +213,10 @@ def make_cadent():
        "MAIN","IP","PE","125","mm","","","","A0003","0.6","A","2010-01-20"],
       ["not-a-point", "{malformed json",
        "MAIN","LP","CI","4","in","","","","A0004","","B",""],
+      # a Multi* shape: pipe networks export these routinely; the
+      # reference's shapely shape().wkt renders them, so must the load
+      ["53.5, -2.5", '{"type": "MultiLineString", "coordinates": [[[-2.5, 53.5], [-2.6, 53.6]], [[-2.7, 53.7], [-2.8, 53.8]]]}',
+       "MAIN","HP","ST","200","mm","","","","A0005","1.4","A","2015-06-30"],
     ]
     with open(os.path.join(OUT, "cadent_underground.csv"), "w", newline="") as f:
         w = csv.writer(f); w.writerow(CADENT_HEADER); w.writerows(rows)
