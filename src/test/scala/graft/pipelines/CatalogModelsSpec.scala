@@ -47,7 +47,8 @@ class CatalogModelsSpec extends SparkSpec {
     linkedIds = landed("os_open_linked_identifiers_uprn_usrn_latest"),
     codePoint = landed("code_point_latest"),
     p001 = landed("pcd_p001"),
-    p002 = landed("pcd_p002"))
+    p002 = landed("pcd_p002"),
+    wellbeingSwaCode = "5990") // the fixture authority
 
   test("uprn_usrn_count over the landed identifier tables") {
     // linked-ids fixture: identifier_2 cycles 8401426/27/28 over 6 rows
@@ -60,9 +61,10 @@ class CatalogModelsSpec extends SparkSpec {
     val list = models("in_progress_list_london")
     val byRef = list.collect()
       .map(r => r.getAs[String]("permit_reference_number") -> r).toMap
-    // permits -00..-04 in progress; -03 excluded by its WORK_STOP twin
+    // permits -00..-04 and the major work -07 in progress; -03 excluded
+    // by its WORK_STOP twin; -06 completed
     assert(byRef.keySet === Set("TSR1591199404915-00", "TSR1591199404915-01",
-      "TSR1591199404915-02", "TSR1591199404915-04"))
+      "TSR1591199404915-02", "TSR1591199404915-04", "TSR1591199404915-07"))
     // usrn 8401426 matched the landed open-usrn geometry + uprn count
     val p0 = byRef("TSR1591199404915-00")
     assert(p0.getAs[String]("geometry") ===
@@ -79,11 +81,13 @@ class CatalogModelsSpec extends SparkSpec {
   test("impact_scores_london over the landed chain: normalized 1-100 per usrn") {
     val scores = models("impact_scores_london").collect()
     // the model scores in-progress UNION ALL completed works
-    // (impact_scores_highway_authority_london.sql:88-107): the 4
-    // in-progress usrns plus 8401431 from the completed (WORK_STOP)
-    // version of permit -03 — latest event wins per permit
+    // (impact_scores_highway_authority_london.sql:88-107): the 5
+    // in-progress usrns (incl. major work -07), 8401431 from the
+    // completed (WORK_STOP) version of permit -03 — latest event wins
+    // per permit — and 8401432 from the completed emergency work -06
     assert(scores.map(_.getAs[String]("usrn")).sorted ===
-      Array("8401426", "8401427", "8401428", "8401430", "8401431"))
+      Array("8401426", "8401427", "8401428", "8401430", "8401431",
+        "8401432", "8401433"))
     scores.foreach { r =>
       val s = r.getAs[Double]("impact_index_score")
       assert(s >= 1.0 && s <= 100.0, s"score $s out of range")
@@ -92,17 +96,36 @@ class CatalogModelsSpec extends SparkSpec {
     }
   }
 
-  test("the full DAG runs over the landed schemas; wellbeing legs empty but well-formed") {
+  test("the full DAG runs over the landed schemas") {
     // every model materializes without error over the REAL column names
     models.foreach { case (name, df) =>
       val n = df.count()
       assert(n >= 0, name)
     }
-    // the fixture has no completed wellbeing-eligible works (no actual
-    // dates, swa 5990 not 4720): the wellbeing legs are EMPTY with the
-    // full output schema — the land->model contract holds
-    val wb = models("emergency_wellbeing")
-    assert(wb.isEmpty)
-    assert(wb.columns.contains("wellbeing_total_impact"))
+  }
+
+  test("wellbeing chain over the landed tables: radius join finds the code-point postcode, £2.10 rule computes") {
+    // permit -06: completed immediate_emergency, actual 01-05 -> 01-09
+    // (same month: duration = 9-5 = 4 days); its LINESTRING centroid is
+    // ~25 m from the landed NW1 1AA code-point row (501300, 222550), so
+    // the 500 m radius join attaches that postcode (households 50,
+    // population 150) -> 2.10 x 4 x 50 = 420.00
+    val em = models("emergency_wellbeing").collect()
+    assert(em.length === 1)
+    val e = em.head
+    assert(e.getAs[String]("permit_reference_number") === "TSR1591199404915-06")
+    assert(e.getAs[Long]("duration_days") === 4L)
+    assert(e.getAs[Long]("postcode_count") === 1L)
+    assert(e.getAs[Long]("total_households_affected") === 50L)
+    assert(e.getAs[Long]("total_population_affected") === 150L)
+    assert(e.getAs[Double]("wellbeing_total_impact") === 420.0)
+    // permit -07: in-progress major -> end = start + 7 days, duration 7
+    // -> 2.10 x 7 x 50 = 735.00
+    val mj = models("major_wellbeing").collect()
+    assert(mj.length === 1)
+    val m = mj.head
+    assert(m.getAs[String]("permit_reference_number") === "TSR1591199404915-07")
+    assert(m.getAs[Long]("duration_days") === 7L)
+    assert(m.getAs[Double]("wellbeing_total_impact") === 735.0)
   }
 }

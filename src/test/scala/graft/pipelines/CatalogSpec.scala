@@ -26,15 +26,15 @@ class CatalogSpec extends SparkSpec {
     val tables = Catalog.run(spark, "street_manager", fixture("street_manager.zip"), wh)
     assert(tables.keySet === Set("01_2025"))
     val df = SnapshotTable.read(spark, tables("01_2025"))
-    assert(df.count() === 6)
+    assert(df.count() === 8)
     // template order and names (object_data. prefix gone)
     assert(df.columns.take(4).toSeq ===
       Seq("version", "event_reference", "event_type", "event_time"))
     assert(df.columns.contains("work_reference_number") &&
       !df.columns.exists(_.startsWith("object_data")))
     // keys absent from the source null-fill (the street-manager policy)
-    assert(df.where(col("town").isNull).count() === 6)
-    assert(df.where(col("collaborative_working").isNull).count() === 6)
+    assert(df.where(col("town").isNull).count() === 8)
+    assert(df.where(col("collaborative_working").isNull).count() === 8)
     // real values survive the flatten
     val r = df.where(col("event_reference") === 529770).head()
     assert(r.getAs[String]("event_type") === "WORK_START")
@@ -72,13 +72,13 @@ class CatalogSpec extends SparkSpec {
     val wh = warehouse()
     val tables = Catalog.run(spark, "code_point", fixture("code_point.gpkg"), wh)
     val df = SnapshotTable.read(spark, tables("code_point_latest"))
-    assert(df.count() === 4)
+    assert(df.count() === 5)
     assert(df.columns.toSeq === Catalog.codePoint
       .templates("code_point_latest").map(_._1))
     val sw1a = df.where(col("postcode") === "SW1A 1AA").head()
     assert(sw1a.getAs[String]("geometry") === "POINT (529090.0 179645.0)")
     assert(sw1a.getAs[String]("admin_district_code") === "E09000033")
-    assert(df.where(col("geometry").startsWith("POINT (")).count() === 4)
+    assert(df.where(col("geometry").startsWith("POINT (")).count() === 5)
   }
 
   test("bods_timetables: GTFS zip -> one table per recognized member, others skipped") {
@@ -279,13 +279,13 @@ class CatalogSpec extends SparkSpec {
     val wh = warehouse()
     val t1 = Catalog.run(spark, "post_code_p001", fixture("post_code_p001.csv"), wh)
     val p1 = SnapshotTable.read(spark, t1("pcd_p001"))
-    assert(p1.count() === 6)
+    assert(p1.count() === 8)
     assert(p1.schema("Count").dataType === LongType)
     assert(p1.where(col("Postcode") === "HA9 6DE")
       .agg(sum("Count")).head().getLong(0) === 230L)
     val t2 = Catalog.run(spark, "post_code_p002", fixture("post_code_p002.csv"), wh)
     val p2 = SnapshotTable.read(spark, t2("pcd_p002"))
-    assert(p2.count() === 3)
+    assert(p2.count() === 4)
     assert(p2.schema("Count").dataType === LongType)
   }
 

@@ -68,6 +68,53 @@ def make_street_manager():
                 # policy null-fills missing keys
             },
         })
+    # two WELLBEING-eligible works (stg_{emergency,major}_works filters:
+    # eligible work_category_ref, actual dates present, authority swa):
+    # -06 completed immediate_emergency (4-day duration), -07 in-progress
+    # major (duration defaults to 7) — both on the same LINESTRING, whose
+    # centroid sits ~25 m from the NW1 1AA code-point row
+    def wellbeing_row(i, ref_suffix, cat, cat_ref, stopped, actual_end):
+        d = {
+            "event_reference": 529770 + i,
+            "event_type": "WORK_STOP" if stopped else "WORK_START",
+            "event_time": f"2025-01-{10+i:02d}T08:0{i}:00.000Z",
+            "object_type": "PERMIT",
+            "object_reference": f"TSR1591199404915-{ref_suffix}",
+            "version": 1 + i,
+            "object_data": {
+                "work_reference_number": "TSR1591199404915",
+                "work_category": cat,
+                "work_category_ref": cat_ref,
+                "work_status": "Works stopped" if stopped else "Works in progress",
+                "work_status_ref": "completed" if stopped else "in_progress",
+                "works_location_type": "Footway",
+                "activity_type": "Remedial works",
+                "permit_reference_number": f"TSR1591199404915-{ref_suffix}",
+                "permit_status": "granted",
+                "promoter_swa_code": "7049",
+                "promoter_organisation": "Promoter Org 0",
+                "highway_authority": "CITY OF WESTMINSTER",
+                "highway_authority_swa_code": "5990",
+                "works_location_coordinates": "LINESTRING(501251.53 222574.64,501305.92 222506.65)",
+                "street_name": "Fake Street %d" % i,
+                "usrn": str(8401426 + i),
+                "road_category": "3",
+                "area_name": "LONDON",
+                "traffic_management_type": "road_closure",
+                "traffic_management_type_ref": "road_closure",
+                "proposed_start_date": "2025-01-15T00:00:00.000Z",
+                "proposed_end_date": "2025-01-20T00:00:00.000Z",
+                "actual_start_date_time": "2025-01-05T08:00:00.000Z",
+                "is_traffic_sensitive": "No",
+                "is_deemed": "No",
+            },
+        }
+        if actual_end:
+            d["object_data"]["actual_end_date_time"] = actual_end
+        return d
+    rows.append(wellbeing_row(6, "06", "Immediate - emergency",
+        "immediate_emergency", True, "2025-01-09T08:00:00.000Z"))
+    rows.append(wellbeing_row(7, "07", "Major", "major", False, None))
     with zipfile.ZipFile(os.path.join(OUT, "street_manager.zip"), "w") as z:
         for i, r in enumerate(rows):
             z.writestr(f"permit_{i:04d}.json", json.dumps(r, sort_keys=True))
@@ -128,6 +175,9 @@ def make_code_point():
       ("AB10 1AF","10","E92000001","Y56","QRV","","E06000001","E05000002",394181.0, 806429.0),
       ("SW1A 1AA","10","E92000001","Y56","QRV","E10000002","E09000033","E05013806",529090.0, 179645.0),
       ("HA9 6DE","20","E92000001","Y56","QRV","","E09000005","E05013573",519250.0, 185750.0),
+      # ~25 m from the street_manager works centroid (501278.7, 222540.6):
+      # the wellbeing radius join must find it
+      ("NW1 1AA","10","E92000001","Y56","QRV","","E09000033","E05000999",501300.0, 222550.0),
     ]
     for i, (pc, pqi, cc, nrha, nha, acc, adc, awc, x, y) in enumerate(rows, 1):
         con.execute(
@@ -412,11 +462,15 @@ def make_postcode_estimates():
         for i, pc in enumerate(["HA9 6DE","SW1A 1AA","AB1 0AA"]):
             w.writerow([pc, 1, "Female", 120 + i * 10])
             w.writerow([pc, 2, "Male", 110 + i * 10])
+        # the wellbeing-join postcode near the street_manager works
+        w.writerow(["NW1 1AA", 1, "Female", 80])
+        w.writerow(["NW1 1AA", 2, "Male", 70])
     with open(os.path.join(OUT, "post_code_p002.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Postcode","Count"])
         for i, pc in enumerate(["HA9 6DE","SW1A 1AA","AB1 0AA"]):
             w.writerow([pc, 95 + i * 5])
+        w.writerow(["NW1 1AA", 50])
 
 # ------------------------------------------------------ bduk hub + zips
 BDUK_HEADER = ["uprn","struprn","bduk_recognised_premises","country","postcode",
