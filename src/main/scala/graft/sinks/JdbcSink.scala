@@ -114,9 +114,40 @@ object JdbcSink {
     // identifiers stay UNQUOTED: the database folds them the same way it
     // folded the unquoted CREATE, whereas always-quoting would pin a
     // case that unquoted-created columns (e.g. Derby's upper-folding)
-    // don't have.
+    // don't have. SQL RESERVED WORDS must quote too — a column named
+    // "order" stages fine through Spark's always-quoted INSERT and then
+    // breaks the driver-side MERGE after all the data movement (and a
+    // reserved-word column can only ever have been CREATEd quoted, so
+    // exact-case quoting matches its definition).
+    // the union of the Derby and Postgres RESERVED word lists (a word
+    // reserved in either engine cannot have been CREATEd unquoted there,
+    // so quoting it can only match); words merely non-reserved-keyword in
+    // both (e.g. "month") stay unquoted to match unquoted-created tables
+    val reserved = Set("order", "user", "group", "table", "select", "from",
+      "where", "having", "join", "on", "using", "primary", "key", "foreign",
+      "references", "unique", "not", "null", "default", "index", "create",
+      "insert", "update", "delete", "merge", "values", "set", "into", "as",
+      "and", "or", "between", "like", "in", "exists", "case", "when",
+      "then", "else", "end", "union", "all", "distinct", "limit", "offset",
+      "desc", "asc", "column", "constraint", "grant", "to", "with", "by",
+      "check", "current_date", "current_time", "current_timestamp",
+      "year", "hour", "minute", "second", "current", "cross", "inner",
+      "outer", "left", "right", "full", "is", "of", "for", "at", "any",
+      "some", "both", "close", "cursor", "true", "false", "fetch",
+      "except", "intersect", "add", "alter", "begin", "call", "cascade",
+      "connect", "continue", "declare", "describe", "disconnect", "drop",
+      "execute", "explain", "external", "function", "get", "immediate",
+      "indicator", "isolation", "language", "local", "match", "numeric",
+      "overlaps", "prepare", "procedure", "restrict", "revoke", "rollback",
+      "rows", "schema", "substring", "transaction", "translate", "trim",
+      "whenever", "window", "lateral", "localtime", "localtimestamp",
+      "returning", "symmetric", "asymmetric", "variadic", "leading",
+      "trailing", "placing", "do", "array", "analyse", "analyze",
+      "initially", "deferrable", "current_user", "current_role",
+      "session_user", "system_user", "cast", "collate", "only", "open")
     def q(ident: String): String =
-      if (ident.matches("[A-Za-z_][A-Za-z0-9_]*")) ident
+      if (ident.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+          !reserved.contains(ident.toLowerCase)) ident
       else "\"" + ident.replace("\"", "\"\"") + "\""
     val jprops = new java.util.Properties()
     props.foreach { case (k, v) => jprops.setProperty(k, v) }

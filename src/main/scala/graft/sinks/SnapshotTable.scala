@@ -77,7 +77,7 @@ object SnapshotTable {
     commitWith(df, root, maxClaimRetries) { (spark, f, rootP, version) =>
       if (!append) Vector.empty
       else {
-        awaitLowerClaims(f, rootP, version)
+        awaitLowerClaims(spark, root, f, rootP, version)
         versions(spark, root).filter(_ < version).lastOption
           .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
       }
@@ -109,23 +109,12 @@ object SnapshotTable {
       tries += 1
       require(tries <= maxClaimRetries,
         s"snapshot-table: lost the version claim $maxClaimRetries times at $root")
-      try {
-        // exclusive-create must be ATOMIC: HDFS create(overwrite=false)
-        // is (namenode-side), but Hadoop's LocalFileSystem implements it
-        // as exists() THEN create — a TOCTOU window two local writers can
-        // both win, silently replacing each other's manifests. On file://
-        // go through NIO createFile (open O_CREAT|O_EXCL, kernel-atomic).
-        val claim = new Path(rootP, s"_manifests/claim-$version")
-        if (f.getScheme == "file") {
-          java.nio.file.Files.createFile( // FileAlreadyExists -> IOException
-            java.nio.file.Paths.get(claim.toUri.getPath))
-        } else f.create(claim, false).close()
-        claimed = true
-      } catch {
-        case _: java.io.IOException => // slot taken: resync and go again
-          version = math.max(version + 1,
-            latestVersion(spark, root).getOrElse(0L) + 1)
-      }
+      val claim = new Path(rootP, s"_manifests/claim-$version")
+      if (createExclusive(f, claim, Array.emptyByteArray)) claimed = true
+      else // slot taken (genuine contention only — other IO errors THROW
+        // rather than burning 20 version slots hiding the real cause)
+        version = math.max(version + 1,
+          latestVersion(spark, root).getOrElse(0L) + 1)
     }
     // The claim is exclusive from here on. For append, the carried list
     // is only complete once every LOWER claim has landed its manifest: a
@@ -143,11 +132,51 @@ object SnapshotTable {
     val tmpM = new Path(rootP, s"_manifests/.tmp-$version")
     val outM = f.create(tmpM, true)
     try outM.write(body.getBytes(StandardCharsets.UTF_8)) finally outM.close()
-    FileContext.getFileContext(rootP.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmpM, new Path(rootP, s"_manifests/manifest-$version"),
-        Options.Rename.OVERWRITE) // we own the claim: overwrite is safe
+    // land WITHOUT overwrite: a concurrent appender that graced this
+    // claim out has VOIDED the slot by landing an empty manifest here
+    // (awaitLowerClaims) — overwriting it would let this commit return
+    // "success" while every higher version already excludes its files
+    // (silent data loss). Losing the race is a loud, retryable error.
+    val dest = new Path(rootP, s"_manifests/manifest-$version")
+    val voided = f.exists(dest) ||
+      (try {
+        FileContext.getFileContext(rootP.toUri,
+            spark.sessionState.newHadoopConf())
+          .rename(tmpM, dest, Options.Rename.NONE)
+        false
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+        case _: java.nio.file.FileAlreadyExistsException => true
+      })
+    if (voided) throw new IllegalStateException(
+      s"snapshot-table: version $version was voided by a concurrent " +
+        s"appender after the ${claimGraceMs / 1000}s claim grace window " +
+        s"at $root — this commit did not land; retry the write")
     version
   }
+
+  /** Atomic exclusive create. HDFS `create(overwrite=false)` is atomic
+    * (namenode-side), but Hadoop's LocalFileSystem implements it as
+    * exists() THEN create — a TOCTOU window two local writers can both
+    * win, silently replacing each other's files. On file:// go through
+    * NIO CREATE_NEW (open O_CREAT|O_EXCL, kernel-atomic). Returns false
+    * when the path already exists; any OTHER IO failure propagates. */
+  private def createExclusive(f: FileSystem, p: Path,
+                              body: Array[Byte]): Boolean =
+    try {
+      if (f.getScheme == "file")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath), body,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      else {
+        val o = f.create(p, false)
+        try { if (body.nonEmpty) o.write(body) } finally o.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
 
   /** How long an unlanded lower claim may block an appender before it is
     * treated as a crashed writer and skipped. Protocol contract: a writer
@@ -155,23 +184,44 @@ object SnapshotTable {
     * an in-memory JSON + rename — milliseconds in practice). */
   private[sinks] val claimGraceMs: Long = 60000L
 
-  /** Block until every claim-K with K < version has a manifest, or the
-    * claim marker is older than [[claimGraceMs]] (crashed writer — its
-    * burned slot can never land under the contract above). */
-  private def awaitLowerClaims(f: FileSystem, rootP: Path, version: Long): Unit = {
+  /** Block until every claim-K with K < version has a manifest. A claim
+    * past the grace window is presumed crashed — but "skip it" alone is a
+    * silent-loss race (the writer may be slow, not dead: it would land
+    * AFTER our higher manifest excluded its files and report success).
+    * Instead the slot is VOIDED by landing a carry-forward manifest
+    * exclusively: exactly one of {the writer's manifest, our void} wins
+    * the O_EXCL create, so either we carry its files or its own land
+    * fails loudly (commitWith's no-overwrite rename). Claims resolve in
+    * ASCENDING order, and a void carries the files of the highest landed
+    * manifest below it — everything below is already resolved, so the
+    * void behaves as an empty append and a reader at the void version
+    * (or an appender carrying from it) sees the chain intact. */
+  private def awaitLowerClaims(spark: SparkSession, root: String,
+                               f: FileSystem, rootP: Path,
+                               version: Long): Unit = {
     val dir = new Path(rootP, "_manifests")
-    def pending(): Seq[Path] =
+    def pending(): Seq[(Long, Path)] =
       f.listStatus(dir).map(_.getPath)
         .filter { p =>
           val n = p.getName
           n.startsWith("claim-") && n.stripPrefix("claim-").toLong < version &&
             !f.exists(new Path(dir, s"manifest-${n.stripPrefix("claim-")}"))
-        }.toSeq
+        }.map(p => p.getName.stripPrefix("claim-").toLong -> p)
+        .sortBy(_._1).toSeq
     var left = pending()
     while (left.nonEmpty) {
-      val now = System.currentTimeMillis()
-      left = left.filter(p => now - f.getFileStatus(p).getModificationTime < claimGraceMs)
-      if (left.nonEmpty) { Thread.sleep(100); left = pending() }
+      val (k, p) = left.head // lowest first: voids carry a final chain
+      if (System.currentTimeMillis() -
+          f.getFileStatus(p).getModificationTime >= claimGraceMs) {
+        val carriedK = versions(spark, root).filter(_ < k).lastOption
+          .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+        val voidBody = s"""{"version": $k, "files": [${
+          carriedK.map(jsonStr).mkString(", ")}], "void": true}"""
+        createExclusive(f, new Path(dir, s"manifest-$k"),
+          voidBody.getBytes(StandardCharsets.UTF_8))
+        // a lost create = the writer landed first; pending() drops it
+      } else Thread.sleep(100)
+      left = pending()
     }
   }
 

@@ -65,10 +65,20 @@ object XlsxSink {
     }
   }
 
+  /** Excel's hard per-sheet row cap (XLSX format limit, header included):
+    * writing past it produces a workbook Excel rejects as corrupt or
+    * silently truncates — fail fast instead. */
+  private[sinks] val MaxSheetRows = 1048576
+
   private def writeWorkbook(zos: ZipOutputStream, header: Seq[String],
                             rows: Iterator[Row]): Unit = {
     val wb = new WorkbookStream(zos, header)
+    var n = 1L // header
     rows.foreach { r =>
+      n += 1
+      if (n > MaxSheetRows) throw new IllegalStateException(
+        s"xlsx: partition exceeds Excel's $MaxSheetRows-row sheet cap — " +
+          "repartition the DataFrame so every partition fits one sheet")
       wb.writeRow((0 until r.length).map(i =>
         Option(r.get(i)).map(_.toString)))
     }

@@ -70,7 +70,18 @@ object EventStream {
           cur = Some(SessState(sec, sec, 1, value))
       }
     }
-    late.foreach(emit)
+    // the current session's START may have been extended DOWN during this
+    // batch (an in-gap earlier event), closing the gap to the late track:
+    // re-check adjacency before emitting, or a batch like (850, 950) over
+    // state [1000,1200] with gap 100 would emit a spurious [850,850] where
+    // the batch twin sessionizes one [850,1200]
+    (late, cur) match {
+      case (Some(l), Some(s)) if l.last + gapSec >= s.start =>
+        cur = Some(SessState(math.min(l.start, s.start),
+          math.max(l.last, s.last), l.n + s.n, l.total + s.total))
+      case (Some(l), _) => emit(l)
+      case _ => ()
+    }
     cur
   }
 
@@ -188,6 +199,13 @@ object EventStream {
                   // would drag the interval end backwards (to < from)
                   cur = Some(s.copy(from = math.min(s.from, sec),
                     last = math.max(s.last, sec), n = s.n + 1))
+                case Some(s) if sec < s.from =>
+                  // a late DIFFERENT-type event entirely before the live
+                  // run: emit it as its own closed point interval and
+                  // leave the run alone — closing and rewinding the run
+                  // would emit OVERLAPPING intervals and split the live
+                  // run (batch twin: the point sits before the run)
+                  closed ::= Interval(user, e.event_type, sec, sec, 1)
                 case Some(s) =>
                   closed ::= Interval(user, s.state, s.from, s.last, s.n)
                   cur = Some(IntervalState(e.event_type, sec, sec, 1))
@@ -741,13 +759,25 @@ object EventStream {
               .select("doc").distinct()
           case None => banded.select("doc").where(lit(false))
         }
+        // newSigs' lineage re-reads the store + re-runs the survivor
+        // joins: persist it, or the bloom merge and the store write each
+        // pay a full store scan per trigger
         val newSigs = filterAndEmit(batch, idCol, banded, hitDocs, emit)
-        newSigs.write.mode("append").parquet(storePath)
-        // stat.bloomFilter over ZERO rows yields a null sketch (NPE on
-        // read) — a batch can legitimately contribute no signatures
-        // (all dups, or all token-less docs), so skip the merge then
-        if (!newSigs.isEmpty)
-          bloom.mergeInPlace(newSigs.stat.bloomFilter("sig", expectedSigs, fpp))
+          .persist()
+        try {
+          // bloom merge BEFORE the store write: extra bloom entries are
+          // only false positives (a store lookup), but the reverse order
+          // can lose entries — a failure between write and merge followed
+          // by an in-JVM replay finds its own sigs already stored, skips
+          // the merge, and a later near-dup passes the bloom gate and is
+          // EMITTED. stat.bloomFilter over ZERO rows yields a null sketch
+          // (NPE on merge) — a batch can legitimately contribute no
+          // signatures (all dups, or all token-less docs), so skip then
+          if (!newSigs.isEmpty)
+            bloom.mergeInPlace(
+              newSigs.stat.bloomFilter("sig", expectedSigs, fpp))
+          newSigs.write.mode("append").parquet(storePath)
+        } finally newSigs.unpersist()
       } finally {
         banded.unpersist()
         // a fresh broadcast per micro-batch: destroy it or thousands of
@@ -845,11 +875,13 @@ object EventStream {
       import spark.implicits._
       val cents = centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
         .toDF("centroid_id", "c")
+      // encode over the ASSIGNED rows, carrying centroid_id through
+      // keepCols: one scan of the micro-batch and no recombination join
+      // (assign already returns (vid, centroid_id, v))
       val assigned = graft.operators.IvfIndex
         .assign(batch, idCol, vecCol, cents)
-        .select(col("vid"), col("centroid_id"))
-      graft.operators.PqIndex.encode(batch, idCol, vecCol, books)
-        .join(assigned, "vid")
+      graft.operators.PqIndex
+        .encode(assigned, "vid", "v", books, keepCols = Seq("centroid_id"))
         .withColumn("batch_id", lit(batchId))
         .write
         .option("partitionOverwriteMode", "dynamic")
@@ -886,14 +918,20 @@ object EventStream {
                   orderCol: Column): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
       import org.apache.spark.sql.catalyst.expressions.RowOrdering
-      val lowerKeys = keys.map(_.toLowerCase).toSet
-      val tieBreak = batch.schema.fields.toSeq
-        .filter(f => RowOrdering.isOrderable(f.dataType) &&
-          !lowerKeys.contains(f.name.toLowerCase))
-        .map(f => col(s"`${f.name}`").desc) // backticks: dotted names
-      val latest = graft.operators.Relational.distinctOn(
-        batch, keys, orderCol.desc +: tieBreak)
-      graft.sinks.SnapshotTable.merge(latest, root, keys)
+      // idle triggers deliver empty batches: skip them, or each one runs
+      // a full merge commit (claim + schema-only data file + manifest
+      // rewrite carrying every previous file) and an idle night burns
+      // thousands of table versions
+      if (!batch.isEmpty) {
+        val lowerKeys = keys.map(_.toLowerCase).toSet
+        val tieBreak = batch.schema.fields.toSeq
+          .filter(f => RowOrdering.isOrderable(f.dataType) &&
+            !lowerKeys.contains(f.name.toLowerCase))
+          .map(f => col(s"`${f.name}`").desc) // backticks: dotted names
+        val latest = graft.operators.Relational.distinctOn(
+          batch, keys, orderCol.desc +: tieBreak)
+        graft.sinks.SnapshotTable.merge(latest, root, keys)
+      }
       ()
   }
 

@@ -145,6 +145,21 @@ class JdbcSinkSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("upsert quotes SQL-reserved-word columns in the MERGE") {
+    // "order" / "year" are reserved in Derby (and most engines): Spark's
+    // always-quoted CREATE/INSERT stages them fine, so an unquoted MERGE
+    // would fail only AFTER all the data movement. Reserved-word columns
+    // can only exist QUOTED, so create the target quoted.
+    exec("""CREATE TABLE t_reserved (k INT, "order" INT, "year" INT)""")
+    JdbcSink.append(Seq((1, 10, 2024), (2, 20, 2024))
+      .toDF("k", "order", "year"), url, "t_reserved")
+    JdbcSink.upsert(Seq((2, 25, 2025), (3, 30, 2025))
+      .toDF("k", "order", "year"), url, "t_reserved", Seq("k"))
+    val back = JdbcSink.read(spark, url, "t_reserved")
+      .as[(Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1, 10, 2024), (2, 25, 2025), (3, 30, 2025)))
+  }
+
   test("upsert with a composite key and all-key schema (insert-only merge)") {
     exec("CREATE TABLE t_ck (a INT, b VARCHAR(4))")
     JdbcSink.append(Seq((1, "x")).toDF("a", "b"), url, "t_ck")

@@ -251,6 +251,46 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("a graced-out claim is VOIDED: the slot reads as the chain below it and a late land fails loudly") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val burned = new org.apache.hadoop.fs.Path(root, "_manifests/claim-2")
+    f.create(burned, false).close()
+    f.setTimes(burned,
+      System.currentTimeMillis() - SnapshotTable.claimGraceMs - 1000L, -1L)
+    SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root, append = true)
+    // the void landed a carry-forward manifest: version 2 exists, is
+    // marked void, and reads as version 1's data — a void that ended up
+    // latest (its ager-out crashing too) would then NOT empty the table
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L, 3L))
+    val m2 = new org.apache.hadoop.fs.Path(root, "_manifests/manifest-2")
+    val in = f.open(m2)
+    val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(body.contains("\"void\": true"))
+    assert(SnapshotTable.read(spark, root, Some(2L))
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // the slow writer's land is a no-overwrite rename: with the void
+    // already holding manifest-2, its rename must FAIL (the pre-fix
+    // OVERWRITE would silently replace the void and report success
+    // while version 3+ excludes its files forever)
+    val tmpM = new org.apache.hadoop.fs.Path(root, "_manifests/.tmp-2")
+    val o = f.create(tmpM, true)
+    try o.write("""{"version": 2, "files": []}""".getBytes("UTF-8"))
+    finally o.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sessionState.newHadoopConf())
+    intercept[Exception] {
+      fc.rename(tmpM, m2, org.apache.hadoop.fs.Options.Rename.NONE)
+    }
+    // and the void was not replaced
+    val in2 = f.open(m2)
+    val body2 = try scala.io.Source.fromInputStream(in2).mkString finally in2.close()
+    assert(body2.contains("\"void\": true"))
+  }
+
   test("vacuum keeps the newest manifests and reclaims unreferenced data dirs") {
     val root = tmp()
     (1 to 4).foreach(i => SnapshotTable.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))

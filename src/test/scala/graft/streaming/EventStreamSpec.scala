@@ -607,6 +607,60 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: a late batch that bridges down to its own late track merges into ONE session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeStream(mem.toDS(), gapSec = 100,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()).writeStream
+      .format("memory").queryName("sess_bridge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // state becomes [1000, 1080]
+      mem.addData(ev(1, 1000, 1, 1.0), ev(2, 1080, 1, 1.0))
+      q.processAllAvailable()
+      // 850 is > gap before 1000 (late track); 950 extends the current
+      // session's START down to 950, which is adjacent to 850+100 — the
+      // batch twin sessionizes ONE [850,1080]; a spurious [850,850]
+      // close here was the pre-fix divergence
+      mem.addData(ev(3, 850, 1, 1.0), ev(4, 950, 1, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_bridge").count() === 0) // nothing closed
+      // a far gap closes the single merged session
+      mem.addData(ev(5, 9000, 1, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_bridge").as[EventStream.Session].collect()
+      assert(closed.toSeq === Seq(EventStream.Session(1L, 850L, 1080L, 4L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stateIntervalsStream: a late different-type point emits its own interval without rewinding the live run") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.stateIntervalsStream(mem.toDS(), flushSec = 100000,
+        watermarkDelay = "2 hours").writeStream
+      .format("memory").queryName("intervals_late")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    try {
+      mem.addData(evt(1, base + 1000, 1, "A"), evt(2, base + 2000, 1, "A"))
+      q.processAllAvailable()
+      // late B entirely BEFORE the live A-run (inside the watermark):
+      // the pre-fix behavior closed A[1000,2000] and restarted at
+      // B[500,500], so the next A event produced OVERLAPPING intervals
+      // A[1000,2000], A[2100,2100]
+      mem.addData(evt(3, base + 500, 1, "B"))
+      q.processAllAvailable()
+      mem.addData(evt(4, base + 2100, 1, "A"))
+      q.processAllAvailable()
+      val closed = spark.table("intervals_late")
+        .as[EventStream.Interval].collect().toSet
+      assert(closed === Set(
+        EventStream.Interval(1L, "B", base + 500, base + 500, 1L)))
+      // the live A-run stayed intact: no A interval closed, no overlap
+      assert(!closed.exists(_.event_type == "A"))
+    } finally q.stop()
+  }
+
   test("funnelStream: transitions across batches == batch funnel depths") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
