@@ -1035,7 +1035,8 @@ object OracleSql {
          |  CAST(len(list_filter(toks, x -> x IN ('spark','batch','row','data','filter','group','window'))) AS BIGINT) AS score_sp
          | FROM t)
          |SELECT doc_id, score_en, score_db, score_sp,
-         | CASE WHEN score_db = greatest(score_db, score_en, score_sp) THEN 'db'
+         | CASE WHEN greatest(score_db, score_en, score_sp) = 0 THEN 'und'
+         |      WHEN score_db = greatest(score_db, score_en, score_sp) THEN 'db'
          |      WHEN score_en = greatest(score_db, score_en, score_sp) THEN 'en'
          |      WHEN score_sp = greatest(score_db, score_en, score_sp) THEN 'sp'
          |      ELSE 'und' END AS lang_pred

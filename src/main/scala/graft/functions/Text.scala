@@ -153,11 +153,15 @@ object Text {
   def langScores(toks: Column): Seq[(String, Column)] =
     LangProfiles.map { case (lang, vocab) => lang -> vocabHits(toks, vocab) }
 
-  /** Predicted language = lexicographically-first lang with maximal score. */
+  /** Predicted language = lexicographically-first lang with maximal score;
+    * ZERO signal (no profile word hit at all, or NULL tokens) is
+    * undetermined — without the zero guard the first profile in sort
+    * order would confidently claim every empty/foreign document. */
   def langId(toks: Column): Column = {
     val scores = langScores(toks)
     val best = greatest(scores.map(_._2): _*)
-    scores.sortBy(_._1).foldLeft(when(lit(false), lit("?"))) {
+    scores.sortBy(_._1).foldLeft(
+        when(best.isNull || best === 0, lit("und"))) {
       case (acc, (lang, s)) => acc.when(s === best, lit(lang))
     }.otherwise(lit("und"))
   }

@@ -454,16 +454,20 @@ object Dedup {
   def cutSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int, minDocs: Int = 2, keepCanonical: Boolean = false,
                scope: PersistScope = PersistScope()): DataFrame = {
+    // tokenize the corpus ONCE: both the token relation and the n-gram
+    // relation derive from the same cached (doc_id, tokens) base — the
+    // tokenizer chain is the heaviest map stage in the operator and
+    // would otherwise run twice over the full corpus
+    val base = scope.cache(
+      df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t")))
     val toks = scope.cache(
-      df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
-        .select(col("doc_id"),
-          posexplode(col("__t")).as(Seq("pos", "tok"))))
+      base.select(col("doc_id"),
+        posexplode(col("__t")).as(Seq("pos", "tok"))))
     // the heaviest chain in the operator (tokenize -> n-grams -> md5),
     // consumed by the dupCols aggregate AND the hits join: cache like
     // dupSpans does for the identical relation
     val pos = scope.cache(
-      df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
-        .select(col("doc_id"),
+      base.select(col("doc_id"),
           posexplode(graft.plans.NGrams.ngrams(col("__t"), n)).as(Seq("pos", "__g")))
         .select(col("doc_id"), col("pos"), Text.md5Long(col("__g")).as("g")))
     // keepCanonical = the Lee-et-al. keep-one policy: each duplicated

@@ -136,6 +136,13 @@ object DupClusters {
     // r8 shape derived the node set from `pairs` in a separate pass,
     // which re-ran the entire upstream candidate pipeline (minhash +
     // banding + hub join) — the q_dedup_keep bench regression.
+    // the driver union-find below is Long-typed (min-root labels need an
+    // ordering); non-integral ids (string/UUID doc keys) take the
+    // distributed path at ANY size — otherwise the operator would crash
+    // only when the edge set happens to be small (a data-dependent cliff)
+    val longIds = Seq("doc_a", "doc_b").forall(c =>
+      pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (!longIds) return clustersStar(pairs, maxIters, durable)
     val p2 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .persist()
     val n = p2.where(col("src") =!= col("dst")).count()

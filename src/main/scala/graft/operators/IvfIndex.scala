@@ -104,15 +104,10 @@ object IvfIndex {
     * d2 = cc - 2*cq + qq. */
   private def probeCells(centroids: DataFrame, q: Array[Double],
                          nProbes: Int): Seq[Int] = {
-    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val qq = dotSeq(q, q)
+    val qq = Similarity.dotSeq(q, q)
     centroids.select(col("centroid_id"), col("c")).collect().map { r =>
       val c = r.getSeq[Double](1)
-      val d2 = dotSeq(c, c) - 2.0 * dotSeq(c, q) + qq
+      val d2 = Similarity.dotSeq(c, c) - 2.0 * Similarity.dotSeq(c, q) + qq
       (r.getInt(0), d2)
     }.sortBy { case (id, d) => (d, id) }.take(nProbes).map(_._1).toSeq
   }

@@ -21,12 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
   /** The trained pieces a query needs without touching the corpus:
     * the coarse-cell relation, its driver-side copy (for probe ranking
     * and per-cell query residuals), and the residual PQ books. */
@@ -98,9 +92,9 @@ object IvfPq {
     val q = queryVec.map(_.toDouble)
 
     // probes: nearest cells to the query (same fold order as IvfIndex)
-    val qq = dotSeq(q.toSeq, q.toSeq)
+    val qq = Similarity.dotSeq(q.toSeq, q.toSeq)
     val probes = model.centArr.toSeq.map { case (cid, c) =>
-      (cid, dotSeq(c.toSeq, c.toSeq) - 2.0 * dotSeq(c.toSeq, q.toSeq) + qq)
+      (cid, Similarity.dotSeq(c.toSeq, c.toSeq) - 2.0 * Similarity.dotSeq(c.toSeq, q.toSeq) + qq)
     }.sortBy { case (cid, d) => (d, cid) }.take(nProbes).map(_._1)
 
     // per-cell ADC tables from the QUERY's residual in that cell
@@ -108,9 +102,9 @@ object IvfPq {
       val rq = q.zip(model.centArr(cell)).map { case (a, b) => a - b }
       cell -> Array.tabulate(m) { s =>
         val qs = rq.slice(s * sub, (s + 1) * sub).toSeq
-        val sqq = dotSeq(qs, qs)
+        val sqq = Similarity.dotSeq(qs, qs)
         model.books(s).map(c =>
-          sqq - 2.0 * dotSeq(qs, c.toSeq) + dotSeq(c.toSeq, c.toSeq))
+          sqq - 2.0 * Similarity.dotSeq(qs, c.toSeq) + Similarity.dotSeq(c.toSeq, c.toSeq))
       }
     }.toMap
 

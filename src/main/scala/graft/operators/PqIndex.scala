@@ -25,12 +25,6 @@ object PqIndex {
 
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
   /** Deterministic per-subspace codebooks: `books(s)(cid)` = subspace-`s`
     * slice of the vector with the `cid`-th smallest id. One bounded
     * driver collect of k rows (like IVF's centroid table). */
@@ -137,7 +131,7 @@ object PqIndex {
     val coded = withVv.select(
       (Seq(col("vid"), col("v")) ++ keepCols.map(col)) ++ (0 until m).map { s =>
         val terms = books(s).zipWithIndex.map { case (c, cid) =>
-          val cc = dotSeq(c.toSeq, c.toSeq)
+          val cc = Similarity.dotSeq(c.toSeq, c.toSeq)
           val d2 = col(s"__vv_$s") -
             lit(2.0) * Similarity.dot(col(s"__sub_$s"), array(c.map(lit): _*)) +
             lit(cc)
@@ -197,8 +191,8 @@ object PqIndex {
     val q = queryVec.map(_.toDouble)
     val adc: Array[Array[Double]] = Array.tabulate(m) { s =>
       val qs = q.slice(s * sub, (s + 1) * sub).toSeq
-      val qq = dotSeq(qs, qs)
-      books(s).map(c => qq - 2.0 * dotSeq(qs, c.toSeq) + dotSeq(c.toSeq, c.toSeq))
+      val qq = Similarity.dotSeq(qs, qs)
+      books(s).map(c => qq - 2.0 * Similarity.dotSeq(qs, c.toSeq) + Similarity.dotSeq(c.toSeq, c.toSeq))
     }
     val approx = (0 until m).map(s =>
         element_at(array(adc(s).map(lit): _*), col(s"code_$s") + 1))
@@ -218,7 +212,7 @@ object PqIndex {
   def verifyExact(df: DataFrame, idCol: String, vecCol: String,
                   adcTopK: DataFrame, queryVec: Array[Float]): DataFrame = {
     val q = queryVec.map(_.toDouble)
-    val qq = dotSeq(q.toSeq, q.toSeq)
+    val qq = Similarity.dotSeq(q.toSeq, q.toSeq)
     val qCol = array(q.map(lit): _*)
     val vecs = df.select(col(idCol), vecD(col(vecCol)).as("__v"))
     adcTopK.join(vecs, idCol)

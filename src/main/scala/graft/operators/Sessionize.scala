@@ -48,9 +48,14 @@ object Sessionize {
     * that inequality join, checked cell-exact). */
   def concurrency(sessions: DataFrame, userCol: String, sidCol: String,
                   startCol: String, endCol: String): DataFrame = {
+    // NULL bounds are excluded like sessionize() does: NULLs sort FIRST
+    // in the ascending sweep order, so an open session's NULL end would
+    // land its -1 before every probe and understate every count — while
+    // the oracle's inequality join simply never matches the null row
     val sess = sessions.select(
-      col(userCol).as("u"), col(sidCol).as("sid"),
-      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+        col(userCol).as("u"), col(sidCol).as("sid"),
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+      .where(col("s").isNotNull && col("e").isNotNull)
     val nul = lit(null).cast("long")
     val sweep = sess
       .select(col("s").as("t"), lit(0).as("tag"), lit(1L).as("w"),

@@ -17,6 +17,19 @@ object Similarity {
     * semantics so oracle doubles are bit-identical. */
   def dot(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
 
+  /** Driver-side sequential left-fold dot product — the SAME accumulation
+    * order as the native [[graft.plans.DotProduct]] and DuckDB's
+    * list_inner_product, so driver-computed literals (probe rankings, ADC
+    * tables, codebook self-dots) are bit-identical to the distributed
+    * doubles. ONE shared copy: a drifted re-implementation (fused
+    * multiply-add, reversed fold) in any ANN path would silently break
+    * the cross-engine exactness contract. */
+  private[operators] def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Portable higher-order-function formulation of the same fold —
     * interpreted (slower); kept as the cross-check reference for the
     * native expression. */

@@ -115,10 +115,24 @@ object TfIdf {
     // df falls out of tf (already one row per (doc, term)): no second
     // scan of the hits, no count_distinct expand
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // the idf_ppm * (tf*22) product rides DECIMAL like scoreTfIdf: at
+    // the design scale (N ~ 1e10 docs, df = 1) idf_ppm is ~5e15 and a
+    // BIGINT product wraps at tf >= 84, inverting the ranking (non-ANSI)
+    // or killing the job (ANSI). The exact integer floor of a decimal
+    // quotient is (a - a % b) / b — Spark's DIV is Long-typed even on
+    // decimals (see scoreTfIdf). Per-term ts <= idf_ppm * 2.2, so the
+    // final BIGINT cast is safe where the intermediate was not.
+    def floorDiv(a: String, b: String): String =
+      s"CAST(($a - $a % $b) / $b AS DECIMAL(38,0))"
+    val idf = floorDiv(
+      s"(CAST(${n}L - df + 1 AS DECIMAL(38,0)) * 1000000)",
+      "CAST(df + 1 AS DECIMAL(19,0))")
+    val denom = s"CAST(tf * 10 + (12 * (2 + (8 * dl * 10) DIV ${avgdlX10}L))" +
+      s" DIV 10 AS DECIMAL(19,0))"
     tf.join(broadcast(dfreq), "tok")
       .withColumn("ts", expr(
-        s"((${n}L - df + 1) * 1000000L DIV (df + 1)) * (tf * 22) DIV " +
-          s"(tf * 10 + (12 * (2 + (8 * dl * 10) DIV ${avgdlX10}L)) DIV 10)"))
+        s"CAST(${floorDiv(s"($idf * CAST(tf * 22 AS DECIMAL(19,0)))",
+          denom)} AS BIGINT)"))
       .groupBy("doc_id").agg(sum("ts").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(topK)
@@ -196,12 +210,22 @@ object TfIdf {
     * touching the document text again. */
   def topTermsFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                         k: Int, scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    val nDocs = spark.read.parquet(s"$storeDir/meta")
-      .agg(sum("n_docs")).head.getLong(0)
+    // meta lands LAST per batch and is the committed-batch ledger — the
+    // read side must ENFORCE it: a crash after tf/df_delta landed but
+    // before meta leaves orphan partitions whose rows would deflate
+    // every idf (df summed over a batch whose docs n_docs excludes)
+    // until the stream replays. Batch-id partition pruning makes the
+    // semi-join a directory filter, not a data join.
+    val meta = spark.read.parquet(s"$storeDir/meta")
+    val committed = meta.select("batch_id").distinct()
+    val nDocs = meta.agg(sum("n_docs")).head.getLong(0)
     val dfAll = spark.read.parquet(s"$storeDir/df_delta")
+      .join(committed, Seq("batch_id"), "left_semi")
       .groupBy("term").agg(sum("df").as("df"))
     val scored = scoreTfIdf(
-      spark.read.parquet(s"$storeDir/tf").drop("batch_id").join(dfAll, "term"),
+      spark.read.parquet(s"$storeDir/tf")
+        .join(committed, Seq("batch_id"), "left_semi")
+        .drop("batch_id").join(dfAll, "term"),
       scale, nDocs)
     Relational.topKPerGroup(scored, Seq("doc_id"),
         Seq(col("score").desc, col("term")), k)

@@ -36,6 +36,10 @@ class TextSpec extends SparkSpec {
     assert(lid("spark row data") === "sp")
     // 'the'(en) vs 'scan'(db): 1-1 tie -> 'db' first lexicographically
     assert(lid("the scan") === "db")
+    // ZERO signal is undetermined, not the lexicographically first
+    // profile: no vocab word hits at all
+    assert(lid("bonjour le monde") === "und")
+    assert(lid("") === "und")
   }
 
   test("regexTokens splits words and numbers") {

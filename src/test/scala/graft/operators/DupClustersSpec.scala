@@ -86,6 +86,17 @@ class DupClustersSpec extends SparkSpec {
     assert(dist === brute)
   }
 
+  test("clustersAdaptive: string doc ids take the distributed path at any size") {
+    // the driver union-find is Long-typed; a small STRING-id edge set
+    // must not crash on the fast path (a data-size-dependent cliff)
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("z", "z"))
+      .toDF("doc_a", "doc_b")
+    val out = DupClusters.clustersAdaptive(edges)
+      .as[(String, String)].collect().toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
   test("clustersStar refuses to emit when maxIters exhausts before a star fixpoint") {
     // a 60-node chain cannot flatten to a star forest in one composed
     // round; the guard must throw rather than emit wrong labels

@@ -57,6 +57,20 @@ class SessionizeSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("concurrency excludes NULL-bounded sessions, matching the inequality-join oracle") {
+    // an OPEN session (null end) must neither probe nor decrement: NULLs
+    // sort first in the sweep order, so an unguarded -1 would land
+    // before every probe and understate every count by one
+    val sess = Seq(
+      (1L, 0L, Some(0L), Some(10L)), (2L, 0L, Some(5L), Some(20L)),
+      (9L, 0L, Some(3L), None), (8L, 0L, None, Some(50L))
+    ).toDF("user_id", "session_id", "start_sec", "end_sec")
+    val out = Sessionize.concurrency(sess, "user_id", "session_id",
+        "start_sec", "end_sec")
+      .select("user_id", "n_concurrent").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("stateIntervals collapses consecutive runs only; same state later is a new interval") {
     val df = Seq(
       // user 1: A A B A  -> three intervals (A twice, split by B)

@@ -60,6 +60,15 @@ class TfIdfSpec extends SparkSpec {
     rmTree(java.nio.file.Paths.get(store, "meta", "batch_id=2"))
     ingest(b2, 2L)
     assert(canon(TfIdf.topTermsFromStore(spark, store, 2)) === full)
+    // an ORPHAN batch (tf/df_delta landed, crash before the meta
+    // marker) is invisible to the read side: without the committed
+    // semi-join its df rows would deflate every idf while n_docs
+    // excludes its documents
+    ingest(Seq((9L, "the the orphan")).toDF("doc_id", "text"), 9L)
+    rmTree(java.nio.file.Paths.get(store, "meta", "batch_id=9"))
+    assert(canon(TfIdf.topTermsFromStore(spark, store, 2)) === full)
+    rmTree(java.nio.file.Paths.get(store, "tf", "batch_id=9"))
+    rmTree(java.nio.file.Paths.get(store, "df_delta", "batch_id=9"))
     // a genuinely new batch shifts df and n_docs for everyone
     ingest(Seq((5L, "data data data")).toDF("doc_id", "text"), 3L)
     val grown = canon(TfIdf.topTermsFromStore(spark, store, 2))
