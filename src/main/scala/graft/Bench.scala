@@ -62,11 +62,19 @@ object Bench {
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.mkString(", ")}")
     // run the whole suite `runs` times (round-robin, not back-to-back per
-    // query) so per-query numbers aren't flattered by a just-warmed cache
+    // query) so per-query numbers aren't flattered by a just-warmed cache.
+    // clearCache runs per QUERY, not per pass: operators persist through
+    // never-closed default PersistScopes and CacheManager matches by
+    // canonicalized plan, so a later (alphabetical) query sharing a
+    // deterministic sub-plan with an earlier one would otherwise get the
+    // cache built on the earlier query's clock — its min would exclude a
+    // cost it pays alone (Verify clears per query for the same reason)
     val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
-      val pass = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
-      spark.catalog.clearCache() // release operator-persisted intermediates
-      pass
+      names.map { n =>
+        val t = timeOnce(n, SparkEntry.queries(n))
+        spark.catalog.clearCache() // release operator-persisted intermediates
+        n -> t
+      }.toMap
     }
     val best = names.map { n =>
       val ts = samples.map(_(n)).filter(_ >= 0)
@@ -94,6 +102,10 @@ object Bench {
     // console, and the driver reads the LAST stdout line as the result
     // (build.sbt routes forked stdout through unprefixed + no [success])
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${best.size},"detail":${js(outFile)},"sf":${js(sfDir)}}""")
+    // n_failed rides the parseable line: a crashing query's -1 shrinks
+    // the total, which a line-oriented driver parse would otherwise read
+    // as a speedup
+    val nFailed = best.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${best.size},"n_failed":$nFailed,"detail":${js(outFile)},"sf":${js(sfDir)}}""")
   }
 }

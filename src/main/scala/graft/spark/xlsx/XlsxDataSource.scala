@@ -80,6 +80,18 @@ class XlsxScanBuilder(full: StructType, paths: Seq[String],
   private var required: StructType = full
   private var countPushed = false
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // the PHYSICAL header layout: cell indices must come from the sheet's
+  // actual header row, never from the user schema's field POSITIONS — a
+  // user schema that reorders or subsets columns (supportsExternalMetadata
+  // allows it) would otherwise silently read the wrong cells
+  private lazy val phys: StructType = XlsxParse.headerSchema(
+    paths.head, headerRow, sheet, XlsxParse.sessionHadoopConf())
+  private def cellIndexOf(name: String): Int = {
+    require(phys.fieldNames.contains(name),
+      s"graft-xlsx: column '$name' is not in the sheet header " +
+        s"[${phys.fieldNames.mkString(", ")}]")
+    phys.fieldIndex(name)
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -127,14 +139,18 @@ class XlsxScanBuilder(full: StructType, paths: Seq[String],
 
   override def build(): Scan =
     if (countPushed) XlsxCountScan(paths, headerRow, sheet)
-    else XlsxScan(full, required, paths, headerRow, sheet,
-      // ship as (cell index, required value or null-for-IsNotNull) pairs
-      pushed.collect {
-        case org.apache.spark.sql.sources.EqualTo(a, v: String) =>
-          (full.fieldIndex(unquote(a)), v)
-        case org.apache.spark.sql.sources.IsNotNull(a) =>
-          (full.fieldIndex(unquote(a)), null)
-      })
+    else {
+      // every required column must resolve against the PHYSICAL header
+      required.fields.foreach(f => cellIndexOf(f.name))
+      XlsxScan(phys, required, paths, headerRow, sheet,
+        // ship as (cell index, required value or null-for-IsNotNull) pairs
+        pushed.collect {
+          case org.apache.spark.sql.sources.EqualTo(a, v: String) =>
+            (cellIndexOf(unquote(a)), v)
+          case org.apache.spark.sql.sources.IsNotNull(a) =>
+            (cellIndexOf(unquote(a)), null)
+        })
+    }
 }
 
 /** The COUNT(*)-pushdown scan: one long per file (a partial count Spark
@@ -166,7 +182,7 @@ case class XlsxCountReaderFactory(headerRow: Int, sheet: Int,
         if (emitted) false
         else {
           row = InternalRow(XlsxParse.countRows(
-            XlsxParse.readFile(path, conf.value), sheet, headerRow))
+            new XlsxParse.ZipSource(path, conf.value), sheet, headerRow))
           emitted = true
           true
         }
@@ -195,25 +211,42 @@ case class XlsxScan(full: StructType, required: StructType,
     * eligible for size-based planning (broadcast decisions) instead of
     * the unknown-size default. Runs on the driver -> session Hadoop conf
     * (spark.hadoop.* object-store settings apply, same as builtin sources). */
+  // memoized: Spark can ask for statistics more than once, and one
+  // getFileStatus RPC per file serializes (minutes of driver planning on
+  // a 2k-workbook object-store folder) — batch the lookups per parent dir
+  private lazy val totalBytes: Long = {
+    val conf = XlsxParse.sessionHadoopConf()
+    paths.map(p => new org.apache.hadoop.fs.Path(p))
+      .groupBy(_.getParent).iterator.flatMap { case (parent, ps) =>
+        val fs = parent.getFileSystem(conf)
+        // qualify both sides: the user's paths may lack scheme/authority
+        // while listStatus returns fully-qualified ones
+        val wanted = ps.map(fs.makeQualified).toSet
+        fs.listStatus(parent)
+          .filter(s => wanted.contains(s.getPath)).map(_.getLen)
+      }.sum
+  }
   override def estimateStatistics(): Statistics = new Statistics {
-    private val conf = XlsxParse.sessionHadoopConf()
-    private val bytes = paths.map { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).getFileStatus(hp).getLen
-    }.sum
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes * 5)
+      java.util.OptionalLong.of(totalBytes * 5)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
-    // map each required column to its cell index in the full header
+    // map each required column to its cell index in the PHYSICAL header
     val cis = required.fields.map(f => full.fieldIndex(f.name))
-    // capture the session conf on the driver; ships to executors serialized
+    // capture the session conf on the driver; ships to executors serialized.
+    // Every file's header row is re-validated against the first file's
+    // layout at read time (expectedHeader): a folder of monthly workbooks
+    // where one release inserted/renamed a column must fail loudly, not
+    // silently land values under the wrong names (the gpkg connector's
+    // per-file layout check, same policy)
     XlsxReaderFactory(cis, headerRow, sheet,
-      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()), cellFilters)
+      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()), cellFilters,
+      expectedHeader = full.fields.zipWithIndex
+        .map { case (f, i) => (i, f.name) }.toSeq)
   }
 }
 
@@ -237,13 +270,35 @@ class SerializableHadoopConf(@transient var value: Configuration)
 
 case class XlsxReaderFactory(cellIdx: Array[Int], headerRow: Int, sheet: Int,
                              conf: SerializableHadoopConf,
-                             cellFilters: Seq[(Int, String)] = Seq.empty)
+                             cellFilters: Seq[(Int, String)] = Seq.empty,
+                             expectedHeader: Seq[(Int, String)] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
     new PartitionReader[InternalRow] {
-      private val rows = XlsxParse.rows(XlsxParse.readFile(path, conf.value), sheet)
-        .filter(_._1 > headerRow)
+      private var headerSeen = false
+      private val underlying =
+        XlsxParse.rows(new XlsxParse.ZipSource(path, conf.value), sheet)
+      private val rows = underlying
+        .filter { case (rn, cells) =>
+          if (rn == headerRow) {
+            // header drift check: this file's header must match the
+            // first file's layout cell for cell
+            expectedHeader.foreach { case (ci, name) =>
+              val got = cells.getOrElse(ci, s"col_$ci")
+              if (got != name) sys.error(
+                s"graft-xlsx: $path header drift at cell $ci: " +
+                  s"expected '$name', found '$got'")
+            }
+            headerSeen = true
+            false
+          } else if (rn < headerRow) false
+          else {
+            if (!headerSeen && expectedHeader.nonEmpty) sys.error(
+              s"graft-xlsx: $path has no header row $headerRow to validate")
+            true
+          }
+        }
         .filter { case (_, cells) =>
           // pushed filters: drop rows before any InternalRow is built
           cellFilters.forall { case (ci, v) =>
@@ -261,7 +316,7 @@ case class XlsxReaderFactory(cellIdx: Array[Int], headerRow: Int, sheet: Int,
           true
         }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = underlying.close()
     }
   }
 }
@@ -297,45 +352,44 @@ object XlsxParse {
     multi ++ Option(options.get("path")).toSeq
   }
 
-  private[xlsx] def readFile(path: String, conf: Configuration): Array[Byte] = {
-    // Hadoop FS so workbooks on shared/cluster storage read the same way
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
-        .foreach(n => out.write(buf, 0, n))
-      out.toByteArray
-    } finally in.close()
+  /** Re-openable member access: each member parses from its OWN bounded
+    * stream (StAX directly over the ZipInputStream entry), so neither the
+    * whole archive nor the decompressed sheet XML is ever materialized —
+    * the pre-R13 byte[] route held both, costing ~1 GB of task heap for a
+    * 150 MB workbook deflating 5:1 (and a 2 GB byte[] hard cap). The cost
+    * is one archive re-open per member (a handful per file), each a
+    * sequential header skim that decompresses only the target entry. */
+  private[xlsx] final class ZipSource(path: String, conf: Configuration) {
+    /** Stream positioned at the first entry matching `selector` — the
+      * caller closes it (reading past the entry's end returns EOF). */
+    def openMember(selector: String => Boolean): Option[ZipInputStream] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val zin = new ZipInputStream(p.getFileSystem(conf).open(p))
+      var e = zin.getNextEntry
+      while (e != null && !selector(e.getName)) e = zin.getNextEntry
+      if (e == null) { zin.close(); None } else Some(zin)
+    }
+    /** Parse one member with StAX, closing everything afterwards. */
+    def withMember[A](selector: String => Boolean)(
+        f: javax.xml.stream.XMLStreamReader => A): Option[A] =
+      openMember(selector).map { zin =>
+        try {
+          val r = readerOf(zin)
+          try f(r) finally r.close()
+        } finally zin.close()
+      }
   }
 
-  private def member(zip: Array[Byte], suffix: String): Option[Array[Byte]] = {
-    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(zip))
-    try {
-      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .collectFirst { case e if e.getName.endsWith(suffix) =>
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](64 * 1024)
-          Iterator.continually(zin.read(buf)).takeWhile(_ >= 0)
-            .foreach(n => out.write(buf, 0, n))
-          out.toByteArray
-        }
-    } finally zin.close()
-  }
-
-  private def reader(bytes: Array[Byte]) = {
+  private def readerOf(in: java.io.InputStream) = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    f.createXMLStreamReader(in)
   }
 
   /** sharedStrings.xml -> string table (rich-text runs concatenated). */
-  private def sharedStrings(zip: Array[Byte]): IndexedSeq[String] =
-    member(zip, "sharedStrings.xml").fold(IndexedSeq.empty[String]) { bytes =>
-      val r = reader(bytes)
+  private def sharedStrings(src: ZipSource): IndexedSeq[String] =
+    src.withMember(_.endsWith("sharedStrings.xml")) { r =>
       val out = mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var inT = false
@@ -358,7 +412,7 @@ object XlsxParse {
         }
       }
       out.toIndexedSeq
-    }
+    }.getOrElse(IndexedSeq.empty[String])
 
   /** "AB7" -> 0-based column index; empty ref -> -1 (caller sequences). */
   private def colIdx(ref: String): Int = {
@@ -376,23 +430,25 @@ object XlsxParse {
     * sheet as the user sees it", not "whichever file was created
     * first". Falls back to the filename convention for minimal
     * workbooks without usable metadata (our own writer's output). */
-  private[xlsx] def sheetMember(zip: Array[Byte], sheet: Int): Array[Byte] = {
+  private[xlsx] def openSheet(src: ZipSource, sheet: Int): ZipInputStream = {
     val viaWorkbook =
       for {
-        wb <- member(zip, "xl/workbook.xml")
-        rels <- member(zip, "workbook.xml.rels")
-        rid <- {
-          val r = reader(wb)
+        rid <- src.withMember(_.endsWith("xl/workbook.xml")) { r =>
           val ids = mutable.ArrayBuffer.empty[String]
           while (r.hasNext) r.next() match {
             case XMLStreamConstants.START_ELEMENT if r.getLocalName == "sheet" =>
-              Option(r.getAttributeValue(null, "id")).foreach(ids += _)
+              // the r:id attribute is NAMESPACED: getAttributeValue(null,_)
+              // is wildcard on the JDK's SJSXP but "no namespace" on other
+              // StAX impls (Woodstox) — scan attributes by index instead
+              (0 until r.getAttributeCount)
+                .find(i => r.getAttributeLocalName(i) == "id")
+                .map(r.getAttributeValue)
+                .foreach(ids += _)
             case _ =>
           }
           ids.lift(sheet - 1)
-        }
-        target <- {
-          val r = reader(rels)
+        }.flatten
+        target <- src.withMember(_.endsWith("workbook.xml.rels")) { r =>
           var t: Option[String] = None
           while (r.hasNext && t.isEmpty) r.next() match {
             case XMLStreamConstants.START_ELEMENT
@@ -402,11 +458,17 @@ object XlsxParse {
             case _ =>
           }
           t
-        }
-        bytes <- member(zip, "/" + target.split('/').last)
-      } yield bytes
+        }.flatten
+        // rels Targets are relative to xl/ — resolve against that base,
+        // not by basename suffix (worksheets/sheet2.xml and
+        // chartsheets/sheet2.xml share a basename and a suffix match
+        // could silently read the wrong member)
+        in <- src.openMember(_ == (
+          if (target.startsWith("/")) target.stripPrefix("/")
+          else "xl/" + target.stripPrefix("./")))
+      } yield in
     viaWorkbook
-      .orElse(member(zip, s"sheet$sheet.xml"))
+      .orElse(src.openMember(_.endsWith(s"sheet$sheet.xml")))
       .getOrElse(sys.error(s"no worksheet for sheet=$sheet"))
   }
 
@@ -414,10 +476,21 @@ object XlsxParse {
     * shared strings resolved, inline strings supported. LAZY: one row
     * in memory at a time — a million-row workbook must not materialize
     * every row Map before the caller filters/projects. */
-  def rows(zip: Array[Byte], sheet: Int): Iterator[(Long, Map[Int, String])] = {
-    val sst = sharedStrings(zip)
-    val r = reader(sheetMember(zip, sheet))
-    new Iterator[(Long, Map[Int, String])] {
+  def rows(src: ZipSource, sheet: Int): RowIterator = {
+    val sst = sharedStrings(src)
+    val zin = openSheet(src, sheet)
+    val r = readerOf(zin)
+    new RowIterator(r, () => zin.close(), sst)
+  }
+
+  /** The streamed row iterator over one open sheet entry; closes its
+    * underlying streams at exhaustion, and [[close]] releases them early
+    * (PartitionReader.close wires here so a LIMIT-stopped task does not
+    * leak the Hadoop input stream until task end). */
+  final class RowIterator(r: javax.xml.stream.XMLStreamReader,
+                          onDone: () => Unit,
+                          sst: IndexedSeq[String])
+      extends Iterator[(Long, Map[Int, String])] {
       private var pending: (Long, Map[Int, String]) = null
       private var exhausted = false
       private var rn = 0L // 1-based row number of the current <row>
@@ -465,7 +538,7 @@ object XlsxParse {
             case _ =>
           }
         }
-        if (pending == null) { exhausted = true; r.close() }
+        if (pending == null) close()
       }
 
       override def hasNext: Boolean = {
@@ -476,29 +549,39 @@ object XlsxParse {
         if (!hasNext) throw new NoSuchElementException("rows exhausted")
         val v = pending; pending = null; v
       }
-    }
+
+      /** Idempotent early release of the XML reader + zip stream. */
+      def close(): Unit = if (!exhausted) {
+        exhausted = true
+        try r.close() finally onDone()
+      }
   }
 
   /** Data-row count of one sheet (0-based row number > headerRow) by a
     * row-element-only StAX pass — mirrors exactly what [[rows]] would
     * emit after the header filter (same `r`-attribute-or-sequential row
     * numbering), without loading shared strings or decoding any cell. */
-  def countRows(zip: Array[Byte], sheet: Int, headerRow: Int): Long = {
+  def countRows(src: ZipSource, sheet: Int, headerRow: Int): Long = {
     // same workbook-order resolution as rows(): COUNT(*) and the full
     // scan must agree on which sheet "sheet" means
-    val r = reader(sheetMember(zip, sheet))
-    var rn = 0L
-    var n = 0L
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "row" =>
-          val attr = Option(r.getAttributeValue(null, "r"))
-          rn = attr.map(_.toLong).getOrElse(rn + 1)
-          if (rn - 1 > headerRow) n += 1
-        case _ =>
-      }
-    }
-    n
+    val zin = openSheet(src, sheet)
+    try {
+      val r = readerOf(zin)
+      try {
+        var rn = 0L
+        var n = 0L
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT if r.getLocalName == "row" =>
+              val attr = Option(r.getAttributeValue(null, "r"))
+              rn = attr.map(_.toLong).getOrElse(rn + 1)
+              if (rn - 1 > headerRow) n += 1
+            case _ =>
+          }
+        }
+        n
+      } finally r.close()
+    } finally zin.close()
   }
 
   /** Header row `headerRow` (0-based) of the FIRST file names the columns
@@ -506,9 +589,11 @@ object XlsxParse {
     * every column is STRING. */
   def headerSchema(path: String, headerRow: Int, sheet: Int,
                    conf: Configuration): StructType = {
-    val hdr = rows(readFile(path, conf), sheet)
-      .collectFirst { case (rn, cells) if rn == headerRow => cells }
-      .getOrElse(sys.error(s"header row $headerRow not found in $path"))
+    val it = rows(new ZipSource(path, conf), sheet)
+    val hdr =
+      try it.collectFirst { case (rn, cells) if rn == headerRow => cells }
+        .getOrElse(sys.error(s"header row $headerRow not found in $path"))
+      finally it.close()
     require(hdr.nonEmpty, s"header row $headerRow is empty")
     val nCols = hdr.keys.max + 1
     StructType((0 until nCols).map(i =>

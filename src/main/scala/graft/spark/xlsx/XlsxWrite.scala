@@ -65,10 +65,13 @@ case class XlsxBatchWrite(schema: StructType, dir: String,
         // would delete-and-replace an EARLIER append's workbook with the
         // same partition id (mode("append") silently destroying data);
         // truncate mode just cleared the directory, so plain names are
-        // fine there and keep the familiar layout
+        // fine there and keep the familiar layout. FULL queryId: an
+        // 8-char prefix reaches ~1% collision odds after ~9k appends to
+        // one long-lived directory, and the delete below would then
+        // remove an earlier query's committed workbook
         val dst =
           if (truncate) new Path(d, f"part-$pid%05d.xlsx")
-          else new Path(d, f"part-$pid%05d-${queryId.take(8)}.xlsx")
+          else new Path(d, f"part-$pid%05d-$queryId.xlsx")
         fs.delete(dst, false) // idempotent re-commit of THIS query only
         if (!fs.rename(new Path(tmp), dst))
           sys.error(s"graft-xlsx: commit rename $tmp -> $dst failed")

@@ -59,6 +59,47 @@ class XlsxDataSourceSpec extends SparkSpec {
     assert(df.count() === 4) // empty projection path (count(*)) works
   }
 
+  test("a user schema that reorders or subsets columns binds by NAME to the sheet header") {
+    val dir = Files.createTempDirectory("dsv2-xlsx-user").toString
+    val f = workbook(dir, "a.xlsx", "London", "12.5")
+    // reversed order + a subset: positional binding would read 'Total
+    // Spend' from cell 0 and 'Region Name' from cell 1 — silently wrong
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1)
+      .schema("`Total Spend` STRING, `Region Name` STRING").load(f)
+    val rows = df.as[(Option[String], Option[String])].collect().toSet
+    assert(rows === Set(
+      (Some("12.5"), Some("London City")), (None, Some("inline"))))
+    // a name that is not in the sheet header fails loudly, not silently-null
+    val e = intercept[Exception] {
+      spark.read.format("graft-xlsx").option("headerRow", 1)
+        .schema("`No Such Column` STRING").load(f).collect()
+    }
+    assert(e.getMessage.contains("No Such Column"))
+  }
+
+  test("multi-file header drift fails loudly instead of misaligning columns") {
+    val dir = Files.createTempDirectory("dsv2-xlsx-drift").toString
+    val f1 = workbook(dir, "jan.xlsx", "London", "1")
+    // feb.xlsx renames the second header cell: its values must not land
+    // under 'Total Spend'
+    val f2 = mkZip(dir, "feb.xlsx", Map(
+      "xl/sharedStrings.xml" ->
+        """<sst><si><t>Region Name</t></si><si><t>Spend GBP</t></si>
+          |<si><t>Notes</t></si><si><t>Leeds</t></si></sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="s"><v>1</v></c><c r="C2" t="s"><v>2</v></c></row>
+          |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>9</v></c></row>
+          |</sheetData></worksheet>""".stripMargin))
+    val e = intercept[Exception] {
+      spark.read.format("graft-xlsx").option("headerRow", 1)
+        .load(f1, f2).collect()
+    }
+    assert(e.getMessage.contains("header drift") ||
+      Option(e.getCause).exists(_.getMessage.contains("header drift")),
+      s"got: $e")
+  }
+
   test("scan reports size statistics from the archive bytes") {
     val dir = Files.createTempDirectory("dsv2-xlsx-stats").toString
     val f = workbook(dir, "a.xlsx", "London", "12.5")
