@@ -167,32 +167,164 @@ object Catalog {
 
   // ------------------------------------------------- nhs prescriptions
 
+  /** NHS EPD column contract, March 2025 onwards (reference:
+    * nhs_english_prescriptions.py `db_template_current`). */
+  private[pipelines] val nhsTemplateCurrent: Seq[(String, DataType)] = ddl(
+    "YEAR_MONTH" -> "VARCHAR", "REGIONAL_OFFICE_NAME" -> "VARCHAR",
+    "REGIONAL_OFFICE_CODE" -> "VARCHAR", "ICB_NAME" -> "VARCHAR",
+    "ICB_CODE" -> "VARCHAR", "PCO_NAME" -> "VARCHAR",
+    "PCO_CODE" -> "VARCHAR", "PRACTICE_NAME" -> "VARCHAR",
+    "PRACTICE_CODE" -> "VARCHAR", "ADDRESS_1" -> "VARCHAR",
+    "ADDRESS_2" -> "VARCHAR", "ADDRESS_3" -> "VARCHAR",
+    "ADDRESS_4" -> "VARCHAR", "POSTCODE" -> "VARCHAR",
+    "BNF_CHEMICAL_SUBSTANCE_CODE" -> "VARCHAR",
+    "BNF_CHEMICAL_SUBSTANCE" -> "VARCHAR",
+    "BNF_PRESENTATION_CODE" -> "VARCHAR",
+    "BNF_PRESENTATION_NAME" -> "VARCHAR",
+    "BNF_CHAPTER_PLUS_CODE" -> "VARCHAR", "QUANTITY" -> "DOUBLE",
+    "ITEMS" -> "BIGINT", "TOTAL_QUANTITY" -> "DOUBLE",
+    "ADQ_USAGE" -> "DOUBLE", "NIC" -> "DOUBLE",
+    "ACTUAL_COST" -> "DOUBLE", "UNIDENTIFIED" -> "VARCHAR",
+    "SNOMED_CODE" -> "BIGINT")
+
+  /** NHS EPD column contract, Feb 2025 and earlier (reference:
+    * `db_template_legacy` — BNF_CODE/BNF_DESCRIPTION naming, ADQUSAGE
+    * without the underscore, no presentation-code columns). */
+  private[pipelines] val nhsTemplateLegacy: Seq[(String, DataType)] = ddl(
+    "YEAR_MONTH" -> "VARCHAR", "REGIONAL_OFFICE_NAME" -> "VARCHAR",
+    "REGIONAL_OFFICE_CODE" -> "VARCHAR", "ICB_NAME" -> "VARCHAR",
+    "ICB_CODE" -> "VARCHAR", "PCO_NAME" -> "VARCHAR",
+    "PCO_CODE" -> "VARCHAR", "PRACTICE_NAME" -> "VARCHAR",
+    "PRACTICE_CODE" -> "VARCHAR", "ADDRESS_1" -> "VARCHAR",
+    "ADDRESS_2" -> "VARCHAR", "ADDRESS_3" -> "VARCHAR",
+    "ADDRESS_4" -> "VARCHAR", "POSTCODE" -> "VARCHAR",
+    "BNF_CHEMICAL_SUBSTANCE" -> "VARCHAR",
+    "CHEMICAL_SUBSTANCE_BNF_DESCR" -> "VARCHAR",
+    "BNF_CODE" -> "VARCHAR", "BNF_DESCRIPTION" -> "VARCHAR",
+    "BNF_CHAPTER_PLUS_CODE" -> "VARCHAR", "QUANTITY" -> "DOUBLE",
+    "ITEMS" -> "BIGINT", "TOTAL_QUANTITY" -> "DOUBLE",
+    "ADQUSAGE" -> "DOUBLE", "NIC" -> "DOUBLE",
+    "ACTUAL_COST" -> "DOUBLE", "UNIDENTIFIED" -> "VARCHAR",
+    "SNOMED_CODE" -> "BIGINT")
+
+  /** The EPD schema changed between Feb and March 2025 (reference:
+    * SCHEMA_CHANGE_CUTOFF = "202502", get_template_for_date). */
+  private[pipelines] val NhsSchemaChangeCutoff = "202502"
+
+  /** Template for one EPD vintage, by YYYYMM. */
+  private[pipelines] def nhsTemplateFor(yyyymm: String): Seq[(String, DataType)] =
+    if (yyyymm <= NhsSchemaChangeCutoff) nhsTemplateLegacy else nhsTemplateCurrent
+
+  /** `EPD_SNOMED_202505` → `nhs_prescriptions_05_2025` (reference:
+    * nhs_english_prescriptions.py `table_names`). */
+  private[pipelines] def nhsTableName(yyyymm: String): String =
+    s"nhs_prescriptions_${yyyymm.substring(4, 6)}_${yyyymm.substring(0, 4)}"
+
   /** NHS English Prescribing monthly CSV (nhs_prescriptions.py),
     * post-March-2025 column set (`db_template_current`). Header drift
-    * aborts the load — the reference's validate_column_names policy. */
+    * aborts the load — the reference's validate_column_names policy.
+    * This entry is the single-month "the CSV is already staged" shape;
+    * the API-discovery multi-month front door is [[landNhsFromApi]]. */
   val nhsPrescriptions: SourcePipeline = SourcePipeline(
     name = "nhs_prescriptions",
     schemaName = "nhs_prescribing_raw_data",
-    templates = Map("nhs_prescriptions_05_2025" -> ddl(
-      "YEAR_MONTH" -> "VARCHAR", "REGIONAL_OFFICE_NAME" -> "VARCHAR",
-      "REGIONAL_OFFICE_CODE" -> "VARCHAR", "ICB_NAME" -> "VARCHAR",
-      "ICB_CODE" -> "VARCHAR", "PCO_NAME" -> "VARCHAR",
-      "PCO_CODE" -> "VARCHAR", "PRACTICE_NAME" -> "VARCHAR",
-      "PRACTICE_CODE" -> "VARCHAR", "ADDRESS_1" -> "VARCHAR",
-      "ADDRESS_2" -> "VARCHAR", "ADDRESS_3" -> "VARCHAR",
-      "ADDRESS_4" -> "VARCHAR", "POSTCODE" -> "VARCHAR",
-      "BNF_CHEMICAL_SUBSTANCE_CODE" -> "VARCHAR",
-      "BNF_CHEMICAL_SUBSTANCE" -> "VARCHAR",
-      "BNF_PRESENTATION_CODE" -> "VARCHAR",
-      "BNF_PRESENTATION_NAME" -> "VARCHAR",
-      "BNF_CHAPTER_PLUS_CODE" -> "VARCHAR", "QUANTITY" -> "DOUBLE",
-      "ITEMS" -> "BIGINT", "TOTAL_QUANTITY" -> "DOUBLE",
-      "ADQ_USAGE" -> "DOUBLE", "NIC" -> "DOUBLE",
-      "ACTUAL_COST" -> "DOUBLE", "UNIDENTIFIED" -> "VARCHAR",
-      "SNOMED_CODE" -> "BIGINT")),
+    templates = Map("nhs_prescriptions_05_2025" -> nhsTemplateCurrent),
     allowMissing = false,
     parse = (spark, input, _) => Seq(TableLoad("nhs_prescriptions_05_2025",
       spark.read.option("header", "true").csv(input))))
+
+  /** Which EPD months to land (reference: nhs_english_prescriptions.py
+    * `time_range` + `max_months` + `start_month`/`end_month`). */
+  sealed trait NhsSelection
+  /** Most recent month only (TimeRange.LATEST / create_default). */
+  case object NhsLatest extends NhsSelection
+  /** Most recent `n` months (create_last_n_months — the reference's
+    * standing `nhs_prescriptions.py` pipeline runs n=6). */
+  final case class NhsLastN(n: Int) extends NhsSelection {
+    require(n > 0, s"n_months must be positive, got $n")
+  }
+  /** Inclusive YYYYMM window (create_date_range /
+    * nhs_prescriptions_custom_range.py:20-23). */
+  final case class NhsRange(startMonth: String, endMonth: String)
+      extends NhsSelection {
+    require(startMonth.length == 6 && startMonth.forall(_.isDigit) &&
+      endMonth.length == 6 && endMonth.forall(_.isDigit),
+      s"months must be YYYYMM, got $startMonth..$endMonth")
+    require(startMonth <= endMonth,
+      s"start month $startMonth is after end month $endMonth")
+  }
+
+  /** Resolve the month list from a CKAN resource listing: keep CSV
+    * resources named `EPD_SNOMED_YYYYMM` that carry a download URL,
+    * newest first, then apply `selection` (reference:
+    * nhs_english_prescriptions.py:80-135 `_fetch_api_resources` filter +
+    * sort, `download_links` selection). Pure — unit-testable without a
+    * network. Returns (yyyymm, url) newest-first; empty selection is an
+    * error, mirroring the reference's "No valid download URLs found". */
+  private[pipelines] def nhsSelectMonths(
+      resources: Seq[Fetch.JsonResource],
+      selection: NhsSelection): Seq[(String, String)] = {
+    val epd = resources.iterator
+      .filter(r => r.format == "CSV" && r.name.startsWith("EPD_SNOMED_") &&
+        r.name.length >= 17)
+      .flatMap { r =>
+        val d = r.name.substring(11, 17)
+        if (d.forall(_.isDigit)) r.url.map(d -> _) else None
+      }
+      .toSeq.sortBy(_._1)(Ordering[String].reverse)
+    val picked = selection match {
+      case NhsLatest => epd.take(1)
+      case NhsLastN(n) => epd.take(n)
+      case NhsRange(s, e) => epd.filter { case (d, _) => s <= d && d <= e }
+    }
+    require(picked.nonEmpty,
+      s"no EPD_SNOMED CSV resources match $selection (listing had ${resources.size} resources)")
+    picked
+  }
+
+  /** Multi-month NHS pipeline over a staging DIRECTORY holding one
+    * `EPD_SNOMED_<YYYYMM>.csv` per requested month — each month lands as
+    * its own `nhs_prescriptions_MM_YYYY` table, validated against the
+    * vintage-correct template (legacy ≤ 202502), and a drifted header
+    * aborts THAT month's load. */
+  private[pipelines] def nhsPrescriptionsFor(months: Seq[String]): SourcePipeline =
+    SourcePipeline(
+      name = "nhs_prescriptions",
+      schemaName = "nhs_prescribing_raw_data",
+      templates = months.map(m => nhsTableName(m) -> nhsTemplateFor(m)).toMap,
+      allowMissing = false,
+      parse = (spark, input, _) => months.map { m =>
+        TableLoad(nhsTableName(m),
+          spark.read.option("header", "true").csv(s"$input/EPD_SNOMED_$m.csv"))
+      })
+
+  /** The reference's PRIMARY NHS mode, end to end: discover the monthly
+    * `EPD_SNOMED_YYYYMM` CSV resources from the NHSBSA CKAN
+    * `package_show` JSON API, select months per `selection`, stream each
+    * CSV to staging, and land one `nhs_prescriptions_MM_YYYY` warehouse
+    * table per month (reference: nhs_prescriptions.py — last-6-months
+    * standing pipeline; nhs_prescriptions_custom_range.py — date range).
+    * Returns table → landed root, like [[run]]. The data fetches stream
+    * to disk one month at a time; only the JSON listing is read into
+    * driver memory (bounded). */
+  def landNhsFromApi(spark: SparkSession, apiUrl: String,
+                     selection: NhsSelection, warehouseRoot: String,
+                     allowHosts: Set[String] = Set.empty): Map[String, String] = {
+    val months = nhsSelectMonths(
+      Fetch.discoverJsonResources(apiUrl, allowHosts), selection)
+    Fetch.withScratchDir("graft-nhs-staging") { staging =>
+      months.foreach { case (m, url) =>
+        val fetched = Fetch.fetchToStaging(url, staging)
+        // canonical per-month name: the URL basename is an opaque asset id
+        // on some CDNs, and parse() addresses months by EPD_SNOMED_<m>.csv
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fetched.path),
+          java.nio.file.Paths.get(staging, s"EPD_SNOMED_$m.csv"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      run(spark, nhsPrescriptionsFor(months.map(_._1)), staging, warehouseRoot)
+    }
+  }
 
   // ------------------------------------------------------- code point
 

@@ -392,25 +392,7 @@ object Fetch {
                     allowHosts: Set[String] = Set.empty,
                     maxBytes: Int = 4 << 20,
                     redirectHops: Int = 3): Seq[String] = {
-    val (conn, resolved) = openResolved(pageUrl, redirectHops, allowHosts)
-    val html =
-      try {
-        val in = conn.getInputStream
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](64 * 1024)
-          var n = in.read(chunk)
-          while (n >= 0) {
-            if (buf.size() + n > maxBytes) throw new IOException(
-              s"hub page exceeds $maxBytes bytes: $pageUrl — not a page?")
-            buf.write(chunk, 0, n)
-            n = in.read(chunk)
-          }
-          new String(buf.toByteArray, "UTF-8")
-        } finally in.close()
-      } finally conn match {
-        case h: java.net.HttpURLConnection => h.disconnect(); case _ => ()
-      }
+    val (html, resolved) = fetchBounded(pageUrl, redirectHops, allowHosts, maxBytes)
     val base = new java.net.URI(resolved)
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     hrefRe.findAllMatchIn(html).foreach { m =>
@@ -430,5 +412,77 @@ object Fetch {
       } catch { case _: IllegalArgumentException => () /* malformed href */ }
     }
     seen.toSeq
+  }
+
+  /** Read a SMALL control-plane document (hub page, API listing) fully
+    * into memory through the redirect policy, with a hard byte cap —
+    * these documents are tens of KB; a URL that turns out to be a
+    * multi-GB artifact must fail loudly instead of buffering into the
+    * driver. Returns (utf8 body, resolved URL). */
+  private def fetchBounded(url: String, redirectHops: Int,
+                           allowHosts: Set[String],
+                           maxBytes: Int): (String, String) = {
+    val (conn, resolved) = openResolved(url, redirectHops, allowHosts)
+    val body =
+      try {
+        val in = conn.getInputStream
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0) {
+            if (buf.size() + n > maxBytes) throw new IOException(
+              s"document exceeds $maxBytes bytes: $url — not a listing?")
+            buf.write(chunk, 0, n)
+            n = in.read(chunk)
+          }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      } finally conn match {
+        case h: java.net.HttpURLConnection => h.disconnect(); case _ => ()
+      }
+    (body, resolved)
+  }
+
+  /** One dataset file advertised by a CKAN-style JSON listing API. `url`
+    * is optional because the API may list a resource whose download link
+    * is not yet published — callers that fetch must require it. */
+  case class JsonResource(name: String, format: String, url: Option[String])
+
+  /** Discover dataset resources from a CKAN `package_show`-style JSON
+    * API (reference: src/data_sources/nhs_english_prescriptions.py:67-105
+    * `_fetch_api_resources` — GET the API URL, require `success: true`,
+    * walk `result.resources[]`). Returns resources in listing order with
+    * name/format defaulted to "" when absent, exactly the shape the
+    * reference's filter then consumes; selection policy (format/name
+    * filters, sort, month windows) belongs to the caller so this front
+    * door stays source-agnostic.
+    *
+    * Same bounded-read + redirect policy as [[discoverLinks]]: the
+    * listing is a control-plane document read on the driver; the DATA
+    * fetch that follows streams to staging per resource. */
+  def discoverJsonResources(apiUrl: String,
+                            allowHosts: Set[String] = Set.empty,
+                            maxBytes: Int = 16 << 20,
+                            redirectHops: Int = 3): Seq[JsonResource] = {
+    val (body, _) = fetchBounded(apiUrl, redirectHops, allowHosts, maxBytes)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          throw new IOException(s"API response is not JSON: $apiUrl", e)
+      }
+    if (!root.path("success").asBoolean(false)) throw new IOException(
+      s"API returned success=false (or no success field): $apiUrl")
+    val resources = root.path("result").path("resources")
+    if (!resources.isArray) throw new IOException(
+      s"API response has no result.resources array: $apiUrl")
+    val out = Seq.newBuilder[JsonResource]
+    resources.forEach { r =>
+      val url = Option(r.get("url")).filter(_.isTextual).map(_.asText)
+      out += JsonResource(r.path("name").asText(""),
+        r.path("format").asText(""), url)
+    }
+    out.result()
   }
 }
