@@ -2263,6 +2263,114 @@ object OracleSql {
          |FROM rkd CROSS JOIN nn
          |LEFT JOIN bd USING (highway_authority, highway_authority_swa_code)"""
         .stripMargin,
+
+    // wellbeing mart unrolled (SparkEntry modelWellbeingEvents dressing):
+    // stg works = completed WORK_STOP + anti-joined in-progress, duration
+    // CASE (day(e)-day(s) same-month else day(e); in-progress 7), DISTINCT
+    // ON per (model, permit); int postcodes with census CASE closed-forms
+    // (COALESCE-0 for c%5=0); the ±500 m radius join is the exact squared-
+    // distance predicate; £2.10 formula in DECIMAL so ROUND is a no-op
+    "q_model_wellbeing" ->
+      """WITH oc AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_orderpriority, o_orderdate, c_name, n_name, n_nationkey
+        |       FROM orders
+        |       JOIN customer ON o_custkey = c_custkey
+        |       JOIN nation ON c_nationkey = n_nationkey),
+        |wev AS (SELECT
+        |    CAST(o_orderkey AS VARCHAR) AS permit_reference_number,
+        |    o_orderkey * 10 + v AS event_reference,
+        |    CASE WHEN o_orderstatus = 'F' AND v = 2 THEN 'WORK_STOP'
+        |         ELSE 'WORK_START' END AS event_type,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'in_progress'
+        |         WHEN o_orderstatus = 'F' THEN 'completed'
+        |         ELSE 'proposed' END AS wsr,
+        |    n_name AS highway_authority,
+        |    'SWA' || CAST(n_nationkey AS VARCHAR) AS swa,
+        |    'PROM#' || CAST(o_custkey % 60 AS VARCHAR)
+        |      AS promoter_organisation,
+        |    o_orderpriority AS activity_type,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'Section 81'
+        |         WHEN o_orderpriority = '1-URGENT' THEN
+        |           (CASE WHEN o_orderkey % 2 = 0 THEN 'Immediate - urgent'
+        |                 ELSE 'Immediate - emergency' END)
+        |         WHEN o_orderpriority = '2-HIGH' THEN 'Major'
+        |         WHEN o_orderpriority = '3-MEDIUM' THEN 'Standard'
+        |         WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'Minor'
+        |         ELSE 'HS2 (Highway)' END AS work_category,
+        |    c_name AS street_name,
+        |    CAST(o_custkey AS VARCHAR) AS usrn,
+        |    CAST(o_orderdate AS DATE) AS sd,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 45 AS INTEGER)
+        |      AS ed,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         ELSE CAST((o_orderkey % 100) * 1000
+        |           + ((o_orderkey % 9) - 4) * 100 AS DOUBLE) END AS wx,
+        |    CAST(((o_orderkey // 100) % 100) * 1000
+        |      + ((o_orderkey % 7) - 3) * 100 AS DOUBLE) AS wy
+        |  FROM oc CROSS JOIN (SELECT unnest([1, 2]) AS v)),
+        |tagged AS (SELECT *,
+        |    CASE WHEN work_category IN
+        |        ('Immediate - urgent', 'Immediate - emergency')
+        |        THEN 'emergency_wellbeing'
+        |      WHEN work_category = 'Major' THEN 'major_wellbeing' END
+        |      AS model
+        |  FROM wev WHERE swa = 'SWA7'),
+        |compl_any AS (SELECT DISTINCT permit_reference_number FROM wev
+        |  WHERE wsr = 'completed' AND event_type = 'WORK_STOP'),
+        |stg0 AS (
+        |  SELECT model, permit_reference_number, promoter_organisation,
+        |    highway_authority, street_name, activity_type, work_category,
+        |    'Works completed' AS work_status, usrn, wx, wy,
+        |    event_reference, sd,
+        |    CAST(CASE WHEN year(sd) = year(ed) AND month(sd) = month(ed)
+        |         THEN day(ed) - day(sd) ELSE day(ed) END AS BIGINT)
+        |      AS duration_days
+        |  FROM tagged
+        |  WHERE model IS NOT NULL AND wsr = 'completed'
+        |    AND event_type = 'WORK_STOP' AND wx IS NOT NULL
+        |  UNION ALL
+        |  SELECT model, permit_reference_number, promoter_organisation,
+        |    highway_authority, street_name, activity_type, work_category,
+        |    'Works in progress', usrn, wx, wy, event_reference, sd,
+        |    CAST(7 AS BIGINT)
+        |  FROM tagged t
+        |  WHERE model IS NOT NULL AND wsr = 'in_progress'
+        |    AND wx IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM compl_any ca
+        |      WHERE ca.permit_reference_number = t.permit_reference_number)),
+        |stg AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY model, permit_reference_number
+        |    ORDER BY sd, event_reference) AS rn FROM stg0) WHERE rn = 1),
+        |pcs AS (SELECT
+        |    CAST((c_custkey % 100) * 1000 AS DOUBLE) AS px,
+        |    CAST(((c_custkey // 100) % 100) * 1000 AS DOUBLE) AS py,
+        |    'PC' || CAST(c_custkey AS VARCHAR) AS postcode,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 0
+        |         ELSE 2 * (c_custkey % 50) + 3 END AS pop,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 0
+        |         ELSE (c_custkey % 50) + 1 END AS fpop,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 0
+        |         ELSE (c_custkey % 50) + 2 END AS mpop,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 0
+        |         ELSE (c_custkey % 30) + 1 END AS hh
+        |  FROM customer),
+        |wj AS (SELECT s.*, p.postcode, p.pop, p.fpop, p.mpop, p.hh
+        |  FROM stg s LEFT JOIN pcs p
+        |    ON (s.wx - p.px) * (s.wx - p.px)
+        |      + (s.wy - p.py) * (s.wy - p.py) <= 250000.0)
+        |SELECT model, permit_reference_number, promoter_organisation,
+        |  highway_authority, street_name, activity_type, work_category,
+        |  work_status, usrn, wx AS work_easting, wy AS work_northing,
+        |  duration_days,
+        |  COUNT(DISTINCT postcode) AS postcode_count,
+        |  CAST(SUM(pop) AS BIGINT) AS total_population_affected,
+        |  CAST(SUM(fpop) AS BIGINT) AS total_female_population,
+        |  CAST(SUM(mpop) AS BIGINT) AS total_male_population,
+        |  CAST(SUM(hh) AS BIGINT) AS total_households_affected,
+        |  CAST(ROUND(2.10 * duration_days * CAST(SUM(hh) AS BIGINT), 2)
+        |    AS DOUBLE) AS wellbeing_total_impact
+        |FROM wj
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12""".stripMargin,
   )
 
   /** The materialized cell-partitioned IVFPQ index encodes identically

@@ -1606,6 +1606,104 @@ object SparkEntry {
       Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d)),
       modelAuthorities, correlateOnAuthority = true)
 
+  /** Wellbeing dressing: [[modelPermitEvents]] plus the columns the
+    * wellbeing staging chain consumes. Work points sit on a 1 km grid
+    * (cell = (k%100, k div 100 %100), offset up to ±400/±300 m from the
+    * center), so the ±500 m radius join has BOUNDED fanout at any SF —
+    * a work can only reach the postcodes at its own cell center, and
+    * corner offsets (e.g. 400²+300²) land EXACTLY on the 500 m boundary,
+    * exercising the exact-distance filter past the bbox. k%11 works lose
+    * their coordinates (the dbt isNotNull filter); end dates spread
+    * 0-44 days so the duration CASE hits both the same-month and
+    * spilled-month arms (stg_emergency_works_by_authority.sql:39-52). */
+  private def modelWellbeingEvents(s: SparkSession, d: String): DataFrame = {
+    val k = col("permit_reference_number").cast("bigint")
+    val wx = ((k % 100) * 1000 + ((k % 9) - 4) * 100).cast("double")
+    val wy = ((expr("CAST(permit_reference_number AS BIGINT) div 100") % 100)
+      * 1000 + ((k % 7) - 3) * 100).cast("double")
+    modelPermitEvents(s, d)
+      .withColumn("work_status",
+        when(col("work_status_ref") === "in_progress", "Works in progress")
+          .when(col("work_status_ref") === "completed", "Works completed")
+          .otherwise("Works proposed"))
+      .withColumn("work_category_ref",
+        when(col("work_category") === "Immediate - urgent", "immediate_urgent")
+          .when(col("work_category") === "Immediate - emergency",
+            "immediate_emergency")
+          .otherwise(lower(col("work_category"))))
+      .withColumn("works_location_coordinates",
+        when(k % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("POINT ("), wx.cast("string"), lit(" "),
+            wy.cast("string"), lit(")"))))
+      .withColumn("actual_end_date_time",
+        date_add(col("actual_start_date_time").cast("date"),
+          (k % 45).cast("int")).cast("string"))
+  }
+
+  /** Code-Point dressing: one postcode per customer, on the same 1 km
+    * grid the works offset from; c and c+10000 share a grid point, so
+    * grid-point fanout stays ≤ a handful at ANY scale factor. */
+  private def modelCodePoint(s: SparkSession, d: String): DataFrame = {
+    val c = col("c_custkey")
+    val px = ((c % 100) * 1000).cast("double")
+    val py = (((c - c % 100) / 100).cast("bigint") % 100 * 1000).cast("double")
+    Tables.customer(s, d).select(
+      concat(lit("PC"), c.cast("string")).as("postcode"),
+      (c % 10).cast("string").as("positional_quality_indicator"),
+      lit("E92000001").as("country_code"),
+      lit(null).cast("string").as("nhs_regional_ha_code"),
+      lit(null).cast("string").as("nhs_ha_code"),
+      lit(null).cast("string").as("admin_county_code"),
+      concat(lit("E0"), (c % 300).cast("string")).as("admin_district_code"),
+      lit(null).cast("string").as("admin_ward_code"),
+      concat(lit("POINT ("), px.cast("string"), lit(" "),
+        py.cast("string"), lit(")")).as("geometry"))
+  }
+
+  /** Census P001 dressing: two sex rows per covered postcode; c%5==0
+    * postcodes have NO census rows, exercising int_postcodes' COALESCE
+    * 0 (int_postcodes.sql:7-49). */
+  private def modelP001(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).where(col("c_custkey") % 5 =!= 0)
+      .select(col("c_custkey").as("__c"),
+        explode(array(lit(1L), lit(2L))).as("Sex_Code"))
+      .select(concat(lit("PC"), col("__c").cast("string")).as("Postcode"),
+        col("Sex_Code"),
+        (col("__c") % 50 + col("Sex_Code")).as("Count"))
+
+  private def modelP002(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).where(col("c_custkey") % 5 =!= 0)
+      .select(concat(lit("PC"), col("c_custkey").cast("string")).as("Postcode"),
+        (col("c_custkey") % 30 + 1).as("Count"))
+
+  /** The wellbeing mart end to end over the real dbt schemas: stg works
+    * (duration CASE, in-progress +7d, completed-anywhere anti-join,
+    * DISTINCT ON dedup) → int_postcodes (census COALESCE) → ±500 m
+    * radius join (grid-cell equi-join, never broadcast-nested-loop) →
+    * £2.10 × days × households DECIMAL formula, emergency + major
+    * tagged union ({emergency,major}_wellbeing.sql:5-47). */
+  private def qModelWellbeing(s: SparkSession, d: String): DataFrame = {
+    val ev = modelWellbeingEvents(s, d)
+    val pcs = Models.intPostcodes(modelCodePoint(s, d), modelP001(s, d),
+      modelP002(s, d))
+    def chain(refs: Seq[String], tag: String): DataFrame = {
+      val stg = Models.stgWorksByAuthority(ev, refs, "SWA7")
+      Models.wellbeingImpact(Models.intWorksPostcodes(stg, pcs), stg)
+        .withColumn("model", lit(tag))
+    }
+    chain(Seq("immediate_urgent", "immediate_emergency"),
+        "emergency_wellbeing")
+      .unionByName(chain(Seq("major"), "major_wellbeing"))
+      .select(col("model"), col("permit_reference_number"),
+        col("promoter_organisation"), col("highway_authority"),
+        col("street_name"), col("activity_type"), col("work_category"),
+        col("work_status"), col("usrn"), col("work_easting"),
+        col("work_northing"), col("duration_days"), col("postcode_count"),
+        col("total_population_affected"), col("total_female_population"),
+        col("total_male_population"), col("total_households_affected"),
+        col("wellbeing_total_impact"))
+  }
+
   // ------------------------------------------------------------- registry
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (qPricingSummary _),
@@ -1730,6 +1828,7 @@ object SparkEntry {
     // after materializing.
     "q_model_impact_scores" -> (qModelImpactScores _),
     "q_model_authority_scores" -> (qModelAuthorityScores _),
+    "q_model_wellbeing" -> (qModelWellbeing _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -121,6 +121,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q_model_wellbeing: radius join stays grid equi-join; dedup window partitions by permit") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_model_wellbeing")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val p = exec.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the ±500m postcode join lost the grid equi-join shape")
+    val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty,
+      s"wellbeing chain sorts its whole keyspace in one task: ${global.mkString("; ")}")
+  }
+
   test("q_token_budget's prefix sum carries no single-partition WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     val exec = SparkEntry.queries("q_token_budget")(spark, sfDir)
