@@ -138,11 +138,25 @@ object SnapshotTable {
     // "success" while every higher version already excludes its files
     // (silent data loss). Losing the race is a loud, retryable error.
     val dest = new Path(rootP, s"_manifests/manifest-$version")
+    // On file:// the FileContext no-overwrite rename is exists-check THEN
+    // rename(2) (which overwrites silently) — the same TOCTOU window
+    // createExclusive closes for claims. A slow writer racing a
+    // grace-window voider could overwrite the void manifest and report
+    // success while higher versions already exclude its files. Land via
+    // a hard link instead: link(2) is kernel-atomic and fails with
+    // EEXIST, so exactly one of {writer, voider} wins.
     val voided = f.exists(dest) ||
       (try {
-        FileContext.getFileContext(rootP.toUri,
-            spark.sessionState.newHadoopConf())
-          .rename(tmpM, dest, Options.Rename.NONE)
+        if (f.getScheme == "file") {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmpM.toUri.getPath))
+          java.nio.file.Files.delete(
+            java.nio.file.Paths.get(tmpM.toUri.getPath))
+        } else
+          FileContext.getFileContext(rootP.toUri,
+              spark.sessionState.newHadoopConf())
+            .rename(tmpM, dest, Options.Rename.NONE)
         false
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => true

@@ -138,7 +138,13 @@ class XlsxScanBuilder(full: StructType, paths: Seq[String],
   }
 
   override def build(): Scan =
-    if (countPushed) XlsxCountScan(paths, headerRow, sheet)
+    if (countPushed) XlsxCountScan(paths, headerRow, sheet,
+      // COUNT(*) enforces the same per-file header-drift contract as the
+      // column scan: the two plans must agree on whether a drifted
+      // monthly workbook is readable (a COUNT that succeeds where
+      // SELECT * errors would hide the drift until the first real read)
+      expectedHeader = phys.fields.zipWithIndex
+        .map { case (f, i) => (i, f.name) }.toSeq)
     else {
       // every required column must resolve against the PHYSICAL header
       required.fields.foreach(f => cellIndexOf(f.name))
@@ -155,7 +161,8 @@ class XlsxScanBuilder(full: StructType, paths: Seq[String],
 
 /** The COUNT(*)-pushdown scan: one long per file (a partial count Spark
   * merges), produced by a row-element-only StAX pass. */
-case class XlsxCountScan(paths: Seq[String], headerRow: Int, sheet: Int)
+case class XlsxCountScan(paths: Seq[String], headerRow: Int, sheet: Int,
+                         expectedHeader: Seq[(Int, String)] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
@@ -167,11 +174,13 @@ case class XlsxCountScan(paths: Seq[String], headerRow: Int, sheet: Int)
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     XlsxCountReaderFactory(headerRow, sheet,
-      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()))
+      new SerializableHadoopConf(XlsxParse.sessionHadoopConf()),
+      expectedHeader)
 }
 
 case class XlsxCountReaderFactory(headerRow: Int, sheet: Int,
-                                  conf: SerializableHadoopConf)
+                                  conf: SerializableHadoopConf,
+                                  expectedHeader: Seq[(Int, String)] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
@@ -181,6 +190,12 @@ case class XlsxCountReaderFactory(headerRow: Int, sheet: Int,
       override def next(): Boolean =
         if (emitted) false
         else {
+          // same drift contract as the column scan; the count pass
+          // itself stays decode-free (the validation is one header read)
+          if (expectedHeader.nonEmpty)
+            XlsxParse.validateHeader(
+              new XlsxParse.ZipSource(path, conf.value), sheet, headerRow,
+              expectedHeader, path)
           row = InternalRow(XlsxParse.countRows(
             new XlsxParse.ZipSource(path, conf.value), sheet, headerRow))
           emitted = true
@@ -222,8 +237,16 @@ case class XlsxScan(full: StructType, required: StructType,
         // qualify both sides: the user's paths may lack scheme/authority
         // while listStatus returns fully-qualified ones
         val wanted = ps.map(fs.makeQualified).toSet
-        fs.listStatus(parent)
-          .filter(s => wanted.contains(s.getPath)).map(_.getLen)
+        val found = fs.listStatus(parent)
+          .filter(s => wanted.contains(s.getPath))
+        // any wanted path the listing did not surface (deleted file,
+        // stale path) must fail loudly like the old per-path
+        // getFileStatus did — silently contributing 0 bytes would
+        // underestimate sizeInBytes and could flip a broadcast decision
+        // the scan itself then fails on
+        val missing = wanted.diff(found.map(_.getPath).toSet)
+        found.map(_.getLen) ++
+          missing.toSeq.map(p => fs.getFileStatus(p).getLen)
       }.sum
   }
   override def estimateStatistics(): Statistics = new Statistics {
@@ -582,6 +605,28 @@ object XlsxParse {
         n
       } finally r.close()
     } finally zin.close()
+  }
+
+  /** Header-drift validation shared by the column scan's inline check
+    * and the COUNT(*) pushdown (which otherwise never decodes a cell):
+    * both plans must agree on whether a drifted workbook is readable.
+    * Costs one header read (including shared strings) per file; closes
+    * the reader as soon as the header row is seen. */
+  def validateHeader(src: ZipSource, sheet: Int, headerRow: Int,
+                     expected: Seq[(Int, String)], path: String): Unit = {
+    val it = rows(src, sheet)
+    try {
+      val cells = it
+        .collectFirst { case (rn, c) if rn == headerRow => c }
+        .getOrElse(sys.error(
+          s"graft-xlsx: $path has no header row $headerRow to validate"))
+      expected.foreach { case (ci, name) =>
+        val got = cells.getOrElse(ci, s"col_$ci")
+        if (got != name) sys.error(
+          s"graft-xlsx: $path header drift at cell $ci: " +
+            s"expected '$name', found '$got'")
+      }
+    } finally it.close()
   }
 
   /** Header row `headerRow` (0-based) of the FIRST file names the columns

@@ -191,28 +191,52 @@ object EventStream {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[Interval]
             var cur = state.getOption
+            // late DIFFERENT-type events (entirely before the live run)
+            // accumulate in a per-batch late-run tracker so ADJACENT
+            // same-type late events collapse into one interval, like the
+            // batch twin's consecutive-run grouping (two B events before
+            // a live A run are one B run, not two point intervals). The
+            // tracker closes on type change — including a late LIVE-type
+            // event, which splits the late run in the batch timeline —
+            // and at batch end (cross-batch late adjacency still splits:
+            // the state holds only the live run).
+            var lateRun: Option[IntervalState] = None
+            def closeLate(): Unit = lateRun.foreach { lr =>
+              closed ::= Interval(user, lr.state, lr.from, lr.last, lr.n)
+              lateRun = None
+            }
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
               cur match {
                 case Some(s) if s.state == e.event_type =>
                   // late same-type events merge with min/max: `last = sec`
                   // would drag the interval end backwards (to < from)
+                  closeLate()
                   cur = Some(s.copy(from = math.min(s.from, sec),
                     last = math.max(s.last, sec), n = s.n + 1))
                 case Some(s) if sec < s.from =>
                   // a late DIFFERENT-type event entirely before the live
-                  // run: emit it as its own closed point interval and
-                  // leave the run alone — closing and rewinding the run
-                  // would emit OVERLAPPING intervals and split the live
-                  // run (batch twin: the point sits before the run)
-                  closed ::= Interval(user, e.event_type, sec, sec, 1)
+                  // run: track it in the late run and leave the live run
+                  // alone — closing and rewinding the run would emit
+                  // OVERLAPPING intervals and split the live run (batch
+                  // twin: the late run sits before the live run)
+                  lateRun match {
+                    case Some(lr) if lr.state == e.event_type =>
+                      lateRun = Some(lr.copy(from = math.min(lr.from, sec),
+                        last = math.max(lr.last, sec), n = lr.n + 1))
+                    case _ =>
+                      closeLate()
+                      lateRun = Some(IntervalState(e.event_type, sec, sec, 1))
+                  }
                 case Some(s) =>
+                  closeLate()
                   closed ::= Interval(user, s.state, s.from, s.last, s.n)
                   cur = Some(IntervalState(e.event_type, sec, sec, 1))
                 case None =>
                   cur = Some(IntervalState(e.event_type, sec, sec, 1))
               }
             }
+            closeLate()
             cur.foreach { s =>
               state.update(s)
               // clamp past the watermark like sessionizeEventTime: a

@@ -113,6 +113,47 @@ class XlsxDataSourceSpec extends SparkSpec {
       new java.io.File(f).length() * 5)
   }
 
+  test("a vanished workbook fails size statistics loudly instead of undercounting") {
+    val dir = Files.createTempDirectory("dsv2-xlsx-stats-gone").toString
+    val f1 = workbook(dir, "a.xlsx", "London", "1")
+    val f2 = workbook(dir, "b.xlsx", "Leeds", "2")
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1).load(f1, f2)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get.asInstanceOf[XlsxScan]
+    // the file disappears between planning and the statistics ask: a
+    // silent 0-byte contribution could flip a broadcast decision, so the
+    // estimate must fail like the scan itself will (copy() because the
+    // planned scan may have memoized its size during plan construction)
+    assert(new java.io.File(f2).delete())
+    intercept[java.io.FileNotFoundException](
+      scan.copy().estimateStatistics().sizeInBytes())
+  }
+
+  test("COUNT(*) enforces the same header-drift contract as the column scan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dsv2-xlsx-cnt-drift").toString
+    val f1 = workbook(dir, "jan.xlsx", "London", "1")
+    val f2 = mkZip(dir, "feb.xlsx", Map(
+      "xl/sharedStrings.xml" ->
+        """<sst><si><t>Region Name</t></si><si><t>Spend GBP</t></si>
+          |<si><t>Notes</t></si><si><t>Leeds</t></si></sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="s"><v>1</v></c><c r="C2" t="s"><v>2</v></c></row>
+          |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>9</v></c></row>
+          |</sheetData></worksheet>""".stripMargin))
+    // SELECT * errors on the drifted folder, so SELECT COUNT(*) must too
+    // — the two plans agreeing is the point of threading the header in
+    val e = intercept[Exception] {
+      spark.read.format("graft-xlsx").option("headerRow", 1)
+        .load(f1, f2).agg(count(lit(1))).head()
+    }
+    assert(e.getMessage.contains("header drift") ||
+      Option(e.getCause).exists(_.getMessage.contains("header drift")),
+      s"got: $e")
+  }
+
   test("COUNT(*) pushes into the scan; grouped aggregates do not") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("dsv2-xlsx-agg").toString

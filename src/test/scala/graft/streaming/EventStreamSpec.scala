@@ -661,6 +661,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateIntervalsStream: adjacent late different-type events collapse into one run like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.stateIntervalsStream(mem.toDS(), flushSec = 100000,
+        watermarkDelay = "2 hours").writeStream
+      .format("memory").queryName("intervals_late_run")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    try {
+      mem.addData(evt(1, base + 1000, 1, "A"), evt(2, base + 2000, 1, "A"))
+      q.processAllAvailable()
+      // one late batch against the live A[1000,2000] run:
+      //   B@300, B@400  -> ONE late run B[300,400] n=2 (batch twin:
+      //                    consecutive same-type rows are one run)
+      //   C@450         -> type change closes B, opens C[450,450]
+      //   B@480         -> closes C, opens a NEW late B run (not merged
+      //                    with B[300,400] — C sits between)
+      //   A@500         -> live-type event: merges into the live run
+      //                    (documented min/max rewind) and closes the
+      //                    late track (it splits the batch timeline)
+      mem.addData(evt(3, base + 300, 1, "B"), evt(4, base + 400, 1, "B"),
+        evt(5, base + 450, 1, "C"), evt(6, base + 480, 1, "B"),
+        evt(7, base + 500, 1, "A"))
+      q.processAllAvailable()
+      val closed = spark.table("intervals_late_run")
+        .as[EventStream.Interval].collect().toSet
+      assert(closed === Set(
+        EventStream.Interval(1L, "B", base + 300, base + 400, 2L),
+        EventStream.Interval(1L, "C", base + 450, base + 450, 1L),
+        EventStream.Interval(1L, "B", base + 480, base + 480, 1L)))
+      assert(!closed.exists(_.event_type == "A"), "live run must stay open")
+    } finally q.stop()
+  }
+
   test("funnelStream: transitions across batches == batch funnel depths") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
