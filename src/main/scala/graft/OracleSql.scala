@@ -89,7 +89,13 @@ object OracleSql {
        |      WHEN 11 THEN NULL ELSE 'lane_rental' END
        |      AS traffic_management_type_ref,
        |    c_name AS street_name,
-       |    CAST(o_custkey AS VARCHAR) AS usrn
+       |    CAST(o_custkey AS VARCHAR) AS usrn,
+       |    o_orderpriority AS activity_type,
+       |    CAST(o_custkey % 60 AS VARCHAR) AS promoter_swa_code,
+       |    'PROM#' || CAST(o_custkey % 60 AS VARCHAR)
+       |      AS promoter_organisation,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN 'Yes' ELSE 'No' END
+       |      AS collaborative_working
        |  FROM oc CROSS JOIN (SELECT unnest([1, 2]) AS v)),
        |usrn_dim AS (SELECT c_custkey AS usrn,
        |    'POINT (' || CAST(c_custkey % 1000 AS VARCHAR) || ' ' ||
@@ -2263,6 +2269,85 @@ object OracleSql {
          |FROM rkd CROSS JOIN nn
          |LEFT JOIN bd USING (highway_authority, highway_authority_swa_code)"""
         .stripMargin,
+
+    // usrn_permit_details_london: the two dedup'd lists unioned to the
+    // detail projection, licence flags from the SWA dimension (same
+    // deterministic dressing as SparkEntry.modelSwaCodes)
+    "q_model_permit_details" ->
+      s"""WITH $modelCtes,
+         |swa AS (SELECT k,
+         |    CASE WHEN k % 2 = 0 THEN 'Yes' ELSE 'No' END
+         |      AS ofgem_electricity_licence,
+         |    CASE WHEN k % 3 = 0 THEN 'Yes' ELSE 'No' END
+         |      AS ofgem_gas_licence,
+         |    CASE WHEN k % 5 = 0 THEN 'Yes' ELSE 'No' END AS ofcom_licence,
+         |    CASE WHEN k % 7 = 0 THEN 'Yes' ELSE 'No' END AS ofwat_licence
+         |  FROM (SELECT DISTINCT c_custkey % 60 AS k FROM customer)),
+         |det AS (
+         |  SELECT usrn, street_name, highway_authority,
+         |    permit_reference_number, promoter_organisation, work_category,
+         |    activity_type, is_ttro_required, is_traffic_sensitive,
+         |    traffic_management_type_ref, collaborative_working,
+         |    promoter_swa_code
+         |  FROM inprog
+         |  UNION ALL
+         |  SELECT usrn, street_name, highway_authority,
+         |    permit_reference_number, promoter_organisation, work_category,
+         |    activity_type, is_ttro_required, is_traffic_sensitive,
+         |    traffic_management_type_ref, collaborative_working,
+         |    promoter_swa_code
+         |  FROM done)
+         |SELECT usrn, street_name, highway_authority,
+         |  permit_reference_number, promoter_organisation, work_category,
+         |  activity_type, is_ttro_required, is_traffic_sensitive,
+         |  traffic_management_type_ref, collaborative_working,
+         |  ofgem_electricity_licence, ofgem_gas_licence, ofcom_licence,
+         |  ofwat_licence
+         |FROM det d LEFT JOIN swa s ON CAST(d.promoter_swa_code AS INT) = s.k"""
+        .stripMargin,
+
+    // dbt data_tests as one summary frame: duplicate permits across the
+    // list pair (London correlated / England uncorrelated) and the
+    // impact-scores not_null checks; the zero counts ARE the semantics
+    // (the exclusion join makes overlap impossible on clean data)
+    "q_model_data_tests" ->
+      s"""WITH $modelCtes,
+         |inprog_eng AS (SELECT * FROM (
+         |    SELECT e.*, ROW_NUMBER() OVER (
+         |        PARTITION BY permit_reference_number
+         |        ORDER BY event_time DESC, event_reference DESC) AS rn
+         |    FROM ev e
+         |    WHERE work_status_ref = 'in_progress'
+         |      AND NOT EXISTS (SELECT 1 FROM compl_keys ck
+         |        WHERE ck.permit_reference_number = e.permit_reference_number))
+         |  WHERE rn = 1),
+         |done_eng AS (SELECT * FROM (
+         |    SELECT e.*, ROW_NUMBER() OVER (
+         |        PARTITION BY permit_reference_number
+         |        ORDER BY event_time DESC, event_reference DESC) AS rn
+         |    FROM ev e
+         |    WHERE work_status_ref = 'completed'
+         |      AND event_type = 'WORK_STOP')
+         |  WHERE rn = 1),
+         |imp AS (SELECT uprn_count, CAST(total10 AS DOUBLE) / 10 AS til
+         |        FROM raw)
+         |SELECT 'assert_no_duplicate_permits_london' AS test_name,
+         |  CAST((SELECT COUNT(*) FROM
+         |    (SELECT permit_reference_number FROM inprog
+         |     INTERSECT
+         |     SELECT permit_reference_number FROM done)) AS BIGINT)
+         |    AS violations
+         |UNION ALL
+         |SELECT 'assert_no_duplicate_permits_england',
+         |  CAST((SELECT COUNT(*) FROM
+         |    (SELECT permit_reference_number FROM inprog_eng
+         |     INTERSECT
+         |     SELECT permit_reference_number FROM done_eng)) AS BIGINT)
+         |UNION ALL
+         |SELECT 'impact_scores_not_null',
+         |  CAST((SELECT COUNT(CASE WHEN til IS NULL THEN 1 END)
+         |      + COUNT(CASE WHEN uprn_count IS NULL THEN 1 END)
+         |    FROM imp) AS BIGINT)""".stripMargin,
 
     // wellbeing mart unrolled (SparkEntry modelWellbeingEvents dressing):
     // stg works = completed WORK_STOP + anti-joined in-progress, duration

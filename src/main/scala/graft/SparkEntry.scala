@@ -1606,6 +1606,65 @@ object SparkEntry {
       Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d)),
       modelAuthorities, correlateOnAuthority = true)
 
+  /** Regulator-licence dimension (geoplace SWA shape): one row per
+    * promoter SWA code with deterministic Yes/No licence flags. */
+  private def modelSwaCodes(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select((col("c_custkey") % 60).as("__k")).distinct()
+      .select(col("__k").cast("string").as("swa_code"),
+        when(col("__k") % 2 === 0, "Yes").otherwise("No")
+          .as("ofgem_electricity_licence"),
+        when(col("__k") % 3 === 0, "Yes").otherwise("No")
+          .as("ofgem_gas_licence"),
+        when(col("__k") % 5 === 0, "Yes").otherwise("No").as("ofcom_licence"),
+        when(col("__k") % 7 === 0, "Yes").otherwise("No").as("ofwat_licence"))
+
+  private def modelLondonLists(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = modelPermitEvents(s, d)
+    val usrns = modelOpenUsrns(s, d)
+    val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
+    val swa = modelSwaCodes(s, d)
+    (Models.inProgressList(ev, usrns, swa, counts, modelAuthorities,
+      correlateOnAuthority = true),
+      Models.completedList(ev, usrns, swa, counts, modelAuthorities))
+  }
+
+  /** usrn_permit_details_london.sql: both London lists unioned to the
+    * per-permit detail projection, licence flags riding from the SWA
+    * dimension join. */
+  private def qModelPermitDetails(s: SparkSession, d: String): DataFrame = {
+    val (inL, doneL) = modelLondonLists(s, d)
+    Models.usrnPermitDetails(inL, doneL)
+  }
+
+  /** The reference's dbt data_tests as a driver query — `dbt build` runs
+    * these on every invocation (data_tests/assert_no_duplicate_permits_*,
+    * test_impact_scores_london.yml): one (test_name, violations) row per
+    * test, all zero on clean data BY CONSTRUCTION of the exclusion join
+    * (that invariant is exactly what the dbt test pins in production). */
+  private def qModelDataTests(s: SparkSession, d: String): DataFrame = {
+    val ev = modelPermitEvents(s, d)
+    val usrns = modelOpenUsrns(s, d)
+    val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
+    val swa = modelSwaCodes(s, d)
+    def lists(auth: Seq[String], corr: Boolean): (DataFrame, DataFrame) = (
+      Models.inProgressList(ev, usrns, swa, counts, auth,
+        correlateOnAuthority = corr),
+      Models.completedList(ev, usrns, swa, counts, auth))
+    val (inL, doneL) = lists(modelAuthorities, corr = true)
+    val (inE, doneE) = lists(Nil, corr = false)
+    val impact = Models.impactScoresFromEvents(ev, usrns, counts,
+      modelAuthorities, correlateOnAuthority = true)
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("test_name"), col("violations"))
+    cnt(Models.duplicatePermitsAcrossLists(inL, doneL),
+        "assert_no_duplicate_permits_london")
+      .unionByName(cnt(Models.duplicatePermitsAcrossLists(inE, doneE),
+        "assert_no_duplicate_permits_england"))
+      .unionByName(cnt(Models.impactScoresNullViolations(impact),
+        "impact_scores_not_null"))
+  }
+
   /** Wellbeing dressing: [[modelPermitEvents]] plus the columns the
     * wellbeing staging chain consumes. Work points sit on a 1 km grid
     * (cell = (k%100, k div 100 %100), offset up to ±400/±300 m from the
@@ -1829,6 +1888,8 @@ object SparkEntry {
     "q_model_impact_scores" -> (qModelImpactScores _),
     "q_model_authority_scores" -> (qModelAuthorityScores _),
     "q_model_wellbeing" -> (qModelWellbeing _),
+    "q_model_permit_details" -> (qModelPermitDetails _),
+    "q_model_data_tests" -> (qModelDataTests _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
