@@ -128,4 +128,67 @@ class CatalogModelsSpec extends SparkSpec {
     assert(m.getAs[Long]("duration_days") === 7L)
     assert(m.getAs[Double]("wellbeing_total_impact") === 735.0)
   }
+
+  test("monthly re-land loop: append commit, readChanges touches only the new month's files, model refresh == from-scratch rebuild") {
+    // the reference's operating loop: a new month arrives -> re-land ->
+    // dbt run. Month 1 is the landed January table re-published as an
+    // APPEND commit; month 2 brings new permits (suffixed -M2) plus a
+    // WORK_STOP that COMPLETES January's in-progress permit -00.
+    val root = java.nio.file.Files
+      .createTempDirectory("sm-incr").toString + "/permits"
+    val m1 = landed("01_2025")
+    val v1 = SnapshotTable.write(m1, root, append = true)
+    val newPermits = m1
+      .withColumn("permit_reference_number",
+        concat(col("permit_reference_number"), lit("-M2")))
+      .withColumn("event_reference", col("event_reference") + 1000000L)
+      .withColumn("event_time",
+        concat(lit("2025-02"), substring(col("event_time"), 8, 100)))
+    val stop = m1
+      .where(col("permit_reference_number") === "TSR1591199404915-00")
+      .orderBy("event_reference").limit(1)
+      .withColumn("event_type", lit("WORK_STOP"))
+      .withColumn("work_status_ref", lit("completed"))
+      .withColumn("event_reference", lit(9999999L))
+      .withColumn("event_time", lit("2025-02-20T10:00:00.000Z"))
+    val m2 = newPermits.unionByName(stop)
+    SnapshotTable.write(m2, root, append = true)
+
+    // (a) incremental consumption reads EXACTLY the new month: row set
+    // and input files both disjoint from the month-1 snapshot
+    val changes = SnapshotTable.readChanges(spark, root, sinceVersion = v1)
+    assert(changes.count() === m2.count())
+    val v1Files = SnapshotTable.read(spark, root, Some(v1)).inputFiles.toSet
+    assert(changes.inputFiles.nonEmpty &&
+      changes.inputFiles.toSet.intersect(v1Files).isEmpty,
+      "readChanges rescanned month-1 files")
+    assert(changes.where(col("event_reference") === 9999999L).count() === 1)
+
+    // (b) dbt refresh over the appended table == a from-scratch rebuild
+    def run(permits: DataFrame): Map[String, DataFrame] =
+      Models.streetworksModels(permits,
+        landed("open_usrns_latest"), landed("LATEST_ACTIVE"),
+        landed("os_open_linked_identifiers_uprn_usrn_latest"),
+        landed("code_point_latest"), landed("pcd_p001"), landed("pcd_p002"),
+        wellbeingSwaCode = "5990")
+    val incremental = run(SnapshotTable.read(spark, root))
+    val rebuildRoot = java.nio.file.Files
+      .createTempDirectory("sm-rebuild").toString + "/permits"
+    SnapshotTable.write(m1.unionByName(m2), rebuildRoot)
+    val rebuilt = run(SnapshotTable.read(spark, rebuildRoot))
+    for (name <- Seq("in_progress_list_london", "completed_list_london",
+        "impact_scores_london", "emergency_wellbeing", "major_wellbeing"))
+      assert(incremental(name).collect().toSet ===
+        rebuilt(name).collect().toSet, name)
+
+    // the month-2 WORK_STOP moved -00 from in-progress to completed; the
+    // -M2 permits joined the in-progress list
+    val inRefs = incremental("in_progress_list_london")
+      .select("permit_reference_number").collect().map(_.getString(0)).toSet
+    assert(!inRefs.contains("TSR1591199404915-00"))
+    assert(inRefs.contains("TSR1591199404915-00-M2"))
+    val doneRefs = incremental("completed_list_london")
+      .select("permit_reference_number").collect().map(_.getString(0)).toSet
+    assert(doneRefs.contains("TSR1591199404915-00"))
+  }
 }
