@@ -1742,17 +1742,15 @@ object SparkEntry {
     * £2.10 × days × households DECIMAL formula, emergency + major
     * tagged union ({emergency,major}_wellbeing.sql:5-47). */
   private def qModelWellbeing(s: SparkSession, d: String): DataFrame = {
-    val ev = modelWellbeingEvents(s, d)
     val pcs = Models.intPostcodes(modelCodePoint(s, d), modelP001(s, d),
       modelP002(s, d))
-    def chain(refs: Seq[String], tag: String): DataFrame = {
-      val stg = Models.stgWorksByAuthority(ev, refs, "SWA7")
-      Models.wellbeingImpact(Models.intWorksPostcodes(stg, pcs), stg)
-        .withColumn("model", lit(tag))
-    }
-    chain(Seq("immediate_urgent", "immediate_emergency"),
-        "emergency_wellbeing")
-      .unionByName(chain(Seq("major"), "major_wellbeing"))
+    // the FUSED single-pass variant (one permit scan, one dedup shuffle,
+    // one radius join for both families) — row-identical to the
+    // per-family stg→int→wellbeing chains, pinned in ModelsSpec
+    Models.wellbeingByModel(modelWellbeingEvents(s, d), pcs,
+        Seq("emergency_wellbeing" ->
+            Seq("immediate_urgent", "immediate_emergency"),
+          "major_wellbeing" -> Seq("major")), "SWA7")
       .select(col("model"), col("permit_reference_number"),
         col("promoter_organisation"), col("highway_authority"),
         col("street_name"), col("activity_type"), col("work_category"),

@@ -669,6 +669,108 @@ object Models {
         round(lit(BigDecimal("2.10")) * col("duration_days") *
           col("total_households_affected"), 2).cast("double"))
 
+  /** The wellbeing mart for SEVERAL work-category families in ONE pass —
+    * the fused twin of stgWorksByAuthority → intWorksPostcodes →
+    * wellbeingImpact run once per family (the dbt emergency/major pair).
+    * Families tag rows (`model` column); because the category-ref sets
+    * are DISJOINT (required), deduping per (model, permit) and running
+    * one radius join is row-identical to the per-family chains — pinned
+    * in ModelsSpec — while the permit scan, the completed-anywhere
+    * aggregate, the dedup shuffle, the postcode prep, and the radius
+    * join all run once instead of once per family. The descriptive
+    * columns ride THROUGH the radius join (bounded fanout), so the
+    * composed route's join-back to stg disappears entirely. */
+  def wellbeingByModel(permits: DataFrame, postcodes: DataFrame,
+      families: Seq[(String, Seq[String])], swaCode: String,
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    val allRefs = families.flatMap(_._2)
+    require(allRefs.distinct.size == allRefs.size,
+      "wellbeingByModel: family category-ref sets must be disjoint")
+    val tag = coalesce(families.map { case (name, refs) =>
+      when(col("work_category_ref").isin(refs.map(lit): _*), lit(name))
+    }: _*)
+    val startTs = col("actual_start_date_time").cast("timestamp")
+    val endTs = col("actual_end_date_time").cast("timestamp")
+    val sharedCols = Seq("model", "permit_reference_number",
+      "promoter_organisation", "highway_authority", "street_name",
+      "activity_type", "work_category", "work_status",
+      "works_location_coordinates", "usrn").map(col)
+    val base = permits.withColumn("model", tag)
+    val completed = base
+      .where(col("model").isNotNull &&
+        col("work_status_ref") === "completed" &&
+        col("event_type") === "WORK_STOP" &&
+        col("actual_start_date_time").isNotNull &&
+        col("actual_end_date_time").isNotNull &&
+        col("works_location_coordinates").isNotNull &&
+        col("highway_authority_swa_code") === swaCode)
+      .select(sharedCols :+ startTs.as("__start") :+ endTs.as("__end")
+        :+ col("event_reference"): _*)
+      .withColumn("duration_days",
+        when(year(col("__start")) === year(col("__end")) &&
+          month(col("__start")) === month(col("__end")),
+          dayofmonth(col("__end")) - dayofmonth(col("__start")))
+          .otherwise(dayofmonth(col("__end"))).cast("long"))
+    val completedAnywhere = permits
+      .where(col("work_status_ref") === "completed" &&
+        col("event_type") === "WORK_STOP")
+      .select("permit_reference_number")
+    val inProgress = base
+      .where(col("model").isNotNull &&
+        col("work_status_ref") === "in_progress" &&
+        col("actual_start_date_time").isNotNull &&
+        col("works_location_coordinates").isNotNull &&
+        col("highway_authority_swa_code") === swaCode)
+      .join(completedAnywhere.distinct(),
+        Seq("permit_reference_number"), "left_anti")
+      .select(sharedCols :+ startTs.as("__start")
+        :+ (startTs + expr("INTERVAL 7 DAYS")).as("__end")
+        :+ col("event_reference"): _*)
+      .withColumn("duration_days", lit(7L))
+    val point = Geo.stCentroid(
+      Geo.stGeomFromText(col("works_location_coordinates")))
+    val stg = scope.cache(
+      Relational.distinctOn(completed.unionByName(inProgress),
+          Seq("model", "permit_reference_number"),
+          Seq(col("__start").asc, col("event_reference").asc))
+        .withColumn("__wp", point)
+        .withColumn("work_easting", round(col("__wp.x"), 2))
+        .withColumn("work_northing", round(col("__wp.y"), 2))
+        .withColumn("__wx", col("__wp.x"))
+        .withColumn("__wy", col("__wp.y"))
+        .withColumn("actual_start_date_time", col("__start"))
+        .withColumn("actual_end_date_time", col("__end"))
+        .drop("__start", "__end", "event_reference",
+          "works_location_coordinates", "__wp"))
+    val pcs = postcodes.select(col("postcode"),
+      Geo.stX(Geo.stCentroid(Geo.stGeomFromText(col("postcode_point"))))
+        .as("postcode_easting"),
+      Geo.stY(Geo.stCentroid(Geo.stGeomFromText(col("postcode_point"))))
+        .as("postcode_northing"),
+      col("total_population"), col("female_population"),
+      col("male_population"), col("total_households"))
+    val joined = scope.cache(RangeJoin.radiusJoin(stg, pcs,
+      "__wx", "__wy", "postcode_easting", "postcode_northing", 500.0))
+    val unmatched = stg.join(
+      joined.select("model", "permit_reference_number").distinct(),
+      Seq("model", "permit_reference_number"), "left_anti")
+    joined.unionByName(unmatched, allowMissingColumns = true)
+      .groupBy("model", "permit_reference_number", "promoter_organisation",
+        "highway_authority", "street_name", "activity_type",
+        "work_category", "work_status", "usrn", "work_easting",
+        "work_northing", "actual_start_date_time", "actual_end_date_time",
+        "duration_days")
+      .agg(
+        countDistinct(col("postcode")).as("postcode_count"),
+        sum("total_population").as("total_population_affected"),
+        sum("female_population").as("total_female_population"),
+        sum("male_population").as("total_male_population"),
+        sum("total_households").as("total_households_affected"))
+      .withColumn("wellbeing_total_impact",
+        round(lit(BigDecimal("2.10")) * col("duration_days") *
+          col("total_households_affected"), 2).cast("double"))
+  }
+
   /** clean_up.sql: the post-hook summary row (intermediate-table
     * lifecycle is the caller's storage concern; the model's observable
     * output is the two record counts). */

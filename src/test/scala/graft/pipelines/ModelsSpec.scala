@@ -373,6 +373,30 @@ class ModelsSpec extends SparkSpec {
     assert(w3.isNullAt(w3.fieldIndex("wellbeing_total_impact")))
   }
 
+  test("wellbeingByModel: the fused single-pass twin is row-identical to the per-family chains") {
+    val families = Seq(
+      "emergency_wellbeing" -> Seq("immediate_urgent", "immediate_emergency"),
+      "major_wellbeing" -> Seq("major"))
+    val pcs = Models.intPostcodes(codePoint, p001, p002)
+    val fused = Models.wellbeingByModel(wellbeingPermits, pcs, families, "4720")
+    val composed = families.map { case (name, refs) =>
+      val stg = Models.stgWorksByAuthority(wellbeingPermits, refs, "4720")
+      Models.wellbeingImpact(Models.intWorksPostcodes(stg, pcs), stg)
+        .withColumn("model", lit(name))
+    }.reduce(_.unionByName(_))
+    assert(fused.columns.sorted.toSeq === composed.columns.sorted.toSeq)
+    val cols = fused.columns.sorted.map(col)
+    assert(fused.select(cols: _*).collect().toSet ===
+      composed.select(cols: _*).collect().toSet)
+    // both families present: W1/W2/W3 emergency, W4's completed major row
+    assert(fused.where(col("model") === "major_wellbeing").count() === 1)
+    assert(fused.count() === 4)
+    // overlapping family refs are a contract violation, not silent dedup
+    intercept[IllegalArgumentException](Models.wellbeingByModel(
+      wellbeingPermits, pcs,
+      Seq("a" -> Seq("major"), "b" -> Seq("major")), "4720"))
+  }
+
   test("streetworksModels: the full dbt DAG by model name") {
     val dag = Models.streetworksModels(permits, openUsrns, swaCodes,
       linkedIds, codePoint, p001, p002)
