@@ -18,14 +18,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knob for plan-level experiments (e.g. AQE on/off): semicolon-
+    // separated k=v overrides; the driver's contract call never sets it
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry must be k=v: $kv")
+        builder.config(kv.take(i), kv.drop(i + 1))
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The only unpartitioned windows in the suite run over
     // post-aggregation relations bounded by construction (≤ bins rows in
