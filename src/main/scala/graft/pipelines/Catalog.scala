@@ -264,14 +264,22 @@ object Catalog {
   private[pipelines] def nhsSelectMonths(
       resources: Seq[Fetch.JsonResource],
       selection: NhsSelection): Seq[(String, String)] = {
-    val epd = resources.iterator
+    val byName = resources.iterator
       .filter(r => r.format == "CSV" && r.name.startsWith("EPD_SNOMED_") &&
         r.name.length >= 17)
       .flatMap { r =>
         val d = r.name.substring(11, 17)
-        if (d.forall(_.isDigit)) r.url.map(d -> _) else None
+        if (d.forall(_.isDigit)) r.url.map(u => (r.name, d, u)) else None
       }
       .toSeq.sortBy(_._1)(Ordering[String].reverse)
+    // one resource per MONTH, newest name first (a revised upload like
+    // EPD_SNOMED_202505_V2 sorts above the original and wins): without
+    // the dedup a duplicated month burns a last-N slot and lands the
+    // same table twice
+    val epd = byName.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, (_, d, u)) =>
+        if (acc.exists(_._1 == d)) acc else acc :+ (d -> u)
+    }
     val picked = selection match {
       case NhsLatest => epd.take(1)
       case NhsLastN(n) => epd.take(n)
@@ -314,13 +322,13 @@ object Catalog {
       Fetch.discoverJsonResources(apiUrl, allowHosts), selection)
     Fetch.withScratchDir("graft-nhs-staging") { staging =>
       months.foreach { case (m, url) =>
-        val fetched = Fetch.fetchToStaging(url, staging)
-        // canonical per-month name: the URL basename is an opaque asset id
-        // on some CDNs, and parse() addresses months by EPD_SNOMED_<m>.csv
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(fetched.path),
-          java.nio.file.Paths.get(staging, s"EPD_SNOMED_$m.csv"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // canonical per-month name (the URL basename is an opaque asset
+        // id on some CDNs; parse() addresses months by EPD_SNOMED_<m>);
+        // the caller's allow-list applies to the DATA redirects too —
+        // CKAN resources routinely 302 to an object-store host
+        Fetch.fetchToStaging(url, staging,
+          destName = Some(s"EPD_SNOMED_$m.csv"),
+          allowRedirectHosts = allowHosts)
       }
       run(spark, nhsPrescriptionsFor(months.map(_._1)), staging, warehouseRoot)
     }

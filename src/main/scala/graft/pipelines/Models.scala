@@ -683,6 +683,7 @@ object Models {
   def wellbeingByModel(permits: DataFrame, postcodes: DataFrame,
       families: Seq[(String, Seq[String])], swaCode: String,
       scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    require(families.nonEmpty, "wellbeingByModel: families must be non-empty")
     val allRefs = families.flatMap(_._2)
     require(allRefs.distinct.size == allRefs.size,
       "wellbeingByModel: family category-ref sets must be disjoint")

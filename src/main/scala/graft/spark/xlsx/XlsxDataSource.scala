@@ -616,16 +616,26 @@ object XlsxParse {
                      expected: Seq[(Int, String)], path: String): Unit = {
     val it = rows(src, sheet)
     try {
-      val cells = it
-        .collectFirst { case (rn, c) if rn == headerRow => c }
-        .getOrElse(sys.error(
-          s"graft-xlsx: $path has no header row $headerRow to validate"))
-      expected.foreach { case (ci, name) =>
-        val got = cells.getOrElse(ci, s"col_$ci")
-        if (got != name) sys.error(
-          s"graft-xlsx: $path header drift at cell $ci: " +
-            s"expected '$name', found '$got'")
+      while (it.hasNext) {
+        val (rn, cells) = it.next()
+        if (rn == headerRow) {
+          expected.foreach { case (ci, name) =>
+            val got = cells.getOrElse(ci, s"col_$ci")
+            if (got != name) sys.error(
+              s"graft-xlsx: $path header drift at cell $ci: " +
+                s"expected '$name', found '$got'")
+          }
+          return
+        } else if (rn > headerRow)
+          // data without a header is the error; mirrors the column
+          // scan's !headerSeen guard exactly
+          sys.error(
+            s"graft-xlsx: $path has no header row $headerRow to validate")
+        // rn < headerRow: pre-header rows skip, like the column scan
       }
+      // sheet exhausted before the header row: an EMPTY month
+      // contributes 0 rows in BOTH plans — the column scan accepts this
+      // file too, so erroring here would invert the agreement contract
     } finally it.close()
   }
 

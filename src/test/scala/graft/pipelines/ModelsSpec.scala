@@ -395,6 +395,9 @@ class ModelsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Models.wellbeingByModel(
       wellbeingPermits, pcs,
       Seq("a" -> Seq("major"), "b" -> Seq("major")), "4720"))
+    // empty families fail at the API boundary, not in coalesce()
+    intercept[IllegalArgumentException](Models.wellbeingByModel(
+      wellbeingPermits, pcs, Seq.empty, "4720"))
   }
 
   test("streetworksModels: the full dbt DAG by model name") {

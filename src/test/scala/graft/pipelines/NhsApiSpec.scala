@@ -50,6 +50,53 @@ class NhsApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](Catalog.NhsRange("2024-02", "202407"))
   }
 
+  test("nhsSelectMonths: a duplicated month dedups, revised upload wins") {
+    // a revised upload (…_V2) passes the name filter and maps to the
+    // SAME month: without dedup it would burn a last-N slot and land
+    // nhs_prescriptions_05_2025 twice
+    val withRevision = listing :+
+      res("EPD_SNOMED_202505_V2", "CSV", Some("u5v2"))
+    assert(Catalog.nhsSelectMonths(withRevision, Catalog.NhsLatest) ===
+      Seq("202505" -> "u5v2")) // _V2 sorts above the original name-desc
+    assert(Catalog.nhsSelectMonths(withRevision, Catalog.NhsLastN(2)) ===
+      Seq("202505" -> "u5v2", "202504" -> "u4"))
+    assert(Catalog.nhsSelectMonths(withRevision, Catalog.NhsLastN(99))
+      .map(_._1) === Seq("202505", "202504", "202503"))
+  }
+
+  test("landNhsFromApi: data fetch follows an allow-listed redirect (CKAN -> object store)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-nhs-wh").toString
+    val csv = (currentHeader +: Seq(currentRow("202505", 1)))
+      .mkString("\n").getBytes("UTF-8")
+    // the resource URL 302s to a DIFFERENT host ('localhost' and
+    // '127.0.0.1' are distinct hosts for the redirect policy): the
+    // caller's allowHosts must reach the DATA fetch, not just the listing
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/files/real.csv",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        x.sendResponseHeaders(200, csv.length.toLong)
+        x.getResponseBody.write(csv); x.close()
+      })
+    server.createContext("/redir", (x: com.sun.net.httpserver.HttpExchange) => {
+      val p = x.getHttpContext.getServer.getAddress.getPort
+      x.getResponseHeaders.add("Location", s"http://localhost:$p/files/real.csv")
+      x.sendResponseHeaders(302, -1); x.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      serve(Map("/api" -> ckanListing(base,
+          Seq("202505" -> "/redir")))) { apiBase =>
+        val tables = Catalog.landNhsFromApi(spark, s"$apiBase/api",
+          Catalog.NhsLatest, wh,
+          allowHosts = Set("127.0.0.1", "localhost"))
+        assert(SnapshotTable.read(spark,
+          tables("nhs_prescriptions_05_2025")).count() === 1)
+      }
+    } finally server.stop(0)
+  }
+
   test("nhsTemplateFor: schema-change cutoff picks the vintage template") {
     val legacy = Catalog.nhsTemplateFor("202502").map(_._1)
     val current = Catalog.nhsTemplateFor("202503").map(_._1)

@@ -154,6 +154,23 @@ class XlsxDataSourceSpec extends SparkSpec {
       s"got: $e")
   }
 
+  test("an EMPTY sheet counts as 0 in both plans (no false header-drift error)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dsv2-xlsx-empty").toString
+    val f1 = workbook(dir, "jan.xlsx", "London", "1")
+    val fEmpty = mkZip(dir, "feb.xlsx", Map(
+      "xl/sharedStrings.xml" -> "<sst></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        "<worksheet><sheetData></sheetData></worksheet>"))
+    val df = spark.read.format("graft-xlsx").option("headerRow", 1)
+      .load(f1, fEmpty)
+    // the column scan accepts the empty month (0 rows), so COUNT(*)
+    // must too — the header validation only errors when DATA exists
+    // without a header
+    assert(df.count() === 2L)
+    assert(df.agg(count(lit(1))).head().getLong(0) === 2L)
+  }
+
   test("COUNT(*) pushes into the scan; grouped aggregates do not") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("dsv2-xlsx-agg").toString
