@@ -1645,24 +1645,15 @@ object SparkEntry {
     val ev = modelPermitEvents(s, d)
     val usrns = modelOpenUsrns(s, d)
     val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
-    val swa = modelSwaCodes(s, d)
-    def lists(auth: Seq[String], corr: Boolean): (DataFrame, DataFrame) = (
-      Models.inProgressList(ev, usrns, swa, counts, auth,
-        correlateOnAuthority = corr),
-      Models.completedList(ev, usrns, swa, counts, auth))
-    val (inL, doneL) = lists(modelAuthorities, corr = true)
-    val (inE, doneE) = lists(Nil, corr = false)
+    // duplicate-permit tests via the FUSED key-set formulation (two
+    // narrow shuffles; spec-pinned identical to testing the built lists)
     val impact = Models.impactScoresFromEvents(ev, usrns, counts,
       modelAuthorities, correlateOnAuthority = true)
-    def cnt(df: DataFrame, name: String): DataFrame =
-      df.agg(count(lit(1)).as("violations"))
-        .select(lit(name).as("test_name"), col("violations"))
-    cnt(Models.duplicatePermitsAcrossLists(inL, doneL),
-        "assert_no_duplicate_permits_london")
-      .unionByName(cnt(Models.duplicatePermitsAcrossLists(inE, doneE),
-        "assert_no_duplicate_permits_england"))
-      .unionByName(cnt(Models.impactScoresNullViolations(impact),
-        "impact_scores_not_null"))
+    Models.duplicatePermitTestCounts(ev, modelAuthorities)
+      .unionByName(Models.impactScoresNullViolations(impact)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("impact_scores_not_null").as("test_name"),
+          col("violations")))
   }
 
   /** Wellbeing dressing: [[modelPermitEvents]] plus the columns the

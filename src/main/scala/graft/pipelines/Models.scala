@@ -791,6 +791,53 @@ object Models {
       inProgress.select("permit_reference_number"),
       completed.select("permit_reference_number"), "permit_reference_number")
 
+  /** Both duplicate-permit data_tests WITHOUT building the lists: the
+    * tests compare DISTINCT permit keys, and neither the per-permit
+    * dedup nor the dimension enrichments can change key membership, so
+    * the London (authority-correlated exclusion) and England
+    * (key-correlated) list pairs reduce to ONE (permit, authority) flag
+    * aggregate plus one permit-level rollup — two narrow shuffles
+    * instead of four full list DAGs. Row-count-identical to
+    * duplicatePermitsAcrossLists over inProgressList/completedList
+    * (spec-pinned, including a cross-authority violation). England's
+    * overlap is structurally empty in a single-frame run (its exclusion
+    * key IS the test key — the dbt test exists because dbt's two lists
+    * materialize at different times); the predicate keeps its honest
+    * form and folds at plan time. Returns (test_name, violations). */
+  def duplicatePermitTestCounts(permits: DataFrame,
+                                authorities: Seq[String]): DataFrame = {
+    val flags = permits
+      .groupBy(col("permit_reference_number"), col("highway_authority"))
+      .agg(
+        max(when(col("work_status_ref") === "in_progress", 1).otherwise(0))
+          .as("__ip"),
+        max(when(col("work_status_ref") === "completed" &&
+          col("event_type") === "WORK_STOP", 1).otherwise(0)).as("__st"))
+      // NULL authorities never pass the isin filter, matching the list
+      // route where they are dropped by the authority predicate
+      .withColumn("__inA",
+        col("highway_authority").isin(authorities.map(lit): _*))
+    val perPrn = flags.groupBy("permit_reference_number").agg(
+      max(when(col("__inA") && col("__ip") === 1 && col("__st") === 0, 1)
+        .otherwise(0)).as("__in_corr"),
+      max(when(col("__inA") && col("__st") === 1, 1).otherwise(0))
+        .as("__done_corr"),
+      max(col("__ip")).as("__ip_any"),
+      max(col("__st")).as("__st_any"))
+    val london = perPrn
+      .where(col("__in_corr") === 1 && col("__done_corr") === 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("assert_no_duplicate_permits_london").as("test_name"),
+        col("violations"))
+    val england = perPrn
+      .where(col("__ip_any") === 1 && col("__st_any") === 0 &&
+        col("__st_any") === 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("assert_no_duplicate_permits_england").as("test_name"),
+        col("violations"))
+    london.unionByName(england)
+  }
+
   /** test_impact_scores_{london,england}.yml: not_null on
     * total_impact_level and uprn_count — rows = violations. */
   def impactScoresNullViolations(impactScores: DataFrame): DataFrame =

@@ -426,6 +426,54 @@ class ModelsSpec extends SparkSpec {
 
   // ------------------------------------------------------ dbt data tests
 
+  test("duplicatePermitTestCounts: fused key-set counts == testing the built lists (incl. a cross-authority violation)") {
+    val camden = "LONDON BOROUGH OF CAMDEN"
+    // P6 IS the London violation the fused path must count: in-progress
+    // at Westminster with no stop there (survives the correlated
+    // exclusion) AND a completed stop at Camden (enters the completed
+    // list) -> the permit appears in both London lists
+    val withViolation = permits.unionByName(Seq(
+      Ev("P6", 8L, "60", "WORK_START", "in_progress", westminster, "SWA1",
+        "07", "Standard", "No", "No", Some("road_closure"), "Oxford St", "100"),
+      Ev("P6", 9L, "61", "WORK_STOP", "completed", camden, "SWA2",
+        "07", "Standard", "No", "No", Some("road_closure"), "Camden Rd", "400"))
+      .toDF()
+      .withColumn("promoter_organisation", lit("ACME"))
+      .withColumn("activity_type", lit("utility"))
+      .withColumn("works_location_type", lit("Footway"))
+      .withColumn("road_category", lit("3"))
+      .withColumn("proposed_start_date", lit("2025-01-01"))
+      .withColumn("proposed_end_date", lit("2025-01-31"))
+      .withColumn("actual_start_date_time", lit("2025-01-02 00:00:00"))
+      .withColumn("actual_end_date_time", lit("2025-01-20 00:00:00"))
+      .withColumn("collaborative_working", lit("No"))
+      .withColumn("work_category_ref", lit("standard"))
+      .withColumn("work_status", lit("Works in progress"))
+      .withColumn("works_location_coordinates", lit("POINT (1 1)")))
+    for (ev <- Seq(permits, withViolation)) {
+      val counts = Models.uprnUsrnCount(openUsrns, linkedIds)
+      val fused = Models.duplicatePermitTestCounts(ev,
+          Models.londonAuthorities)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inL = Models.inProgressList(ev, openUsrns, swaCodes, counts,
+        Models.londonAuthorities, correlateOnAuthority = true)
+      val doneL = Models.completedList(ev, openUsrns, swaCodes, counts,
+        Models.londonAuthorities)
+      val inE = Models.inProgressList(ev, openUsrns, swaCodes, counts,
+        Nil, correlateOnAuthority = false)
+      val doneE = Models.completedList(ev, openUsrns, swaCodes, counts, Nil)
+      assert(fused("assert_no_duplicate_permits_london") ===
+        Models.duplicatePermitsAcrossLists(inL, doneL).count())
+      assert(fused("assert_no_duplicate_permits_england") ===
+        Models.duplicatePermitsAcrossLists(inE, doneE).count())
+    }
+    // and the violation case really is non-zero (the test can fail)
+    assert(Models.duplicatePermitTestCounts(withViolation,
+        Models.londonAuthorities)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("assert_no_duplicate_permits_london") === 1L)
+  }
+
   test("data test: no duplicate permits between in-progress and completed (clean + broken)") {
     val (inP, done) = londonLists
     assert(Models.duplicatePermitsAcrossLists(inP, done).count() === 0)
