@@ -427,7 +427,16 @@ object Models {
     * one-row-per-authority aggregate, cardinality bounded by the
     * political map, so a global window is correct at every scale —
     * PlanAuditSpec whitelists exactly this shape (the per-USRN rank
-    * above stays on the distributed [[Stats.cumLess]]). */
+    * above stays on the distributed [[Stats.cumLess]]).
+    *
+    * Deliberate deviation: the work-category breakdown rides the SAME
+    * aggregate as the rollup (associative counts), where the dbt SQL
+    * computes it separately and equality-LEFT-JOINs it back
+    * (lines 211-214). For a NULL highway_authority (or NULL swa) rollup
+    * row the dbt join misses (NULL ≠ NULL) and leaves NULL breakdown
+    * counts, while this path populates the real counts — strictly more
+    * informative on a row the reference renders broken; real feeds
+    * never carry a NULL authority (the oracle dressings don't either). */
   def impactScoresHighwayAuthority(inProgress: DataFrame, completed: DataFrame,
       scope: graft.PersistScope = graft.PersistScope()): DataFrame =
     impactScoresHighwayAuthorityOver(
@@ -445,8 +454,6 @@ object Models {
 
   private def impactScoresHighwayAuthorityOver(bothRows: DataFrame,
       scope: graft.PersistScope): DataFrame = {
-    // the combined permit rows are scanned twice (raw totals +
-    // breakdown) and raw twice more (rank histogram + join-back): cache
     // the permit rows are consumed ONCE (the raw aggregate carries the
     // breakdown partials too), so `bothRows` is not cached; raw feeds the
     // rank histogram and the join-back — cache it or the dedup re-runs
@@ -612,8 +619,16 @@ object Models {
     * (RangeJoin + distance filter) would run twice per action. */
   def intWorksPostcodes(stgWorks: DataFrame, postcodes: DataFrame,
       scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    // __rk: null-safe work identity for the unmatched-works anti-join.
+    // stg is distinctOn'd per permit ref so refs are unique (incl. at
+    // most one NULL, which distinctOn pools) — but a plain anti-join on
+    // the ref NEVER matches NULL, so a matched NULL-ref work would be
+    // re-emitted as a spurious all-null-postcode row the dbt LEFT JOIN
+    // does not produce
     val works = stgWorks.select(
       col("permit_reference_number"),
+      coalesce(col("permit_reference_number"), lit(" <null-ref>"))
+        .as("__rk"),
       col("easting").as("work_easting"), col("northing").as("work_northing"),
       col("duration_days"), col("actual_start_date_time"),
       col("actual_end_date_time"), col("highway_authority"),
@@ -635,10 +650,10 @@ object Models {
         Geo.stPoint(col("__wx"), col("__wy")),
         Geo.stPoint(col("postcode_easting"), col("postcode_northing")))))
     val unmatched = works
-      .join(joined.select("permit_reference_number").distinct(),
-        Seq("permit_reference_number"), "left_anti")
-    joined.drop("__wx", "__wy")
-      .unionByName(unmatched.drop("__wx", "__wy"), allowMissingColumns = true)
+      .join(joined.select("__rk").distinct(), Seq("__rk"), "left_anti")
+    joined.drop("__wx", "__wy", "__rk")
+      .unionByName(unmatched.drop("__wx", "__wy", "__rk"),
+        allowMissingColumns = true)
   }
 
   /** {emergency,major}_wellbeing: per-permit rollup of affected
@@ -696,7 +711,12 @@ object Models {
       "promoter_organisation", "highway_authority", "street_name",
       "activity_type", "work_category", "work_status",
       "works_location_coordinates", "usrn").map(col)
+    // NULL permit refs drop here: the composed route loses them at
+    // wellbeingImpact's inner join back to staging (NULL never
+    // equi-joins, same as the dbt {emergency,major}_wellbeing JOIN), so
+    // the fused path must not let them reach the output
     val base = permits.withColumn("model", tag)
+      .where(col("permit_reference_number").isNotNull)
     val completed = base
       .where(col("model").isNotNull &&
         col("work_status_ref") === "completed" &&
@@ -806,7 +826,16 @@ object Models {
     * form and folds at plan time. Returns (test_name, violations). */
   def duplicatePermitTestCounts(permits: DataFrame,
                                 authorities: Seq[String]): DataFrame = {
+    // Nil here would freeze the correlated test at 0 (empty isin is
+    // always false) — unlike the list builders, where Nil means
+    // unfiltered; refuse the ambiguity
+    require(authorities.nonEmpty,
+      "duplicatePermitTestCounts: the correlated test needs an authority list")
     val flags = permits
+      // NULL keys pool under groupBy but NEVER match the list route's
+      // equi-joins (the overlappingKeysWithin hazard): drop them, like
+      // the inner-join form and the dbt test do
+      .where(col("permit_reference_number").isNotNull)
       .groupBy(col("permit_reference_number"), col("highway_authority"))
       .agg(
         max(when(col("work_status_ref") === "in_progress", 1).otherwise(0))
@@ -829,9 +858,12 @@ object Models {
       .agg(count(lit(1)).as("violations"))
       .select(lit("assert_no_duplicate_permits_london").as("test_name"),
         col("violations"))
-    val england = perPrn
-      .where(col("__ip_any") === 1 && col("__st_any") === 0 &&
-        col("__st_any") === 1)
+    // England's in-list excludes on the test key itself, so the overlap
+    // predicate (in = __ip_any ∧ ¬__st_any, done = __st_any) is a
+    // contradiction — Catalyst does NOT fold two attribute equalities to
+    // false, so spelling it out would re-run the aggregates for a count
+    // that is 0 by construction; emit the provably-empty filter directly
+    val england = perPrn.where(lit(false))
       .agg(count(lit(1)).as("violations"))
       .select(lit("assert_no_duplicate_permits_england").as("test_name"),
         col("violations"))
@@ -849,12 +881,22 @@ object Models {
   /** The complete dbt DAG by model name over the landed tables — the
     * run-everything entry a dbt user maps their `dbt run` onto. Wellbeing
     * staging/intermediate models are parameterized the reference's way
-    * (emergency = immediate refs, major = 'major', authority 4720). */
+    * (emergency = immediate refs, major = 'major', authority 4720).
+    *
+    * Cost note: constructing the map is NOT free — the two authority-
+    * score entries run [[Stats.cumLess]], whose range-partitioner setup
+    * collects per-partition rank counts (a Spark action) at composition
+    * time. `dbt run` materializes everything anyway (this entry's
+    * purpose); a caller wanting ONE cheap model should call its method
+    * directly. Intermediates cached inside the models are owned by
+    * `scope` — close it when the returned frames are no longer needed. */
   def streetworksModels(permits: DataFrame, openUsrns: DataFrame,
                         swaCodes: DataFrame, linkedIds: DataFrame,
                         codePoint: DataFrame, p001: DataFrame,
                         p002: DataFrame,
-                        wellbeingSwaCode: String = "4720"): Map[String, DataFrame] = {
+                        wellbeingSwaCode: String = "4720",
+                        scope: graft.PersistScope = graft.PersistScope())
+      : Map[String, DataFrame] = {
     val counts = uprnUsrnCount(openUsrns, linkedIds)
     val inLondon = inProgressList(permits, openUsrns, swaCodes, counts,
       londonAuthorities, correlateOnAuthority = true)
@@ -867,8 +909,8 @@ object Models {
       Seq("immediate_urgent", "immediate_emergency"), wellbeingSwaCode)
     val stgMajor = stgWorksByAuthority(permits, Seq("major"), wellbeingSwaCode)
     val pcs = intPostcodes(codePoint, p001, p002)
-    val emergencyPcs = intWorksPostcodes(stgEmergency, pcs)
-    val majorPcs = intWorksPostcodes(stgMajor, pcs)
+    val emergencyPcs = intWorksPostcodes(stgEmergency, pcs, scope)
+    val majorPcs = intWorksPostcodes(stgMajor, pcs, scope)
     val emergencyWellbeing = wellbeingImpact(emergencyPcs, stgEmergency)
     val majorWellbeing = wellbeingImpact(majorPcs, stgMajor)
     Map(
@@ -876,15 +918,15 @@ object Models {
       "in_progress_list_london" -> inLondon,
       "completed_list_london" -> doneLondon,
       "usrn_permit_details_london" -> usrnPermitDetails(inLondon, doneLondon),
-      "impact_scores_london" -> impactScores(inLondon, doneLondon),
+      "impact_scores_london" -> impactScores(inLondon, doneLondon, scope),
       "impact_scores_highway_authority_london" ->
-        impactScoresHighwayAuthority(inLondon, doneLondon),
+        impactScoresHighwayAuthority(inLondon, doneLondon, scope),
       "in_progress_list_england" -> inEngland,
       "completed_list_england" -> doneEngland,
       "usrn_permit_details_england" -> usrnPermitDetails(inEngland, doneEngland),
-      "impact_scores_england" -> impactScores(inEngland, doneEngland),
+      "impact_scores_england" -> impactScores(inEngland, doneEngland, scope),
       "impact_scores_highway_authority_england" ->
-        impactScoresHighwayAuthority(inEngland, doneEngland),
+        impactScoresHighwayAuthority(inEngland, doneEngland, scope),
       "stg_emergency_works_by_authority" -> stgEmergency,
       "stg_major_works_by_authority" -> stgMajor,
       "int_postcodes" -> pcs,

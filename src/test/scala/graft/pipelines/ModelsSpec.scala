@@ -472,6 +472,83 @@ class ModelsSpec extends SparkSpec {
         Models.londonAuthorities)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       .apply("assert_no_duplicate_permits_london") === 1L)
+    // authorities = Nil is refused (it would freeze the test at 0, not
+    // mean 'unfiltered' like the list builders)
+    intercept[IllegalArgumentException](
+      Models.duplicatePermitTestCounts(permits, Nil))
+  }
+
+  test("NULL permit references: no spurious dup-test violation, no double-emit in the radius join, fused wellbeing stays list-identical") {
+    val camden = "LONDON BOROUGH OF CAMDEN"
+    // a NULL-ref in-progress row at Westminster + a NULL-ref stop at
+    // Camden would pool under one groupBy key and read as a London
+    // violation — the equi-join route (and the dbt inner-join test)
+    // counts 0 because NULL keys never match
+    val withNulls = permits.unionByName(Seq(
+      Ev(null, 10L, "70", "WORK_START", "in_progress", westminster, "SWA1",
+        "07", "Standard", "No", "No", Some("road_closure"), "Oxford St", "100"),
+      Ev(null, 11L, "71", "WORK_STOP", "completed", camden, "SWA2",
+        "07", "Standard", "No", "No", Some("road_closure"), "Camden Rd", "400"))
+      .toDF()
+      .withColumn("promoter_organisation", lit("ACME"))
+      .withColumn("activity_type", lit("utility"))
+      .withColumn("works_location_type", lit("Footway"))
+      .withColumn("road_category", lit("3"))
+      .withColumn("proposed_start_date", lit("2025-01-01"))
+      .withColumn("proposed_end_date", lit("2025-01-31"))
+      .withColumn("actual_start_date_time", lit("2025-01-02 00:00:00"))
+      .withColumn("actual_end_date_time", lit("2025-01-20 00:00:00"))
+      .withColumn("collaborative_working", lit("No"))
+      .withColumn("work_category_ref", lit("standard"))
+      .withColumn("work_status", lit("Works in progress"))
+      .withColumn("works_location_coordinates", lit("POINT (1 1)")))
+    val fused = Models.duplicatePermitTestCounts(withNulls,
+        Models.londonAuthorities)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fused("assert_no_duplicate_permits_london") === 0L)
+
+    // a MATCHED NULL-ref work emits only its matched rows — the anti-join
+    // emulation of the dbt LEFT JOIN must not re-add it as an extra
+    // all-null-postcode row
+    val nullRefWork = Seq(
+      Wv(null, 12L, "WORK_STOP", "completed", "immediate_urgent", "4720",
+        Some("POINT (100 100)"), // ~200 m from AA1 1AA (101, 300): matched
+        Some("2025-01-05 00:00:00"), Some("2025-01-09 00:00:00")))
+      .toDF()
+      .withColumn("promoter_organisation", lit("ACME"))
+      .withColumn("promoter_swa_code", lit("07"))
+      .withColumn("highway_authority", lit(westminster))
+      .withColumn("street_name", lit("Oxford St"))
+      .withColumn("activity_type", lit("utility"))
+      .withColumn("work_category", lit("Immediate - urgent"))
+      .withColumn("work_status", lit("Works completed"))
+      .withColumn("usrn", lit("100"))
+    val wvWithNull = wellbeingPermits.unionByName(nullRefWork)
+    val stg = Models.stgWorksByAuthority(wvWithNull,
+      Seq("immediate_urgent", "immediate_emergency"), "4720")
+    val pcs = Models.intPostcodes(codePoint, p001, p002)
+    val wp = Models.intWorksPostcodes(stg, pcs)
+    // the NULL-ref work at (100,100) matches AA1 1AA (101,300 is 200 m
+    // away): exactly ONE row, never a (matched + unmatched) pair
+    assert(wp.where(col("permit_reference_number").isNull).count() === 1)
+    assert(wp.where(col("permit_reference_number").isNull &&
+      col("postcode").isNull).count() === 0)
+
+    // fused wellbeing == per-family chains WITH the NULL-ref row present
+    // (both drop it: the composed route at the inner join back to stg)
+    val families = Seq(
+      "emergency_wellbeing" -> Seq("immediate_urgent", "immediate_emergency"),
+      "major_wellbeing" -> Seq("major"))
+    val fusedWb = Models.wellbeingByModel(wvWithNull, pcs, families, "4720")
+    val composedWb = families.map { case (name, refs) =>
+      val s = Models.stgWorksByAuthority(wvWithNull, refs, "4720")
+      Models.wellbeingImpact(Models.intWorksPostcodes(s, pcs), s)
+        .withColumn("model", lit(name))
+    }.reduce(_.unionByName(_))
+    val cols = fusedWb.columns.sorted.map(col)
+    assert(fusedWb.select(cols: _*).collect().toSet ===
+      composedWb.select(cols: _*).collect().toSet)
+    assert(fusedWb.where(col("permit_reference_number").isNull).count() === 0)
   }
 
   test("data test: no duplicate permits between in-progress and completed (clean + broken)") {
