@@ -31,6 +31,11 @@ object Fetch {
       attempt += 1
       try return (f, attempt)
       catch {
+        // cancellation and malformed input are not transient: retrying a
+        // thread interrupt (fetchMany's cancel) or a bad URL just burns
+        // backoff re-reporting the same condition
+        case e: InterruptedException => throw e
+        case e: IllegalArgumentException => throw e
         case e: Exception =>
           if (attempt >= maxRetries) throw new IOException(
             s"fetch failed after $attempt attempts", e)
@@ -97,13 +102,20 @@ object Fetch {
           val next = new java.net.URI(cur).resolve(loc)
           val curU = new java.net.URI(cur)
           val sameHost = Option(next.getHost) == Option(curU.getHost)
-          val downgrade = curU.getScheme == "https" && next.getScheme == "http"
-          val allowed = !downgrade &&
+          // only http(s) targets are followable (an ftp:// or file://
+          // hop would leave HTTP semantics entirely — and silently strip
+          // transport security just like the http downgrade this guard
+          // exists for); an https source never steps down to ANY
+          // non-https scheme
+          val nextScheme = Option(next.getScheme).getOrElse("")
+          val schemeOk = nextScheme == "https" ||
+            (nextScheme == "http" && curU.getScheme != "https")
+          val allowed = schemeOk &&
             (sameHost || Option(next.getHost).exists(allowHosts.contains))
           if (!allowed) throw new IOException(
             s"refusing redirect off-policy: $cur -> $next " +
-              "(follow requires same host without https->http downgrade, " +
-              "or an allowHosts entry)")
+              "(follow requires an http(s) target, no https downgrade, " +
+              "and same host or an allowHosts entry)")
           cur = next.toString
         case c => return (c, cur)
       }
@@ -140,8 +152,10 @@ object Fetch {
           // silently promoted as the dataset
           case h: java.net.HttpURLConnection =>
             val code = h.getResponseCode
-            if (code < 200 || code >= 300) throw new IOException(
-              s"HTTP $code from $target")
+            if (code < 200 || code >= 300) {
+              h.disconnect() // release the socket before the retry loop
+              throw new IOException(s"HTTP $code from $target")
+            }
           case _ => ()
         }
         val declared = conn.getContentLengthLong // -1 when unknown/chunked
@@ -214,9 +228,27 @@ object Fetch {
             case 206 =>
               resumed = true
               // Content-Range: bytes <from>-<to>/<total>
-              total = Option(h.getHeaderField("Content-Range"))
-                .flatMap(_.split('/').lastOption)
+              val cr = Option(h.getHeaderField("Content-Range"))
+              val crTotal = cr.flatMap(_.split('/').lastOption)
                 .flatMap(t => t.toLongOption).getOrElse(-1L)
+              // an unknown total ("bytes x-y/*", RFC-valid) falls back to
+              // the sidecar's declared total — without it a connection
+              // dropped mid-resume would promote a TRUNCATED file (the
+              // completion check below never fires on total = -1)
+              total = if (crTotal >= 0) crTotal else knownTotal
+              // the response must start exactly where the .part ends: a
+              // misaligned 206 (broken proxy) would append shuffled bytes
+              val start = cr.map(_.trim.stripPrefix("bytes").trim)
+                .flatMap(_.split('-').headOption).flatMap(_.toLongOption)
+                .getOrElse(-1L)
+              if (start != have) {
+                h.disconnect()
+                Files.deleteIfExists(part)
+                Files.deleteIfExists(metaF)
+                throw new IOException(
+                  s"misaligned 206 (stale .part discarded): asked " +
+                    s"bytes=$have-, response starts at $start from $url")
+              }
             case 416 =>
               // Range Not Satisfiable: when the .part already holds the
               // whole resource (bytes=<size>- is past the end), that IS
@@ -224,11 +256,12 @@ object Fetch {
               val t416 = Option(h.getHeaderField("Content-Range")) // bytes */<total>
                 .flatMap(_.split('/').lastOption)
                 .flatMap(t => t.toLongOption).getOrElse(knownTotal)
-              if (t416 >= 0 && have == t416) alreadyComplete = true
+              if (t416 >= 0 && have == t416) { alreadyComplete = true; h.disconnect() }
               else {
                 // the resource shrank/changed: the stale .part can never
                 // complete — discard it so the RETRY restarts from zero
                 // instead of wedging on the identical 416 forever
+                h.disconnect()
                 Files.deleteIfExists(part)
                 Files.deleteIfExists(metaF)
                 throw new IOException(
@@ -242,7 +275,9 @@ object Fetch {
               val v = Option(h.getHeaderField("ETag"))
                 .orElse(Option(h.getHeaderField("Last-Modified"))).getOrElse("")
               Files.writeString(metaF, s"$v\n$total")
-            case code => throw new IOException(s"HTTP $code from $target")
+            case code =>
+              h.disconnect()
+              throw new IOException(s"HTTP $code from $target")
           }
         case c => total = c.getContentLengthLong
       }
@@ -269,10 +304,6 @@ object Fetch {
     Fetched(url, dest.toString, Files.size(dest), attempts)
   }
 
-  /** Stream-unzip an archive into `destDir`; returns the extracted member
-    * paths (files only, in archive order). Entries stream straight to disk
-    * — memory is one copy buffer regardless of member size. Entry names are
-    * resolved inside `destDir` (zip-slip guarded). */
   /** Run `f` with a fresh scratch directory, deleting it (recursively)
     * afterwards — staged payloads are multi-GB for real archives and must
     * not outlive the run, or scheduled loads accrete /tmp forever. Shared
@@ -289,6 +320,10 @@ object Fetch {
     }
   }
 
+  /** Stream-unzip an archive into `destDir`; returns the extracted member
+    * paths (files only, in archive order). Entries stream straight to disk
+    * — memory is one copy buffer regardless of member size. Entry names are
+    * resolved inside `destDir` (zip-slip guarded). */
   def unzip(zipPath: String, destDir: String): Seq[String] = {
     val dest = Files.createDirectories(Paths.get(destDir)).toAbsolutePath.normalize
     val out = Seq.newBuilder[String]
@@ -318,7 +353,9 @@ object Fetch {
     * Results return in input order; the first failure propagates after
     * its own retries are exhausted. */
   def fetchMany(urls: Seq[String], stagingDir: String, parallelism: Int = 4,
-                maxRetries: Int = 3, baseDelayMs: Long = 100): Seq[Fetched] = {
+                maxRetries: Int = 3, baseDelayMs: Long = 100,
+                redirectHops: Int = 3,
+                allowRedirectHosts: Set[String] = Set.empty): Seq[Fetched] = {
     // distinct URLs sharing a basename (hostA/data.zip vs hostB/data.zip,
     // or ?page=1 vs ?page=2) would clobber each other in the staging dir:
     // collisions get a short URL-hash suffix, unique names stay pretty
@@ -338,7 +375,8 @@ object Fetch {
       val futures = urls.zip(dests).map { case (u, d) =>
         pool.submit(new java.util.concurrent.Callable[Fetched] {
           def call(): Fetched =
-            fetchToStaging(u, stagingDir, maxRetries, baseDelayMs, Some(d))
+            fetchToStaging(u, stagingDir, maxRetries, baseDelayMs, Some(d),
+              redirectHops, allowRedirectHosts)
         })
       }
       try futures.map(f =>
@@ -351,8 +389,14 @@ object Fetch {
       catch {
         case e: Throwable =>
           // a failed download must not leave the rest of the pool
-          // consuming bandwidth in the background
+          // consuming bandwidth in the background — and the caller may
+          // delete stagingDir the moment this throws (withScratchDir),
+          // so WAIT for the workers to actually stop writing. Socket IO
+          // ignores the interrupt flag, so the bound is the in-flight
+          // chunk + retrying's refusal to retry interrupts.
           futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
           throw e
       }
     } finally pool.shutdown()
@@ -396,18 +440,24 @@ object Fetch {
     val base = new java.net.URI(resolved)
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     hrefRe.findAllMatchIn(html).foreach { m =>
-      // &amp; decodes LAST: decoding it first would double-decode
-      // sequences like "&amp;lt;" (the escaped literal text "&lt;")
-      // into "<" instead of "&lt;"
+      // ampersand entities decode LAST: decoding them first would
+      // double-decode sequences like "&amp;lt;" (the escaped literal
+      // text "&lt;") into "<" instead of "&lt;". Within the pair,
+      // "&#38;" goes BEFORE "&amp;" — the other order turns the escaped
+      // literal "&amp;#38;" (one level: "&#38;") all the way into "&"
       val raw = m.group(1).trim
         .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-        .replace("&amp;", "&").replace("&#38;", "&")
+        .replace("&#38;", "&").replace("&amp;", "&")
       try {
         val abs = base.resolve(raw)
         val sameHost = Option(abs.getHost) == Option(base.getHost)
         val hostOk = sameHost || Option(abs.getHost).exists(allowHosts.contains)
-        val noDowngrade = !(base.getScheme == "https" && abs.getScheme == "http")
-        if (hostOk && noDowngrade && pattern.findFirstIn(abs.toString).isDefined)
+        // same scheme policy as the redirect follower, plus same-scheme
+        // (a file:// fixture hub links file:// members)
+        val absScheme = Option(abs.getScheme).getOrElse("")
+        val schemeOk = absScheme == base.getScheme || absScheme == "https" ||
+          (absScheme == "http" && base.getScheme != "https")
+        if (hostOk && schemeOk && pattern.findFirstIn(abs.toString).isDefined)
           seen += abs.toString
       } catch { case _: IllegalArgumentException => () /* malformed href */ }
     }
@@ -425,6 +475,16 @@ object Fetch {
     val (conn, resolved) = openResolved(url, redirectHops, allowHosts)
     val body =
       try {
+        conn match {
+          // explicit status check like the sibling fetchers: a terminal
+          // 304 would otherwise read as an EMPTY body and surface as a
+          // misleading "no links" / "not JSON" downstream
+          case h: java.net.HttpURLConnection =>
+            val code = h.getResponseCode
+            if (code < 200 || code >= 300) throw new IOException(
+              s"HTTP $code from $resolved")
+          case _ => ()
+        }
         val in = conn.getInputStream
         try {
           val buf = new java.io.ByteArrayOutputStream()

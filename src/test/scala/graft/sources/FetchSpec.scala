@@ -256,6 +256,147 @@ class FetchSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("fetchResumable: a 206 with unknown total uses the sidecar total — a truncated resume is never promoted") {
+    val body = (1 to 3000).map(i => s"r$i").mkString("\n").getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/u.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      requests.incrementAndGet() match {
+        case 1 => // full 200 declaring the length, cut at 500 bytes
+          x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body, 0, 500); x.close()
+        case 2 =>
+          // resume answered with an RFC-valid UNKNOWN total
+          // ("bytes 500-/*") and cut again after 700 bytes, closing
+          // CLEANLY — without the sidecar fallback this truncation
+          // passes the completion check and promotes a short file
+          x.getResponseHeaders.add("Content-Range", s"bytes 500-/*")
+          x.sendResponseHeaders(206, 0) // chunked: EOF looks clean
+          x.getResponseBody.write(body, 500, 700); x.close()
+        case _ => // proper resume to the end
+          val have = 1200
+          x.getResponseHeaders.add("Content-Range",
+            s"bytes $have-${body.length - 1}/${body.length}")
+          x.sendResponseHeaders(206, (body.length - have).toLong)
+          x.getResponseBody.write(body, have, body.length - have); x.close()
+      }
+    })
+    server.start()
+    val staging = Files.createTempDirectory("fetch-unknown-total").toString
+    try {
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchResumable(s"http://127.0.0.1:$port/u.csv", staging,
+        maxRetries = 4, baseDelayMs = 1)
+      assert(f.attempts === 3)
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
+    } finally server.stop(0)
+  }
+
+  test("fetchResumable: a misaligned 206 discards the stale part and restarts from zero") {
+    val body = (1 to 2000).map(i => s"m$i").mkString("\n").getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var thirdHadRange: String = "unset"
+    server.createContext("/m.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      requests.incrementAndGet() match {
+        case 1 =>
+          x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body, 0, 500); x.close()
+        case 2 =>
+          // broken proxy: client asked bytes=500-, response restarts at 0
+          // — appending it would interleave the file's own prefix at
+          // offset 500
+          x.getResponseHeaders.add("Content-Range",
+            s"bytes 0-699/${body.length}")
+          x.sendResponseHeaders(206, 700L)
+          x.getResponseBody.write(body, 0, 700); x.close()
+        case _ =>
+          // after the discard the client restarts WITHOUT a Range header
+          thirdHadRange = x.getRequestHeaders.getFirst("Range")
+          x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body); x.close()
+      }
+    })
+    server.start()
+    val staging = Files.createTempDirectory("fetch-misaligned").toString
+    try {
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchResumable(s"http://127.0.0.1:$port/m.csv", staging,
+        maxRetries = 4, baseDelayMs = 1)
+      assert(f.attempts === 3)
+      assert(thirdHadRange === null, "stale part survived the misalignment")
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
+      import scala.jdk.CollectionConverters._
+      val litter = Files.list(Paths.get(staging)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.contains(".part")).toSeq
+      assert(litter.isEmpty, s"part litter: $litter")
+    } finally server.stop(0)
+  }
+
+  test("a redirect to a non-http scheme is refused outright") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hub", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.getResponseHeaders.add("Location", "ftp://127.0.0.1/evil.zip")
+      x.sendResponseHeaders(302, -1); x.close()
+    })
+    server.start()
+    val staging = Files.createTempDirectory("fetch-ftp").toString
+    try {
+      val port = server.getAddress.getPort
+      val e = intercept[IOException] {
+        Fetch.fetchToStaging(s"http://127.0.0.1:$port/hub", staging,
+          maxRetries = 1, baseDelayMs = 1)
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("off-policy"), msgs)
+    } finally server.stop(0)
+  }
+
+  test("discoverJsonResources surfaces a non-2xx status instead of 'not JSON'") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.sendResponseHeaders(500, -1); x.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val e = intercept[IOException](
+        Fetch.discoverJsonResources(s"http://127.0.0.1:$port/api"))
+      assert(e.getMessage.contains("HTTP 500"), e.getMessage)
+    } finally server.stop(0)
+  }
+
+  test("fetchMany threads the redirect allow-list through to each fetch") {
+    val body = "x,y\n1,2\n".getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/real.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.sendResponseHeaders(200, body.length.toLong)
+      x.getResponseBody.write(body); x.close()
+    })
+    server.createContext("/r", (x: com.sun.net.httpserver.HttpExchange) => {
+      val p = x.getHttpContext.getServer.getAddress.getPort
+      // 'localhost' is a DIFFERENT host than '127.0.0.1' for the policy
+      x.getResponseHeaders.add("Location", s"http://localhost:$p/real.csv")
+      x.sendResponseHeaders(302, -1); x.close()
+    })
+    server.start()
+    val staging = Files.createTempDirectory("fetchmany-allow").toString
+    try {
+      val port = server.getAddress.getPort
+      val got = Fetch.fetchMany(Seq(s"http://127.0.0.1:$port/r"), staging,
+        maxRetries = 1, baseDelayMs = 1,
+        allowRedirectHosts = Set("localhost"))
+      assert(got.size === 1)
+      assert(Files.readAllBytes(Paths.get(got.head.path)).toSeq === body.toSeq)
+    } finally server.stop(0)
+  }
+
   test("fetchResumable continues an interrupted download with a Range request") {
     val body = (1 to 4000).map(i => s"row-$i").mkString("\n").getBytes
     val server = com.sun.net.httpserver.HttpServer.create(
