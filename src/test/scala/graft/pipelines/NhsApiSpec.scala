@@ -97,6 +97,55 @@ class NhsApiSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("property: nhsSelectMonths invariants on random listings") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val monthGen = for {
+      y <- Gen.choose(2024, 2025); m <- Gen.choose(1, 12)
+    } yield f"$y$m%02d"
+    val resourceGen = for {
+      m <- monthGen
+      suffix <- Gen.oneOf("", "", "", "_V2", "_REV")
+      format <- Gen.oneOf("CSV", "CSV", "CSV", "ZIP")
+      prefix <- Gen.oneOf("EPD_SNOMED_", "EPD_SNOMED_", "OTHER_")
+      url <- Gen.option(Gen.identifier.map("u-" + _))
+    } yield Fetch.JsonResource(s"$prefix$m$suffix", format, url)
+    val listingGen = Gen.listOfN(25, resourceGen)
+    def eligible(rs: Seq[Fetch.JsonResource]): Map[String, Seq[Fetch.JsonResource]] =
+      rs.filter(r => r.format == "CSV" && r.name.startsWith("EPD_SNOMED_") &&
+          r.name.length >= 17 && r.url.isDefined &&
+          r.name.substring(11, 17).forall(_.isDigit))
+        .groupBy(_.name.substring(11, 17))
+    val selGen: Gen[Catalog.NhsSelection] = Gen.oneOf(
+      Gen.const(Catalog.NhsLatest),
+      Gen.choose(1, 30).map(Catalog.NhsLastN(_)),
+      for { a <- monthGen; b <- monthGen } yield
+        if (a <= b) Catalog.NhsRange(a, b) else Catalog.NhsRange(b, a))
+    val prop = Prop.forAll(listingGen, selGen) { (rs, sel) =>
+      val elig = eligible(rs)
+      val expectMonths = (sel match {
+        case Catalog.NhsLatest => elig.keys.toSeq.sorted.reverse.take(1)
+        case Catalog.NhsLastN(n) => elig.keys.toSeq.sorted.reverse.take(n)
+        case Catalog.NhsRange(a, b) =>
+          elig.keys.toSeq.filter(d => a <= d && d <= b).sorted.reverse
+      }).toList
+      if (expectMonths.isEmpty)
+        Prop(scala.util.Try(Catalog.nhsSelectMonths(rs, sel)).isFailure)
+      else {
+        val got = Catalog.nhsSelectMonths(rs, sel)
+        val monthsOk = got.map(_._1).toList == expectMonths
+        // the chosen url is the max-name eligible resource of its month
+        val urlOk = got.forall { case (d, u) =>
+          val best = elig(d).map(_.name).max
+          elig(d).filter(_.name == best).exists(_.url.contains(u))
+        }
+        Prop(monthsOk && urlOk)
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("nhsTemplateFor: schema-change cutoff picks the vintage template") {
     val legacy = Catalog.nhsTemplateFor("202502").map(_._1)
     val current = Catalog.nhsTemplateFor("202503").map(_._1)
