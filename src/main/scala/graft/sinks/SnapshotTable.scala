@@ -129,44 +129,58 @@ object SnapshotTable {
     val carriedFiles = carried(spark, f, rootP, version)
     val body = s"""{"version": $version, "files": [${
       (carriedFiles ++ fresh).map(jsonStr).mkString(", ")}]}"""
-    val tmpM = new Path(rootP, s"_manifests/.tmp-$version")
-    val outM = f.create(tmpM, true)
-    try outM.write(body.getBytes(StandardCharsets.UTF_8)) finally outM.close()
     // land WITHOUT overwrite: a concurrent appender that graced this
     // claim out has VOIDED the slot by landing an empty manifest here
     // (awaitLowerClaims) — overwriting it would let this commit return
     // "success" while every higher version already excludes its files
     // (silent data loss). Losing the race is a loud, retryable error.
-    val dest = new Path(rootP, s"_manifests/manifest-$version")
-    // On file:// the FileContext no-overwrite rename is exists-check THEN
-    // rename(2) (which overwrites silently) — the same TOCTOU window
-    // createExclusive closes for claims. A slow writer racing a
-    // grace-window voider could overwrite the void manifest and report
-    // success while higher versions already exclude its files. Land via
-    // a hard link instead: link(2) is kernel-atomic and fails with
-    // EEXIST, so exactly one of {writer, voider} wins.
-    val voided = f.exists(dest) ||
-      (try {
-        if (f.getScheme == "file") {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.Paths.get(tmpM.toUri.getPath))
-          java.nio.file.Files.delete(
-            java.nio.file.Paths.get(tmpM.toUri.getPath))
-        } else
-          FileContext.getFileContext(rootP.toUri,
-              spark.sessionState.newHadoopConf())
-            .rename(tmpM, dest, Options.Rename.NONE)
-        false
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
-        case _: java.nio.file.FileAlreadyExistsException => true
-      })
-    if (voided) throw new IllegalStateException(
-      s"snapshot-table: version $version was voided by a concurrent " +
-        s"appender after the ${claimGraceMs / 1000}s claim grace window " +
-        s"at $root — this commit did not land; retry the write")
+    if (!landManifestNoOverwrite(spark, f, rootP, version, body))
+      throw new IllegalStateException(
+        s"snapshot-table: version $version was voided by a concurrent " +
+          s"appender after the ${claimGraceMs / 1000}s claim grace window " +
+          s"at $root — this commit did not land; retry the write")
     version
+  }
+
+  /** Land `body` as `manifest-<version>` WITHOUT overwrite, atomically
+    * and fully-written-or-absent: the body goes to a uniquely-named tmp
+    * file first (two racers must never share a tmp), then one atomic
+    * no-overwrite publish makes it visible — a hard link on file://
+    * (the FileContext no-overwrite rename is exists-check THEN rename(2)
+    * there, which overwrites silently) and the namenode-atomic
+    * no-overwrite rename elsewhere. A reader can therefore NEVER observe
+    * a half-written manifest, and a crash before the publish leaves only
+    * tmp litter (reclaimed by vacuum), never a corrupt visible manifest.
+    * Returns false when the slot was already taken — the void/writer
+    * race, where exactly one side must win. The tmp is removed through
+    * the Hadoop FS so checksum sidecars go with it. */
+  private def landManifestNoOverwrite(spark: SparkSession, f: FileSystem,
+      rootP: Path, version: Long, body: String): Boolean = {
+    val dest = new Path(rootP, s"_manifests/manifest-$version")
+    if (f.exists(dest)) return false
+    val tmpM = new Path(rootP, s"_manifests/.tmp-$version-${
+      java.util.UUID.randomUUID().toString.take(8)}")
+    val outM = f.create(tmpM, true)
+    try outM.write(body.getBytes(StandardCharsets.UTF_8)) finally outM.close()
+    try {
+      if (f.getScheme == "file")
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmpM.toUri.getPath))
+      else
+        FileContext.getFileContext(rootP.toUri,
+            spark.sessionState.newHadoopConf())
+          .rename(tmpM, dest, Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      // all outcomes: drop the tmp (a successful rename already moved it
+      // — delete no-ops; the link path and the lost race leave it behind)
+      try { f.delete(tmpM, false); () }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Atomic exclusive create. HDFS `create(overwrite=false)` is atomic
@@ -194,8 +208,16 @@ object SnapshotTable {
 
   /** How long an unlanded lower claim may block an appender before it is
     * treated as a crashed writer and skipped. Protocol contract: a writer
-    * must land its manifest within this window of claiming (the land is
-    * an in-memory JSON + rename — milliseconds in practice). */
+    * must land its manifest OR refresh its claim (awaitLowerClaims
+    * heartbeats while it waits) within this window (the land is an
+    * in-memory JSON + rename — milliseconds in practice).
+    *
+    * Clock assumption: claim mtimes are stamped by the STORE (namenode /
+    * local filesystem) but compared against the voider's LOCAL clock, so
+    * the effective window is claimGraceMs ± the writer-to-store clock
+    * skew. The default leaves ~50s of headroom over NTP-grade skew;
+    * widen it on fleets with looser clocks — a too-short window voids
+    * healthy writers (loud, retryable), it never loses data. */
   private[sinks] val claimGraceMs: Long = 60000L
 
   /** Block until every claim-K with K < version has a manifest. A claim
@@ -214,27 +236,53 @@ object SnapshotTable {
                                f: FileSystem, rootP: Path,
                                version: Long): Unit = {
     val dir = new Path(rootP, "_manifests")
-    def pending(): Seq[(Long, Path)] =
-      f.listStatus(dir).map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n.startsWith("claim-") && n.stripPrefix("claim-").toLong < version &&
-            !f.exists(new Path(dir, s"manifest-${n.stripPrefix("claim-")}"))
-        }.map(p => p.getName.stripPrefix("claim-").toLong -> p)
-        .sortBy(_._1).toSeq
+    // ONE listing per poll: claims, landed manifests, and the mtimes all
+    // come from the same snapshot — per-claim exists()/getFileStatus
+    // round-trips would hammer the namenode 10×/s through a grace wait
+    // AND race a concurrent vacuum deleting the very files being probed
+    def pending(): Seq[(Long, Long)] = { // (k, mtime)
+      val entries = f.listStatus(dir)
+      val landed = entries.iterator.map(_.getPath.getName)
+        .filter(_.startsWith("manifest-"))
+        .map(_.stripPrefix("manifest-")).toSet
+      entries.iterator.filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("claim-") && n.stripPrefix("claim-").toLong < version &&
+          !landed(n.stripPrefix("claim-"))
+      }.map(st => (st.getPath.getName.stripPrefix("claim-").toLong,
+          st.getModificationTime))
+        .toSeq.sortBy(_._1)
+    }
+    val ownClaim = new Path(dir, s"claim-$version")
+    var lastBeat = System.currentTimeMillis()
     var left = pending()
     while (left.nonEmpty) {
-      val (k, p) = left.head // lowest first: voids carry a final chain
-      if (System.currentTimeMillis() -
-          f.getFileStatus(p).getModificationTime >= claimGraceMs) {
+      val (k, mtime) = left.head // lowest first: voids carry a final chain
+      if (System.currentTimeMillis() - mtime >= claimGraceMs) {
         val carriedK = versions(spark, root).filter(_ < k).lastOption
           .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
         val voidBody = s"""{"version": $k, "files": [${
           carriedK.map(jsonStr).mkString(", ")}], "void": true}"""
-        createExclusive(f, new Path(dir, s"manifest-$k"),
-          voidBody.getBytes(StandardCharsets.UTF_8))
-        // a lost create = the writer landed first; pending() drops it
-      } else Thread.sleep(100)
+        // the void lands through the SAME tmp + atomic-no-overwrite path
+        // as a real manifest: a visible manifest is ALWAYS complete, and
+        // a crash mid-void leaves tmp litter, never a corrupt (or empty)
+        // manifest-k that would wedge every later read and append
+        landManifestNoOverwrite(spark, f, rootP, k, voidBody)
+        // a lost land = the writer landed first; pending() drops it
+      } else {
+        // this wait consumes OUR OWN claim's grace budget: refresh the
+        // claim's mtime (store-side clock) so a higher appender blocked
+        // behind us never mistakes a live wait for a crash — without the
+        // heartbeat, one crashed claim + two appenders deterministically
+        // voids the live one
+        val now = System.currentTimeMillis()
+        if (now - lastBeat >= claimGraceMs / 12) {
+          val o = f.create(ownClaim, true)
+          o.close()
+          lastBeat = now
+        }
+        Thread.sleep(100)
+      }
       left = pending()
     }
   }
@@ -417,14 +465,20 @@ object SnapshotTable {
       .map(p => new Path(p).getParent.getName).toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     all.filterNot(kept.contains).foreach { v =>
-      f.delete(new Path(rootP, s"_manifests/manifest-$v"), false)
+      // claim BEFORE manifest: the other order opens a window where a
+      // concurrent appender's pending() sees claim-v with no manifest-v
+      // (an ancient mtime, instantly past grace) and re-lands a VOID for
+      // a version vacuum is deleting — resurrecting it in versions()
       f.delete(new Path(rootP, s"_manifests/claim-$v"), false)
+      f.delete(new Path(rootP, s"_manifests/manifest-$v"), false)
     }
-    // burned claims: slot taken, manifest never landed, older than grace
+    // burned claims (slot taken, manifest never landed) and tmp litter
+    // from crashed/voided lands, both only when older than grace
     f.listStatus(new Path(rootP, "_manifests")).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("claim-") &&
-          !all.contains(n.stripPrefix("claim-").toLong) &&
+      val burned = n.startsWith("claim-") &&
+        !all.contains(n.stripPrefix("claim-").toLong)
+      if ((burned || n.startsWith(".tmp-")) &&
           st.getModificationTime < cutoff)
         f.delete(st.getPath, false)
     }

@@ -291,6 +291,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(body2.contains("\"void\": true"))
   }
 
+  test("commits leave no tmp or checksum litter in _manifests; vacuum reclaims aged tmp files") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    SnapshotTable.write(Seq((2L, "b")).toDF("id", "v"), root, append = true)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    def names() = {
+      // listStatus hides dotfiles on some FS? LocalFileSystem does not —
+      // walk raw java.io to see EVERYTHING, including .crc sidecars
+      new java.io.File(new java.net.URI(f.makeQualified(dir).toString))
+        .listFiles().map(_.getName).toSeq.sorted
+    }
+    val litter = names().filterNot(n =>
+      n.startsWith("claim-") || n.startsWith("manifest-"))
+    assert(litter.isEmpty, s"per-commit litter accretes forever: $litter")
+    // an aged tmp (crashed mid-land) is reclaimed by vacuum
+    val stale = new org.apache.hadoop.fs.Path(root, "_manifests/.tmp-9-dead")
+    f.create(stale, true).close()
+    f.setTimes(stale, System.currentTimeMillis() - 100000L, -1L)
+    SnapshotTable.vacuum(spark, root, keep = 2, orphanGraceMs = 50000L)
+    assert(!f.exists(stale))
+    // the live table still reads
+    assert(SnapshotTable.read(spark, root).count() === 2L)
+  }
+
   test("vacuum keeps the newest manifests and reclaims unreferenced data dirs") {
     val root = tmp()
     (1 to 4).foreach(i => SnapshotTable.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))
