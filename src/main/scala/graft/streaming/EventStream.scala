@@ -61,7 +61,18 @@ object EventStream {
             case None => Some(SessState(sec, sec, 1, value))
           }
         case Some(s) if sec > s.last + gapSec => // next session: close current
-          emit(s)
+          // the current session may have extended DOWN to touch the late
+          // track EARLIER in this batch: merge before closing, exactly
+          // like the end-of-batch re-check — otherwise a batch that
+          // bridges down AND jumps forward (e.g. 850, 950, 1400 over
+          // [1000,1080] gap 100) splits the twin's one [850,1080]
+          late match {
+            case Some(l) if l.last + gapSec >= s.start =>
+              emit(SessState(math.min(l.start, s.start),
+                math.max(l.last, s.last), l.n + s.n, l.total + s.total))
+              late = None
+            case _ => emit(s)
+          }
           cur = Some(SessState(sec, sec, 1, value))
         case Some(s) => // inside / adjacent: merge, possibly extending either end
           cur = Some(SessState(math.min(s.start, sec), math.max(s.last, sec),
@@ -100,7 +111,7 @@ object EventStream {
       "sessionizeStream supports NoTimeout/ProcessingTimeTimeout; " +
         "use sessionizeEventTime for event-time closing")
     val useTimeout = timeout != GroupStateTimeout.NoTimeout()
-    events
+    events.filter(_.ts != null) // batch twin drops null timestamps too
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), timeout) {
@@ -131,7 +142,7 @@ object EventStream {
   def sessionizeEventTime(events: Dataset[Event], gapSec: Long,
                           watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
+    events.filter(_.ts != null) // batch twin drops null timestamps too
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
@@ -176,7 +187,7 @@ object EventStream {
   def stateIntervalsStream(events: Dataset[Event], flushSec: Long = 3600,
                            watermarkDelay: String = "10 minutes"): Dataset[Interval] = {
     import events.sparkSession.implicits._
-    events
+    events.filter(_.ts != null) // batch twin drops null timestamps too
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[IntervalState, Interval](
@@ -191,52 +202,66 @@ object EventStream {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[Interval]
             var cur = state.getOption
-            // late DIFFERENT-type events (entirely before the live run)
-            // accumulate in a per-batch late-run tracker so ADJACENT
-            // same-type late events collapse into one interval, like the
-            // batch twin's consecutive-run grouping (two B events before
-            // a live A run are one B run, not two point intervals). The
-            // tracker closes on type change — including a late LIVE-type
-            // event, which splits the late run in the batch timeline —
-            // and at batch end (cross-batch late adjacency still splits:
-            // the state holds only the live run).
+            // ALL late events (before the live run) — including live-type
+            // ones — build a consecutive-run track of their own, like the
+            // batch twin's run grouping. Merging a late live-type event
+            // straight into the live run would rewind `from` and let a
+            // later late different-type event read as "inside the run",
+            // closing the live run with OVERLAPPING output. The track
+            // resolves when the batch leaves the late region (or ends):
+            // only a FINAL late run of the live type is adjacent to the
+            // live run in the batch timeline and merges into it (the
+            // documented min/max rewind); anything else closes as its own
+            // interval. Cross-batch late adjacency still splits: the
+            // state holds only the live run.
             var lateRun: Option[IntervalState] = None
-            def closeLate(): Unit = lateRun.foreach { lr =>
-              closed ::= Interval(user, lr.state, lr.from, lr.last, lr.n)
+            def resolveLate(): Unit = lateRun.foreach { lr =>
+              cur match {
+                case Some(s) if s.state == lr.state =>
+                  cur = Some(s.copy(from = math.min(s.from, lr.from),
+                    last = math.max(s.last, lr.last), n = s.n + lr.n))
+                case _ =>
+                  closed ::= Interval(user, lr.state, lr.from, lr.last, lr.n)
+              }
               lateRun = None
             }
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
               cur match {
-                case Some(s) if s.state == e.event_type =>
-                  // late same-type events merge with min/max: `last = sec`
-                  // would drag the interval end backwards (to < from)
-                  closeLate()
-                  cur = Some(s.copy(from = math.min(s.from, sec),
-                    last = math.max(s.last, sec), n = s.n + 1))
                 case Some(s) if sec < s.from =>
-                  // a late DIFFERENT-type event entirely before the live
-                  // run: track it in the late run and leave the live run
-                  // alone — closing and rewinding the run would emit
-                  // OVERLAPPING intervals and split the live run (batch
-                  // twin: the late run sits before the live run)
                   lateRun match {
                     case Some(lr) if lr.state == e.event_type =>
                       lateRun = Some(lr.copy(from = math.min(lr.from, sec),
                         last = math.max(lr.last, sec), n = lr.n + 1))
-                    case _ =>
-                      closeLate()
+                    case Some(lr) =>
+                      // type change INSIDE the late region: the previous
+                      // late run can never merge with the live run (this
+                      // event sits between them in the timeline)
+                      closed ::= Interval(user, lr.state, lr.from, lr.last,
+                        lr.n)
+                      lateRun = Some(IntervalState(e.event_type, sec, sec, 1))
+                    case None =>
                       lateRun = Some(IntervalState(e.event_type, sec, sec, 1))
                   }
-                case Some(s) =>
-                  closeLate()
+                case Some(s0) if s0.state == e.event_type =>
+                  // resolveLate may merge a live-type late run into cur:
+                  // always re-read cur after resolving
+                  resolveLate()
+                  val s = cur.get
+                  cur = Some(s.copy(from = math.min(s.from, sec),
+                    last = math.max(s.last, sec), n = s.n + 1))
+                case Some(_) =>
+                  // a live-type late run may have just merged into cur —
+                  // close the REFRESHED live run, then start the new one
+                  resolveLate()
+                  val s = cur.get
                   closed ::= Interval(user, s.state, s.from, s.last, s.n)
                   cur = Some(IntervalState(e.event_type, sec, sec, 1))
                 case None =>
                   cur = Some(IntervalState(e.event_type, sec, sec, 1))
               }
             }
-            closeLate()
+            resolveLate()
             cur.foreach { s =>
               state.update(s)
               // clamp past the watermark like sessionizeEventTime: a
@@ -269,7 +294,8 @@ object EventStream {
                    windowSec: Long): Dataset[StepReach] = {
     import events.sparkSession.implicits._
     val k = steps.size
-    events.groupByKey(_.user_id)
+    events.filter(_.ts != null) // batch twin drops null timestamps too
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[Array[Long], StepReach](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
@@ -290,7 +316,11 @@ object EventStream {
               out += StepReach(user, depth + 1, steps(depth), sec)
             }
           }
-          state.update(times)
+          // only funnel ENTRANTS hold state: an all-unreached array is
+          // indistinguishable from absent state at read time (getOrElse
+          // refills it), and writing it would grow the forever-lived
+          // store with every user that ever produced ANY event
+          if (times.exists(_ != Long.MinValue)) state.update(times)
           out.result().iterator
       }
   }
@@ -329,7 +359,10 @@ object EventStream {
           expr("((size(__g3) - size(array_distinct(__g3))) * CAST(1000000 AS BIGINT)) DIV size(__g3)"))
           .otherwise(lit(0L)).as("rep_ratio_ppm"))
       .where(col("n_tokens") >= minTokens && col("rep_ratio_ppm") <= maxRepRatioPpm)
-      .select(col(idCol),
+      // the RAW text rides along: downstream gates whose models are
+      // trained on raw reference text (benchmark n-grams, the LM) must
+      // score the raw form — scrubbed_text is the OUTPUT form
+      .select(col(idCol), col(textCol),
         Text.piiScrub(col(textCol)).as("scrubbed_text"),
         col("n_tokens"), col("rep_ratio_ppm"))
   }
@@ -427,7 +460,8 @@ object EventStream {
     * Append mode, cross-batch edge spec-pinned. */
   def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.filter(_.ts != null) // batch twin drops null timestamps too
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[String, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[String]) =>
@@ -595,6 +629,13 @@ object EventStream {
     require(budget > 0, s"budget must be positive, got $budget")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
+      // idle triggers: no ledger reads, no prefix-sum machinery, and no
+      // zero-width ledger row — an idle night on a ProcessingTime
+      // trigger would otherwise append thousands of one-file parquet
+      // commits that every later batch's ledger reads pay for (the
+      // upsertBatch guard, same rationale)
+      if (batch.isEmpty) ()
+      else {
       val ledger = readStoreIfExists(spark, statePath)
       val mine = ledger.flatMap(
         _.where(col("batch_id") === batchId)
@@ -630,6 +671,7 @@ object EventStream {
             .coalesce(1).write.mode("append").parquet(statePath)
         }
       } finally scope.close()
+      }
     }
   }
 
@@ -653,12 +695,20 @@ object EventStream {
                      lmModel: Map[String, Long], minScorePpm: Long,
                      storePath: String, emit: DataFrame => Unit)
       : (DataFrame, (DataFrame, Long) => Unit) = {
+    // decontamination, LM scoring, and near-dup signatures all run on
+    // the RAW text: the benchmark n-grams and the LM train on raw
+    // reference corpora, and scrubbing FIRST would let a contaminated
+    // document slip the gate whenever the shared span contains PII
+    // ("john@x.com" -> "[EMAIL]" no longer matches the benchmark's
+    // n-grams) — the batch q_curation_pipeline decontaminates raw
+    // tokens. scrubbed_text rides through as the OUTPUT form; callers
+    // emit it, never the raw column.
     val gated = lmGateStream(
       contaminationGateStream(
         qualityScrubStream(docs, idCol, textCol, minTokens, maxRepRatioPpm),
-        idCol, "scrubbed_text", benchNgrams, benchN, minShared),
-      idCol, "scrubbed_text", lmModel, minScorePpm)
-    (gated, nearDupFilterBatch(storePath, idCol, "scrubbed_text", emit = emit))
+        idCol, textCol, benchNgrams, benchN, minShared),
+      idCol, textCol, lmModel, minScorePpm)
+    (gated, nearDupFilterBatch(storePath, idCol, textCol, emit = emit))
   }
 
   /** Read the signature store iff its path exists. A missing store is the
@@ -687,8 +737,8 @@ object EventStream {
     * store-hit lookup: anti-join store hits and intra-batch dups, emit
     * survivors, return their signatures for the store commit. */
   private def filterAndEmit(batch: DataFrame, idCol: String, banded: DataFrame,
-                            hitDocs: DataFrame,
-                            emit: DataFrame => Unit): DataFrame = {
+                            hitDocs: DataFrame, emit: DataFrame => Unit,
+                            scope: graft.PersistScope): DataFrame = {
     // dedup within the batch itself (min doc id per bucket wins)
     val batchHub = banded.groupBy("band", "sig").agg(min(col("doc")).as("hub"))
     val intraDup = banded.join(batchHub, Seq("band", "sig"))
@@ -696,10 +746,13 @@ object EventStream {
     // base the survivor set on ALL batch docs, not just docs that
     // produced signatures: a token-less document has no bands, is
     // trivially not a near-dup, and must pass through (it previously
-    // vanished from the left_semi emit)
-    val survivors = batch.select(col(idCol).as("doc")).distinct()
+    // vanished from the left_semi emit).
+    // survivors' lineage holds the STORE scan (via hitDocs), and both
+    // the emit here and the caller's store append consume it: cache it
+    // or every trigger pays the O(corpus) store read twice
+    val survivors = scope.cache(batch.select(col(idCol).as("doc")).distinct()
       .join(hitDocs, Seq("doc"), "left_anti")
-      .join(intraDup, Seq("doc"), "left_anti")
+      .join(intraDup, Seq("doc"), "left_anti"))
     emit(batch.join(survivors, batch(idCol) === survivors("doc"), "left_semi"))
     banded.join(survivors, Seq("doc"), "left_semi").select("band", "sig")
   }
@@ -726,6 +779,7 @@ object EventStream {
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val banded = bandSignatures(batch, idCol, textCol, k, bands)
+      val scope = graft.PersistScope()
       try {
         val seen = readStoreIfExists(spark, storePath).getOrElse(
           spark.emptyDataFrame
@@ -734,9 +788,9 @@ object EventStream {
         val hitDocs = banded.join(seen.select("band", "sig").distinct(),
           Seq("band", "sig"), "left_semi").select("doc").distinct()
         // commit survivors' signatures AFTER the emit so replays re-filter
-        filterAndEmit(batch, idCol, banded, hitDocs, emit)
+        filterAndEmit(batch, idCol, banded, hitDocs, emit, scope)
           .write.mode("append").parquet(storePath)
-      } finally banded.unpersist()
+      } finally { banded.unpersist(); scope.close() }
   }
 
   /** [[nearDupFilterBatch]] with a driver-held Bloom sidecar over the
@@ -756,6 +810,7 @@ object EventStream {
     override def apply(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
       val banded = bandSignatures(batch, idCol, textCol, k, bands)
+      val batchScope = graft.PersistScope()
       var b: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] = null
       try {
@@ -786,8 +841,8 @@ object EventStream {
         // newSigs' lineage re-reads the store + re-runs the survivor
         // joins: persist it, or the bloom merge and the store write each
         // pay a full store scan per trigger
-        val newSigs = filterAndEmit(batch, idCol, banded, hitDocs, emit)
-          .persist()
+        val newSigs = filterAndEmit(batch, idCol, banded, hitDocs, emit,
+          batchScope).persist()
         try {
           // bloom merge BEFORE the store write: extra bloom entries are
           // only false positives (a store lookup), but the reverse order
@@ -804,6 +859,7 @@ object EventStream {
         } finally newSigs.unpersist()
       } finally {
         banded.unpersist()
+        batchScope.close()
         // a fresh broadcast per micro-batch: destroy it or thousands of
         // batches pin gigabytes of dead broadcast blocks
         if (b != null) b.destroy()
@@ -869,7 +925,18 @@ object EventStream {
           .mode("overwrite")
           .partitionBy("batch_id", "cell") // replay overwrites its own dirs
           .parquet(storePath)
-      } finally assigned.unpersist()
+      } finally {
+        // Dataset.unpersist() is a NO-OP for a localCheckpoint'ed frame
+        // (its blocks are internal RDD persistence, not a CacheManager
+        // entry, and would otherwise be freed only by driver GC — one
+        // dead block set per trigger): release the checkpointed RDD
+        // itself
+        assigned.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false); ()
+          case _ => assigned.unpersist(); ()
+        }
+      }
   }
 
   /** Streaming ANN index ingest — the IVF/PQ family's foreachBatch twin

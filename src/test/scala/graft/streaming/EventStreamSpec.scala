@@ -549,6 +549,63 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a batch that bridges DOWN to its late track and jumps forward closes ONE session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(mem.toDS(), gapSec = 100,
+        watermarkDelay = "10 hours").writeStream
+      .format("memory").queryName("sess_bridge_fwd")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    try {
+      // live session [1000, 1080]
+      mem.addData(ev(1, base + 1000, 1, 1.0), ev(2, base + 1080, 1, 2.0))
+      q.processAllAvailable()
+      // one batch: 850 (late), 950 (bridges the session down to touch
+      // 850's track), 1400 (mid-batch close). The close must re-check
+      // late adjacency like the end-of-batch path does — the batch twin
+      // sessionizes ONE [850, 1080], never [850,850] + [950,1080]
+      mem.addData(ev(3, base + 850, 1, 3.0), ev(4, base + 950, 1, 4.0),
+        ev(5, base + 1400, 1, 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_bridge_fwd")
+        .as[EventStream.Session].collect().filter(_.user_id == 1L)
+      assert(closed.toSeq === Seq(
+        EventStream.Session(1L, base + 850, base + 1080, 4L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("stateIntervalsStream: late live-type then late different-type never emits overlapping intervals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.stateIntervalsStream(mem.toDS(), flushSec = 100000,
+        watermarkDelay = "2 hours").writeStream
+      .format("memory").queryName("intervals_late_mix")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1000000L
+    try {
+      mem.addData(evt(1, base + 1000, 1, "A"), evt(2, base + 2000, 1, "A"))
+      q.processAllAvailable()
+      // late A@500 then late B@600: merging A@500 into the live run
+      // first would rewind `from` to 500 and make B@600 read as INSIDE
+      // the run — closing the live A[500,2000] with B[600,600] inside
+      // it (overlap). The batch twin's answer: A[500], B[600], live
+      // A[1000,2000] untouched.
+      mem.addData(evt(3, base + 500, 1, "A"), evt(4, base + 600, 1, "B"))
+      q.processAllAvailable()
+      val closed = spark.table("intervals_late_mix")
+        .as[EventStream.Interval].collect().toSet
+      assert(closed === Set(
+        EventStream.Interval(1L, "A", base + 500, base + 500, 1L),
+        EventStream.Interval(1L, "B", base + 600, base + 600, 1L)))
+      // the live run is intact: a later A extends it, nothing overlaps
+      mem.addData(evt(5, base + 2100, 1, "A"))
+      q.processAllAvailable()
+      assert(spark.table("intervals_late_mix")
+        .as[EventStream.Interval].collect().toSet === closed)
+    } finally q.stop()
+  }
+
   test("event-time sessionization closes sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
