@@ -170,4 +170,53 @@ class JdbcSinkSpec extends SparkSpec {
       .as[(Int, String)].collect().sortBy(t => (t._1, t._2)).toSeq
     assert(back === Seq((1, "x"), (1, "y")))
   }
+
+  test("refreshScope: a frame derived from the TARGET evaluates against the intact scope") {
+    table("t_rmw")
+    JdbcSink.append(Seq((1, "2024-01", 1.0), (2, "2024-01", 2.0),
+      (3, "2024-02", 3.0)).toDF("k", "month", "v"), url, "t_rmw")
+    // read-modify-write: the replacement IS a transform of the target's
+    // own scope. The naive delete-then-append evaluated this frame
+    // AFTER the DELETE — it read zero rows and silently destroyed the
+    // month; staging first must preserve it
+    import org.apache.spark.sql.functions._
+    val bumped = JdbcSink.read(spark, url, "t_rmw")
+      .where(col("month") === "2024-01")
+      .withColumn("v", col("v") * 10)
+    JdbcSink.refreshScope(bumped, url, "t_rmw", "month = '2024-01'")
+    val back = JdbcSink.read(spark, url, "t_rmw")
+      .as[(Int, String, Double)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1, "2024-01", 10.0), (2, "2024-01", 20.0),
+      (3, "2024-02", 3.0)))
+    // and replaying the same refresh is still idempotent
+    JdbcSink.refreshScope(
+      Seq((1, "2024-01", 10.0), (2, "2024-01", 20.0))
+        .toDF("k", "month", "v"),
+      url, "t_rmw", "month = '2024-01'")
+    assert(JdbcSink.read(spark, url, "t_rmw").count() === 3)
+  }
+
+  test("upsert: a typo'd key column fails BEFORE any data is staged") {
+    table("t_typo")
+    val e = intercept[IllegalArgumentException] {
+      JdbcSink.upsert(Seq((1, "2024-01", 1.0)).toDF("k", "month", "v"),
+        url, "t_typo", Seq("key_id"))
+    }
+    assert(e.getMessage.contains("key_id"))
+    // nothing staged, nothing merged
+    assert(JdbcSink.read(spark, url, "t_typo").count() === 0)
+  }
+
+  test("upsert quotes engine-reserved aggregate/type names (min, varchar)") {
+    // columns created QUOTED with reserved names — the hand-list must
+    // cover the full Derby/Postgres union, not just the obvious words
+    exec("""CREATE TABLE t_rsv (k INT, "min" DOUBLE, "varchar" VARCHAR(4))""")
+    JdbcSink.append(Seq((1, 1.0, "a")).toDF("k", "min", "varchar"),
+      url, "t_rsv")
+    JdbcSink.upsert(Seq((1, 9.0, "b"), (2, 2.0, "c"))
+      .toDF("k", "min", "varchar"), url, "t_rsv", Seq("k"))
+    val back = JdbcSink.read(spark, url, "t_rsv")
+      .as[(Int, Double, String)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1, 9.0, "b"), (2, 2.0, "c")))
+  }
 }
