@@ -48,6 +48,56 @@ object OracleSql {
   private val modelAuthoritiesSql =
     "('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7', 'NATION_9', 'NATION_11', 'NATION_19', 'NATION_23')"
 
+  /** The lists→enr→wtd→raw impact chain over an `inprog$sfx`/`done$sfx`
+    * CTE pair — shared by the London (`sfx = ""`) and England
+    * (`sfx = "_eng"`) model oracles, which differ only in how the two
+    * input lists were filtered/excluded. */
+  private def modelImpactChainSql(sfx: String): String =
+    s"""lists$sfx AS (
+       |  SELECT usrn, street_name, highway_authority,
+       |    highway_authority_swa_code, work_category, is_ttro_required,
+       |    is_traffic_sensitive, traffic_management_type_ref
+       |  FROM inprog$sfx
+       |  UNION ALL
+       |  SELECT usrn, street_name, highway_authority,
+       |    highway_authority_swa_code, work_category, is_ttro_required,
+       |    is_traffic_sensitive, traffic_management_type_ref
+       |  FROM done$sfx),
+       |enr$sfx AS (SELECT l.*, COALESCE(c.uprn_count, 0) AS uprn_count,
+       |    u.geometry
+       |  FROM lists$sfx l
+       |  LEFT JOIN cnts c ON CAST(l.usrn AS BIGINT) = c.usrn
+       |  LEFT JOIN usrn_dim u ON CAST(l.usrn AS BIGINT) = u.usrn),
+       |wtd$sfx AS (SELECT usrn, street_name, highway_authority,
+       |    LOWER(highway_authority_swa_code) AS highway_authority_swa_code,
+       |    uprn_count, geometry,
+       |    (CASE work_category WHEN 'Standard' THEN 20 WHEN 'Major' THEN 50
+       |       WHEN 'Minor' THEN 10 WHEN 'HS2 (Highway)' THEN 20
+       |       WHEN 'Immediate - urgent' THEN 40
+       |       WHEN 'Immediate - emergency' THEN 40 ELSE 0 END
+       |     + CASE WHEN is_ttro_required = 'Yes' THEN 5 ELSE 0 END
+       |     + CASE WHEN is_traffic_sensitive = 'Yes' THEN 5 ELSE 0 END
+       |     + CASE WHEN traffic_management_type_ref IS NULL THEN 5
+       |         WHEN traffic_management_type_ref IN ('road_closure',
+       |           'contra_flow', 'lane_closure', 'convoy_workings',
+       |           'multi_way_signals', 'two_way_signals') THEN 20
+       |         WHEN traffic_management_type_ref IN ('give_and_take',
+       |           'stop_go_boards', 'priority_working') THEN 10
+       |         WHEN traffic_management_type_ref =
+       |           'some_carriageway_incursion' THEN 5
+       |         WHEN traffic_management_type_ref =
+       |           'no_carriageway_incursion' THEN 0
+       |         ELSE 0 END
+       |     + CASE WHEN uprn_count <= 5 THEN 2 WHEN uprn_count <= 10 THEN 4
+       |         WHEN uprn_count <= 25 THEN 6 WHEN uprn_count <= 50 THEN 8
+       |         WHEN uprn_count <= 100 THEN 10 WHEN uprn_count <= 200 THEN 12
+       |         WHEN uprn_count <= 500 THEN 14 ELSE 16 END) AS impact10
+       |  FROM enr$sfx),
+       |raw$sfx AS (SELECT usrn, street_name, highway_authority,
+       |    highway_authority_swa_code, uprn_count, geometry,
+       |    SUM(impact10) AS total10
+       |  FROM wtd$sfx GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
+
   private val modelCtes: String =
     s"""oc AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
        |         c_name, n_name, n_nationkey
@@ -126,50 +176,141 @@ object OracleSql {
        |    WHERE work_status_ref = 'completed' AND event_type = 'WORK_STOP'
        |      AND highway_authority IN $modelAuthoritiesSql)
        |  WHERE rn = 1),
-       |lists AS (
+       |${modelImpactChainSql("")}""".stripMargin
+
+  /** England list CTEs (in_progress_list_england.sql:81-87 /
+    * completed_list_england.sql): the exclusion is UNCORRELATED — a
+    * completed WORK_STOP anywhere removes the permit reference, not just
+    * in the same authority — and the authority universe is unfiltered.
+    * Ends with the shared impact chain as `raw_eng`. */
+  private val modelEngCtes: String =
+    s"""inprog_eng AS (SELECT * FROM (
+       |    SELECT e.*, ROW_NUMBER() OVER (
+       |        PARTITION BY permit_reference_number
+       |        ORDER BY event_time DESC, event_reference DESC) AS rn
+       |    FROM ev e
+       |    WHERE work_status_ref = 'in_progress'
+       |      AND NOT EXISTS (SELECT 1 FROM compl_keys ck
+       |        WHERE ck.permit_reference_number = e.permit_reference_number))
+       |  WHERE rn = 1),
+       |done_eng AS (SELECT * FROM (
+       |    SELECT e.*, ROW_NUMBER() OVER (
+       |        PARTITION BY permit_reference_number
+       |        ORDER BY event_time DESC, event_reference DESC) AS rn
+       |    FROM ev e
+       |    WHERE work_status_ref = 'completed'
+       |      AND event_type = 'WORK_STOP')
+       |  WHERE rn = 1),
+       |${modelImpactChainSql("_eng")}""".stripMargin
+
+  /** impact_scores_{london,england}.sql final SELECT: min–max
+    * normalisation of the raw totals to 1–100 over `raw$sfx`. */
+  private def modelImpactScoresSelectSql(sfx: String): String =
+    s"""b AS (SELECT MIN(total10) AS mn10, MAX(total10) AS mx10 FROM raw$sfx)
+       |SELECT usrn, street_name, highway_authority,
+       |  highway_authority_swa_code,
+       |  CAST(uprn_count AS BIGINT) AS uprn_count, geometry,
+       |  CAST(total10 AS DOUBLE) / 10 AS total_impact_level,
+       |  CASE WHEN mx10 = mn10 THEN 50.0
+       |       ELSE 1.0 + (99.0 * (total10 - mn10))
+       |            / CAST(mx10 - mn10 AS DOUBLE) END AS impact_index_score,
+       |  ${severity("impact_index_score")} AS impact_category
+       |FROM raw$sfx, b""".stripMargin
+
+  /** impact_scores_highway_authority_{london,england}.sql final CTEs:
+    * per-USRN integer rank counts, authority rollup, breakdown counts
+    * and the authority-level percent rank, over `raw$sfx`/`enr$sfx`. */
+  private def modelAuthorityScoresSelectSql(sfx: String): String =
+    s"""rk AS (SELECT raw$sfx.*,
+       |         CAST(RANK() OVER (ORDER BY total10) - 1 AS BIGINT) AS cl
+       |       FROM raw$sfx),
+       |nn AS (SELECT CAST(GREATEST(COUNT(*) - 1, 1) AS DOUBLE) AS denom
+       |       FROM raw$sfx),
+       |agg AS (SELECT highway_authority, highway_authority_swa_code,
+       |    COUNT(DISTINCT usrn) AS total_usrns_count,
+       |    CAST(SUM(uprn_count) AS DOUBLE) / COUNT(*) AS avg_uprn_count,
+       |    CAST(SUM(uprn_count) AS BIGINT) AS total_uprn_count,
+       |    SUM(total10) AS t10, COUNT(*) AS nr,
+       |    MAX(total10) AS mx10, MIN(total10) AS mn10, SUM(cl) AS sum_cl
+       |  FROM rk GROUP BY 1, 2),
+       |bd AS (SELECT highway_authority,
+       |    LOWER(highway_authority_swa_code) AS highway_authority_swa_code,
+       |    COUNT(CASE WHEN work_category = 'Major' THEN 1 END)
+       |      AS major_works_count,
+       |    COUNT(CASE WHEN work_category = 'Standard' THEN 1 END)
+       |      AS standard_works_count,
+       |    COUNT(CASE WHEN work_category = 'Minor' THEN 1 END)
+       |      AS minor_works_count,
+       |    COUNT(CASE WHEN work_category = 'HS2 (Highway)' THEN 1 END)
+       |      AS hs2_works_count,
+       |    COUNT(CASE WHEN work_category IN
+       |      ('Immediate - urgent', 'Immediate - emergency') THEN 1 END)
+       |      AS emergency_works_count,
+       |    COUNT(CASE WHEN is_ttro_required = 'Yes' THEN 1 END)
+       |      AS ttro_required_count,
+       |    COUNT(CASE WHEN is_traffic_sensitive = 'Yes' THEN 1 END)
+       |      AS traffic_sensitive_count,
+       |    COUNT(CASE WHEN traffic_management_type_ref IN
+       |      ('road_closure', 'contra_flow', 'lane_closure',
+       |       'convoy_workings', 'multi_way_signals', 'two_way_signals')
+       |      THEN 1 END) AS high_impact_traffic_mgmt_count
+       |  FROM enr$sfx GROUP BY 1, 2),
+       |rkd AS (SELECT agg.*,
+       |    PERCENT_RANK() OVER (ORDER BY t10) * 100
+       |      AS highway_authority_impact_score
+       |  FROM agg)
+       |SELECT highway_authority, highway_authority_swa_code,
+       |  CAST(total_usrns_count AS BIGINT) AS total_usrns_count,
+       |  avg_uprn_count, total_uprn_count,
+       |  CAST(t10 AS DOUBLE) / 10 AS total_impact_level,
+       |  (CAST(t10 AS DOUBLE) / 10) / nr AS avg_impact_level_per_usrn,
+       |  CAST(mx10 AS DOUBLE) / 10 AS max_impact_level,
+       |  CAST(mn10 AS DOUBLE) / 10 AS min_impact_level,
+       |  100.0 * sum_cl / denom AS total_impact_index_score,
+       |  100.0 * sum_cl / denom / nr AS avg_impact_index_score,
+       |  highway_authority_impact_score,
+       |  ${severity("highway_authority_impact_score")} AS impact_category,
+       |  major_works_count, standard_works_count, minor_works_count,
+       |  hs2_works_count, emergency_works_count, ttro_required_count,
+       |  traffic_sensitive_count, high_impact_traffic_mgmt_count
+       |FROM rkd CROSS JOIN nn
+       |LEFT JOIN bd USING (highway_authority, highway_authority_swa_code)"""
+      .stripMargin
+
+  /** usrn_permit_details_{london,england}.sql: the two dedup'd lists
+    * unioned to the detail projection, licence flags from the SWA
+    * dimension (same deterministic dressing as SparkEntry.modelSwaCodes). */
+  private def modelPermitDetailsSelectSql(sfx: String): String =
+    s"""swa AS (SELECT k,
+       |    CASE WHEN k % 2 = 0 THEN 'Yes' ELSE 'No' END
+       |      AS ofgem_electricity_licence,
+       |    CASE WHEN k % 3 = 0 THEN 'Yes' ELSE 'No' END
+       |      AS ofgem_gas_licence,
+       |    CASE WHEN k % 5 = 0 THEN 'Yes' ELSE 'No' END AS ofcom_licence,
+       |    CASE WHEN k % 7 = 0 THEN 'Yes' ELSE 'No' END AS ofwat_licence
+       |  FROM (SELECT DISTINCT c_custkey % 60 AS k FROM customer)),
+       |det AS (
        |  SELECT usrn, street_name, highway_authority,
-       |    highway_authority_swa_code, work_category, is_ttro_required,
-       |    is_traffic_sensitive, traffic_management_type_ref
-       |  FROM inprog
+       |    permit_reference_number, promoter_organisation, work_category,
+       |    activity_type, is_ttro_required, is_traffic_sensitive,
+       |    traffic_management_type_ref, collaborative_working,
+       |    promoter_swa_code
+       |  FROM inprog$sfx
        |  UNION ALL
        |  SELECT usrn, street_name, highway_authority,
-       |    highway_authority_swa_code, work_category, is_ttro_required,
-       |    is_traffic_sensitive, traffic_management_type_ref
-       |  FROM done),
-       |enr AS (SELECT l.*, COALESCE(c.uprn_count, 0) AS uprn_count,
-       |    u.geometry
-       |  FROM lists l
-       |  LEFT JOIN cnts c ON CAST(l.usrn AS BIGINT) = c.usrn
-       |  LEFT JOIN usrn_dim u ON CAST(l.usrn AS BIGINT) = u.usrn),
-       |wtd AS (SELECT usrn, street_name, highway_authority,
-       |    LOWER(highway_authority_swa_code) AS highway_authority_swa_code,
-       |    uprn_count, geometry,
-       |    (CASE work_category WHEN 'Standard' THEN 20 WHEN 'Major' THEN 50
-       |       WHEN 'Minor' THEN 10 WHEN 'HS2 (Highway)' THEN 20
-       |       WHEN 'Immediate - urgent' THEN 40
-       |       WHEN 'Immediate - emergency' THEN 40 ELSE 0 END
-       |     + CASE WHEN is_ttro_required = 'Yes' THEN 5 ELSE 0 END
-       |     + CASE WHEN is_traffic_sensitive = 'Yes' THEN 5 ELSE 0 END
-       |     + CASE WHEN traffic_management_type_ref IS NULL THEN 5
-       |         WHEN traffic_management_type_ref IN ('road_closure',
-       |           'contra_flow', 'lane_closure', 'convoy_workings',
-       |           'multi_way_signals', 'two_way_signals') THEN 20
-       |         WHEN traffic_management_type_ref IN ('give_and_take',
-       |           'stop_go_boards', 'priority_working') THEN 10
-       |         WHEN traffic_management_type_ref =
-       |           'some_carriageway_incursion' THEN 5
-       |         WHEN traffic_management_type_ref =
-       |           'no_carriageway_incursion' THEN 0
-       |         ELSE 0 END
-       |     + CASE WHEN uprn_count <= 5 THEN 2 WHEN uprn_count <= 10 THEN 4
-       |         WHEN uprn_count <= 25 THEN 6 WHEN uprn_count <= 50 THEN 8
-       |         WHEN uprn_count <= 100 THEN 10 WHEN uprn_count <= 200 THEN 12
-       |         WHEN uprn_count <= 500 THEN 14 ELSE 16 END) AS impact10
-       |  FROM enr),
-       |raw AS (SELECT usrn, street_name, highway_authority,
-       |    highway_authority_swa_code, uprn_count, geometry,
-       |    SUM(impact10) AS total10
-       |  FROM wtd GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
+       |    permit_reference_number, promoter_organisation, work_category,
+       |    activity_type, is_ttro_required, is_traffic_sensitive,
+       |    traffic_management_type_ref, collaborative_working,
+       |    promoter_swa_code
+       |  FROM done$sfx)
+       |SELECT usrn, street_name, highway_authority,
+       |  permit_reference_number, promoter_organisation, work_category,
+       |  activity_type, is_ttro_required, is_traffic_sensitive,
+       |  traffic_management_type_ref, collaborative_working,
+       |  ofgem_electricity_licence, ofgem_gas_licence, ofcom_licence,
+       |  ofwat_licence
+       |FROM det d LEFT JOIN swa s ON CAST(d.promoter_swa_code AS INT) = s.k"""
+      .stripMargin
 
   /** q_zorder oracle: the SAME 16-bit min/max normalization and 32
     * bit-interleave terms as sinks.ZOrder.zValue, generated rather than
@@ -2200,135 +2341,43 @@ object OracleSql {
         |GROUP BY 1""".stripMargin,
 
     "q_model_impact_scores" ->
-      s"""WITH $modelCtes,
-         |b AS (SELECT MIN(total10) AS mn10, MAX(total10) AS mx10 FROM raw)
-         |SELECT usrn, street_name, highway_authority,
-         |  highway_authority_swa_code,
-         |  CAST(uprn_count AS BIGINT) AS uprn_count, geometry,
-         |  CAST(total10 AS DOUBLE) / 10 AS total_impact_level,
-         |  CASE WHEN mx10 = mn10 THEN 50.0
-         |       ELSE 1.0 + (99.0 * (total10 - mn10))
-         |            / CAST(mx10 - mn10 AS DOUBLE) END AS impact_index_score,
-         |  ${severity("impact_index_score")} AS impact_category
-         |FROM raw, b""".stripMargin,
+      s"WITH $modelCtes,\n${modelImpactScoresSelectSql("")}",
+
+    // the England variant: uncorrelated exclusion, unfiltered authority
+    // universe (impact_scores_england.sql)
+    "q_model_impact_scores_england" ->
+      s"WITH $modelCtes,\n$modelEngCtes,\n${modelImpactScoresSelectSql("_eng")}",
 
     "q_model_authority_scores" ->
-      s"""WITH $modelCtes,
-         |rk AS (SELECT raw.*,
-         |         CAST(RANK() OVER (ORDER BY total10) - 1 AS BIGINT) AS cl
-         |       FROM raw),
-         |nn AS (SELECT CAST(GREATEST(COUNT(*) - 1, 1) AS DOUBLE) AS denom
-         |       FROM raw),
-         |agg AS (SELECT highway_authority, highway_authority_swa_code,
-         |    COUNT(DISTINCT usrn) AS total_usrns_count,
-         |    CAST(SUM(uprn_count) AS DOUBLE) / COUNT(*) AS avg_uprn_count,
-         |    CAST(SUM(uprn_count) AS BIGINT) AS total_uprn_count,
-         |    SUM(total10) AS t10, COUNT(*) AS nr,
-         |    MAX(total10) AS mx10, MIN(total10) AS mn10, SUM(cl) AS sum_cl
-         |  FROM rk GROUP BY 1, 2),
-         |bd AS (SELECT highway_authority,
-         |    LOWER(highway_authority_swa_code) AS highway_authority_swa_code,
-         |    COUNT(CASE WHEN work_category = 'Major' THEN 1 END)
-         |      AS major_works_count,
-         |    COUNT(CASE WHEN work_category = 'Standard' THEN 1 END)
-         |      AS standard_works_count,
-         |    COUNT(CASE WHEN work_category = 'Minor' THEN 1 END)
-         |      AS minor_works_count,
-         |    COUNT(CASE WHEN work_category = 'HS2 (Highway)' THEN 1 END)
-         |      AS hs2_works_count,
-         |    COUNT(CASE WHEN work_category IN
-         |      ('Immediate - urgent', 'Immediate - emergency') THEN 1 END)
-         |      AS emergency_works_count,
-         |    COUNT(CASE WHEN is_ttro_required = 'Yes' THEN 1 END)
-         |      AS ttro_required_count,
-         |    COUNT(CASE WHEN is_traffic_sensitive = 'Yes' THEN 1 END)
-         |      AS traffic_sensitive_count,
-         |    COUNT(CASE WHEN traffic_management_type_ref IN
-         |      ('road_closure', 'contra_flow', 'lane_closure',
-         |       'convoy_workings', 'multi_way_signals', 'two_way_signals')
-         |      THEN 1 END) AS high_impact_traffic_mgmt_count
-         |  FROM enr GROUP BY 1, 2),
-         |rkd AS (SELECT agg.*,
-         |    PERCENT_RANK() OVER (ORDER BY t10) * 100
-         |      AS highway_authority_impact_score
-         |  FROM agg)
-         |SELECT highway_authority, highway_authority_swa_code,
-         |  CAST(total_usrns_count AS BIGINT) AS total_usrns_count,
-         |  avg_uprn_count, total_uprn_count,
-         |  CAST(t10 AS DOUBLE) / 10 AS total_impact_level,
-         |  (CAST(t10 AS DOUBLE) / 10) / nr AS avg_impact_level_per_usrn,
-         |  CAST(mx10 AS DOUBLE) / 10 AS max_impact_level,
-         |  CAST(mn10 AS DOUBLE) / 10 AS min_impact_level,
-         |  100.0 * sum_cl / denom AS total_impact_index_score,
-         |  100.0 * sum_cl / denom / nr AS avg_impact_index_score,
-         |  highway_authority_impact_score,
-         |  ${severity("highway_authority_impact_score")} AS impact_category,
-         |  major_works_count, standard_works_count, minor_works_count,
-         |  hs2_works_count, emergency_works_count, ttro_required_count,
-         |  traffic_sensitive_count, high_impact_traffic_mgmt_count
-         |FROM rkd CROSS JOIN nn
-         |LEFT JOIN bd USING (highway_authority, highway_authority_swa_code)"""
-        .stripMargin,
+      s"WITH $modelCtes,\n${modelAuthorityScoresSelectSql("")}",
 
-    // usrn_permit_details_london: the two dedup'd lists unioned to the
-    // detail projection, licence flags from the SWA dimension (same
-    // deterministic dressing as SparkEntry.modelSwaCodes)
+    // impact_scores_highway_authority_england.sql: same rollup over the
+    // England lists — NOTE the percent ranks re-baseline to the wider
+    // universe, so London rows differ from the London-model output
+    "q_model_authority_scores_england" ->
+      s"WITH $modelCtes,\n$modelEngCtes,\n${modelAuthorityScoresSelectSql("_eng")}",
+
+    // usrn_permit_details_{london,england}: the two dedup'd lists unioned
+    // to the detail projection, licence flags from the SWA dimension
+    // (same deterministic dressing as SparkEntry.modelSwaCodes)
     "q_model_permit_details" ->
-      s"""WITH $modelCtes,
-         |swa AS (SELECT k,
-         |    CASE WHEN k % 2 = 0 THEN 'Yes' ELSE 'No' END
-         |      AS ofgem_electricity_licence,
-         |    CASE WHEN k % 3 = 0 THEN 'Yes' ELSE 'No' END
-         |      AS ofgem_gas_licence,
-         |    CASE WHEN k % 5 = 0 THEN 'Yes' ELSE 'No' END AS ofcom_licence,
-         |    CASE WHEN k % 7 = 0 THEN 'Yes' ELSE 'No' END AS ofwat_licence
-         |  FROM (SELECT DISTINCT c_custkey % 60 AS k FROM customer)),
-         |det AS (
-         |  SELECT usrn, street_name, highway_authority,
-         |    permit_reference_number, promoter_organisation, work_category,
-         |    activity_type, is_ttro_required, is_traffic_sensitive,
-         |    traffic_management_type_ref, collaborative_working,
-         |    promoter_swa_code
-         |  FROM inprog
-         |  UNION ALL
-         |  SELECT usrn, street_name, highway_authority,
-         |    permit_reference_number, promoter_organisation, work_category,
-         |    activity_type, is_ttro_required, is_traffic_sensitive,
-         |    traffic_management_type_ref, collaborative_working,
-         |    promoter_swa_code
-         |  FROM done)
-         |SELECT usrn, street_name, highway_authority,
-         |  permit_reference_number, promoter_organisation, work_category,
-         |  activity_type, is_ttro_required, is_traffic_sensitive,
-         |  traffic_management_type_ref, collaborative_working,
-         |  ofgem_electricity_licence, ofgem_gas_licence, ofcom_licence,
-         |  ofwat_licence
-         |FROM det d LEFT JOIN swa s ON CAST(d.promoter_swa_code AS INT) = s.k"""
-        .stripMargin,
+      s"WITH $modelCtes,\n${modelPermitDetailsSelectSql("")}",
+
+    "q_model_permit_details_england" ->
+      s"WITH $modelCtes,\n$modelEngCtes,\n${modelPermitDetailsSelectSql("_eng")}",
 
     // dbt data_tests as one summary frame: duplicate permits across the
     // list pair (London correlated / England uncorrelated) and the
     // impact-scores not_null checks; the zero counts ARE the semantics
-    // (the exclusion join makes overlap impossible on clean data)
+    // (the exclusion join makes overlap impossible on clean data).
+    // not_null is PER-COLUMN sums on BOTH sides (dbt runs one test per
+    // column, so a hypothetical both-null row counts twice) — the Spark
+    // side (impactScoresNotNullViolationCount) uses the same two
+    // conditional counts, so the semantics agree even off the
+    // zero-violations happy path
     "q_model_data_tests" ->
       s"""WITH $modelCtes,
-         |inprog_eng AS (SELECT * FROM (
-         |    SELECT e.*, ROW_NUMBER() OVER (
-         |        PARTITION BY permit_reference_number
-         |        ORDER BY event_time DESC, event_reference DESC) AS rn
-         |    FROM ev e
-         |    WHERE work_status_ref = 'in_progress'
-         |      AND NOT EXISTS (SELECT 1 FROM compl_keys ck
-         |        WHERE ck.permit_reference_number = e.permit_reference_number))
-         |  WHERE rn = 1),
-         |done_eng AS (SELECT * FROM (
-         |    SELECT e.*, ROW_NUMBER() OVER (
-         |        PARTITION BY permit_reference_number
-         |        ORDER BY event_time DESC, event_reference DESC) AS rn
-         |    FROM ev e
-         |    WHERE work_status_ref = 'completed'
-         |      AND event_type = 'WORK_STOP')
-         |  WHERE rn = 1),
+         |$modelEngCtes,
          |imp AS (SELECT uprn_count, CAST(total10 AS DOUBLE) / 10 AS til
          |        FROM raw)
          |SELECT 'assert_no_duplicate_permits_london' AS test_name,

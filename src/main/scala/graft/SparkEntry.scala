@@ -1636,6 +1636,36 @@ object SparkEntry {
     Models.usrnPermitDetails(inL, doneL)
   }
 
+  // ---- England model family: uncorrelated exclusion (a completed stop
+  // ANYWHERE removes the permit reference), unfiltered authority universe
+  // (in_progress_list_england.sql:81-87; impact_scores_england.sql;
+  // usrn_permit_details_england.sql)
+
+  private def qModelImpactScoresEngland(s: SparkSession, d: String): DataFrame =
+    Models.impactScoresFromEvents(modelPermitEvents(s, d),
+      modelOpenUsrns(s, d),
+      Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d)),
+      Nil, correlateOnAuthority = false)
+
+  private def qModelAuthorityScoresEngland(s: SparkSession,
+                                           d: String): DataFrame =
+    Models.impactScoresHighwayAuthorityFromEvents(modelPermitEvents(s, d),
+      modelOpenUsrns(s, d),
+      Models.uprnUsrnCount(modelOpenUsrns(s, d), modelLinkedIds(s, d)),
+      Nil, correlateOnAuthority = false)
+
+  private def qModelPermitDetailsEngland(s: SparkSession,
+                                         d: String): DataFrame = {
+    val ev = modelPermitEvents(s, d)
+    val usrns = modelOpenUsrns(s, d)
+    val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
+    val swa = modelSwaCodes(s, d)
+    Models.usrnPermitDetails(
+      Models.inProgressList(ev, usrns, swa, counts, Nil,
+        correlateOnAuthority = false),
+      Models.completedList(ev, usrns, swa, counts, Nil))
+  }
+
   /** The reference's dbt data_tests as a driver query — `dbt build` runs
     * these on every invocation (data_tests/assert_no_duplicate_permits_*,
     * test_impact_scores_london.yml): one (test_name, violations) row per
@@ -1646,12 +1676,15 @@ object SparkEntry {
     val usrns = modelOpenUsrns(s, d)
     val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
     // duplicate-permit tests via the FUSED key-set formulation (two
-    // narrow shuffles; spec-pinned identical to testing the built lists)
-    val impact = Models.impactScoresFromEvents(ev, usrns, counts,
-      modelAuthorities, correlateOnAuthority = true)
+    // narrow shuffles; spec-pinned identical to testing the built lists).
+    // The not_null half counts over the PRE-normalisation scoring
+    // aggregate (null-ness is decided before the min–max bounds join —
+    // ModelsSpec pins the bijection), so the fused impact DAG runs ONCE,
+    // uncached, with no bounds broadcast job.
     Models.duplicatePermitTestCounts(ev, modelAuthorities)
-      .unionByName(Models.impactScoresNullViolations(impact)
-        .agg(count(lit(1)).as("violations"))
+      .unionByName(Models.impactScoresNotNullViolationCount(
+          Models.combinedPermitRowsFromEvents(ev, usrns, counts,
+            modelAuthorities, correlateOnAuthority = true))
         .select(lit("impact_scores_not_null").as("test_name"),
           col("violations")))
   }
@@ -1879,6 +1912,9 @@ object SparkEntry {
     "q_model_wellbeing" -> (qModelWellbeing _),
     "q_model_permit_details" -> (qModelPermitDetails _),
     "q_model_data_tests" -> (qModelDataTests _),
+    "q_model_impact_scores_england" -> (qModelImpactScoresEngland _),
+    "q_model_authority_scores_england" -> (qModelAuthorityScoresEngland _),
+    "q_model_permit_details_england" -> (qModelPermitDetailsEngland _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

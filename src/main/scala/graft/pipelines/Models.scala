@@ -876,6 +876,30 @@ object Models {
     DataQuality.notNullViolations(impactScores, "total_impact_level")
       .unionByName(DataQuality.notNullViolations(impactScores, "uprn_count"))
 
+  /** The same two not_null tests as ONE count over the PRE-normalisation
+    * scoring aggregate — dbt runs one test per column, so the count is the
+    * per-column SUM (a hypothetical both-null row counts twice, exactly
+    * like filtering the final frame once per column). Identical to
+    * counting over [[impactScores]] output because the min–max
+    * normalisation is a row bijection that preserves both columns'
+    * null-ness: the bounds cross-join multiplies by a 1-row global
+    * aggregate (never drops or duplicates), `total_impact_level` is
+    * `total10 / 10` (null iff `total10` is), and `uprn_count` is a group
+    * key carried through untouched — pinned with constructed nulls in
+    * ModelsSpec. Skips the bounds broadcast job, the raw persist, and the
+    * two filter passes the list formulation pays just to count zeros. */
+  def impactScoresNotNullViolationCount(scoringRows: DataFrame): DataFrame =
+    rawImpactLevel(scoringRows).agg(
+      (count(when(col("total10").isNull, 1)) +
+        count(when(col("uprn_count").isNull, 1))).as("violations"))
+
+  /** [[impactScoresNotNullViolationCount]] over the built list pair —
+    * the spec seam that lets the bijection claim be tested against
+    * [[impactScores]] on the same inputs. */
+  def impactScoresNotNullViolationCount(inProgress: DataFrame,
+                                        completed: DataFrame): DataFrame =
+    impactScoresNotNullViolationCount(combinedPermitRows(inProgress, completed))
+
   // ------------------------------------------------------------ full DAG
 
   /** The complete dbt DAG by model name over the landed tables — the

@@ -127,7 +127,16 @@ object JdbcSink {
     *  2. the DELETE and the INSERT..SELECT then run in ONE transaction
     *     on one connection, so a failure never leaves the scope
     *     deleted-but-unwritten (the naive delete-then-append's torn
-    *     window) and a re-run of the same scope never duplicates. */
+    *     window) and a re-run of the same scope never duplicates.
+    *
+    * Dialect contract (same as [[upsert]]'s): the target must support
+    * `CREATE TABLE … AS SELECT … WITH NO DATA`, plain `DROP TABLE`, and
+    * multi-statement transactions — SQL:2003, satisfied by Derby and
+    * Postgres. MySQL/Oracle/SQLite spell the empty-clone differently and
+    * are NOT supported here; this is deliberate, not an oversight — a
+    * delete-then-append fallback would reintroduce the torn window AND
+    * the self-read wipe (a `df` derived from the target evaluating after
+    * the DELETE) that staging exists to close. */
   def refreshScope(df: DataFrame, url: String, table: String,
                    scopePredicate: String, batchSize: Int = 10000,
                    numPartitions: Option[Int] = None,

@@ -86,8 +86,19 @@ object SnapshotTable {
   /** The shared commit core: write `df`'s files once, claim a version,
     * land the manifest as `carried(version) ++ fresh`. The `carried`
     * callback runs AFTER the claim is exclusive (append resolves the
-    * previous manifest there; replace/merge pass a fixed list). */
-  private def commitWith(df: DataFrame, root: String, maxClaimRetries: Int)(
+    * previous manifest there; replace/merge pass a fixed list).
+    *
+    * `requireBase = Some(v)`: optimistic concurrency for read-modify-
+    * write commits (merge, compact) whose output was DERIVED from
+    * version v — the commit must land at exactly v+1, and a lost claim
+    * means another commit landed on the same base, so the rewrite is
+    * stale: abort loudly (ConcurrentModificationException) instead of
+    * retrying a higher slot, which would silently shadow the racer's
+    * rows. Plain replace/append pass None and retry upward (replace
+    * MEANS shadow; append re-resolves its carried list under the new
+    * claim, so it composes at any slot). */
+  private def commitWith(df: DataFrame, root: String, maxClaimRetries: Int,
+      requireBase: Option[Long] = None)(
       carried: (SparkSession, FileSystem, Path, Long) => Vector[String]): Long = {
     val spark = df.sparkSession
     val rootP = new Path(root)
@@ -102,7 +113,13 @@ object SnapshotTable {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(s => s"data/$dirName/${s.getPath.getName}").sorted.toVector
 
-    var version = latestVersion(spark, root).getOrElse(0L) + 1
+    def staleBase(base: Long): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot-table: a concurrent commit moved the table past " +
+          s"version $base at $root — this merge/compact was derived " +
+          s"from version $base and is stale; re-run it")
+    var version = requireBase.map(_ + 1)
+      .getOrElse(latestVersion(spark, root).getOrElse(0L) + 1)
     var claimed = false
     var tries = 0
     while (!claimed) {
@@ -110,11 +127,35 @@ object SnapshotTable {
       require(tries <= maxClaimRetries,
         s"snapshot-table: lost the version claim $maxClaimRetries times at $root")
       val claim = new Path(rootP, s"_manifests/claim-$version")
-      if (createExclusive(f, claim, Array.emptyByteArray)) claimed = true
-      else // slot taken (genuine contention only — other IO errors THROW
-        // rather than burning 20 version slots hiding the real cause)
-        version = math.max(version + 1,
-          latestVersion(spark, root).getOrElse(0L) + 1)
+      if (createExclusive(f, claim, Array.emptyByteArray)) {
+        // Winning the claim does NOT prove the table hasn't advanced:
+        // vacuum deletes old claim files, so a recycled sub-floor slot
+        // is claimable again — a slow writer would land a "successful"
+        // version below the live manifest whose rows every reader
+        // silently ignores (stress-spec-found: a merge based on v1
+        // landed at a vacuumed slot 2 while the table was at v12).
+        // Verify the slot is still AHEAD of the live manifest while the
+        // claim is held; racers claiming above us must wait on this
+        // claim before landing, so the check cannot go stale.
+        val latestNow = latestVersion(spark, root).getOrElse(0L)
+        if (latestNow < version) claimed = true
+        else {
+          f.delete(claim, false) // our claim, no manifest: safe release
+          requireBase match {
+            case Some(base) => staleBase(base)
+            case None => version = latestNow + 1
+          }
+        }
+      } else requireBase match {
+        case Some(base) =>
+          // someone claimed our slot: the rewrite no longer covers the
+          // live table — retrying higher would shadow their rows
+          staleBase(base)
+        case None => // slot taken (genuine contention only — other IO
+          // errors THROW rather than burning 20 slots hiding the cause)
+          version = math.max(version + 1,
+            latestVersion(spark, root).getOrElse(0L) + 1)
+      }
     }
     // The claim is exclusive from here on. For append, the carried list
     // is only complete once every LOWER claim has landed its manifest: a
@@ -245,10 +286,21 @@ object SnapshotTable {
       val landed = entries.iterator.map(_.getPath.getName)
         .filter(_.startsWith("manifest-"))
         .map(_.stripPrefix("manifest-")).toSet
+      // only claims STRICTLY BETWEEN the live manifest and our version
+      // matter: a claim at or below the live manifest is shadowed
+      // history — whatever its writer lands (or never lands) is already
+      // superseded by the chain we carry, so waiting is pointless and
+      // VOIDING it is harmful: after a vacuum trimmed that range, the
+      // void would resurrect a sub-floor slot as a bogus empty version
+      // (stress-spec-found). Landed voids count as manifests here, so
+      // liveMax only ever moves forward within one wait.
+      val liveMax = landed.map(_.toLong).foldLeft(0L)(math.max)
       entries.iterator.filter { st =>
         val n = st.getPath.getName
-        n.startsWith("claim-") && n.stripPrefix("claim-").toLong < version &&
-          !landed(n.stripPrefix("claim-"))
+        n.startsWith("claim-") && {
+          val k = n.stripPrefix("claim-").toLong
+          k > liveMax && k < version && !landed(n.stripPrefix("claim-"))
+        }
       }.map(st => (st.getPath.getName.stripPrefix("claim-").toLong,
           st.getModificationTime))
         .toSeq.sortBy(_._1)
@@ -277,8 +329,18 @@ object SnapshotTable {
         // voids the live one
         val now = System.currentTimeMillis()
         if (now - lastBeat >= claimGraceMs / 12) {
-          val o = f.create(ownClaim, true)
-          o.close()
+          // mtime-only refresh: setTimes is one atomic metadata op on
+          // every FileSystem. create(overwrite=true) is NOT — object
+          // stores (and any delete-then-create implementation) expose a
+          // window where a concurrent appender's single listStatus
+          // snapshot sees neither claim-N nor manifest-N, stops waiting
+          // on a live writer, and lands a higher manifest that excludes
+          // its files — the very silent-loss race the heartbeat closes.
+          // Fall back to create only where setTimes is unsupported.
+          try f.setTimes(ownClaim, now, -1)
+          catch { case _: UnsupportedOperationException =>
+            val o = f.create(ownClaim, true); o.close()
+          }
           lastBeat = now
         }
         Thread.sleep(100)
@@ -371,9 +433,13 @@ object SnapshotTable {
     * and column-compatible with the table (unionByName). Replaying the
     * SAME source is idempotent (matched keys replace to the same rows),
     * which is exactly the property a foreachBatch streaming upsert
-    * needs. Like compact, a merge shadows commits landing between its
-    * read and its publish — run upserts from the table's single write
-    * owner, not alongside appenders. Returns the new version. */
+    * needs. SAFE ALONGSIDE APPENDERS: the commit is optimistic — it
+    * must land at exactly readVersion+1, and if any other commit claims
+    * that slot first the merge aborts with a loud
+    * ConcurrentModificationException instead of landing a manifest
+    * that silently excludes the racer's files (the pre-R15 shadowing
+    * hazard). Re-run an aborted merge; its orphaned data dir is
+    * vacuum-reclaimed. Returns the new version. */
   def merge(source: DataFrame, root: String, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "snapshot-table: merge needs at least one key")
     val spark = source.sparkSession
@@ -416,8 +482,8 @@ object SnapshotTable {
             .parquet(touched.map(n => new Path(rootP, n).toString): _*)
           t.join(srcKeys, keyCond(t, srcKeys), "left_anti")
         }
-      commitWith(remainder.unionByName(src), root, maxClaimRetries = 20)(
-        (_, _, _, _) => untouched)
+      commitWith(remainder.unionByName(src), root, maxClaimRetries = 20,
+        requireBase = Some(live))((_, _, _, _) => untouched)
     } finally if (!preCached) src.unpersist(blocking = false)
   }
 
@@ -432,17 +498,20 @@ object SnapshotTable {
     *
     * File count comes from the live snapshot's scan stats against
     * `targetFileMB` (the [[ParquetSink.compactPartitioned]] sizing
-    * rule). Like any replace, compact shadows commits that land between
-    * its read and its publish — run it from the table's single
-    * maintenance owner, not alongside appenders. Returns the new
-    * version. */
+    * rule). SAFE ALONGSIDE APPENDERS, like [[merge]]: the rewrite is
+    * derived from the live version it read, so the commit must land at
+    * exactly that version + 1 — a concurrent commit on the same base
+    * aborts the compact loudly (ConcurrentModificationException, re-run
+    * at leisure) rather than letting the compacted snapshot silently
+    * shadow the racer's rows. Returns the new version. */
   def compact(spark: SparkSession, root: String,
               targetFileMB: Int = 512): Long = {
     val live = liveVersion(spark, root)
     val df = read(spark, root, Some(live))
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (sizeBytes / (targetFileMB.toLong << 20)).toLong)
-    write(df.repartition(nFiles.toInt), root)
+    commitWith(df.repartition(nFiles.toInt), root, maxClaimRetries = 20,
+      requireBase = Some(live))((_, _, _, _) => Vector.empty)
   }
 
   /** Drop all but the newest `keep` manifests (the newest is the live

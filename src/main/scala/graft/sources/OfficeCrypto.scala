@@ -601,18 +601,35 @@ object OfficeCrypto {
 
     /** All stream objects in the file, by directory-entry name. */
     def streams(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+      require(bytes.length >= 512, "graft-cfb: truncated header")
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       require(buf.getLong(0) == 0xE11AB1A1E011CFD0L, "not a compound file")
-      val sectorSize = 1 << buf.getShort(30)
-      val miniSize = 1 << buf.getShort(32)
+      // every allocation below is sized by these two shifts, so a crafted
+      // header must fail LOUDLY here: 1 << getShort(30) would otherwise
+      // mint gigabyte "sectors" (fuzz-found OOM). Spec values are 9
+      // (512 B, v3) and 12 (4 KiB, v4); accept that window only.
+      val sectorShift = buf.getShort(30)
+      require(sectorShift >= 7 && sectorShift <= 16,
+        s"graft-cfb: implausible sector shift $sectorShift")
+      val sectorSize = 1 << sectorShift
+      val miniShift = buf.getShort(32)
+      require(miniShift >= 4 && miniShift <= sectorShift,
+        s"graft-cfb: implausible mini-sector shift $miniShift")
+      val miniSize = 1 << miniShift
       val nFat = buf.getInt(44)
       val firstDir = buf.getInt(48)
       val miniCutoff = buf.getInt(56)
       val firstMiniFat = buf.getInt(60)
 
       def sector(n: Long): Array[Byte] = {
-        val off = sectorSize * (n.toInt + 1)
-        java.util.Arrays.copyOfRange(bytes, off, off + sectorSize)
+        // Long math + an explicit bound: Int overflow would turn a huge
+        // sector number into a negative offset, and copyOfRange PADS
+        // past the array end instead of failing — silent zeros where
+        // the file is corrupt
+        val off = sectorSize.toLong * (n + 1)
+        require(off >= 0 && off + sectorSize <= bytes.length,
+          s"graft-cfb: sector $n out of bounds")
+        java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + sectorSize)
       }
       // FAT sector list: 109 header DIFAT entries, then the DIFAT sector
       // chain (127 entries + next pointer per sector) for larger files
@@ -672,12 +689,21 @@ object OfficeCrypto {
         }
       def readMini(start: Long): Array[Byte] =
         chain(start, miniFat).flatMap { n =>
+          val off = miniSize.toLong * n
+          require(off >= 0 && off + miniSize <= miniStream.length,
+            s"graft-cfb: mini sector $n out of bounds")
           java.util.Arrays.copyOfRange(miniStream,
-            miniSize * n.toInt, miniSize * (n.toInt + 1))
+            off.toInt, off.toInt + miniSize)
         }.toArray
 
       entries.filter(_.objType == 2).map { e =>
         val data = if (e.size < miniCutoff) readMini(e.start) else readChain(e.start)
+        // the declared size only TRIMS sector padding — a size past the
+        // chain's actual bytes is corruption, and copyOf would silently
+        // zero-fill it (or allocate a crafted 2 GB)
+        require(e.size >= 0 && e.size <= data.length,
+          s"graft-cfb: stream '${e.name}' declares ${e.size} bytes " +
+            s"but its chain holds ${data.length}")
         e.name -> java.util.Arrays.copyOf(data, e.size.toInt)
       }.toMap
     }

@@ -381,13 +381,17 @@ object EventStream {
                               benchNgrams: Array[String], n: Int,
                               minShared: Int): DataFrame = {
     import graft.functions.Text
+    // withColumn + drop, not a projection: every OTHER input column
+    // (scrubbed_text, audit metrics from an upstream gate) rides through
+    // untouched — a projecting gate silently strips the scrubbed output
+    // form from the composed curationStream
     docs
-      .select(col(idCol), col(textCol), Text.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col(textCol),
-        array_distinct(graft.plans.NGrams.ngrams(col("__toks"), n)).as("__g"))
-      .select(col(idCol), col(textCol),
-        size(array_intersect(col("__g"), lit(benchNgrams))).cast("long")
-          .as("n_bench_ngrams"))
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__g",
+        array_distinct(graft.plans.NGrams.ngrams(col("__toks"), n)))
+      .withColumn("n_bench_ngrams",
+        size(array_intersect(col("__g"), lit(benchNgrams))).cast("long"))
+      .drop("__toks", "__g")
       .where(col("n_bench_ngrams") < minShared)
   }
 
@@ -559,23 +563,26 @@ object EventStream {
                    model: Map[String, Long], minScorePpm: Long): DataFrame = {
     import graft.functions.Text
     val m = typedLit(model)
+    // withColumn + drop (see contaminationGateStream): pass-through for
+    // all non-metric input columns, so composed gates keep the scrubbed
+    // output form and upstream audit metrics
     docs
-      .select(col(idCol), col(textCol), Text.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col(textCol),
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__bgs",
         when(size(col("__toks")) >= 2,
           expr("transform(sequence(1, size(__toks) - 1), " +
             "i -> concat(__toks[i-1], ' ', __toks[i]))"))
-          .otherwise(array().cast("array<string>")).as("__bgs"))
-      .select(col(idCol), col(textCol),
-        size(col("__bgs")).cast("long").as("n_bigrams"),
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_bigrams", size(col("__bgs")).cast("long"))
+      .withColumn("__sum_ppm",
         aggregate(
           transform(col("__bgs"), b => coalesce(element_at(m, b), lit(0L))),
-          lit(0L), (acc, v) => acc + v).as("__sum_ppm"))
+          lit(0L), (acc, v) => acc + v))
       .withColumn("lm_score_ppm",
         when(col("n_bigrams") > 0, expr("__sum_ppm DIV n_bigrams"))
           .otherwise(lit(0L)))
       .where(col("n_bigrams") > 0 && col("lm_score_ppm") >= minScorePpm)
-      .select(col(idCol), col(textCol), col("n_bigrams"), col("lm_score_ppm"))
+      .drop("__toks", "__bgs", "__sum_ppm")
   }
 
   /** Streaming mixture gate + shard label (the train-batch/apply-stream
@@ -701,14 +708,22 @@ object EventStream {
     // document slip the gate whenever the shared span contains PII
     // ("john@x.com" -> "[EMAIL]" no longer matches the benchmark's
     // n-grams) — the batch q_curation_pipeline decontaminates raw
-    // tokens. scrubbed_text rides through as the OUTPUT form; callers
-    // emit it, never the raw column.
+    // tokens. scrubbed_text is the OUTPUT form, and that contract is
+    // ENFORCED here rather than left to callers: the raw column is
+    // dropped from every frame handed to `emit`, so a caller that
+    // persists the emitted batch as-is can never write unscrubbed PII.
+    // (Near-dup signatures still hash the raw column internally — it is
+    // only the emitted projection that loses it. Signature stores built
+    // before the raw-signature ordering (pre-R14) hashed scrubbed_text
+    // and will never match raw-text signatures: rebuild them, or
+    // near-dups of the pre-change corpus are silently re-admitted.)
     val gated = lmGateStream(
       contaminationGateStream(
         qualityScrubStream(docs, idCol, textCol, minTokens, maxRepRatioPpm),
         idCol, textCol, benchNgrams, benchN, minShared),
       idCol, textCol, lmModel, minScorePpm)
-    (gated, nearDupFilterBatch(storePath, idCol, textCol, emit = emit))
+    (gated, nearDupFilterBatch(storePath, idCol, textCol,
+      emit = df => emit(df.drop(textCol))))
   }
 
   /** Read the signature store iff its path exists. A missing store is the

@@ -82,7 +82,8 @@ class PlanAuditSpec extends SparkSpec {
   test("model-layer queries: no single-partition window over unbounded keyspaces, no cartesian beyond the 1-row bounds broadcast") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    for (q <- Seq("q_model_impact_scores", "q_model_authority_scores")) {
+    for (q <- Seq("q_model_impact_scores", "q_model_authority_scores",
+        "q_model_impact_scores_england", "q_model_authority_scores_england")) {
       val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
       // the dedup window partitions by permit ref; the per-USRN
       // normalisations are distributed (min-max = 1-row broadcast agg,

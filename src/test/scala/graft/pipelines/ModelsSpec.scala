@@ -568,6 +568,33 @@ class ModelsSpec extends SparkSpec {
         .otherwise(col("total_impact_level")))
     assert(Models.impactScoresNullViolations(withNull).count() === 1)
   }
+
+  test("impactScoresNotNullViolationCount: pre-normalisation count == counting the final frame (constructed nulls)") {
+    val (inP, done) = londonLists
+    // clean fixture: zero, agreeing with the final-frame formulation
+    assert(Models.impactScoresNotNullViolationCount(inP, done)
+      .collect().head.getLong(0) === 0L)
+    // NULL the uprn_count of one street (a group KEY of the scoring
+    // aggregate): the fused count must equal per-column filtering of the
+    // FINAL normalised frame — the bijection claim with real violations
+    def breakU(df: DataFrame): DataFrame = df.withColumn("uprn_count",
+      when(col("usrn") === "100", lit(null).cast("long"))
+        .otherwise(col("uprn_count")))
+    val fast = Models.impactScoresNotNullViolationCount(
+      breakU(inP), breakU(done)).collect().head.getLong(0)
+    val finalFrame = Models.impactScores(breakU(inP), breakU(done))
+    val perColumn =
+      finalFrame.where(col("total_impact_level").isNull).count() +
+        finalFrame.where(col("uprn_count").isNull).count()
+    assert(fast === perColumn)
+    assert(fast > 0L) // the test CAN fail — this is not a SELECT 0
+    // and the fused event-level route (what q_model_data_tests runs)
+    // agrees with the list route on the clean fixture
+    assert(Models.impactScoresNotNullViolationCount(
+        Models.combinedPermitRowsFromEvents(permits, openUsrns, counts,
+          Models.londonAuthorities, correlateOnAuthority = true))
+      .collect().head.getLong(0) === 0L)
+  }
 }
 
 object ModelsSpec {

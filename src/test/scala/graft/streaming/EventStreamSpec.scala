@@ -130,7 +130,14 @@ class EventStreamSpec extends SparkSpec {
       benchNgrams = benchNg, benchN = 3, minShared = 1,
       lmModel = model, minScorePpm = 500000L,
       storePath = store,
-      emit = batch => survivors ++= batch.select("doc_id").as[Long].collect())
+      emit = batch => {
+        // the emitted projection must carry the scrubbed form ONLY — a
+        // caller writing it as-is must be unable to persist raw PII
+        assert(!batch.columns.contains("text"),
+          "curationStream emitted the raw text column")
+        assert(batch.columns.contains("scrubbed_text"))
+        survivors ++= batch.select("doc_id").as[Long].collect()
+      })
     val q = gated.writeStream.foreachBatch(handler)
       .outputMode(OutputMode.Append()).start()
     try {
