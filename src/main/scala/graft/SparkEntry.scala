@@ -1520,7 +1520,16 @@ object SparkEntry {
 
   /** The permit-event table: 2 versions per order; WORK_STOP lands on
     * v2 of 'F' orders, so in-progress exclusion + completed filter both
-    * bite; tm ref cycles all 11 known values + NULL + one unknown. */
+    * bite; tm ref cycles all 11 known values + NULL + one unknown.
+    *
+    * Parallelism note (measured at sf1.5, R15): the customer/nation
+    * dims broadcast, so the dressed map stage runs at the ORDERS scan's
+    * parallelism. A Curate.contamination-style repartition floor was
+    * TRIED and reverted: it speeds the bare dressing 2.7->1.8 s but
+    * SLOWS every consuming model query (q_model_data_tests full
+    * 2.90->3.33 s solo) — each consumer's first real exchange (the
+    * per-permit dedup / groupBy shuffle) re-parallelizes anyway, so the
+    * extra round-robin shuffle is pure cost on the critical path. */
   private def modelPermitEvents(s: SparkSession, d: String): DataFrame = {
     val tmIdx = pmod(col("o_orderkey") + col("v"), lit(13))
     val tmRef = modelTmRefs.zipWithIndex

@@ -63,6 +63,17 @@ object Catalog {
     }: _*)
   }
 
+  /** Header-CSV read with RFC-4180 doubled-quote escaping. Spark's
+    * DEFAULT escape is backslash, which shreds `"The ""Bell"", Main St"`
+    * into extra columns — and because the HEADER row parses fine, the
+    * shift sails past conform's drift check and lands silently. The
+    * reference's pandas/duckdb readers are doublequote-correct by
+    * default; every catalog CSV read goes through here (the cadent
+    * GeoJSON column documented the hazard first). */
+  private def readCsv(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("header", "true").option("escape", "\"")
+      .csv(paths: _*)
+
   private def ddl(pairs: (String, String)*): Seq[(String, DataType)] =
     pairs.map { case (n, t) =>
       n -> (t match {
@@ -158,7 +169,7 @@ object Catalog {
   private[pipelines] def parseStreetManagerArchive(spark: SparkSession,
       input: String, scratch: String): DataFrame = {
     val dir =
-      if (input.endsWith(".zip")) { Fetch.unzip(input, scratch); scratch }
+      if (input.toLowerCase.endsWith(".zip")) { Fetch.unzip(input, scratch); scratch }
       else input
     val nested = spark.read.option("multiLine", "true").json(dir)
     ColumnNormalizer.stripPrefix(
@@ -231,7 +242,7 @@ object Catalog {
     templates = Map("nhs_prescriptions_05_2025" -> nhsTemplateCurrent),
     allowMissing = false,
     parse = (spark, input, _) => Seq(TableLoad("nhs_prescriptions_05_2025",
-      spark.read.option("header", "true").csv(input))))
+      readCsv(spark, input))))
 
   /** Which EPD months to land (reference: nhs_english_prescriptions.py
     * `time_range` + `max_months` + `start_month`/`end_month`). */
@@ -293,8 +304,12 @@ object Catalog {
   /** Multi-month NHS pipeline over a staging DIRECTORY holding one
     * `EPD_SNOMED_<YYYYMM>.csv` per requested month — each month lands as
     * its own `nhs_prescriptions_MM_YYYY` table, validated against the
-    * vintage-correct template (legacy ≤ 202502), and a drifted header
-    * aborts THAT month's load. */
+    * vintage-correct template (legacy ≤ 202502). Abort scope: months
+    * load SEQUENTIALLY, so a drifted header aborts from that month ON —
+    * months already committed stay landed (SnapshotTable commits are
+    * per-table), later months do not run, and the caller gets the
+    * exception rather than a partial root map. Re-running after the
+    * drift is fixed re-lands every month idempotently. */
   private[pipelines] def nhsPrescriptionsFor(months: Seq[String]): SourcePipeline =
     SourcePipeline(
       name = "nhs_prescriptions",
@@ -303,7 +318,7 @@ object Catalog {
       allowMissing = false,
       parse = (spark, input, _) => months.map { m =>
         TableLoad(nhsTableName(m),
-          spark.read.option("header", "true").csv(s"$input/EPD_SNOMED_$m.csv"))
+          readCsv(spark, s"$input/EPD_SNOMED_$m.csv"))
       })
 
   /** The reference's PRIMARY NHS mode, end to end: discover the monthly
@@ -351,11 +366,10 @@ object Catalog {
       "geometry" -> "VARCHAR")),
     allowMissing = false,
     parse = (spark, input, scratch) => {
-      val gpkg =
-        if (input.endsWith(".zip"))
-          Fetch.unzip(input, scratch).find(_.endsWith(".gpkg"))
-            .getOrElse(sys.error("no .gpkg member in archive"))
-        else input
+      // shared two-pass gpkg locator (a Code-Point archive can carry a
+      // second metadata gpkg — prefer the data one, like the other
+      // gpkg pipelines)
+      val gpkg = findGpkg(input, scratch, preferred = "code_point")
       val feats = GeoPackageSource.readFeatures(spark, gpkg, "code_point")
       // readFeatures surfaces the parsed geometry as <geom>_xy
       // (array<struct<x,y>>); render WKT where the reference renders
@@ -415,14 +429,25 @@ object Catalog {
     allowMissing = false,
     parse = (spark, input, scratch) => {
       val members = Fetch.unzip(input, scratch)
-      members.flatMap { m =>
+      val loads = members.flatMap { m =>
         val base = new java.io.File(m).getName.toLowerCase
           .stripSuffix(".txt")
         if (!m.toLowerCase.endsWith(".txt") ||
             !bodsTimetables.templates.contains(base)) None
         else Some(TableLoad(base,
-          spark.read.option("header", "true").csv(m)))
+          readCsv(spark, m)))
       }
+      // a multi-operator bundle can nest the SAME GTFS filename in two
+      // directories: keyed by basename, the second load would silently
+      // supersede the first in the warehouse (and run()'s .toMap drops
+      // one) — refuse instead of losing an operator's rows
+      val dup = loads.groupBy(_.table).collect {
+        case (t, ls) if ls.size > 1 => t }
+      require(dup.isEmpty,
+        s"bods_timetables: duplicate GTFS member basenames in $input: " +
+          s"${dup.toSeq.sorted.mkString(", ")} — flatten the bundle or " +
+          "land each operator's zip separately")
+      loads
     })
 
   // ------------------------------------------------------------ naptan
@@ -459,7 +484,7 @@ object Catalog {
       "Modification" -> "VARCHAR", "Status" -> "VARCHAR")),
     allowMissing = false,
     parse = (spark, input, _) => Seq(TableLoad("LATEST_STOPS",
-      spark.read.option("header", "true").csv(input))))
+      readCsv(spark, input))))
 
   // -------------------------------------------------- cadent underground
 
@@ -488,8 +513,7 @@ object Catalog {
       import graft.functions.Geo
       // escape=": the Geo Shape column is RFC-4180-quoted GeoJSON (embedded
       // doubled quotes) — Spark's default backslash escape would shred it
-      val raw = spark.read.option("header", "true")
-        .option("escape", "\"").csv(input)
+      val raw = readCsv(spark, input)
       val parts = split(col("`Geo Point`"), ",")
       // try_cast: a malformed coordinate nulls the WKT (the reference
       // returns None per bad row) instead of throwing under ANSI mode
@@ -561,18 +585,24 @@ object Catalog {
       // filtered_links map never processes anything else, and guessing a
       // sheet/header for an unknown code would land a silently-garbage
       // table of null-filled rows under the '*' template
-      odsFiles.filter { path =>
-        val code = new java.io.File(path).getName.stripSuffix(".ods").toLowerCase
-        dftSheets.contains(code)
-      }.map { path =>
-        val code = new java.io.File(path).getName.stripSuffix(".ods").toLowerCase
-        val (sheet, headerRow) = dftSheets(code)
-        val df = SpreadsheetSource.readOds(spark, path,
-          java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get(scratch), code).toString,
-          headerRow = headerRow, sheet = Option(sheet))
-        TableLoad(code, df.toDF(df.columns.map(dftCleanName): _*))
-      }
+      val loads = odsFiles
+        .map(p => p -> new java.io.File(p).getName
+          .toLowerCase.stripSuffix(".ods"))
+        .collect { case (path, code) if dftSheets.contains(code) =>
+          val (sheet, headerRow) = dftSheets(code)
+          val df = SpreadsheetSource.readOds(spark, path,
+            java.nio.file.Files.createTempDirectory(
+              java.nio.file.Paths.get(scratch), code).toString,
+            headerRow = headerRow, sheet = Option(sheet))
+          TableLoad(code, df.toDF(df.columns.map(dftCleanName): _*))
+        }
+      // zero matches is a MISNAMED input (e.g. 'RDL0101a.ods' with a
+      // sheet suffix), not an empty dataset: loading nothing while
+      // reporting success would let a scheduled run go green forever
+      require(loads.nonEmpty,
+        s"dft_road_stats: no staged .ods matches a known file code " +
+          s"(${dftSheets.keys.toSeq.sorted.mkString(", ")}) in $input")
+      loads
     })
 
   // ------------------------------------------------------ geoplace swa
@@ -655,6 +685,10 @@ object Catalog {
     templates = Map("national_statistic_postcode_lookup" -> ddl(
       "pcd" -> "VARCHAR", "pcd2" -> "VARCHAR", "pcds" -> "VARCHAR",
       "dointr" -> "BIGINT", "doterm" -> "BIGINT", "usertype" -> "BIGINT",
+      // osnrth1m VARCHAR next to oseast1m BIGINT looks like a typo but
+      // is the REFERENCE's own template (national_stat_postcode_lookup
+      // .py:83) — kept verbatim for parity; retyping would fork the
+      // warehouses
       "oseast1m" -> "BIGINT", "osnrth1m" -> "VARCHAR",
       "osgrdind" -> "BIGINT", "oa21" -> "VARCHAR", "cty" -> "VARCHAR",
       "ced" -> "VARCHAR", "laua" -> "VARCHAR", "ward" -> "VARCHAR",
@@ -668,11 +702,11 @@ object Catalog {
     allowMissing = false,
     parse = (spark, input, scratch) => {
       val members = Fetch.unzip(input, scratch)
-      val csvPath = members.find(m => m.endsWith(".csv") &&
+      val csvPath = members.find(m => m.toLowerCase.endsWith(".csv") &&
           new java.io.File(m).getName.contains("NSPL"))
         .getOrElse(sys.error("no NSPL .csv member in archive"))
       Seq(TableLoad("national_statistic_postcode_lookup",
-        spark.read.option("header", "true").csv(csvPath)))
+        readCsv(spark, csvPath)))
     })
 
   // ------------------------------------------------------ gpkg sources
@@ -726,9 +760,10 @@ object Catalog {
     * (built_up_areas.py:99-115). */
   private def findGpkg(input: String, scratch: String,
                        preferred: String): String =
-    if (input.endsWith(".gpkg")) input
+    if (input.toLowerCase.endsWith(".gpkg")) input
     else {
-      val members = Fetch.unzip(input, scratch).filter(_.endsWith(".gpkg"))
+      val members = Fetch.unzip(input, scratch)
+        .filter(_.toLowerCase.endsWith(".gpkg"))
       members.find(_.toLowerCase.contains(preferred))
         .orElse(members.headOption)
         .getOrElse(sys.error(s"no .gpkg member in $input"))
@@ -748,10 +783,10 @@ object Catalog {
       "version_date_2" -> "BIGINT", "confidence" -> "VARCHAR")),
     allowMissing = false,
     parse = (spark, input, scratch) => {
-      val csvPath = Fetch.unzip(input, scratch).find(_.endsWith(".csv"))
+      val csvPath = Fetch.unzip(input, scratch).find(_.toLowerCase.endsWith(".csv"))
         .getOrElse(sys.error("no .csv member in archive"))
       Seq(TableLoad("os_open_linked_identifiers_uprn_usrn_latest",
-        spark.read.option("header", "true").csv(csvPath)))
+        readCsv(spark, csvPath)))
     })
 
   /** ONS UPRN Directory (ons_uprn_directory.py): the archive carries one
@@ -779,11 +814,11 @@ object Catalog {
       "pfa23cd" -> "VARCHAR", "imd19ind" -> "BIGINT")),
     allowMissing = false,
     parse = (spark, input, scratch) => {
-      val csvs = Fetch.unzip(input, scratch).filter(m => m.endsWith(".csv") &&
+      val csvs = Fetch.unzip(input, scratch).filter(m => m.toLowerCase.endsWith(".csv") &&
         new java.io.File(m).getName.startsWith("ONSUD"))
       require(csvs.nonEmpty, "no ONSUD_*.csv members in archive")
       Seq(TableLoad("ons_uprn_directory",
-        spark.read.option("header", "true").csv(csvs: _*)))
+        readCsv(spark, csvs: _*)))
     })
 
   // ------------------------------------------------ postcode estimates
@@ -798,7 +833,7 @@ object Catalog {
       "Sex_Label" -> "VARCHAR", "Count" -> "BIGINT")),
     allowMissing = false,
     parse = (spark, input, _) => Seq(TableLoad("pcd_p001",
-      spark.read.option("header", "true").csv(input))))
+      readCsv(spark, input))))
 
   /** ONS postcode household estimates P002 (post_code_p002.py). */
   val postCodeP002: SourcePipeline = SourcePipeline(
@@ -808,7 +843,7 @@ object Catalog {
       "Postcode" -> "VARCHAR", "Count" -> "BIGINT")),
     allowMissing = false,
     parse = (spark, input, _) => Seq(TableLoad("pcd_p002",
-      spark.read.option("header", "true").csv(input))))
+      readCsv(spark, input))))
 
   // ----------------------------------------------------- bduk premises
 
@@ -826,7 +861,12 @@ object Catalog {
   }
 
   /** `202509_BDUK_uprn_release_Region_Name` from the hub month segment +
-    * zip URL (bduk_premises_sept_2025.py:107-140). */
+    * zip URL (bduk_premises_sept_2025.py:107-140). The month segment
+    * must START with the month word (`september-2025...`), exactly like
+    * the reference's anchored `re.match(r"[a-z]+-\d{4}", p)` — a slug
+    * embedding the month mid-segment yields no prefix THERE TOO, so the
+    * cross-release collision hazard is shared reference behavior, kept
+    * for parity. */
   private[pipelines] def bdukTableName(hubUrl: String, zipUrl: String): String = {
     val months = Map("january" -> "01", "february" -> "02", "march" -> "03",
       "april" -> "04", "may" -> "05", "june" -> "06", "july" -> "07",
@@ -876,18 +916,24 @@ object Catalog {
       "bduk_hubs_supplier" -> "VARCHAR")),
     allowMissing = false,
     parse = (spark, input, scratch) => {
+      val assetHosts = Set("assets.publishing.service.gov.uk")
       val links = Fetch.discoverLinks(input, "\\.zip".r,
-        allowHosts = Set("assets.publishing.service.gov.uk"))
+        allowHosts = assetHosts)
       require(links.nonEmpty, s"no .zip attachment links found on $input")
       links.map { zipUrl =>
         val table = bdukTableName(input, zipUrl)
         val dir = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(scratch), "bduk").toString
+        // thread the discovery allow-list into the DATA fetch too (the
+        // landNhsFromApi pattern): a hub-hosted link that 302s onto the
+        // asset host must not abort the load; truly foreign CDN hops
+        // still fail loudly under the strict redirect policy
         val members = Fetch.unzip(
-          Fetch.fetchToStaging(zipUrl, dir).path, s"$dir/x")
+          Fetch.fetchToStaging(zipUrl, dir,
+            allowRedirectHosts = assetHosts).path, s"$dir/x")
         val csvs = members.filter(_.toLowerCase.endsWith(".csv"))
         require(csvs.nonEmpty, s"no .csv member in $zipUrl")
-        TableLoad(table, spark.read.option("header", "true").csv(csvs: _*))
+        TableLoad(table, readCsv(spark, csvs: _*))
       }
     })
 

@@ -44,8 +44,17 @@ object SqliteFile {
     def close(): Unit = in.close()
   }
 
-  def open(path: String, conf: Configuration = new Configuration()): Db =
-    new Db(new HadoopSource(path, conf))
+  def open(path: String, conf: Configuration = new Configuration()): Db = {
+    // header validation throws before any caller holds the Db — close
+    // the already-opened stream or a task-retry loop over bad files
+    // leaks one handle per attempt
+    val src = new HadoopSource(path, conf)
+    try new Db(src)
+    catch { case e: Throwable =>
+      try src.close() catch { case _: java.io.IOException => () }
+      throw e
+    }
+  }
 
   /** One column of a parsed CREATE TABLE: declared name and type. */
   final case class ColumnDef(name: String, declType: String)
@@ -130,7 +139,34 @@ object SqliteFile {
   /** Split the parenthesized column list on top-level commas and take each
     * entry's first token as the name, the following tokens (up to any
     * column-constraint keyword) as the declared type. */
-  private[graft] def parseCreate(sql: String): (Vector[ColumnDef], Option[Int]) = {
+  /** Blank `--` and `/* */` comments (sqlite_master stores the CREATE
+    * text verbatim, comments included) without touching string literals
+    * or quoted identifiers — a comma inside a comment would otherwise
+    * split a phantom column and shift every later column's decode. */
+  private[graft] def stripSqlComments(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (quote != 0) {
+        out += ch; if (ch == quote) quote = 0; i += 1
+      } else if (ch == '\'' || ch == '"' || ch == '`') {
+        quote = ch; out += ch; i += 1
+      } else if (ch == '[') { quote = ']'; out += ch; i += 1 }
+      else if (ch == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        while (i < sql.length && sql(i) != '\n') i += 1 // keep the \n
+      } else if (ch == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        out += ' '
+        i = if (end < 0) sql.length else end + 2
+      } else { out += ch; i += 1 }
+    }
+    out.result()
+  }
+
+  private[graft] def parseCreate(rawSql: String): (Vector[ColumnDef], Option[Int]) = {
+    val sql = stripSqlComments(rawSql)
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     require(open >= 0 && close > open, s"graft-sqlite: no column list in: $sql")
@@ -155,8 +191,20 @@ object SqliteFile {
     // front of a column def; returns (name, rest)
     def name(d: String): (String, String) = d.head match {
       case q @ ('"' | '\'' | '`') =>
-        val end = d.indexOf(q, 1)
-        (d.substring(1, end), d.substring(end + 1))
+        // doubled quotes escape the quote char inside the identifier
+        // ("a""b" names a"b) — stopping at the FIRST closing quote would
+        // truncate the name and misread the remainder as the type
+        val sb = new StringBuilder
+        var i = 1
+        var end = -1
+        while (end < 0 && i < d.length) {
+          if (d(i) == q) {
+            if (i + 1 < d.length && d(i + 1) == q) { sb += q; i += 2 }
+            else end = i
+          } else { sb += d(i); i += 1 }
+        }
+        require(end > 0, s"graft-sqlite: unterminated quoted name in: $d")
+        (sb.result(), d.substring(end + 1))
       case '[' =>
         val end = d.indexOf(']', 1)
         (d.substring(1, end), d.substring(end + 1))
@@ -180,16 +228,37 @@ object SqliteFile {
       if (quotedName || !constraintStart.contains(toks.head.toUpperCase)) {
         val typeToks = toks.tail.takeWhile { t =>
           val u = t.toUpperCase
-          !constraintStart.contains(u) && u != "NOT" && u != "DEFAULT" &&
-            u != "REFERENCES" && u != "COLLATE" && u != "GENERATED" && u != "AS"
+          // NULL is a (non-standard but accepted) column constraint:
+          // leaving it in the decl made `INTEGER NULL PRIMARY KEY` miss
+          // the rowid-alias check and surface the whole pk column NULL
+          !constraintStart.contains(u) && u != "NOT" && u != "NULL" &&
+            u != "DEFAULT" && u != "REFERENCES" && u != "COLLATE" &&
+            u != "GENERATED" && u != "AS"
         }
         val decl = typeToks.mkString(" ")
         // rowid alias rules (empirically checked against sqlite3): the
         // column-level form aliases only WITHOUT a DESC sort qualifier.
-        // Scan the post-name text with string literals blanked (a
-        // DEFAULT 'PRIMARY KEY' literal must not match) and whitespace-
-        // tolerant keywords (newlines between PRIMARY KEY and DESC).
+        // Scan the post-name text with string literals AND quoted
+        // identifiers blanked (a DEFAULT 'PRIMARY KEY' literal or a
+        // REFERENCES "primary key"(id) target must not match) and
+        // whitespace-tolerant keywords (newlines between the words).
         val restNoStr = rest.replaceAll("'(?:[^']|'')*'", " ")
+          .replaceAll("\"(?:[^\"]|\"\")*\"", " ")
+          .replaceAll("`(?:[^`]|``)*`", " ")
+          .replaceAll("\\[[^\\]]*\\]", " ")
+        // VIRTUAL generated columns are OMITTED from stored records —
+        // decoding would shift every later column's values. Refuse
+        // loudly (the file's policy for unsupported layouts); STORED
+        // generated columns live in the record like ordinary ones.
+        // Bare `AS (...)` without GENERATED is also generated-column
+        // syntax, and VIRTUAL is the DEFAULT when neither keyword ends
+        // the clause.
+        val genM = "(?i)\\b(?:GENERATED\\s+ALWAYS\\s+)?AS\\s*\\(".r
+          .findFirstMatchIn(restNoStr)
+        if (genM.isDefined &&
+            !"(?i)\\)\\s*STORED\\b".r.findFirstIn(restNoStr).isDefined)
+          sys.error(s"graft-sqlite: column '$colName' is a VIRTUAL " +
+            "generated column (not stored in records) — unsupported")
         val pkM = "(?i)\\bPRIMARY\\s+KEY(?:\\s+(ASC|DESC))?".r
           .findFirstMatchIn(restNoStr)
         if (decl.equalsIgnoreCase("INTEGER") &&
@@ -221,7 +290,11 @@ object SqliteFile {
   // ---- the database handle ------------------------------------------
 
   final class Db(src: ByteSource) extends java.io.Closeable {
-    private val hdr = src.readFully(0, 100)
+    private val hdr =
+      try src.readFully(0, 100)
+      catch { case _: java.io.EOFException =>
+        sys.error("graft-sqlite: file shorter than the 100-byte header")
+      }
     require(new String(hdr, 0, 16, StandardCharsets.ISO_8859_1)
       .startsWith("SQLite format 3"), "graft-sqlite: not a SQLite file")
 
@@ -229,8 +302,12 @@ object SqliteFile {
     /** usable bytes per page (page size minus the reserved-region bytes). */
     val usable: Int = pageSize - (hdr(20) & 0xFF)
     require(be32(hdr, 56) == 1, "graft-sqlite: only UTF-8 databases supported")
+    // a checkpointed WAL file keeps read/write-version = 2, so
+    // "checkpoint it" can never unblock this error — switching the
+    // journal mode is what rewrites the header bytes
     require(be32(hdr, 96) == 0 || (hdr(18) == 1 && hdr(19) == 1),
-      "graft-sqlite: WAL-mode file — checkpoint it before reading")
+      "graft-sqlite: WAL-mode file — run PRAGMA journal_mode=DELETE " +
+        "on it before reading")
 
     private def page(n: Int): Array[Byte] =
       src.readFully((n.toLong - 1) * pageSize, pageSize)
@@ -311,22 +388,43 @@ object SqliteFile {
       frontier
     }
 
+    /** True iff the CREATE TABLE text ends in a WITHOUT ROWID table
+      * option. Checked on the text AFTER the last ')' with comments
+      * stripped — a substring probe over the whole DDL both missed
+      * whitespace variants (`WITHOUT\n  ROWID` walked an index-layout
+      * tree into "unexpected page type") and false-matched the words
+      * inside a CHECK literal or a quoted column name (the table
+      * silently vanished from the directory). */
+    private def isWithoutRowid(sql: String): Boolean = {
+      val clean = stripSqlComments(sql)
+      val tail = clean.substring(clean.lastIndexOf(')') + 1)
+      "(?i)\\bWITHOUT\\s+ROWID\\b".r.findFirstIn(tail).isDefined
+    }
+
     /** The sqlite_master table directory (root = page 1): all ordinary
-      * tables with their root pages and parsed column lists. */
-    def tables(): Vector[TableInfo] =
+      * tables with their root pages and parsed column lists. Cached —
+      * one resolve() walks the directory several times, and each walk
+      * is positioned-read round trips against the store. */
+    lazy val tableDirectory: Vector[TableInfo] =
       rows(1).collect {
         // rootpage >= 1 excludes virtual tables (rtree spatial indexes in
         // real gpkg files store rootpage 0 — their SHADOW tables, which
         // hold the actual pages, list normally)
         case (_, Vector("table", name: String, _, rootpage: Long, sql: String))
-            if rootpage >= 1 && !sql.toUpperCase.contains("WITHOUT ROWID") =>
+            if rootpage >= 1 && !isWithoutRowid(sql) =>
           val (cols, ipk) = parseCreate(sql)
           TableInfo(name, rootpage.toInt, sql, cols, ipk)
       }.toVector
 
+    def tables(): Vector[TableInfo] = tableDirectory
+
+    /** Exact-name match first; SQLite names are case-insensitive, so a
+      * caller spelling 'features' for a stored 'Features' still
+      * resolves (two tables differing only by case cannot coexist). */
     def table(name: String): TableInfo =
-      tables().find(_.name == name).getOrElse(
-        sys.error(s"graft-sqlite: no such table '$name'"))
+      tableDirectory.find(_.name == name)
+        .orElse(tableDirectory.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(sys.error(s"graft-sqlite: no such table '$name'"))
 
     def close(): Unit = src.close()
   }

@@ -21,6 +21,12 @@ QUERIES = [
   "q_range_join_points", "q_semantic_clusters", "q_semantic_dedup_keep",
   "q_simhash_pairs", "q_span_cut", "q_span_cut_keep",
   "q_wellbeing_impact", "q_winnow_pairs", "q_unigram_encode",
+  # dbt model layer (R15: heavy-tier rows on the record, not just in
+  # BASELINE prose; includes the England family added this round)
+  "q_model_impact_scores", "q_model_authority_scores",
+  "q_model_wellbeing", "q_model_permit_details", "q_model_data_tests",
+  "q_model_impact_scores_england", "q_model_authority_scores_england",
+  "q_model_permit_details_england",
 ]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
