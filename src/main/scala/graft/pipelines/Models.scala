@@ -627,7 +627,7 @@ object Models {
     // does not produce
     val works = stgWorks.select(
       col("permit_reference_number"),
-      coalesce(col("permit_reference_number"), lit(" <null-ref>"))
+      coalesce(col("permit_reference_number"), lit("\u0000<null-ref>"))
         .as("__rk"),
       col("easting").as("work_easting"), col("northing").as("work_northing"),
       col("duration_days"), col("actual_start_date_time"),

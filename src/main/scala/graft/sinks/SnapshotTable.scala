@@ -148,9 +148,38 @@ object SnapshotTable {
         }
       } else requireBase match {
         case Some(base) =>
-          // someone claimed our slot: the rewrite no longer covers the
-          // live table — retrying higher would shadow their rows
-          staleBase(base)
+          // Someone claimed our slot. A LANDED manifest at/above it, or a
+          // live (fresh) claim, means a real racer: the rewrite no longer
+          // covers the live table — retrying higher would shadow their
+          // rows, so abort loudly. But an UNLANDED claim older than the
+          // grace window is a crashed writer's debris: on a merge-only
+          // table no appender ever comes along to void it, so aborting
+          // here would wedge every future merge/compact until vacuum's
+          // orphan sweep. Void the slot exactly like awaitLowerClaims
+          // does (exactly one of {the writer's manifest, this void} wins
+          // the O_EXCL land) and retry one slot up — a void is an empty
+          // append, so a rewrite derived from `base` still covers the
+          // live table content.
+          val entries = f.listStatus(new Path(rootP, "_manifests"))
+          val landedMax = entries.iterator.map(_.getPath.getName)
+            .filter(_.startsWith("manifest-"))
+            .map(_.stripPrefix("manifest-").toLong).foldLeft(-1L)(math.max)
+          if (landedMax >= version) staleBase(base)
+          val debris = entries.find(_.getPath.getName == s"claim-$version")
+            .filter(st =>
+              System.currentTimeMillis() - st.getModificationTime >= claimGraceMs)
+          if (debris.isEmpty) staleBase(base) // live claim (or released
+          // between our create attempt and this listing: the racer is
+          // active either way)
+          val carriedV = versions(spark, root).filter(_ < version).lastOption
+            .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+          val voidBody = s"""{"version": $version, "files": [${
+            carriedV.map(jsonStr).mkString(", ")}], "void": true}"""
+          if (!landManifestNoOverwrite(spark, f, rootP, version, voidBody))
+            staleBase(base) // lost the void race: a manifest landed at our
+          // slot first — real content (slow writer woke up) or another
+          // merge's void; either way re-running re-derives and proceeds
+          version += 1
         case None => // slot taken (genuine contention only — other IO
           // errors THROW rather than burning 20 slots hiding the cause)
           version = math.max(version + 1,
@@ -175,11 +204,18 @@ object SnapshotTable {
     // (awaitLowerClaims) — overwriting it would let this commit return
     // "success" while every higher version already excludes its files
     // (silent data loss). Losing the race is a loud, retryable error.
-    if (!landManifestNoOverwrite(spark, f, rootP, version, body))
-      throw new IllegalStateException(
-        s"snapshot-table: version $version was voided by a concurrent " +
-          s"appender after the ${claimGraceMs / 1000}s claim grace window " +
-          s"at $root — this commit did not land; retry the write")
+    if (!landManifestNoOverwrite(spark, f, rootP, version, body)) {
+      val msg = s"snapshot-table: version $version was voided by a " +
+        s"concurrent writer after the ${claimGraceMs / 1000}s claim grace " +
+        s"window at $root — this commit did not land; retry the write"
+      // same stale-rewrite outcome as losing the claim: merge/compact
+      // callers contract on ConcurrentModificationException for their
+      // retry loops; plain append/replace keeps the ISE (their retry is
+      // unconditional anyway)
+      if (requireBase.isDefined)
+        throw new java.util.ConcurrentModificationException(msg)
+      else throw new IllegalStateException(msg)
+    }
     version
   }
 

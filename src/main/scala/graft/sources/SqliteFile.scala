@@ -252,13 +252,52 @@ object SqliteFile {
         // generated columns live in the record like ordinary ones.
         // Bare `AS (...)` without GENERATED is also generated-column
         // syntax, and VIRTUAL is the DEFAULT when neither keyword ends
-        // the clause.
-        val genM = "(?i)\\b(?:GENERATED\\s+ALWAYS\\s+)?AS\\s*\\(".r
-          .findFirstMatchIn(restNoStr)
-        if (genM.isDefined &&
-            !"(?i)\\)\\s*STORED\\b".r.findFirstIn(restNoStr).isDefined)
-          sys.error(s"graft-sqlite: column '$colName' is a VIRTUAL " +
-            "generated column (not stored in records) — unsupported")
+        // the clause. Before probing, blank the balanced expression
+        // bodies of CHECK/DEFAULT/REFERENCES constraints: an `AS (`
+        // sequence INSIDE such a body (exotic but legal DDL) is not a
+        // generated column — strings are already blanked above, so the
+        // parens balance textually.
+        val restNoKw = {
+          val sb = new StringBuilder(restNoStr)
+          val kw = "(?i)\\b(?:CHECK|DEFAULT|REFERENCES\\s*[\\w.]*)\\s*\\(".r
+          var hit = kw.findFirstMatchIn(sb)
+          while (hit.isDefined) {
+            val open = hit.get.end - 1
+            var i = open; var depth = 0; var close = -1
+            while (i < sb.length && close < 0) {
+              sb.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) close = i
+                case _ => ()
+              }
+              i += 1
+            }
+            val stop = if (close < 0) sb.length else close + 1
+            var j = open
+            while (j < stop) { sb.setCharAt(j, ' '); j += 1 }
+            hit = kw.findFirstMatchIn(sb) // the blanked '(' can't re-match
+          }
+          sb.toString
+        }
+        "(?i)\\b(?:GENERATED\\s+ALWAYS\\s+)?AS\\s*\\(".r
+          .findFirstMatchIn(restNoKw).foreach { g =>
+            // read STORED/VIRTUAL right AFTER the generated expression's
+            // own balanced group, not anywhere in the remaining text
+            val open = g.end - 1
+            var i = open; var depth = 0; var close = -1
+            while (i < restNoKw.length && close < 0) {
+              restNoKw.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) close = i
+                case _ => ()
+              }
+              i += 1
+            }
+            val after = if (close < 0) "" else restNoKw.substring(close + 1)
+            if ("(?i)^\\s*STORED\\b".r.findFirstIn(after).isEmpty)
+              sys.error(s"graft-sqlite: column '$colName' is a VIRTUAL " +
+                "generated column (not stored in records) — unsupported")
+          }
         val pkM = "(?i)\\bPRIMARY\\s+KEY(?:\\s+(ASC|DESC))?".r
           .findFirstMatchIn(restNoStr)
         if (decl.equalsIgnoreCase("INTEGER") &&

@@ -113,6 +113,43 @@ class SnapshotTableSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("merge: a grace-expired debris claim at base+1 is voided, not a permanent wedge") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed writer left an unlanded claim at exactly base+1 — on a
+    // merge-only table (no appenders to void it), the pre-fix protocol
+    // aborted EVERY retry with staleBase until vacuum's 24h sweep
+    val debris = new org.apache.hadoop.fs.Path(root, "_manifests/claim-2")
+    f.create(debris, false).close()
+    f.setTimes(debris,
+      System.currentTimeMillis() - SnapshotTable.claimGraceMs - 1000L, -1L)
+    val v = SnapshotTable.merge(
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), root, Seq("id"))
+    assert(v == 3L) // slot 2 voided (empty append), merge landed at 3
+    assert(SnapshotTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // the void carries version 1's chain: reads at 2 see the old rows
+    assert(SnapshotTable.read(spark, root, Some(2L)).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("merge: a LIVE claim at base+1 still aborts loudly (no shadow)") {
+    val root = tmp()
+    SnapshotTable.write(Seq((1L, "a")).toDF("id", "v"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // fresh claim (inside the grace window): a real racer is mid-commit
+    f.create(new org.apache.hadoop.fs.Path(root, "_manifests/claim-2"),
+      false).close()
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.merge(Seq((1L, "A")).toDF("id", "v"), root, Seq("id"))
+    }
+    // nothing landed: the table is untouched
+    assert(SnapshotTable.versions(spark, root) == Seq(1L))
+  }
+
   test("merge: only files containing matched keys are rewritten (CoW file pruning)") {
     val root = tmp()
     // two files with disjoint key ranges: repartitionByRange on a sorted
