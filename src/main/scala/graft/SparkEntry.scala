@@ -1684,18 +1684,13 @@ object SparkEntry {
     val ev = modelPermitEvents(s, d)
     val usrns = modelOpenUsrns(s, d)
     val counts = Models.uprnUsrnCount(usrns, modelLinkedIds(s, d))
-    // duplicate-permit tests via the FUSED key-set formulation (two
-    // narrow shuffles; spec-pinned identical to testing the built lists).
-    // The not_null half counts over the PRE-normalisation scoring
-    // aggregate (null-ness is decided before the min–max bounds join —
-    // ModelsSpec pins the bijection), so the fused impact DAG runs ONCE,
-    // uncached, with no bounds broadcast job.
-    Models.duplicatePermitTestCounts(ev, modelAuthorities)
-      .unionByName(Models.impactScoresNotNullViolationCount(
-          Models.combinedPermitRowsFromEvents(ev, usrns, counts,
-            modelAuthorities, correlateOnAuthority = true))
-        .select(lit("impact_scores_not_null").as("test_name"),
-          col("violations")))
+    // ALL four tests from ONE cached tagged scoring frame: the dup-test
+    // halves read (permit, leg) membership off the same post-exclusion
+    // frame whose pre-normalisation aggregate the not_null half counts —
+    // one event dressing/shuffle instead of two (the r15 sf1.5 residual
+    // was exactly the second dressing). Row-identical to the list route
+    // (ModelsSpec pins both the key-set and the tagged-frame paths).
+    Models.dataTestsFromEvents(ev, usrns, counts, modelAuthorities)
   }
 
   /** Wellbeing dressing: [[modelPermitEvents]] plus the columns the

@@ -278,7 +278,27 @@ object Models {
     * The geometry and uprn-count dimensions then join once. */
   def combinedPermitRowsFromEvents(permits: DataFrame, openUsrns: DataFrame,
       uprnCounts: DataFrame, authorities: Seq[String] = Nil,
-      correlateOnAuthority: Boolean = true): DataFrame = {
+      correlateOnAuthority: Boolean = true): DataFrame =
+    combinedPermitRowsFromEventsImpl(permits, openUsrns, uprnCounts,
+      authorities, correlateOnAuthority, keepTags = false)
+
+  /** [[combinedPermitRowsFromEvents]] plus the permit reference and leg
+    * (`__leg`: 0 = in-progress, 1 = completed stop) — the tagged frame
+    * lets ONE cached pass serve both the scoring aggregate and the
+    * duplicate-permit key-set tests ([[dataTestsFromEvents]]): a permit
+    * holding BOTH legs post-exclusion is exactly a row of both dbt lists,
+    * i.e. a duplicate-permit violation. */
+  def combinedPermitRowsFromEventsTagged(permits: DataFrame,
+      openUsrns: DataFrame, uprnCounts: DataFrame,
+      authorities: Seq[String] = Nil,
+      correlateOnAuthority: Boolean = true): DataFrame =
+    combinedPermitRowsFromEventsImpl(permits, openUsrns, uprnCounts,
+      authorities, correlateOnAuthority, keepTags = true)
+
+  private def combinedPermitRowsFromEventsImpl(permits: DataFrame,
+      openUsrns: DataFrame, uprnCounts: DataFrame,
+      authorities: Seq[String], correlateOnAuthority: Boolean,
+      keepTags: Boolean): DataFrame = {
     val needed = (Seq("permit_reference_number", "event_time",
       "event_reference", "event_type", "work_status_ref") ++ scoringCols)
       .filterNot(c => c == "geometry" || c == "uprn_count").distinct
@@ -329,7 +349,9 @@ object Models {
         col("usrn").cast("long") === col("__cnt_k"), "left")
       .drop("__cnt_k")
       .withColumn("uprn_count", coalesce(col("__uprn_count"), lit(0L)))
-      .select(scoringCols.map(col): _*)
+      .select((scoringCols ++
+        (if (keepTags) Seq("permit_reference_number", "__leg")
+         else Nil)).map(col): _*)
   }
 
   /** With `withBreakdown`, the per-USRN-group aggregate also carries the
@@ -899,6 +921,57 @@ object Models {
   def impactScoresNotNullViolationCount(inProgress: DataFrame,
                                         completed: DataFrame): DataFrame =
     impactScoresNotNullViolationCount(combinedPermitRows(inProgress, completed))
+
+  /** ALL the dbt data_tests (both duplicate-permit tests + the two
+    * not_null tests) from ONE event pass: the tagged London scoring frame
+    * ([[combinedPermitRowsFromEventsTagged]]) is cached and serves every
+    * half, so the expensive event dressing/shuffle runs once instead of
+    * twice ([[duplicatePermitTestCounts]] + a separate scoring build).
+    *
+    * Why the tagged frame decides the London dup test: its rows ARE the
+    * dbt lists' union post-exclusion — an in-progress row survives iff
+    * its authority is in the list with no completed stop at that
+    * authority (= membership in in_progress_list_london), a stop row
+    * survives iff its authority is in the list (= completed_list_london)
+    * — and the lag dedup keeps exactly one row per (permit, leg), so
+    * `both legs present` ⇔ `permit in both lists`. NULL references are
+    * dropped like the dbt inner-join test drops them (the frame keeps
+    * them for scoring, gated un-excludable, but they can never match the
+    * test's equi-join). England's overlap is structurally empty in a
+    * single-frame run (its exclusion key IS the test key — see
+    * [[duplicatePermitTestCounts]]); the not_null half counts the
+    * pre-normalisation aggregate ([[impactScoresNotNullViolationCount]]).
+    * Row-identical to the list route — pinned in ModelsSpec alongside
+    * the fused key-set formulation. */
+  def dataTestsFromEvents(permits: DataFrame, openUsrns: DataFrame,
+      uprnCounts: DataFrame, authorities: Seq[String],
+      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
+    require(authorities.nonEmpty,
+      "dataTestsFromEvents: the correlated test needs an authority list")
+    val tagged = scope.cache(combinedPermitRowsFromEventsTagged(
+      permits, openUsrns, uprnCounts, authorities,
+      correlateOnAuthority = true))
+    val legs = tagged
+      .where(col("permit_reference_number").isNotNull)
+      .groupBy("permit_reference_number")
+      .agg(max(col("__leg")).as("__mx"), min(col("__leg")).as("__mn"))
+    val london = legs.where(col("__mx") === 1 && col("__mn") === 0)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("assert_no_duplicate_permits_london").as("test_name"),
+        col("violations"))
+    // England: provably 0 in a single-frame run (the exclusion key IS
+    // the test key); same honest-but-folding predicate the key-set
+    // formulation emits
+    val england = legs.where(lit(false))
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("assert_no_duplicate_permits_england").as("test_name"),
+        col("violations"))
+    val notNull = impactScoresNotNullViolationCount(
+        tagged.select(scoringCols.map(col): _*))
+      .select(lit("impact_scores_not_null").as("test_name"),
+        col("violations"))
+    london.unionByName(england).unionByName(notNull)
+  }
 
   // ------------------------------------------------------------ full DAG
 

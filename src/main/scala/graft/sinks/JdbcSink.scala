@@ -85,6 +85,35 @@ object JdbcSink {
     try f(conn) finally conn.close()
   }
 
+  /** Run `body` in ONE transaction holding an exclusive lock on `table`.
+    *
+    * Why: MERGE's existence probe and its insert are NOT atomic against
+    * a concurrent writer's probe under READ COMMITTED — two racing
+    * upserts of one key both take the NOT MATCHED branch and the key
+    * DUPLICATES (stress-spec-found, JdbcSinkSpec "concurrent writers");
+    * two racing scope refreshes each miss the other's fresh rows in
+    * their DELETE snapshot and the scope doubles. The lock serializes
+    * writers on the target (readers are unaffected in Postgres's
+    * EXCLUSIVE mode); `LOCK TABLE … IN EXCLUSIVE MODE` is the shared
+    * Derby/Postgres spelling, consistent with the sink's documented
+    * dialect contract. A lock-wait timeout surfaces LOUDLY — retry the
+    * write. */
+  private def withTableLock(url: String, props: Map[String, String],
+                            table: String)(
+                            body: java.sql.Connection => Unit): Unit =
+    onConnection(url, props) { conn =>
+      conn.setAutoCommit(false)
+      try {
+        execute(conn, s"LOCK TABLE $table IN EXCLUSIVE MODE")
+        body(conn)
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
+      }
+    }
+
   private def execute(conn: java.sql.Connection, sql: String): Unit = {
     val st = conn.createStatement()
     try { st.executeUpdate(sql); () } finally st.close()
@@ -146,17 +175,12 @@ object JdbcSink {
       s"CREATE TABLE $stage AS SELECT * FROM $table WITH NO DATA")
     try {
       append(df, url, stage, batchSize, numPartitions, props)
-      onConnection(url, props) { conn =>
-        conn.setAutoCommit(false)
-        try {
-          execute(conn, s"DELETE FROM $table WHERE $scopePredicate")
-          execute(conn, s"INSERT INTO $table SELECT * FROM $stage")
-          conn.commit()
-        } catch {
-          case e: Throwable =>
-            try conn.rollback() catch { case _: java.sql.SQLException => () }
-            throw e
-        }
+      // the lock makes two racing refreshes of one scope serialize to
+      // last-writer-wins instead of doubling the scope (each racer's
+      // DELETE snapshot misses the other's uncommitted insert)
+      withTableLock(url, props, table) { conn =>
+        execute(conn, s"DELETE FROM $table WHERE $scopePredicate")
+        execute(conn, s"INSERT INTO $table SELECT * FROM $stage")
       }
     } finally dropStageQuietly(url, props, stage)
   }
@@ -201,9 +225,14 @@ object JdbcSink {
       val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
       val matched =
         if (dataCols.isEmpty) "" else s"WHEN MATCHED THEN UPDATE SET $updates "
-      executeOne(url, props,
-        s"MERGE INTO $table t USING $stage s ON $on " + matched +
-          s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
+      // under the table lock: a concurrent MERGE's probe must not race
+      // this one's insert, or both take NOT MATCHED and the key
+      // duplicates (stress-spec-found)
+      withTableLock(url, props, table) { conn =>
+        execute(conn,
+          s"MERGE INTO $table t USING $stage s ON $on " + matched +
+            s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
+      }
     } finally dropStageQuietly(url, props, stage)
   }
 

@@ -138,6 +138,19 @@ object SpreadsheetSource {
     // unpartitioned window is over one sheet's row elements, driver-scale
     // by construction like promote's header collect)
     val wr = Window.orderBy("rpos")
+    // repeat counts on NON-EMPTY runs become explode fanout: a crafted
+    // (or corrupt) repeat of 10^9 would materialize a billion-element
+    // sequence per cell — refuse anything outside the spreadsheet grid
+    // (LibreOffice's 2^20 rows x 16384 columns) LOUDLY before exploding.
+    // Empty runs only advance positions (filtered before the explode),
+    // so real writers' "repeat 16384 empty columns" padding still
+    // costs nothing. Non-positive repeats would make `sequence` count
+    // DOWNWARD (silent row/column corruption) — same loud refusal.
+    def checkedRep(rep: Column, cap: Long, what: String): Column =
+      when(rep >= 1L && rep <= cap, rep)
+        .otherwise(raise_error(concat(
+          lit(s"graft-ods: $what repeat count "), rep.cast("string"),
+          lit(s" outside the 1..$cap grid"))))
     val rows = t
       .select(posexplode(col("`table:table-row`")).as(Seq("rpos", "r")))
       .select(col("rpos"),
@@ -145,6 +158,7 @@ object SpreadsheetSource {
         col("r").getField("table:table-cell").as("cs"))
       .withColumn("rn0", sum(col("rrep")).over(wr) - col("rrep"))
       .where(col("cs").isNotNull) // empty repeated row runs only advance rn
+      .withColumn("rrep", checkedRep(col("rrep"), 1L << 20, "row"))
       .select(explode(sequence(col("rn0"), col("rn0") + col("rrep") - 1)).as("rn"),
         col("cs"))
     val cells = rows
@@ -154,6 +168,7 @@ object SpreadsheetSource {
         when(col("cell").getField("_office:value-type") === "float",
             col("cell").getField("_office:value"))
           .otherwise(col("cell").getField("text:p")).as("value"))
+      .withColumn("rep", checkedRep(col("rep"), 16384L, "column"))
     val w = Window.partitionBy("rn").orderBy("pos")
     val positioned = cells
       .withColumn("ci0", sum(col("rep")).over(w) - col("rep"))
@@ -176,6 +191,10 @@ object SpreadsheetSource {
       .select(col("ci"), col("value")).collect()
       .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
     require(hdr.nonEmpty, s"header row $headerRow is empty")
+    // a corrupt cell ref can resolve to a huge-but-positive column index;
+    // materializing that many output columns is an OOM, not a schema
+    require(hdr.keys.max <= 16383,
+      s"header cell index ${hdr.keys.max} is beyond the 16384-column grid")
     val nCols = hdr.keys.max + 1
     val data = cells.where(col("rn") > headerRow)
       .groupBy("rn")

@@ -438,10 +438,19 @@ object XlsxParse {
     }.getOrElse(IndexedSeq.empty[String])
 
   /** "AB7" -> 0-based column index; empty ref -> -1 (caller sequences). */
+  /** XFD — the last column of the xlsx grid. A ref resolving beyond it
+    * is a corrupt (or hostile) file: unchecked, a long letter run
+    * overflows Int and a huge-but-positive index makes headerSchema
+    * materialize millions of StructFields (fuzz-found OOM class). */
+  private[xlsx] val MaxCol = 16383
+
   private def colIdx(ref: String): Int = {
     var i = 0; var acc = 0
     while (i < ref.length && ref.charAt(i) >= 'A' && ref.charAt(i) <= 'Z') {
-      acc = acc * 26 + (ref.charAt(i) - 'A' + 1); i += 1
+      acc = acc * 26 + (ref.charAt(i) - 'A' + 1)
+      if (acc - 1 > MaxCol)
+        sys.error(s"graft-xlsx: cell ref '$ref' is beyond the XFD column grid")
+      i += 1
     }
     acc - 1
   }

@@ -996,6 +996,78 @@ object EventStream {
         .parquet(indexPath)
   }
 
+  /** Maintenance compaction for the [[semanticGateBatch]] vector store:
+    * folds every per-trigger `batch_id=K` directory into ONE new
+    * batch-id partition, resetting the store's small-file count and
+    * directory-listing growth (it otherwise accretes one batch dir per
+    * trigger FOREVER — the lexical gate got its bloom-rebuild pass in
+    * R10; this is the IVF cell store's equivalent). Gate decisions are
+    * preserved EXACTLY: the gate consumes the store only through
+    * cell-restricted cosine hit sets (semi/anti joins), which are
+    * invariant under row relocation and (vid, cell) deduplication —
+    * pinned in EventStreamSpec by running the same gate over compacted
+    * vs uncompacted stores.
+    *
+    * Writer contract (like vacuum's): run BETWEEN triggers, no gate
+    * writing concurrently. The fold lands under a NEGATIVE batch id
+    * (one below the lowest existing fold) — trigger ids are >= 0, so a
+    * compacted dir can never collide with the stream's next trigger or
+    * a replayed old one. Crash-safety: the fold is staged in a
+    * dot-prefixed tmp dir (invisible to parquet readers), renamed into
+    * place, and only THEN are the old dirs deleted — any crash leaves
+    * either the store untouched or duplicates, never losses; duplicates
+    * do not change hit sets, and re-running converges (the fold dedups
+    * on (vid, cell)). */
+  def compactSemanticStore(spark: SparkSession, storePath: String): Unit =
+    compactBatchStore(spark, storePath, "cell", Seq("vid", "cell"))
+
+  /** The same fold for the [[annIngestBatch]] materialized index
+    * (`batch_id / centroid_id` layout): old batch dirs collapse into one,
+    * `centroid_id` pruning is untouched (it stays a partition column),
+    * and `IvfIndex.searchIndexed` results are unchanged modulo the
+    * duplicate-row invariance of top-k over identical codes. */
+  def compactAnnIndex(spark: SparkSession, indexPath: String): Unit =
+    compactBatchStore(spark, indexPath, "centroid_id", Seq("vid", "centroid_id"))
+
+  private def compactBatchStore(spark: SparkSession, path: String,
+                                cellCol: String, idCols: Seq[String]): Unit = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p, ".compact-tmp")
+    fs.delete(tmp, true) // litter from a crashed prior run (invisible to
+    // readers — dot-prefixed — but in the way of this run's rename)
+    readStoreIfExists(spark, path).foreach { df =>
+      val ids = df.select(col("batch_id").cast("long")).distinct()
+        .as[Long].collect().sorted.toSeq // bounded: one id per trigger epoch
+      if (ids.length > 1) {
+        // trigger ids are >= 0; folds count down from -1, so a fold id
+        // can never collide with a future trigger or a replayed old one
+        val foldId = math.min(-1L, ids.min - 1L)
+        df.drop("batch_id")
+          .dropDuplicates(idCols)
+          .withColumn("batch_id", lit(foldId))
+          // one write task per cell: files land sized by cell content,
+          // not by (incoming tasks x cells)
+          .repartition(col(cellCol))
+          .write
+          .mode("overwrite")
+          .partitionBy("batch_id", cellCol)
+          .parquet(tmp.toString)
+        // publish, THEN delete the folded dirs: a crash anywhere leaves
+        // the store complete (at worst with duplicate rows)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, s"batch_id=$foldId"),
+            new org.apache.hadoop.fs.Path(p, s"batch_id=$foldId")))
+          sys.error(s"compactBatchStore: could not publish batch_id=$foldId " +
+            s"under $path")
+        ids.foreach { k =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"batch_id=$k"), true)
+        }
+        fs.delete(tmp, true)
+      }
+    }
+  }
+
   /** foreachBatch CDC upsert into a [[graft.sinks.SnapshotTable]] — the
     * stream face of `SnapshotTable.merge` and the closing arc of the CDC
     * loop (readChanges consumes incrementally, this produces

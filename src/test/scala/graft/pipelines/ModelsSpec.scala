@@ -466,6 +466,19 @@ class ModelsSpec extends SparkSpec {
         Models.duplicatePermitsAcrossLists(inL, doneL).count())
       assert(fused("assert_no_duplicate_permits_england") ===
         Models.duplicatePermitsAcrossLists(inE, doneE).count())
+      // the single-pass tagged-frame route (dup tests + not_null from
+      // ONE cached frame) must agree with BOTH the key-set formulation
+      // and the built lists, including the not_null count
+      val onePass = Models.dataTestsFromEvents(ev, openUsrns, counts,
+          Models.londonAuthorities)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(onePass("assert_no_duplicate_permits_london") ===
+        fused("assert_no_duplicate_permits_london"))
+      assert(onePass("assert_no_duplicate_permits_england") ===
+        fused("assert_no_duplicate_permits_england"))
+      assert(onePass("impact_scores_not_null") ===
+        Models.impactScoresNotNullViolationCount(inL, doneL)
+          .collect().head.getLong(0))
     }
     // and the violation case really is non-zero (the test can fail)
     assert(Models.duplicatePermitTestCounts(withViolation,
@@ -476,6 +489,9 @@ class ModelsSpec extends SparkSpec {
     // mean 'unfiltered' like the list builders)
     intercept[IllegalArgumentException](
       Models.duplicatePermitTestCounts(permits, Nil))
+    intercept[IllegalArgumentException](
+      Models.dataTestsFromEvents(permits, openUsrns,
+        Models.uprnUsrnCount(openUsrns, linkedIds), Nil))
   }
 
   test("NULL permit references: no spurious dup-test violation, no double-emit in the radius join, fused wellbeing stays list-identical") {
@@ -506,6 +522,13 @@ class ModelsSpec extends SparkSpec {
         Models.londonAuthorities)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fused("assert_no_duplicate_permits_london") === 0L)
+    // the tagged-frame route keeps NULL-ref rows for scoring but must
+    // drop them from the dup-test membership exactly like the key-set
+    // route (and the dbt inner-join test) does
+    assert(Models.dataTestsFromEvents(withNulls, openUsrns,
+        Models.uprnUsrnCount(openUsrns, linkedIds), Models.londonAuthorities)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("assert_no_duplicate_permits_london") === 0L)
 
     // a MATCHED NULL-ref work emits only its matched rows — the anti-join
     // emulation of the dbt LEFT JOIN must not re-add it as an extra

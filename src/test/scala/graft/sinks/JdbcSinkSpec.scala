@@ -145,6 +145,70 @@ class JdbcSinkSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("upsert: concurrent writers racing on one target — no lost keys, no duplicate keys, loud-or-landed") {
+    // the SnapshotStressSpec discipline applied to the JDBC leg: four
+    // writers upsert overlapping key ranges concurrently (each stages
+    // into its own UUID table, then MERGEs — the warehouse serializes
+    // the MERGEs). A writer may fail LOUDLY under lock contention
+    // (Derby 40001/40XL1) and retries like a real caller; the contract
+    // is that afterwards every key a SUCCESSFUL writer covered exists
+    // exactly once, carrying one of its writers' values — never a torn
+    // row, never a duplicate key, never a silently dropped merge.
+    table("t_race")
+    val writers = 4
+    val landedRounds =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), Boolean]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        (0 until 2).foreach { round =>
+          // keys w*10 .. w*10+39 overlap the next three writers' ranges
+          val rows = (0 until 40).map(i =>
+            (w * 10 + i, s"2024-0${round + 1}", (w * 1000 + round).toDouble))
+          val df = rows.toDF("k", "month", "v")
+          var tries = 0
+          var done = false
+          while (!done && tries < 5) {
+            tries += 1
+            try {
+              JdbcSink.upsert(df, url, "t_race", Seq("k"))
+              done = true
+            } catch {
+              case _: java.sql.SQLException if tries < 5 =>
+                Thread.sleep(50L * tries)
+              case e: Exception if tries < 5 &&
+                  Iterator.iterate(e: Throwable)(_.getCause)
+                    .takeWhile(_ != null)
+                    .exists(_.isInstanceOf[java.sql.SQLException]) =>
+                Thread.sleep(50L * tries)
+            }
+          }
+          if (done) landedRounds.put((w, round), true)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(!landedRounds.isEmpty, "no writer ever landed")
+    val back = JdbcSink.read(spark, url, "t_race")
+      .as[(Int, String, Double)].collect().toSeq
+    // no duplicate keys survive the races
+    val dupKeys = back.groupBy(_._1).filter(_._2.size > 1).keys.toSeq
+    assert(dupKeys.isEmpty, s"duplicate keys: $dupKeys")
+    // every key of every LANDED (writer, round) is present...
+    import scala.jdk.CollectionConverters._
+    val landed = landedRounds.keySet.asScala.toSet
+    val mustHave = landed.flatMap { case (w, _) => (0 until 40).map(w * 10 + _) }
+    val have = back.map(_._1).toSet
+    assert((mustHave -- have).isEmpty,
+      s"lost keys: ${(mustHave -- have).toSeq.sorted.take(10)}")
+    // ...and carries a value some covering writer actually wrote
+    back.foreach { case (k, _, v) =>
+      val coverers = (0 until writers).filter(w => k >= w * 10 && k < w * 10 + 40)
+      val legal = coverers.flatMap(w => Seq(w * 1000.0, w * 1000.0 + 1))
+      assert(legal.contains(v), s"key $k carries torn value $v")
+    }
+  }
+
   test("upsert quotes SQL-reserved-word columns in the MERGE") {
     // "order" / "year" are reserved in Derby (and most engines): Spark's
     // always-quoted CREATE/INSERT stages them fine, so an unquoted MERGE

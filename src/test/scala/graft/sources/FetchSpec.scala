@@ -293,6 +293,57 @@ class FetchSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("fetchResumable: a FLAPPING server (seeded 500s / short bodies / resets) still yields exact bytes, no litter") {
+    // the stress twin of the single-fault cases above: every request the
+    // server either 500s, serves a random fragment of what was asked and
+    // slams the connection, or (from request 9) behaves — the client must
+    // ratchet forward through the flaps and finish byte-exact
+    val body = (1 to 5000).map(i => s"row$i,payload$i").mkString("\n").getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rnd = new java.util.Random(0xF1AB16L)
+    server.createContext("/flap.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      val n = requests.incrementAndGet()
+      val from = Option(x.getRequestHeaders.getFirst("Range"))
+        .map(_.stripPrefix("bytes=").stripSuffix("-").toLong).getOrElse(0L)
+      val rest = body.length - from.toInt
+      val mode = if (n >= 9) 2 else rnd.nextInt(2)
+      mode match {
+        case 0 => // transient server error
+          x.sendResponseHeaders(500, -1); x.close()
+        case 1 => // declare the full remainder, deliver a fragment, slam
+          val frag = 1 + rnd.nextInt(math.max(1, rest / 3))
+          if (from > 0) {
+            x.getResponseHeaders.add("Content-Range",
+              s"bytes $from-${body.length - 1}/${body.length}")
+            x.sendResponseHeaders(206, rest.toLong)
+          } else x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body, from.toInt, frag); x.close()
+        case _ => // honest full remainder
+          if (from > 0) {
+            x.getResponseHeaders.add("Content-Range",
+              s"bytes $from-${body.length - 1}/${body.length}")
+            x.sendResponseHeaders(206, rest.toLong)
+          } else x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body, from.toInt, rest); x.close()
+      }
+    })
+    server.start()
+    val staging = Files.createTempDirectory("fetch-flap").toString
+    try {
+      val port = server.getAddress.getPort
+      val f = Fetch.fetchResumable(s"http://127.0.0.1:$port/flap.csv", staging,
+        maxRetries = 20, baseDelayMs = 1)
+      assert(f.attempts > 1, "the flap plan never flapped")
+      assert(Files.readAllBytes(Paths.get(f.path)).toSeq === body.toSeq)
+      import scala.jdk.CollectionConverters._
+      val litter = Files.list(Paths.get(staging)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.contains(".part")).toSeq
+      assert(litter.isEmpty, s"part litter: $litter")
+    } finally server.stop(0)
+  }
+
   test("fetchResumable: a misaligned 206 discards the stale part and restarts from zero") {
     val body = (1 to 2000).map(i => s"m$i").mkString("\n").getBytes
     val server = com.sun.net.httpserver.HttpServer.create(

@@ -377,6 +377,56 @@ class EventStreamSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 5L))
   }
 
+  test("compactSemanticStore: one folded batch dir, identical gate decisions, crash leaves no losses") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sem-compact").toString
+    val store = root + "/vecs"
+    val centroids = Array(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    def gate(path: String, sink: scala.collection.mutable.Buffer[Long]) =
+      EventStream.semanticGateBatch(path, "id", "emb", centroids, tau = 0.95,
+        emit = df => sink ++= df.select("id").as[Long].collect())
+    def df(rows: (Long, Seq[Double])*) = rows.toDF("id", "emb")
+    val pre = scala.collection.mutable.Buffer.empty[Long]
+    val g = gate(store, pre)
+    // three triggers -> three batch_id dirs in the store
+    g(df(1L -> Seq(10.0, 0.1), 2L -> Seq(9.9, 0.2), 3L -> Seq(0.1, 8.0)), 0L)
+    g(df(4L -> Seq(7.0, -6.9)), 1L)
+    g(df(5L -> Seq(-6.0, 6.1)), 2L)
+    assert(pre.toSet === Set(1L, 3L, 4L, 5L))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(batchDirs().size === 3)
+    // snapshot an uncompacted copy, compact the original
+    val copy = root + "/vecs-copy"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(store),
+      fs, new org.apache.hadoop.fs.Path(copy), false,
+      spark.sessionState.newHadoopConf())
+    EventStream.compactSemanticStore(spark, store)
+    assert(batchDirs() === Seq("batch_id=-1"), s"got ${batchDirs()}")
+    // same rows survive the fold
+    assert(spark.read.parquet(store).select("vid").as[Long].collect().toSet
+      === Set(1L, 3L, 4L, 5L))
+    // the NEXT trigger decides identically over compacted vs uncompacted:
+    // 6 near-dups stored 1, 7 is new
+    val next = df(6L -> Seq(10.1, 0.11), 7L -> Seq(5.0, 5.1))
+    val a = scala.collection.mutable.Buffer.empty[Long]
+    val b = scala.collection.mutable.Buffer.empty[Long]
+    gate(store, a)(next, 3L)
+    gate(copy, b)(next, 3L)
+    assert(a.toSet === b.toSet && a.toSet === Set(7L),
+      s"compacted=$a uncompacted=$b")
+    // re-compact after the new trigger (also models the crashed-before-
+    // delete re-run: duplicates fold away through the (vid, cell) dedup);
+    // fold ids count DOWN so they never collide with trigger ids
+    EventStream.compactSemanticStore(spark, store)
+    assert(batchDirs() === Seq("batch_id=-2"), s"got ${batchDirs()}")
+    val after = spark.read.parquet(store)
+      .select("vid").as[Long].collect().sorted.toSeq
+    assert(after === Seq(1L, 3L, 4L, 5L, 7L))
+  }
+
   test("near-dup filter passes token-less documents through") {
     // a doc with no tokens produces no minhash bands — it is trivially
     // not a near-dup of anything and must be emitted, not dropped
