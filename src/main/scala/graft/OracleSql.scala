@@ -1193,8 +1193,8 @@ object OracleSql {
     // line order (pos is unique per doc, so the ordered list is stable)
     "q_boilerplate" ->
       """WITH l AS (SELECT doc_id,
-        |             unnest(string_split(text, ' table ')) AS line,
-        |             generate_subscripts(string_split(text, ' table '), 1) AS pos
+        |             unnest(string_split(COALESCE(text, ''), ' table ')) AS line,
+        |             generate_subscripts(string_split(COALESCE(text, ''), ' table '), 1) AS pos
         |           FROM documents),
         |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
         |        GROUP BY line HAVING COUNT(*) > 2),
@@ -1282,7 +1282,7 @@ object OracleSql {
     "q_balanced_sample" ->
       """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
         |m AS (SELECT MIN(n) AS mn FROM c),
-        |r AS (SELECT event_type, (mn * 1000000) // n AS ppm FROM c, m)
+        |r AS (SELECT event_type, GREATEST((mn * 1000000) // n, 1) AS ppm FROM c, m)
         |SELECT e.event_type, e.event_id, e.user_id
         |FROM events e JOIN r USING (event_type)
         |WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15))::BIGINT

@@ -1472,13 +1472,13 @@ object SparkEntry {
     // as Curate.contamination, but candidates come from the CACHED
     // distinct-trigram arrays (no second tokenize of the corpus); only
     // the contaminated-id set is needed, so the coverage columns drop out
+    // df-cap via the shared hot-key anti-join (Dedup.capByFreq) — the
+    // count-over-window form serialized a hot cross-benchmark stop-gram
+    // through one task; the benchmark side is small, so its double pass
+    // here is noise
     val benchAll = Dedup.shingleRows(bench, "doc_id", "text", 3)
-    val benchIdx = {
-      val w = Window.partitionBy("sh")
-      benchAll.withColumn("__df", count(lit(1)).over(w))
-        .where(col("__df") <= 64)
-        .select(col("doc").as("doc_b"), col("sh"))
-    }
+    val benchIdx = Dedup.capByFreq(benchAll, Seq("sh"), 64, Seq("doc", "sh"))
+      .select(col("doc").as("doc_b"), col("sh"))
     val contaminated = deduped
       .select(col("doc_id").as("doc_a"), explode(col("__g3d")).as("sh"))
       .join(broadcast(benchIdx), Seq("sh"))

@@ -38,28 +38,35 @@ object Curate {
                     idCol: String, textCol: String,
                     n: Int, minShared: Int,
                     maxNgramDf: Int = Int.MaxValue,
-                    broadcastBenchMaxDocs: Long = 1000000,
+                    broadcastBenchMaxRows: Long = 4000000,
                     scope: PersistScope = PersistScope()): DataFrame = {
     // xxhash64 the shingle strings right after the map stage: the join
-    // key, the df-cap window key, and the BROADCAST payload all shrink
-    // to 8-byte longs (the jaccardPairs discipline — identical results
+    // key, the df-cap key, and the BROADCAST payload all shrink to
+    // 8-byte longs (the jaccardPairs discipline — identical results
     // modulo 2^-64 collisions; the shingle text never reaches the output)
     def hashed(df: DataFrame): DataFrame =
       Dedup.shingleRows(df, idCol, textCol, n)
         .select(col("doc"), xxhash64(col("sh")).as("sh"))
-    // broadcast-or-shuffle guard: counting the benchmark docs is one
-    // cheap driver job AT PLAN-CONSTRUCTION TIME (eval sets are small by
-    // nature — at 100 TB this never touches the corpus, and the limit
-    // stops the scan after cap+1 rows even on a huge benchmark). It
-    // decides what the static planner can't (the window-capped index
-    // defeats its size estimate) and AQE won't (the index exceeds the
-    // 10 MB conversion threshold long before the broadcast actually
-    // stops paying). Callers that must stay construction-lazy pass
-    // broadcastBenchMaxDocs = 0 to force the shuffle path probe-free.
-    val benchCap = math.min(broadcastBenchMaxDocs,
+    val benchAll = hashed(benchmark)
+    // capped benchmark inverted index: consumed three times (probe, join,
+    // per-doc totals) — materialize once; the cap itself is the shared
+    // hot-key anti-join (Dedup.capByFreq), never a count-over-window on
+    // the skewed key
+    val bench = Dedup.capByFreq(scope.cache(benchAll), Seq("sh"),
+      maxNgramDf, Seq("doc", "sh"))
+    // broadcast-or-shuffle guard, measured on the quantity that is
+    // actually broadcast: the capped INDEX's (doc, ngram) ROWS — a
+    // benchmark of few-but-long documents passes any doc-count probe
+    // while its index is far beyond broadcastable (review-found). The
+    // probe is one driver job at plan-construction time over the
+    // benchmark side only (eval sets are small by nature; the limit
+    // stops the scan at rowCap+1 rows, and the probe warms the cache the
+    // join reads). Callers that must stay construction-lazy pass
+    // broadcastBenchMaxRows = 0 to force the shuffle path probe-free.
+    val rowCap = math.min(broadcastBenchMaxRows,
       (Int.MaxValue - 1).toLong).toInt.max(0)
-    val benchIsSmall = benchCap > 0 &&
-      benchmark.select(idCol).limit(benchCap + 1).count() <= benchCap
+    val benchIsSmall = rowCap > 0 &&
+      bench.limit(rowCap + 1).count() <= rowCap
     // Broadcasting removes every exchange upstream of the pair count, so
     // the whole shingle-explode + probe + partial-agg pipeline runs at
     // the SCAN's parallelism — which for an under-split input (few
@@ -75,18 +82,6 @@ object Curate {
         corpus.repartition(sc.defaultParallelism)
       else corpus
     val corp = hashed(corpSrc)
-    val benchAll = hashed(benchmark)
-    // capped benchmark inverted index: consumed twice (join + per-doc
-    // totals) — materialize once; df via an unordered window count
-    // (one pass, co-partitioned with the join key)
-    val bench = scope.cache(
-      if (maxNgramDf == Int.MaxValue) benchAll
-      else {
-        val w = Window.partitionBy("sh")
-        benchAll.withColumn("__df", count(lit(1)).over(w))
-          .where(col("__df") <= maxNgramDf)
-          .select("doc", "sh")
-      })
     val nBench = bench.groupBy(col("doc").as("doc_b"))
       .agg(count(lit(1)).as("n_bench_sh"))
     val benchIdx = bench.select(col("doc").as("doc_b"), col("sh"))
@@ -96,13 +91,29 @@ object Curate {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-      // the per-doc totals follow the same guard: one row per benchmark
-      // doc, so a benchmark too big to broadcast as an index is also too
-      // big here (the pair frame is already keyed by doc_b — the shuffle
-      // join reuses its partitioning)
+      // the per-doc totals follow the same guard: nBench is one row per
+      // benchmark doc, far smaller than the index, so whenever the index
+      // broadcast, this broadcasts too. On the shuffle path this join
+      // re-exchanges the pair frame (its (doc_a, doc_b) hash partitioning
+      // does not satisfy a doc_b-only join) — the pair frame is already
+      // minShared-filtered by then, the smallest relation in the plan
       .join(if (benchIsSmall) broadcast(nBench) else nBench, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_bench_sh"),
         expr("(n_shared * 1000000) DIV n_bench_sh").as("coverage_ppm"))
+  }
+
+
+  /** Exact integer `a * 1e6 floor-div b` at ANY count: the raw BIGINT
+    * product wraps silently past a ~9.2e12 count (a stop-word bigram at
+    * PB scale) under non-ANSI Spark; decimal `(x - x % b) / b` is the
+    * exact floor (IntegralDivide returns LongType even for decimal
+    * operands — see TfIdf.scoreTfIdf), and the quotient is <= 1e6 so the
+    * final BIGINT cast is safe. The oracle side needs nothing: DuckDB
+    * widens to INT128. */
+  private def ppmDivSql(a: String, b: String): String = {
+    val x = s"(CAST($a AS DECIMAL(38,0)) * 1000000)"
+    val d = s"CAST($b AS DECIMAL(38,0))"
+    s"CAST(($x - $x % $d) / $d AS BIGINT)"
   }
 
   /** Token-budget corpus selection: rank documents by a quality ordering
@@ -120,8 +131,13 @@ object Curate {
     * otherwise vary run to run. */
   def tokenBudgetSelect(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
                         tokenCount: org.apache.spark.sql.Column,
-                        budget: Long): DataFrame =
-    Stats.withRunningTotal(df, orderCols, tokenCount, "cum_tokens")
+                        budget: Long,
+                        scope: PersistScope = PersistScope()): DataFrame =
+    // the scope rides into the prefix sum's internal cache of the
+    // repartitioned relation — without it each call leaks one persisted
+    // corpus copy into the session (review-found; same below)
+    Stats.withRunningTotal(df, orderCols, tokenCount, "cum_tokens",
+        scope = scope)
       .where(col("cum_tokens") <= budget)
 
   /** The distinct (df-capped) benchmark n-gram universe, collected — eval
@@ -160,8 +176,13 @@ object Curate {
                         sep: String, maxLineDf: Int,
                         scope: PersistScope = PersistScope()): DataFrame = {
     // consumed 3x (hot-line counts, anti join, per-doc totals): one scan
+    // NULL text coalesces to "" so the doc still appears (n_lines = 1)
+    // instead of vanishing from the audit output — split(NULL) is NULL
+    // and posexplode(NULL) generates zero rows (review-found; the oracle
+    // mirrors the COALESCE)
     val lines = scope.cache(df.select(col(idCol).as("doc"),
-      posexplode(split(col(textCol), sep)).as(Seq("pos", "line"))))
+      posexplode(split(coalesce(col(textCol), lit("")), sep))
+        .as(Seq("pos", "line"))))
     val hot = lines.select("doc", "line").distinct()
       .groupBy("line").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxLineDf)
@@ -203,7 +224,7 @@ object Curate {
     val withN = scope.cache(df.withColumn("n_tokens", tokenCount.cast("long")))
     val total = withN.agg(sum(col("n_tokens")).cast("decimal(38,0)").as("__total"))
     Stats.withRunningTotalBy(withN, Seq(col(groupCol)), orderCols,
-        col("n_tokens"), "cum_tokens")
+        col("n_tokens"), "cum_tokens", scope = scope)
       .crossJoin(broadcast(total))
       .where(col("cum_tokens").cast("decimal(38,0)") * lit(1000000L)
         <= col("__total") * lit(sharePpm))
@@ -248,7 +269,7 @@ object Curate {
     bg.join(model, Seq("w1", "w2"))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr("(c12 * 1000000) DIV c1")).as("__sum_ppm"))
+        sum(expr(ppmDivSql("c12", "c1"))).as("__sum_ppm"))
       .select(col("doc").as("doc_id"), col("n_bigrams"),
         expr("__sum_ppm DIV n_bigrams").as("lm_score_ppm"))
   }
@@ -266,7 +287,7 @@ object Curate {
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     c12.join(c1, "w1")
       .select(concat_ws(" ", col("w1"), col("w2")).as("b"),
-        expr("(c12 * 1000000) DIV c1").as("ppm"))
+        expr(ppmDivSql("c12", "c1")).as("ppm"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
@@ -294,7 +315,7 @@ object Curate {
     val model = toks.groupBy("tok").agg(
         sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
         count(lit(1)).as("ct"))
-      .select(col("tok"), expr("((cp + 1) * 1000000) DIV (ct + 2)").as("ppm"))
+      .select(col("tok"), expr(ppmDivSql("(cp + 1)", "(ct + 2)")).as("ppm"))
     toks.join(model, "tok")
       .groupBy("doc")
       .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("__s"))
@@ -320,8 +341,14 @@ object Curate {
     val counts = df.where(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
     val mn = counts.agg(min(col("__n")).as("__mn"))
+    // rate floor of 1 ppm: a stratum more than 1e6x the smallest would
+    // floor to ppm 0 and be deleted ENTIRELY from the "balanced" output
+    // (review-found — e.g. one mislabeled singleton type crushing the
+    // dominant stratum to nothing); 1 ppm keeps the closest achievable
+    // non-empty rate at this resolution. The oracle mirrors GREATEST.
     val rates = counts.crossJoin(broadcast(mn))
-      .select(col(stratumCol), expr("(__mn * 1000000) DIV __n").as("__ppm"))
+      .select(col(stratumCol),
+        greatest(expr("(__mn * 1000000) DIV __n"), lit(1L)).as("__ppm"))
     Stats.hashSample(df.join(broadcast(rates), Seq(stratumCol)), key, col("__ppm"))
       .drop("__ppm")
   }
@@ -339,13 +366,25 @@ object Curate {
     * different alarm). */
   def sourceDrift(docs: DataFrame, sourceCol: String, textCol: String,
                   scope: PersistScope = PersistScope()): DataFrame = {
-    val p = scope.cache(docs
+    val counts = scope.cache(docs
       .select(col(sourceCol).as("src"),
         explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
-      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
-      .withColumn("n", sum("c").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .select(col("src"), col("tok"), expr("c * 1000000 DIV n").as("p_ppm")))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c")))
+    // per-source totals as a map-side-combinable groupBy broadcast back:
+    // the previous sum-over-Window(src) hash-partitioned the whole
+    // (src, tok) vocabulary on src — a web-scale source's 1e9 distinct
+    // tokens through ONE sorting WindowExec task (the straggler shape
+    // Dedup.capByFreq documents). One row per source broadcasts for free.
+    // p_ppm in decimal: c * 1e6 wraps BIGINT once a token's count passes
+    // ~9.2e12 (roughly a PB of one stop word) — (a - a%b)/b is the exact
+    // decimal floor (IntegralDivide is Long-typed even on decimals, see
+    // TfIdf.scoreTfIdf); the quotient <= 1e6 so the final BIGINT is safe.
+    val srcTotals = counts.groupBy("src").agg(sum("c").as("n"))
+    val p = counts.join(broadcast(srcTotals), Seq("src"))
+      .select(col("src"), col("tok"), expr(
+        "CAST((CAST(c AS DECIMAL(38,0)) * 1000000 " +
+          "- CAST(c AS DECIMAL(38,0)) * 1000000 % CAST(n AS DECIMAL(38,0))) " +
+          "/ CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("p_ppm"))
     val totals = p.groupBy("src").agg(sum("p_ppm").as("t"))
     p.as("a").join(p.as("b"),
         col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))

@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups by content hash: md5 groupBy — one shuffle on
-    * the 128-bit digest, uniform by construction (no skew). */
+    * the 128-bit digest, uniform by construction (no skew).
+    *
+    * NULL text pools into ONE group (content_md5 NULL): groupBy treats
+    * NULL as a value, and the SQL oracle's GROUP BY does the same, so
+    * the two engines agree — but "missing text" is unknown content, not
+    * equal content. A keep-canonical consumer must pre-filter NULL/empty
+    * text (the curation recipes do, via the token floor) or it will drop
+    * every text-less doc but one as a "duplicate". */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
@@ -36,11 +43,16 @@ object Dedup {
     * get []). */
   def shinglesOfHof(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
-    when(cnt >= 1,
-      array_distinct(
-        transform(
-          sequence(lit(1), cnt),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+    // NULL input -> NULL, matching the native expression's null-intolerant
+    // eval exactly (size(NULL) is NULL, so the bare when/otherwise would
+    // silently turn NULL into [] and the two forms would diverge on the
+    // one input class the equivalence spec's =!= filter cannot see)
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(cnt >= 1,
+        array_distinct(
+          transform(
+            sequence(lit(1), cnt),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -49,6 +61,35 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__toks"))
       .select(col("doc"), explode(shinglesOf(col("__toks"), n)).as("sh"))
+
+  /** The inverted-index fan-out cap shared by all four pair generators:
+    * drop every row whose `keys` value occurs more than `cap` times in
+    * `rel` (`rel` is pre-cached by the caller — both passes below read
+    * the cache, not the explode).
+    *
+    * Shape: the HOT key set is a map-side-combinable groupBy (one row
+    * per key per mapper reaches the shuffle) anti-joined back under a
+    * broadcast hint, so the data relation itself never shuffles for the
+    * cap and — the part that matters at 100 TB — a hot key's
+    * occurrences never serialize through one task. The previous
+    * count-over-window form hash-partitioned the relation on the very
+    * key whose skew the cap exists to defuse: a stop-word shingle in
+    * 100M docs became one straggling, spilling WindowExec task. The hot
+    * set is small by construction (a key is hot only above `cap`
+    * occurrences, so |hot| < rows/cap, and zipf reality makes it a
+    * handful of stop-grams); a cap so misconfigured that the hot set
+    * outgrows the broadcast ceiling fails LOUDLY there instead of
+    * straggling silently. */
+  private[graft] def capByFreq(rel: DataFrame, keys: Seq[String], cap: Int,
+                        keep: Seq[String]): DataFrame =
+    if (cap == Int.MaxValue) rel
+    else {
+      val hot = rel.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+        .select(keys.map(col): _*)
+      rel.join(broadcast(hot), keys, "left_anti")
+        .select(keep.map(col): _*)
+    }
 
   /** Near-dup pairs with n-gram Jaccard >= tau.
     *
@@ -81,18 +122,11 @@ object Dedup {
     // tested SF; the string-keyed DuckDB oracle stays bit-identical).
     val all = shingleRows(df, idCol, textCol, n)
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
-    val sh = scope.cache(
-      if (maxShingleDf == Int.MaxValue) all
-      else {
-        // doc frequency per shingle (shingles are distinct per doc) via an
-        // unordered window count: ONE pass over the shingle relation and
-        // one shuffle on `sh` — co-partitioned with the self-join key —
-        // instead of recomputing the shingle explode for a groupBy + join
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-        all.withColumn("__df", count(lit(1)).over(w))
-          .where(col("__df") <= maxShingleDf)
-          .select("doc", "sh")
-      })
+    // doc frequency per shingle == row count (shingles are distinct per
+    // doc); the cache is on the UNCAPPED explode so both capByFreq passes
+    // read it, never the interpreted shingling
+    val sh = capByFreq(scope.cache(all), Seq("sh"), maxShingleDf,
+      Seq("doc", "sh"))
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
       .where(col("a.doc") < col("b.doc"))
@@ -126,16 +160,10 @@ object Dedup {
       .select(col("doc"), graft.plans.NGrams.ngrams(col("__toks"), k).as("__gk"))
       .select(col("doc"), transform(col("__gk"), g => Text.md5Long(g)).as("__hs"))
       .select(col("doc"), explode(Text.winnowOf(col("__hs"), w)).as("fp"))
-    // fingerprints are distinct per doc, so the window count IS the
-    // document frequency; one pass, co-partitioned with the join key
-    val fps = scope.cache(
-      if (maxFpDf == Int.MaxValue) all
-      else {
-        val win = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-        all.withColumn("__df", count(lit(1)).over(win))
-          .where(col("__df") <= maxFpDf)
-          .select("doc", "fp")
-      })
+    // fingerprints are distinct per doc, so the row count per fp IS the
+    // document frequency
+    val fps = capByFreq(scope.cache(all), Seq("fp"), maxFpDf,
+      Seq("doc", "fp"))
     fps.select(col("doc").as("doc_a"), col("fp"))
       .join(fps.select(col("doc").as("doc_b"), col("fp")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))
@@ -152,6 +180,7 @@ object Dedup {
 
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
+    require(k >= 1, s"minhash needs k >= 1 (got $k)")
     // Materialize the md5-derived token hash ONCE per token row: inlining
     // it would duplicate the md5+conv tree into all k aggregates.
     val hashed = df.select(
@@ -192,8 +221,11 @@ object Dedup {
     * this file's design forbids) and a remainder would silently drop
     * trailing signature coordinates (a lower-recall scheme than asked). */
   private[graft] def bandedSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(bands >= 1 && k % bands == 0,
-      s"minhash k=$k must divide into bands=$bands")
+    // k >= 1 matters too: k=0, bands=1 would pass the divisibility check,
+    // band every doc on the empty-concat signature "" and put the whole
+    // corpus in ONE bucket — the exact explosion this guard forbids
+    require(k >= 1 && bands >= 1 && k % bands == 0,
+      s"minhash k=$k must be >= 1 and divide into bands=$bands")
     val rows = k / bands
     sigs.select(
       col("doc"),
@@ -211,17 +243,8 @@ object Dedup {
     // sized + filtered + both self-join sides consume the banded relation:
     // materialize once
     val all = bandedSigs(sigs, k, bands)
-    val banded = scope.cache(
-      if (maxBucket == Int.MaxValue) all
-      else {
-        // bucket size via unordered window count: one pass, one shuffle on
-        // (band, sig) — the self-join's own key — instead of recomputing
-        // the banded explode for a groupBy + join-back
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-        all.withColumn("__bsz", count(lit(1)).over(w))
-          .where(col("__bsz") <= maxBucket)
-          .select("doc", "band", "sig")
-      })
+    val banded = capByFreq(scope.cache(all), Seq("band", "sig"), maxBucket,
+      Seq("doc", "band", "sig"))
     banded.as("a").join(banded.as("b"), Seq("band", "sig"))
       .where(col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -358,14 +381,8 @@ object Dedup {
       posexplode(array((0 until SimhashBlocks).map(b =>
         shiftright(col("sh"), b * 15).bitwiseAND(0x7FFF)): _*))
         .as(Seq("blk", "bv")))
-    val banded = scope.cache(
-      if (maxBucket == Int.MaxValue) all
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("blk", "bv")
-        all.withColumn("__bsz", count(lit(1)).over(w))
-          .where(col("__bsz") <= maxBucket)
-          .select("doc", "sh", "blk", "bv")
-      })
+    val banded = capByFreq(scope.cache(all), Seq("blk", "bv"), maxBucket,
+      Seq("doc", "sh", "blk", "bv"))
     val a = banded.select(col("doc").as("doc_a"), col("sh").as("__sha"),
       col("blk"), col("bv"))
     val b = banded.select(col("doc").as("doc_b"), col("sh").as("__shb"),
@@ -391,8 +408,13 @@ object Dedup {
     *
     * Shape: one positional gram explode (the native [[graft.plans.NGrams]]
     * loop; array index IS the token position), a gram-frequency pass
-    * (partial-agg-friendly groupBy on the md5 of the gram — uniform
-    * 128-bit key, no skew), an equi-join back on that hash, and ONE
+    * (partial-agg-friendly groupBy on [[Text.md5Long]] of the gram — a
+    * 60-bit md5 TRUNCATION, the 8-byte-key shuffle trade jaccardPairs
+    * documents for xxhash64: uniform so no skew, with ~G²/2⁶¹ expected
+    * colliding gram pairs at G distinct grams — at 1e12 grams that is
+    * a ~1e-7 fraction of grams spuriously marked duplicated, each
+    * costing at most one n-token span; the DuckDB oracle truncates
+    * identically so parity holds), an equi-join back on that hash, and ONE
     * per-document window to merge islands (windows p, p' belong to the
     * same maximal span iff p' - p <= n — touching or overlapping coverage
     * of [p, p+n-1] and [p', p'+n-1]). Never doc x doc; the inverted
@@ -493,6 +515,10 @@ object Dedup {
     val covered = hits
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      // overlapping windows cover each position up to n times; the
+      // anti-join ignores multiplicity, so dedup map-side (partial agg)
+      // before shuffling ~n x the necessary bytes
+      .distinct()
     toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_kept"),

@@ -112,7 +112,14 @@ object IvfIndex {
     }.sortBy { case (id, d) => (d, id) }.take(nProbes).map(_._1).toSeq
   }
 
-  /** Exact cosine rerank of the probed cells (columns vid, v) -> top-k. */
+  /** Exact cosine rerank of the probed cells (columns vid, v) -> top-k.
+    * One row per vid even when the index holds duplicates: a streamed
+    * index can legitimately carry the same vid twice (an annIngestBatch
+    * replay after a store compaction, or a crash between a compaction's
+    * publish and its deletes), and a duplicated vid must not crowd
+    * distinct neighbors out of the top-k — take each vid's best cosine
+    * (the per-vid max; for byte-identical replay rows it is THE value).
+    * The agg shuffles only the probed cells' rows, never the index. */
   private def rerank(cells: DataFrame, idCol: String, q: Array[Double],
                      topK: Int, excludeId: Option[Long]): DataFrame = {
     val qCol = array(q.map(lit): _*)
@@ -120,6 +127,7 @@ object IvfIndex {
     base.select(col("vid").as(idCol),
         (Similarity.dot(col("v"), qCol) /
           (Similarity.norm(col("v")) * Similarity.norm(qCol))).as("cos_sim"))
+      .groupBy(col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
   }

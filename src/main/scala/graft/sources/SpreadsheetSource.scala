@@ -156,6 +156,17 @@ object SpreadsheetSource {
       .select(col("rpos"),
         coalesce(col("r").getField("_table:number-rows-repeated"), lit(1L)).as("rrep"),
         col("r").getField("table:table-cell").as("cs"))
+      // non-positive row repeats are invalid on ANY run — an EMPTY run's
+      // negative repeat would silently shift every later row's rn0
+      // BACKWARD through the cumulative sum (rows land at or before the
+      // header row and vanish), so this check runs BEFORE the window and
+      // the empty-run filter; the grid cap applies only to runs that
+      // actually explode (below)
+      .withColumn("rrep",
+        when(col("rrep") >= 1L, col("rrep"))
+          .otherwise(raise_error(concat(
+            lit("graft-ods: row repeat count "), col("rrep").cast("string"),
+            lit(" is not positive")))))
       .withColumn("rn0", sum(col("rrep")).over(wr) - col("rrep"))
       .where(col("cs").isNotNull) // empty repeated row runs only advance rn
       .withColumn("rrep", checkedRep(col("rrep"), 1L << 20, "row"))

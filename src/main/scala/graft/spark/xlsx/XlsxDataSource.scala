@@ -437,13 +437,14 @@ object XlsxParse {
       out.toIndexedSeq
     }.getOrElse(IndexedSeq.empty[String])
 
-  /** "AB7" -> 0-based column index; empty ref -> -1 (caller sequences). */
   /** XFD — the last column of the xlsx grid. A ref resolving beyond it
     * is a corrupt (or hostile) file: unchecked, a long letter run
     * overflows Int and a huge-but-positive index makes headerSchema
     * materialize millions of StructFields (fuzz-found OOM class). */
   private[xlsx] val MaxCol = 16383
 
+  /** "AB7" -> 0-based column index; empty ref -> -1 (caller sequences);
+    * beyond [[MaxCol]] refuses loudly. */
   private def colIdx(ref: String): Int = {
     var i = 0; var acc = 0
     while (i < ref.length && ref.charAt(i) >= 'A' && ref.charAt(i) <= 'Z') {

@@ -1004,7 +1004,7 @@ object EventStream {
     * R10; this is the IVF cell store's equivalent). Gate decisions are
     * preserved EXACTLY: the gate consumes the store only through
     * cell-restricted cosine hit sets (semi/anti joins), which are
-    * invariant under row relocation and (vid, cell) deduplication —
+    * invariant under row relocation and FULL-row deduplication —
     * pinned in EventStreamSpec by running the same gate over compacted
     * vs uncompacted stores.
     *
@@ -1017,20 +1017,22 @@ object EventStream {
     * place, and only THEN are the old dirs deleted — any crash leaves
     * either the store untouched or duplicates, never losses; duplicates
     * do not change hit sets, and re-running converges (the fold dedups
-    * on (vid, cell)). */
+    * byte-identical rows). */
   def compactSemanticStore(spark: SparkSession, storePath: String): Unit =
-    compactBatchStore(spark, storePath, "cell", Seq("vid", "cell"))
+    compactBatchStore(spark, storePath, "cell")
 
   /** The same fold for the [[annIngestBatch]] materialized index
     * (`batch_id / centroid_id` layout): old batch dirs collapse into one,
     * `centroid_id` pruning is untouched (it stays a partition column),
     * and `IvfIndex.searchIndexed` results are unchanged modulo the
-    * duplicate-row invariance of top-k over identical codes. */
+    * searchIndexed's per-vid rerank dedup (a replayed trigger after a
+    * fold can duplicate a vid; rerank takes each vid's best cosine, so
+    * a duplicate never crowds distinct neighbors out of the top-k). */
   def compactAnnIndex(spark: SparkSession, indexPath: String): Unit =
-    compactBatchStore(spark, indexPath, "centroid_id", Seq("vid", "centroid_id"))
+    compactBatchStore(spark, indexPath, "centroid_id")
 
   private def compactBatchStore(spark: SparkSession, path: String,
-                                cellCol: String, idCols: Seq[String]): Unit = {
+                                cellCol: String): Unit = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1045,7 +1047,11 @@ object EventStream {
         // can never collide with a future trigger or a replayed old one
         val foldId = math.min(-1L, ids.min - 1L)
         df.drop("batch_id")
-          .dropDuplicates(idCols)
+          // dedup FULL rows only (replay/crash copies are byte-identical):
+          // keying on (vid, cell) alone would nondeterministically drop
+          // one of two DIFFERENT vectors a re-submitted vid legitimately
+          // holds, changing later gate decisions (review-found)
+          .dropDuplicates()
           .withColumn("batch_id", lit(foldId))
           // one write task per cell: files land sized by cell content,
           // not by (incoming tasks x cells)

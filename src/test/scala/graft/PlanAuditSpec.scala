@@ -410,7 +410,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toString.contains("PartitionFilters"),
       "the centroid_id probe filter must hit the partition layout")
     df.collect()
-    val nFiles = p.collectLeaves()
+    // the rerank's per-vid agg puts an AQE shuffle above the scan: walk
+    // into the FINALIZED adaptive plan (and its materialized stages) to
+    // reach the file-scan leaf — collectLeaves on the pre-execution
+    // reference stops at the stage boundary
+    def scans(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val nFiles = scans(p)
       .flatMap(_.metrics.get("numFiles").map(_.value)).headOption
     // 4 probed of 8 trained cells: the scan must open fewer files than
     // the total cell count (one file per cell directory at this scale)

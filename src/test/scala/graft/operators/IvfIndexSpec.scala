@@ -45,7 +45,18 @@ class IvfIndexSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(got === viaScan)
     assert(scan.toString.contains("PartitionFilters"))
-    val nFiles = scan.collectLeaves()
+    // the rerank's per-vid agg adds an AQE stage above the scan: walk
+    // into the finalized adaptive plan to reach the file-scan leaf
+    def scans(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val nFiles = scans(scan)
       .flatMap(_.metrics.get("numFiles").map(_.value)).headOption
     val totalCells = persisted.select("centroid_id").distinct().count()
     assert(nFiles.exists(_ < totalCells),

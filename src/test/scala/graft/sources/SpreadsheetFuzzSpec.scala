@@ -107,6 +107,22 @@ class SpreadsheetFuzzSpec extends SparkSpec {
           s"case ($colRep, $rowRep): $e")
       }
     }
+    // a negative repeat on an EMPTY row run never explodes, but it would
+    // silently shift every later row's number BACKWARD through the
+    // cumulative sum (review-found: the cap check sits after the
+    // empty-run filter) — it must refuse too, not corrupt row numbering
+    val emptyNeg = odsContent("2", "1").replace(
+      "<table:table-row table:number-rows-repeated=\"1\">",
+      "<table:table-row table:number-rows-repeated=\"-7\"/>" +
+        "<table:table-row>")
+    withTempFile(mkZip(Seq("content.xml" -> emptyNeg)), ".ods") { path =>
+      val e = intercept[Exception](
+        SpreadsheetSource.readOds(spark, path, s"$staging/eneg").collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("not positive")), s"$e")
+    }
     // the format's real padding idiom (empty 16384-wide run) still reads
     val okContent = odsContent("2", "1").replace(
       "<table:table-cell table:number-columns-repeated=\"2\"",

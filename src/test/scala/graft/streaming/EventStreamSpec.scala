@@ -418,7 +418,7 @@ class EventStreamSpec extends SparkSpec {
     assert(a.toSet === b.toSet && a.toSet === Set(7L),
       s"compacted=$a uncompacted=$b")
     // re-compact after the new trigger (also models the crashed-before-
-    // delete re-run: duplicates fold away through the (vid, cell) dedup);
+    // delete re-run: byte-identical duplicates fold away in the dedup);
     // fold ids count DOWN so they never collide with trigger ids
     EventStream.compactSemanticStore(spark, store)
     assert(batchDirs() === Seq("batch_id=-2"), s"got ${batchDirs()}")

@@ -37,11 +37,19 @@ QUERIES = [
 def structural_queries():
     import glob
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    def round_no(p):
+        m = re.search(r"_r(\d+)_full\.json$", p)
+        return int(m.group(1)) if m else -1
+    # newest by ROUND NUMBER in the filename — file mtime is checkout
+    # time in a fresh clone, which would tie-break arbitrarily
     fulls = sorted(glob.glob(os.path.join(repo, "DUCKDB_BENCH_r*_full.json")),
-                   key=os.path.getmtime)
+                   key=round_no)
     extra = []
     if fulls:
-        duck = json.load(open(fulls[-1])).get("queries", {})
+        art = json.load(open(fulls[-1]))
+        # the >= 0.5 s criterion is defined AT sf0.1 — ignore artifacts
+        # measured at another scale
+        duck = art.get("queries", {}) if str(art.get("sf", "")).endswith("sf0.1") else {}
         extra = [q for q, v in duck.items()
                  if isinstance(v, (int, float)) and v >= 0.5
                  and q not in QUERIES]
