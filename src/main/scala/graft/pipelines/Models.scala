@@ -165,20 +165,17 @@ object Models {
     * enriching AFTER the per-permit dedup is row-for-row identical to the
     * dbt join-then-DISTINCT-ON order — and cheaper: the joins see one row
     * per permit. */
-  private def enrichPermitList(permits: DataFrame, openUsrns: DataFrame,
-                               swaCodes: DataFrame,
+  /** The geometry + UPRN-count dimension joins shared by the list route
+    * and the fused event route — ONE definition so the dim-key casting
+    * and the zero-fill cannot drift between the two spec-pinned-equal
+    * paths. Adds `geometry` (left) and a coalesced `uprn_count`. */
+  private def joinGeoAndCounts(df: DataFrame, openUsrns: DataFrame,
                                uprnCounts: DataFrame): DataFrame =
-    permits
+    df
       .join(uniqueDim(openUsrns.select(
         col("usrn").cast("long").as("__usrn_k"), col("geometry")), "__usrn_k"),
         col("usrn").cast("long") === col("__usrn_k"), "left")
       .drop("__usrn_k")
-      .join(uniqueDim(swaCodes.select(
-        col("swa_code").cast("int").as("__swa_k"),
-        col("ofgem_electricity_licence"), col("ofgem_gas_licence"),
-        col("ofcom_licence"), col("ofwat_licence")), "__swa_k"),
-        col("promoter_swa_code").cast("int") === col("__swa_k"), "left")
-      .drop("__swa_k")
       .join(uniqueDim(uprnCounts.select(
         col("usrn").cast("long").as("__cnt_k"),
         col("uprn_count").as("__uprn_count")), "__cnt_k"),
@@ -186,6 +183,17 @@ object Models {
       .drop("__cnt_k")
       .withColumn("uprn_count", coalesce(col("__uprn_count"), lit(0L)))
       .drop("__uprn_count")
+
+  private def enrichPermitList(permits: DataFrame, openUsrns: DataFrame,
+                               swaCodes: DataFrame,
+                               uprnCounts: DataFrame): DataFrame =
+    joinGeoAndCounts(permits, openUsrns, uprnCounts)
+      .join(uniqueDim(swaCodes.select(
+        col("swa_code").cast("int").as("__swa_k"),
+        col("ofgem_electricity_licence"), col("ofgem_gas_licence"),
+        col("ofcom_licence"), col("ofwat_licence")), "__swa_k"),
+        col("promoter_swa_code").cast("int") === col("__swa_k"), "left")
+      .drop("__swa_k")
       .select((permitListCols ++ Seq("geometry",
         "ofgem_electricity_licence", "ofgem_gas_licence", "ofcom_licence",
         "ofwat_licence", "uprn_count")).map(col): _*)
@@ -338,17 +346,7 @@ object Models {
       .where(inAuthorities && (col("__leg") === 1 || !col("__excl")))
       .withColumn("__prev_leg", lag(col("__leg"), 1).over(wOrd))
       .where(col("__prev_leg").isNull || col("__prev_leg") =!= col("__leg"))
-    latest
-      .join(uniqueDim(openUsrns.select(
-        col("usrn").cast("long").as("__usrn_k"), col("geometry")), "__usrn_k"),
-        col("usrn").cast("long") === col("__usrn_k"), "left")
-      .drop("__usrn_k")
-      .join(uniqueDim(uprnCounts.select(
-        col("usrn").cast("long").as("__cnt_k"),
-        col("uprn_count").as("__uprn_count")), "__cnt_k"),
-        col("usrn").cast("long") === col("__cnt_k"), "left")
-      .drop("__cnt_k")
-      .withColumn("uprn_count", coalesce(col("__uprn_count"), lit(0L)))
+    joinGeoAndCounts(latest, openUsrns, uprnCounts)
       .select((scoringCols ++
         (if (keepTags) Seq("permit_reference_number", "__leg")
          else Nil)).map(col): _*)
@@ -480,8 +478,9 @@ object Models {
     // breakdown partials too), so `bothRows` is not cached; raw feeds the
     // rank histogram and the join-back — cache it or the dedup re-runs
     val raw = scope.cache(rawImpactLevel(bothRows, withBreakdown = true))
-    // per-USRN integer rank counts (rank-1 == rows strictly below)
-    val (cl, n) = Stats.cumLess(raw, "total10")
+    // per-USRN integer rank counts (rank-1 == rows strictly below);
+    // scope rides in so cumLess's internal cache releases with ours
+    val (cl, n) = Stats.cumLess(raw, "total10", scope = scope)
     val denom = lit(math.max(n - 1L, 1L).toDouble)
     // byAuth is re-derived downstream of the global rank window — cache
     // the ~one-row-per-authority aggregate
@@ -922,8 +921,12 @@ object Models {
                                         completed: DataFrame): DataFrame =
     impactScoresNotNullViolationCount(combinedPermitRows(inProgress, completed))
 
-  /** ALL the dbt data_tests (both duplicate-permit tests + the two
-    * not_null tests) from ONE event pass: the tagged London scoring frame
+  /** The dbt data_tests of one `dbt build` — both duplicate-permit tests
+    * plus the LONDON impact-scores not_null pair (the shape the driver
+    * query and its oracle pin; the England family's structurally
+    * identical not_null tests are not separately evaluated here — run
+    * [[impactScoresNotNullViolationCount]] over the England frame for
+    * those) — from ONE event pass: the tagged London scoring frame
     * ([[combinedPermitRowsFromEventsTagged]]) is cached and serves every
     * half, so the expensive event dressing/shuffle runs once instead of
     * twice ([[duplicatePermitTestCounts]] + a separate scoring build).
