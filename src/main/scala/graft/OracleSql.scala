@@ -2195,10 +2195,12 @@ object OracleSql {
          |             CAST(len($toksSql) AS BIGINT) AS n_tokens
          |           FROM documents),
          |m AS (SELECT source, SUM(n_tokens) AS n FROM d
-         |      WHERE source IS NOT NULL GROUP BY 1),
+         |      WHERE source IS NOT NULL GROUP BY 1
+         |      HAVING SUM(n_tokens) > 0),
          |mn AS (SELECT MIN(n) AS mn FROM m),
-         |r AS (SELECT source, CAST(FLOOR(1000000.0 * sqrt(CAST(mn AS DOUBLE))
-         |        / sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rate_ppm
+         |r AS (SELECT source, GREATEST(
+         |        CAST(FLOOR(1000000.0 * sqrt(CAST(mn AS DOUBLE))
+         |        / sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS rate_ppm
          |      FROM m, mn)
          |SELECT d.doc_id, d.source, d.n_tokens, r.rate_ppm
          |FROM d JOIN r USING (source)
@@ -2223,11 +2225,11 @@ object OracleSql {
          |FROM c""".stripMargin,
 
     // the grouped distributed prefix sum (weight 1) equals the per-shard
-    // ROW_NUMBER window; 'o|' salts the order hash independent of the
-    // shard hash
+    // ROW_NUMBER window; 's|'/'o|' salt the shard and order hashes away
+    // from each other AND from hashSample's unsalted survival threshold
     "q_shard" ->
       """WITH d AS (SELECT doc_id, source,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    ('0x' || substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 8 AS shard,
         |    ('0x' || substr(md5('o|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      AS ord
@@ -2287,7 +2289,7 @@ object OracleSql {
          |           FROM documents WHERE source IS NOT NULL),
          |m AS (SELECT source, SUM(nt) AS n,
          |        CAST(FLOOR(SQRT(CAST(SUM(nt) AS DOUBLE))) AS BIGINT) AS w
-         |      FROM d GROUP BY 1),
+         |      FROM d GROUP BY 1 HAVING SUM(nt) > 0),
          |t AS (SELECT SUM(n) AS tn, SUM(w) AS tw FROM m),
          |i AS (SELECT source, n, w, tw,
          |        (CAST(tn AS HUGEINT) * 3000000) // 1000000 AS tt,

@@ -63,13 +63,25 @@ object TrainMix {
     * documents as batch" contract cannot drift between copies. */
   private def rateTable(df: DataFrame, sourceCol: String,
                         tokensCol: String): DataFrame = {
+    // sources with zero (or null/negative) token mass are excluded like
+    // null sources, for the same reason: one all-empty source would set
+    // min_n = 0 and zero EVERY source's rate — temperatureSample would
+    // silently return an empty corpus, and mixtureRates would NPE on the
+    // null sum (review-found). Their rows drop at the rate join exactly
+    // as the old NaN rate dropped them — now by contract, not by NaN.
     val mass = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__n"))
+      .where(col("__n") > 0)
     val mn = mass.agg(min(col("__n")).as("__mn"))
     mass.crossJoin(broadcast(mn))
       .select(col(sourceCol),
-        floor(lit(1000000.0) * sqrt(col("__mn").cast("double"))
-          / sqrt(col("__n").cast("double"))).cast("long").as("rate_ppm"))
+        // floored at 1 ppm like Curate.balancedSample: a bulk source
+        // more than 1e12x the smallest would floor to rate 0 and be
+        // DELETED from the mixture instead of heavily downsampled
+        greatest(
+          floor(lit(1000000.0) * sqrt(col("__mn").cast("double"))
+            / sqrt(col("__n").cast("double"))).cast("long"),
+          lit(1L)).as("rate_ppm"))
   }
 
   /** Batch-train half of the train-batch/apply-stream split (the
@@ -98,13 +110,21 @@ object TrainMix {
     * "which sequence" is undefined for them).
     *
     * `tokensCol` must be a non-negative integral column. */
+  /** The shared packing prelude (zero-token filter, distributed prefix
+    * sum, per-doc start offset) — ONE definition so [[packSequences]]
+    * and [[packSegments]]' spec-pinned seq_id/seq_off agreement cannot
+    * drift between copies. */
+  private def packedStarts(df: DataFrame, orderCols: Seq[Column],
+                           tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    Stats.withRunningTotal(
+        df.where(col(tokensCol) > 0), orderCols, col(tokensCol), "__cum")
+      .withColumn("__start", col("__cum") - col(tokensCol))
+  }
+
   def packSequences(df: DataFrame, orderCols: Seq[Column], tokensCol: String,
                     budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    val cum = Stats.withRunningTotal(
-      df.where(col(tokensCol) > 0), orderCols, col(tokensCol), "__cum")
-    cum
-      .withColumn("__start", col("__cum") - col(tokensCol))
+    packedStarts(df, orderCols, tokensCol, budget)
       .withColumn("seq_id", expr(s"__start DIV ${budget}L"))
       .withColumn("seq_off", pmod(col("__start"), lit(budget)))
       .withColumn("n_splits", expr(s"(__cum - 1) DIV ${budget}L") - col("seq_id"))
@@ -126,11 +146,7 @@ object TrainMix {
     * shuffle). */
   def packSegments(df: DataFrame, orderCols: Seq[Column], tokensCol: String,
                    budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    val cum = Stats.withRunningTotal(
-      df.where(col(tokensCol) > 0), orderCols, col(tokensCol), "__cum")
-    cum
-      .withColumn("__start", col("__cum") - col(tokensCol))
+    packedStarts(df, orderCols, tokensCol, budget)
       .withColumn("seq_id", explode(sequence(
         expr(s"__start DIV ${budget}L"), expr(s"(__cum - 1) DIV ${budget}L"))))
       .withColumn("__segs", greatest(col("__start"), col("seq_id") * budget))
@@ -149,8 +165,10 @@ object TrainMix {
     * sources proportional to the sqrt-flattened weight `w_s =
     * floor(sqrt(n_s))` (integer weights — a SUM of doubles would be
     * ordering-sensitive across engines), capped at `maxEpochs * n_s`
-    * per source, by UNROLLED water-filling: `rounds` deterministic
-    * redistribution rounds (the surplus the caps and floor losses free
+    * per source, by UNROLLED water-filling: `rounds` counts the INITIAL
+    * proportional allocation plus `rounds - 1` deterministic
+    * redistribution rounds (the oracle unrolls the same shape: initial +
+    * rounds-1 CTE rounds; the surplus the caps and floor losses free
     * up is re-shared across still-uncapped sources ∝ w and capped
     * again — the fixed-unroll Lloyd-round discipline), then a closing
     * greedy fill that hands any residual, in (w desc, source) order,
@@ -170,6 +188,13 @@ object TrainMix {
   def epochPlan(df: DataFrame, sourceCol: String, tokensCol: String,
                 budgetPpm: Long = 3000000L, maxEpochs: Int = 4,
                 rounds: Int = 3): DataFrame = {
+    // fail fast like packSequences/shardLayout: a negative budget would
+    // flow through the decimal floor-div (which truncates toward zero,
+    // not floor, for negative operands) into silently negative
+    // allocations; zero-mass sources are excluded below like rateTable's
+    require(budgetPpm > 0, s"budgetPpm must be positive, got $budgetPpm")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
     val dec0 = expr("CAST(0 AS DECIMAL(38,0))")
@@ -180,6 +205,7 @@ object TrainMix {
     // The table is one row per source (bounded contract).
     val mass = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("n_tokens"))
+      .where(col("n_tokens") > 0)
       .withColumn("__w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
       .localCheckpoint()
     val tot = mass.agg(sum("n_tokens").as("__tn"), sum("__w").as("__tw"))
@@ -240,6 +266,15 @@ object TrainMix {
     * `partsPerShard` splits a shard across that many writer tasks
     * (contiguous `shard_pos` ranges via range repartition) — at 100 TB
     * a shard is written in parallel and read as a few ordered files. */
+  /** Size `partsPerShard` so one part fits a writer task: the DEFAULT 1
+    * funnels each shard through a single sorting/writing task — fine for
+    * the spec-scale layouts this default serves, a multi-TB straggler at
+    * corpus scale (aim for shards x partsPerShard >= cluster cores and
+    * <= ~1 GB per part). Determinism precondition (shardLayout /
+    * interleaveBySource alike): `key` must be UNIQUE per row — two rows
+    * sharing a key get identical (shard, __ord) and their within-window
+    * tie order (hence shard_pos and the bit-for-bit layout) is not
+    * reproducible across runs. */
   def writeShards(df: DataFrame, key: Column, shards: Int, path: String,
                   partsPerShard: Int = 1): Unit =
     shardLayout(df, key, shards)
@@ -296,8 +331,16 @@ object TrainMix {
   def shardLayout(df: DataFrame, key: Column, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     val keyed = df
+      // 's|' salts the shard hash away from Stats.hashSample's unsalted
+      // md5(key) threshold: a temperature-sampled corpus keeps rows with
+      // pmod(md5(key), 1e6) < rate, so an UNSALTED shard residue
+      // pmod(same hash, shards) is correlated with survival whenever
+      // gcd(shards, 1e6) > 1 (8, 10, 100...) — degenerate at
+      // shards=1000, rate=900: shards 900-999 get ZERO rows of that
+      // source (review-found). The oracle salts identically.
       .withColumn("shard",
-        pmod(Md5Long.md5Long(key.cast("string")), lit(shards.toLong)))
+        pmod(Md5Long.md5Long(concat(lit("s|"), key.cast("string"))),
+          lit(shards.toLong)))
       .withColumn("__ord",
         Md5Long.md5Long(concat(lit("o|"), key.cast("string"))))
     Stats.withRunningTotalBy(keyed, Seq(col("shard")),

@@ -606,8 +606,12 @@ object EventStream {
       .withColumn("rate_ppm", element_at(m, col(sourceCol)))
       .where(col("rate_ppm").isNotNull &&
         pmod(graft.plans.Md5Long.md5Long(key), lit(1000000L)) < col("rate_ppm"))
+      // 's|' salt = TrainMix.shardLayout's: the shard hash must be
+      // independent of the unsalted survival threshold above, or shard
+      // residues correlate with survival when gcd(shards, 1e6) > 1
       .withColumn("shard",
-        pmod(graft.plans.Md5Long.md5Long(key), lit(shards.toLong)))
+        pmod(graft.plans.Md5Long.md5Long(concat(lit("s|"), key)),
+          lit(shards.toLong)))
   }
 
   /** Streaming concat-and-chunk packing — the foreachBatch twin of

@@ -238,7 +238,9 @@ class TrainMixSpec extends SparkSpec {
       assert(mn == 1L && mx == n && nd == n)
     }
     // cell-identical to the window formulation it replaces at scale
-    val md5 = graft.plans.Md5Long.md5Long(col("doc_id").cast("string"))
+    // ('s|' salts the shard hash away from hashSample's threshold hash)
+    val md5 = graft.plans.Md5Long.md5Long(
+      concat(lit("s|"), col("doc_id").cast("string")))
     val ord = graft.plans.Md5Long.md5Long(
       concat(lit("o|"), col("doc_id").cast("string")))
     val w = org.apache.spark.sql.expressions.Window
