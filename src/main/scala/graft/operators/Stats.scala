@@ -25,14 +25,28 @@ object Stats {
     * 55th); the oracle applies the identical nudge. */
   def quantileDisc(df: DataFrame, keys: Seq[String], valueCol: String,
                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "quantileDisc needs at least one quantile")
+    // p-names round to whole percents: two quantiles landing on one name
+    // (0.995 and 1.0 both -> p100) would emit duplicate columns and break
+    // any by-name downstream reference — refuse loudly
+    val names = qs.map(q => s"p${(q * 100).round}")
+    require(names.distinct.size == names.size,
+      s"quantile column names collide after rounding: $names")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val ranked = df.where(col(valueCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
+      // LONG rank: IntegerType row_number wraps past 2^31 rows per group
+      // (wrapped ranks spuriously match the probe) — same design-scale
+      // guard as histogramQuantiles' decimal ceil-rank
+      .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-    val aggs = qs.map { q =>
-      max(when(col("__rn") ===
-          ceil(lit(q) * col("__n") * lit(1.0 - 1e-12)), col(valueCol)))
-        .as(s"p${(q * 100).round}")
+    val aggs = qs.zip(names).map { case (q, name) =>
+      // rank floored at 1: percentile_disc(0) is the MINIMUM, but
+      // ceil(0*n) = 0 matches no row_number and returned NULL
+      // (histogramQuantiles already clamps the same way)
+      max(when(col("__rn") === greatest(
+          ceil(lit(q) * col("__n") * lit(1.0 - 1e-12)), lit(1L)),
+          col(valueCol)))
+        .as(name)
     }
     ranked.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail ++ Seq(
@@ -71,8 +85,14 @@ object Stats {
     import spark.implicits._
     val hist = df.where(value.isNotNull)
       .select(value.cast("long").as("__v"))
+      // the offset runs in DECIMAL: (__v - lo) as a Long wraps when lo is
+      // negative and a sentinel value sits near Long.MaxValue — the
+      // wrapped NEGATIVE offset clamps the largest outlier into bin 0,
+      // shifting every cumulative count (review-found). The decimal DIV
+      // truncates like the Long DIV did, so in-range bins are unchanged.
       .selectExpr(
-        s"LEAST(GREATEST((__v - ${lo}L) DIV ${width}L, 0L), ${bins - 1}L) AS bin")
+        s"LEAST(GREATEST(CAST((CAST(__v AS DECIMAL(38,0)) - ${lo}L) " +
+          s"DIV ${width}L AS BIGINT), 0L), ${bins - 1}L) AS bin")
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
     // n comes from an unbounded frame over the SAME windowed relation —
     // a separate hist.agg(sum) branch would re-run the corpus groupBy
@@ -160,7 +180,12 @@ object Stats {
     * cell-identical to the window form (rank-with-ties = cnt_less + 1,
     * same (rank-1)/(n-1) double division, same *100), but distributed:
     * see [[cumLess]]. Callers with an expensive upstream should persist
-    * `df` — it is scanned twice (histogram + join-back). */
+    * `df` — it is scanned twice (histogram + join-back).
+    *
+    * NULL-score rows are DROPPED (the cumLess contract), and `n` counts
+    * non-null rows only — the window form would instead order nulls
+    * first and count them; coalesce upstream if null ranks are needed.
+    * Same caveat for [[withNtile]]. */
   def withPercentRank100(df: DataFrame, scoreCol: String, outCol: String,
                          scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
     val (cl, n) = cumLess(df, scoreCol, scope = scope)
@@ -204,7 +229,15 @@ object Stats {
     *
     * The input is persisted (the totals job and the window job both scan
     * it); callers streaming 100 TB through this should pass a projection
-    * of only the columns they need downstream. */
+    * of only the columns they need downstream.
+    *
+    * `orderCols` must be a TOTAL order (append a unique id as the final
+    * tiebreak, as every caller in this repo does): the within-partition
+    * frame is ROWS-based, so rows TIED on the full ordering receive
+    * arbitrary, run-varying prefixes (the SQL default RANGE frame would
+    * instead give all ties the tie-group-inclusive total — neither is
+    * meaningful without a total order). Same contract for
+    * [[withRunningTotalBy]]. */
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], weight: Column,
                        outCol: String, numParts: Int = 0,
                        scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
@@ -226,7 +259,11 @@ object Stats {
     val w = Window.partitionBy(col("__p")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted
-      .withColumn("__within", sum(col("__w")).over(w))
+      // coalesce like cumLess: a partition slice whose prefix weights are
+      // all NULL must contribute 0, not null the carried offset — the
+      // single-window form this replaces sums across the boundary and
+      // never sees the all-null prefix (review-found)
+      .withColumn("__within", coalesce(sum(col("__w")).over(w), lit(0L)))
       .join(broadcast(offDf), Seq("__p"))
       .withColumn(outCol, col("__off") + col("__within"))
       .drop("__p", "__w", "__within", "__off")
@@ -285,7 +322,7 @@ object Stats {
     val joinCond = (col("__p") === col("__po")) +: groupNames.map(n =>
       col(n) <=> col(n + "o"))
     parted.select(col("*") +: gCols: _*)
-      .withColumn("__within", sum(col("__w")).over(wIn))
+      .withColumn("__within", coalesce(sum(col("__w")).over(wIn), lit(0L)))
       .join(broadcast(offR), joinCond.reduce(_ && _))
       .withColumn(outCol, col("__off") + col("__within"))
       .drop("__p" :: "__po" :: "__w" :: "__within" :: "__off" ::
@@ -311,7 +348,11 @@ object Stats {
     * every run, retry, and engine; never rand()) and keep the first k.
     * One hash shuffle on the group key; the per-group window streams
     * (row_number, no full materialization). Complements [[hashSample]]
-    * (rate-based) with an exact-count contract. */
+    * (rate-based) with an exact-count contract.
+    *
+    * Determinism requires `key` UNIQUE per row: two rows sharing a key
+    * tie on both sort expressions, and which crosses a k-boundary can
+    * change across retries (the writeShards precondition). */
   def groupSample(df: DataFrame, groupCols: Seq[String], key: Column,
                   k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
@@ -323,9 +364,10 @@ object Stats {
   /** Two-stage salted aggregation for skewed group keys: stage 1 groups on
     * (key, salt) spreading a hot key over `salts` reducers (map-side
     * partial agg still applies), stage 2 merges the partials. Results are
-    * identical to a direct groupBy — only the shuffle shape changes.
-    * Salt must be deterministic per row (not rand()) so retries/oracles
-    * agree. */
+    * identical to a direct groupBy for INTEGRAL/decimal sums (this
+    * repo's discipline); float sums would round differently through the
+    * extra merge order and break cell-exact oracle comparison. Salt must
+    * be deterministic per row (not rand()) so retries/oracles agree. */
   def saltedAgg(df: DataFrame, key: String, saltSrc: Column, salts: Int,
                 sums: Seq[(String, Column)]): DataFrame = {
     val stage1 = df
