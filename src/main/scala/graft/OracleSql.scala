@@ -651,7 +651,7 @@ object OracleSql {
        |  FROM c2 c, qv q) WHERE rn <= 4)
        |SELECT af.vec_id,
        | list_inner_product(af.v, q.q) /
-       |   (sqrt(list_inner_product(af.v, af.v)) * sqrt(list_inner_product(q.q, q.q))) AS cos_sim
+       |   NULLIF(sqrt(list_inner_product(af.v, af.v)) * sqrt(list_inner_product(q.q, q.q)), 0) AS cos_sim
        |FROM af JOIN probes p ON af.cid = p.cid, qv q
        |WHERE af.vec_id <> 0
        |ORDER BY cos_sim DESC, af.vec_id
@@ -685,7 +685,7 @@ object OracleSql {
        |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
        |SELECT b.vec_id,
        | list_inner_product(b.v, q.qv) /
-       |   (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos_sim
+       |   NULLIF(sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(q.qv, q.qv)), 0) AS cos_sim
        |FROM b, q
        |WHERE $probePred AND b.vec_id <> 0
        |ORDER BY cos_sim DESC, b.vec_id
@@ -1143,7 +1143,7 @@ object OracleSql {
         |      FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id,
         | list_inner_product(ev, qv) /
-        |   (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))) AS cos_sim
+        |   NULLIF(sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv)), 0) AS cos_sim
         |FROM e, q
         |ORDER BY cos_sim DESC, vec_id
         |LIMIT 10""".stripMargin,
@@ -1152,8 +1152,10 @@ object OracleSql {
       """WITH x AS (SELECT label, unnest(embedding) AS v,
         |             generate_subscripts(embedding, 1) - 1 AS dim
         |           FROM embeddings)
-        |SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
-        | CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_v
+        |SELECT label, CAST(dim AS INT) AS dim,
+        | COUNT(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,9))) AS n,
+        | CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE)
+        |   / COUNT(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,9))) AS centroid_v
         |FROM x GROUP BY label, dim""".stripMargin,
 
     "q_text_quality" ->
@@ -1437,9 +1439,9 @@ object OracleSql {
          |         unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS bucket
          |       FROM bb)
          |SELECT c.doc_a, bp.doc_b,
-         |       list_inner_product(c.va, bp.vb) / (c.na * bp.nb) AS cos_sim
+         |       list_inner_product(c.va, bp.vb) / NULLIF(c.na * bp.nb, 0) AS cos_sim
          |FROM c JOIN bp USING (bucket)
-         |WHERE list_inner_product(c.va, bp.vb) / (c.na * bp.nb) >= 0.3""".stripMargin
+         |WHERE list_inner_product(c.va, bp.vb) / NULLIF(c.na * bp.nb, 0) >= 0.3""".stripMargin
     },
 
     "q_ann_lsh" -> annLshSql,
@@ -1642,9 +1644,9 @@ object OracleSql {
         |           FROM embeddings),
         |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nv FROM e)
         |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | list_inner_product(a.v, b.v) / (a.nv * b.nv) AS cos_sim
+        | list_inner_product(a.v, b.v) / NULLIF(a.nv * b.nv, 0) AS cos_sim
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.25""".stripMargin,
+        |WHERE list_inner_product(a.v, b.v) / NULLIF(a.nv * b.nv, 0) >= 0.25""".stripMargin,
 
     // same pair predicate as q_embed_neardup, then the same recursive
     // transitive closure as dupClustersSql: semantic (embedding-space)
@@ -1656,7 +1658,7 @@ object OracleSql {
         |nn AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nv FROM e),
         |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |          FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
-        |          WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.25),
+        |          WHERE list_inner_product(a.v, b.v) / NULLIF(a.nv * b.nv, 0) >= 0.25),
         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |nodes AS (SELECT DISTINCT s AS n FROM edges),
@@ -1854,7 +1856,7 @@ object OracleSql {
         |nn AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nv FROM e),
         |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |          FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
-        |          WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.25),
+        |          WHERE list_inner_product(a.v, b.v) / NULLIF(a.nv * b.nv, 0) >= 0.25),
         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),

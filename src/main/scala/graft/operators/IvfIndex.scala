@@ -125,8 +125,11 @@ object IvfIndex {
     val qCol = array(q.map(lit): _*)
     val base = excludeId.map(e => cells.where(col("vid") =!= e)).getOrElse(cells)
     base.select(col("vid").as(idCol),
+        // NULL (not NaN) on zero norms: NaN tops every descending sort
+        // in both engines — see Similarity.cosine
         (Similarity.dot(col("v"), qCol) /
-          (Similarity.norm(col("v")) * Similarity.norm(qCol))).as("cos_sim"))
+          nullif(Similarity.norm(col("v")) * Similarity.norm(qCol),
+            lit(0.0))).as("cos_sim"))
       .groupBy(col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)

@@ -25,6 +25,11 @@ object Similarity {
     * multiply-add, reversed fold) in any ANN path would silently break
     * the cross-engine exactness contract. */
   private[operators] def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    // loud on mismatched dims (the native expression returns NULL; a
+    // driver-side helper failing fast beats an IndexOutOfBounds deep in
+    // a fold); IndexedSeq-only so a(i) stays O(1)
+    require(a.length == b.length,
+      s"dotSeq: mismatched dims ${a.length} vs ${b.length}")
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
@@ -39,12 +44,24 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with a NULL (not NaN) result for zero-norm operands: 0/0
+    * is NaN, and BOTH engines compare NaN greater than everything — an
+    * all-zero vector would pass every `>= tau` gate and top every
+    * descending sort, pairing with its whole cell/bucket (mass false
+    * dedup, review-found). NULL instead fails the gate and sorts last
+    * in both engines; the oracles mirror the NULLIF. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Brute-force top-k most-cosine-similar rows to one query vector.
     * The query vector is a literal (driver-side lookup of one row — the one
     * legitimate collect in this module) so the scan-side plan is a single
-    * narrow projection + TakeOrdered. */
+    * narrow projection + TakeOrdered.
+    *
+    * `excludeId` uses plain (null-rejecting) inequality: with it set, a
+    * NULL-id row is excluded too — ids are the caller's join keys and a
+    * NULL id has no exclusion semantics; don't rely on NULL-id rows
+    * surviving one mode and not the other. */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
                  queryVec: Array[Float], k: Int, excludeId: Option[Long]): DataFrame = {
     val q = array(queryVec.map(v => lit(v)): _*)
@@ -61,16 +78,43 @@ object Similarity {
     * Computed driver-side once; tiny literal, no broadcast needed. */
   def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, d) =>
-      val x = (1103515245L * (p * dim + d) + 12345L) % 2048L
-      x.toDouble / 1024.0 - 1.0
+      // splitmix64 mix of the flat index: the previous single LCG step
+      // mod 2048 depended only on (p*dim + d) mod 2048, so planes p and
+      // p+D were IDENTICAL whenever D*dim % 2048 == 0 — at dim 1024 /
+      // 1536 / 2048 (common embedding widths) the LSH degenerated to
+      // <= 4 distinct planes with no error (review-found). The mixed
+      // value keeps the [-1, 1) grid of 1/1024 steps (exact doubles),
+      // so cross-engine exactness is unchanged — the oracle derives its
+      // plane literals from THIS function.
+      var z = (p.toLong * dim + d) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z % 2048L + 2048L) % 2048L).toDouble / 1024.0 - 1.0
     }
 
+  /** Driver-side bucket of one query vector — the SAME sign fold as
+    * [[lshBucket]] via [[dotSeq]] (one shared dot implementation; a
+    * drifted copy would flip sign-boundary bits vs the distributed
+    * column and the oracle). */
+  private def queryBucket(planes: Array[Array[Double]],
+                          queryVec: Array[Float]): Long = {
+    val q = queryVec.map(_.toDouble).toSeq
+    planes.zipWithIndex.map { case (plane, p) =>
+      if (dotSeq(plane.toSeq, q) >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+  }
+
   /** LSH bucket id: sign bits of projections onto `planes` hyperplanes. */
-  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column =
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.length <= 63,
+      s"lshBucket needs 1..63 planes (got ${planes.length}): bit p of the " +
+        "bucket is 1L << p, and plane 64+ would alias onto low bits")
     (0 until planes.length).map { p =>
       val plane = array(planes(p).map(lit): _*)
       when(dot(vecCol, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** ANN via LSH: restrict the candidate set to the query's bucket, then
     * exact cosine rerank. At scale the bucket column is a pre-materialized
@@ -80,10 +124,7 @@ object Similarity {
              excludeId: Option[Long]): DataFrame = {
     val dim = queryVec.length
     val planes = hyperplanes(nPlanes, dim)
-    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
-      val proj = plane.zip(queryVec).map { case (w, v) => w * v.toDouble }.sum
-      if (proj >= 0) 1L << p else 0L
-    }.reduce(_ | _)
+    val qBucket = queryBucket(planes, queryVec)
     val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), planes))
       .where(col("__bucket") === qBucket)
       .drop("__bucket")
@@ -100,10 +141,7 @@ object Similarity {
                        excludeId: Option[Long]): DataFrame = {
     val dim = queryVec.length
     val planes = hyperplanes(nPlanes, dim)
-    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
-      val proj = plane.zip(queryVec).map { case (w, v) => w * v.toDouble }.sum
-      if (proj >= 0) 1L << p else 0L
-    }.reduce(_ | _)
+    val qBucket = queryBucket(planes, queryVec)
     val probes = qBucket +: (0 until nPlanes).map(p => qBucket ^ (1L << p))
     val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), planes))
       .where(col("__bucket").isin(probes.map(b => b: Any): _*))
@@ -147,7 +185,8 @@ object Similarity {
       explode(array(probeCols: _*)).as("__bucket"))
     c.join(broadcast(b), Seq("__bucket"))
       .select(col("doc_a"), col("doc_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+        (dot(col("va"), col("vb")) /
+          nullif(col("na") * col("nb"), lit(0.0))).as("cos_sim"))
       .where(col("cos_sim") >= tau)
   }
 
@@ -183,7 +222,8 @@ object Similarity {
     a.join(b, Seq("cell"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("cell"), col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+        (dot(col("va"), col("vb")) /
+          nullif(col("na") * col("nb"), lit(0.0))).as("cos_sim"))
       .where(col("cos_sim") >= tau)
   }
 
@@ -196,7 +236,10 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(
-        count(lit(1)).as("n"),
+        // count exactly the ELEMENTS the sum saw: count(*) with a NULL
+        // element (or a decimal-overflowed cast) silently deflates the
+        // mean (review-found); the oracle mirrors COUNT of the same cast
+        count(col("v").cast("string").cast("decimal(18,9)")).as("n"),
         // float -> shortest string -> decimal: both engines produce the
         // same shortest round-trip repr, so the decimal is identical
         // (direct float->decimal casts round differently per engine).

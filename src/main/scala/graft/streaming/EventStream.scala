@@ -921,8 +921,10 @@ object EventStream {
         def cosHit(a: DataFrame, b: DataFrame, strict: Column): DataFrame =
           a.join(b, Seq("cell"))
             .where(strict &&
+              // NULL (not NaN) on zero norms: a zero vector must not
+              // near-dup-match its whole cell — see Similarity.cosine
               Similarity.dot(col("va"), col("vb")) /
-                (col("na") * col("nb")) >= tau)
+                nullif(col("na") * col("nb"), lit(0.0)) >= tau)
             .select(col("vid_a").as("vid")).distinct()
         val l = assigned.select(col("cell"), col("vid").as("vid_a"),
           col("v").as("va"), col("nv").as("na"))
