@@ -1235,7 +1235,8 @@ object OracleSql {
          |h AS (SELECT doc_id,
          |        list_transform(g4, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
          |      FROM g),
-         |w AS (SELECT doc_id, hs, CASE WHEN len(hs) >= 5
+         |w AS (SELECT doc_id, hs, CASE WHEN hs IS NULL THEN NULL
+         |  WHEN len(hs) >= 5
          |  THEN list_sort(list_distinct(list_transform(range(1, len(hs) - 3),
          |         i -> list_min(hs[i:i+4]))))
          |  ELSE [] END AS fp FROM h)

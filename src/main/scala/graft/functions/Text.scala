@@ -17,16 +17,19 @@ object Text {
     filter(split(text, " "), t => t =!= "")
 
   /** BPE-ish word/number tokens via regex (lowercase letters runs | digit
-    * runs); same count under Java regex and DuckDB RE2 for this class. */
+    * runs); same count under Java regex and DuckDB RE2 for this class.
+    * Caveat (shared with [[canonicalize]]): `lower()` is Java full case
+    * mapping in Spark but utf8proc simple mapping in DuckDB — exotic
+    * code points (U+0130 'İ' maps to 'i'+combining dot vs bare 'i')
+    * can diverge cross-engine; [a-z0-9]-class text is exact. */
   def regexTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))
 
   /** Count of tokens present in a fixed vocabulary (stopword hits). */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
-    size(filter(toks, t => t.isin(vocab.map(lit): _*)))
+    size(filter(toks, t => t.isin(vocab: _*)))
 
-  /** Quality metrics struct: chars, tokens, mean token length (x100, exact
-    * int arithmetic), stopword ratio (x1e6, exact). */
+  /** The stopword list q_text_quality's ratio signal counts against. */
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
@@ -52,7 +55,9 @@ object Text {
     * lowercase, then every non-alphanumeric run collapses to one space,
     * trimmed. Pure codegen expression chain; DuckDB mirror is
     * `trim(regexp_replace(lower(nfc_normalize(t)),'[^a-z0-9]+',' ','g'))`
-    * (Java regex and RE2 agree on this class). */
+    * (Java regex and RE2 agree on this class; `lower()` carries the
+    * [[regexTokens]] full-vs-simple case-mapping caveat on exotic code
+    * points — ASCII-dominant corpora are exact). */
   def canonicalize(text: Column): Column =
     trim(regexp_replace(
       lower(graft.plans.NfcNormalize.nfcNormalize(text)),
@@ -105,15 +110,23 @@ object Text {
 
   /** Count of matches for one PII category. */
   def piiCount(text: Column, category: String): Column = {
-    val pat = PiiPatterns.toMap.apply(category)
-    size(regexp_extract_all(text, lit(pat), lit(0)))
+    val pat = PiiPatterns.collectFirst { case (c, p) if c == category => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown PII category '$category' — known: " +
+          PiiPatterns.map(_._1).mkString(", ")))
+    // count matches without materializing every match string
+    // (the oracle's len(regexp_extract_all(...)) counts identically)
+    regexp_count(text, lit(pat)).cast("int")
   }
 
   /** Redact every PII category to its [CATEGORY] placeholder, in the
     * fixed order above. */
   def piiScrub(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (acc, (cat, pat)) =>
-      regexp_replace(acc, pat, s"[${cat.toUpperCase}]")
+      // Locale.ROOT: a Turkish-locale JVM would uppercase "email" to
+      // "EMAİL" and the scrubbed md5 would diverge from the oracle's
+      // hardcoded [EMAIL]
+      regexp_replace(acc, pat, s"[${cat.toUpperCase(java.util.Locale.ROOT)}]")
     }
 
   /** First-occurrence line dedup (the C4/Gopher "remove duplicate lines
@@ -122,7 +135,10 @@ object Text {
     * column reference to a pre-materialized array (interpreted HOFs copy
     * argument trees into every use site — the array is referenced once
     * per element here). O(lines^2) per row; lines per document are
-    * bounded, rows are not — this is a per-row expression, no shuffle. */
+    * bounded, rows are not — this is a per-row expression, no shuffle.
+    * NULL ELEMENTS are dropped (array_position(_, NULL) is NULL, failing
+    * the keep predicate) — fine for split() output (never null), and
+    * stated here because DuckDB's list_position NULL handling differs. */
   def dedupLinesOf(lines: Column): Column =
     filter(lines, (x, i) => array_position(lines, x) === (i + 1).cast("long"))
 
@@ -136,7 +152,10 @@ object Text {
     * engine-portable. */
   def winnowOf(hs: Column, w: Int): Column = {
     val cnt = size(hs) - (w - 1)
-    when(cnt >= 1,
+    // NULL input -> NULL (missing document), not [] (too short to
+    // fingerprint) — the shinglesOfHof discipline; oracle mirrors
+    when(hs.isNull, lit(null).cast("array<bigint>"))
+      .when(cnt >= 1,
       array_sort(array_distinct(
         transform(sequence(lit(1), cnt), i => array_min(slice(hs, i, lit(w)))))))
       .otherwise(array().cast("array<bigint>"))
@@ -156,13 +175,24 @@ object Text {
   /** Predicted language = lexicographically-first lang with maximal score;
     * ZERO signal (no profile word hit at all, or NULL tokens) is
     * undetermined — without the zero guard the first profile in sort
-    * order would confidently claim every empty/foreign document. */
+    * order would confidently claim every empty/foreign document.
+    *
+    * Shape: ONE argmax fold over a (score, lang) struct array. The
+    * greatest+CASE formulation embedded every vocab-filter tree into the
+    * base condition AND each branch — HOFs never codegen and conditional
+    * branches get no subexpression elimination, so each row paid ~5x the
+    * filter passes (review-found). Here each score tree appears exactly
+    * once; strict `>` keeps the FIRST maximal lang of the sorted array
+    * (the same lexicographic tie-break), NULL scores never displace the
+    * accumulator, and the -1 seed makes all-zero/NULL finish as 'und'. */
   def langId(toks: Column): Column = {
-    val scores = langScores(toks)
-    val best = greatest(scores.map(_._2): _*)
-    scores.sortBy(_._1).foldLeft(
-        when(best.isNull || best === 0, lit("und"))) {
-      case (acc, (lang, s)) => acc.when(s === best, lit(lang))
-    }.otherwise(lit("und"))
+    val pairs = array(langScores(toks).sortBy(_._1).map { case (lang, s) =>
+      struct(s.as("s"), lit(lang).as("l"))
+    }: _*)
+    aggregate(pairs,
+      struct(lit(-1).cast("int").as("s"), lit("und").as("l")),
+      (acc, p) => when(p.getField("s") > acc.getField("s"), p).otherwise(acc),
+      acc => when(acc.getField("s") <= 0, lit("und"))
+        .otherwise(acc.getField("l")))
   }
 }
