@@ -25,6 +25,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Local-disk tuning mirroring "size maxPartitionBytes to the
+      // cluster": the default 4 MB openCostInBytes floors the scan split
+      // at 4 MB, so a 35 MB parquet table reads in 9 tasks on a 32-core
+      // box and the longest scan stage runs at 28% parallelism. Local
+      // NVMe has no real per-file open cost; 256 KB lets
+      // bytes-per-core set the split and the scan use every core.
+      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      // Let AQE size the partitioning INSIDE cached plans too: the
+      // default (false) freezes an operator-persisted aggregate at the
+      // static shuffle partition count, so every downstream stage of a
+      // few-MB cached intermediate runs `spark.sql.shuffle.partitions`
+      // near-empty tasks — ~0.2 CPU-s of fixed task cost each, dozens of
+      // wasted task-slots per query tail.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     // A/B knob for plan-level experiments (e.g. AQE on/off): semicolon-
     // separated k=v overrides; the driver's contract call never sets it
     sys.env.get("SPARK_GRAFT_CONF").foreach(

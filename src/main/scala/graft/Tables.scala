@@ -11,8 +11,20 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * parquet scans so Catalyst gets pushdown + pruning for free.
   */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Per-(session, path) read cache: every `spark.read.parquet` call runs
+  // a 1-task footer job for schema inference, and a model query touches
+  // up to 6 table reads — ~0.4 s of sequential driver-blocking jobs per
+  // query at any scale. The test tables are immutable by contract
+  // (TESTDATA.md), so the DataFrame (a lazy plan, no data) is safe to
+  // reuse. Keyed by session so a restarted session re-reads; bounded
+  // clear guards the pathological many-sessions JVM.
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (readCache.size > 512) readCache.clear()
+    readCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
+  }
 
   /** Normalize an epoch column to the engine-wide contract of BIGINT
     * epoch-NANOSECONDS (UTC), whatever the on-disk parquet encoding:

@@ -24,6 +24,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: 4 MB default open-cost floor caps local scan
+      // parallelism at a handful of tasks for the MB-scale test tables
+      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -53,7 +53,7 @@ object Curate {
     // hot-key anti-join (Dedup.capByFreq), never a count-over-window on
     // the skewed key
     val bench = Dedup.capByFreq(scope.cache(benchAll), Seq("sh"),
-      maxNgramDf, Seq("doc", "sh"))
+      maxNgramDf, Seq("doc", "sh"), scope)
     // broadcast-or-shuffle guard, measured on the quantity that is
     // actually broadcast: the capped INDEX's (doc, ngram) ROWS — a
     // benchmark of few-but-long documents passes any doc-count probe
@@ -110,7 +110,7 @@ object Curate {
     * operands — see TfIdf.scoreTfIdf), and the quotient is <= 1e6 so the
     * final BIGINT cast is safe. The oracle side needs nothing: DuckDB
     * widens to INT128. */
-  private def ppmDivSql(a: String, b: String): String = {
+  private[operators] def ppmDivSql(a: String, b: String): String = {
     val x = s"(CAST($a AS DECIMAL(38,0)) * 1000000)"
     val d = s"CAST($b AS DECIMAL(38,0))"
     s"CAST(($x - $x % $d) / $d AS BIGINT)"
@@ -144,15 +144,27 @@ object Curate {
     * benchmarks are driver-scale by nature, and the collected set is what
     * the STATELESS streaming gate
     * ([[graft.streaming.EventStream.contaminationGateStream]]) broadcasts
-    * against an unbounded stream. Same cap semantics as [[contamination]]. */
+    * against an unbounded stream. Same cap semantics as [[contamination]].
+    *
+    * `maxCollected` bounds the driver collect (default 4M n-grams): a
+    * "benchmark" frame misconfigured to a corpus would otherwise OOM the
+    * driver with no actionable error. The probe is a LIMIT, so the scan
+    * stops at the cap instead of materializing the overflow. */
   def benchmarkNgrams(benchmark: DataFrame, idCol: String, textCol: String,
-                      n: Int, maxNgramDf: Int = Int.MaxValue): Array[String] = {
+                      n: Int, maxNgramDf: Int = Int.MaxValue,
+                      maxCollected: Int = 4 << 20): Array[String] = {
     val all = Dedup.shingleRows(benchmark, idCol, textCol, n)
     val kept =
       if (maxNgramDf == Int.MaxValue) all.select("sh").distinct()
       else all.groupBy("sh").agg(count(lit(1)).as("__df"))
         .where(col("__df") <= maxNgramDf).select("sh")
-    kept.collect().map(_.getString(0)).sorted
+    val rows = kept.limit(maxCollected + 1).collect()
+    require(rows.length <= maxCollected,
+      s"benchmarkNgrams: benchmark yields more than $maxCollected " +
+        s"distinct $n-grams — this is a driver-collected EVAL-BENCHMARK " +
+        "model, not a corpus operator. Train on a bounded reference set " +
+        "or raise maxCollected deliberately.")
+    rows.map(_.getString(0)).sorted
   }
 
   /** Cross-document boilerplate removal (the C4/RefinedWeb "drop lines
@@ -280,15 +292,27 @@ object Curate {
     * trains the LM on a reference corpus, then filters everything else):
     * the collected map must be broadcast-sized — train on a bounded
     * reference corpus, not the 100 TB stream. Consumed by
-    * [[graft.streaming.EventStream.lmGateStream]]. */
-  def lmModel(df: DataFrame, idCol: String, textCol: String): Map[String, Long] = {
+    * [[graft.streaming.EventStream.lmGateStream]].
+    *
+    * `maxCollected` bounds the driver collect (default 4M bigrams) with
+    * a loud error — pointing this trainer at an unbounded corpus must
+    * fail actionably, not OOM the driver (same discipline as
+    * [[benchmarkNgrams]] and the contamination broadcast guard). */
+  def lmModel(df: DataFrame, idCol: String, textCol: String,
+              maxCollected: Int = 4 << 20): Map[String, Long] = {
     val bg = bigramRows(df, idCol, textCol)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    c12.join(c1, "w1")
+    val rows = c12.join(c1, "w1")
       .select(concat_ws(" ", col("w1"), col("w2")).as("b"),
         expr(ppmDivSql("c12", "c1")).as("ppm"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .limit(maxCollected + 1).collect()
+    require(rows.length <= maxCollected,
+      s"lmModel: reference corpus yields more than $maxCollected " +
+        "distinct bigrams — the collected model would not be " +
+        "broadcast-sized. Train on a bounded reference corpus or raise " +
+        "maxCollected deliberately.")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Corpus-trained quality classifier (the fastText/CCNet "reference
@@ -346,9 +370,12 @@ object Curate {
     // (review-found — e.g. one mislabeled singleton type crushing the
     // dominant stratum to nothing); 1 ppm keeps the closest achievable
     // non-empty rate at this resolution. The oracle mirrors GREATEST.
+    // The quotient rides ppmDivSql like every other ppm site: the raw
+    // BIGINT product __mn * 1e6 wraps past a ~9.2e12 minimum-stratum
+    // count where DuckDB's widened // stays exact.
     val rates = counts.crossJoin(broadcast(mn))
       .select(col(stratumCol),
-        greatest(expr("(__mn * 1000000) DIV __n"), lit(1L)).as("__ppm"))
+        greatest(expr(ppmDivSql("__mn", "__n")), lit(1L)).as("__ppm"))
     Stats.hashSample(df.join(broadcast(rates), Seq(stratumCol)), key, col("__ppm"))
       .drop("__ppm")
   }

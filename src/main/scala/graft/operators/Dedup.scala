@@ -77,16 +77,30 @@ object Dedup {
     * 100M docs became one straggling, spilling WindowExec task. The hot
     * set is small by construction (a key is hot only above `cap`
     * occurrences, so |hot| < rows/cap, and zipf reality makes it a
-    * handful of stop-grams); a cap so misconfigured that the hot set
-    * outgrows the broadcast ceiling fails LOUDLY there instead of
-    * straggling silently. */
+    * handful of stop-grams). |hot| < rows/cap is a LOOSE bound, though —
+    * 1e12 rows at cap=64 still permits ~1.5e10 hot keys on a flat
+    * distribution — so the hot set is counted (a limit-probe on the
+    * cached aggregate, one cheap job) BEFORE the broadcast and a
+    * misconfigured cap fails with an actionable message instead of a
+    * driver OOM mid-broadcast. */
   private[graft] def capByFreq(rel: DataFrame, keys: Seq[String], cap: Int,
-                        keep: Seq[String]): DataFrame =
+                        keep: Seq[String],
+                        scope: PersistScope = PersistScope(),
+                        maxHotKeys: Long = 4L << 20): DataFrame =
     if (cap == Int.MaxValue) rel
     else {
-      val hot = rel.groupBy(keys.map(col): _*)
+      val hot = scope.cache(rel.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
-        .select(keys.map(col): _*)
+        .select(keys.map(col): _*))
+      // limit-probe, not count(): on a pathological key universe the
+      // probe stops scanning at maxHotKeys + 1 rows
+      val nHot = hot.limit((maxHotKeys + 1).toInt).count()
+      require(nHot <= maxHotKeys,
+        s"capByFreq: more than $maxHotKeys keys exceed cap=$cap on " +
+          s"(${keys.mkString(", ")}) — the hot set no longer fits a " +
+          "broadcast. Raise the frequency cap (fewer keys qualify as " +
+          "hot) or pre-filter the key universe; a broadcast this size " +
+          "would OOM the driver instead of failing here.")
       rel.join(broadcast(hot), keys, "left_anti")
         .select(keep.map(col): _*)
     }
@@ -126,7 +140,7 @@ object Dedup {
     // doc); the cache is on the UNCAPPED explode so both capByFreq passes
     // read it, never the interpreted shingling
     val sh = capByFreq(scope.cache(all), Seq("sh"), maxShingleDf,
-      Seq("doc", "sh"))
+      Seq("doc", "sh"), scope)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
       .where(col("a.doc") < col("b.doc"))
@@ -163,7 +177,7 @@ object Dedup {
     // fingerprints are distinct per doc, so the row count per fp IS the
     // document frequency
     val fps = capByFreq(scope.cache(all), Seq("fp"), maxFpDf,
-      Seq("doc", "fp"))
+      Seq("doc", "fp"), scope)
     fps.select(col("doc").as("doc_a"), col("fp"))
       .join(fps.select(col("doc").as("doc_b"), col("fp")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))
@@ -244,7 +258,7 @@ object Dedup {
     // materialize once
     val all = bandedSigs(sigs, k, bands)
     val banded = capByFreq(scope.cache(all), Seq("band", "sig"), maxBucket,
-      Seq("doc", "band", "sig"))
+      Seq("doc", "band", "sig"), scope)
     banded.as("a").join(banded.as("b"), Seq("band", "sig"))
       .where(col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -382,7 +396,7 @@ object Dedup {
         shiftright(col("sh"), b * 15).bitwiseAND(0x7FFF)): _*))
         .as(Seq("blk", "bv")))
     val banded = capByFreq(scope.cache(all), Seq("blk", "bv"), maxBucket,
-      Seq("doc", "sh", "blk", "bv"))
+      Seq("doc", "sh", "blk", "bv"), scope)
     val a = banded.select(col("doc").as("doc_a"), col("sh").as("__sha"),
       col("blk"), col("bv"))
     val b = banded.select(col("doc").as("doc_b"), col("sh").as("__shb"),

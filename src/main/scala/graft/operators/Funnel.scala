@@ -79,8 +79,13 @@ object Funnel {
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .where(col("to_type").isNotNull)
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-      .withColumn("p_ppm",
-        expr("n * 1000000 DIV sum(n) OVER (PARTITION BY from_type)"))
+      // ppm via the shared DECIMAL(38,0) form (Curate.ppmDivSql): the
+      // raw BIGINT product n * 1e6 leaves the long range past ~9.2e12
+      // transitions of one type, where DuckDB's widened // stays exact
+      .withColumn("__row_n",
+        expr("sum(n) OVER (PARTITION BY from_type)"))
+      .withColumn("p_ppm", expr(Curate.ppmDivSql("n", "__row_n")))
+      .drop("__row_n")
       // Deterministic output order: the matrix is |types|^2 rows, so a
       // global sort is free and makes the result hash-stable regardless
       // of how the consumer captures it.

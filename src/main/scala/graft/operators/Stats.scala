@@ -149,16 +149,23 @@ object Stats {
               scope: graft.PersistScope = graft.PersistScope()): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val parts =
-      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
     // persisted at the range shuffle: the totals job and the window job
     // must see the SAME partition ids (they do regardless — RangePartitioner
     // boundary sampling is seeded deterministically — but the cache also
-    // saves recomputing the groupBy)
-    val parted = scope.cache(df.where(col(scoreCol).isNotNull)
+    // saves recomputing the groupBy).
+    // numParts <= 0 leaves the count to AQE: without an explicit N the
+    // range shuffle is coalescable, so a post-aggregation score table of
+    // a few thousand rows runs its offset window in 1-2 tasks instead of
+    // numShufflePartitions near-empty ones (the offsets absorb ANY
+    // monotonic split, so the partition count is pure cost tuning).
+    // Coalescing merges ADJACENT range partitions — ids stay contiguous
+    // and monotonic, which is all the prefix-sum needs.
+    val grouped = df.where(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
-      .repartitionByRange(parts, col(scoreCol))
-      .withColumn("__p", spark_partition_id()))
+    val ranged =
+      if (numParts > 0) grouped.repartitionByRange(numParts, col(scoreCol))
+      else grouped.repartitionByRange(col(scoreCol))
+    val parted = scope.cache(ranged.withColumn("__p", spark_partition_id()))
     val totals = parted.groupBy("__p").agg(sum("__cnt").as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (totals.isEmpty)
@@ -237,7 +244,15 @@ object Stats {
     * arbitrary, run-varying prefixes (the SQL default RANGE frame would
     * instead give all ties the tie-group-inclusive total — neither is
     * meaningful without a total order). Same contract for
-    * [[withRunningTotalBy]]. */
+    * [[withRunningTotalBy]].
+    *
+    * `weight` must be NON-NULL (integral): the per-partition offset
+    * coalesces an all-NULL-weight prefix to 0 where the single-window
+    * SQL form `SUM(w) OVER (ORDER BY ...)` (and DuckDB) would yield
+    * NULL — equivalence to the window form holds only under non-null
+    * weights, which every caller in this repo satisfies (counts and
+    * token lengths). Coalesce a nullable weight upstream if NULL
+    * prefixes must stay NULL. */
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], weight: Column,
                        outCol: String, numParts: Int = 0,
                        scope: graft.PersistScope = graft.PersistScope()): DataFrame = {

@@ -274,16 +274,22 @@ object Models {
     * TWICE through 27-column dedup windows, every dimension joins once
     * per leg, and the licence-dimension join survives even though the
     * impact models project it away (Catalyst cannot prune a LEFT join —
-    * it can't prove the dim side unique). Here the events shuffle ONCE,
-    * narrow (12 columns), through a single exchange that serves both the
-    * exclusion flag and the per-(leg, permit) dedup: the completed-stop
-    * exclusion is a `collect_set` window over the permit reference (the
-    * dbt event-level NOT-IN, in_progress_list_london.sql:81-87, evaluated
-    * before the dedup exactly as the dbt CTE order does), and the
-    * latest-event pick is a `lag` over the same partitioning ordered
-    * (leg, event_time DESC, event_reference DESC) — a filter between the
-    * two windows preserves the hash partitioning, so no second exchange.
-    * The geometry and uprn-count dimensions then join once. */
+    * it can't prove the dim side unique). Here both the completed-stop
+    * exclusion (the dbt event-level NOT-IN,
+    * in_progress_list_london.sql:81-87) and the per-(leg, permit)
+    * latest-event dedup are AGGREGATIONS, not windows: `max` of a struct
+    * ordered (event_time, event_reference) picks the same row the dbt
+    * `DISTINCT ON ... ORDER BY event_time DESC, event_reference DESC`
+    * does, and the exclusion becomes a flag on the aggregation grain —
+    * per (permit, authority) when the exclusion correlates on authority
+    * (a stop in the SAME authority group is exactly a NOT-IN hit), per
+    * permit when it doesn't. Aggregation gets what windows cannot:
+    * map-side partial combine (a permit's event history collapses to at
+    * most one candidate per grain BEFORE the exchange) and no
+    * per-partition sort+buffer (the r16 plan spent ~56 CPU-seconds at
+    * sf1.5 in the two window sorts + per-row `array_contains`; the agg
+    * form spends it nowhere). The geometry and uprn-count dimensions
+    * then join once, on the deduped frame (half the probe rows). */
   def combinedPermitRowsFromEvents(permits: DataFrame, openUsrns: DataFrame,
       uprnCounts: DataFrame, authorities: Seq[String] = Nil,
       correlateOnAuthority: Boolean = true): DataFrame =
@@ -324,28 +330,71 @@ object Models {
       .where((col("work_status_ref") === "in_progress" && inAuthorities) ||
         isStop)
       .withColumn("__leg", when(isStop, lit(1)).otherwise(lit(0)))
-    val wAll = Window.partitionBy(col("permit_reference_number"))
-    val wOrd = wAll.orderBy(col("__leg"),
-      col("event_time").desc, col("event_reference").desc)
-    // a null-key anti-join never matches, so a NULL authority is never
-    // excluded — coalesce(false) reproduces that
-    val excl =
-      if (correlateOnAuthority)
-        array_contains(
-          collect_set(when(col("__leg") === 1, col("highway_authority")))
-            .over(wAll),
-          col("highway_authority"))
-      else max(col("__leg")).over(wAll) === 1
+    // the latest-pick payload: (event_time, event_reference) FIRST so
+    // struct ordering == the dbt ORDER BY event_time DESC,
+    // event_reference DESC pick (max == latest; trailing payload fields
+    // only break exact (time, ref) ties, deterministically — the window
+    // form left those to partition order)
+    val payFields = Seq("event_time", "event_reference") ++
+      scoringCols.filterNot(c => c == "geometry" || c == "uprn_count")
+    val pay = struct(payFields.map(col): _*)
+    val ref = col("permit_reference_number")
     // NULL join keys never match an anti-join, so the list route keeps a
-    // NULL-ref in-progress row even when a NULL-ref stop exists; the
-    // window would pool all NULL refs into one partition and wrongly
-    // exclude them — gate the flag on a real reference
-    val latest = tagged
-      .withColumn("__excl", coalesce(excl, lit(false)) &&
-        col("permit_reference_number").isNotNull)
-      .where(inAuthorities && (col("__leg") === 1 || !col("__excl")))
-      .withColumn("__prev_leg", lag(col("__leg"), 1).over(wOrd))
-      .where(col("__prev_leg").isNull || col("__prev_leg") =!= col("__leg"))
+    // NULL-ref in-progress row even when a NULL-ref stop exists (and a
+    // NULL stop AUTHORITY matches nothing under correlation) — gate the
+    // exclusion on real keys. NULL refs still pool into ONE aggregation
+    // group, exactly like the dbt DISTINCT ON pools them into one key.
+    // `max(struct)` has an immutable agg buffer, so these plan as
+    // SortAggregates. Pre-partitioning on the permit alone makes ONE
+    // exchange + ONE sort serve the whole chain: HashPartitioning(ref)
+    // satisfies ClusteredDistribution(ref, authority) (subset rule), the
+    // (ref, authority) sort order is a prefix-extension of (ref), and
+    // the natural partial+final plan — which pays a full map-side sort
+    // per level for at most an events-per-permit dedup — never fires.
+    val byPermit = tagged.repartition(ref)
+    val merged =
+      if (correlateOnAuthority) {
+        // grain 1: (permit, authority) — a completed stop in the group IS
+        // a NOT-IN hit for every in-progress row of the group, so the
+        // exclusion is decided here, before the cross-authority merge
+        val g1 = byPermit
+          .groupBy(ref, col("highway_authority"))
+          .agg(
+            max(when(col("__leg") === 0, pay)).as("__in_pa"),
+            max(when(col("__leg") === 1 && inAuthorities, pay))
+              .as("__done_pa"),
+            max(col("__leg")).as("__has_stop"))
+        // grain 2: permit — max of per-authority maxes == the global
+        // latest over the surviving rows; same partitioning, same sort
+        // run, zero additional exchanges.
+        g1.groupBy(ref)
+          .agg(
+            max(when(col("__has_stop") === 1 &&
+              col("highway_authority").isNotNull && ref.isNotNull,
+              lit(null)).otherwise(col("__in_pa"))).as("__in"),
+            max(col("__done_pa")).as("__done"))
+      } else {
+        // uncorrelated: a stop ANYWHERE excludes the permit — one grain
+        byPermit
+          .groupBy(ref)
+          .agg(
+            max(when(col("__leg") === 0, pay)).as("__in0"),
+            max(when(col("__leg") === 1 && inAuthorities, pay))
+              .as("__done"),
+            max(col("__leg")).as("__any_stop"))
+          .select(ref,
+            when(col("__any_stop") === 1 && ref.isNotNull, lit(null))
+              .otherwise(col("__in0")).as("__in"),
+            col("__done"))
+      }
+    val latest = merged
+      .select(ref, explode(array(
+        struct(lit(0).as("__leg"), col("__in").as("__e")),
+        struct(lit(1).as("__leg"), col("__done").as("__e")))).as("__x"))
+      .select(ref, col("__x.__leg").as("__leg"), col("__x.__e").as("__e"))
+      .where(col("__e").isNotNull)
+      .select(Seq(ref, col("__leg")) ++
+        payFields.map(f => col(s"__e.$f").as(f)): _*)
     joinGeoAndCounts(latest, openUsrns, uprnCounts)
       .select((scoringCols ++
         (if (keepTags) Seq("permit_reference_number", "__leg")
@@ -482,8 +531,6 @@ object Models {
     // scope rides in so cumLess's internal cache releases with ours
     val (cl, n) = Stats.cumLess(raw, "total10", scope = scope)
     val denom = lit(math.max(n - 1L, 1L).toDouble)
-    // byAuth is re-derived downstream of the global rank window — cache
-    // the ~one-row-per-authority aggregate
     val byAuthAggs = Seq(
       countDistinct(col("usrn")).as("total_usrns_count"),
       (sum("uprn_count").cast("double") / count(lit(1))).as("avg_uprn_count"),
@@ -493,7 +540,10 @@ object Models {
       max("total10").as("__mx10"), min("total10").as("__mn10"),
       sum("__cnt_less").as("__sum_cl")) ++
       breakdownCols.map(c => sum(col(c)).as(c))
-    val byAuth = scope.cache(raw.join(cl, Seq("total10"))
+    // byAuth feeds ONE consumer (the authority-rank window below), so it
+    // is deliberately NOT cached — an InMemoryRelation here would add a
+    // materialization pass for nothing
+    val byAuth = (raw.join(cl, Seq("total10"))
       .groupBy("highway_authority", "highway_authority_swa_code")
       .agg(byAuthAggs.head, byAuthAggs.tail: _*)
       .withColumn("total_impact_level", col("__t10").cast("double") / 10)

@@ -32,8 +32,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * old table or the new one, never a mix; a crashed writer leaves only
   * an unreferenced data directory (or a burned claim slot) that
   * `vacuum` reclaims after a grace period. Old manifests stay until
-  * vacuumed -> free time travel by version. */
+  * vacuumed -> free time travel by version.
+  *
+  * ==Supported-filesystem contract==
+  * The claim/land primitives REQUIRE two store guarantees: atomic
+  * exclusive create (`create(overwrite=false)` — namenode-atomic on
+  * HDFS, O_CREAT|O_EXCL on posix) and atomic no-overwrite rename. Flat
+  * object stores provide NEITHER through the Hadoop connector (s3a's
+  * create-no-overwrite and rename are copy/check-then-act), so two
+  * writers could both "win" a claim and silently shadow each other's
+  * commits. Commits therefore REFUSE object-store schemes loudly at the
+  * API boundary ([[requireAtomicCommitFs]]) instead of corrupting
+  * quietly under race. Porting to S3 needs a conditional-put seam
+  * (PutObject If-None-Match on the claim marker, manifest via the same)
+  * — the protocol maps 1:1, but it must be implemented against the
+  * store API, not the Hadoop FS facade. */
 object SnapshotTable {
+
+  /** Hadoop-connector schemes of flat object stores where neither
+    * exclusive-create nor rename is atomic — the two primitives the
+    * commit protocol stands on (see the contract note above). */
+  private val nonAtomicSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
+
+  /** Loud API-boundary guard for every committing entry point: refuses
+    * a root whose scheme cannot honor the claim/land atomicity contract
+    * BEFORE any data is written. Checked from the root URI (not the
+    * instantiated FileSystem) so the refusal also fires on classpaths
+    * without the store connector. */
+  private def requireAtomicCommitFs(rootP: Path): Unit = {
+    val scheme = Option(rootP.toUri.getScheme).getOrElse("file")
+    require(!nonAtomicSchemes.contains(scheme.toLowerCase),
+      s"snapshot-table: '$scheme://' is a flat object store — its " +
+        "exclusive-create and rename are not atomic, so the claim/land " +
+        "commit protocol can silently lose concurrent commits there. " +
+        "Supported stores: HDFS and posix-class filesystems (atomic " +
+        "O_EXCL create + rename). An S3 port needs a conditional-put " +
+        "(If-None-Match) integration, not the Hadoop FS facade.")
+  }
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -102,6 +138,7 @@ object SnapshotTable {
       carried: (SparkSession, FileSystem, Path, Long) => Vector[String]): Long = {
     val spark = df.sparkSession
     val rootP = new Path(root)
+    requireAtomicCommitFs(rootP)
     val f = fs(spark, rootP)
     f.mkdirs(new Path(rootP, "_manifests"))
 
@@ -478,6 +515,7 @@ object SnapshotTable {
     * vacuum-reclaimed. Returns the new version. */
   def merge(source: DataFrame, root: String, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "snapshot-table: merge needs at least one key")
+    requireAtomicCommitFs(new Path(root)) // before any read touches the store
     val spark = source.sparkSession
     if (versions(spark, root).isEmpty) return write(source, root)
     import org.apache.spark.sql.functions.{col, input_file_name}
@@ -542,6 +580,7 @@ object SnapshotTable {
     * shadow the racer's rows. Returns the new version. */
   def compact(spark: SparkSession, root: String,
               targetFileMB: Int = 512): Long = {
+    requireAtomicCommitFs(new Path(root)) // before any read touches the store
     val live = liveVersion(spark, root)
     val df = read(spark, root, Some(live))
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes

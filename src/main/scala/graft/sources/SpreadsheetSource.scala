@@ -170,6 +170,16 @@ object SpreadsheetSource {
       .withColumn("rn0", sum(col("rrep")).over(wr) - col("rrep"))
       .where(col("cs").isNotNull) // empty repeated row runs only advance rn
       .withColumn("rrep", checkedRep(col("rrep"), 1L << 20, "row"))
+      // the per-run cap alone is not a grid guarantee: many non-empty
+      // runs each under 2^20 still explode runs x 2^20 rows in total —
+      // the CUMULATIVE end index must also sit inside the grid, exactly
+      // like a real sheet (LibreOffice refuses files past row 2^20)
+      .withColumn("rn0",
+        when(col("rn0") + col("rrep") - 1 <= (1L << 20) - 1, col("rn0"))
+          .otherwise(raise_error(concat(
+            lit("graft-ods: cumulative row index "),
+            (col("rn0") + col("rrep") - 1).cast("string"),
+            lit(s" outside the 0..${(1L << 20) - 1} grid")))))
       .select(explode(sequence(col("rn0"), col("rn0") + col("rrep") - 1)).as("rn"),
         col("cs"))
     val cells = rows
@@ -184,6 +194,14 @@ object SpreadsheetSource {
     val positioned = cells
       .withColumn("ci0", sum(col("rep")).over(w) - col("rep"))
       .where(col("value").isNotNull) // empty runs position later cells, nothing more
+      // same cumulative-grid rule as rows: runs x 16384 per-run-legal
+      // repeats must still land inside the 16384-column sheet
+      .withColumn("ci0",
+        when(col("ci0") + col("rep") - 1 <= 16383L, col("ci0"))
+          .otherwise(raise_error(concat(
+            lit("graft-ods: cumulative column index "),
+            (col("ci0") + col("rep") - 1).cast("string"),
+            lit(" outside the 0..16383 grid")))))
       .select(col("rn"),
         explode(sequence(col("ci0"), col("ci0") + col("rep") - 1)).as("ci"),
         col("value"))

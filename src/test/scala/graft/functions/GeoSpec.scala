@@ -126,4 +126,46 @@ class GeoSpec extends SparkSpec {
       .as[Double].head()
     assert(len == 7.0) // 3 + 4; open path, no closing edge
   }
+
+  test("GeoJSON fuzz: 1000 mutated documents — null or valid WKT, never a throw") {
+    // the null-or-loud contract of the cadent ingestion path
+    // (Catalog's RFC-4180-quoted GeoJSON column, dirty-row-nulls):
+    // geoJsonToWkt and stGeomFromGeoJson must NEVER throw (ANSI mode
+    // turns an unguarded element_at into a job-killer), and every
+    // non-null WKT they do emit must parse back
+    val fixtures = Seq(
+      """{"type":"Point","coordinates":[1.5,2.5]}""",
+      """{"type":"LineString","coordinates":[[0,0],[10,0],[10,10]]}""",
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]],[[1,1],[2,1],[1,2],[1,1]]]}""",
+      """{"type":"MultiPoint","coordinates":[[0,0],[5,5]]}""",
+      """{"type":"MultiLineString","coordinates":[[[0,0],[1,1]],[[2,2],[3,3]]]}""",
+      """{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[4,4],[0,0]]],[[[9,9],[10,9],[9,10],[9,9]]]]}"""
+    ).map(_.getBytes("UTF-8"))
+    val cases = for {
+      (fix, f) <- fixtures.zipWithIndex
+      i <- 0 until (1000 / fixtures.size)
+    } yield new String(graft.FuzzUtil.mutate(fix, 4217L + f, i), "UTF-8")
+    // one batched plan, not 1000 jobs: any per-row throw fails the job
+    val out = (cases :+ null).toDF("gj")
+      .select(Geo.geoJsonToWkt(col("gj")).as("wkt"),
+        Geo.stGeomFromGeoJson(col("gj")).as("g"))
+      .collect()
+    assert(out.length === cases.length + 1)
+    val wktTypes = Seq("POINT (", "LINESTRING (", "MULTIPOINT (",
+      "POLYGON (", "MULTILINESTRING (", "MULTIPOLYGON (")
+    val nonNull = out.flatMap(r => Option(r.getString(0)))
+    nonNull.foreach { w =>
+      assert(wktTypes.exists(w.startsWith), s"unrecognized WKT shape: $w")
+    }
+    // the emitted WKTs round-trip through the WKT parser (same geometry
+    // model): parse must yield a non-empty vertex array, not null
+    val parsed = nonNull.toSeq.toDF("wkt")
+      .select(size(Geo.stGeomFromText(col("wkt")))).as[Int].collect()
+    assert(parsed.forall(_ >= 1), "a fuzz-surviving WKT failed to re-parse")
+    // sanity: the harness isn't vacuously all-null — the untouched
+    // fixtures themselves must all render
+    val clean = fixtures.map(new String(_, "UTF-8")).toDF("gj")
+      .select(Geo.geoJsonToWkt(col("gj"))).collect()
+    assert(clean.forall(_.getString(0) != null))
+  }
 }

@@ -151,4 +151,24 @@ class CurateSpec extends SparkSpec {
       ("s1", "s3", 999999L),
       ("s2", "s3", 999999L)))
   }
+
+  test("trainer collects fail LOUDLY past their driver-size caps") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    // benchmarkNgrams: 10 distinct trigrams > cap 4
+    val e1 = intercept[IllegalArgumentException] {
+      Curate.benchmarkNgrams(corpus, "doc_id", "text", 3, maxCollected = 4)
+    }
+    assert(e1.getMessage.contains("driver-collected"))
+    // under the cap the set is complete and sorted
+    val ng = Curate.benchmarkNgrams(corpus, "doc_id", "text", 3)
+    assert(ng.length === 10 && ng.sorted.sameElements(ng))
+    // lmModel: 12 distinct bigrams > cap 4
+    val e2 = intercept[IllegalArgumentException] {
+      Curate.lmModel(corpus, "doc_id", "text", maxCollected = 4)
+    }
+    assert(e2.getMessage.contains("broadcast-sized"))
+    assert(Curate.lmModel(corpus, "doc_id", "text").size === 12)
+  }
 }

@@ -214,4 +214,22 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     assert(Dedup.dupSpans(df, "doc_id", "text", n = 3).count() === 0L)
   }
+
+  test("capByFreq fails LOUDLY when the hot set outgrows the broadcast cap") {
+    // 3 keys each above cap=1; with maxHotKeys=2 the limit-probe must
+    // refuse before broadcasting, with an actionable message
+    val rel = Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b",
+      3L -> "a", 3L -> "b").toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.capByFreq(rel, Seq("k"), cap = 1, keep = Seq("k", "v"),
+        maxHotKeys = 2L)
+    }
+    assert(e.getMessage.contains("hot set"))
+    // under the cap: identical result to the unguarded semantics
+    val kept = Dedup.capByFreq(rel, Seq("k"), cap = 2, keep = Seq("k", "v"))
+    assert(kept.count() === 6L) // no key exceeds cap=2
+    val kept1 = Dedup.capByFreq(rel, Seq("k"), cap = 1, keep = Seq("k", "v"),
+      maxHotKeys = 16L)
+    assert(kept1.count() === 0L) // every key is hot at cap=1
+  }
 }

@@ -387,4 +387,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSeq ==
       Seq((3L, "v3")))
   }
+
+  test("object-store roots are refused at the API boundary, before any write") {
+    // the claim/land protocol needs atomic O_EXCL create + rename — flat
+    // object stores have neither through the Hadoop connector, and the
+    // refusal must fire from the URI scheme alone (no s3a classes on
+    // this classpath, and no data directory may be created first)
+    val df = Seq((1L, "x")).toDF("k", "v")
+    for (scheme <- Seq("s3a", "s3", "gs", "wasbs")) {
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.write(df, s"$scheme://bucket/table")
+      }
+      assert(e.getMessage.contains("conditional-put"), s"$scheme: $e")
+    }
+    // merge and compact ride the same commit core — spot-check one
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(df, "s3a://bucket/table", Seq("k"))
+    }
+    assert(e.getMessage.contains("object store"))
+  }
 }

@@ -123,16 +123,45 @@ class SpreadsheetFuzzSpec extends SparkSpec {
         else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("not positive")), s"$e")
     }
-    // the format's real padding idiom (empty 16384-wide run) still reads
+    // the format's real padding idiom — TRAILING empty runs out to the
+    // 16384-column edge — still reads (empty runs are filtered before
+    // the cumulative-grid check, so padding costs nothing and the sheet
+    // stays exactly grid-sized: 1 + 2 + 16381 = 16384)
     val okContent = odsContent("2", "1").replace(
+      "</table:table-cell></table:table-row>\n</table:table>",
+      "</table:table-cell>" +
+        "<table:table-cell table:number-columns-repeated=\"16381\"/>" +
+        "</table:table-row>\n</table:table>")
+    withTempFile(mkZip(Seq("content.xml" -> okContent)), ".ods") { path =>
+      val df = SpreadsheetSource.readOds(spark, path, s"$staging/ok")
+      assert(df.columns.take(2).toSeq === Seq("Area", "Q1"))
+    }
+    // CUMULATIVE grid overflow: each run is inside the per-run cap, but
+    // together they leave the sheet — a per-run check alone would explode
+    // runs x cap rows (review-found). Columns: a leading EMPTY 16384-run
+    // positions the per-run-legal rep=2 cell at columns 16384-16385;
+    // rows: two 600k non-empty runs end past row 2^20.
+    val colOverflow = odsContent("2", "1").replace(
       "<table:table-cell table:number-columns-repeated=\"2\"",
       "<table:table-cell table:number-columns-repeated=\"16384\"/>" +
         "<table:table-cell table:number-columns-repeated=\"2\"")
-    withTempFile(mkZip(Seq("content.xml" -> okContent)), ".ods") { path =>
-      // empty run positions (no fanout); the non-empty rep=2 run lands
-      // after it — reading succeeds and the header row is intact
-      val df = SpreadsheetSource.readOds(spark, path, s"$staging/ok")
-      assert(df.columns.take(2).toSeq === Seq("Area", "Q1"))
+    val rowOverflow = odsContent("2", "600000").replace(
+      "<table:table-row table:number-rows-repeated=\"600000\">",
+      "<table:table-row table:number-rows-repeated=\"600000\">" +
+        "<table:table-cell office:value-type=\"string\">" +
+        "<text:p>pad</text:p></table:table-cell></table:table-row>" +
+        "<table:table-row table:number-rows-repeated=\"600000\">")
+    Seq("colof" -> colOverflow, "rowof" -> rowOverflow).foreach {
+      case (tag, content) =>
+        withTempFile(mkZip(Seq("content.xml" -> content)), ".ods") { path =>
+          val e = intercept[Exception](
+            SpreadsheetSource.readOds(spark, path, s"$staging/$tag").collect())
+          def msgs(t: Throwable): Seq[String] =
+            if (t == null) Nil
+            else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+          assert(msgs(e).exists(m => m.contains("graft-ods") &&
+            m.contains("cumulative")), s"$tag: $e")
+        }
     }
   }
 

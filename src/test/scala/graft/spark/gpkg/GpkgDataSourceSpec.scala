@@ -104,4 +104,28 @@ class GpkgDataSourceSpec extends SparkSpec {
     assert(pts.map(_.toSeq).toSeq ==
       Seq(Seq(1L, 10.0), Seq(2L, 30.5), Seq(3L, -5.0), Seq(4L, 55.0)))
   }
+
+  test("multi-file fuzz: valid first release + 80 mutated second files — loud or clean, never an Error") {
+    // the multi-file layout checks (planInputPartitions re-reads every
+    // file's physical layout) parse UNTRUSTED later releases against a
+    // trusted first one: every mutation of the second file must either
+    // read cleanly or fail with a controlled exception — never a JVM
+    // Error, unbounded allocation, or silent page-walk corruption
+    val validBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture("small.gpkg")))
+    val dir = java.nio.file.Files.createTempDirectory("gpkg-mfuzz")
+    val p1 = dir.resolve("jan.gpkg")
+    java.nio.file.Files.write(p1, validBytes)
+    var i = 0
+    graft.FuzzUtil.fuzz("gpkg-multifile", Seq(validBytes), 80, 7331L) {
+      bytes =>
+        i += 1
+        val p2 = dir.resolve(s"feb-$i.gpkg")
+        java.nio.file.Files.write(p2, bytes)
+        try spark.read.format("graft-gpkg").option("table", "built_up")
+          .load(p1.toString, p2.toString).collect()
+        finally java.nio.file.Files.deleteIfExists(p2)
+        ()
+    }(accept = _ => true)
+  }
 }
