@@ -66,8 +66,15 @@ def main():
                     cols.append(col)
             parts.append(pa.table(dict(zip(t.column_names, cols)), schema=t.schema))
         big = pa.concat_tables(parts)
-        pq.write_table(big, f"{out}/{tbl}.parquet")
-        print(f"{tbl}: {t.num_rows} -> {big.num_rows}")
+        # Realistic row-group sizing (~4 MB in-memory per group): pyarrow's
+        # default would emit 1-3 giant row groups per file, and BOTH
+        # engines parallelize parquet scans at row-group granularity — a
+        # 1-row-group documents table caps every scan at ONE task on a
+        # 32-core box, which no real 100 TB table would. Values/schema are
+        # unchanged; only the grouping (hence scan parallelism) is.
+        rgs = max(4096, int(big.num_rows * (4 << 20) / max(big.nbytes, 1)))
+        pq.write_table(big, f"{out}/{tbl}.parquet", row_group_size=rgs)
+        print(f"{tbl}: {t.num_rows} -> {big.num_rows} (row_group_size={rgs})")
 
 
 if __name__ == "__main__":

@@ -49,7 +49,39 @@ for q in QS:
     json.dump(out, open("BENCH_model_sf3_r17.json", "w"), indent=1)
 EOF
 
-echo "== 3/3 q_geo_geojson watch item (solo min-of-6 @ sf0.1)"
+echo "== 3/4 authority-family sf6 points (the crossover tail of the curve)"
+python3 - <<'EOF'
+import json, os, subprocess, time
+import duckdb
+
+QS = ["q_model_authority_scores", "q_model_authority_scores_england"]
+SF = "benchdata/sf6"
+oracles = json.load(open("/tmp/vout01/oracle_sql.json"))
+con = duckdb.connect(); con.execute("SET threads TO 32")
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+out = {"mode": "solo-min-of-6 (duck min-of-3)", "sf": SF, "queries": {}}
+for q in QS:
+    detail = f"/tmp/bench_sf6_{q}.json"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF,
+               SPARK_GRAFT_BENCH_RUNS="6", SPARK_GRAFT_BENCH_OUT=detail)
+    subprocess.run(["sbt", "-batch", f"runMain graft.Bench {q}"],
+                   capture_output=True, text=True, env=env)
+    spark_s = json.load(open(detail))["queries"][q]
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        con.execute(oracles[q]).fetchall()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    out["queries"][q] = {"spark_s": round(spark_s, 3),
+                         "duckdb_s": round(best, 3),
+                         "ratio": round(spark_s / best, 3)}
+    print(q, out["queries"][q], flush=True)
+    json.dump(out, open("BENCH_model_sf6_r17.json", "w"), indent=1)
+EOF
+
+echo "== 4/4 q_geo_geojson watch item (solo min-of-6 @ sf0.1)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=6 \
   SPARK_GRAFT_BENCH_OUT=/tmp/r17_solo_geo.json \
   sbt -batch "runMain graft.Bench q_geo_geojson" | tail -1
