@@ -29,9 +29,14 @@ object Bench {
       // cluster": the default 4 MB openCostInBytes floors the scan split
       // at 4 MB, so a 35 MB parquet table reads in 9 tasks on a 32-core
       // box and the longest scan stage runs at 28% parallelism. Local
-      // NVMe has no real per-file open cost; 256 KB lets
-      // bytes-per-core set the split and the scan use every core.
-      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      // NVMe has no real per-file open cost; 1 MB lets bytes-per-core
+      // set the split down to the row-group scale. NOT lower: splits
+      // below the row-group size are EMPTY (parquet parallelism is
+      // row-group-bounded), and a scan that reports 32 splits with 6
+      // non-empty defeats every numPartitions-based under-split floor
+      // (Curate.contamination's repartition guard — measured 9.7 s vs
+      // 5.7 s at sf1.5 when 256 KB splits masked the 6-row-group file).
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       // Let AQE size the partitioning INSIDE cached plans too: the
       // default (false) freezes an operator-persisted aggregate at the
       // static shuffle partition count, so every downstream stage of a

@@ -23,7 +23,7 @@ object JobTrace {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .getOrCreate()

@@ -26,7 +26,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see Bench.scala: 4 MB default open-cost floor caps local scan
       // parallelism at a handful of tasks for the MB-scale test tables
-      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .getOrCreate()
