@@ -122,6 +122,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("fused permit frame deduplicates by AGGREGATION, not window sorts (r17 DAG-depth pin)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the r17 rewrite replaced the collect_set/lag two-window dedup with
+    // stacked max(struct) aggregations — the impact models must carry NO
+    // WindowExec at all below the (whitelisted, bounded) authority-rank
+    // window, and impact_scores none whatsoever
+    for (q <- Seq("q_model_impact_scores", "q_model_impact_scores_england")) {
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val ws = exec.collect { case w: WindowExec => w }
+      assert(ws.isEmpty,
+        s"$q regressed to a window-based permit dedup: ${ws.mkString("; ")}")
+    }
+    for (q <- Seq("q_model_authority_scores", "q_model_authority_scores_england")) {
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val ws = exec.collect { case w: WindowExec => w }
+      // the surviving windows are the bounded authority-rank global and
+      // cumLess's range-partitioned offset window — NONE may partition
+      // by the permit reference (the event-scale dedup grain)
+      val permitWindows = ws.filter(_.partitionSpec.exists(
+        _.toString.contains("permit_reference_number")))
+      assert(permitWindows.isEmpty,
+        s"$q regressed to a permit-partitioned window dedup: " +
+          s"${permitWindows.mkString("; ")}")
+    }
+  }
+
   test("q_model_wellbeing: radius join stays grid equi-join; dedup window partitions by permit") {
     import org.apache.spark.sql.execution.window.WindowExec
     val exec = SparkEntry.queries("q_model_wellbeing")(spark, sfDir)
