@@ -36,8 +36,14 @@ object Relational {
   }
 
   /** Top-k rows per group by `order` (rank window, deterministic ties via
-    * the caller's tie-break columns). */
+    * the caller's tie-break columns). `rank_in_group` is part of the
+    * OUTPUT contract, so unlike [[distinctOn]]'s hidden rank it cannot be
+    * collision-renamed — an input already carrying that name would be
+    * silently overwritten (withColumn REPLACES); refuse it loudly. */
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase("rank_in_group")),
+      "topKPerGroup emits 'rank_in_group' and the input already has that " +
+        "column — rename it first or it would be silently replaced")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("rank_in_group", row_number().over(w))
       .where(col("rank_in_group") <= k)

@@ -58,4 +58,13 @@ class RelationalSpec extends SparkSpec {
       (2L, "silver", 120L, None),
       (3L, "new", 60L, None)))
   }
+
+  test("topKPerGroup refuses an input that already carries rank_in_group") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2L, 9L)).toDF("k", "v", "rank_in_group")
+    val e = intercept[IllegalArgumentException] {
+      Relational.topKPerGroup(df, Seq("k"), Seq(col("v")), 1)
+    }
+    assert(e.getMessage.contains("rank_in_group"))
+  }
 }
