@@ -68,7 +68,7 @@ object JobTrace {
       val rows = done.asScala.toSeq.sortBy(_._2)
       val base = rows.headOption.map(_._2).getOrElse(0L)
       println(f"== run $r: $q total=$total%.3f s, ${rows.size} jobs")
-      var prevEnd = 0L
+      var prevEnd = base // first row's gap prints 0, not start-since-epoch
       rows.foreach { case (id, s, e, desc) =>
         val gap = s - prevEnd; prevEnd = math.max(prevEnd, e)
         println(f"  job=$id%3d  t=${(s - base) / 1000.0}%7.2f→${(e - base) / 1000.0}%7.2f  dur=${(e - s) / 1000.0}%6.2f  gap=${gap / 1000.0}%5.2f  ${desc.take(90)}")

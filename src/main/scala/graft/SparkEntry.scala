@@ -1477,7 +1477,8 @@ object SparkEntry {
     // through one task; the benchmark side is small, so its double pass
     // here is noise
     val benchAll = Dedup.shingleRows(bench, "doc_id", "text", 3)
-    val benchIdx = Dedup.capByFreq(benchAll, Seq("sh"), 64, Seq("doc", "sh"))
+    val benchIdx = Dedup.capByFreq(benchAll, Seq("sh"), 64, Seq("doc", "sh"),
+        scope)
       .select(col("doc").as("doc_b"), col("sh"))
     val contaminated = deduped
       .select(col("doc_id").as("doc_a"), explode(col("__g3d")).as("sh"))

@@ -158,7 +158,12 @@ object Curate {
       if (maxNgramDf == Int.MaxValue) all.select("sh").distinct()
       else all.groupBy("sh").agg(count(lit(1)).as("__df"))
         .where(col("__df") <= maxNgramDf).select("sh")
-    val rows = kept.limit(maxCollected + 1).collect()
+    // Int.MaxValue means "deliberately uncapped" (the same sentinel as
+    // maxNgramDf above): skip the probe limit — maxCollected + 1 would
+    // wrap negative and throw instead of collecting
+    val rows =
+      if (maxCollected == Int.MaxValue) kept.collect()
+      else kept.limit(maxCollected + 1).collect()
     require(rows.length <= maxCollected,
       s"benchmarkNgrams: benchmark yields more than $maxCollected " +
         s"distinct $n-grams — this is a driver-collected EVAL-BENCHMARK " +
@@ -303,10 +308,14 @@ object Curate {
     val bg = bigramRows(df, idCol, textCol)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val rows = c12.join(c1, "w1")
+    val scored = c12.join(c1, "w1")
       .select(concat_ws(" ", col("w1"), col("w2")).as("b"),
         expr(ppmDivSql("c12", "c1")).as("ppm"))
-      .limit(maxCollected + 1).collect()
+    // Int.MaxValue = deliberately uncapped (see benchmarkNgrams): the
+    // +1 probe would wrap negative and throw
+    val rows =
+      if (maxCollected == Int.MaxValue) scored.collect()
+      else scored.limit(maxCollected + 1).collect()
     require(rows.length <= maxCollected,
       s"lmModel: reference corpus yields more than $maxCollected " +
         "distinct bigrams — the collected model would not be " +

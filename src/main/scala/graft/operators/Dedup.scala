@@ -93,8 +93,11 @@ object Dedup {
         .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
         .select(keys.map(col): _*))
       // limit-probe, not count(): on a pathological key universe the
-      // probe stops scanning at maxHotKeys + 1 rows
-      val nHot = hot.limit((maxHotKeys + 1).toInt).count()
+      // probe stops scanning at maxHotKeys + 1 rows; clamped so a
+      // maxHotKeys >= Int.MaxValue doesn't wrap the limit negative (or
+      // to a tiny prefix that lets an oversized broadcast slip past)
+      val probe = math.min(maxHotKeys + 1, Int.MaxValue.toLong).toInt
+      val nHot = hot.limit(probe).count()
       require(nHot <= maxHotKeys,
         s"capByFreq: more than $maxHotKeys keys exceed cap=$cap on " +
           s"(${keys.mkString(", ")}) — the hot set no longer fits a " +

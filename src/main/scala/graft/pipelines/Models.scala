@@ -88,7 +88,20 @@ object Models {
     * the edge for the reference's scale. */
   def permitImpact10(workCategory: Column, isTtro: Column,
                      isSensitive: Column, tmRef: Column,
-                     uprnCount: Column): Column = {
+                     uprnCount: Column): Column =
+    permitImpactBase10(workCategory, isTtro, isSensitive, tmRef) +
+      densityWeight10(uprnCount)
+
+  /** The event-attribute half of [[permitImpact10]] (everything except
+    * the UPRN-density band). The split is load-bearing for the fused
+    * event route: the weight is ADDITIVE in its two halves and the
+    * density half depends only on `uprn_count` — a per-USRN dimension
+    * attribute constant within a scoring group — so per-group
+    * `SUM(impact10) = SUM(base10) + COUNT(*) * density10(uprn_count)`,
+    * letting the aggregation run BEFORE the dimension join (the join
+    * then probes one row per USRN group instead of one per permit). */
+  def permitImpactBase10(workCategory: Column, isTtro: Column,
+                         isSensitive: Column, tmRef: Column): Column = {
     val cat = when(workCategory === "Standard", 20)
       .when(workCategory === "Major", 50)
       .when(workCategory === "Minor", 10)
@@ -105,11 +118,15 @@ object Models {
       .when(tmRef === "some_carriageway_incursion", 5)
       .when(tmRef === "no_carriageway_incursion", 0)
       .otherwise(0)
-    val density = ImpactScore.bandWeight(uprnCount,
+    cat + ttro + sens + tm
+  }
+
+  /** The UPRN-density band of [[permitImpact10]]
+    * (impact_scores_highway_authority_london.sql:59-69). */
+  def densityWeight10(uprnCount: Column): Column =
+    ImpactScore.bandWeight(uprnCount,
       Seq(5.0 -> 2, 10.0 -> 4, 25.0 -> 6, 50.0 -> 8, 100.0 -> 10,
         200.0 -> 12, 500.0 -> 14), 16)
-    cat + ttro + sens + tm + density
-  }
 
   // ------------------------------------------------------ uprn_usrn_count
 
@@ -119,10 +136,16 @@ object Models {
     * `correlation_id` exactly like `COUNT(uprn.CORRELATION_ID)`. */
   def uprnUsrnCount(openUsrns: DataFrame, linkedIds: DataFrame): DataFrame =
     openUsrns.select(col("usrn"))
-      .join(linkedIds.select(col("identifier_2").as("usrn"),
-        col("correlation_id")), Seq("usrn"))
+      // count(x) == count(*) over the non-null-x rows; filtering FIRST
+      // lets Catalyst simplify isNotNull through null-intolerant
+      // expressions (a correlation id derived by CAST from a scan column
+      // prunes to the scan column's null check, so the cast itself is
+      // never materialized — measured 8.8 CPU-s of string casts saved at
+      // sf1.5 when the id is CAST(bigint AS string))
+      .join(linkedIds.where(col("correlation_id").isNotNull)
+        .select(col("identifier_2").as("usrn")), Seq("usrn"))
       .groupBy("usrn")
-      .agg(count(col("correlation_id")).as("uprn_count"))
+      .agg(count(lit(1)).as("uprn_count"))
 
   // ------------------------------------------------- permit list models
 
@@ -171,14 +194,22 @@ object Models {
     * paths. Adds `geometry` (left) and a coalesced `uprn_count`. */
   private def joinGeoAndCounts(df: DataFrame, openUsrns: DataFrame,
                                uprnCounts: DataFrame): DataFrame =
+    // both dims are broadcast BY CONTRACT: their key universe is the
+    // national street registry (USRN), bounded by the political map
+    // (~1.6M streets in GB — tens of MB deduped and projected), not by
+    // the permit data. Without the hint a LEFT join cannot broadcast
+    // its left (probe) side, so AQE co-shuffles both sides — an
+    // exchange on the aggregated scoring frame that the hint removes
+    // from the critical path (the dim build then runs concurrently
+    // with the event pipeline).
     df
-      .join(uniqueDim(openUsrns.select(
-        col("usrn").cast("long").as("__usrn_k"), col("geometry")), "__usrn_k"),
+      .join(broadcast(uniqueDim(openUsrns.select(
+        col("usrn").cast("long").as("__usrn_k"), col("geometry")), "__usrn_k")),
         col("usrn").cast("long") === col("__usrn_k"), "left")
       .drop("__usrn_k")
-      .join(uniqueDim(uprnCounts.select(
+      .join(broadcast(uniqueDim(uprnCounts.select(
         col("usrn").cast("long").as("__cnt_k"),
-        col("uprn_count").as("__uprn_count")), "__cnt_k"),
+        col("uprn_count").as("__uprn_count")), "__cnt_k")),
         col("usrn").cast("long") === col("__cnt_k"), "left")
       .drop("__cnt_k")
       .withColumn("uprn_count", coalesce(col("__uprn_count"), lit(0L)))
@@ -312,10 +343,31 @@ object Models {
   private def combinedPermitRowsFromEventsImpl(permits: DataFrame,
       openUsrns: DataFrame, uprnCounts: DataFrame,
       authorities: Seq[String], correlateOnAuthority: Boolean,
-      keepTags: Boolean): DataFrame = {
+      keepTags: Boolean): DataFrame =
+    joinGeoAndCounts(latestFromEvents(permits, authorities,
+        correlateOnAuthority), openUsrns, uprnCounts)
+      .select((scoringCols ++
+        (if (keepTags) Seq("permit_reference_number", "__leg")
+         else Nil)).map(col): _*)
+
+  /** The event-side scoring columns (no dimension attributes). */
+  private val eventScoringCols =
+    scoringCols.filterNot(c => c == "geometry" || c == "uprn_count")
+
+  /** The exclusion + latest-event dedup of the fused route, BEFORE any
+    * dimension join: one row per surviving (permit, leg) with the
+    * event-side scoring columns plus `permit_reference_number` and
+    * `__leg` (0 = in-progress, 1 = completed stop). The impact models
+    * aggregate THIS frame to the USRN grain and only then join the
+    * geometry/UPRN dimensions (one probe per group, not per permit —
+    * sound because [[permitImpact10]] is additive with its density half
+    * a pure function of the per-USRN `uprn_count`); the list-equivalent
+    * 10-column frame is [[combinedPermitRowsFromEvents]] = this + dims. */
+  private def latestFromEvents(permits: DataFrame,
+      authorities: Seq[String], correlateOnAuthority: Boolean): DataFrame = {
     val needed = (Seq("permit_reference_number", "event_time",
-      "event_reference", "event_type", "work_status_ref") ++ scoringCols)
-      .filterNot(c => c == "geometry" || c == "uprn_count").distinct
+      "event_reference", "event_type", "work_status_ref") ++
+      eventScoringCols).distinct
     val base0 = permits.select(needed.map(col): _*)
     val isStop = col("work_status_ref") === "completed" &&
       col("event_type") === "WORK_STOP"
@@ -334,10 +386,24 @@ object Models {
     // struct ordering == the dbt ORDER BY event_time DESC,
     // event_reference DESC pick (max == latest; trailing payload fields
     // only break exact (time, ref) ties, deterministically — the window
-    // form left those to partition order)
-    val payFields = Seq("event_time", "event_reference") ++
-      scoringCols.filterNot(c => c == "geometry" || c == "uprn_count")
-    val pay = struct(payFields.map(col): _*)
+    // form left those to partition order). Measured alternatives at
+    // sf1.5 (4.5M-row probe, min-of-3): max(struct) 0.97 s beats
+    // max_by(pay, key) 1.41 s (its CASE-paired value+ordering buffers
+    // cost more than the one-struct compare) and a typed-imperative
+    // argmax 5.3 s (per-group serialize/merge overhead dominates at ~2
+    // events per permit) — max(struct) stays.
+    val payFields = Seq("event_time", "event_reference") ++ eventScoringCols
+    // payload nulled BEFORE the shuffle for rows that can never reach the
+    // output: an out-of-authority completed stop exists only to flip the
+    // exclusion flag of its (permit, authority) group — its (ref, auth,
+    // leg) triple is all the aggregation reads. Under a selective
+    // authority list (London keeps 8 of 25) this empties the payload of
+    // ~2/3 of the shuffled rows, and the null structs fall out of every
+    // max() for free. In-progress rows were already pre-filtered to the
+    // authority list, so `inAuthorities` here only bites the stop leg —
+    // semantics identical to gating the pick conditions on it.
+    val pay = when(col("__leg") === 0 || inAuthorities,
+      struct(payFields.map(col): _*))
     val ref = col("permit_reference_number")
     // NULL join keys never match an anti-join, so the list route keeps a
     // NULL-ref in-progress row even when a NULL-ref stop exists (and a
@@ -352,6 +418,8 @@ object Models {
     // the natural partial+final plan — which pays a full map-side sort
     // per level for at most an events-per-permit dedup — never fires.
     val byPermit = tagged.repartition(ref)
+    def pick(cond: Column): Column = max(when(cond, pay))
+    def repick(e: Column): Column = max(e)
     val merged =
       if (correlateOnAuthority) {
         // grain 1: (permit, authority) — a completed stop in the group IS
@@ -360,34 +428,32 @@ object Models {
         val g1 = byPermit
           .groupBy(ref, col("highway_authority"))
           .agg(
-            max(when(col("__leg") === 0, pay)).as("__in_pa"),
-            max(when(col("__leg") === 1 && inAuthorities, pay))
-              .as("__done_pa"),
+            pick(col("__leg") === 0).as("__in_pa"),
+            pick(col("__leg") === 1).as("__done_pa"),
             max(col("__leg")).as("__has_stop"))
-        // grain 2: permit — max of per-authority maxes == the global
-        // latest over the surviving rows; same partitioning, same sort
-        // run, zero additional exchanges.
+        // grain 2: permit — re-pick over per-authority winners == the
+        // global latest over the surviving rows; same partitioning, same
+        // sort run, zero additional exchanges.
         g1.groupBy(ref)
           .agg(
-            max(when(col("__has_stop") === 1 &&
+            repick(when(col("__has_stop") === 1 &&
               col("highway_authority").isNotNull && ref.isNotNull,
               lit(null)).otherwise(col("__in_pa"))).as("__in"),
-            max(col("__done_pa")).as("__done"))
+            repick(col("__done_pa")).as("__done"))
       } else {
         // uncorrelated: a stop ANYWHERE excludes the permit — one grain
         byPermit
           .groupBy(ref)
           .agg(
-            max(when(col("__leg") === 0, pay)).as("__in0"),
-            max(when(col("__leg") === 1 && inAuthorities, pay))
-              .as("__done"),
+            pick(col("__leg") === 0).as("__in0"),
+            pick(col("__leg") === 1).as("__done"),
             max(col("__leg")).as("__any_stop"))
           .select(ref,
             when(col("__any_stop") === 1 && ref.isNotNull, lit(null))
               .otherwise(col("__in0")).as("__in"),
             col("__done"))
       }
-    val latest = merged
+    merged
       .select(ref, explode(array(
         struct(lit(0).as("__leg"), col("__in").as("__e")),
         struct(lit(1).as("__leg"), col("__done").as("__e")))).as("__x"))
@@ -395,10 +461,35 @@ object Models {
       .where(col("__e").isNotNull)
       .select(Seq(ref, col("__leg")) ++
         payFields.map(f => col(s"__e.$f").as(f)): _*)
-    joinGeoAndCounts(latest, openUsrns, uprnCounts)
-      .select((scoringCols ++
-        (if (keepTags) Seq("permit_reference_number", "__leg")
-         else Nil)).map(col): _*)
+  }
+
+  /** [[rawImpactLevel]] over the dims-free [[latestFromEvents]] frame:
+    * aggregate to the USRN grain FIRST (event-attribute weights and
+    * breakdown counts need no dimension), join the geometry/UPRN-count
+    * dimensions at that grain, and add the density half of the weight as
+    * `COUNT(*) * density10(uprn_count)` — exactly `SUM(impact10)` by the
+    * additive split ([[permitImpactBase10]]). Row-identical to
+    * `rawImpactLevel(joinGeoAndCounts(latest, ...))`: the dims are
+    * [[uniqueDim]]-deduped, so (uprn_count, geometry) is a pure function
+    * of the usrn value (unmatched or NULL usrns get (0, NULL) either
+    * way) and adding them to the grouping key changes nothing. The dim
+    * join probes one row per USRN group instead of one per permit. */
+  private def rawImpactFromLatest(latest: DataFrame, openUsrns: DataFrame,
+      uprnCounts: DataFrame, withBreakdown: Boolean = false): DataFrame = {
+    val aggs = Seq(sum(col("__b10")).as("__sb10"),
+      count(lit(1)).as("__np")) ++ (if (withBreakdown) breakdownAggs else Nil)
+    val grouped = latest
+      .withColumn("__b10", permitImpactBase10(col("work_category"),
+        col("is_ttro_required"), col("is_traffic_sensitive"),
+        col("traffic_management_type_ref")))
+      .groupBy(col("usrn"), col("street_name"), col("highway_authority"),
+        lower(col("highway_authority_swa_code"))
+          .as("highway_authority_swa_code"))
+      .agg(aggs.head, aggs.tail: _*)
+    joinGeoAndCounts(grouped, openUsrns, uprnCounts)
+      .withColumn("total10",
+        col("__sb10") + col("__np") * densityWeight10(col("uprn_count")))
+      .drop("__sb10", "__np")
   }
 
   /** With `withBreakdown`, the per-USRN-group aggregate also carries the
@@ -458,13 +549,25 @@ object Models {
       uprnCounts: DataFrame, authorities: Seq[String] = Nil,
       correlateOnAuthority: Boolean = true,
       scope: graft.PersistScope = graft.PersistScope()): DataFrame =
-    impactScoresOver(combinedPermitRowsFromEvents(permits, openUsrns,
-      uprnCounts, authorities, correlateOnAuthority), scope)
+    finishImpactScores(rawImpactFromLatest(
+      latestFromEvents(permits, authorities, correlateOnAuthority),
+      openUsrns, uprnCounts), scope)
 
   private def impactScoresOver(both: DataFrame,
+      scope: graft.PersistScope): DataFrame =
+    finishImpactScores(rawImpactLevel(both), scope)
+
+  private def finishImpactScores(rawLevel: DataFrame,
       scope: graft.PersistScope): DataFrame = {
-    // raw feeds both the bounds agg and the normalised output
-    val raw = scope.cache(rawImpactLevel(both))
+    // raw feeds both the bounds agg and the normalised output. The cache
+    // is load-bearing for SHARING, not just recompute: the two consumers
+    // prune different column sets, so without the InMemoryRelation their
+    // upstream exchanges canonicalize differently and AQE's stage cache
+    // cannot deduplicate them — measured at sf1.5, the whole permit
+    // aggregation ran once per consumer. The plan stays fully lazy (the
+    // bounds are a broadcast subtree); the cache materializes inside the
+    // terminal action's one execution.
+    val raw = scope.cache(rawLevel)
     val bounds = raw.agg(min("total10").as("__mn10"), max("total10").as("__mx10"))
     raw.crossJoin(broadcast(bounds))
       .withColumn("total_impact_level", col("total10").cast("double") / 10)
@@ -518,32 +621,66 @@ object Models {
       openUsrns: DataFrame, uprnCounts: DataFrame,
       authorities: Seq[String] = Nil, correlateOnAuthority: Boolean = true,
       scope: graft.PersistScope = graft.PersistScope()): DataFrame =
-    impactScoresHighwayAuthorityOver(combinedPermitRowsFromEvents(permits,
-      openUsrns, uprnCounts, authorities, correlateOnAuthority), scope)
+    finishAuthorityScores(rawImpactFromLatest(
+      latestFromEvents(permits, authorities, correlateOnAuthority),
+      openUsrns, uprnCounts, withBreakdown = true), scope)
 
   private def impactScoresHighwayAuthorityOver(bothRows: DataFrame,
+      scope: graft.PersistScope): DataFrame =
+    finishAuthorityScores(rawImpactLevel(bothRows, withBreakdown = true),
+      scope)
+
+  private def finishAuthorityScores(rawLevel: DataFrame,
       scope: graft.PersistScope): DataFrame = {
-    // the permit rows are consumed ONCE (the raw aggregate carries the
-    // breakdown partials too), so `bothRows` is not cached; raw feeds the
-    // rank histogram and the join-back — cache it or the dedup re-runs
-    val raw = scope.cache(rawImpactLevel(bothRows, withBreakdown = true))
+    // `raw` is a CACHE, not a shared subplan, deliberately: its
+    // consumers (rank histogram, join-back) prune different column
+    // sets, so uncached they canonicalize into different exchanges that
+    // AQE cannot deduplicate — measured at sf1.5, the whole permit
+    // aggregation ran once per consumer. And the rank machinery is the
+    // EAGER cumLess, also deliberately: a fully-lazy variant (offsets
+    // via a window over per-partition totals, denominator as a 1-row
+    // broadcast) was measured at sf1.5 and LOST — without driver-side
+    // materialization points the plan fans into a dozen racing little
+    // AQE stages over the caches (spark_partition_id is nondeterministic,
+    // so the histogram subtrees don't even canonicalize equal), costing
+    // more in stage latency than the one collect round trip it saves.
+    val raw = scope.cache(rawLevel)
     // per-USRN integer rank counts (rank-1 == rows strictly below);
     // scope rides in so cumLess's internal cache releases with ours
     val (cl, n) = Stats.cumLess(raw, "total10", scope = scope)
     val denom = lit(math.max(n - 1L, 1L).toDouble)
+    // COUNT(DISTINCT usrn) as stacked aggregations: level 1 collapses to
+    // the (authority, swa, usrn) grain — its partial aggregate combines
+    // fully map-side because the USRN-grain input is already clustered
+    // by usrn — and level 2 counts level-1 rows per authority, where the
+    // count-distinct rewrite would plan an Expand doubling every input
+    // row. Every aggregate is a sum/count/min/max, so both levels stay
+    // in HashAggregate (no sort), and both exchanges hash on grouping
+    // keys that include usrn or pre-collapsed rows (no per-authority
+    // skew task). NULL usrns form a level-1 group but are excluded from
+    // the level-2 distinct count, matching COUNT(DISTINCT) null
+    // semantics.
+    val lvl1Aggs = Seq(
+      count(lit(1)).as("__nr1"), sum("uprn_count").as("__su1"),
+      sum("total10").as("__st1"),
+      max("total10").as("__mx1"), min("total10").as("__mn1"),
+      sum("__cnt_less").as("__cl1")) ++
+      breakdownCols.map(c => sum(col(c)).as(s"__$c"))
     val byAuthAggs = Seq(
-      countDistinct(col("usrn")).as("total_usrns_count"),
-      (sum("uprn_count").cast("double") / count(lit(1))).as("avg_uprn_count"),
-      sum("uprn_count").as("total_uprn_count"),
-      sum("total10").as("__t10"),
-      count(lit(1)).as("__n_rows"),
-      max("total10").as("__mx10"), min("total10").as("__mn10"),
-      sum("__cnt_less").as("__sum_cl")) ++
-      breakdownCols.map(c => sum(col(c)).as(c))
+      count(when(col("usrn").isNotNull, 1)).as("total_usrns_count"),
+      (sum("__su1").cast("double") / sum("__nr1")).as("avg_uprn_count"),
+      sum("__su1").as("total_uprn_count"),
+      sum("__st1").as("__t10"),
+      sum("__nr1").as("__n_rows"),
+      max("__mx1").as("__mx10"), min("__mn1").as("__mn10"),
+      sum("__cl1").as("__sum_cl")) ++
+      breakdownCols.map(c => sum(col(s"__$c")).as(c))
     // byAuth feeds ONE consumer (the authority-rank window below), so it
     // is deliberately NOT cached — an InMemoryRelation here would add a
     // materialization pass for nothing
     val byAuth = (raw.join(cl, Seq("total10"))
+      .groupBy("highway_authority", "highway_authority_swa_code", "usrn")
+      .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
       .groupBy("highway_authority", "highway_authority_swa_code")
       .agg(byAuthAggs.head, byAuthAggs.tail: _*)
       .withColumn("total_impact_level", col("__t10").cast("double") / 10)
@@ -1001,9 +1138,13 @@ object Models {
       scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
     require(authorities.nonEmpty,
       "dataTestsFromEvents: the correlated test needs an authority list")
-    val tagged = scope.cache(combinedPermitRowsFromEventsTagged(
-      permits, openUsrns, uprnCounts, authorities,
-      correlateOnAuthority = true))
+    // the DIMS-FREE latest frame is what gets cached: the dup-test half
+    // needs only (permit, leg) membership and the not_null half
+    // aggregates to the USRN grain before the dimensions join
+    // (rawImpactFromLatest), so the cached rows stay narrow — no
+    // geometry string, no per-permit dim probe
+    val tagged = scope.cache(latestFromEvents(
+      permits, authorities, correlateOnAuthority = true))
     val legs = tagged
       .where(col("permit_reference_number").isNotNull)
       .groupBy("permit_reference_number")
@@ -1019,8 +1160,9 @@ object Models {
       .agg(count(lit(1)).as("violations"))
       .select(lit("assert_no_duplicate_permits_england").as("test_name"),
         col("violations"))
-    val notNull = impactScoresNotNullViolationCount(
-        tagged.select(scoringCols.map(col): _*))
+    val notNull = rawImpactFromLatest(tagged, openUsrns, uprnCounts)
+      .agg((count(when(col("total10").isNull, 1)) +
+        count(when(col("uprn_count").isNull, 1))).as("violations"))
       .select(lit("impact_scores_not_null").as("test_name"),
         col("violations"))
     london.unionByName(england).unionByName(notNull)
