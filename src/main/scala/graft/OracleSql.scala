@@ -635,20 +635,31 @@ object OracleSql {
        |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
        |)""".stripMargin
 
-  private def annIvfSql: String =
+  /** Lloyd rounds for q_ann_ivf/_indexed — the ONE knob both the Spark
+    * query (IvfIndex.train's `iters`) and the oracle's unrolled CTE
+    * chain read, so they cannot drift. The chain below is generated
+    * programmatically for ANY count (the z-order discipline): round r
+    * assigns against round r-1's means and re-estimates. */
+  val IvfTrainRounds: Int = 4
+
+  private def annIvfSql: String = annIvfSqlRounds(IvfTrainRounds)
+
+  private def annIvfSqlRounds(rounds: Int): String = {
+    require(rounds >= 1, s"need at least one Lloyd round, got $rounds")
+    val chain = (1 to rounds).map(r =>
+      ivfAssign(s"a$r", s"c${r - 1}") + ",\n" +
+        ivfMeans(s"c$r", s"a$r") + ",")
+      .mkString("\n")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
        |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM ev ORDER BY vec_id LIMIT 8),
-       |${ivfAssign("a1", "c0")},
-       |${ivfMeans("c1", "a1")},
-       |${ivfAssign("a2", "c1")},
-       |${ivfMeans("c2", "a2")},
-       |${ivfAssign("af", "c2")},
+       |$chain
+       |${ivfAssign("af", s"c$rounds")},
        |probes AS (SELECT cid FROM (
        |  SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
        |    list_inner_product(c.c, c.c) - 2.0 * list_inner_product(c.c, q.q) + list_inner_product(q.q, q.q), c.cid) AS rn
-       |  FROM c2 c, qv q) WHERE rn <= 4)
+       |  FROM c$rounds c, qv q) WHERE rn <= 4)
        |SELECT af.vec_id,
        | list_inner_product(af.v, q.q) /
        |   NULLIF(sqrt(list_inner_product(af.v, af.v)) * sqrt(list_inner_product(q.q, q.q)), 0) AS cos_sim
@@ -656,6 +667,7 @@ object OracleSql {
        |WHERE af.vec_id <> 0
        |ORDER BY cos_sim DESC, af.vec_id
        |LIMIT 10""".stripMargin
+  }
 
   /** LSH ANN oracle: embeds the SAME hyperplane literals Similarity uses
     * (values k/1024 are exactly representable in both decimal and binary,

@@ -598,7 +598,8 @@ object SparkEntry {
     * exact rerank inside. Rows-only: Lloyd iterations aren't one SQL query. */
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8,
+      iters = OracleSql.IvfTrainRounds) // one knob, shared with the oracle
     IvfIndex.search(emb, "vec_id", "embedding", centroids, queryVec(s, d),
       topK = 10, nProbes = 4, excludeId = Some(0L))
   }
@@ -629,7 +630,8 @@ object SparkEntry {
     val root = ivfIndexCache.getOrElseUpdate(d, {
       val dir = tempIndexDir("graft-ivf-index")
       val emb = Tables.embeddings(s, d)
-      IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      IvfIndex.train(emb, "vec_id", "embedding", k = 8,
+          iters = OracleSql.IvfTrainRounds)
         .write.mode("overwrite").parquet(s"$dir/centroids")
       IvfIndex.buildIndex(emb, "vec_id", "embedding",
         s.read.parquet(s"$dir/centroids"), s"$dir/cells")

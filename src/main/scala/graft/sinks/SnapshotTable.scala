@@ -1,8 +1,6 @@
 package graft.sinks
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic multi-file publish for parquet tables — the "readers never see
@@ -41,12 +39,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * object stores provide NEITHER through the Hadoop connector (s3a's
   * create-no-overwrite and rename are copy/check-then-act), so two
   * writers could both "win" a claim and silently shadow each other's
-  * commits. Commits therefore REFUSE object-store schemes loudly at the
-  * API boundary ([[requireAtomicCommitFs]]) instead of corrupting
-  * quietly under race. Porting to S3 needs a conditional-put seam
-  * (PutObject If-None-Match on the claim marker, manifest via the same)
-  * — the protocol maps 1:1, but it must be implemented against the
-  * store API, not the Hadoop FS facade. */
+  * commits. The DEFAULT (filesystem-backed) entry points therefore
+  * REFUSE object-store schemes loudly at the API boundary
+  * ([[requireAtomicCommitFs]]) instead of corrupting quietly under
+  * race. For S3-class stores, every entry point accepts a
+  * [[CommitStore]] — the conditional-put seam (PutObject
+  * `If-None-Match: *` for claims, manifests and voids; CopyObject
+  * metadata-replace for the heartbeat) — which supplies the atomicity
+  * the protocol needs from the store's native API instead of the
+  * Hadoop FS facade; the protocol itself is identical on both. Only
+  * the manifest namespace routes through the store: data files never
+  * need write atomicity (UUID-unique dirs, manifest-gated visibility),
+  * so they keep the ordinary connector path. */
 object SnapshotTable {
 
   /** Hadoop-connector schemes of flat object stores where neither
@@ -67,23 +71,24 @@ object SnapshotTable {
         "exclusive-create and rename are not atomic, so the claim/land " +
         "commit protocol can silently lose concurrent commits there. " +
         "Supported stores: HDFS and posix-class filesystems (atomic " +
-        "O_EXCL create + rename). An S3 port needs a conditional-put " +
-        "(If-None-Match) integration, not the Hadoop FS facade.")
+        "O_EXCL create + rename). For S3-class stores pass a " +
+        "CommitStore (conditional-put / If-None-Match integration) " +
+        "instead of the Hadoop FS facade.")
   }
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def readSmall(f: FileSystem, p: Path): String = {
-    val in = f.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+  /** The manifest-namespace store for this table: the caller's
+    * conditional-put store when given (object-store path — the store
+    * carries the atomicity contract, so no scheme check), otherwise the
+    * filesystem primitives behind the scheme guard. */
+  private def manifestStore(spark: SparkSession, rootP: Path,
+                            store: Option[CommitStore]): CommitStore =
+    store.getOrElse {
+      requireAtomicCommitFs(rootP)
+      HadoopCommitStore(spark, rootP)
+    }
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -109,13 +114,14 @@ object SnapshotTable {
     * the highest manifest, so visibility is atomic and monotone with
     * no pointer file to race over. */
   def write(df: DataFrame, root: String, append: Boolean = false,
-            maxClaimRetries: Int = 20): Long =
-    commitWith(df, root, maxClaimRetries) { (spark, f, rootP, version) =>
+            maxClaimRetries: Int = 20,
+            store: Option[CommitStore] = None): Long =
+    commitWith(df, root, maxClaimRetries, store = store) { (ms, version) =>
       if (!append) Vector.empty
       else {
-        awaitLowerClaims(spark, root, f, rootP, version)
-        versions(spark, root).filter(_ < version).lastOption
-          .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+        awaitLowerClaims(ms, root, version)
+        versionsIn(ms).filter(_ < version).lastOption
+          .map(manifestFilesIn(ms, root, _)).getOrElse(Vector.empty)
       }
     }
 
@@ -134,13 +140,14 @@ object SnapshotTable {
     * MEANS shadow; append re-resolves its carried list under the new
     * claim, so it composes at any slot). */
   private def commitWith(df: DataFrame, root: String, maxClaimRetries: Int,
-      requireBase: Option[Long] = None)(
-      carried: (SparkSession, FileSystem, Path, Long) => Vector[String]): Long = {
+      requireBase: Option[Long] = None,
+      store: Option[CommitStore] = None)(
+      carried: (CommitStore, Long) => Vector[String]): Long = {
     val spark = df.sparkSession
     val rootP = new Path(root)
-    requireAtomicCommitFs(rootP)
+    val ms = manifestStore(spark, rootP, store)
     val f = fs(spark, rootP)
-    f.mkdirs(new Path(rootP, "_manifests"))
+    ms.init()
 
     // write the data exactly once, outside the claim loop
     val dirName = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -156,15 +163,14 @@ object SnapshotTable {
           s"version $base at $root — this merge/compact was derived " +
           s"from version $base and is stale; re-run it")
     var version = requireBase.map(_ + 1)
-      .getOrElse(latestVersion(spark, root).getOrElse(0L) + 1)
+      .getOrElse(latestVersionIn(ms).getOrElse(0L) + 1)
     var claimed = false
     var tries = 0
     while (!claimed) {
       tries += 1
       require(tries <= maxClaimRetries,
         s"snapshot-table: lost the version claim $maxClaimRetries times at $root")
-      val claim = new Path(rootP, s"_manifests/claim-$version")
-      if (createExclusive(f, claim, Array.emptyByteArray)) {
+      if (ms.putIfAbsent(s"claim-$version", Array.emptyByteArray)) {
         // Winning the claim does NOT prove the table hasn't advanced:
         // vacuum deletes old claim files, so a recycled sub-floor slot
         // is claimable again — a slow writer would land a "successful"
@@ -174,10 +180,10 @@ object SnapshotTable {
         // Verify the slot is still AHEAD of the live manifest while the
         // claim is held; racers claiming above us must wait on this
         // claim before landing, so the check cannot go stale.
-        val latestNow = latestVersion(spark, root).getOrElse(0L)
+        val latestNow = latestVersionIn(ms).getOrElse(0L)
         if (latestNow < version) claimed = true
         else {
-          f.delete(claim, false) // our claim, no manifest: safe release
+          ms.delete(s"claim-$version") // our claim, no manifest: safe release
           requireBase match {
             case Some(base) => staleBase(base)
             case None => version = latestNow + 1
@@ -197,22 +203,23 @@ object SnapshotTable {
           // the O_EXCL land) and retry one slot up — a void is an empty
           // append, so a rewrite derived from `base` still covers the
           // live table content.
-          val entries = f.listStatus(new Path(rootP, "_manifests"))
-          val landedMax = entries.iterator.map(_.getPath.getName)
+          val entries = ms.list()
+          val landedMax = entries.iterator.map(_.name)
             .filter(_.startsWith("manifest-"))
             .map(_.stripPrefix("manifest-").toLong).foldLeft(-1L)(math.max)
           if (landedMax >= version) staleBase(base)
-          val debris = entries.find(_.getPath.getName == s"claim-$version")
-            .filter(st =>
-              System.currentTimeMillis() - st.getModificationTime >= claimGraceMs)
+          val debris = entries.find(_.name == s"claim-$version")
+            .filter(e =>
+              System.currentTimeMillis() - e.mtimeMs >= claimGraceMs)
           if (debris.isEmpty) staleBase(base) // live claim (or released
           // between our create attempt and this listing: the racer is
           // active either way)
-          val carriedV = versions(spark, root).filter(_ < version).lastOption
-            .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+          val carriedV = versionsIn(ms).filter(_ < version).lastOption
+            .map(manifestFilesIn(ms, root, _)).getOrElse(Vector.empty)
           val voidBody = s"""{"version": $version, "files": [${
             carriedV.map(jsonStr).mkString(", ")}], "void": true}"""
-          if (!landManifestNoOverwrite(spark, f, rootP, version, voidBody))
+          if (!ms.putIfAbsent(s"manifest-$version",
+              CommitStoreText.bytes(voidBody)))
             staleBase(base) // lost the void race: a manifest landed at our
           // slot first — real content (slow writer woke up) or another
           // merge's void; either way re-running re-derives and proceeds
@@ -220,7 +227,7 @@ object SnapshotTable {
         case None => // slot taken (genuine contention only — other IO
           // errors THROW rather than burning 20 slots hiding the cause)
           version = math.max(version + 1,
-            latestVersion(spark, root).getOrElse(0L) + 1)
+            latestVersionIn(ms).getOrElse(0L) + 1)
       }
     }
     // The claim is exclusive from here on. For append, the carried list
@@ -233,7 +240,7 @@ object SnapshotTable {
     // milliseconds) and its burned slot is skipped. Replace/merge carry
     // a fixed list, so late-landing lower versions are legitimately
     // shadowed by them.
-    val carriedFiles = carried(spark, f, rootP, version)
+    val carriedFiles = carried(ms, version)
     val body = s"""{"version": $version, "files": [${
       (carriedFiles ++ fresh).map(jsonStr).mkString(", ")}]}"""
     // land WITHOUT overwrite: a concurrent appender that graced this
@@ -241,7 +248,7 @@ object SnapshotTable {
     // (awaitLowerClaims) — overwriting it would let this commit return
     // "success" while every higher version already excludes its files
     // (silent data loss). Losing the race is a loud, retryable error.
-    if (!landManifestNoOverwrite(spark, f, rootP, version, body)) {
+    if (!ms.putIfAbsent(s"manifest-$version", CommitStoreText.bytes(body))) {
       val msg = s"snapshot-table: version $version was voided by a " +
         s"concurrent writer after the ${claimGraceMs / 1000}s claim grace " +
         s"window at $root — this commit did not land; retry the write"
@@ -255,70 +262,6 @@ object SnapshotTable {
     }
     version
   }
-
-  /** Land `body` as `manifest-<version>` WITHOUT overwrite, atomically
-    * and fully-written-or-absent: the body goes to a uniquely-named tmp
-    * file first (two racers must never share a tmp), then one atomic
-    * no-overwrite publish makes it visible — a hard link on file://
-    * (the FileContext no-overwrite rename is exists-check THEN rename(2)
-    * there, which overwrites silently) and the namenode-atomic
-    * no-overwrite rename elsewhere. A reader can therefore NEVER observe
-    * a half-written manifest, and a crash before the publish leaves only
-    * tmp litter (reclaimed by vacuum), never a corrupt visible manifest.
-    * Returns false when the slot was already taken — the void/writer
-    * race, where exactly one side must win. The tmp is removed through
-    * the Hadoop FS so checksum sidecars go with it. */
-  private def landManifestNoOverwrite(spark: SparkSession, f: FileSystem,
-      rootP: Path, version: Long, body: String): Boolean = {
-    val dest = new Path(rootP, s"_manifests/manifest-$version")
-    if (f.exists(dest)) return false
-    val tmpM = new Path(rootP, s"_manifests/.tmp-$version-${
-      java.util.UUID.randomUUID().toString.take(8)}")
-    val outM = f.create(tmpM, true)
-    try outM.write(body.getBytes(StandardCharsets.UTF_8)) finally outM.close()
-    try {
-      if (f.getScheme == "file")
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dest.toUri.getPath),
-          java.nio.file.Paths.get(tmpM.toUri.getPath))
-      else
-        FileContext.getFileContext(rootP.toUri,
-            spark.sessionState.newHadoopConf())
-          .rename(tmpM, dest, Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally {
-      // all outcomes: drop the tmp (a successful rename already moved it
-      // — delete no-ops; the link path and the lost race leave it behind)
-      try { f.delete(tmpM, false); () }
-      catch { case _: java.io.IOException => () }
-    }
-  }
-
-  /** Atomic exclusive create. HDFS `create(overwrite=false)` is atomic
-    * (namenode-side), but Hadoop's LocalFileSystem implements it as
-    * exists() THEN create — a TOCTOU window two local writers can both
-    * win, silently replacing each other's files. On file:// go through
-    * NIO CREATE_NEW (open O_CREAT|O_EXCL, kernel-atomic). Returns false
-    * when the path already exists; any OTHER IO failure propagates. */
-  private def createExclusive(f: FileSystem, p: Path,
-                              body: Array[Byte]): Boolean =
-    try {
-      if (f.getScheme == "file")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p.toUri.getPath), body,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-      else {
-        val o = f.create(p, false)
-        try { if (body.nonEmpty) o.write(body) } finally o.close()
-      }
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-    }
 
   /** How long an unlanded lower claim may block an appender before it is
     * treated as a crashed writer and skipped. Protocol contract: a writer
@@ -346,17 +289,15 @@ object SnapshotTable {
     * manifest below it — everything below is already resolved, so the
     * void behaves as an empty append and a reader at the void version
     * (or an appender carrying from it) sees the chain intact. */
-  private def awaitLowerClaims(spark: SparkSession, root: String,
-                               f: FileSystem, rootP: Path,
+  private def awaitLowerClaims(ms: CommitStore, root: String,
                                version: Long): Unit = {
-    val dir = new Path(rootP, "_manifests")
     // ONE listing per poll: claims, landed manifests, and the mtimes all
     // come from the same snapshot — per-claim exists()/getFileStatus
     // round-trips would hammer the namenode 10×/s through a grace wait
     // AND race a concurrent vacuum deleting the very files being probed
     def pending(): Seq[(Long, Long)] = { // (k, mtime)
-      val entries = f.listStatus(dir)
-      val landed = entries.iterator.map(_.getPath.getName)
+      val entries = ms.list()
+      val landed = entries.iterator.map(_.name)
         .filter(_.startsWith("manifest-"))
         .map(_.stripPrefix("manifest-")).toSet
       // only claims STRICTLY BETWEEN the live manifest and our version
@@ -368,31 +309,28 @@ object SnapshotTable {
       // (stress-spec-found). Landed voids count as manifests here, so
       // liveMax only ever moves forward within one wait.
       val liveMax = landed.map(_.toLong).foldLeft(0L)(math.max)
-      entries.iterator.filter { st =>
-        val n = st.getPath.getName
-        n.startsWith("claim-") && {
-          val k = n.stripPrefix("claim-").toLong
-          k > liveMax && k < version && !landed(n.stripPrefix("claim-"))
+      entries.iterator.filter { e =>
+        e.name.startsWith("claim-") && {
+          val k = e.name.stripPrefix("claim-").toLong
+          k > liveMax && k < version && !landed(e.name.stripPrefix("claim-"))
         }
-      }.map(st => (st.getPath.getName.stripPrefix("claim-").toLong,
-          st.getModificationTime))
+      }.map(e => (e.name.stripPrefix("claim-").toLong, e.mtimeMs))
         .toSeq.sortBy(_._1)
     }
-    val ownClaim = new Path(dir, s"claim-$version")
     var lastBeat = System.currentTimeMillis()
     var left = pending()
     while (left.nonEmpty) {
       val (k, mtime) = left.head // lowest first: voids carry a final chain
       if (System.currentTimeMillis() - mtime >= claimGraceMs) {
-        val carriedK = versions(spark, root).filter(_ < k).lastOption
-          .map(manifestFiles(spark, root, _)).getOrElse(Vector.empty)
+        val carriedK = versionsIn(ms).filter(_ < k).lastOption
+          .map(manifestFilesIn(ms, root, _)).getOrElse(Vector.empty)
         val voidBody = s"""{"version": $k, "files": [${
           carriedK.map(jsonStr).mkString(", ")}], "void": true}"""
-        // the void lands through the SAME tmp + atomic-no-overwrite path
-        // as a real manifest: a visible manifest is ALWAYS complete, and
-        // a crash mid-void leaves tmp litter, never a corrupt (or empty)
-        // manifest-k that would wedge every later read and append
-        landManifestNoOverwrite(spark, f, rootP, k, voidBody)
+        // the void lands through the SAME atomic put-if-absent path as
+        // a real manifest: a visible manifest is ALWAYS complete, and
+        // a crash mid-void leaves at most store-side litter, never a
+        // corrupt (or empty) manifest-k that would wedge later reads
+        ms.putIfAbsent(s"manifest-$k", CommitStoreText.bytes(voidBody))
         // a lost land = the writer landed first; pending() drops it
       } else {
         // this wait consumes OUR OWN claim's grace budget: refresh the
@@ -402,18 +340,13 @@ object SnapshotTable {
         // voids the live one
         val now = System.currentTimeMillis()
         if (now - lastBeat >= claimGraceMs / 12) {
-          // mtime-only refresh: setTimes is one atomic metadata op on
-          // every FileSystem. create(overwrite=true) is NOT — object
-          // stores (and any delete-then-create implementation) expose a
-          // window where a concurrent appender's single listStatus
-          // snapshot sees neither claim-N nor manifest-N, stops waiting
-          // on a live writer, and lands a higher manifest that excludes
-          // its files — the very silent-loss race the heartbeat closes.
-          // Fall back to create only where setTimes is unsupported.
-          try f.setTimes(ownClaim, now, -1)
-          catch { case _: UnsupportedOperationException =>
-            val o = f.create(ownClaim, true); o.close()
-          }
+          // mtime-only refresh through the store (CommitStore.touch):
+          // the claim must never go unlisted mid-refresh, or a
+          // concurrent appender's single listing snapshot sees neither
+          // claim-N nor manifest-N, stops waiting on a live writer, and
+          // lands a higher manifest that excludes its files — the very
+          // silent-loss race the heartbeat closes.
+          ms.touch(s"claim-$version")
           lastBeat = now
         }
         Thread.sleep(100)
@@ -422,27 +355,36 @@ object SnapshotTable {
     }
   }
 
-  /** Versions with a manifest, ascending. */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val dir = new Path(root, "_manifests")
-    val f = fs(spark, dir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
+  /** Versions with a manifest, ascending. Readers of a store-backed
+    * table pass the same [[CommitStore]] its writers commit through. */
+  def versions(spark: SparkSession, root: String,
+               store: Option[CommitStore] = None): Seq[Long] =
+    versionsIn(readStore(spark, root, store))
+
+  /** The manifest store for READ paths: never scheme-guarded (reading a
+    * flat object store through the FS facade is safe — listings and
+    * gets need no atomicity; only COMMITS do). */
+  private def readStore(spark: SparkSession, root: String,
+                        store: Option[CommitStore]): CommitStore =
+    store.getOrElse(HadoopCommitStore(spark, new Path(root)))
+
+  private def versionsIn(ms: CommitStore): Seq[Long] =
+    ms.list().map(_.name)
       .collect { case n if n.startsWith("manifest-") =>
         n.stripPrefix("manifest-").toLong }
-      .sorted.toSeq
-  }
+      .sorted
 
-  private def latestVersion(spark: SparkSession, root: String): Option[Long] =
-    versions(spark, root).lastOption
+  private def latestVersionIn(ms: CommitStore): Option[Long] =
+    versionsIn(ms).lastOption
 
   /** Root-relative file paths of manifest `v` (no JSON lib dep: minimal
     * field pull from our own format). */
-  private def manifestFiles(spark: SparkSession, root: String, v: Long): Vector[String] = {
-    val rootP = new Path(root)
-    val manifest = readSmall(fs(spark, rootP), new Path(rootP, s"_manifests/manifest-$v"))
-    // a visible manifest is complete under the protocol (landed by
-    // atomic rename) — anything else is corruption worth a clear error
+  private def manifestFilesIn(ms: CommitStore, root: String,
+                              v: Long): Vector[String] = {
+    val manifest = CommitStoreText.utf8(ms.read(s"manifest-$v"))
+    // a visible manifest is complete under the protocol (landed by one
+    // atomic put-if-absent) — anything else is corruption worth a clear
+    // error
     "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(manifest).getOrElse(
         sys.error(s"snapshot-table: corrupt manifest-$v at $root " +
           s"(no files field; ${manifest.length} bytes)"))
@@ -452,16 +394,18 @@ object SnapshotTable {
   }
 
   /** The live version IS the highest manifest — no pointer file. */
-  private def liveVersion(spark: SparkSession, root: String): Long =
-    latestVersion(spark, root).getOrElse(
+  private def liveVersionIn(ms: CommitStore, root: String): Long =
+    latestVersionIn(ms).getOrElse(
       sys.error(s"snapshot-table: no published version at $root"))
 
   /** Read the live snapshot (or a pinned `version` — time travel). Only
     * the manifest's exact file list is scanned: concurrent publishes and
     * crashed writers cannot tear the read. */
-  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(liveVersion(spark, root))
-    val files = manifestFiles(spark, root, v)
+  def read(spark: SparkSession, root: String, version: Option[Long] = None,
+           store: Option[CommitStore] = None): DataFrame = {
+    val ms = readStore(spark, root, store)
+    val v = version.getOrElse(liveVersionIn(ms, root))
+    val files = manifestFilesIn(ms, root, v)
     require(files.nonEmpty, s"snapshot-table: empty manifest $v at $root")
     spark.read.parquet(files.map(n => new Path(root, n).toString): _*)
   }
@@ -473,11 +417,13 @@ object SnapshotTable {
     * difference IS the change set (append-mode commits; a replace commit
     * shows up as its full file list, which is also correct). */
   def readChanges(spark: SparkSession, root: String, sinceVersion: Long,
-                  untilVersion: Option[Long] = None): DataFrame = {
-    val until = untilVersion.getOrElse(liveVersion(spark, root))
-    val old = manifestFiles(spark, root, sinceVersion).toSet
-    val added = manifestFiles(spark, root, until).filterNot(old)
-    if (added.isEmpty) read(spark, root, Some(until)).limit(0)
+                  untilVersion: Option[Long] = None,
+                  store: Option[CommitStore] = None): DataFrame = {
+    val ms = readStore(spark, root, store)
+    val until = untilVersion.getOrElse(liveVersionIn(ms, root))
+    val old = manifestFilesIn(ms, root, sinceVersion).toSet
+    val added = manifestFilesIn(ms, root, until).filterNot(old)
+    if (added.isEmpty) read(spark, root, Some(until), store).limit(0)
     else spark.read.parquet(added.map(n => new Path(root, n).toString): _*)
   }
 
@@ -513,11 +459,12 @@ object SnapshotTable {
     * that silently excludes the racer's files (the pre-R15 shadowing
     * hazard). Re-run an aborted merge; its orphaned data dir is
     * vacuum-reclaimed. Returns the new version. */
-  def merge(source: DataFrame, root: String, keys: Seq[String]): Long = {
+  def merge(source: DataFrame, root: String, keys: Seq[String],
+            store: Option[CommitStore] = None): Long = {
     require(keys.nonEmpty, "snapshot-table: merge needs at least one key")
-    requireAtomicCommitFs(new Path(root)) // before any read touches the store
     val spark = source.sparkSession
-    if (versions(spark, root).isEmpty) return write(source, root)
+    val ms = manifestStore(spark, new Path(root), store) // guard before reads
+    if (versionsIn(ms).isEmpty) return write(source, root, store = store)
     import org.apache.spark.sql.functions.{col, input_file_name}
     // the source plan feeds three consumers (touched-file probe,
     // remainder anti-join, commit write) — persist it for the merge's
@@ -527,8 +474,8 @@ object SnapshotTable {
       source.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val src = if (preCached) source else source.persist()
     try {
-      val live = liveVersion(spark, root)
-      val files = manifestFiles(spark, root, live)
+      val live = liveVersionIn(ms, root)
+      val files = manifestFilesIn(ms, root, live)
       val rootP = new Path(root)
       val abs = files.map(n => new Path(rootP, n).toString)
       val srcKeys = src.select(keys.map(col): _*).distinct()
@@ -557,7 +504,7 @@ object SnapshotTable {
           t.join(srcKeys, keyCond(t, srcKeys), "left_anti")
         }
       commitWith(remainder.unionByName(src), root, maxClaimRetries = 20,
-        requireBase = Some(live))((_, _, _, _) => untouched)
+        requireBase = Some(live), store = store)((_, _) => untouched)
     } finally if (!preCached) src.unpersist(blocking = false)
   }
 
@@ -579,14 +526,15 @@ object SnapshotTable {
     * at leisure) rather than letting the compacted snapshot silently
     * shadow the racer's rows. Returns the new version. */
   def compact(spark: SparkSession, root: String,
-              targetFileMB: Int = 512): Long = {
-    requireAtomicCommitFs(new Path(root)) // before any read touches the store
-    val live = liveVersion(spark, root)
-    val df = read(spark, root, Some(live))
+              targetFileMB: Int = 512,
+              store: Option[CommitStore] = None): Long = {
+    val ms = manifestStore(spark, new Path(root), store) // guard before reads
+    val live = liveVersionIn(ms, root)
+    val df = read(spark, root, Some(live), store)
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (sizeBytes / (targetFileMB.toLong << 20)).toLong)
     commitWith(df.repartition(nFiles.toInt), root, maxClaimRetries = 20,
-      requireBase = Some(live))((_, _, _, _) => Vector.empty)
+      requireBase = Some(live), store = store)((_, _) => Vector.empty)
   }
 
   /** Drop all but the newest `keep` manifests (the newest is the live
@@ -597,15 +545,17 @@ object SnapshotTable {
     * like a crashed one, and the grace period is what distinguishes
     * them (pass 0 only when no writer can be running). `keep >= 1`. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
-             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
+             orphanGraceMs: Long = 24L * 3600 * 1000,
+             store: Option[CommitStore] = None): Unit = {
     require(keep >= 1, "snapshot-table: keep >= 1")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
-    val all = versions(spark, root)
+    val ms = manifestStore(spark, rootP, store)
+    val all = versionsIn(ms)
     val kept = all.takeRight(keep)
     // append-mode manifests reference older versions' dirs: keep every
     // dir a KEPT manifest mentions, not just the kept version numbers
-    val referenced = kept.flatMap(v => manifestFiles(spark, root, v))
+    val referenced = kept.flatMap(v => manifestFilesIn(ms, root, v))
       .map(p => new Path(p).getParent.getName).toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     all.filterNot(kept.contains).foreach { v =>
@@ -613,18 +563,17 @@ object SnapshotTable {
       // concurrent appender's pending() sees claim-v with no manifest-v
       // (an ancient mtime, instantly past grace) and re-lands a VOID for
       // a version vacuum is deleting — resurrecting it in versions()
-      f.delete(new Path(rootP, s"_manifests/claim-$v"), false)
-      f.delete(new Path(rootP, s"_manifests/manifest-$v"), false)
+      ms.delete(s"claim-$v")
+      ms.delete(s"manifest-$v")
     }
     // burned claims (slot taken, manifest never landed) and tmp litter
-    // from crashed/voided lands, both only when older than grace
-    f.listStatus(new Path(rootP, "_manifests")).foreach { st =>
-      val n = st.getPath.getName
-      val burned = n.startsWith("claim-") &&
-        !all.contains(n.stripPrefix("claim-").toLong)
-      if ((burned || n.startsWith(".tmp-")) &&
-          st.getModificationTime < cutoff)
-        f.delete(st.getPath, false)
+    // from crashed/voided lands (filesystem-backed stores only), both
+    // only when older than grace
+    ms.list().foreach { e =>
+      val burned = e.name.startsWith("claim-") &&
+        !all.contains(e.name.stripPrefix("claim-").toLong)
+      if ((burned || e.name.startsWith(".tmp-")) && e.mtimeMs < cutoff)
+        ms.delete(e.name)
     }
     val dataRoot = new Path(rootP, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>

@@ -5,13 +5,13 @@
 #   BENCH_model_sf3_r17.json       — the model-family sf3 points that
 #                                    finish the R16 crossover argument
 #   /tmp/r17_solo_geo.json         — q_geo_geojson watch-item reading
-set -uo pipefail
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/3 full structural sweep @ sf1.5 (min-of-6, duck timeout 300)"
+echo "== 1/4 full structural sweep @ sf1.5 (min-of-6, duck timeout 300)"
 python3 tools/bench_structural.py benchdata/sf1.5 BENCH_structural_sf15_r17.json 6 300
 
-echo "== 2/3 model-family sf3 points (solo min-of-6 + DuckDB min-of-3)"
+echo "== 2/4 model-family sf3 points (solo min-of-6 + DuckDB min-of-3)"
 python3 - <<'EOF'
 import json, os, re, subprocess, time
 import duckdb
@@ -27,10 +27,14 @@ for t in "region nation customer supplier part orders lineitem events documents 
 out = {"mode": "solo-min-of-6 (duck min-of-3)", "sf": SF, "queries": {}}
 for q in QS:
     detail = f"/tmp/bench_sf3_{q}.json"
+    if os.path.exists(detail):
+        os.unlink(detail)  # never read a stale detail from a failed run
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF,
                SPARK_GRAFT_BENCH_RUNS="6", SPARK_GRAFT_BENCH_OUT=detail)
     r = subprocess.run(["sbt", "-batch", f"runMain graft.Bench {q}"],
                        capture_output=True, text=True, env=env)
+    if r.returncode != 0:
+        raise RuntimeError(f"sbt bench failed for {q}:\n{r.stdout[-2000:]}")
     spark_s = json.load(open(detail))["queries"][q]
     best = None
     for _ in range(3):
@@ -63,10 +67,14 @@ for t in "region nation customer supplier part orders lineitem events documents 
 out = {"mode": "solo-min-of-6 (duck min-of-3)", "sf": SF, "queries": {}}
 for q in QS:
     detail = f"/tmp/bench_sf6_{q}.json"
+    if os.path.exists(detail):
+        os.unlink(detail)  # never read a stale detail from a failed run
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF,
                SPARK_GRAFT_BENCH_RUNS="6", SPARK_GRAFT_BENCH_OUT=detail)
-    subprocess.run(["sbt", "-batch", f"runMain graft.Bench {q}"],
-                   capture_output=True, text=True, env=env)
+    r = subprocess.run(["sbt", "-batch", f"runMain graft.Bench {q}"],
+                       capture_output=True, text=True, env=env)
+    if r.returncode != 0:
+        raise RuntimeError(f"sbt bench failed for {q}:\n{r.stdout[-2000:]}")
     spark_s = json.load(open(detail))["queries"][q]
     best = None
     for _ in range(3):
