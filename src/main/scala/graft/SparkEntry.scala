@@ -341,7 +341,19 @@ object SparkEntry {
         lit("{\"type\":\"Polygon\",\"coordinates\":[["),
         pr(x1, y1), lit(","), pr(x2, y2), lit(","), pr(x3, y3), lit(","),
         pr(x1, y1), lit("]]}")))
-    Tables.events(s, d)
+    // parallelism floor (the Curate.contamination guard): this plan is
+    // MAP-ONLY, so the JSON build+parse runs at the SCAN's parallelism —
+    // for an under-split input (few parquet row groups) that is the
+    // row-group count, not the cluster. The floored exchange moves two
+    // long columns once and is a no-op at real scale where row groups
+    // >= cores. Measured at sf0.1 (2 row groups, local[32]): solo
+    // min-of-6 2.11 s before, with 2.1 CPU-s across 2 tasks; floored
+    // the same work spreads across the box.
+    val sc = s.sparkContext
+    val ids0 = Tables.events(s, d).select(col("event_id"), col("user_id"))
+    val ids = if (ids0.rdd.getNumPartitions < sc.defaultParallelism)
+      ids0.repartition(sc.defaultParallelism) else ids0
+    ids
       .select(col("event_id"), gj.as("gj"))
       .select(col("event_id"), col("gj"),
         get_json_object(col("gj"), "$.type").as("gtype"))

@@ -69,36 +69,35 @@ object Geo {
     stGeomFromGeoJsonTyped(j, get_json_object(j, "$.type"))
 
   /** [[stGeomFromGeoJson]] when the caller has already extracted the
-    * type tag (one JSON pass saved per row on a corpus scan). Each
-    * CaseWhen branch parses the WHOLE document once with `from_json`
-    * at that shape's coordinate depth — branches are lazy, so a row
-    * costs exactly one `from_json` — rather than `get_json_object`
-    * re-extracting coordinates as text and parsing them again. */
+    * type tag. ONE JSON parse per row, whatever the shape: the
+    * coordinates subtree is pulled once as text (`get_json_object` —
+    * a scan, not a parse tree), its nesting is NORMALIZED to Polygon
+    * depth by wrapping the text per type (`Point [x,y]` -> `[[[x,y]]]`,
+    * `LineString [[..]..]` -> `[[[..]..]]`, `Polygon` as-is), and a
+    * single `from_json` at the one shared depth-3 schema parses it —
+    * the per-type-schema CaseWhen this replaces evaluated up to three
+    * full-document `from_json` passes per row (branch CONDITIONS are
+    * not lazy across branches: a Polygon row paid the Point and
+    * LineString parses before its own). The outer shell is then the
+    * geometry for every type. Malformed JSON, unknown types, and
+    * degenerate coordinate arrays -> NULL, never a throw: every
+    * element_at is guarded by a size check in the SAME short-circuiting
+    * conjunction (under ANSI mode — Spark 4's default — an
+    * out-of-bounds element_at THROWS). */
   def stGeomFromGeoJsonTyped(j: Column, typ: Column): Column = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType,
-      StructField, StructType}
-    def docSchema(coords: org.apache.spark.sql.types.DataType) =
-      StructType(Seq(StructField("type", StringType),
-        StructField("coordinates", coords)))
-    val pt = from_json(j, docSchema(ArrayType(DoubleType)))("coordinates")
-    val ln = from_json(j,
-      docSchema(ArrayType(ArrayType(DoubleType))))("coordinates")
-    val pg = from_json(j,
-      docSchema(ArrayType(ArrayType(ArrayType(DoubleType)))))("coordinates")
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val co = get_json_object(j, "$.coordinates")
+    val nested = when(typ === "Point", concat(lit("[["), co, lit("]]")))
+      .when(typ === "LineString", concat(lit("["), co, lit("]")))
+      .when(typ === "Polygon", co)
+    val pg = from_json(nested,
+      ArrayType(ArrayType(ArrayType(DoubleType))))
+    val shell = element_at(pg, 1)
     def pts(arr: Column): Column = transform(arr, p =>
       struct(element_at(p, 1).as("x"), element_at(p, 2).as("y")))
-    // every element_at is guarded by a size check in the SAME branch:
-    // under ANSI mode (Spark 4 default) an out-of-bounds element_at
-    // THROWS, so a degenerate coordinates array ([] or [5]) would
-    // otherwise kill the job instead of nulling the row
-    def allPairs(arr: Column): Column =
-      arr.isNotNull && forall(arr, p => size(p) >= 2)
-    val shell = element_at(pg, 1)
-    when(typ === "Point" && pt.isNotNull && size(pt) >= 2,
-        array(struct(element_at(pt, 1).as("x"), element_at(pt, 2).as("y"))))
-      .when(typ === "LineString" && size(ln) >= 1 && allPairs(ln), pts(ln))
-      .when(typ === "Polygon" && size(pg) >= 1 && size(shell) >= 1 &&
-          allPairs(shell), pts(shell))
+    when(pg.isNotNull && size(pg) >= 1 && shell.isNotNull &&
+        size(shell) >= 1 &&
+        forall(shell, p => p.isNotNull && size(p) >= 2), pts(shell))
       .otherwise(lit(null).cast("array<struct<x:double,y:double>>"))
   }
 

@@ -330,9 +330,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_geo_geojson: shuffle-free map plan, events scan pruned to the two id columns") {
+  test("q_geo_geojson: map plan whose ONLY exchange is the parallelism floor, events scan pruned to the two id columns") {
     val p = plan("q_geo_geojson")
-    assert(!p.contains("Exchange"), "GeoJSON parse introduced a shuffle")
+    // the r18 floor round-robins the two-long-column scan so the JSON
+    // build+parse runs at cluster parallelism instead of the row-group
+    // count (a no-op at real scale) — that ONE exchange, directly over
+    // the pruned scan, is the only shuffle allowed; a hash/range
+    // exchange would mean the parse itself regressed to a shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("RoundRobinPartitioning")),
+      s"GeoJSON parse introduced a non-floor shuffle: $exchanges")
+    assert(exchanges.size <= 1,
+      s"more than the one floor exchange: $exchanges")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("event_id") && read.contains("user_id") &&
       !read.contains("event_type") && !read.contains("value"),
