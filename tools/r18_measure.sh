@@ -1,11 +1,11 @@
 #!/usr/bin/env bash
-# R18 measurement batch — run SEQUENTIALLY on a quiet box. Produces:
+# R18 measurement batch — run SEQUENTIALLY on a quiet box. Model-family
+# legs run FIRST (the round's adjudicated rows), then the full sweep, so
+# a truncated run still carries the gate-relevant evidence. Produces:
+#   BENCH_model_sf3_r18.json       — model-family sf3 points (r18 path)
+#   BENCH_model_sf6_r18.json       — sf6 crossover tails, all four rows
 #   BENCH_structural_sf15_r18.json — full structural sweep at sf1.5
-#                                    (solo min-of-6 + DuckDB same box)
-#   BENCH_model_sf3_r18.json       — model-family sf3 points re-measured
-#                                    on the r18 fused path
-#   BENCH_model_sf6_r18.json       — the sf6 crossover tails, now
-#                                    covering ALL FOUR adjudicated rows
+#                                    (solo min-of-4 + DuckDB same box)
 #   /tmp/r18_solo_geo.json         — q_geo_geojson watch-item reading
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -14,9 +14,6 @@ if [ ! -f /tmp/vout01/oracle_sql.json ]; then
   echo "== 0/4 regenerating oracle dump (Verify @ sf0.01)"
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout01" >/dev/null
 fi
-
-echo "== 1/4 full structural sweep @ sf1.5 (min-of-6, duck timeout 300)"
-python3 tools/bench_structural.py benchdata/sf1.5 BENCH_structural_sf15_r18.json 6 300
 
 run_models() {  # $1 = sfdir, $2 = out json, $3.. = queries
 python3 - "$@" <<'EOF'
@@ -55,20 +52,23 @@ for q in QS:
 EOF
 }
 
-echo "== 2/4 model-family sf3 points (r18 fused path)"
+echo "== 1/4 model-family sf3 points (r18 fused path)"
 run_models benchdata/sf3 BENCH_model_sf3_r18.json \
   q_model_impact_scores q_model_authority_scores \
   q_model_impact_scores_england q_model_authority_scores_england \
   q_model_data_tests
 
-echo "== 3/4 model-family sf6 points (all four crossover tails)"
+echo "== 2/4 model-family sf6 points (all four crossover tails)"
 run_models benchdata/sf6 BENCH_model_sf6_r18.json \
   q_model_impact_scores q_model_authority_scores \
   q_model_authority_scores_england q_model_data_tests
 
-echo "== 4/4 q_geo_geojson watch item (solo min-of-6 @ sf0.1)"
+echo "== 3/4 q_geo_geojson watch item (solo min-of-6 @ sf0.1)"
 rm -f /tmp/r18_solo_geo.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=6 \
   SPARK_GRAFT_BENCH_OUT=/tmp/r18_solo_geo.json \
   sbt -batch "runMain graft.Bench q_geo_geojson" | tail -1
+
+echo "== 4/4 full structural sweep @ sf1.5 (min-of-4, duck timeout 300)"
+python3 tools/bench_structural.py benchdata/sf1.5 BENCH_structural_sf15_r18.json 4 300
 echo DONE
