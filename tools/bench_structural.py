@@ -15,18 +15,18 @@ import json, os, re, subprocess, sys, time
 import duckdb
 
 QUERIES = [
+  # dbt model layer FIRST (R18: the adjudicated rows land early so a
+  # truncated sweep still carries the gate-relevant evidence)
+  "q_model_impact_scores", "q_model_authority_scores",
+  "q_model_wellbeing", "q_model_permit_details", "q_model_data_tests",
+  "q_model_impact_scores_england", "q_model_authority_scores_england",
+  "q_model_permit_details_england",
   "q_bpe_encode", "q_bpe_encode_bytes", "q_contamination",
   "q_curation_pipeline", "q_dedup_keep", "q_dedup_ngram",
   "q_dup_clusters", "q_dup_clusters_star", "q_dup_spans",
   "q_range_join_points", "q_semantic_clusters", "q_semantic_dedup_keep",
   "q_simhash_pairs", "q_span_cut", "q_span_cut_keep",
   "q_wellbeing_impact", "q_winnow_pairs", "q_unigram_encode",
-  # dbt model layer (R15: heavy-tier rows on the record, not just in
-  # BASELINE prose; includes the England family added this round)
-  "q_model_impact_scores", "q_model_authority_scores",
-  "q_model_wellbeing", "q_model_permit_details", "q_model_data_tests",
-  "q_model_impact_scores_england", "q_model_authority_scores_england",
-  "q_model_permit_details_england",
 ]
 
 # The pinned list can silently go stale as queries are added — auto-union
