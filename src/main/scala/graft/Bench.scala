@@ -124,8 +124,12 @@ object Bench {
       case c => c.toString
     } + "\""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_detail.json")
+    // knobs that change what a query COMPUTES ride in the artifact, so
+    // the BASELINE series stays interpretable across knob changes
+    // (q_ann_ivf at 4 Lloyd rounds is a different query than at 2)
+    val knobs = s"""{"ivf_train_rounds":${OracleSql.IvfTrainRounds}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":${js(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"knobs":$knobs,"queries":$qs,"sf":${js(sfDir)}}""")
     // stop Spark BEFORE the parseable line: its shutdown may log to the
     // console, and the driver reads the LAST stdout line as the result
     // (build.sbt routes forked stdout through unprefixed + no [success])

@@ -349,6 +349,14 @@ object SparkEntry {
     // >= cores. Measured at sf0.1 (2 row groups, local[32]): solo
     // min-of-6 2.11 s before, with 2.1 CPU-s across 2 tasks; floored
     // the same work spreads across the box.
+    //
+    // NOTE (cost, do not copy blindly): `ids0.rdd.getNumPartitions`
+    // forces eager physical planning of the scan at query-BUILD time and
+    // reads the pre-AQE partition count — fine for this bench query
+    // (the scan is the whole plan and AQE never coalesces a map-only
+    // chain), but a pattern that would silently bypass AQE coalescing if
+    // reused on a plan with exchanges; prefer planning-free source
+    // metadata (file/row-group counts) there.
     val sc = s.sparkContext
     val ids0 = Tables.events(s, d).select(col("event_id"), col("user_id"))
     val ids = if (ids0.rdd.getNumPartitions < sc.defaultParallelism)
@@ -1545,7 +1553,7 @@ object SparkEntry {
     * 2.90->3.33 s solo) — each consumer's first real exchange (the
     * per-permit dedup / groupBy shuffle) re-parallelizes anyway, so the
     * extra round-robin shuffle is pure cost on the critical path. */
-  private def modelPermitEvents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def modelPermitEvents(s: SparkSession, d: String): DataFrame = {
     val tmIdx = pmod(col("o_orderkey") + col("v"), lit(13))
     val tmRef = modelTmRefs.zipWithIndex
       .foldLeft(when(tmIdx === 11, lit(null).cast("string"))) {
@@ -1598,7 +1606,7 @@ object SparkEntry {
           .as("collaborative_working"))
   }
 
-  private def modelOpenUsrns(s: SparkSession, d: String): DataFrame =
+  private[graft] def modelOpenUsrns(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
       col("c_custkey").as("usrn"),
       col("c_mktsegment").as("street_type"),
@@ -1606,7 +1614,7 @@ object SparkEntry {
         lit(" "), (col("c_nationkey") * 10).cast("string"), lit(")"))
         .as("geometry"))
 
-  private def modelLinkedIds(s: SparkSession, d: String): DataFrame =
+  private[graft] def modelLinkedIds(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
       col("o_orderkey").cast("string").as("correlation_id"),
       col("o_custkey").as("identifier_2"))

@@ -93,10 +93,11 @@ object Dedup {
         .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
         .select(keys.map(col): _*))
       // limit-probe, not count(): on a pathological key universe the
-      // probe stops scanning at maxHotKeys + 1 rows; clamped so a
-      // maxHotKeys >= Int.MaxValue doesn't wrap the limit negative (or
-      // to a tiny prefix that lets an oversized broadcast slip past)
-      val probe = math.min(maxHotKeys + 1, Int.MaxValue.toLong).toInt
+      // probe stops scanning at maxHotKeys + 1 rows; clamp BEFORE the
+      // increment — maxHotKeys == Long.MaxValue would wrap the +1 to
+      // Long.MinValue, whose .toInt is 0, making the probe limit(0) and
+      // the guard vacuous (the exact hazard this clamp exists to stop)
+      val probe = (math.min(maxHotKeys, Int.MaxValue.toLong - 1) + 1).toInt
       val nHot = hot.limit(probe).count()
       require(nHot <= maxHotKeys,
         s"capByFreq: more than $maxHotKeys keys exceed cap=$cap on " +

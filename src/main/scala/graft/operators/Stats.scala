@@ -143,12 +143,56 @@ object Stats {
     * Null scores are DROPPED (a global window would order them first
     * instead) — callers rank non-null measures; coalesce upstream if null
     * ranks are needed.
+    *
+    * Fast path: when the distinct-score histogram fits `maxDriverHist`
+    * rows (probed with a sorted LIMIT, the capByFreq discipline — the
+    * scan stops at maxDriverHist + 1 groups, it never collects an
+    * unbounded set), the prefix sums are computed on the driver in ONE
+    * action and returned as a broadcast LocalRelation. That folds the
+    * range shuffle, its sampling pass, the per-partition offset collect,
+    * and the offset windows into a single job, and the caller's
+    * join-back becomes a map-side broadcast hash join — at sf1.5 the
+    * rank tail of q_model_authority_scores dropped from ~12 AQE stages
+    * to 1. Post-aggregation score tables are bounded by the score
+    * domain, not the row count (an integer impact score has thousands of
+    * distinct values at any SF), so the fast path is the one that fires
+    * at the 100 TB design point too; a genuinely high-cardinality score
+    * column (e.g. ranking on a float measure) overflows the probe and
+    * falls back to the proven range machinery unchanged.
     */
   def cumLess(df: DataFrame, scoreCol: String,
               numParts: Int = 0,
-              scope: graft.PersistScope = graft.PersistScope()): (DataFrame, Long) = {
+              scope: graft.PersistScope = graft.PersistScope(),
+              maxDriverHist: Int = 1 << 18): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
+    if (maxDriverHist > 0) {
+      val grouped0 = df.where(col(scoreCol).isNotNull)
+        .groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+      // sorted limit-probe: TakeOrderedAndProject ships only the first
+      // maxDriverHist + 1 (score, cnt) pairs to the driver — bounded
+      // state (~16 B/row), like broadcasting k-means centroids
+      val probe = grouped0.sort(col(scoreCol).asc)
+        .limit(math.min(maxDriverHist.toLong + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probe.length <= maxDriverHist) {
+        var acc = 0L
+        val rows = probe.map { r =>
+          val c = r.getLong(1); val off = acc; acc += c
+          org.apache.spark.sql.Row(r.get(0), off)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          grouped0.schema.head,
+          org.apache.spark.sql.types.StructField("__cnt_less",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        return (broadcast(spark.createDataFrame(rows.toSeq.asJava, schema)),
+          acc)
+      }
+      // else: fall through to the distributed range path (the probe's
+      // groupBy shuffle re-runs there; callers cache their input, so the
+      // recompute reads the cache, not the raw pipeline)
+    }
     // persisted at the range shuffle: the totals job and the window job
     // must see the SAME partition ids (they do regardless — RangePartitioner
     // boundary sampling is seeded deterministically — but the cache also

@@ -135,17 +135,29 @@ object Models {
     * of the OS linked-identifiers table; count is of non-null
     * `correlation_id` exactly like `COUNT(uprn.CORRELATION_ID)`. */
   def uprnUsrnCount(openUsrns: DataFrame, linkedIds: DataFrame): DataFrame =
+    // count(x) == count(*) over the non-null-x rows; filtering FIRST
+    // lets Catalyst simplify isNotNull through null-intolerant
+    // expressions (a correlation id derived by CAST from a scan column
+    // prunes to the scan column's null check, so the cast itself is
+    // never materialized — measured 8.8 CPU-s of string casts saved at
+    // sf1.5 when the id is CAST(bigint AS string)).
+    //
+    // Aggregate-BEFORE-join: join-then-count over key u yields exactly
+    // c(u) * m(u) (every linked row meets every registry row of its
+    // key), so counting each side first and multiplying is row-identical
+    // — including under a dirty registry with duplicated USRNs — while
+    // the map-side partial aggregates collapse the fact table at the
+    // scan and the join shuffles two key-grain tables instead of the raw
+    // linked-identifier rows (at sf1.5 this removed a 2.25M-row
+    // sort-merge join that AQE had coalesced onto 2 tasks — ~1 s off the
+    // model-query critical path; at 100 TB it is the difference between
+    // shuffling the linked-identifier corpus and shuffling its key set).
     openUsrns.select(col("usrn"))
-      // count(x) == count(*) over the non-null-x rows; filtering FIRST
-      // lets Catalyst simplify isNotNull through null-intolerant
-      // expressions (a correlation id derived by CAST from a scan column
-      // prunes to the scan column's null check, so the cast itself is
-      // never materialized — measured 8.8 CPU-s of string casts saved at
-      // sf1.5 when the id is CAST(bigint AS string))
+      .groupBy("usrn").agg(count(lit(1)).as("__m"))
       .join(linkedIds.where(col("correlation_id").isNotNull)
-        .select(col("identifier_2").as("usrn")), Seq("usrn"))
-      .groupBy("usrn")
-      .agg(count(lit(1)).as("uprn_count"))
+        .select(col("identifier_2").as("usrn"))
+        .groupBy("usrn").agg(count(lit(1)).as("__c")), Seq("usrn"))
+      .select(col("usrn"), (col("__m") * col("__c")).as("uprn_count"))
 
   // ------------------------------------------------- permit list models
 
@@ -192,22 +204,41 @@ object Models {
     * and the fused event route — ONE definition so the dim-key casting
     * and the zero-fill cannot drift between the two spec-pinned-equal
     * paths. Adds `geometry` (left) and a coalesced `uprn_count`. */
+  /** Broadcast hint gated on the optimizer's size estimate: the dims are
+    * broadcast BY CONTRACT (key universe = the national street registry,
+    * ~1.6M USRNs, bounded by the political map, not the permit data),
+    * but a contract violation — a registry load orders of magnitude past
+    * its spec — should degrade to AQE's shuffle join, not OOM the driver
+    * mid-broadcast. `optimizedPlan.stats` is planning-time metadata (no
+    * job, no eager execution); the 1 GB line sits far above any
+    * plausible dim (tens of MB) and far below driver memory, so only a
+    * genuinely broken load crosses it, and the WARN names the fix. */
+  private def hintBroadcastDim(dim: DataFrame): DataFrame = {
+    val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(1L << 30)) broadcast(dim)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"joinGeoAndCounts: dimension size estimate $est B exceeds the " +
+          "1 GB broadcast contract — falling back to a shuffle join. " +
+          "The USRN registry should be tens of MB; check the load.")
+      dim
+    }
+  }
+
   private def joinGeoAndCounts(df: DataFrame, openUsrns: DataFrame,
                                uprnCounts: DataFrame): DataFrame =
-    // both dims are broadcast BY CONTRACT: their key universe is the
-    // national street registry (USRN), bounded by the political map
-    // (~1.6M streets in GB — tens of MB deduped and projected), not by
-    // the permit data. Without the hint a LEFT join cannot broadcast
-    // its left (probe) side, so AQE co-shuffles both sides — an
-    // exchange on the aggregated scoring frame that the hint removes
+    // both dims broadcast by contract (size-guarded — see
+    // [[hintBroadcastDim]]). Without the hint a LEFT join cannot
+    // broadcast its left (probe) side, so AQE co-shuffles both sides —
+    // an exchange on the aggregated scoring frame that the hint removes
     // from the critical path (the dim build then runs concurrently
     // with the event pipeline).
     df
-      .join(broadcast(uniqueDim(openUsrns.select(
+      .join(hintBroadcastDim(uniqueDim(openUsrns.select(
         col("usrn").cast("long").as("__usrn_k"), col("geometry")), "__usrn_k")),
         col("usrn").cast("long") === col("__usrn_k"), "left")
       .drop("__usrn_k")
-      .join(broadcast(uniqueDim(uprnCounts.select(
+      .join(hintBroadcastDim(uniqueDim(uprnCounts.select(
         col("usrn").cast("long").as("__cnt_k"),
         col("uprn_count").as("__uprn_count")), "__cnt_k")),
         col("usrn").cast("long") === col("__cnt_k"), "left")
@@ -363,7 +394,7 @@ object Models {
     * sound because [[permitImpact10]] is additive with its density half
     * a pure function of the per-USRN `uprn_count`); the list-equivalent
     * 10-column frame is [[combinedPermitRowsFromEvents]] = this + dims. */
-  private def latestFromEvents(permits: DataFrame,
+  private[graft] def latestFromEvents(permits: DataFrame,
       authorities: Seq[String], correlateOnAuthority: Boolean): DataFrame = {
     val needed = (Seq("permit_reference_number", "event_time",
       "event_reference", "event_type", "work_status_ref") ++
@@ -372,95 +403,116 @@ object Models {
     val isStop = col("work_status_ref") === "completed" &&
       col("event_type") === "WORK_STOP"
     // the authority filter applies to the OUTPUT rows only — the dbt
-    // NOT-IN subquery is unfiltered (in_progress_list_london.sql:81-87),
-    // so completed-stop rows must reach the exclusion window whatever
-    // their authority. In-progress rows outside the list can never be
-    // emitted nor excluded-from, so they prune BEFORE the shuffle
+    // NOT-IN subquery is unfiltered (in_progress_list_london.sql:81-87).
+    // In-progress rows outside the list can never be emitted nor
+    // excluded-from, so they prune BEFORE the shuffle. Under CORRELATED
+    // exclusion a stop outside a nonempty list prunes too: its
+    // (permit, authority) group cannot contain an in-progress row (those
+    // were just pruned to the list), so it excludes nothing, and its
+    // payload could never surface (the dbt output is list-filtered) —
+    // dropping it map-side removes ~2/3 of the shuffled stop rows for
+    // London's 8-of-25 list. Under UNCORRELATED exclusion a stop
+    // anywhere kills the permit, so every stop must reach the shuffle;
+    // only there can an out-of-list stop row ride with a null payload.
     val inAuthorities = if (authorities.isEmpty) lit(true)
       else col("highway_authority").isin(authorities.map(lit): _*)
+    val stopKept =
+      if (correlateOnAuthority) isStop && inAuthorities else isStop
     val tagged = base0
       .where((col("work_status_ref") === "in_progress" && inAuthorities) ||
-        isStop)
+        stopKept)
       .withColumn("__leg", when(isStop, lit(1)).otherwise(lit(0)))
-    // the latest-pick payload: (event_time, event_reference) FIRST so
-    // struct ordering == the dbt ORDER BY event_time DESC,
-    // event_reference DESC pick (max == latest; trailing payload fields
-    // only break exact (time, ref) ties, deterministically — the window
-    // form left those to partition order). Measured alternatives at
-    // sf1.5 (4.5M-row probe, min-of-3): max(struct) 0.97 s beats
-    // max_by(pay, key) 1.41 s (its CASE-paired value+ordering buffers
-    // cost more than the one-struct compare) and a typed-imperative
-    // argmax 5.3 s (per-group serialize/merge overhead dominates at ~2
-    // events per permit) — max(struct) stays.
+    // after the pre-filter, every surviving row carries a real payload
+    // EXCEPT out-of-list stops in the uncorrelated+nonempty-list case
+    val needsGate = !correlateOnAuthority && authorities.nonEmpty
+    // the latest-pick ordering: (event_time, event_reference) FIRST so
+    // the rank order == the dbt ORDER BY event_time DESC,
+    // event_reference DESC pick; trailing payload fields only break
+    // exact (time, ref) ties, deterministically (a full-tuple tie is a
+    // byte-identical output, so the pick is deterministic regardless).
     val payFields = Seq("event_time", "event_reference") ++ eventScoringCols
-    // payload nulled BEFORE the shuffle for rows that can never reach the
-    // output: an out-of-authority completed stop exists only to flip the
-    // exclusion flag of its (permit, authority) group — its (ref, auth,
-    // leg) triple is all the aggregation reads. Under a selective
-    // authority list (London keeps 8 of 25) this empties the payload of
-    // ~2/3 of the shuffled rows, and the null structs fall out of every
-    // max() for free. In-progress rows were already pre-filtered to the
-    // authority list, so `inAuthorities` here only bites the stop leg —
-    // semantics identical to gating the pick conditions on it.
-    val pay = when(col("__leg") === 0 || inAuthorities,
-      struct(payFields.map(col): _*))
+    // payload nulled BEFORE the shuffle for rows that can never reach
+    // the output (uncorrelated+nonempty-list only — see `needsGate`): an
+    // out-of-list completed stop exists only to flip the permit's
+    // exclusion flag. DESC NULLS LAST ranks the nulled rows below any
+    // real payload, exactly like null structs falling out of max().
+    val hasPay =
+      if (needsGate) col("__leg") === 0 || inAuthorities else lit(true)
     val ref = col("permit_reference_number")
-    // NULL join keys never match an anti-join, so the list route keeps a
-    // NULL-ref in-progress row even when a NULL-ref stop exists (and a
-    // NULL stop AUTHORITY matches nothing under correlation) — gate the
-    // exclusion on real keys. NULL refs still pool into ONE aggregation
-    // group, exactly like the dbt DISTINCT ON pools them into one key.
-    // `max(struct)` has an immutable agg buffer, so these plan as
-    // SortAggregates. Pre-partitioning on the permit alone makes ONE
-    // exchange + ONE sort serve the whole chain: HashPartitioning(ref)
-    // satisfies ClusteredDistribution(ref, authority) (subset rule), the
-    // (ref, authority) sort order is a prefix-extension of (ref), and
-    // the natural partial+final plan — which pays a full map-side sort
-    // per level for at most an events-per-permit dedup — never fires.
-    val byPermit = tagged.repartition(ref)
-    def pick(cond: Column): Column = max(when(cond, pay))
-    def repick(e: Column): Column = max(e)
-    val merged =
-      if (correlateOnAuthority) {
-        // grain 1: (permit, authority) — a completed stop in the group IS
-        // a NOT-IN hit for every in-progress row of the group, so the
-        // exclusion is decided here, before the cross-authority merge
-        val g1 = byPermit
-          .groupBy(ref, col("highway_authority"))
-          .agg(
-            pick(col("__leg") === 0).as("__in_pa"),
-            pick(col("__leg") === 1).as("__done_pa"),
-            max(col("__leg")).as("__has_stop"))
-        // grain 2: permit — re-pick over per-authority winners == the
-        // global latest over the surviving rows; same partitioning, same
-        // sort run, zero additional exchanges.
-        g1.groupBy(ref)
-          .agg(
-            repick(when(col("__has_stop") === 1 &&
-              col("highway_authority").isNotNull && ref.isNotNull,
-              lit(null)).otherwise(col("__in_pa"))).as("__in"),
-            repick(col("__done_pa")).as("__done"))
-      } else {
-        // uncorrelated: a stop ANYWHERE excludes the permit — one grain
-        byPermit
-          .groupBy(ref)
-          .agg(
-            pick(col("__leg") === 0).as("__in0"),
-            pick(col("__leg") === 1).as("__done"),
-            max(col("__leg")).as("__any_stop"))
-          .select(ref,
-            when(col("__any_stop") === 1 && ref.isNotNull, lit(null))
-              .otherwise(col("__in0")).as("__in"),
-            col("__done"))
-      }
-    merged
-      .select(ref, explode(array(
-        struct(lit(0).as("__leg"), col("__in").as("__e")),
-        struct(lit(1).as("__leg"), col("__done").as("__e")))).as("__x"))
-      .select(ref, col("__x.__leg").as("__leg"), col("__x.__e").as("__e"))
-      .where(col("__e").isNotNull)
-      .select(Seq(ref, col("__leg")) ++
-        payFields.map(f => col(s"__e.$f").as(f)): _*)
+    // RAW authority — NOT the gated copy: the exclusion correlates on
+    // the stop's actual authority, and gating nulls it for
+    // out-of-authority stops (pooling them into one NULL-auth window
+    // group would erase the per-authority NOT-IN semantics)
+    val auth = col("__auth")
+    // The latest-pick is rank-1 per group, NOT max(struct): a struct agg
+    // buffer is immutable, so the max(struct) form plans a chain of four
+    // SortAggregates OUTSIDE whole-stage codegen — measured 24 CPU-s of
+    // interpreted CaseWhen/struct-compare per run at sf1.5, 85% of the
+    // query. row_number()=1 plans as codegen'd Sort + WindowGroupLimit
+    // (with a map-side partial limit below the exchange pruning to one
+    // row per group per map partition), the same shape uniqueDim rides:
+    // 24 -> ~4 CPU-s for the identical pick. (Also measured and slower
+    // at sf1.5: max_by(pay, key) — CASE-paired value+ordering buffers,
+    // still sort-based — and a typed-imperative argmax, 5.3 s of
+    // per-group serialize/merge overhead at ~2 events per permit.)
+    //
+    // NULL semantics (pinned by ModelsSpec against the list route): a
+    // NULL ref pools into ONE partition group exactly like the dbt
+    // DISTINCT ON pools it into one key, and the exclusion is gated on
+    // real keys — NULL join keys never match the list route's anti-join,
+    // and a NULL stop authority matches nothing under correlation.
+    //
+    // Pre-partitioning on the permit alone makes ONE exchange serve the
+    // whole chain: HashPartitioning(ref) satisfies the clustered
+    // distribution of every window below (subset rule), the exclusion
+    // window's (ref, auth) order is a prefix of the pick window's sort,
+    // and only the final (ref, leg) re-rank — over the already-pruned
+    // one-row-per-(ref, auth, leg) frame — pays a second, small sort.
+    // The null-gated payload columns are MATERIALIZED map-side, before
+    // the exchange: sort and rank comparators re-evaluate their ordering
+    // expressions on every comparison (n log n of them), so leaving the
+    // gate as when(hasPay, f) in the ORDER BY re-runs a CaseWhen + an
+    // 8-way string isin per compared field — measured ~30 CPU-s at
+    // sf1.5. As plain shuffled columns the comparators are bare string
+    // compares. Width is unchanged: the gated copies REPLACE the raw
+    // payload in the shuffle (only the raw authority rides alongside,
+    // for the exclusion window above).
+    val gated =
+      if (needsGate) payFields.map(f => when(hasPay, col(f)).as(f))
+      else payFields.map(col)
+    val shuffled = tagged
+      .select(Seq(ref, col("__leg"),
+        col("highway_authority").as("__auth"),
+        hasPay.as("__has_pay")) ++ gated: _*)
+      .repartition(col("permit_reference_number"))
+    val ordered = payFields.map(col(_).desc_nulls_last)
+    val wPick = Window.partitionBy(ref, auth, col("__leg"))
+      .orderBy(ordered: _*)
+    val wStop =
+      if (correlateOnAuthority) Window.partitionBy(ref, auth)
+      else Window.partitionBy(ref)
+    val authGate =
+      if (correlateOnAuthority) auth.isNotNull else lit(true)
+    val wMerge = Window.partitionBy(ref, col("__leg")).orderBy(ordered: _*)
+    shuffled
+      // grain 1: latest per (permit, authority, leg)
+      .withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1)
+      // exclusion: a completed stop in the (permit[, authority]) group
+      // IS a NOT-IN hit for every in-progress row of the group; stop
+      // rows always survive grain 1, so the flag is exact here
+      // coalesce: __stop is NULL when the group has no stop — the
+      // three-valued !(NULL && ...) would otherwise drop every
+      // unexcluded in-progress row
+      .withColumn("__stop", max(when(col("__leg") === 1, 1)).over(wStop))
+      .where(col("__leg") === 1 ||
+        !coalesce(col("__stop") === 1 && authGate && ref.isNotNull,
+          lit(false)))
+      // grain 2: re-rank the per-authority winners per (permit, leg) —
+      // the global latest over the surviving rows
+      .withColumn("__rn2", row_number().over(wMerge))
+      .where(col("__rn2") === 1 && col("__has_pay"))
+      .select(Seq(ref, col("__leg")) ++ payFields.map(col): _*)
   }
 
   /** [[rawImpactLevel]] over the dims-free [[latestFromEvents]] frame:
@@ -474,7 +526,7 @@ object Models {
     * of the usrn value (unmatched or NULL usrns get (0, NULL) either
     * way) and adding them to the grouping key changes nothing. The dim
     * join probes one row per USRN group instead of one per permit. */
-  private def rawImpactFromLatest(latest: DataFrame, openUsrns: DataFrame,
+  private[graft] def rawImpactFromLatest(latest: DataFrame, openUsrns: DataFrame,
       uprnCounts: DataFrame, withBreakdown: Boolean = false): DataFrame = {
     val aggs = Seq(sum(col("__b10")).as("__sb10"),
       count(lit(1)).as("__np")) ++ (if (withBreakdown) breakdownAggs else Nil)
@@ -677,8 +729,19 @@ object Models {
       breakdownCols.map(c => sum(col(s"__$c")).as(c))
     // byAuth feeds ONE consumer (the authority-rank window below), so it
     // is deliberately NOT cached — an InMemoryRelation here would add a
-    // materialization pass for nothing
+    // materialization pass for nothing.
+    //
+    // ONE explicit exchange serves BOTH aggregation levels: hash
+    // partitioning on (authority, swa) satisfies level 1's clustered
+    // distribution by the subset rule and level 2's exactly, so the two
+    // HashAggregates fuse into the exchange's read stage instead of
+    // costing one AQE stage barrier each — the frame here is the cached
+    // USRN-grain aggregate joined to the rank counts, so a partition
+    // holds at most one authority's street registry rows (bounded by the
+    // political map, not the data; no skew task at any SF).
     val byAuth = (raw.join(cl, Seq("total10"))
+      .repartition(col("highway_authority"),
+        col("highway_authority_swa_code"))
       .groupBy("highway_authority", "highway_authority_swa_code", "usrn")
       .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
       .groupBy("highway_authority", "highway_authority_swa_code")
@@ -695,24 +758,75 @@ object Models {
     // authority-level percent-rank over the integer total (same order as
     // the dbt SUM(total_impact_level)). Unlike the per-USRN rank above,
     // this frame has ONE ROW PER HIGHWAY AUTHORITY — cardinality bounded
-    // by the political map (~400 in Great Britain), not the data — so a
-    // plain single-partition window is correct at every scale and costs
-    // one stage where the distributed cumLess machinery costs ~8
-    // (StatsSpec pins the two forms cell-exact)
-    byAuth
-      .withColumn("highway_authority_impact_score",
-        percent_rank().over(Window.orderBy(col("__t10"))) * 100)
-      .withColumn("impact_category",
-        ImpactScore.severityBucket(col("highway_authority_impact_score")))
-      .select("highway_authority", "highway_authority_swa_code",
-        "total_usrns_count", "avg_uprn_count", "total_uprn_count",
-        "total_impact_level", "avg_impact_level_per_usrn",
-        "max_impact_level", "min_impact_level", "total_impact_index_score",
-        "avg_impact_index_score", "highway_authority_impact_score",
-        "impact_category", "major_works_count", "standard_works_count",
-        "minor_works_count", "hs2_works_count", "emergency_works_count",
-        "ttro_required_count", "traffic_sensitive_count",
-        "high_impact_traffic_mgmt_count")
+    // by the political map (~400 in Great Britain), not the data — so
+    // the rank tail is finished ON THE DRIVER: collecting it is the same
+    // bounded-state move as broadcasting k-means centroids, and it folds
+    // the single-partition window exchange, its sort, and one AQE stage
+    // barrier into the terminal collect (a window form was measured
+    // equivalent cell-for-cell by StatsSpec's percent-rank pins; the
+    // driver form saves ~0.2 s of pure stage latency per query at any
+    // SF, because the collapsed stages are over ≤400 rows regardless).
+    val headCols = Seq("highway_authority", "highway_authority_swa_code",
+      "total_usrns_count", "avg_uprn_count", "total_uprn_count",
+      "total_impact_level", "avg_impact_level_per_usrn",
+      "max_impact_level", "min_impact_level", "total_impact_index_score",
+      "avg_impact_index_score")
+    val tailCols = Seq("major_works_count", "standard_works_count",
+      "minor_works_count", "hs2_works_count", "emergency_works_count",
+      "ttro_required_count", "traffic_sensitive_count",
+      "high_impact_traffic_mgmt_count")
+    val pre = byAuth.select((headCols ++ tailCols).map(col) :+
+      col("__t10"): _*)
+    val collected = pre.collect()
+    require(collected.length <= (1 << 20),
+      s"finishAuthorityScores: ${collected.length} authority rows exceed " +
+        "the bounded-driver-state guard — the authority key is expected " +
+        "to be registry-bounded (~400 in GB); check the grouping keys.")
+    val t10Idx = pre.schema.fieldIndex("__t10")
+    // percent_rank()*100 semantics exactly: rank = 1 + count(strictly
+    // less), ties share a rank, denominator max(n-1, 1); the window
+    // form orders NULLS FIRST, so a null total ranks below every value
+    val keys = collected.map(r =>
+      if (r.isNullAt(t10Idx)) None else Some(r.getLong(t10Idx)))
+    val sortedKeys = keys.sorted(Ordering.Option(Ordering.Long))
+    def cntLess(k: Option[Long]): Int = {
+      // first index of k in the sorted array == count strictly below
+      var lo = 0; var hi = sortedKeys.length
+      val ord = Ordering.Option(Ordering.Long)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(sortedKeys(mid), k)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val denomAuth = math.max(collected.length - 1, 1).toDouble
+    val outRows: Seq[org.apache.spark.sql.Row] =
+      collected.iterator.zip(keys.iterator).map { case (r, k) =>
+        // (cl / denom) * 100, NOT 100 * cl / denom: the oracle's
+        // percent_rank() * 100 divides first, and the two float
+        // orderings differ in the last ulp (200/7 != (2/7)*100)
+        val score = cntLess(k) / denomAuth * 100.0
+        val category =
+          if (score >= 95) "Severe" else if (score >= 75) "High"
+          else if (score >= 50) "Moderate" else if (score >= 25) "Low"
+          else "Minimal"
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until headCols.length).map(r.get) ++
+            Seq(score, category) ++
+            (headCols.length until headCols.length + tailCols.length)
+              .map(r.get))
+      }.toSeq
+    val outSchema = org.apache.spark.sql.types.StructType(
+      pre.schema.fields.take(headCols.length) ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          "highway_authority_impact_score",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("impact_category",
+          org.apache.spark.sql.types.StringType, nullable = false)) ++
+        pre.schema.fields.slice(headCols.length,
+          headCols.length + tailCols.length))
+    import scala.jdk.CollectionConverters._
+    rawLevel.sparkSession.createDataFrame(outRows.asJava, outSchema)
   }
 
   // --------------------------------------------------- wellbeing chain
@@ -1142,9 +1256,14 @@ object Models {
     // needs only (permit, leg) membership and the not_null half
     // aggregates to the USRN grain before the dimensions join
     // (rawImpactFromLatest), so the cached rows stay narrow — no
-    // geometry string, no per-permit dim probe
+    // geometry string, no per-permit dim probe. The pick-ordering
+    // columns (event_time, event_reference) are projected away before
+    // the cache build: neither consumer reads them, and they are two of
+    // the widest strings in the frame.
     val tagged = scope.cache(latestFromEvents(
-      permits, authorities, correlateOnAuthority = true))
+      permits, authorities, correlateOnAuthority = true)
+      .select((Seq("permit_reference_number", "__leg") ++
+        eventScoringCols).map(col): _*))
     val legs = tagged
       .where(col("permit_reference_number").isNotNull)
       .groupBy("permit_reference_number")
