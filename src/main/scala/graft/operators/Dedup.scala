@@ -500,9 +500,6 @@ object Dedup {
     // would otherwise run twice over the full corpus
     val base = scope.cache(
       df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t")))
-    val toks = scope.cache(
-      base.select(col("doc_id"),
-        posexplode(col("__t")).as(Seq("pos", "tok"))))
     // the heaviest chain in the operator (tokenize -> n-grams -> md5),
     // consumed by the dupCols aggregate AND the hits join: cache like
     // dupSpans does for the identical relation
@@ -530,18 +527,45 @@ object Dedup {
       if (keepCanonical)
         pos.join(dupCols, Seq("g")).where(col("doc_id") =!= col("__canon"))
       else pos.join(dupCols, Seq("g"))
-    val covered = hits
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
-      // overlapping windows cover each position up to n times; the
-      // anti-join ignores multiplicity, so dedup map-side (partial agg)
-      // before shuffling ~n x the necessary bytes
-      .distinct()
-    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    // Cut with merged INTERVALS at doc grain, not exploded positions:
+    // the position form generated n rows per hit window (135M at sf6),
+    // deduped them through two aggregation passes, and handed AQE a
+    // CORPUS-SIZED relation as the anti-join's small side — at sf6 it
+    // broadcast 16M covered positions (~0.5 GB of driver hash table, an
+    // OOM in waiting at any larger SF), then collected every surviving
+    // token through an ObjectHashAggregate sort. The window-start merge
+    // below is exactly [[dupSpans]]'s (gap > n breaks; gap <= n unions
+    // contiguously, so merged intervals ARE the covered-position set),
+    // producing a FEW DISJOINT SPANS per document; the reassembly then
+    // filters the already-cached per-doc token ARRAY against them with
+    // a higher-order function — no token explode, no corpus-sized join
+    // side, no collect_list re-sort, and the only shuffles left are the
+    // hit index's (the part measured at dupSpans speed). Per-token cost
+    // is O(spans-in-doc); spans are disjoint and merged, so the worst
+    // case (everything duplicated) collapses to ONE span per doc.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .select(col("doc_id"), col("pos"))
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(wDoc).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(wDoc) > n), 1).otherwise(0))
+      .withColumn("__span", sum(col("__brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_kept"),
-        md5(concat_ws(" ",
-          array_sort(collect_list(struct(col("pos"), col("tok"))))
-            .getField("tok")).cast("binary")).as("kept_md5"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__cuts"))
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        "filter(__t, (tok, i) -> __cuts IS NULL OR " +
+          "NOT exists(__cuts, c -> i >= c.s AND i <= c.e))").as("__kept"))
+      // a document whose every token is cut (or that had no tokens)
+      // emitted no surviving rows under the anti-join form — keep that
+      // contract: it is absent from the output, not an empty row
+      .where(size(col("__kept")) > 0)
+      .select(col("doc_id"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("__kept")).cast("binary")).as("kept_md5"))
   }
 }
