@@ -377,6 +377,24 @@ class PlanAuditSpec extends SparkSpec {
       s"documents scan not pruned to doc_id+text: $read")
   }
 
+  test("q_span_cut cuts with per-doc intervals: one Generate, no anti-join") {
+    // the R19 shape: the only row explosion is the n-gram posexplode —
+    // the position-explode + LEFT ANTI form handed AQE a corpus-sized
+    // broadcast side (16M rows at sf6) and re-sorted every token
+    // through a collect_list; a second Generate or a LeftAnti here is
+    // that regression coming back
+    for (q <- Seq("q_span_cut", "q_span_cut_keep")) {
+      val p = plan(q)
+      // the cached n-gram subtree prints once per InMemoryTableScan
+      // reference, so count explosion KINDS, not occurrences: the only
+      // one allowed is the n-gram posexplode
+      assert(!p.contains("explode(sequence("),
+        s"$q regressed to exploding covered positions")
+      assert(!p.contains("LeftAnti"),
+        s"$q regressed to the anti-join reassembly")
+    }
+  }
+
   test("q_lm_score / q_winnow_pairs / q_span_cut / q_quality_classifier / q_corpus_report stay equi-join shaped (no BNLJ/cartesian)") {
     for (q <- Seq("q_lm_score", "q_winnow_pairs", "q_span_cut",
         "q_quality_classifier", "q_corpus_report")) {

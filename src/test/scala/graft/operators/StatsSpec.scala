@@ -82,6 +82,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cumLess fast path (driver histogram) and range fallback agree cell-exactly") {
+    // skewed scores with heavy ties + nulls: the default path collects
+    // the histogram and broadcasts prefix sums as a LocalRelation; with
+    // maxDriverHist=0 the same call runs the distributed range
+    // machinery — the two must be indistinguishable
+    val df = (1 to 1000).map(i =>
+        (i.toLong, if (i % 17 == 0) null else java.lang.Long.valueOf((i % 37).toLong)))
+      .toDF("id", "v")
+    val (fast, nFast) = Stats.cumLess(df, "v")
+    val (slow, nSlow) = Stats.cumLess(df, "v", maxDriverHist = 0)
+    assert(nFast === nSlow)
+    assert(fast.as[(Long, Long)].collect().toMap ===
+      slow.as[(Long, Long)].collect().toMap)
+    // the fast path IS the broadcast form: its data is driver-local
+    assert(fast.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.getClass.getSimpleName.contains("LocalRelation")),
+      "fast-path cnt_less table should be a LocalRelation")
+    // a histogram past the bound falls back (probe stops at bound+1)
+    val (fb, nFb) = Stats.cumLess(df, "id", maxDriverHist = 10)
+    assert(nFb === 1000L)
+    assert(fb.where(col("id") === 500L).select("__cnt_less")
+      .as[Long].head() === 499L)
+  }
+
   test("cumLess handles the single-distinct-value and empty inputs") {
     val one = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v")
     val (cl, n) = Stats.cumLess(one, "v")
