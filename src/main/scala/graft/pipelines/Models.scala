@@ -464,10 +464,9 @@ object Models {
     //
     // Pre-partitioning on the permit alone makes ONE exchange serve the
     // whole chain: HashPartitioning(ref) satisfies the clustered
-    // distribution of every window below (subset rule), the exclusion
-    // window's (ref, auth) order is a prefix of the pick window's sort,
-    // and only the final (ref, leg) re-rank — over the already-pruned
-    // one-row-per-(ref, auth, leg) frame — pays a second, small sort.
+    // distribution of both windows below (subset rule). The exclusion
+    // window sorts on its short keys only; the one WIDE sort (the pick
+    // ordering) runs over the exclusion-filtered frame.
     // The null-gated payload columns are MATERIALIZED map-side, before
     // the exchange: sort and rank comparators re-evaluate their ordering
     // expressions on every comparison (n log n of them), so leaving the
@@ -486,21 +485,28 @@ object Models {
         hasPay.as("__has_pay")) ++ gated: _*)
       .repartition(col("permit_reference_number"))
     val ordered = payFields.map(col(_).desc_nulls_last)
-    val wPick = Window.partitionBy(ref, auth, col("__leg"))
-      .orderBy(ordered: _*)
+    // exclusion FIRST, one global pick SECOND — two windows, one wide
+    // sort. An intermediate latest-per-(ref, auth, leg) grain was
+    // measured and removed: it cost a third window pass and a SECOND
+    // wide sort (the 17-key sort of the shuffled frame was ~7 CPU-s/run
+    // at sf1.5 England) for pruning the rank input by ~2x — the rank
+    // window streams either way, so the prune bought less than the
+    // extra pass. Filtering excluded in-progress rows BEFORE the global
+    // pick is exactly the dbt order (the NOT-IN subquery gates list
+    // membership, then DISTINCT ON picks): a stop row is never excluded,
+    // so the flag window sees every stop, and dropping a whole
+    // (ref[, auth]) in-progress group before the (ref, leg) pick lets a
+    // surviving authority's row win — identical to picking per
+    // authority and merging.
     val wStop =
       if (correlateOnAuthority) Window.partitionBy(ref, auth)
       else Window.partitionBy(ref)
     val authGate =
       if (correlateOnAuthority) auth.isNotNull else lit(true)
-    val wMerge = Window.partitionBy(ref, col("__leg")).orderBy(ordered: _*)
+    val wPick = Window.partitionBy(ref, col("__leg")).orderBy(ordered: _*)
     shuffled
-      // grain 1: latest per (permit, authority, leg)
-      .withColumn("__rn", row_number().over(wPick))
-      .where(col("__rn") === 1)
       // exclusion: a completed stop in the (permit[, authority]) group
-      // IS a NOT-IN hit for every in-progress row of the group; stop
-      // rows always survive grain 1, so the flag is exact here
+      // IS a NOT-IN hit for every in-progress row of the group.
       // coalesce: __stop is NULL when the group has no stop — the
       // three-valued !(NULL && ...) would otherwise drop every
       // unexcluded in-progress row
@@ -508,10 +514,9 @@ object Models {
       .where(col("__leg") === 1 ||
         !coalesce(col("__stop") === 1 && authGate && ref.isNotNull,
           lit(false)))
-      // grain 2: re-rank the per-authority winners per (permit, leg) —
-      // the global latest over the surviving rows
-      .withColumn("__rn2", row_number().over(wMerge))
-      .where(col("__rn2") === 1 && col("__has_pay"))
+      // the global latest per (permit, leg) over the surviving rows
+      .withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1 && col("__has_pay"))
       .select(Seq(ref, col("__leg")) ++ payFields.map(col): _*)
   }
 
