@@ -1,7 +1,7 @@
 package graft.sinks
 
 import java.io.{ByteArrayOutputStream, IOException, InputStream}
-import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets
 import java.nio.file.NoSuchFileException
 import java.time.Instant
@@ -26,7 +26,10 @@ import java.time.Instant
   *    store-side mtime. NOTE: S3 reports LastModified at SECOND
   *    granularity — coarser than a filesystem, but the claim-grace
   *    windows that read it (SnapshotTable.claimGraceMs) are tens of
-  *    seconds, so the contract holds.
+  *    seconds, so the contract holds (and the protocol's safety never
+  *    rests on the mtime: a mis-aged claim makes the void/land race
+  *    fire, and exactly one side wins the conditional put — the
+  *    quantization chaos case in S3CommitStoreSpec pins this).
   *  - [[delete]] → `DELETE /bucket/key` (S3 deletes are idempotent:
   *    204 whether or not the key existed).
   *  - [[touch]]  → `PUT /bucket/key` with `x-amz-copy-source` pointing
@@ -36,25 +39,35 @@ import java.time.Instant
   *    CopyObject can return 200 WITH an error document in the body
   *    (the S3 API's long-documented quirk), so the body is checked.
   *
+  * Transient server errors (500 InternalError / 502 / 503 SlowDown /
+  * 504 — routine under load on real S3) are retried with bounded
+  * backoff on EVERY op: GET/DELETE/LIST are idempotent, and the
+  * conditional PUT's server-side precondition makes its retry safe by
+  * the same argument as the 409 loop (the precondition re-decides; a
+  * retry cannot double-win).
+  *
   * Addressing is path-style (`endpoint/bucket/key`) — the portable form
   * for custom endpoints (MinIO, localstack, a loopback fake);
-  * virtual-hosted style is a DNS concern, not a protocol one.
+  * virtual-hosted style is a DNS concern, not a protocol one. Keys and
+  * query values are strict-RFC-3986 encoded ([[SigV4.uriEncode]]), so
+  * the bytes on the wire are exactly SigV4's canonical bytes.
   *
-  * `headers` is the AUTHENTICATION SEAM: it is invoked per request and
-  * its pairs are attached verbatim, so a deployment passes a SigV4
-  * signer or a bearer-token provider there (credentials and real
-  * network access are outside this build's sandbox by construction; the
-  * loopback suite drives the client unauthenticated, which is also
-  * exactly how MinIO's anonymous mode accepts it).
-  */
+  * `auth` is the AUTHENTICATION SEAM: invoked per request with the
+  * method, URL, headers and payload exactly as sent, returning headers
+  * to attach — pass a [[SigV4Signer]] for a real bucket (verified
+  * against AWS's published test vectors in SigV4Spec, and server-side
+  * by FakeS3Endpoint's signed mode), a bearer-token shim for
+  * S3-compatible stores, or leave anonymous for loopback/MinIO
+  * anonymous mode. */
 final class S3CommitStore(
     endpoint: String,
     bucket: String,
     prefix: String,
-    headers: () => Map[String, String] = () => Map.empty,
+    auth: S3RequestAuth = S3RequestAuth.anonymous,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
-    condPutRetries: Int = 16) extends CommitStore {
+    condPutRetries: Int = 16,
+    transientRetries: Int = 5) extends CommitStore {
 
   require(!bucket.contains("/"), s"bucket must be bare: $bucket")
   private val base = endpoint.stripSuffix("/")
@@ -62,20 +75,21 @@ final class S3CommitStore(
     if (prefix.isEmpty) "" else prefix.stripSuffix("/") + "/"
 
   // S3 keys tolerate most characters, but they travel in a URL path:
-  // encode each path segment, keeping the separators
+  // strict-encode each segment, keeping the separators — the encoded
+  // form is also byte-for-byte the SigV4 canonical URI
   private def encKey(key: String): String =
-    key.split("/", -1).map(URLEncoder.encode(_, "UTF-8")
-      .replace("+", "%20")).mkString("/")
+    key.split("/", -1).map(SigV4.uriEncode(_)).mkString("/")
 
   private def open(url: String, method: String,
-                   extra: Seq[(String, String)]): HttpURLConnection = {
-    val c = URI.create(url).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
+                   extra: Seq[(String, String)],
+                   payload: Array[Byte]): HttpURLConnection = {
+    val uri = URI.create(url)
+    val c = uri.toURL.openConnection().asInstanceOf[HttpURLConnection]
     c.setConnectTimeout(connectTimeoutMs)
     c.setReadTimeout(readTimeoutMs)
     c.setRequestMethod(method)
-    headers().foreach { case (k, v) => c.setRequestProperty(k, v) }
-    extra.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    val signed = extra ++ auth.sign(method, uri, extra, payload)
+    signed.foreach { case (k, v) => c.setRequestProperty(k, v) }
     c
   }
 
@@ -97,45 +111,68 @@ final class S3CommitStore(
   private def objUrl(name: String): String =
     s"$base/$bucket/${encKey(keyPrefix + name)}"
 
-  override def putIfAbsent(name: String, bodyBytes: Array[Byte]): Boolean = {
+  private def isTransient(code: Int): Boolean =
+    code == 500 || code == 502 || code == 503 || code == 504
+
+  /** One request, transient 5xx retried with bounded backoff; `handle`
+    * maps the terminal (code, body) — codes it leaves unhandled throw. */
+  private def http[A](what: String)(send: () => HttpURLConnection)
+                     (handle: PartialFunction[(Int, Array[Byte]), A]): A = {
     var attempt = 0
     while (true) {
+      val c = send()
+      val code = c.getResponseCode
+      val b = body(c)
+      if (handle.isDefinedAt((code, b))) return handle((code, b))
+      if (isTransient(code) && attempt < transientRetries) {
+        attempt += 1
+        Thread.sleep(math.min(50L * attempt, 500L))
+      } else
+        throw new IOException(s"$what: HTTP $code ${snippet(b)}" +
+          (if (isTransient(code)) s" (after $attempt transient retries)"
+           else ""))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def putIfAbsent(name: String, bodyBytes: Array[Byte]): Boolean = {
+    val send = () => {
       val c = open(objUrl(name), "PUT", Seq(
         "If-None-Match" -> "*",
-        "Content-Type" -> "application/octet-stream"))
+        "Content-Type" -> "application/octet-stream"), bodyBytes)
       c.setDoOutput(true)
       c.setFixedLengthStreamingMode(bodyBytes.length)
       val out = c.getOutputStream
       try out.write(bodyBytes) finally out.close()
-      val code = c.getResponseCode
-      val b = body(c)
-      code match {
-        case 200 => return true
-        case 412 => return false // precondition failed: name exists
-        case 409 => // racers mid-flight; the precondition re-decides
-          attempt += 1
-          if (attempt > condPutRetries)
+      c
+    }
+    var attempt409 = 0
+    while (true) {
+      val done = http(s"putIfAbsent($name)")(send) {
+        case (200, _) => Some(true)
+        case (412, _) => Some(false) // precondition failed: name exists
+        case (409, _) => None // racers mid-flight; precondition re-decides
+      }
+      done match {
+        case Some(r) => return r
+        case None =>
+          attempt409 += 1
+          if (attempt409 > condPutRetries)
             throw new IOException(
               s"putIfAbsent($name): still 409 after $condPutRetries " +
                 "retries — conditional writes contended beyond reason")
-          Thread.sleep(math.min(50L * attempt, 500L))
-        case other =>
-          throw new IOException(
-            s"putIfAbsent($name): HTTP $other ${snippet(b)}")
+          Thread.sleep(math.min(50L * attempt409, 500L))
       }
     }
     false // unreachable
   }
 
-  override def read(name: String): Array[Byte] = {
-    val c = open(objUrl(name), "GET", Nil)
-    c.getResponseCode match {
-      case 200 => body(c)
-      case 404 => body(c); throw new NoSuchFileException(keyPrefix + name)
-      case other =>
-        throw new IOException(s"read($name): HTTP $other ${snippet(body(c))}")
+  override def read(name: String): Array[Byte] =
+    http(s"read($name)")(() =>
+        open(objUrl(name), "GET", Nil, Array.emptyByteArray)) {
+      case (200, b) => b
+      case (404, _) => throw new NoSuchFileException(keyPrefix + name)
     }
-  }
 
   override def list(): Seq[CommitStore.Entry] = {
     val acc = Vector.newBuilder[CommitStore.Entry]
@@ -144,13 +181,12 @@ final class S3CommitStore(
     while (more) {
       val qs = new StringBuilder(s"$base/$bucket?list-type=2")
       if (keyPrefix.nonEmpty)
-        qs ++= s"&prefix=${URLEncoder.encode(keyPrefix, "UTF-8")}"
-      token.foreach(t =>
-        qs ++= s"&continuation-token=${URLEncoder.encode(t, "UTF-8")}")
-      val c = open(qs.toString, "GET", Nil)
-      c.getResponseCode match {
-        case 200 =>
-          val page = S3CommitStore.parseListing(body(c))
+        qs ++= s"&prefix=${SigV4.uriEncode(keyPrefix)}"
+      token.foreach(t => qs ++= s"&continuation-token=${SigV4.uriEncode(t)}")
+      val done = http("list()")(() =>
+          open(qs.toString, "GET", Nil, Array.emptyByteArray)) {
+        case (200, b) =>
+          val page = S3CommitStore.parseListing(b)
           page.contents.foreach { case (key, mtime) =>
             // defensive: a prefix match is a STRING match server-side,
             // so "p/x" also matches prefix "p" — keep only direct
@@ -161,43 +197,40 @@ final class S3CommitStore(
                 acc += CommitStore.Entry(rel, mtime)
             }
           }
-          more = page.truncated && page.next.nonEmpty
-          token = page.next
-        case 404 => more = false // bucket/namespace not there yet
-        case other =>
-          throw new IOException(s"list(): HTTP $other ${snippet(body(c))}")
+          if (page.truncated && page.next.isEmpty)
+            // a silent partial listing here would read as COMPLETE
+            // manifest history to SnapshotTable — refuse loudly instead
+            throw new IOException(
+              "list(): truncated page carried no NextContinuationToken " +
+                "— refusing to return a partial manifest listing")
+          (page.truncated, page.next)
+        case (404, _) => (false, None) // bucket/namespace not there yet
       }
+      more = done._1
+      token = done._2
     }
     acc.result()
   }
 
-  override def delete(name: String): Unit = {
-    val c = open(objUrl(name), "DELETE", Nil)
-    c.getResponseCode match {
-      case 204 | 200 | 404 => body(c); ()
-      case other =>
-        throw new IOException(
-          s"delete($name): HTTP $other ${snippet(body(c))}")
+  override def delete(name: String): Unit =
+    http(s"delete($name)")(() =>
+        open(objUrl(name), "DELETE", Nil, Array.emptyByteArray)) {
+      case (204, _) | (200, _) | (404, _) => ()
     }
-  }
 
-  override def touch(name: String): Unit = {
-    val c = open(objUrl(name), "PUT", Seq(
-      "x-amz-copy-source" -> s"/$bucket/${encKey(keyPrefix + name)}",
-      "x-amz-metadata-directive" -> "REPLACE"))
-    val code = c.getResponseCode
-    val b = body(c)
-    code match {
-      case 200 =>
+  override def touch(name: String): Unit =
+    http(s"touch($name)")(() =>
+        open(objUrl(name), "PUT", Seq(
+          "x-amz-copy-source" -> s"/$bucket/${encKey(keyPrefix + name)}",
+          "x-amz-metadata-directive" -> "REPLACE"),
+          Array.emptyByteArray)) {
+      case (200, b) =>
         // the 200-with-error-body CopyObject quirk
         val s = new String(b, StandardCharsets.UTF_8)
         if (s.contains("<Error>"))
           throw new IOException(s"touch($name): 200 with ${snippet(b)}")
-      case 404 => () // touch of a vanished claim is a benign race
-      case other =>
-        throw new IOException(s"touch($name): HTTP $other ${snippet(b)}")
+      case (404, _) => () // touch of a vanished claim is a benign race
     }
-  }
 
   private def snippet(b: Array[Byte]): String =
     new String(b.take(300), StandardCharsets.UTF_8)

@@ -19,8 +19,12 @@ import scala.util.Random
   * `latencyMs > 0` injects a uniform random sleep BEFORE each
   * operation's atomic section (network latency widens every protocol
   * race window without weakening the op's own atomicity — the honest
-  * S3 simulation). */
-final class LocalCondPutStore(dirPath: String, latencyMs: Int = 0)
+  * S3 simulation). `mtimeQuantumMs > 1` truncates LISTED mtimes to
+  * that quantum (real S3 reports LastModified at second granularity;
+  * the grace logic must stay safe when a heartbeat and a backdate
+  * become indistinguishable — see CondPutChaos.quantizedVoidRace). */
+final class LocalCondPutStore(dirPath: String, latencyMs: Int = 0,
+                              mtimeQuantumMs: Long = 1L)
     extends CommitStore {
   private val dir: JPath = java.nio.file.Paths.get(dirPath)
   private val lock = new Object
@@ -68,7 +72,8 @@ final class LocalCondPutStore(dirPath: String, latencyMs: Int = 0)
           s.iterator().asScala
             .filterNot(_.getFileName.toString.startsWith(".put-"))
             .map(p => CommitStore.Entry(p.getFileName.toString,
-              Files.getLastModifiedTime(p).toMillis))
+              Files.getLastModifiedTime(p).toMillis /
+                mtimeQuantumMs * mtimeQuantumMs))
             .toVector
         } finally s.close()
       }
@@ -102,6 +107,18 @@ final class LocalCondPutStore(dirPath: String, latencyMs: Int = 0)
         FileTime.fromMillis(System.currentTimeMillis() - ageMs))
     ()
   }
+}
+
+/** [[CommitStore]] wrapper delegating every op — subclasses hook single
+  * operations to make protocol races deterministic in specs. */
+private[sinks] class DelegatingStore(inner: CommitStore) extends CommitStore {
+  override def putIfAbsent(name: String, body: Array[Byte]): Boolean =
+    inner.putIfAbsent(name, body)
+  override def read(name: String): Array[Byte] = inner.read(name)
+  override def list(): Seq[CommitStore.Entry] = inner.list()
+  override def delete(name: String): Unit = inner.delete(name)
+  override def touch(name: String): Unit = inner.touch(name)
+  override def init(): Unit = inner.init()
 }
 
 /** The multi-writer chaos scenario shared by every [[CommitStore]]
@@ -270,5 +287,115 @@ object CondPutChaos {
     info(s"versions=${manifests.size} compacts=$compactsLanded " +
       s"casAborts=$casAborts")
     assert(vs.size == appended.size + 6 + compactsLanded)
+  }
+
+  /** The mtime-QUANTIZATION race: S3 lists LastModified at SECOND
+    * granularity, so a claim heartbeat and a crash-age backdate landing
+    * in the same second are indistinguishable to a voider — the grace
+    * check can fire against a writer that is actually alive. Safety
+    * must come from the conditional put, never the clock: exactly one
+    * of {the writer's manifest-N, the voider's void-N} lands, and the
+    * loser learns LOUDLY. Both directions are pinned deterministically
+    * (gates, not sleeps) on one table:
+    *
+    *  1. the VOID wins — the live-but-misjudged writer's land fails
+    *     with the loud "voided by a concurrent writer" error and its
+    *     rows are NOT in the table (told ≠ lost);
+    *  2. the WRITER wins — the voider's void-put loses, is silently
+    *     dropped (awaitLowerClaims' contract), and the voider carries
+    *     the writer's files forward: both rows live.
+    */
+  def quantizedVoidRace(spark: SparkSession, root: String, cp: CommitStore,
+                        backdate: (String, Long) => Unit,
+                        info: String => Unit): Unit = {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val store = Some(cp)
+    SnapshotTable.write(Seq((0L, "base")).toDF("id", "v"), root,
+      store = store) // v1
+
+    // ---- direction 1: the void wins, the writer loses loudly ---------
+    val claimed1 = new CountDownLatch(1)
+    val gate1 = new CountDownLatch(1)
+    val holding1: CommitStore = new DelegatingStore(cp) {
+      override def putIfAbsent(name: String, body: Array[Byte]): Boolean = {
+        if (name.startsWith("manifest-"))
+          assert(gate1.await(60, TimeUnit.SECONDS), "gate1 starved")
+        val r = super.putIfAbsent(name, body)
+        if (r && name.startsWith("claim-")) claimed1.countDown()
+        r
+      }
+    }
+    val w1 = Future {
+      SnapshotTable.write(Seq((100L, "w1")).toDF("id", "v"), root,
+        append = true, store = Some(holding1))
+    }
+    assert(claimed1.await(60, TimeUnit.SECONDS), "w1 never claimed")
+    // the same-second ambiguity: a heartbeat lands, then the backdate —
+    // after second-truncation the voider sees only "aged past grace"
+    cp.touch("claim-2")
+    backdate("claim-2", SnapshotTable.claimGraceMs + 1999L)
+    // appender B: judges claim-2 crashed, voids slot 2, lands at 3
+    val vB = SnapshotTable.write(Seq((200L, "b1")).toDF("id", "v"), root,
+      append = true, store = store)
+    assert(vB == 3L, s"voider landed at $vB, expected 3")
+    gate1.countDown() // the live writer wakes and tries to land
+    val w1err = org.scalatest.Assertions.intercept[IllegalStateException] {
+      Await.result(w1, 60.seconds)
+    }
+    assert(w1err.getMessage.contains("voided by a concurrent writer"),
+      s"writer lost silently instead of loudly: ${w1err.getMessage}")
+    val live1 = SnapshotTable.read(spark, root, store = store)
+      .as[(Long, String)].collect().toSet
+    assert(live1 == Set((0L, "base"), (200L, "b1")),
+      s"void direction: live rows wrong: $live1")
+    // v2 IS the void: reading at it shows exactly v1's content
+    assert(SnapshotTable.read(spark, root, Some(2L), store)
+      .as[(Long, String)].collect().toSet == Set((0L, "base")))
+
+    // ---- direction 2: the writer wins, the void loses silently -------
+    val claimed2 = new CountDownLatch(1)
+    val gate2 = new CountDownLatch(1)
+    val w2Landed = new CountDownLatch(1)
+    val holding2: CommitStore = new DelegatingStore(cp) {
+      override def putIfAbsent(name: String, body: Array[Byte]): Boolean = {
+        if (name.startsWith("manifest-"))
+          assert(gate2.await(60, TimeUnit.SECONDS), "gate2 starved")
+        val r = super.putIfAbsent(name, body)
+        if (r && name.startsWith("claim-")) claimed2.countDown()
+        r
+      }
+    }
+    val w2 = Future {
+      val v = SnapshotTable.write(Seq((101L, "w2")).toDF("id", "v"), root,
+        append = true, store = Some(holding2))
+      w2Landed.countDown()
+      v
+    }
+    assert(claimed2.await(60, TimeUnit.SECONDS), "w2 never claimed")
+    cp.touch("claim-4")
+    backdate("claim-4", SnapshotTable.claimGraceMs + 1999L)
+    // the voider's store releases the writer at the last instant — its
+    // void-put reaches the store AFTER manifest-4 landed and must lose
+    val bStore2: CommitStore = new DelegatingStore(cp) {
+      override def putIfAbsent(name: String, body: Array[Byte]): Boolean = {
+        if (name == "manifest-4") {
+          gate2.countDown()
+          assert(w2Landed.await(60, TimeUnit.SECONDS), "w2 land starved")
+        }
+        super.putIfAbsent(name, body)
+      }
+    }
+    val vB2 = SnapshotTable.write(Seq((201L, "b2")).toDF("id", "v"), root,
+      append = true, store = Some(bStore2))
+    assert(Await.result(w2, 60.seconds) == 4L, "writer should land at 4")
+    assert(vB2 == 5L, s"voider-turned-carrier landed at $vB2, expected 5")
+    val live2 = SnapshotTable.read(spark, root, store = store)
+      .as[(Long, String)].collect().toSet
+    assert(live2 == Set((0L, "base"), (200L, "b1"), (101L, "w2"),
+      (201L, "b2")), s"writer-wins direction: live rows wrong: $live2")
+    val versions = SnapshotTable.versions(spark, root, store)
+    assert(versions == (1L to 5L), s"history has holes: $versions")
+    info(s"quantized void race: both directions pinned, history $versions")
   }
 }

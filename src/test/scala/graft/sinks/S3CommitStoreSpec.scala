@@ -15,11 +15,20 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * signer in the `headers` seam. */
 class S3CommitStoreSpec extends SparkSpec {
 
+  private val testCreds = ("AKIDEXAMPLE",
+    "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+
   private def withEndpoint[A](pageSize: Int = 3, latencyMs: Int = 0,
-                              conflict409EveryN: Int = 0)
+                              conflict409EveryN: Int = 0,
+                              fail5xxEveryN: Int = 0,
+                              signed: Boolean = false)
                              (f: (FakeS3Endpoint, S3CommitStore) => A): A = {
-    val ep = new FakeS3Endpoint(pageSize, latencyMs, conflict409EveryN)
-    try f(ep, new S3CommitStore(ep.endpoint, "bkt", "tbl/_manifests"))
+    val ep = new FakeS3Endpoint(pageSize, latencyMs, conflict409EveryN,
+      fail5xxEveryN, auth = if (signed) Some(testCreds) else None)
+    val auth = if (signed)
+      new SigV4Signer(testCreds._1, testCreds._2, "us-east-1")
+    else S3RequestAuth.anonymous
+    try f(ep, new S3CommitStore(ep.endpoint, "bkt", "tbl/_manifests", auth))
     finally ep.stop()
   }
 
@@ -103,6 +112,78 @@ class S3CommitStoreSpec extends SparkSpec {
     assert(l.contents.map(_._2) == Seq(1786881601000L, 1786881602500L))
   }
 
+  test("SigV4 signed mode: every op verifies server-side against the raw exchange") {
+    withEndpoint(pageSize = 2, signed = true) { (ep, st) =>
+      // paths with encoded segments, query paging, conditional PUT,
+      // copy-source touch, delete — each op's signature is recomputed
+      // by the endpoint from the raw request and must match
+      (1 to 5).foreach(i =>
+        assert(st.putIfAbsent(s"manifest-$i", s"v$i".getBytes)))
+      assert(!st.putIfAbsent("manifest-1", "other".getBytes))
+      assert(new String(st.read("manifest-2")) == "v2")
+      assert(st.list().map(_.name).sorted ==
+        (1 to 5).map(i => s"manifest-$i"))
+      st.touch("manifest-3")
+      st.delete("manifest-4")
+      assert(st.list().map(_.name).sorted ==
+        Seq("manifest-1", "manifest-2", "manifest-3", "manifest-5"))
+      // a signer with the WRONG secret is rejected with 403, loudly
+      val bad = new S3CommitStore(ep.endpoint, "bkt", "tbl/_manifests",
+        new SigV4Signer(testCreds._1, "not-the-secret", "us-east-1"))
+      val e = intercept[java.io.IOException](bad.read("manifest-1"))
+      assert(e.getMessage.contains("403") &&
+        e.getMessage.contains("SignatureDoesNotMatch"), e.getMessage)
+      // ...and so is an anonymous client against a verifying endpoint
+      val anon = new S3CommitStore(ep.endpoint, "bkt", "tbl/_manifests")
+      intercept[java.io.IOException](anon.list())
+    }
+  }
+
+  test("transient 503 SlowDown is retried with backoff on every op") {
+    withEndpoint(fail5xxEveryN = 3) { (_, st) =>
+      // every 3rd request bounces 503 once; all five ops must converge
+      (1 to 6).foreach(i =>
+        assert(st.putIfAbsent(s"manifest-$i", Array(i.toByte))))
+      assert(st.read("manifest-2")(0) == 2.toByte)
+      assert(st.list().size == 6)
+      st.touch("manifest-3")
+      st.delete("manifest-5")
+      assert(st.list().size == 5)
+    }
+  }
+
+  test("a truncated listing page without a continuation token fails loudly") {
+    // a silent partial listing would read as complete manifest history;
+    // the client must refuse. Minimal endpoint returning the broken page:
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
+      val b = ("""<?xml version="1.0"?><ListBucketResult>""" +
+        "<IsTruncated>true</IsTruncated>" +
+        "<Contents><Key>p/claim-1</Key>" +
+        "<LastModified>2026-08-16T12:00:01Z</LastModified></Contents>" +
+        "</ListBucketResult>").getBytes(StandardCharsets.UTF_8)
+      x.sendResponseHeaders(200, b.length.toLong)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val st = new S3CommitStore(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "bkt", "p")
+      val e = intercept[java.io.IOException](st.list())
+      assert(e.getMessage.contains("NextContinuationToken"), e.getMessage)
+    } finally server.stop(0)
+  }
+
+  test("second-quantized LastModified: heartbeat-vs-backdate void race loses loudly on exactly one side") {
+    withEndpoint() { (ep, st) =>
+      val root = Files.createTempDirectory("snapquant").toString + "/t"
+      CondPutChaos.quantizedVoidRace(spark, root, st,
+        (name, age) => ep.backdate(s"tbl/_manifests/$name", age), info(_))
+    }
+  }
+
   test("SnapshotTable round trip entirely through the HTTP store") {
     import spark.implicits._
     withEndpoint() { (_, st) =>
@@ -120,14 +201,16 @@ class S3CommitStoreSpec extends SparkSpec {
     }
   }
 
-  test("4 appenders + merger + compactor + vacuum + chaos through the HTTP store: no row lost, history sound") {
-    // paging (pageSize 3 vs dozens of manifests), latency, and
-    // periodic 409s all on — the full client code path under the same
-    // chaos invariants as the local conditional-put store
+  test("4 appenders + merger + compactor + vacuum + chaos through the SIGNED HTTP store: no row lost, history sound") {
+    // paging (pageSize 3 vs dozens of manifests), latency, periodic
+    // 409s, periodic 503s, AND SigV4 verification all on — the full
+    // client code path, authenticated, under the same chaos invariants
+    // as the local conditional-put store
     val ep = new FakeS3Endpoint(pageSize = 3, latencyMs = 2,
-      conflict409EveryN = 25)
+      conflict409EveryN = 25, fail5xxEveryN = 40, auth = Some(testCreds))
     try {
-      val st = new S3CommitStore(ep.endpoint, "bkt", "tbl/_manifests")
+      val st = new S3CommitStore(ep.endpoint, "bkt", "tbl/_manifests",
+        new SigV4Signer(testCreds._1, testCreds._2, "us-east-1"))
       val root = Files.createTempDirectory("snaphttpstress").toString + "/t"
       CondPutChaos.run(spark, root, st,
         (name, age) => ep.backdate(s"tbl/_manifests/$name", age), info(_))

@@ -76,4 +76,11 @@ class SnapshotCondPutStressSpec extends SparkSpec {
     val cp = new LocalCondPutStore(root + "/_cstore", latencyMs = 3)
     CondPutChaos.run(spark, root, cp, cp.backdate, info(_))
   }
+
+  test("second-quantized mtimes: heartbeat-vs-backdate void race loses loudly on exactly one side") {
+    val root = Files.createTempDirectory("snapcpquant").toString + "/t"
+    val cp = new LocalCondPutStore(root + "/_cstore",
+      mtimeQuantumMs = 1000L) // S3's LastModified granularity
+    CondPutChaos.quantizedVoidRace(spark, root, cp, cp.backdate, info(_))
+  }
 }
