@@ -7,95 +7,130 @@ import org.apache.spark.sql.functions._
   * probe only the closest cells at query time — the other scale path for
   * similarity search next to random-hyperplane LSH (Similarity.annLsh).
   *
-  * Spark-first shape: centroids are a tiny broadcast table; assignment is
-  * one crossJoin(broadcast) + `min_by` aggregation (map-side combinable,
-  * one shuffle on vec id — NOT a window); Lloyd updates are decimal-exact
-  * per-(cluster, dim) means, so training is deterministic. At 100 TB the
-  * assignment column becomes the table's partition key so a query touches
-  * nProbes/k of the data.
+  * Spark-first shape: the centroids are MODEL STATE — k·d doubles — so
+  * they ride in the PLAN as literals (the broadcast-model split every
+  * curation gate uses), and nearest-centroid assignment is ONE
+  * codegen'd row expression: `array_min` over `struct(dist2, cid)`,
+  * the same total order as `min_by(cid, struct(dist2, cid))` (ties on
+  * the distance go to the smaller cid). No crossJoin, no per-vid
+  * shuffle — the assignment column costs ZERO exchanges at any SF. A
+  * Lloyd training round is then a single job: row-wise assignment →
+  * per-(cell, dim) decimal-exact means (map-side combinable, one
+  * shuffle of ≤ k·d·parts partial rows) → a ≤ k·d-row collect that
+  * becomes the next round's literals. Driver-held round state also
+  * makes training inherently executor-loss-safe — there is no lineage
+  * to checkpoint (the pre-r20 form crossJoined a checkpointed centroid
+  * table and re-shuffled every vector per round; the rewrite removed
+  * ~3 exchanges + 1 checkpoint action per round and is pinned
+  * row-identical by the unchanged DuckDB oracle).
+  *
+  * At 100 TB the assignment column becomes the table's partition key so
+  * a query touches nProbes/k of the data ([[buildIndex]]).
   *
   * Training is deterministic k-means (init = first k vectors by id, L
-  * Lloyd rounds) — no RNG, reproducible across runs and engines.
+  * Lloyd rounds) — no RNG, reproducible across runs and engines; sums
+  * are string-routed decimals so DuckDB's unrolled-CTE oracle
+  * reproduces training bit-for-bit (see OracleSql.ivfMeans).
   */
 object IvfIndex {
 
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** ||a-b||² = aa - 2ab + bb via the native dot product. */
-  private def dist2(a: Column, aa: Column, b: Column, bb: Column): Column =
-    aa - lit(2.0) * Similarity.dot(a, b) + bb
+  /** ||v-c||² against a LITERAL centroid: vv - 2·(v·c) + cc, the dot as
+    * the native sequential left fold (== DuckDB list_inner_product);
+    * `cc` is pre-folded driver-side with the same sequential order. */
+  private def distToLit(v: Column, vv: Column, c: Seq[Double],
+                        cc: Double): Column =
+    vv - lit(2.0) * Similarity.dot(v, typedLit(c)) + lit(cc)
+
+  /** Nearest-centroid id as one row expression (see object doc). */
+  private def nearestLit(v: Column, vv: Column,
+                         cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, c) =>
+      struct(distToLit(v, vv, c, Similarity.dotSeq(c, c)).as("d"),
+        lit(cid).as("id"))
+    }: _*)).getField("id")
+
+  /** The k-row centroid table as driver state (bounded by construction
+    * — the same legitimacy as collecting k-means centroids anywhere). */
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids.select(col("centroid_id"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
   /** Train k centroids with `iters` Lloyd rounds.
-    * Returns (centroid_id, centroid: array<double>).
+    * Returns (centroid_id, centroid: array<double>) — a LocalRelation,
+    * so downstream probes/assignments pay no recompute.
     *
-    * `durable = true` uses reliable `checkpoint()` (needs
-    * `setCheckpointDir`) instead of executor-local `localCheckpoint` for
-    * the per-round lineage truncation — survives executor loss on a real
-    * cluster; see DupClusters.clusters. */
+    * Centroid ids are DENSE 0..k-1 by vid order, not vid.cast(int):
+    * 64-bit (e.g. hash-derived) vids would wrap modulo 2^32 and two
+    * colliding initial vectors would silently merge clusters. A cell
+    * that loses every vector in a round drops out of the means (GROUP
+    * BY semantics — identical in the SQL oracle). */
   def train(df: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int, durable: Boolean = false): DataFrame = {
-    def ck(d: DataFrame): DataFrame =
-      if (durable) d.checkpoint() else d.localCheckpoint()
-    val vecs = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
-      .withColumn("vv", Similarity.dot(col("v"), col("v")))
-      .persist()
-    // checkpoint each round: truncates the nested Lloyd plan so later
-    // consumers (collect, assignment, rerank) don't replay training
-    // centroid ids are DENSE 0..k-1 by vid order, not vid.cast(int):
-    // 64-bit (e.g. hash-derived) vids would wrap modulo 2^32 and two
-    // colliding initial vectors would silently merge clusters. The k
-    // init rows are numbered DRIVER-side (take(k) of a TakeOrdered is
-    // bounded by contract) — an unpartitioned row_number window here
-    // would be equivalent but spams `WindowExec: No Partition Defined`
-    // into every ANN bench run.
+            k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val init = vecs.orderBy("vid").limit(k).select(col("v")).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
-    var centroids = ck(init.toDF("centroid_id", "c"))
+    // parallelism floor before caching (the Curate.contamination
+    // guard): training runs `iters` map stages over this cache, and an
+    // under-split input (one parquet file at bench SFs) would run every
+    // round on ONE task. The repartition moves the vectors once; at
+    // real scale file count >= cores and it's a no-op.
+    val sc = spark.sparkContext
+    val src0 = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+    val src = if (src0.rdd.getNumPartitions < sc.defaultParallelism)
+      src0.repartition(sc.defaultParallelism) else src0
+    val vecs = src
+      .withColumn("vv", Similarity.dot(col("v"), col("v")))
+      .persist()
+    // the k init rows are numbered DRIVER-side (take(k) of a
+    // TakeOrdered is bounded by contract) — an unpartitioned row_number
+    // window here would be equivalent but spams `WindowExec: No
+    // Partition Defined` into every ANN bench run
+    var cents: Seq[(Int, Seq[Double])] =
+      vecs.orderBy("vid").limit(k).select(col("v")).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     for (_ <- 0 until iters) {
-      val assigned = assignTo(vecs, centroids)
-      // string-route the double->decimal cast (shortest-string repr is
-      // engine-identical; direct double->decimal rounding is not), sum
-      // exactly in decimal, then ONE double division — every step
-      // reproducible in ANSI SQL, which is what lets the full 2-round
-      // Lloyd training carry a DuckDB oracle
-      centroids = ck(assigned
+      // ONE action per round: string-route the double->decimal cast
+      // (shortest-string repr is engine-identical; direct
+      // double->decimal rounding is not), sum exactly in decimal, then
+      // ONE double division — every step reproducible in ANSI SQL,
+      // which is what lets the full Lloyd training carry a DuckDB oracle
+      // assignment in its OWN select below the explode: a generator in
+      // the same select list would plan Project-above-Generate and
+      // re-evaluate the k-fold distance expression once per exploded
+      // DIMENSION (a d× blowup, measured 64× here)
+      val byDim = vecs
+        .select(nearestLit(col("v"), col("vv"), cents).as("centroid_id"),
+          col("v"))
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
-        .agg((sum(col("x").cast("string").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("centroid_id"),
-          transform(col("dm"), s => s.getField("m")).as("c")))
+        .agg((sum(col("x").cast("string").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect() // ≤ k·d rows of (cid, dim, mean)
+      cents = byDim.groupBy(_.getInt(0)).iterator.map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
     }
     vecs.unpersist()
-    centroids
+    cents.toDF("centroid_id", "c")
   }
 
-  /** Nearest-centroid assignment: broadcast centroids, min_by aggregation. */
-  private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids
-      .withColumn("cc", Similarity.dot(col("c"), col("c"))))
-    vecs.crossJoin(cents)
-      .groupBy(col("vid"))
-      .agg(
-        min_by(col("centroid_id"),
-          struct(dist2(col("v"), col("vv"), col("c"), col("cc")),
-            col("centroid_id"))).as("centroid_id"),
-        first(col("v")).as("v"))
-  }
-
-  /** Assign every row of `df` to its trained cell (the persisted layout's
-    * partition key at scale). */
+  /** Assign every row of `df` to its trained cell (the persisted
+    * layout's partition key at scale): columns (vid, centroid_id, v),
+    * one output row PER INPUT ROW — a duplicated vid stays duplicated
+    * (a streamed index can legitimately carry one; [[searchIndexed]]'s
+    * rerank takes each vid's best cosine, so duplicates never crowd
+    * the top-k). Zero shuffles: the centroids ride as literals. */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame): DataFrame =
-    assignTo(
-      df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
-        .withColumn("vv", Similarity.dot(col("v"), col("v"))),
-      centroids)
+             centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+      .withColumn("vv", Similarity.dot(col("v"), col("v")))
+      .select(col("vid"),
+        nearestLit(col("v"), col("vv"), cents).as("centroid_id"),
+        col("v"))
+  }
 
   /** The `nProbes` cell ids nearest the query — a driver-side argmin over
     * the k-row centroid table (same legitimacy as the centroid collect in
@@ -105,11 +140,10 @@ object IvfIndex {
   private def probeCells(centroids: DataFrame, q: Array[Double],
                          nProbes: Int): Seq[Int] = {
     val qq = Similarity.dotSeq(q, q)
-    centroids.select(col("centroid_id"), col("c")).collect().map { r =>
-      val c = r.getSeq[Double](1)
+    collectCentroids(centroids).map { case (id, c) =>
       val d2 = Similarity.dotSeq(c, c) - 2.0 * Similarity.dotSeq(c, q) + qq
-      (r.getInt(0), d2)
-    }.sortBy { case (id, d) => (d, id) }.take(nProbes).map(_._1).toSeq
+      (id, d2)
+    }.sortBy { case (id, d) => (d, id) }.take(nProbes).map(_._1)
   }
 
   /** Exact cosine rerank of the probed cells (columns vid, v) -> top-k.

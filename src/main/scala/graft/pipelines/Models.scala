@@ -665,7 +665,14 @@ object Models {
     * row the dbt join misses (NULL ≠ NULL) and leaves NULL breakdown
     * counts, while this path populates the real counts — strictly more
     * informative on a row the reference renders broken; real feeds
-    * never carry a NULL authority (the oracle dressings don't either). */
+    * never carry a NULL authority (the oracle dressings don't either).
+    *
+    * Execution contract: this method is EAGER — the registry-bounded
+    * authority rank is finished on the driver (probe-limited collect,
+    * ≤ 2^20 rows by loud guard), so the whole upstream pipeline runs at
+    * call time and the returned frame is a driver LocalRelation whose
+    * row order is unspecified (sort on the score columns if a stable
+    * order is needed downstream). */
   def impactScoresHighwayAuthority(inProgress: DataFrame, completed: DataFrame,
       scope: graft.PersistScope = graft.PersistScope()): DataFrame =
     impactScoresHighwayAuthorityOver(
@@ -687,8 +694,10 @@ object Models {
     finishAuthorityScores(rawImpactLevel(bothRows, withBreakdown = true),
       scope)
 
-  private def finishAuthorityScores(rawLevel: DataFrame,
-      scope: graft.PersistScope): DataFrame = {
+  /** `bound` is the driver-state guard (package-visible so the spec can
+    * exercise the refusal path without a million-row frame). */
+  private[pipelines] def finishAuthorityScores(rawLevel: DataFrame,
+      scope: graft.PersistScope, bound: Int = 1 << 20): DataFrame = {
     // `raw` is a CACHE, not a shared subplan, deliberately: its
     // consumers (rank histogram, join-back) prune different column
     // sets, so uncached they canonicalize into different exchanges that
@@ -782,11 +791,17 @@ object Models {
       "high_impact_traffic_mgmt_count")
     val pre = byAuth.select((headCols ++ tailCols).map(col) :+
       col("__t10"): _*)
-    val collected = pre.collect()
-    require(collected.length <= (1 << 20),
-      s"finishAuthorityScores: ${collected.length} authority rows exceed " +
-        "the bounded-driver-state guard — the authority key is expected " +
-        "to be registry-bounded (~400 in GB); check the grouping keys.")
+    // bounded-driver-state guard, PROBE-FIRST (the capByFreq
+    // discipline): collect through a LIMIT of bound+1 so that if the
+    // grouping key ever breaks, the driver refuses LOUDLY after
+    // materializing at most bound+1 rows — a bare collect-then-require
+    // would OOM before it could fire the very error it exists for
+    val collected = pre.limit(bound + 1).collect()
+    require(collected.length <= bound,
+      s"finishAuthorityScores: more than $bound authority rows — the " +
+        "bounded-driver-state guard refused to materialize the frame. " +
+        "The authority key is expected to be registry-bounded (~400 in " +
+        "GB); check the grouping keys feeding the authority rollup.")
     val t10Idx = pre.schema.fieldIndex("__t10")
     // percent_rank()*100 semantics exactly: rank = 1 + count(strictly
     // less), ties share a rank, denominator max(n-1, 1); the window
@@ -1300,12 +1315,14 @@ object Models {
     * (emergency = immediate refs, major = 'major', authority 4720).
     *
     * Cost note: constructing the map is NOT free — the two authority-
-    * score entries run [[Stats.cumLess]], whose range-partitioner setup
-    * collects per-partition rank counts (a Spark action) at composition
-    * time. `dbt run` materializes everything anyway (this entry's
-    * purpose); a caller wanting ONE cheap model should call its method
-    * directly. Intermediates cached inside the models are owned by
-    * `scope` — close it when the returned frames are no longer needed. */
+    * score entries EXECUTE their whole model pipeline at composition
+    * time (finishAuthorityScores finishes the registry-bounded
+    * authority rank on the driver and returns a LocalRelation, which
+    * also runs [[Stats.cumLess]]'s histogram action). `dbt run`
+    * materializes everything anyway (this entry's purpose); a caller
+    * wanting ONE cheap model should call its method directly.
+    * Intermediates cached inside the models are owned by `scope` —
+    * close it when the returned frames are no longer needed. */
   def streetworksModels(permits: DataFrame, openUsrns: DataFrame,
                         swaCodes: DataFrame, linkedIds: DataFrame,
                         codePoint: DataFrame, p001: DataFrame,

@@ -71,6 +71,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("cumLess rank queries take the broadcast histogram fast path (LocalRelation, no range-offset tail)") {
+    // Stats.cumLess's bounded-histogram fast path returns a broadcast
+    // LocalRelation of prefix sums; the fallback is the distributed
+    // range machinery (repartitionByRange + per-partition offsets named
+    // __p/__off/__within). These post-aggregation score domains fit the
+    // probe at EVERY SF, so a range-offset tail here means the fast
+    // path silently stopped firing — the regression that costs ~12 AQE
+    // stages per rank at sf1.5 (r19 surgery). The model family is
+    // covered by the negative pin only: q_model_impact_scores ranks via
+    // the 1-row min-max bounds broadcast (no cumLess at all), and
+    // q_model_authority_scores finishes eagerly on the driver, so its
+    // returned plan is a LocalRelation either way.
+    for (q <- Seq("q_impact_scores", "q_ntile", "q_authority_rollup")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("LocalTableScan"),
+        s"$q lost cumLess's broadcast histogram (no LocalTableScan)")
+      assert(!p.contains("__within") && !p.contains("__off"),
+        s"$q regressed to cumLess's distributed range-offset tail")
+    }
+    for (q <- Seq("q_model_impact_scores", "q_model_impact_scores_england")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("__within") && !p.contains("__off"),
+        s"$q grew a distributed range-offset rank tail")
+    }
+  }
+
   test("q_simhash / q_text_quality / q_sample_stratified / q_repetition / q_pii_scrub stay shuffle-free map plans") {
     for (q <- Seq("q_simhash", "q_text_quality", "q_sample_stratified",
         "q_repetition", "q_pii_scrub", "q_line_dedup", "q_winnow", "q_chunk")) {
@@ -296,10 +324,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_semantic_dedup_keep: within-cell pairs are an equi-join on the cell id, never cartesian") {
     // the SemDeDup scale contract: pair work is Σ cell², realized as a
-    // hash/sort-merge join keyed on the IVF cell — the only nested-loop
-    // joins in the plan are the 8-row broadcast centroid argmins. The
-    // full query truncates lineage in its star rounds (localCheckpoint),
-    // so the audit pins the pair STAGE, the plan that scales with n².
+    // HASH EQUI-JOIN keyed on the IVF cell. At bench SF the accurately-
+    // sized cached assignment may broadcast (r20: the row-wise argmin
+    // rewrite gave the cache honest stats, so Catalyst picks BHJ under
+    // the threshold — still the cell equi-join); past the threshold the
+    // same plan shuffles. What must NEVER appear: CartesianProduct or
+    // BNLJ (the r20 literal-centroid argmin removed even the 8-row
+    // centroid crosses). The full query truncates lineage in its star
+    // rounds (localCheckpoint), so the audit pins the pair STAGE, the
+    // plan that scales with n².
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
     val cents = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
@@ -308,26 +341,21 @@ class PlanAuditSpec extends SparkSpec {
     val exec = pairs.queryExecution.sparkPlan
     val p = exec.toString
     assert(!p.contains("CartesianProduct"), "pair join regressed to cartesian")
-    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair plan grew a nested-loop join:\n$p")
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
       ShuffledHashJoinExec, SortMergeJoinExec}
     val equiOnCell = exec.collect {
       case j: SortMergeJoinExec if j.leftKeys.mkString.contains("cell") => j
       case j: ShuffledHashJoinExec if j.leftKeys.mkString.contains("cell") => j
+      case j: BroadcastHashJoinExec if j.leftKeys.mkString.contains("cell") => j
     }
     assert(equiOnCell.nonEmpty, s"within-cell pairs lost the cell equi-join:\n$p")
-    // single-assignment-pass pin: the argmin's first(v) is
-    // non-deterministic, so the two join sides only share work through
-    // the cached assignment — both must scan the one InMemoryRelation
-    // (without it the distance pass + vid shuffle run twice, no reuse)
+    // single-assignment-pass pin: both join sides must scan the one
+    // cached relation (without the cache the assignment pipeline runs
+    // once per side with no reuse)
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
       s"assignment not cached — argmin subplan would run once per join side:\n$p")
-    exec.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
-      // every BNLJ must be a centroid-table cross (tiny broadcast side)
-      assert(j.joinType.toString.contains("Inner") || j.toString.contains("Cross"),
-        s"unexpected BNLJ in semantic dedup pair plan: $j")
-      assert(j.toString.contains("centroid") || j.toString.contains("cc"),
-        s"BNLJ is not the centroid argmin cross: ${j.toString.take(200)}")
-    }
   }
 
   test("q_geo_geojson: map plan whose ONLY exchange is the parallelism floor, events scan pruned to the two id columns") {

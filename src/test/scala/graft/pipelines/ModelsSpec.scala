@@ -618,6 +618,36 @@ class ModelsSpec extends SparkSpec {
           Models.londonAuthorities, correlateOnAuthority = true))
       .collect().head.getLong(0) === 0L)
   }
+
+  test("finishAuthorityScores: the driver-state guard probes BEFORE materializing and refuses loudly") {
+    import org.apache.spark.sql.functions.lit
+    // a synthetic USRN-grain frame with 3 distinct authorities; the
+    // breakdown columns rawImpactLevel(withBreakdown = true) carries
+    val base = Seq(
+      ("a1", "s1", "u1", 10L, 50L),
+      ("a2", "s2", "u2", 11L, 60L),
+      ("a3", "s3", "u3", 12L, 70L))
+      .toDF("highway_authority", "highway_authority_swa_code", "usrn",
+        "uprn_count", "total10")
+    val rawLevel = Seq("major_works_count", "standard_works_count",
+      "minor_works_count", "hs2_works_count", "emergency_works_count",
+      "ttro_required_count", "traffic_sensitive_count",
+      "high_impact_traffic_mgmt_count")
+      .foldLeft(base)((d, c) => d.withColumn(c, lit(1L)))
+    // over-bound: the guard must fire with the actionable message after
+    // shipping at most bound+1 rows (limit-probe), never the full frame
+    val e = intercept[IllegalArgumentException] {
+      Models.finishAuthorityScores(rawLevel, graft.PersistScope(),
+        bound = 2)
+    }
+    assert(e.getMessage.contains("more than 2 authority rows") &&
+      e.getMessage.contains("grouping keys"), e.getMessage)
+    // at-bound: same frame, bound 3 — materializes all three authorities
+    val ok = Models.finishAuthorityScores(rawLevel, graft.PersistScope(),
+      bound = 3)
+    assert(ok.count() === 3L)
+    assert(ok.columns.contains("highway_authority_impact_score"))
+  }
 }
 
 object ModelsSpec {
