@@ -46,17 +46,21 @@ object PqIndex {
     * (init = the [[codebooks]] sub-vectors, so by k-means' monotone-SSE
     * property the trained books never quantize worse than the untrained
     * ones). The m per-subspace problems are independent, so they train
-    * FUSED: one (sub, vid, sub-vector) relation, assignment and the
-    * decimal-exact mean keyed by `sub` — all m books advance with ONE
-    * shuffle round-trip per Lloyd round instead of m sequential
-    * [[IvfIndex.train]] loops (m× fewer passes over the vectors; the
-    * per-(sub, cluster) arithmetic is identical, so the books are
-    * bit-identical and the oracle unchanged). Clusters that empty out
-    * drop from their book (k shrinks, codes stay positional). */
+    * FUSED, and — like the r20 [[IvfIndex.train]] — the books are MODEL
+    * STATE riding in the plan as literals: assignment is [[encode]]'s
+    * own `least()` over (d2, cid) structs (the identical total order to
+    * min_by over struct(dist2, cid)), so one Lloyd round is ONE job —
+    * row-wise per-subspace argmins → explode (sub, cid, sub-vector) →
+    * per-(sub, cid, dim) decimal-exact means → a ≤ m·k·dim-row collect
+    * that becomes the next round's literals. No per-round broadcast
+    * join, no per-(vid, sub) shuffle, no checkpoint; the per-(sub,
+    * cluster) arithmetic is identical, so the books are bit-identical
+    * and the oracle unchanged. Clusters that empty out drop from their
+    * book — ids stay STABLE across rounds (a surviving cluster keeps
+    * its cid even when a lower one empties); only the returned arrays
+    * are positional. */
   def trainBooks(df: DataFrame, idCol: String, vecCol: String,
                  m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // init = first k vectors by id, collected once and sliced — the same
     // k rows every per-subspace train would take
     val initRows = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
@@ -65,47 +69,56 @@ object PqIndex {
     val dim = initRows.head.getSeq[Double](0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val vecs = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v0"))
-      .select(col("vid"), explode(array((0 until m).map(s =>
-        struct(lit(s).as("sub"),
-          slice(col("v0"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
-      .select(col("vid"), col("sv.sub").as("sub"), col("sv.v").as("v"))
-      .withColumn("vv", Similarity.dot(col("v"), col("v")))
+    // one cached row per vid, sub-vectors and self-dots materialized in
+    // their own projections so the k distance terms share them (the
+    // interpreted-HOF copy rule, as in [[encode]]); parallelism floor
+    // before caching — `iters` map stages run over this cache
+    val sc = df.sparkSession.sparkContext
+    val src0 = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v0"))
+    val src = if (src0.rdd.getNumPartitions < sc.defaultParallelism)
+      src0.repartition(sc.defaultParallelism) else src0
+    val vecs = src
+      .select(col("vid") +: (0 until m).map(s =>
+        slice(col("v0"), s * sub + 1, sub).as(s"__sub_$s")): _*)
+      .select(col("*") +: (0 until m).map(s =>
+        Similarity.dot(col(s"__sub_$s"), col(s"__sub_$s")).as(s"__vv_$s")): _*)
       .persist()
-    var centroids = initRows.zipWithIndex.flatMap { case (r, cid) =>
-      val full = r.getSeq[Double](0)
-      (0 until m).map(s => (s, cid, full.slice(s * sub, (s + 1) * sub)))
-    }.toSeq.toDF("sub", "centroid_id", "c").localCheckpoint()
+    // loop state: per sub, (cid, centroid) pairs — cids are NOT
+    // positions while training (an emptied cluster must not renumber
+    // its survivors mid-run)
+    var books: IndexedSeq[Seq[(Int, Seq[Double])]] =
+      (0 until m).map(s => initRows.zipWithIndex.map { case (r, cid) =>
+        (cid, r.getSeq[Double](0).slice(s * sub, (s + 1) * sub))
+      }.toSeq)
+    def argmin(s: Int): Column =
+      least(books(s).map { case (cid, c) =>
+        val cc = Similarity.dotSeq(c, c)
+        struct((col(s"__vv_$s") -
+          lit(2.0) * Similarity.dot(col(s"__sub_$s"), typedLit(c)) +
+          lit(cc)).as("d2"), lit(cid).as("cid"))
+      }: _*).getField("cid")
     for (_ <- 0 until iters) {
-      val cents = broadcast(centroids
-        .withColumn("cc", Similarity.dot(col("c"), col("c"))))
-      val assigned = vecs.join(cents, Seq("sub"))
-        .groupBy(col("vid"), col("sub"))
-        .agg(
-          min_by(col("centroid_id"), struct(
-            col("vv") - lit(2.0) * Similarity.dot(col("v"), col("c")) +
-              col("cc"),
-            col("centroid_id"))).as("centroid_id"),
-          first(col("v")).as("v"))
-      // string-route the double->decimal cast + exact decimal sum + one
-      // double division — identical to IvfIndex.train's round, keyed by sub
-      centroids = assigned
-        .select(col("sub"), col("centroid_id"),
-          posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("sub", "centroid_id", "dim")
+      // ONE action per round; string-route the double->decimal cast +
+      // exact decimal sum + one double division — identical to
+      // IvfIndex.train's round, keyed by sub
+      val byDim = vecs
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), argmin(s).as("cid"),
+            col(s"__sub_$s").as("sv"))): _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "cid", "dim")
         .agg((sum(col("x").cast("string").cast("decimal(28,12)"))
           .cast("double") / count(lit(1))).as("m"))
-        .groupBy("sub", "centroid_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("sub"), col("centroid_id"),
-          transform(col("dm"), s => s.getField("m")).as("c"))
-        .localCheckpoint()
+        .collect() // ≤ m·k·(dim/m) rows of (sub, cid, dim, mean)
+      books = (0 until m).map(s =>
+        byDim.filter(_.getInt(0) == s).groupBy(_.getInt(1)).iterator
+          .map { case (cid, rs) =>
+            (cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }.toSeq.sortBy(_._1))
     }
-    val out = centroids.orderBy("sub", "centroid_id").collect()
     vecs.unpersist()
-    Array.tabulate(m) { s =>
-      out.filter(_.getInt(0) == s).map(_.getSeq[Double](2).toArray)
-    }
+    Array.tabulate(m)(s => books(s).map(_._2.toArray).toArray)
   }
 
   /** Encode every vector to m code columns (`code_0..code_{m-1}`, each the
