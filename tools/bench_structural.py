@@ -27,6 +27,11 @@ QUERIES = [
   "q_range_join_points", "q_semantic_clusters", "q_semantic_dedup_keep",
   "q_simhash_pairs", "q_span_cut", "q_span_cut_keep",
   "q_wellbeing_impact", "q_winnow_pairs", "q_unigram_encode",
+  # the ANN family PINNED (r18 ask 7, twice-slipped): these rows rode
+  # the auto-union, so any round whose full DuckDB artifact was missing
+  # or empty silently dropped them from the sweep — never again
+  "q_ann_ivf", "q_ann_ivf_indexed", "q_ann_pq", "q_ann_pq_trained",
+  "q_ivf_pq",
 ]
 
 # The pinned list can silently go stale as queries are added — auto-union

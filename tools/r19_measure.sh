@@ -39,66 +39,11 @@ echo "== 2/4 full structural sweep @ sf1.5 (min-of-4, duck timeout 300)"
 python3 tools/bench_structural.py benchdata/sf1.5 BENCH_structural_sf15_r19.json 4 300
 
 echo "== 3/4 dedup/span/simhash family crossover @ sf6 (min-of-4, duck timeout 300)"
-python3 - <<'EOF'
-import json, os, subprocess, sys, time, threading
-import duckdb
-SF, OUT = "benchdata/sf6", "BENCH_structural_sf6_r19.json"
-QS = ["q_simhash_pairs", "q_span_cut", "q_span_cut_keep", "q_dedup_ngram",
-      "q_dedup_keep", "q_dup_spans", "q_winnow_pairs"]
-oracles = json.load(open("/tmp/vout01/oracle_sql.json"))
-con = duckdb.connect(); con.execute("SET threads TO 32")
-for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-mode = "solo-min-of-4"
-out = {"mode": mode, "sf": SF, "queries": {}}
-if os.path.exists(OUT):
-    prior = json.load(open(OUT))
-    if prior.get("sf") == SF and prior.get("mode") == mode:
-        out["queries"] = {q: v for q, v in prior.get("queries", {}).items() if q in QS}
-def duck_once(sql, timeout=300.0):
-    lock = threading.Lock(); done = [False]
-    def maybe():
-        with lock:
-            if not done[0]: con.interrupt()
-    t = threading.Timer(timeout, maybe); t.start()
-    t0 = time.monotonic()
-    try:
-        con.execute(sql).fetchall()
-        with lock: done[0] = True
-        return time.monotonic() - t0
-    except Exception:
-        with lock: done[0] = True
-        if time.monotonic() - t0 >= timeout - 0.5: return -timeout
-        raise
-    finally: t.cancel()
-for q in QS:
-    if q in out["queries"]: continue
-    detail = f"/tmp/bench_sf6_{q}.json"
-    if os.path.exists(detail): os.unlink(detail)
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_BENCH_RUNS="4",
-               SPARK_GRAFT_BENCH_OUT=detail)
-    r = subprocess.run(["sbt", "-batch", f"runMain graft.Bench {q}"],
-                       capture_output=True, text=True, env=env)
-    if r.returncode != 0:
-        raise RuntimeError(f"bench failed for {q}:\n{r.stdout[-2000:]}")
-    s = json.load(open(detail))["queries"][q]
-    best = None
-    for _ in range(3):
-        d = duck_once(oracles[q])
-        if d < 0: best = d; break
-        best = d if best is None else min(best, d)
-    row = {"spark_s": round(s, 3), "duckdb_s": round(best, 3)}
-    if best > 0:
-        row["ratio"] = round(s / best, 3)
-        row["gate"] = "PASS" if row["ratio"] <= 2.0 else "FAIL"
-    else:
-        row["gate"] = "PASS (DNF)"
-    out["queries"][q] = row
-    print(q, row, flush=True)
-    json.dump(out, open(OUT, "w"), indent=1)
-npass = sum(1 for v in out["queries"].values() if v["gate"].startswith("PASS"))
-out["summary"] = f"{npass}/{len(QS)} pass the 2x gate at sf6"
-json.dump(out, open(OUT, "w"), indent=1)
-print(out["summary"])
-EOF
+# (r20 ADVICE fix: the resume/timeout/gate logic was inline-duplicated
+# from tools/bench_family.py here; call the tool instead so the two
+# cannot drift)
+python3 tools/bench_family.py benchdata/sf6 BENCH_structural_sf6_r19.json 4 300 \
+  q_simhash_pairs q_span_cut q_span_cut_keep q_dedup_ngram q_dedup_keep \
+  q_dup_spans q_winnow_pairs
+
 echo DONE
