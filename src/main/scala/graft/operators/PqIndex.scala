@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  // transform(_.cast), NOT c.cast(array<double>), deliberately: a bare
+  // Cast-of-attribute is "cheap" to CollapseProject, so the alias gets
+  // INLINED and re-evaluated at every use site (measured +35% on
+  // q_ann_ivf's equivalent); the HOF form is non-cheap and stays
+  // materialized once. Elementwise float->double widening is exact
+  // either way.
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Deterministic per-subspace codebooks: `books(s)(cid)` = subspace-`s`
@@ -121,13 +127,27 @@ object PqIndex {
     Array.tabulate(m)(s => books(s).map(_._2.toArray).toArray)
   }
 
+  /** First index (1-based) of the minimum of `d2s`, as a primitive
+    * double-array min + position — the argmin with ties to the LOWEST
+    * index, i.e. exactly `least()` over struct(d2, idx) / `min_by` /
+    * `ROW_NUMBER ORDER BY (d2, idx)` semantics, but with NO per-row
+    * struct allocation or struct comparators: one UnsafeArrayData of k
+    * doubles, two primitive scans, all inside whole-stage codegen
+    * (profiled at sf1.5: the struct form spent ~170 µs/row allocating
+    * and comparing 64 two-field rows). Spark's NaN semantics make the
+    * degenerate all-NaN row well-defined too (NaN = NaN is true, so
+    * position finds the first element). */
+  private def argminIdx(d2s: Seq[Column]): Column = {
+    val arr = array(d2s: _*)
+    array_position(arr, array_min(arr))
+  }
+
   /** Encode every vector to m code columns (`code_0..code_{m-1}`, each the
     * argmin centroid of its subspace, ties to the lower cid). Shuffle-free:
-    * the codes are scalar expression chains — `least()` over k
-    * (d2, cid) structs per subspace — inside whole-stage codegen; the
+    * the codes are scalar expression chains — [[argminIdx]] over the k
+    * distances per subspace — inside whole-stage codegen; the
     * sub-vector and its self-dot are materialized in their own
-    * projections so the k distance terms share them (interpreted-HOF
-    * copy rule, SURVEY §6). */
+    * projections so the k distance terms share them (SURVEY §6). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              books: Array[Array[Array[Double]]],
              keepCols: Seq[String] = Nil): DataFrame = {
@@ -143,14 +163,14 @@ object PqIndex {
         Similarity.dot(col(s"__sub_$s"), col(s"__sub_$s")).as(s"__vv_$s")): _*)
     val coded = withVv.select(
       (Seq(col("vid"), col("v")) ++ keepCols.map(col)) ++ (0 until m).map { s =>
-        val terms = books(s).zipWithIndex.map { case (c, cid) =>
+        val d2s = books(s).map { c =>
           val cc = Similarity.dotSeq(c.toSeq, c.toSeq)
-          val d2 = col(s"__vv_$s") -
-            lit(2.0) * Similarity.dot(col(s"__sub_$s"), array(c.map(lit): _*)) +
+          col(s"__vv_$s") -
+            lit(2.0) * Similarity.dot(col(s"__sub_$s"), typedLit(c.toSeq)) +
             lit(cc)
-          struct(d2.as("d2"), lit(cid).as("cid"))
         }
-        least(terms: _*).getField("cid").as(s"code_$s")
+        // codes are positional in `books` (cid == index)
+        (argminIdx(d2s.toSeq) - 1).cast("int").as(s"code_$s")
       }: _*)
     coded
   }
@@ -170,9 +190,18 @@ object PqIndex {
     * Lloyd-trained ones). */
   def searchAdcWith(df: DataFrame, idCol: String, vecCol: String,
                     books: Array[Array[Array[Double]]], queryVec: Array[Float],
-                    topK: Int, excludeId: Option[Long]): DataFrame =
-    searchEncoded(encode(df, idCol, vecCol, books), idCol, books,
+                    topK: Int, excludeId: Option[Long]): DataFrame = {
+    // parallelism floor (the Curate.contamination guard): this is the
+    // per-query FULL-SCAN encode path, a pure map plan that otherwise
+    // runs at the input's file-split width (6 tasks on a one-file bench
+    // tier vs 32 cores). A no-op at real scale; the ingest-time path
+    // ([[buildIndex]] + [[searchEncoded]]) never rescans vectors at all.
+    val sc = df.sparkSession.sparkContext
+    val src = if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism) else df
+    searchEncoded(encode(src, idCol, vecCol, books), idCol, books,
       queryVec, topK, excludeId)
+  }
 
   /** Materialize the index: encode every vector and persist ONLY the id
     * and the m code columns. This is the 100 TB layout — a query's ADC

@@ -40,7 +40,10 @@ echo "== 2/4 full structural sweep @ sf1.5 (min-of-4, duck timeout 300; 5 ANN ro
 python3 tools/bench_structural.py benchdata/sf1.5 BENCH_structural_sf15_r20.json 4 300
 
 echo "== 3/4 dedup/span/simhash family crossover @ sf6 (min-of-4, duck timeout 300)"
-python3 tools/bench_family.py benchdata/sf6 BENCH_structural_sf6_r20.json 4 300 \
+# 16g driver at sf6: q_dedup_ngram OOMs min-of-4 in one JVM at the 8g
+# default (r19 finding)
+SPARK_DRIVER_MEM=16g python3 tools/bench_family.py benchdata/sf6 \
+  BENCH_structural_sf6_r20.json 4 300 \
   q_simhash_pairs q_span_cut q_span_cut_keep q_dedup_ngram q_dedup_keep \
   q_dup_spans q_winnow_pairs
 
