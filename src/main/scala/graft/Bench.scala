@@ -69,6 +69,9 @@ object Bench {
 
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // guide §1.5: label every job with its query so event-log profiling
+      // (tools/profile_eventlog.py) can attribute jobs/stages per query
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -77,7 +80,7 @@ object Bench {
         // speedup in the driver-parsed line
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         return -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
 

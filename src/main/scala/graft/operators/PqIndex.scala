@@ -79,10 +79,10 @@ object PqIndex {
     // their own projections so the k distance terms share them (the
     // interpreted-HOF copy rule, as in [[encode]]); parallelism floor
     // before caching — `iters` map stages run over this cache
-    val sc = df.sparkSession.sparkContext
-    val src0 = df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v0"))
-    val src = if (src0.rdd.getNumPartitions < sc.defaultParallelism)
-      src0.repartition(sc.defaultParallelism) else src0
+    // scale-adaptive floor ([[IvfIndex.adaptiveFloor]]): a bench-tier
+    // input keeps its natural split count, a large one fans out
+    val src = IvfIndex.adaptiveFloor(
+      df.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v0")))
     val vecs = src
       .select(col("vid") +: (0 until m).map(s =>
         slice(col("v0"), s * sub + 1, sub).as(s"__sub_$s")): _*)
@@ -191,14 +191,14 @@ object PqIndex {
   def searchAdcWith(df: DataFrame, idCol: String, vecCol: String,
                     books: Array[Array[Array[Double]]], queryVec: Array[Float],
                     topK: Int, excludeId: Option[Long]): DataFrame = {
-    // parallelism floor (the Curate.contamination guard): this is the
-    // per-query FULL-SCAN encode path, a pure map plan that otherwise
-    // runs at the input's file-split width (6 tasks on a one-file bench
-    // tier vs 32 cores). A no-op at real scale; the ingest-time path
-    // ([[buildIndex]] + [[searchEncoded]]) never rescans vectors at all.
-    val sc = df.sparkSession.sparkContext
-    val src = if (df.rdd.getNumPartitions < sc.defaultParallelism)
-      df.repartition(sc.defaultParallelism) else df
+    // scale-adaptive parallelism floor ([[IvfIndex.adaptiveFloor]]):
+    // this is the per-query FULL-SCAN encode path, a pure map plan that
+    // otherwise runs at the input's file-split width. The floor is
+    // sized by input bytes, so a large single-file input still fans
+    // out while a bench-tier one skips the exchange. A no-op at real
+    // scale; the ingest-time path ([[buildIndex]] + [[searchEncoded]])
+    // never rescans vectors at all.
+    val src = IvfIndex.adaptiveFloor(df)
     searchEncoded(encode(src, idCol, vecCol, books), idCol, books,
       queryVec, topK, excludeId)
   }

@@ -199,22 +199,25 @@ object Similarity {
     * the standard SemDeDup trade; raise k for smaller cells and more
     * parallelism, or cluster residuals per cell downstream).
     *
-    * Scale shape: ONE assignment pass (broadcast centroid argmin,
-    * map-side-combined), cached — the assignment's `first(v)` aggregate
-    * is non-deterministic, so without the cache the two join sides fail
-    * `sameResult` and the whole argmin subplan (distance pass + vid
-    * shuffle) runs twice with no ReusedExchange (measured: 4 shuffles →
-    * 2). Both sides then scan the one materialized relation and the
-    * cell-key exchange is reused across them; pair work is Σ cell²
-    * instead of n², and the join is a hash/sort-merge equi-join, never
-    * a cartesian. Norms are precomputed per vector, not per pair. */
+    * Scale shape: the assignment is the r20 literal-centroid argmin — a
+    * DETERMINISTIC zero-exchange row expression — so the two join sides
+    * are `sameResult` by construction and need no cache: under a shuffle
+    * join the cell-key exchange is deduplicated (ReusedExchange), under
+    * a broadcast join the recomputed argmin is a cheap codegen map over
+    * the scan. (The r11-r20 persist existed because the PRE-r20
+    * assignment went through a non-deterministic `first(v)` aggregate
+    * that broke `sameResult`; with that gone the cache bought nothing
+    * and cost a materialization job + InMemoryTableScan pins — the
+    * r20 q_semantic_dedup_keep sf1.5 drift suspect, VERDICT r20 #1.)
+    * Pair work is Σ cell² instead of n², and the join is a hash/
+    * sort-merge equi-join, never a cartesian. Norms are precomputed
+    * per vector, not per pair. */
   def cellCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                      centroids: DataFrame, tau: Double,
-                      scope: graft.PersistScope = graft.PersistScope()): DataFrame = {
-    val assigned = scope.cache(
+                      centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned =
       graft.operators.IvfIndex.assign(df, idCol, vecCol, centroids)
         .select(col("vid"), col("centroid_id").as("cell"), col("v"))
-        .withColumn("nv", norm(col("v"))))
+        .withColumn("nv", norm(col("v")))
     val a = assigned.select(col("cell"), col("vid").as("vec_a"),
       col("v").as("va"), col("nv").as("na"))
     val b = assigned.select(col("cell"), col("vid").as("vec_b"),
