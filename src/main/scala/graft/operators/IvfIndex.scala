@@ -79,6 +79,79 @@ object IvfIndex {
     centroids.select(col("centroid_id"), col("c")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
+  /** Partial-collect ceiling for [[meansByDim]]: past this many input
+    * partitions the per-partition partials (≤ k·d each) would approach
+    * driver scale, so the per-round mean falls back to the SQL
+    * aggregate (one shuffle of ≤ k·d·parts partial rows — the r20
+    * shape). Local and bench tiers sit far under it. */
+  private[operators] val MaxPartialParts = 2048
+
+  /** Per-(cell, dim) decimal-exact means of an assigned frame
+    * (columns: centroid_id int, v array<double>) as driver state —
+    * sorted (cid, per-dim means). The double->decimal cast is the
+    * string route (shortest-string repr is engine-identical) and stays
+    * a CODEGEN'D column expression; only the exact decimal additions
+    * move: per-partition partial (sum, count) pairs per (cell, dim)
+    * ride one collect and combine on the driver. Decimal addition is
+    * exact and associative, so the totals — and the single
+    * sum.toDouble / count division — are bit-identical to the SQL
+    * `groupBy(cid, dim).agg(sum(decimal).cast(double) / count(1))`
+    * route regardless of partitioning (IvfIndexSpec pins the two paths
+    * equal). Counts mirror `count(lit(1))` under posexplode exactly:
+    * every element position of a non-null vector counts, null array
+    * rows contribute nothing. ONE job, ZERO exchanges. */
+  private[operators] def meansByDim(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
+    val decs = assigned.select(col("centroid_id"),
+      transform(col("v"), x => x.cast("string").cast("decimal(28,12)")).as("vd"))
+    val rdd = decs.rdd
+    val entries: Array[(Int, Int, String, Long)] =
+      if (rdd.getNumPartitions > MaxPartialParts)
+        decs.select(col("centroid_id"), posexplode(col("vd")).as(Seq("dim", "x")))
+          .groupBy("centroid_id", "dim")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            if (r.isNullAt(2)) null else r.getDecimal(2).toString, r.getLong(3)))
+      else
+        rdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[(Int, Int), (java.math.BigDecimal, Long)]
+          it.foreach { r =>
+            if (!r.isNullAt(1)) {
+              val cid = r.getInt(0)
+              val vd = r.getSeq[java.math.BigDecimal](1)
+              var d = 0
+              while (d < vd.length) {
+                val (s0, n0) = acc.getOrElse((cid, d), (null: java.math.BigDecimal, 0L))
+                val x = vd(d)
+                val s = if (x == null) s0 else if (s0 == null) x else s0.add(x)
+                acc((cid, d)) = (s, n0 + 1L)
+                d += 1
+              }
+            }
+          }
+          // sums ride as strings: BigDecimal.toString round-trips
+          // exactly by contract, and strings dodge serializer drift
+          acc.iterator.map { case ((cid, d), (s, n)) =>
+            (cid, d, if (s == null) null else s.toString, n) }
+        }.collect()
+    val total = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Int), (java.math.BigDecimal, Long)]
+    entries.foreach { case (cid, d, sStr, n) =>
+      val s = if (sStr == null) null else new java.math.BigDecimal(sStr)
+      val (s0, n0) = total.getOrElse((cid, d), (null: java.math.BigDecimal, 0L))
+      val comb = if (s == null) s0 else if (s0 == null) s else s0.add(s)
+      total((cid, d)) = (comb, n0 + n)
+    }
+    total.toSeq.groupBy(_._1._1).iterator.map { case (cid, es) =>
+      (cid, es.sortBy(_._1._2).map { case ((_, d), (s, n)) =>
+        if (s == null) throw new IllegalStateException(
+          s"meansByDim: all-null sum for cell $cid dim $d (corrupt vectors)")
+        s.doubleValue / n // == sum(decimal).cast(double) / count(1)
+      }.toSeq)
+    }.toSeq.sortBy(_._1)
+  }
+
   /** Train k centroids with `iters` Lloyd rounds.
     * Returns (centroid_id, centroid: array<double>) — a LocalRelation,
     * so downstream probes/assignments pay no recompute.
@@ -110,26 +183,26 @@ object IvfIndex {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     for (_ <- 0 until iters) {
-      // ONE action per round: string-route the double->decimal cast
-      // (shortest-string repr is engine-identical; direct
-      // double->decimal rounding is not), sum exactly in decimal, then
-      // ONE double division — every step reproducible in ANSI SQL,
-      // which is what lets the full Lloyd training carry a DuckDB oracle
-      // assignment in its OWN select below the explode: a generator in
-      // the same select list would plan Project-above-Generate and
-      // re-evaluate the k-fold distance expression once per exploded
-      // DIMENSION (a d× blowup, measured 64× here)
-      val byDim = vecs
-        .select(nearestLit(col("v"), col("vv"), cents).as("centroid_id"),
-          col("v"))
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("centroid_id", "dim")
-        .agg((sum(col("x").cast("string").cast("decimal(28,12)"))
-          .cast("double") / count(lit(1))).as("m"))
-        .collect() // ≤ k·d rows of (cid, dim, mean)
-      cents = byDim.groupBy(_.getInt(0)).iterator.map { case (cid, rs) =>
-        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      }.toSeq.sortBy(_._1)
+      // ONE job and ZERO exchanges per round (r21; guide §2.4): the
+      // row-wise argmin assignment and the string-routed double->decimal
+      // cast (shortest-string repr is engine-identical; direct
+      // double->decimal rounding is not) stay CODEGEN'D column
+      // expressions — the assignment in its OWN select below any
+      // generator, as before (Project-above-Generate re-evaluates the
+      // k-fold distance per exploded dimension, measured 64×) — but the
+      // per-(cell, dim) means are now PARTIAL decimal sums per
+      // partition, combined on the driver: decimal addition is exact
+      // and associative, so the combined sums (and the one double
+      // division) are bit-identical to the previous
+      // groupBy(cid, dim).agg(sum(decimal)) route — the r20 shape paid
+      // a shuffle + an AQE stage barrier per round for the same ≤ k·d
+      // numbers (measured ~0.33 s/round warm at sf0.1 vs ~0.1 s fused).
+      // Each partition ships ≤ k·d (sum, count) partials; the SQL
+      // aggregate route remains for inputs too wide to collect partials
+      // from ([[meansByDim]] falls back past `MaxPartialParts`).
+      cents = meansByDim(
+        vecs.select(nearestLit(col("v"), col("vv"), cents).as("centroid_id"),
+          col("v")))
     }
     vecs.unpersist()
     cents.toDF("centroid_id", "c")

@@ -104,23 +104,80 @@ object PqIndex {
           lit(cc)).as("d2"), lit(cid).as("cid"))
       }: _*).getField("cid")
     for (_ <- 0 until iters) {
-      // ONE action per round; string-route the double->decimal cast +
-      // exact decimal sum + one double division — identical to
-      // IvfIndex.train's round, keyed by sub
-      val byDim = vecs
-        .select(explode(array((0 until m).map(s =>
-          struct(lit(s).as("sub"), argmin(s).as("cid"),
-            col(s"__sub_$s").as("sv"))): _*)).as("e"))
-        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
-          posexplode(col("e.sv")).as(Seq("dim", "x")))
-        .groupBy("sub", "cid", "dim")
-        .agg((sum(col("x").cast("string").cast("decimal(28,12)"))
-          .cast("double") / count(lit(1))).as("m"))
-        .collect() // ≤ m·k·(dim/m) rows of (sub, cid, dim, mean)
+      // ONE job and ZERO exchanges per round (r21, the IvfIndex.meansByDim
+      // twin keyed by sub): per-subspace argmins and the string-routed
+      // double->decimal casts stay CODEGEN'D flat columns (2m of them —
+      // no generator anywhere near the argmin, so nothing re-evaluates
+      // per dimension); the per-(sub, cid, dim) means are per-partition
+      // partial decimal (sum, count) pairs combined on the driver —
+      // decimal addition is exact and associative, so the books are
+      // bit-identical to the r20 explode + groupBy(sub, cid, dim) route
+      // (PqIndexSpec pins the two paths equal), which paid a shuffle +
+      // an AQE barrier per round for the same ≤ k·dim numbers. Inputs
+      // too wide to collect partials from fall back to that SQL route.
+      val decs = vecs.select(
+        (0 until m).map(s => argmin(s).as(s"cid_$s")) ++
+          (0 until m).map(s => transform(col(s"__sub_$s"),
+            x => x.cast("string").cast("decimal(28,12)")).as(s"vd_$s")): _*)
+      val rdd = decs.rdd
+      val entries: Array[(Int, Int, Int, String, Long)] =
+        if (rdd.getNumPartitions > IvfIndex.MaxPartialParts)
+          decs
+            .select(explode(array((0 until m).map(s =>
+              struct(lit(s).as("sub"), col(s"cid_$s").as("cid"),
+                col(s"vd_$s").as("sv"))): _*)).as("e"))
+            .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+              posexplode(col("e.sv")).as(Seq("dim", "x")))
+            .groupBy("sub", "cid", "dim")
+            .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+              if (r.isNullAt(3)) null else r.getDecimal(3).toString,
+              r.getLong(4)))
+        else
+          rdd.mapPartitions { it =>
+            val acc = scala.collection.mutable.LinkedHashMap
+              .empty[(Int, Int, Int), (java.math.BigDecimal, Long)]
+            it.foreach { r =>
+              var s = 0
+              while (s < m) {
+                if (!r.isNullAt(m + s)) {
+                  val cid = r.getInt(s)
+                  val vd = r.getSeq[java.math.BigDecimal](m + s)
+                  var d = 0
+                  while (d < vd.length) {
+                    val (s0, n0) = acc.getOrElse((s, cid, d),
+                      (null: java.math.BigDecimal, 0L))
+                    val x = vd(d)
+                    val sum0 =
+                      if (x == null) s0 else if (s0 == null) x else s0.add(x)
+                    acc((s, cid, d)) = (sum0, n0 + 1L)
+                    d += 1
+                  }
+                }
+                s += 1
+              }
+            }
+            acc.iterator.map { case ((s, cid, d), (sm, n)) =>
+              (s, cid, d, if (sm == null) null else sm.toString, n) }
+          }.collect()
+      val total = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int, Int), (java.math.BigDecimal, Long)]
+      entries.foreach { case (s, cid, d, sStr, n) =>
+        val x = if (sStr == null) null else new java.math.BigDecimal(sStr)
+        val (s0, n0) = total.getOrElse((s, cid, d),
+          (null: java.math.BigDecimal, 0L))
+        val comb = if (x == null) s0 else if (s0 == null) x else s0.add(x)
+        total((s, cid, d)) = (comb, n0 + n)
+      }
       books = (0 until m).map(s =>
-        byDim.filter(_.getInt(0) == s).groupBy(_.getInt(1)).iterator
-          .map { case (cid, rs) =>
-            (cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        total.iterator.filter(_._1._1 == s).toSeq.groupBy(_._1._2).iterator
+          .map { case (cid, es) =>
+            (cid, es.sortBy(_._1._3).map { case ((_, _, d), (sm, n)) =>
+              if (sm == null) throw new IllegalStateException(
+                s"trainBooks: all-null sum for sub $s cid $cid dim $d")
+              sm.doubleValue / n
+            }.toSeq)
           }.toSeq.sortBy(_._1))
     }
     vecs.unpersist()

@@ -75,4 +75,27 @@ class IvfIndexSpec extends SparkSpec {
     assert((ivf intersect exact).size >= 3,
       s"recall too low: ${(ivf intersect exact).size}/10")
   }
+
+  test("meansByDim: fused partial-collect means == the SQL aggregate route, bit-exact") {
+    // r21 pin: the per-round Lloyd mean moved from groupBy(cid, dim) over
+    // an exploded frame to per-partition decimal partials combined on the
+    // driver. Decimal addition is exact, so the two routes must agree to
+    // the BIT on every mean, at any partitioning.
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+      .select(col("centroid_id"), col("v"))
+    for (parts <- Seq(1, 7)) {
+      val df = if (parts == 1) assigned.coalesce(1) else assigned.repartition(parts)
+      val fused = IvfIndex.meansByDim(df)
+      val sql = df
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg((sum(col("x").cast("string").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0)).map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+      assert(fused === sql, s"fused means diverged from SQL route at parts=$parts")
+    }
+  }
 }

@@ -150,4 +150,48 @@ class PqIndexSpec extends SparkSpec {
     }.sortBy { case (vid, d) => (d, vid) }.take(5)
     assert(out === expected)
   }
+
+  test("trainBooks: fused partial-collect round == the SQL aggregate round, bit-exact") {
+    // r21 pin for the fused Lloyd round: books from the partial-collect
+    // route must equal a reference SQL groupBy(sub, cid, dim) round
+    // (decimal sums are exact, so equality is to the bit). One round is
+    // enough — later rounds consume the first round's literals.
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet").repartition(5)
+    val m = 4; val k = 8
+    val trained = PqIndex.trainBooks(df, "vec_id", "embedding", m, k, iters = 1)
+    // reference: the r20 SQL route for the SAME init (first k by id)
+    val init = PqIndex.codebooks(df, "vec_id", "embedding", m, k)
+    val dim = df.select("embedding").head().getSeq[Float](0).length
+    val sub = dim / m
+    val vecD = transform(col("embedding"), x => x.cast("double"))
+    val withSubs = df.select(
+      Seq(col("vec_id").as("vid")) ++
+        (0 until m).map(s => slice(vecD, s * sub + 1, sub).as(s"__sub_$s")): _*)
+    val withVv = withSubs.select(
+      col("*") +: (0 until m).map(s =>
+        graft.plans.DotProduct.dot(col(s"__sub_$s"), col(s"__sub_$s")).as(s"__vv_$s")): _*)
+    def argmin(s: Int) =
+      least(init(s).zipWithIndex.map { case (c, cid) =>
+        struct((col(s"__vv_$s") -
+          lit(2.0) * graft.plans.DotProduct.dot(col(s"__sub_$s"), typedLit(c.toSeq)) +
+          lit(c.foldLeft(0.0)((a, x) => a + x * x))).as("d2"), lit(cid).as("cid"))
+      }: _*).getField("cid")
+    val byDim = withVv
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), argmin(s).as("cid"),
+          col(s"__sub_$s").as("sv"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+        posexplode(col("e.sv")).as(Seq("dim", "x")))
+      .groupBy("sub", "cid", "dim")
+      .agg((sum(col("x").cast("string").cast("decimal(28,12)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .collect()
+    val ref: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      byDim.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toSeq
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+        }.sortBy(_._1).map(_._2).toArray)
+    assert(trained.map(_.map(_.toSeq).toSeq).toSeq ===
+      ref.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
