@@ -1573,7 +1573,17 @@ object SparkEntry {
       .when(col("o_orderpriority") === "3-MEDIUM", "Standard")
       .when(col("o_orderpriority") === "4-NOT SPECIFIED", "Minor")
       .otherwise("HS2 (Highway)")
-    Tables.orders(s, d)
+    // r21: fan the NARROW orders scan out before the dressing map — the
+    // testdata parquet is single-row-group, so the scan (and with it the
+    // whole cpu-heavy dressing: explode x2 + ~28 string projections,
+    // measured ~1.0 cpu-s warm at sf0.1) otherwise runs in ONE task.
+    // Unlike the r15 floor this shuffles only the 5 raw order columns
+    // BEFORE the join/explode/projection widen the rows (guide §2.3:
+    // project before the exchange; §8: move decisions on narrow rows).
+    // Conditional, so a source with enough natural splits (real scale)
+    // skips the exchange entirely.
+    graft.operators.IvfIndex.adaptiveFloor(
+        Tables.orders(s, d), perPartBytes = 256 << 10)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))

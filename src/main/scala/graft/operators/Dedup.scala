@@ -338,12 +338,24 @@ object Dedup {
     * the whole fingerprint is a per-row expression chain). */
   val SimhashBits = 60
 
-  /** Majority fold over a PRE-MATERIALIZED array of 60-bit token hashes.
-    * `hs` must be a plain column reference: interpreted HOFs copy the
-    * argument expression into every use site, so an inlined md5 tree here
-    * would hash each token 60x (once per bit term) — materialize the hash
-    * array in its own projection first (see [[simhash]]). */
-  def simhashOfHashes(hs: Column): Column = {
+  /** Majority fold over an array of 60-bit token hashes — the native
+    * codegen expression ([[graft.plans.SimhashFold]]); one primitive
+    * int[60] accumulator per row instead of the interpreted ±1-vector
+    * HOF chain (r21; DedupSpec pins it bit-identical to
+    * [[simhashOfHashesHof]] including empty/null-element inputs). The
+    * native fold evaluates its child ONCE, so callers no longer need the
+    * two-projection split that protected the HOF form from re-hashing
+    * each token per bit term. */
+  def simhashOfHashes(hs: Column): Column =
+    graft.plans.SimhashFold.simhashFold(hs, SimhashBits)
+
+  /** Portable HOF formulation of the same fold — interpreted (slow);
+    * kept as the cross-check reference for the native expression (the
+    * DotProduct/dotHof discipline). `hs` must be a plain column
+    * reference: interpreted HOFs copy the argument expression into every
+    * use site, so an inlined md5 tree here would hash each token 60x
+    * (once per bit term). */
+  def simhashOfHashesHof(hs: Column): Column = {
     val bitVecs = transform(hs, h =>
       array((0 until SimhashBits).map(b =>
         when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*))

@@ -114,6 +114,28 @@ class DedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("native SimhashFold == HOF reference fold (incl. empty / null element / null array)") {
+    val rnd = new scala.util.Random(42)
+    val arrs: Seq[Seq[java.lang.Long]] =
+      Seq(Seq.empty[java.lang.Long],                        // empty -> 0L
+        Seq(null.asInstanceOf[java.lang.Long]),             // null elem -> -1/bit
+        Seq[java.lang.Long](0L), Seq[java.lang.Long]((1L << 60) - 1)) ++
+        (1 to 20).map(n => Seq.tabulate(n)(_ =>
+          java.lang.Long.valueOf(rnd.nextLong() >>> 4)))
+    val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "hs")
+    val both = df.select(col("id"),
+        Dedup.simhashOfHashes(col("hs")).as("nat"),
+        Dedup.simhashOfHashesHof(col("hs")).as("ref"))
+      .collect()
+    both.foreach { r => assert(r.get(1) === r.get(2), s"row ${r.get(0)}") }
+    // NULL array -> NULL in both forms
+    val nr = Seq((0L, null.asInstanceOf[Seq[java.lang.Long]])).toDF("id", "hs")
+      .select(Dedup.simhashOfHashes(col("hs")).as("nat"),
+        Dedup.simhashOfHashesHof(col("hs")).as("ref")).collect().head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("simhash is identical for dups and close for near-dups") {
     val h = docs.select(col("doc_id"), Dedup.simhash64("text").as("sh"))
       .as[(Long, Long)].collect().toMap
