@@ -1192,6 +1192,20 @@ object SparkEntry {
     Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
       k = 4, w = 5, minShared = 2, maxFpDf = 64)
 
+  /** Flat parallelism floor for text-heavy single-stage scans (the
+    * q_geo_geojson / Curate.contamination trade, r21): per-row tokenizer
+    * CPU dwarfs one narrow-row exchange by orders of magnitude, and the
+    * single-row-group bench parquet otherwise pins the whole encode to
+    * ONE task (splits below the row group are empty, so no split config
+    * can help). At real scale the source already has more partitions
+    * than the box and this is a no-op. Same build-time
+    * `rdd.getNumPartitions` cost note as q_geo_geojson above: fine on a
+    * map-only chain, don't copy onto plans with exchanges. */
+  private def floorTextScan(s: SparkSession, df: DataFrame): DataFrame = {
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Fixed literal merge table for q_bpe_encode — trained once with
     * `Bpe.train(documents@sf0.001, text, 16)` and embedded as literals on
     * BOTH sides (the LSH-hyperplane discipline: the oracle cannot re-run
@@ -1207,7 +1221,7 @@ object SparkEntry {
     * checksum too) and its head. Scan -> codegen'd project, no shuffle —
     * the apply-side of the tokenizer (train is [[operators.Bpe.train]]). */
   private def qBpeEncode(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    floorTextScan(s, Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"),
         transform(Text.tokens(col("text")),
           w => Bpe.encodeWord(w, BpeMerges)).as("ew"))
@@ -1236,7 +1250,7 @@ object SparkEntry {
     * shuffle-free scan→project. Oracle renders the identical LUT,
     * pattern, and merge literals from the same Scala constants. */
   private def qBpeEncodeBytes(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    floorTextScan(s, Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"),
         transform(Bpe.pretokenize(col("text")),
           w => Bpe.encodeWordBytes(w, BpeByteMerges)).as("ew"))
@@ -1289,7 +1303,7 @@ object SparkEntry {
     * rule make the optimum engine-exact). */
   private def qUnigramEncode(s: SparkSession, d: String): DataFrame = {
     val ck = lit(UnigramChunk)
-    Tables.documents(s, d)
+    floorTextScan(s, Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"),
         flatten(transform(Bpe.pretokenize(col("text")), w => {
           val nch = ((length(w) + lit(UnigramChunk - 1)) / ck).cast("int")

@@ -56,14 +56,25 @@ object Sessionize {
         col(userCol).as("u"), col(sidCol).as("sid"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .where(col("s").isNotNull && col("e").isNotNull)
-    val nul = lit(null).cast("long")
+    // typed NULLs so the explode branches agree with the caller's key
+    // types (the union form coerced the same way via unionByName)
+    val nulU = lit(null).cast(sess.schema("u").dataType)
+    val nulSid = lit(null).cast(sess.schema("sid").dataType)
+    // ONE pass over `sess` (r21, guide §2.4): the former 3-way union
+    // re-evaluated the whole upstream (typically a sessionize window)
+    // once per branch — only the pre-shuffle exchange deduplicated, the
+    // sort+window ran 3x. An explode of the 3 tagged sweep rows emits
+    // the identical row multiset from a single evaluation.
     val sweep = sess
-      .select(col("s").as("t"), lit(0).as("tag"), lit(1L).as("w"),
-        nul.as("u"), nul.as("sid"))
-      .unionByName(sess.select(col("s").as("t"), lit(1).as("tag"),
-        lit(0L).as("w"), col("u"), col("sid")))
-      .unionByName(sess.select(col("e").as("t"), lit(2).as("tag"),
-        lit(-1L).as("w"), nul.as("u"), nul.as("sid")))
+      .select(explode(array(
+        struct(col("s").as("t"), lit(0).as("tag"), lit(1L).as("w"),
+          nulU.as("u"), nulSid.as("sid")),
+        struct(col("s").as("t"), lit(1).as("tag"), lit(0L).as("w"),
+          col("u").as("u"), col("sid").as("sid")),
+        struct(col("e").as("t"), lit(2).as("tag"), lit(-1L).as("w"),
+          nulU.as("u"), nulSid.as("sid")))).as("__r"))
+      .select(col("__r.t").as("t"), col("__r.tag").as("tag"),
+        col("__r.w").as("w"), col("__r.u").as("u"), col("__r.sid").as("sid"))
     Stats.withRunningTotal(sweep, Seq(col("t"), col("tag")), col("w"), "__n")
       .where(col("tag") === 1)
       .select(col("u").as(userCol), col("sid").as(sidCol),
