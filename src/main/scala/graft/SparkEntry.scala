@@ -1509,7 +1509,6 @@ object SparkEntry {
       Dedup.minhashBucketStars(exactDeduped, "doc_id", "text", 16, 2))
     val dropNear = labels.where(col("doc") =!= col("cluster"))
       .select(col("doc").as("doc_id"))
-    val deduped = exactDeduped.join(dropNear, Seq("doc_id"), "left_anti")
     // 3. decontamination vs the benchmark split — same semantics and caps
     // as Curate.contamination, but candidates come from the CACHED
     // distinct-trigram arrays (no second tokenize of the corpus); only
@@ -1522,13 +1521,23 @@ object SparkEntry {
     val benchIdx = Dedup.capByFreq(benchAll, Seq("sh"), 64, Seq("doc", "sh"),
         scope)
       .select(col("doc").as("doc_b"), col("sh"))
-    val contaminated = deduped
+    // contamination probes run over exactDeduped, NOT the near-dup
+    // survivors (r21, guide §2.4): per-doc contamination is independent
+    // of which OTHER docs the minhash stage drops, so probing the
+    // superset yields the identical contaminated set on the survivors —
+    // and both drop reasons then apply as ONE anti-join on their union
+    // instead of two chained anti-joins over an extra intermediate.
+    // (No .distinct() on the drop set either: anti-join semantics are
+    // multiplicity-blind, the old distinct bought an exchange for
+    // nothing.) Oracle unchanged, cell-exact.
+    val contaminated = exactDeduped
       .select(col("doc_id").as("doc_a"), explode(col("__g3d")).as("sh"))
       .join(broadcast(benchIdx), Seq("sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ns"))
       .where(col("__ns") >= 2)
-      .select(col("doc_a").as("doc_id")).distinct()
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_a").as("doc_id"))
+    val clean = exactDeduped.join(
+      dropNear.unionByName(contaminated), Seq("doc_id"), "left_anti")
     // 4. token budget, most-tokens-first — distributed prefix sum
     Curate.tokenBudgetSelect(
         clean.select(col("doc_id"), col("source"), col("n_tokens")),

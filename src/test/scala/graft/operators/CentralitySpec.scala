@@ -20,6 +20,19 @@ class CentralitySpec extends SparkSpec {
       3L -> ((936250L, 1L))))
   }
 
+  test("driver-local path == distributed rounds, bit-exact (random graph)") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 200).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val local = rows(Centrality.pagerankPpm(pairs, iters = 3))
+    val dist = rows(Centrality.pagerankPpm(pairs, iters = 3,
+      driverEdgeLimit = 0L)) // force the distributed rounds
+    assert(local === dist)
+  }
+
   test("the hub of a star graph outranks its leaves") {
     val pairs = (2L to 9L).map(i => (1L, i)).toDF("doc_a", "doc_b")
     val out = Centrality.pagerankPpm(pairs, iters = 3)
