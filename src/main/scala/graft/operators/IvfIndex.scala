@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
   * codegen'd row expression: `array_min` over `struct(dist2, cid)`,
   * the same total order as `min_by(cid, struct(dist2, cid))` (ties on
   * the distance go to the smaller cid). No crossJoin, no per-vid
-  * shuffle — the assignment column costs ZERO exchanges at any SF. A
+  * shuffle — the assignment column costs ZERO exchanges at any DATA
+  * size. The supported MODEL size is bounded, though (ADVICE r20): the
+  * expression carries O(k·d) literals, so past roughly k·d ≈ 10⁵ terms
+  * Janino's 64 KB method limit degrades codegen to interpreted eval
+  * (correct, slower) and the literal arrays bloat every plan string —
+  * the literal form is for the curation-gate regime (k tens to
+  * hundreds); a deployment wanting FAISS-scale k (10⁴+ cells) should
+  * shard training per coarse bucket rather than widen one argmin
+  * expression. A
   * Lloyd training round is then a single job: row-wise assignment →
   * per-(cell, dim) decimal-exact means (map-side combinable, one
   * shuffle of ≤ k·d·parts partial rows) → a ≤ k·d-row collect that

@@ -114,22 +114,41 @@ final class S3CommitStore(
   private def isTransient(code: Int): Boolean =
     code == 500 || code == 502 || code == 503 || code == 504
 
-  /** One request, transient 5xx retried with bounded backoff; `handle`
-    * maps the terminal (code, body) — codes it leaves unhandled throw. */
+  /** The documented CopyObject quirk: a 200 whose body carries an
+    * <Error> that is itself transient (InternalError/SlowDown) — the
+    * same retryable condition as a real 500/503, just delivered after
+    * the 200 status line. */
+  private[sinks] def isTransient200Body(code: Int, b: Array[Byte]): Boolean =
+    code == 200 && {
+      val s = new String(b, StandardCharsets.UTF_8)
+      s.contains("<Error>") &&
+        (s.contains("InternalError") || s.contains("SlowDown"))
+    }
+
+  /** One request, transient 5xx (and transient-in-200 error bodies left
+    * unhandled by `handle`) retried with bounded backoff; `handle` maps
+    * the terminal (code, body) — codes it leaves unhandled throw.
+    * `onTransientRetry` fires once per retry so callers whose outcome
+    * becomes AMBIGUOUS after a transient failure (a 500 on a
+    * conditional PUT may have been applied server-side) can tell —
+    * see [[putIfAbsent]]. */
   private def http[A](what: String)(send: () => HttpURLConnection)
-                     (handle: PartialFunction[(Int, Array[Byte]), A]): A = {
+                     (handle: PartialFunction[(Int, Array[Byte]), A],
+                      onTransientRetry: () => Unit = () => ()): A = {
     var attempt = 0
     while (true) {
       val c = send()
       val code = c.getResponseCode
       val b = body(c)
       if (handle.isDefinedAt((code, b))) return handle((code, b))
-      if (isTransient(code) && attempt < transientRetries) {
+      val transient = isTransient(code) || isTransient200Body(code, b)
+      if (transient && attempt < transientRetries) {
         attempt += 1
+        onTransientRetry()
         Thread.sleep(math.min(50L * attempt, 500L))
       } else
         throw new IOException(s"$what: HTTP $code ${snippet(b)}" +
-          (if (isTransient(code)) s" (after $attempt transient retries)"
+          (if (transient) s" (after $attempt transient retries)"
            else ""))
     }
     throw new IllegalStateException("unreachable")
@@ -147,12 +166,32 @@ final class S3CommitStore(
       c
     }
     var attempt409 = 0
+    // AWS documents that a transient 500 on a conditional write may have
+    // been APPLIED server-side: if this request ever retried through a
+    // transient failure, a subsequent 412 is ambiguous — it may be OUR
+    // earlier attempt's object. A GET-and-compare resolves it EXACTLY
+    // when the body is writer-unique (manifests/voids are; returning
+    // false there would tell the writer to retry and double-append —
+    // ADVICE r20). It is UNSOUND for shared bodies used as mutual-
+    // exclusion markers: the empty claim-N bodies compare equal across
+    // writers, and a matched-but-not-ours claim would let two writers
+    // both "hold" a version (measured: the chaos suite's void race).
+    // Empty bodies therefore keep the conservative false — for the
+    // claim protocol a false loss only burns a slot, which vacuum
+    // reclaims by design.
+    var retriedTransient = false
     while (true) {
-      val done = http(s"putIfAbsent($name)")(send) {
+      val done = http(s"putIfAbsent($name)")(send)({
         case (200, _) => Some(true)
-        case (412, _) => Some(false) // precondition failed: name exists
+        case (412, _) if !retriedTransient || bodyBytes.isEmpty =>
+          Some(false) // precondition failed: name exists
+        case (412, _) =>
+          val current =
+            try Some(read(name))
+            catch { case _: NoSuchFileException => None }
+          Some(current.exists(java.util.Arrays.equals(_, bodyBytes)))
         case (409, _) => None // racers mid-flight; precondition re-decides
-      }
+      }, onTransientRetry = () => retriedTransient = true)
       done match {
         case Some(r) => return r
         case None =>
@@ -224,8 +263,11 @@ final class S3CommitStore(
           "x-amz-copy-source" -> s"/$bucket/${encKey(keyPrefix + name)}",
           "x-amz-metadata-directive" -> "REPLACE"),
           Array.emptyByteArray)) {
-      case (200, b) =>
-        // the 200-with-error-body CopyObject quirk
+      // the 200-with-error-body CopyObject quirk: a TRANSIENT error body
+      // (InternalError/SlowDown in a 200) is left UNhandled here so
+      // http()'s backoff retries it like a real 500/503 (ADVICE r20);
+      // other embedded error codes still throw immediately below
+      case (200, b) if !isTransient200Body(200, b) =>
         val s = new String(b, StandardCharsets.UTF_8)
         if (s.contains("<Error>"))
           throw new IOException(s"touch($name): 200 with ${snippet(b)}")

@@ -17,6 +17,42 @@ class PqIndexSpec extends SparkSpec {
     s
   }
 
+  test("degenerate inputs pinned: a NULL vector element yields NULL codes for its subspace (and NULL IVF cell)") {
+    // ADVICE r20: the r20 argmin (array_position(arr, array_min(arr)))
+    // SKIPS NULL distances where the pre-r20 least(struct(d2, cid))
+    // ranked them first — corrupt vectors now yield NULL codes instead
+    // of a fabricated one. This test pins that as the INTENDED
+    // semantics for both PQ encode and the IVF literal argmin, so a
+    // future refactor cannot silently flip it back.
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val rows = Seq(
+      (0L, Seq[java.lang.Float](1f, 1f, 0f, 0f)),           // clean
+      (1L, Seq[java.lang.Float](null, 1f, 0f, 0f)))         // subspace 0 poisoned
+      .toDF("vid", "vec")
+    val enc = PqIndex.encode(rows, "vid", "vec", books)
+      .select("vid", "code_0", "code_1").collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    assert(enc(0L) === ((1, 0)))
+    assert(enc(1L)._1 === null) // poisoned subspace: NULL code, no fabrication
+    assert(enc(1L)._2 === 0)    // clean subspace still encodes
+    // IVF asymmetry pinned AS-IS: nearestLit's array_min over
+    // struct(d2, cid) compares the NULL d2 field nulls-first, so a
+    // poisoned vector deterministically lands in the LOWEST cid (the
+    // pre-r20 least(struct) behavior) — unlike PQ's array-of-doubles
+    // min, which skips NULLs. Both are deterministic, degenerate-input-
+    // only, and were what the r20 oracle runs verified; this test
+    // exists so a refactor cannot silently flip either.
+    val cents = Seq((0, Seq(0.0, 0.0, 0.0, 0.0)), (1, Seq(1.0, 1.0, 0.0, 0.0)))
+      .toDF("centroid_id", "c")
+    val assigned = IvfIndex.assign(rows, "vid", "vec", cents)
+      .select("vid", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(assigned(0L) === 1) // (1,1,0,0) is exactly centroid 1
+    assert(assigned(1L) === 0) // all-NULL distances: lowest cid wins
+  }
+
   test("codebook vectors encode to their own cid (zero distance, tie-free)") {
     val df = vecs.toDF("vec_id", "embedding")
     val books = PqIndex.codebooks(df, "vec_id", "embedding", m = 2, k = 4)

@@ -58,6 +58,12 @@ final class FakeS3Endpoint(pageSize: Int = 3, latencyMs: Int = 0,
   def endpoint: String = s"http://127.0.0.1:$port"
   def stop(): Unit = server.stop(0)
 
+  /** Test hook: the next conditional PUT is APPLIED (if the key is
+    * absent) but answered 503 — the AWS-documented ambiguous outcome of
+    * a transient failure on a conditional write, where the client's
+    * retry then sees 412 for its OWN object. */
+  @volatile var applyThen5xxNextCondPut: Boolean = false
+
   /** Test hook: age an object as if written `ageMs` ago. */
   def backdate(key: String, ageMs: Long): Unit = lock.synchronized {
     objects.get(key).foreach { case (b, _) =>
@@ -230,6 +236,14 @@ final class FakeS3Endpoint(pageSize: Int = 3, latencyMs: Int = 0,
       case "PUT" =>
         val conditional =
           Option(x.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+        if (conditional && applyThen5xxNextCondPut) {
+          applyThen5xxNextCondPut = false
+          lock.synchronized {
+            if (!objects.contains(key))
+              objects += key -> (body, System.currentTimeMillis())
+          }
+          respond(x, 503, err("SlowDown", "applied, then 5xx")); return
+        }
         if (conditional && conflict409EveryN > 0) {
           val fire = lock.synchronized { condPuts += 1; condPuts % conflict409EveryN == 0 }
           if (fire) {

@@ -32,6 +32,29 @@ class S3CommitStoreSpec extends SparkSpec {
     finally ep.stop()
   }
 
+  test("a transiently-failed conditional PUT that actually landed reports WIN, not loss") {
+    withEndpoint() { (ep, st) =>
+      val body = "manifest A".getBytes(StandardCharsets.UTF_8)
+      ep.applyThen5xxNextCondPut = true
+      // 503 (but applied server-side) -> transient retry -> 412 -> the
+      // ambiguity resolver GETs and matches our writer-unique body
+      assert(st.putIfAbsent("manifest-amb", body))
+      assert(java.util.Arrays.equals(st.read("manifest-amb"), body))
+    }
+  }
+
+  test("412 after a transient retry against ANOTHER writer's object stays a loss") {
+    withEndpoint() { (ep, st) =>
+      assert(st.putIfAbsent("manifest-race",
+        "writer B".getBytes(StandardCharsets.UTF_8)))
+      ep.applyThen5xxNextCondPut = true
+      // 503 (nothing applied: B holds the key) -> retry -> 412 -> GET
+      // mismatches -> genuine loss
+      assert(!st.putIfAbsent("manifest-race",
+        "writer A".getBytes(StandardCharsets.UTF_8)))
+    }
+  }
+
   test("putIfAbsent: one winner over HTTP, loser sees 412, read round-trips bytes") {
     withEndpoint() { (_, st) =>
       val body = "manifest v1".getBytes(StandardCharsets.UTF_8)
