@@ -388,29 +388,44 @@ class PlanAuditSpec extends SparkSpec {
       s"events scan not pruned to event_id+user_id: $read")
   }
 
-  test("q_bpe_encode_bytes: shuffle-free scan->project (byte-level path)") {
-    val p = plan("q_bpe_encode_bytes")
-    assert(!p.contains("Exchange"), "byte-level BPE encode introduced a shuffle")
+  // r21: the three tokenizer-encode plans gained the SAME floor shape
+  // q_geo_geojson pins — ONE round-robin exchange of the pruned
+  // (doc_id, text) scan so the encode map runs at cluster parallelism
+  // instead of the row-group count (no-op at real scale); any OTHER
+  // exchange (hash/range) would mean the encode itself regressed to a
+  // shuffle
+  private def assertFloorOnlyEncode(name: String, what: String): String = {
+    val p = plan(name)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("RoundRobinPartitioning")),
+      s"$what introduced a non-floor shuffle: $exchanges")
+    assert(exchanges.size <= 1,
+      s"$what: more than the one floor exchange: $exchanges")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("doc_id") && read.contains("text") &&
       !read.contains("n_chars"), s"documents scan not pruned: $read")
+    p
   }
 
-  test("q_unigram_encode: shuffle-free scan->project (Viterbi expression path)") {
-    val p = plan("q_unigram_encode")
-    assert(!p.contains("Exchange"), "unigram encode introduced a shuffle")
-    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
-    assert(read.contains("doc_id") && read.contains("text") &&
-      !read.contains("n_chars"), s"documents scan not pruned: $read")
+  test("q_bpe_encode_bytes: floor-only scan->project (byte-level path)") {
+    assertFloorOnlyEncode("q_bpe_encode_bytes", "byte-level BPE encode")
   }
 
-  test("q_bpe_encode: shuffle-free codegen'd scan->project, pruned to doc_id+text") {
-    val p = plan("q_bpe_encode")
-    assert(!p.contains("Exchange"), "corpus BPE encode introduced a shuffle")
+  test("q_unigram_encode: floor-only scan->project (Viterbi expression path)") {
+    assertFloorOnlyEncode("q_unigram_encode", "unigram encode")
+  }
+
+  test("q_bpe_encode: floor-only codegen'd scan->project, pruned to doc_id+text") {
+    val p = assertFloorOnlyEncode("q_bpe_encode", "corpus BPE encode")
     // the HOF-lambda projects are interpreted (Spark never codegens
     // higher-order functions) but the scan + final hash/head project stay
-    // inside whole-stage codegen spans
-    assert(p.contains("*("), "scan/project lost its codegen span")
+    // inside whole-stage codegen spans. With the r21 floor exchange the
+    // plan is AQE-wrapped and the INITIAL plan string hides codegen
+    // stars — execute once and read the FINAL plan for the span pin.
+    val qe = SparkEntry.queries("q_bpe_encode")(spark, sfDir).queryExecution
+    qe.executedPlan.execute().count() // finalize the AQE stages
+    val fin = qe.executedPlan.toString
+    assert(fin.contains("*("), s"scan/project lost its codegen span:\n$fin")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("doc_id") && read.contains("text") &&
       !read.contains("lang") && !read.contains("n_chars"),

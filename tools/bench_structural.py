@@ -30,9 +30,31 @@ QUERIES = [
   # the ANN family PINNED (r18 ask 7, twice-slipped): these rows rode
   # the auto-union, so any round whose full DuckDB artifact was missing
   # or empty silently dropped them from the sweep — never again
-  "q_ann_ivf", "q_ann_ivf_indexed", "q_ann_pq", "q_ann_pq_trained",
-  "q_ivf_pq",
+  "q_ann_ivf", "q_ann_ivf_indexed", "q_ann_pq", "q_ann_pq_indexed",
+  "q_ann_pq_trained", "q_ivf_pq",
 ]
+
+
+def prior_artifact(sf, out_path):
+    """Newest committed structural artifact for the SAME tier (by round
+    number in the filename), excluding the one being written — the
+    drift reference for DNF rows (VERDICT r20 #3: when DuckDB DNFs the
+    gate carries no ratio, so a Spark-side regression would otherwise
+    ride through invisibly as "PASS (DNF)")."""
+    import glob
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tier = os.path.basename(sf.rstrip("/")).replace(".", "")
+    def round_no(p):
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+    cands = [p for p in glob.glob(
+                 os.path.join(repo, f"BENCH_structural_{tier}_r*.json"))
+             if os.path.abspath(p) != os.path.abspath(out_path)]
+    cands.sort(key=round_no)
+    if not cands:
+        return {}, None
+    art = json.load(open(cands[-1]))
+    return art.get("queries", {}), os.path.basename(cands[-1])
 
 # The pinned list can silently go stale as queries are added — auto-union
 # in every query whose DuckDB sf0.1 minimum is >= 0.5 s of real work (the
@@ -156,14 +178,25 @@ def main():
             result["queries"] = {q: v for q, v in
                                  prior.get("queries", {}).items()
                                  if q in queries}
+    prior, prior_name = prior_artifact(sf, out_path)
     for q in queries:
         if q in result["queries"]:
             continue
         s = spark_solo(sf, q, runs)
         d = duck_solo(con, oracles[q], runs, duck_timeout)
+        watch = None
         if d < 0:
             gate = "PASS (DNF)"
             ratio = None
+            # DNF blind-spot check (VERDICT r20 #3): no DuckDB
+            # denominator, so compare Spark against the PREVIOUS
+            # committed artifact's row and flag drift past +-25%
+            pv = prior.get(q, {}).get("spark_s")
+            if isinstance(pv, (int, float)) and pv > 0 and \
+                    abs(s / pv - 1.0) > 0.25:
+                watch = (f"WATCH: spark {s:.3f}s vs {pv:.3f}s in "
+                         f"{prior_name} ({s / pv:.2f}x) with no DuckDB "
+                         "denominator — adjudicate before trusting the DNF row")
         else:
             ratio = round(s / d, 3)
             gate = "PASS" if ratio <= 2.0 else "FAIL"
@@ -171,6 +204,7 @@ def main():
             "spark_s": round(s, 3),
             "duckdb_s": round(d, 3),
             **({"ratio": ratio} if ratio is not None else {}),
+            **({"watch": watch} if watch else {}),
             "gate": gate}
         print(q, result["queries"][q], flush=True)
         json.dump(result, open(out_path, "w"), indent=1)
